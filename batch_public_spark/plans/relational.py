@@ -1,0 +1,882 @@
+"""Relational query corpus (SURVEY §2b).
+
+The reference implements almost no relational operators (only MAX/COUNT
+aggregation, reference main.py:264-274 / jsonl_formatter.py:176-179), so
+this module declares the full classical surface over the TPC-H-ish star
+schema using built-in DataFrame ops — Catalyst supplies the physical
+strategies (broadcast/SMJ/hash agg/partial agg/pushdown).
+
+Scale notes per query are in the docstrings: the point is that every plan
+here survives a 1000-executor 100 TB run — dims are broadcast, aggregations
+are partial+final, sorts are top-k (TakeOrdered), and nothing collects to
+the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from batch_public_spark.plans.registry import query
+from batch_public_spark.sources.tables import load_table as t
+
+# Determinism helpers (see registry docstring): exact decimal arithmetic for
+# sums/products, double division for ratios, rounded + cast double outputs.
+D15 = "decimal(15,4)"  # money / measures
+D6 = "decimal(6,4)"  # rates in [0,1] — keeps product widths within 38
+
+
+def dec(c, typ: str = D15):
+    return F.col(c).cast(typ)
+
+
+def money_sum(expr, alias: str):
+    return F.round(F.sum(expr), 2).cast("double").alias(alias)
+
+
+def ratio(num, den, alias: str):
+    return F.round(num.cast("double") / den, 6).alias(alias)
+
+
+# SQL fragments for the DuckDB oracles, mirroring the helpers above.
+def _sql_dec(c, typ="DECIMAL(15,4)"):
+    return f"CAST({c} AS {typ})"
+
+
+REV = f"{_sql_dec('l_extendedprice')} * (1 - {_sql_dec('l_discount', 'DECIMAL(6,4)')})"
+CHARGE = f"{REV} * (1 + {_sql_dec('l_tax', 'DECIMAL(6,4)')})"
+
+
+def _rev_col():
+    return dec("l_extendedprice") * (F.lit(1) - dec("l_discount", D6))
+
+
+def _charge_col():
+    return _rev_col() * (F.lit(1) + dec("l_tax", D6))
+
+
+# ---------------------------------------------------------------------------
+# Aggregation spine
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM({_sql_dec('l_quantity')}), 2) AS DOUBLE)      AS sum_qty,
+           CAST(ROUND(SUM({_sql_dec('l_extendedprice')}), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM({REV}), 2) AS DOUBLE)                         AS sum_disc_price,
+           CAST(ROUND(SUM({CHARGE}), 2) AS DOUBLE)                      AS sum_charge,
+           ROUND(CAST(SUM({_sql_dec('l_quantity')}) AS DOUBLE) / COUNT(*), 6)      AS avg_qty,
+           ROUND(CAST(SUM({_sql_dec('l_extendedprice')}) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM({_sql_dec('l_discount', 'DECIMAL(6,4)')}) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary (scan→filter→hash agg).
+
+    Scale: partial+final hash agg on 2 low-cardinality keys — near-zero
+    shuffle (4 groups); the shipdate filter pushes into the parquet scan.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        money_sum(dec("l_quantity"), "sum_qty"),
+        money_sum(dec("l_extendedprice"), "sum_base_price"),
+        money_sum(_rev_col(), "sum_disc_price"),
+        money_sum(_charge_col(), "sum_charge"),
+        ratio(F.sum(dec("l_quantity")), F.count("*"), "avg_qty"),
+        ratio(F.sum(dec("l_extendedprice")), F.count("*"), "avg_price"),
+        ratio(F.sum(dec("l_discount", D6)), F.count("*"), "avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@query(
+    "agg_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT DISTINCT (expand + two-phase agg under Catalyst)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "agg_stats_orders",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,4))), 2) AS DOUBLE) AS sum_price,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(15,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate stats in one pass (min/max raw doubles are exact)."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        money_sum(dec("o_totalprice"), "sum_price"),
+        ratio(F.sum(dec("o_totalprice")), F.count("*"), "avg_price"),
+    )
+
+
+@query(
+    "agg_approx_distinct",
+    oracle=None,  # HLL sketches are engine-specific; rows-only check.
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for ledger
+    stats where exact distinct would shuffle the world (SURVEY §4)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "rollup_flag_status",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(ROUND(SUM({_sql_dec('l_quantity')}), 2) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (Expand + hash agg)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(money_sum(dec("l_quantity"), "sum_qty"), F.count("*").alias("n"))
+    )
+
+
+@query(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,4))), 2) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"), money_sum(dec("o_totalprice"), "sum_price"))
+    )
+
+
+@query(
+    "grouping_sets_geo",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (n_name), ())
+    """,
+)
+def grouping_sets_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS via the SQL API (same Catalyst plan as cube/rollup)."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    t(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql(
+        """
+        SELECT r_name, n_name, COUNT(*) AS n_customers
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        """
+    )
+
+
+@query(
+    "pivot_flag_status",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN {_sql_dec('l_quantity')} END), 2) AS DOUBLE) AS F,
+           CAST(ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN {_sql_dec('l_quantity')} END), 2) AS DOUBLE) AS O
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT (fixed value list → no extra distinct pass, one shuffle)."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum(dec("l_quantity")), 2).cast("double"))
+    )
+
+
+@query(
+    "histogram_totalprice",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket, COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+)
+def histogram_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed histogram (numeric binning — exact double division)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           CAST(ROUND(SUM({REV}), 2) AS DOUBLE) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY SUM({REV}) DESC, l_orderkey LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dim filter → fact join → agg → top-k.
+
+    Scale: customer (filtered) broadcasts; lineitem⋈orders co-shuffle on
+    orderkey; final sort is TakeOrderedAndProject (no global sort).
+    """
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-01-01")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(_rev_col()).alias("_rev"))
+        .orderBy(F.desc("_rev"), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.round("_rev", 2).cast("double").alias("revenue"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+    )
+
+
+@query(
+    "q5_region_revenue",
+    oracle=f"""
+    SELECT n_name, CAST(ROUND(SUM({REV}), 2) AS DOUBLE) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join.
+
+    Scale: region/nation/supplier/customer are dims → broadcast; only
+    lineitem⋈orders shuffles (co-partitioned on orderkey). Catalyst+AQE
+    reorders and picks broadcast automatically under the 64 MB threshold.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(money_sum(_rev_col(), "revenue"))
+    )
+
+
+@query(
+    "join_left_order_counts",
+    oracle="""
+    SELECT c_custkey, c_name,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE(CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,4))), 2) AS DOUBLE), 0.0) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.round(F.sum(dec("o_totalprice")), 2).cast("double"), F.lit(0.0)).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@query(
+    "join_semi_customers_with_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > 300000)
+    """,
+)
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS) — no row multiplication, build side only keys."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti_customers_without_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS) — the watermark filter F3 is this in
+    spirit (SURVEY §2b)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_broadcast_geo",
+    oracle="""
+    SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_broadcast_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash join (dim⋈dim; zero shuffle)."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+
+
+@query(
+    "join_theta_acctbal",
+    oracle="""
+    SELECT s_suppkey, COUNT(*) AS n_richer_customers
+    FROM supplier JOIN customer ON c_acctbal > s_acctbal
+    GROUP BY s_suppkey
+    """,
+)
+def join_theta_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure theta (non-equi) join → broadcast nested-loop.
+
+    Scale: only viable because one side is broadcast-small; at 100 TB a
+    theta join needs banding on the range key first (see range_join below).
+    """
+    s = t(spark, sf_dir, "supplier")
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.join(F.broadcast(s), c.c_acctbal > s.s_acctbal)
+        .groupBy("s_suppkey")
+        .agg(F.count("*").alias("n_richer_customers"))
+    )
+
+
+@query(
+    "join_cross_region_segment",
+    oracle="""
+    SELECT r_name, seg, COUNT(*) AS n FROM
+    (SELECT r_name FROM region) CROSS JOIN
+    (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+    GROUP BY r_name, seg
+    """,
+)
+def join_cross_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS join (cartesian of two tiny dims)."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    seg = t(spark, sf_dir, "customer").select(F.col("c_mktsegment").alias("seg")).distinct()
+    return r.crossJoin(seg).groupBy("r_name", "seg").agg(F.count("*").alias("n"))
+
+
+@query(
+    "join_range_late_shipments",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_late
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY o_orderpriority
+    """,
+)
+def join_range_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join with a range residual (range predicate evaluated post-probe)."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            o,
+            (li.l_orderkey == o.o_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_late"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_rank_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER w AS rn,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking family over a keyed window (single shuffle on the partition key)."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+    )
+
+
+@query(
+    "window_lag_lead_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           COALESCE(strftime(LAG(o_orderdate) OVER w, '%Y-%m-%d'), '') AS prev_date,
+           COALESCE(strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d'), '') AS next_date,
+           COALESCE(date_diff('day', CAST(LAG(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)), -1) AS gap_days
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD navigation + inter-order gap computation."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        F.coalesce(
+            F.date_format(F.lag("o_orderdate").over(w), "yyyy-MM-dd"), F.lit("")
+        ).alias("prev_date"),
+        F.coalesce(
+            F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd"), F.lit("")
+        ).alias("next_date"),
+        F.coalesce(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lag("o_orderdate").over(w).cast("date")
+            ).cast("bigint"),
+            F.lit(-1).cast("bigint"),
+        ).alias("gap_days"),
+    )
+
+
+@query(
+    "window_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,4)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS running_spend
+    FROM orders
+    """,
+)
+def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame (exact decimal accumulation)."""
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias("running_spend"),
+    )
+
+
+@query(
+    "window_ntile_quartiles",
+    oracle="""
+    SELECT q, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(15,4))), 2) AS DOUBLE) AS sum_bal
+    FROM (SELECT c_acctbal, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS q FROM customer)
+    GROUP BY q
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing then re-aggregation.
+
+    Scale caveat: an unpartitioned ORDER BY window is a single-task sort; at
+    100 TB use approx percentiles instead (percentile_approx) — kept here for
+    operator parity."""
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        t(spark, sf_dir, "customer")
+        .select("c_acctbal", F.ntile(4).over(w).alias("q"))
+        .groupBy("q")
+        .agg(F.count("*").alias("n"), money_sum(dec("c_acctbal"), "sum_bal"))
+    )
+
+
+@query(
+    "topk_orders_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk_orders_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k → Catalyst rewrites to TakeOrderedAndProject (per-partition
+    heap + driver merge of k), not a full sort."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via ranked window (one shuffle; AQE handles skew)."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "setop_union_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_union_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@query(
+    "setop_intersect_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@query(
+    "setop_except_nations",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct) — nations with customers but no suppliers."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)
+
+
+@query(
+    "distinct_segments",
+    oracle="SELECT DISTINCT c_mktsegment FROM customer",
+)
+def distinct_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (hash agg on all columns)."""
+    return t(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Scalar function families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "string_funcs_part",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_up,
+           SUBSTRING(p_name, 1, 8) AS name_prefix,
+           LENGTH(p_name) AS name_len,
+           CONCAT(p_brand, ':', p_type) AS brand_type,
+           REPLACE(p_type, 'E', '_') AS type_repl,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_word
+    FROM part
+    """,
+)
+def string_funcs_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar family (upper/substr/length/concat/replace/regexp)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit("E"), F.lit("_")).alias("type_repl"),
+        F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_word"),
+    )
+
+
+@query(
+    "date_funcs_orders",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mo,
+           CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dy,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30
+    FROM orders
+    """,
+)
+def date_funcs_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar family (extract/trunc/add)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dy"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.date_add(F.col("o_orderdate").cast("date"), 30), "yyyy-MM-dd").alias(
+            "plus30"
+        ),
+    )
+
+
+@query(
+    "math_funcs_lineitem",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ABS(l_discount - 0.05) AS abs_d,
+           CAST(CEIL(l_quantity / 7.0) AS BIGINT) AS ceil_q,
+           CAST(FLOOR(l_extendedprice / 1000.0) AS BIGINT) AS floor_p,
+           ROUND(SQRT(l_quantity), 6) AS sqrt_q,
+           ROUND(LN(l_extendedprice), 6) AS ln_p,
+           CAST(l_quantity AS BIGINT) % 5 AS mod_q
+    FROM lineitem
+    """,
+)
+def math_funcs_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar family. sqrt is IEEE-exact; ln rounded to 6 (1-2 ulp noise)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.ceil(F.col("l_quantity") / 7.0).cast("bigint").alias("ceil_q"),
+        F.floor(F.col("l_extendedprice") / 1000.0).cast("bigint").alias("floor_p"),
+        F.round(F.sqrt("l_quantity"), 6).alias("sqrt_q"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_p"),
+        (F.col("l_quantity").cast("bigint") % 5).alias("mod_q"),
+    )
+
+
+@query(
+    "case_when_segmentation",
+    oracle="""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'mid'
+                ELSE 'rich' END AS tier,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(15,4))), 2) AS DOUBLE) AS sum_bal
+    FROM customer GROUP BY 1
+    """,
+)
+def case_when_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN conditional projection + agg."""
+    c = t(spark, sf_dir, "customer")
+    tier = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("rich")
+        .alias("tier")
+    )
+    return c.groupBy(tier).agg(
+        F.count("*").alias("n"), money_sum(dec("c_acctbal"), "sum_bal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Array / JSON / higher-order functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_funcs_events",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(15,4))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def json_funcs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from a semi-structured string column (reference P5:
+    the LLM reply is a JSON string inside a record, parse.py:95-115)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.select(
+            (F.get_json_object("props", "$.k").cast("bigint") % 10).alias("k_mod"),
+            dec("value").alias("v"),
+        )
+        .groupBy("k_mod")
+        .agg(F.count("*").alias("n"), money_sum(F.col("v"), "sum_value"))
+    )
+
+
+@query(
+    "array_funcs_documents",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           string_split(text, ' ')[1] AS first_token,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS sum_token_len
+    FROM documents
+    """,
+)
+def array_funcs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + higher-order functions (split/size/element/contains/
+    transform+aggregate) — all JVM-side, no UDF."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        toks.getItem(0).alias("first_token"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.aggregate(
+            F.transform(toks, lambda x: F.length(x).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_token_len"),
+    )
+
+
+@query(
+    "explode_word_counts",
+    oracle="""
+    SELECT word, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+    GROUP BY word ORDER BY n DESC, word LIMIT 20
+    """,
+)
+def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPLODE (UNNEST) → word frequency top-20 (generator + agg + top-k)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "word")
+        .limit(20)
+    )

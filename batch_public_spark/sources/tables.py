@@ -1,0 +1,71 @@
+"""Batch table sources over the driver-generated parquet star schema.
+
+Reference parity: the reference's only batch source is a paginated DynamoDB
+Scan with client-side filtering (reference dynamo_fetcher.py:171-373, S1 in
+SURVEY §2a). Here the source abstraction is Spark's DataSource V2 parquet
+reader — columnar, with predicate pushdown, column pruning and partition
+pruning supplied by Catalyst. A production DynamoDB path would be the
+S3-export → parquet route (preferred at 100 TB) or a parallel Segment scan
+mapped one-segment-per-partition; both land in the same ``load_table`` shape.
+
+The catalog-listing affordance (reference main.py:624-634, S2) maps to
+``spark.catalog.listTables`` once views are registered.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# Full driver testdata catalog (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one catalog table. Lazy: no IO until an action runs, so filters
+    and projections applied downstream push into the parquet scan."""
+    if name == "events":
+        # Must work on ANY session (the driver builds its own), so set the
+        # nanos conf at runtime rather than relying on our session factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS); with nanosAsLong it surfaces as a
+        # bigint of epoch-nanos. Truncate to micros (exactly what DuckDB's
+        # micro-precision timestamps do) and restore TimestampType.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view so spark.sql() queries and
+    spark.catalog.listTables() (reference S2) work against the catalog."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def list_tables(spark: SparkSession) -> list[str]:
+    """Catalog listing (reference main.py:624-634)."""
+    return [t.name for t in spark.catalog.listTables()]

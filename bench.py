@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the headline declared queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and print ONE JSON line with per-query wall
+times. The driver records this as BENCH_r{N}.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from batch_public_spark.plans import QUERIES  # noqa: E402
+from batch_public_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: the heavy relational spine + one per operator family. Every
+# registered query runs unless SPARK_GRAFT_BENCH_ALL=0 trims to this list.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "join_left_order_counts",
+    "window_rank_orders",
+    "topk_orders_per_customer",
+    "explode_word_counts",
+]
+
+
+def main() -> None:
+    spark = get_spark("batch_public_spark-bench")
+    names = list(QUERIES) if os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") == "1" else HEADLINE
+    # Warm the JVM + parquet footers once so timings measure the queries.
+    QUERIES["q1_pricing_summary"].fn(spark, SF_DIR).count()
+
+    times: dict[str, float] = {}
+    for name in names:
+        start = time.perf_counter()
+        df = QUERIES[name].fn(spark, SF_DIR)
+        df.count()
+        times[name] = round(time.perf_counter() - start, 4)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "total wall seconds over declared query set",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(times),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+import math
+import os
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from batch_public_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("batch_public_spark-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def ddb():
+    """DuckDB connection with the same parquet tables registered as views —
+    mirrors the driver's oracle harness."""
+    con = duckdb.connect()
+    for name in TABLES:
+        con.sql(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_DIR}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _canon(v):
+    """Canonicalize a cell for order-insensitive comparison."""
+    if v is None:
+        return None
+    if type(v).__module__ == "numpy" and hasattr(v, "item"):
+        v = v.item()
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if hasattr(v, "isoformat"):  # date/datetime
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+    except ImportError:  # pragma: no cover
+        pass
+    return v
+
+
+def assert_parity(spark_df, ddb_rel, query_name: str = "?"):
+    """Mimic the driver's correctness gate: sort columns by name, compare
+    row multisets exactly."""
+    spark_cols = sorted(spark_df.columns)
+    ddb_df = ddb_rel.df()
+    # Missing values in object/string columns arrive as NaN/NaT — normalize
+    # to None so they compare equal to Spark's NULLs. Keep float-column NaNs
+    # (genuine NaN values) intact.
+    for c in ddb_df.columns:
+        if ddb_df[c].dtype == object:
+            ddb_df[c] = ddb_df[c].where(ddb_df[c].notna(), None)
+    ddb_cols = sorted(ddb_df.columns)
+    assert spark_cols == ddb_cols, f"{query_name}: columns {spark_cols} != {ddb_cols}"
+
+    s_rows = sorted(
+        (tuple(_canon(row[c]) for c in spark_cols) for row in spark_df.collect()),
+        key=repr,
+    )
+    d_rows = sorted(
+        (tuple(_canon(v) for v in row) for row in ddb_df[ddb_cols].itertuples(index=False)),
+        key=repr,
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"{query_name}: row count {len(s_rows)} != {len(d_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{query_name}: first mismatches {mismatches[:5]}"
