@@ -1,0 +1,114 @@
+"""Multimodal column support (north-star op, BASELINE.json).
+
+Design: image/audio/video payloads are opaque ``binary`` columns with a
+typed metadata struct alongside (``mime``, ``width``, ``height``,
+``duration_s``). All Spark-side plumbing — schema, partition sizing, Arrow
+batch shape, UDF signatures — is real and tested; the actual codec work is
+STUBBED (this container has no image/audio libraries): ``decode_features``
+raises ``NotImplementedError`` in ``strict`` mode and otherwise computes a
+deterministic fake feature vector (byte histogram), which keeps tests and
+benchmarks honest about data movement without pretending to decode JPEGs.
+
+Scale notes: binary payloads dominate row size — ``mapInPandas`` receives
+Arrow record batches, so ``spark.sql.execution.arrow.maxRecordsPerBatch``
+(and parquet row-group sizing on write) is the lever that keeps executor
+memory bounded at 100 TB; feature extraction is embarrassingly parallel and
+shuffle-free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MULTIMODAL_META_SCHEMA = (
+    "struct<mime string, width int, height int, duration_s double>"
+)
+
+FEATURE_DIM = 16
+
+
+def pack_blob(payload: Column, mime: Column) -> Column:
+    """Assemble the canonical (blob, meta) pair from raw bytes + mime."""
+    return F.struct(
+        payload.alias("data"),
+        F.struct(
+            mime.alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("double").alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+def synthesize_blobs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Deterministic binary fixtures: utf-8 bytes of the text standing in
+    for media payloads (the driver testdata has no real media)."""
+    return df.select(
+        F.col(id_col),
+        F.encode(F.col(text_col), "utf-8").alias("blob"),
+        F.lit("application/octet-stream").alias("mime"),
+    )
+
+
+def blob_metadata(blob: Column) -> Column:
+    """Cheap, engine-parity metadata: byte length + content digests —
+    computable without any codec."""
+    return F.struct(
+        F.octet_length(blob).alias("n_bytes"),
+        F.md5(blob).alias("md5"),
+        F.sha2(blob, 256).alias("sha256"),
+    )
+
+
+def decode_features(
+    df: DataFrame,
+    *,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    strict: bool = False,
+    batch_hint: int = 256,
+) -> DataFrame:
+    """Feature extraction over binary payloads via Arrow-batched
+    ``mapInPandas``.
+
+    ``strict=True`` is the real-decoder path — it raises
+    ``NotImplementedError`` here (no PIL/ffmpeg in this container) exactly
+    where a production build would call the codec. The default path emits a
+    deterministic 16-bin byte histogram (L1-normalized) so downstream
+    similarity/clustering plumbing is exercised with stable numbers.
+    """
+    from batch_public_spark.util import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+
+    schema = f"{id_col} long, n_bytes long, features array<double>"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real media decode requires image/audio codecs not present in "
+                "this environment; run with strict=False for the deterministic stub"
+            )
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r[blob_col]) if r[blob_col] is not None else b""
+                hist = [0] * FEATURE_DIM
+                for byte in raw:
+                    hist[byte % FEATURE_DIM] += 1
+                total = float(sum(hist)) or 1.0
+                out.append(
+                    {
+                        id_col: r[id_col],
+                        "n_bytes": len(raw),
+                        "features": [h / total for h in hist],
+                    }
+                )
+            for i in range(0, len(out), batch_hint):
+                yield pd.DataFrame(out[i : i + batch_hint])
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)

@@ -1,0 +1,409 @@
+"""Semantic dedup + similarity search (north-star ops, BASELINE.json).
+
+Families implemented (each designed around its 100 TB shuffle story):
+
+- **Exact dedup** — md5-of-normalized-text groupBy; partial agg map-side.
+- **MinHash + LSH** — shingle → k minhashes → b bands → bucket equi-join.
+  The band join is the scale path: candidate generation is a same-bucket
+  shuffle join (linear in data + bucket collisions), never all-pairs.
+- **SimHash** — 64-bit signature via per-bit weighted sums; near-dup =
+  small Hamming distance. Signature build is one aggregation-free pass.
+- **N-gram Jaccard** — exact verification on candidate pairs (used as the
+  verifier behind MinHash candidates; or standalone on bounded subsets).
+- **Embedding near-dup / ANN** — brute-force cosine (broadcast the small
+  side) and random-hyperplane LSH bucketing for the at-scale path.
+
+Everything is DataFrame-native (higher-order array functions, xxhash64,
+joins); no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from batch_public_spark.operators.textops import normalized_text
+
+# ---------------------------------------------------------------------------
+# Shingles + exact Jaccard
+# ---------------------------------------------------------------------------
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of the normalized text. Documents
+    shorter than n words get their whole text as the single shingle."""
+    toks = F.split(normalized_text(text), " ")
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two (distinct-element) arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the smallest id per identical normalized text. Map-side partial
+    min() makes this one cheap shuffle of (hash → min id) pairs."""
+    h = F.md5(normalized_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+
+def _seeded_min(shingles: Column, seed: int) -> Column:
+    # NB: helper-function closure, NOT a default-arg lambda — PySpark binds
+    # every lambda parameter as a lambda variable, so `lambda s, k=k:` would
+    # silently receive the element index as `k`.
+    return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """k independent minhashes: hash family = xxhash64 seeded by slot index.
+    One expression → evaluated in a single pass over each shingle array."""
+    return F.array(*[_seeded_min(shingles, k) for k in range(num_hashes)])
+
+
+def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
+    """Band the signature: array of (band_id, bucket_hash) structs."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.lit(b),
+                    F.concat_ws(
+                        "_", *[F.element_at(signature, b * rows + r + 1).cast("string") for r in range(rows)]
+                    ),
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing ≥1 LSH bucket, with exact
+    Jaccard attached for thresholding.
+
+    Scale design: explode to (bucket, id) — one row per doc per band — then
+    a self equi-join on (band, bucket). ``max_bucket`` drops degenerate hot
+    buckets (boilerplate shingles) the way production dedup pipelines cap
+    posting lists; AQE's skew-join splitting handles the rest. The exact-
+    Jaccard verify joins shingle arrays back in (hash join on id).
+    """
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh")
+    )
+    sig = base.select("_id", "_sh", lsh_bands(minhash_signature(F.col("_sh"), num_hashes), bands, rows).alias("_bands"))
+    buckets = sig.select("_id", F.explode("_bands").alias("b")).select(
+        "_id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    # cap pathological buckets
+    sized = buckets.withColumn("_n", F.count("*").over(W.partitionBy("band", "bucket")))
+    buckets = sized.filter(F.col("_n") <= max_bucket).drop("_n")
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bucket") == F.col("b.bucket")))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    sh = base.select(F.col("_id"), F.col("_sh"))
+    return (
+        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    )
+
+
+def dedup_minhash(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    **kw,
+) -> DataFrame:
+    """Near-dup dedup decision: among verified pairs (Jaccard ≥ threshold),
+    keep the smallest id of each connected pair (greedy single-link on
+    direct pairs — the standard one-pass approximation; a full
+    connected-components pass is an iterative join loop at scale)."""
+    cand = minhash_candidates(df, text_col=text_col, id_col=id_col, **kw)
+    dups = cand.filter(F.col("jaccard") >= threshold)
+    losers = dups.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(text: Column, shingle_n: int = 2) -> Column:
+    """64-bit SimHash over word shingles: bit i set iff the sum of
+    (hash_bit_i ? +1 : -1) over shingles is positive. Built as 64 aggregate
+    terms over one hashed-shingle array — single pass, no explode."""
+    hashes = F.transform(word_shingles(text, shingle_n), lambda s: F.xxhash64(s))
+
+    def vote_bit(i: int) -> Column:
+        vote = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+
+    bits = [vote_bit(i) for i in range(64)]
+    out = F.lit(0).cast("long")
+    for i, bit in enumerate(bits):
+        out = out + F.shiftleft(bit, i)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit signatures (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    band_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit bands (a signature within
+    Hamming ≤ 3 of another must share ≥1 of 4 bands exactly — pigeonhole),
+    then verify Hamming on candidates. Same banded-join scale story as
+    MinHash LSH."""
+    sig = df.select(F.col(id_col).alias("_id"), simhash64(F.col(text_col)).alias("_sig"))
+    bands = 64 // band_bits
+    banded = sig.select(
+        "_id",
+        "_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("_sig"), b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "_sig", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key")))
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sig"), F.col("b._sig")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity (cosine) — brute force + hyperplane LSH
+# ---------------------------------------------------------------------------
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays, computed in double."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.transform(b, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def ann_bruteforce_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_sim: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Scale: broadcast the query set (it's the small side by construction);
+    the corpus streams through map-side — no corpus shuffle. The final
+    per-query top-k is a ranked window over (queries × corpus) scored rows,
+    which AQE keeps partition-balanced on query_id. Similarity is rounded
+    before ranking so ordering is reproducible across engines.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vv"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_vv")), round_sim).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane_signature(vec: Column, *, planes: int = 16, dim: int = 64, seed: int = 7) -> Column:
+    """Random-hyperplane (sign) LSH signature as a bigint bucket id.
+
+    Hyperplane p's component for dimension d is a deterministic ±1 derived
+    from xxhash64(seed, p, d) — no stored model, identical on every
+    executor, reproducible across runs."""
+    def plane_bit(p: int) -> Column:
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda x, d: x.cast("double")
+                * F.when(
+                    F.xxhash64(F.lit(seed), F.lit(p), d).bitwiseAND(F.lit(1)) == 1, 1.0
+                ).otherwise(-1.0),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+
+    bits = [plane_bit(p) for p in range(planes)]
+    out = F.lit(0).cast("long")
+    for i, bit in enumerate(bits):
+        out = out + F.shiftleft(bit, i)
+    return out
+
+
+def ann_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    planes: int = 12,
+    tables: int = 4,
+    dim: int = 64,
+    round_sim: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates = same hyperplane-sign bucket in any of
+    ``tables`` independent hash tables, ranked by exact cosine.
+
+    Scale: per-table bucket equi-join replaces the all-pairs cross join —
+    cost is corpus×tables bucket rows plus intra-bucket pairs. Recall tunes
+    with (planes↓, tables↑)."""
+    sigs = [
+        (t, lambda c, t=t: hyperplane_signature(c, planes=planes, dim=dim, seed=101 + t))
+        for t in range(tables)
+    ]
+
+    def with_sigs(df: DataFrame, id_alias: str) -> DataFrame:
+        cols = [F.col(id_col).alias(id_alias), F.col(vec_col).alias(f"_v_{id_alias}")]
+        return df.select(
+            *cols,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(t).alias("tbl"), s(F.col(vec_col)).alias("bucket"))
+                        for t, s in sigs
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_alias, f"_v_{id_alias}", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+
+    qb = with_sigs(queries, "query_id")
+    vb = with_sigs(vectors, "neighbor_id")
+    cand = (
+        vb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "_v_query_id", "_v_neighbor_id")
+        .distinct()
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_v_query_id"), F.col("_v_neighbor_id")), round_sim).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def embedding_neardup_pairs(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    round_sim: int = 6,
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold (exact). For bounded corpora /
+    verification; the at-scale variant routes through ann_lsh buckets
+    first."""
+    a = vectors.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cosine(F.col("_va"), F.col("_vb")), round_sim).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north-star): token counting,
+quality scoring, language ID, and document fingerprinting over a text
+column. All are single-pass column expressions (no UDFs, no shuffles until
+the caller aggregates) — at 100 TB these ride along with the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword sets for the heuristic scorer/langid.
+STOPWORDS_EN = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+_LANG_MARKERS = (
+    # (lang, regex of distinctive characters/words)
+    ("zh", r"[一-鿿]"),
+    ("ja", r"[぀-ヿ]"),
+    ("ko", r"[가-힯]"),
+    ("ru", r"[Ѐ-ӿ]"),
+    ("ar", r"[؀-ۿ]"),
+    ("es", r"(?i)\b(el|la|los|las|una|está|según|también)\b|[ñ¿¡]"),
+    ("fr", r"(?i)\b(le|la|les|une|est|être|c'est|d'une)\b|[àâçèêëîïôûù]"),
+    ("de", r"(?i)\b(der|die|das|und|ist|nicht|eine|ich)\b|[äöüß]"),
+)
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (split on runs of whitespace, no empties)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count_ws(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text)).cast("bigint")
+
+
+def token_count_bpe_ish(text: Column) -> Column:
+    """BPE-ish token estimate: word pieces + standalone punctuation, the
+    classic ``\\w+|[^\\w\\s]`` regex count. A cheap, deterministic proxy for
+    tokenizer cost models at corpus scale."""
+    return F.regexp_count(text, F.lit(r"\w+|[^\w\s]")).cast("bigint")
+
+
+# Explicit ASCII punctuation class — deliberately NOT \p{Punct}: Java and
+# RE2 disagree on which ASCII symbols are "punctuation", and the oracle must
+# compute the identical set.
+PUNCT_CLASS = r"""[.,!?;:()\[\]{}"'`~\-_/\\|@#$%^&*+=<>]"""
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation characters / total characters (0 for empty)."""
+    n = F.length(text)
+    p = F.regexp_count(text, F.lit(PUNCT_CLASS))
+    return F.when(n > 0, p.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: tuple[str, ...] = STOPWORDS_EN) -> Column:
+    """Stopword tokens / total tokens (0 for empty)."""
+    toks = F.transform(tokens(text), lambda t: F.lower(t))
+    n = F.size(toks)
+    sw = F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
+    return F.when(n > 0, sw.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def mean_word_len(text: Column) -> Column:
+    toks = tokens(text)
+    n = F.size(toks)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return F.when(n > 0, total.cast("double") / n).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic in the Gopher/C4-filter spirit:
+    rewards moderate length, low punctuation density, some stopwords, and
+    sane mean word length. Deterministic and fully JVM-side."""
+    n_tok = token_count_ws(text).cast("double")
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 4)
+    sw = stopword_ratio(text)
+    sw_score = F.least(sw * 5, F.lit(1.0))
+    mwl = mean_word_len(text)
+    mwl_score = F.when((mwl >= 2.0) & (mwl <= 12.0), 1.0).otherwise(0.3)
+    return (len_score * 0.3 + punct_pen * 0.3 + sw_score * 0.2 + mwl_score * 0.2).cast("double")
+
+
+def lang_id(text: Column, default: str = "en") -> Column:
+    """Heuristic language ID: first matching script-range / marker-word
+    pattern wins, else ``default``. An n-gram model would be a broadcast
+    lookup + the same expression shape."""
+    expr = F.lit(default)
+    for lang, pattern in reversed(_LANG_MARKERS):
+        expr = F.when(F.regexp_like(text, F.lit(pattern)), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def normalized_text(text: Column) -> Column:
+    """Dedup normalization: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def fingerprint_md5(text: Column) -> Column:
+    """Content fingerprint: md5 of the normalized text — the exact-dedup
+    key. Stable across engines (oracle-checkable)."""
+    return F.md5(normalized_text(text))
+
+
+def fingerprint_winnow(text: Column, k: int = 8, keep: int = 4) -> Column:
+    """Winnowing-style rolling fingerprint: xxhash64 over k-char windows of
+    the normalized text, keep the ``keep`` smallest hashes (a deterministic
+    min-sample of the document's local substrings). Near-duplicate documents
+    share most fingerprint elements. One expression, no explode."""
+    norm = normalized_text(text)
+    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
+    hashes = F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
+    return F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)

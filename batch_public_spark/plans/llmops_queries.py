@@ -1,1 +1,325 @@
-"""Filled in by later build phases."""
+"""Declared queries for the LLM-data-pipeline operators (north-star set:
+dedup families, similarity search, text analysis, multimodal columns).
+
+Oracle-pairing strategy: operators whose math both engines can express
+(exact dedup, n-gram Jaccard, cosine similarity, text metrics) get full
+DuckDB oracles computing the SAME formulas; hash-based candidates
+(MinHash/SimHash/hyperplane-LSH) are engine-specific by nature → rows-only
+here, with recall/agreement cross-checks against their exact counterparts
+in tests/test_llmops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_public_spark.operators.multimodal import (
+    blob_metadata,
+    decode_features,
+    synthesize_blobs,
+)
+from batch_public_spark.operators.semantic import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    dedup_exact,
+    dedup_minhash,
+    embedding_neardup_pairs,
+    jaccard,
+    minhash_candidates,
+    simhash_neardup_pairs,
+    word_shingles,
+)
+from batch_public_spark.operators.textops import (
+    PUNCT_CLASS,
+    lang_id,
+    mean_word_len,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count_bpe_ish,
+    token_count_ws,
+)
+from batch_public_spark.plans.registry import query
+from batch_public_spark.sources.tables import load_table as t
+
+# Shared SQL fragments mirroring the Spark expressions exactly.
+_NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS = f"list_filter(string_split_regex(trim(text), '\\s+'), x -> length(x) > 0)"
+_PUNCT_SQL = PUNCT_CLASS.replace("'", "''")
+_STOP = "['the','a','an','of','to','and','in','is','it','for']"
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llmops_dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM}) AS content_hash,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def llmops_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text, smallest doc_id survives.
+    Map-side partial min ⇒ one light shuffle at any scale."""
+    return dedup_exact(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "llmops_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len({_TOKS.replace("trim(text)", _NORM)}) - 2, 1) + 1),
+               i -> array_to_string(({_TOKS.replace("trim(text)", _NORM)})[i:i+2], ' ')
+             )) AS sh
+      FROM documents WHERE doc_id < 150)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(list_concat(a.sh, b.sh)))
+    """,
+)
+def llmops_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard near-dup pairs (J ≥ 0.5) on a bounded
+    subset — the exact verifier the LSH path approximates. All-pairs is
+    O(n²): bounded here by doc_id < 150; at scale candidates come from the
+    MinHash band join instead."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select(F.col("doc_id"), word_shingles(F.col("text"), 3).alias("sh"))
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jac"))
+        .filter(F.col("jac") >= 0.5)
+    )
+
+
+@query("llmops_minhash_candidates", oracle=None)
+def llmops_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate pairs with exact-Jaccard verification —
+    shingle→minhash→band→bucket-join (the 100 TB dedup path; xxhash64-based,
+    hence engine-specific → rows-only; recall vs exact pairs is asserted in
+    tests)."""
+    return minhash_candidates(t(spark, sf_dir, "documents")).filter(F.col("jaccard") >= 0.5)
+
+
+@query("llmops_minhash_dedup", oracle=None)
+def llmops_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup dedup decision: drop the larger doc_id of every verified
+    near-dup pair (J ≥ 0.6); returns survivors per source."""
+    kept = dedup_minhash(t(spark, sf_dir, "documents"), threshold=0.6)
+    return kept.groupBy("source").agg(F.count("*").alias("n_kept"))
+
+
+@query("llmops_simhash_neardup", oracle=None)
+def llmops_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (Hamming ≤ 3 on 64-bit signatures), candidate
+    generation by 16-bit band blocking (pigeonhole-complete for ≤3 flips)."""
+    return simhash_neardup_pairs(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "llmops_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+    """,
+)
+def llmops_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact, bounded corpus). The at-scale
+    variant prunes through hyperplane-LSH buckets first."""
+    return embedding_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llmops_ann_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    s AS (SELECT q.query_id, v.vec_id AS neighbor_id,
+                 ROUND(list_cosine_similarity(q.qv, CAST(v.embedding AS DOUBLE[])), 6) AS sim
+          FROM embeddings v CROSS JOIN q WHERE v.vec_id != q.query_id)
+    SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s) WHERE rank <= 5
+    """,
+)
+def llmops_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k — the exactness baseline. Queries broadcast;
+    corpus never shuffles; ranking on rounded sim + id for reproducibility."""
+    vecs = t(spark, sf_dir, "embeddings")
+    res = ann_bruteforce_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=5)
+    return res.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query("llmops_ann_lsh", oracle=None)
+def llmops_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-k (bucketed candidates → exact rank).
+    Recall vs brute force asserted in tests; rows-only here (xxhash64-seeded
+    hyperplanes are engine-specific)."""
+    vecs = t(spark, sf_dir, "embeddings")
+    res = ann_lsh_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=5)
+    return res.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llmops_text_metrics",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+             CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_tokens_bpe,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr,
+             CASE WHEN len({_TOKS}) > 0
+                  THEN CAST(len(list_filter({_TOKS}, x -> list_contains({_STOP}, lower(x)))) AS DOUBLE)
+                       / len({_TOKS})
+                  ELSE 0.0 END AS swr,
+             CASE WHEN len({_TOKS}) > 0
+                  THEN CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE) / len({_TOKS})
+                  ELSE 0.0 END AS mwl
+      FROM documents)
+    SELECT doc_id, n_tokens, n_tokens_bpe,
+           ROUND(pr, 6) AS punct_ratio,
+           ROUND(swr, 6) AS stopword_ratio,
+           ROUND(mwl, 6) AS mean_word_len,
+           ROUND(least(CAST(n_tokens AS DOUBLE) / 50.0, 1.0) * 0.3
+                 + greatest(0.0, 1.0 - pr * 4) * 0.3
+                 + least(swr * 5, 1.0) * 0.2
+                 + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 6)
+             AS quality
+    FROM m
+    """,
+)
+def llmops_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace + BPE-ish regex), punctuation/stopword
+    ratios, mean word length, and the composite quality score — all one
+    scan-stage projection."""
+    d = t(spark, sf_dir, "documents")
+    txt = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count_ws(txt).alias("n_tokens"),
+        token_count_bpe_ish(txt).alias("n_tokens_bpe"),
+        F.round(punct_ratio(txt), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(txt), 6).alias("stopword_ratio"),
+        F.round(mean_word_len(txt), 6).alias("mean_word_len"),
+        F.round(quality_score(txt), 6).alias("quality"),
+    )
+
+
+@query(
+    "llmops_lang_id",
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'zh'), (2, 'es'), (3, 'fr'), (4, 'de'), (5, 'ru'), (6, 'en')
+    ) AS t(case_id, lang)
+    """,
+)
+def llmops_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (script ranges + marker stopwords), validated
+    on an inline multilingual fixture (the documents corpus is synthetic
+    ASCII word-salad, so its lang column is a label, not a signal)."""
+    rows = [
+        (1, "这是一个测试文档"),
+        (2, "el niño está aquí con los amigos"),
+        (3, "c'est une belle journée à Paris"),
+        (4, "der Hund ist nicht da und ich bin müde"),
+        (5, "Привет мир как дела"),
+        (6, "hello plain world with nothing special"),
+    ]
+    df = spark.createDataFrame(rows, "case_id int, text string")
+    return df.select("case_id", lang_id(F.col("text")).alias("lang"))
+
+
+@query(
+    "llmops_language_split",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(15,4))), 2) AS DOUBLE) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def llmops_language_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus language distribution (the split step of per-language
+    pipelines)."""
+    return (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum(F.col("n_chars").cast("decimal(15,4)")), 2)
+            .cast("double")
+            .alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llmops_multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS digest_md5,
+           sha256(text) AS digest_sha256
+    FROM documents
+    """,
+)
+def llmops_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata (length + digests) over synthesized blobs —
+    codec-free, engine-parity checkable."""
+    blobs = synthesize_blobs(t(spark, sf_dir, "documents"))
+    meta = blob_metadata(F.col("blob"))
+    return blobs.select(
+        "doc_id",
+        meta.getField("n_bytes").cast("bigint").alias("n_bytes"),
+        meta.getField("md5").alias("digest_md5"),
+        meta.getField("sha256").alias("digest_sha256"),
+    )
+
+
+@query("llmops_multimodal_features", oracle=None)
+def llmops_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads (decode step
+    stubbed with a deterministic byte-histogram — see operators.multimodal).
+    Returns per-source mean feature norm as a stable aggregate."""
+    blobs = synthesize_blobs(t(spark, sf_dir, "documents"))
+    feats = decode_features(blobs)
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("features"), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    return feats.select("doc_id", "n_bytes", F.round(norm, 6).alias("feat_norm"))
