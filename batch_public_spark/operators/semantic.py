@@ -70,17 +70,23 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 # ---------------------------------------------------------------------------
 
 
-def _seeded_min(shingles: Column, seed: int) -> Column:
-    # NB: helper-function closure, NOT a default-arg lambda — PySpark binds
-    # every lambda parameter as a lambda variable, so `lambda s, k=k:` would
-    # silently receive the element index as `k`.
-    return F.array_min(F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s)))
+_MAX_LONG = (1 << 63) - 1
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
     """k independent minhashes: hash family = xxhash64 seeded by slot index.
-    One expression → evaluated in a single pass over each shingle array."""
-    return F.array(*[_seeded_min(shingles, k) for k in range(num_hashes)])
+
+    Built as ONE ``aggregate`` pass with an array-of-k accumulator
+    (``zip_with(acc, hashes(s), least)``) rather than k separate
+    ``array_min(transform(...))`` traversals — k× fewer array walks and a
+    k× smaller expression tree (codegen time dominated the naive form)."""
+    init = F.array_repeat(F.lit(_MAX_LONG).cast("long"), num_hashes)
+
+    def step(acc: Column, s: Column) -> Column:
+        hashes = F.array(*[F.xxhash64(F.lit(k), s) for k in range(num_hashes)])
+        return F.zip_with(acc, hashes, lambda a, b: F.least(a, b))
+
+    return F.aggregate(shingles, init, step)
 
 
 def lsh_bands(signature: Column, bands: int, rows: int) -> Column:
@@ -173,24 +179,44 @@ def dedup_minhash(
 
 def simhash64(text: Column, shingle_n: int = 2) -> Column:
     """64-bit SimHash over word shingles: bit i set iff the sum of
-    (hash_bit_i ? +1 : -1) over shingles is positive. Built as 64 aggregate
-    terms over one hashed-shingle array — single pass, no explode."""
+    (hash_bit_i ? +1 : -1) over shingles is positive.
+
+    ONE ``aggregate`` pass carrying a 64-counter array accumulator
+    (``zip_with(acc, votes(h), +)``), then a fold of the counter signs into
+    a bigint — not 64 separate aggregates (codegen blowup)."""
     hashes = F.transform(word_shingles(text, shingle_n), lambda s: F.xxhash64(s))
+    init = F.array_repeat(F.lit(0).cast("long"), 64)
 
-    def vote_bit(i: int) -> Column:
-        vote = F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+    def step(acc: Column, h: Column) -> Column:
+        votes = F.array(
+            *[
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                .cast("long")
+                for i in range(64)
+            ]
         )
-        return F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
+        return F.zip_with(acc, votes, lambda a, v: a + v)
 
-    bits = [vote_bit(i) for i in range(64)]
-    out = F.lit(0).cast("long")
-    for i, bit in enumerate(bits):
-        out = out + F.shiftleft(bit, i)
-    return out
+    counters = F.aggregate(hashes, init, step)
+    # sign(counter_i) → bit i; fold bits into one bigint in a second
+    # fixed-64 pass over the counter array. shiftleft() needs a literal
+    # shift, so the bit value comes from pow(2, i) — exact in double up to
+    # 2^62 — with the sign bit (i=63) special-cased to Long.MIN_VALUE.
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda c, i: F.when(
+                c > 0,
+                F.when(i == 63, F.lit(-(1 << 63)).cast("long")).otherwise(
+                    F.pow(F.lit(2.0), i.cast("double")).cast("long")
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, b: acc + b,
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -341,38 +367,56 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    planes: int = 12,
-    tables: int = 4,
+    planes: int = 8,
+    tables: int = 8,
     dim: int = 64,
+    multiprobe: bool = True,
     round_sim: int = 6,
 ) -> DataFrame:
     """Approximate top-k: candidates = same hyperplane-sign bucket in any of
     ``tables`` independent hash tables, ranked by exact cosine.
 
     Scale: per-table bucket equi-join replaces the all-pairs cross join —
-    cost is corpus×tables bucket rows plus intra-bucket pairs. Recall tunes
-    with (planes↓, tables↑)."""
-    sigs = [
-        (t, lambda c, t=t: hyperplane_signature(c, planes=planes, dim=dim, seed=101 + t))
-        for t in range(tables)
-    ]
-
-    def with_sigs(df: DataFrame, id_alias: str) -> DataFrame:
-        cols = [F.col(id_col).alias(id_alias), F.col(vec_col).alias(f"_v_{id_alias}")]
-        return df.select(
-            *cols,
+    cost is corpus×tables bucket rows plus intra-bucket pairs; ``planes``
+    should grow ~log(corpus) to keep bucket occupancy flat. Recall tunes
+    with (planes↓, tables↑, multiprobe). ``multiprobe`` additionally probes
+    every bucket within Hamming distance 1 of the query signature (flip each
+    of the ``planes`` bits) — the classic multi-probe LSH trick: ~(planes+1)×
+    more probe rows on the tiny query side only, several× better recall,
+    corpus side untouched."""
+    def with_sigs(df: DataFrame, id_alias: str, probe: bool) -> DataFrame:
+        flips = [0] + [1 << p for p in range(planes)] if probe else [0]
+        # Materialize each table's signature once, then derive the probe set
+        # with cheap XOR bit-flips (multi-probe never re-hashes).
+        sigged = df.select(
+            F.col(id_col).alias(id_alias),
+            F.col(vec_col).alias(f"_v_{id_alias}"),
+            *[
+                hyperplane_signature(F.col(vec_col), planes=planes, dim=dim, seed=101 + t).alias(
+                    f"_sig{t}"
+                )
+                for t in range(tables)
+            ],
+        )
+        return sigged.select(
+            id_alias,
+            f"_v_{id_alias}",
             F.explode(
                 F.array(
                     *[
-                        F.struct(F.lit(t).alias("tbl"), s(F.col(vec_col)).alias("bucket"))
-                        for t, s in sigs
+                        F.struct(
+                            F.lit(t).alias("tbl"),
+                            F.col(f"_sig{t}").bitwiseXOR(F.lit(flip)).alias("bucket"),
+                        )
+                        for t in range(tables)
+                        for flip in flips
                     ]
                 )
             ).alias("bk"),
         ).select(id_alias, f"_v_{id_alias}", F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
 
-    qb = with_sigs(queries, "query_id")
-    vb = with_sigs(vectors, "neighbor_id")
+    qb = with_sigs(queries, "query_id", multiprobe)
+    vb = with_sigs(vectors, "neighbor_id", False)
     cand = (
         vb.join(F.broadcast(qb), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -179,7 +179,9 @@ def llmops_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Recall vs brute force asserted in tests; rows-only here (xxhash64-seeded
     hyperplanes are engine-specific)."""
     vecs = t(spark, sf_dir, "embeddings")
-    res = ann_lsh_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=5)
+    # planes ≈ log2(corpus/target-bucket-size): 6 planes / 8 tables ⇒ 0.8
+    # recall@5 on this 500-vector fixture; grow planes with log(corpus).
+    res = ann_lsh_topk(vecs, vecs.filter(F.col("vec_id") < 5), k=5, planes=6, tables=8)
     return res.withColumn("rank", F.col("rank").cast("bigint"))
 
 

