@@ -1,1 +1,118 @@
-"""Filled in by later build phases."""
+"""Declared queries for the Structured Streaming surface.
+
+Every query here runs a REAL stream (file source over events.parquet,
+Trigger.AvailableNow, memory sink) and returns the sink as a batch
+DataFrame, so the oracle compares end-to-end streaming results against
+batch SQL over the same rows.
+
+Output-mode discipline: windowed aggregations run in ``complete`` mode —
+on a finite stream the watermark stops at max(ts) − delay, so ``append``
+would permanently hold back every trailing window; ``complete`` emits the
+full converged aggregate, which is exactly what the batch oracle computes.
+Dedup emits rows immediately (state, not results, is what the watermark
+TTLs) so it runs in ``append``; the custom stateful op emits per-batch in
+``update`` mode (single availableNow batch ⇒ final state).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_public_spark.plans.registry import query
+from batch_public_spark.streaming import (
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    running_max_per_key,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+_VAL = 'CAST(ROUND(SUM(CAST("value" AS DECIMAL(18,4))), 2) AS DOUBLE)'
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT date_trunc('day', ts) AS window_start, event_type,
+           COUNT(*) AS n_events, {_VAL} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation, executed as a real stream."""
+    s = tumbling_counts(read_events_stream(spark, sf_dir), window="1 day", watermark="1 day")
+    return run_available_now(s, output_mode="complete")
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '12 hours', ts) - k * INTERVAL '12 hours' AS window_start,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN (VALUES (0), (1)) AS probes(k)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 day window / 12 h slide): every event lands in
+    exactly window/slide = 2 windows — the oracle replays that membership
+    with an explicit 2-way unnest."""
+    s = sliding_counts(
+        read_events_stream(spark, sf_dir), window="1 day", slide="12 hours", watermark="1 day"
+    )
+    return run_available_now(s, output_mode="complete")
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL '12 hours' THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM o)
+    SELECT MIN(ts) AS session_start, MAX(ts) + INTERVAL '12 hours' AS session_end,
+           user_id, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based session windows per user (12 h inactivity gap); the oracle
+    is the classic gaps-and-islands rewrite (session end = last event +
+    gap, matching session_window semantics)."""
+    s = session_counts(read_events_stream(spark, sf_dir), gap="12 hours", watermark="1 day")
+    return run_available_now(s, output_mode="complete")
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on (user_id, event_type) — streaming
+    keyed dedup with TTL'd state (reference D1 under continuous arrival).
+    Only key columns are returned: the surviving row per key is
+    arrival-order dependent, the key set is not."""
+    s = dedup_within_watermark(
+        read_events_stream(spark, sf_dir), ["user_id", "event_type"], watermark="1 day"
+    ).select("user_id", "event_type")
+    return run_available_now(s, output_mode="append")
+
+
+@query(
+    "stream_stateful_running_max",
+    oracle="""
+    SELECT user_id, MAX("value") AS max_value, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    max + count. One availableNow batch ⇒ the emitted update equals the
+    final converged state, which the batch oracle reproduces."""
+    s = running_max_per_key(read_events_stream(spark, sf_dir))
+    return run_available_now(s, output_mode="update")

@@ -1,0 +1,23 @@
+from batch_public_spark.streaming.ops import (
+    EVENTS_RAW_SCHEMA,
+    dedup_within_watermark,
+    read_events_stream,
+    run_available_now,
+    run_incremental,
+    running_max_per_key,
+    session_counts,
+    sliding_counts,
+    tumbling_counts,
+)
+
+__all__ = [
+    "EVENTS_RAW_SCHEMA",
+    "dedup_within_watermark",
+    "read_events_stream",
+    "run_available_now",
+    "run_incremental",
+    "running_max_per_key",
+    "session_counts",
+    "sliding_counts",
+    "tumbling_counts",
+]

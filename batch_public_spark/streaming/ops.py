@@ -1,0 +1,233 @@
+"""Structured Streaming surface.
+
+Reference parity: the reference's streaming story is a cron micro-batch
+with a persisted high-water-mark (reference main.py:168-225, F3 in SURVEY
+§2a) that silently drops late rows (ts ≤ last_ts, main.py:219) — exactly
+Spark's watermark late-data policy. Here that becomes first-class
+Structured Streaming:
+
+- ``read_events_stream`` — file-source stream over the events parquet
+  (schema-declared; ``maxFilesPerTrigger`` splits micro-batches in tests).
+- tumbling / sliding / session windows with ``withWatermark``.
+- ``dedup_within_watermark`` — ``dropDuplicatesWithinWatermark`` subsumes
+  the reference's keyed dedup (D1) under streaming state TTL.
+- ``running_max_per_key`` — custom stateful op via
+  ``applyInPandasWithState`` (GroupState), the Python arbitrary-state path.
+- ``run_available_now`` — executes any stream with Trigger.AvailableNow
+  into a memory sink and returns the result as a batch DataFrame: the
+  reference's cron cadence (submit, exit, resume from checkpoint ≈ X4
+  idempotent recovery) expressed as checkpointed availableNow runs.
+
+Scale notes: windowed aggs shuffle on (key, window) — state store size is
+bounded by watermark TTL, not history; session windows merge map-side
+(``spark.sql.streaming.sessionWindow.merge.sessions.in.local.partition``);
+file-source listing is incremental. At 100 TB the same plans run against a
+Kafka/Kinesis source with identical semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Declared schema for the streaming file source (file streams cannot infer).
+# ts is parquet TIMESTAMP(NANOS) → read as epoch-nanos long (nanosAsLong),
+# truncated to micros in the stream itself, mirroring sources.tables.
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Streaming read of the events table (file source)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The file stream source requires a directory: stream the sf dir with a
+    # glob filter rather than the single events.parquet file.
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    # integer `div`, NOT `/`: float division loses the last microsecond at
+    # epoch-nanos magnitude (~1.7e18 overflows double's 53-bit mantissa)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, *, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-window per-type counts/sums. Late rows beyond the watermark are
+    dropped — the reference's ts ≤ last_ts policy (main.py:219)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window counts: each event lands in window/slide overlapping
+    windows."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+def session_counts(
+    events: DataFrame, *, gap: str = "10 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based): sessions close after ``gap`` of
+    inactivity; state merges map-side before the shuffle."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame, keys: list[str], *, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming keyed dedup with state TTL'd by the watermark — the D1
+    dedup under continuous arrival (state never grows unboundedly, unlike
+    a global dropDuplicates)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def running_max_per_key(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running max(value) + event count
+    via applyInPandasWithState (GroupState). Emits the state per key per
+    micro-batch; with AvailableNow + one batch this is the final per-key
+    aggregate. Keeps state to two scalars per key — bounded, TTL-able."""
+    import pandas as pd  # noqa: PLC0415 — worker-side import
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("max_value", T.DoubleType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("max_value", T.DoubleType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        mx, n = (state.get if state.exists else (float("-inf"), 0))
+        for pdf in pdfs:
+            if len(pdf):
+                mx = max(mx, float(pdf["value"].max()))
+                n += int(len(pdf))
+        state.update((mx, n))
+        yield pd.DataFrame({"user_id": [key[0]], "max_value": [mx], "n_events": [n]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_incremental(
+    stream_df: DataFrame,
+    output_dir: str,
+    checkpoint_dir: str,
+    *,
+    output_mode: str = "append",
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Cron-cadence incremental run (reference main.py:658-702 + X4): process
+    everything new since the checkpoint into a parquet sink, then exit.
+    Unlike the memory sink, the file sink is fault-tolerant — re-running with
+    the same checkpoint resumes exactly-once from where the last run left
+    off (the reference's watermark-ledger incrementality for free).
+    Returns the accumulated sink contents."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", output_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:  # pragma: no cover — timeout safety net
+            q.stop()
+    return stream_df.sparkSession.read.parquet(output_dir)
+
+
+def run_available_now(
+    stream_df: DataFrame,
+    *,
+    output_mode: str = "append",
+    checkpoint_dir: str | None = None,
+    timeout_s: int = 300,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion with Trigger.AvailableNow
+    into a memory sink; return the sink contents as a batch DataFrame.
+
+    This is the reference's cron cadence (main.py:658-702): process
+    everything available, then exit; re-running with the same checkpoint
+    resumes incrementally (X4 recovery for free)."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="bps_ckpt_")
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        if q.isActive:  # pragma: no cover — timeout safety net
+            q.stop()
+    spark = stream_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,142 @@
+"""Structured Streaming behavior tests that the batch-parity oracle can't
+see: watermark late-data dropping across micro-batches (the reference's
+ts ≤ last_ts policy, main.py:219) and checkpoint-based incremental resume
+(the reference's cron cadence + idempotent recovery, X4)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from batch_public_spark.streaming import run_available_now
+from batch_public_spark.streaming.ops import EVENTS_RAW_SCHEMA
+
+BASE = 1_700_000_000  # epoch seconds anchor
+
+
+def _write_events(spark, path, rows):
+    """Write one parquet file of events (ts given in epoch seconds,
+    stored as epoch nanos to mirror the fixture's TIMESTAMP(NANOS))."""
+    df = spark.createDataFrame(
+        [
+            (i, int(ts * 1_000_000_000), uid, etype, float(v), "{}")
+            for i, (ts, uid, etype, v) in enumerate(rows)
+        ],
+        EVENTS_RAW_SCHEMA,
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+def _stream(spark, path, *, max_files=1):
+    reader = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA).option("maxFilesPerTrigger", max_files)
+    )
+    df = reader.parquet(path)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_late_data_dropped_across_batches(spark, tmp_path):
+    """Rows arriving behind the watermark are dropped — the reference's
+    ts ≤ last_ts policy. NB Spark filters late records against the PREVIOUS
+    batch's committed watermark (eviction uses the current one), so the
+    watermark raised by batch 1 only rejects rows from batch 3 on — hence
+    three files here."""
+    src = str(tmp_path / "events_src")
+    # batch 1: fresh events raise the watermark to BASE+60 − 10 min
+    _write_events(spark, src, [(BASE, 1, "click", 1.0), (BASE + 60, 1, "click", 1.0)])
+    time.sleep(1.1)  # distinct mtime so file order == write order
+    # batch 2: fresh event; commits batch 1's watermark for batch 3 to use
+    _write_events(spark, src, [(BASE + 120, 1, "click", 1.0)])
+    time.sleep(1.1)
+    # batch 3: one row 5 h behind the watermark + one fresh row
+    _write_events(
+        spark, src, [(BASE - 5 * 3600, 2, "click", 99.0), (BASE + 180, 1, "click", 1.0)]
+    )
+
+    agg = (
+        _stream(spark, src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    # update mode: the late-record filter applies (complete mode keeps all
+    # state and aggregates late rows — by design); last update per window wins
+    out = run_available_now(agg, output_mode="update", checkpoint_dir=str(tmp_path / "ck"))
+    rows = {}
+    for r in out.collect():
+        rows[r["w"]["start"].isoformat()] = (r["n"], r["total"])
+    # only the fresh window survives; the late row's old window never appears
+    assert len(rows) == 1, rows
+    (n, total), = rows.values()
+    assert n == 4 and total == 4.0  # late row (value 99) dropped
+
+
+def test_dedup_within_watermark_drops_duplicate_key(spark, tmp_path):
+    src = str(tmp_path / "events_src")
+    _write_events(
+        spark,
+        src,
+        [(BASE, 1, "click", 1.0), (BASE + 1, 1, "click", 2.0), (BASE + 2, 2, "view", 3.0)],
+    )
+    dedup = (
+        _stream(spark, src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    out = run_available_now(dedup, checkpoint_dir=str(tmp_path / "ck"))
+    assert sorted((r.user_id, r.event_type) for r in out.collect()) == [
+        (1, "click"),
+        (2, "view"),
+    ]
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Re-running against the same checkpoint consumes only files added
+    since the last run — the reference's watermark-ledger incrementality
+    (F3/X4) for free from checkpointing."""
+    from batch_public_spark.streaming import run_incremental
+
+    src = str(tmp_path / "events_src")
+    ck = str(tmp_path / "ck")
+    out = str(tmp_path / "out")
+    _write_events(spark, src, [(BASE, 1, "click", 1.0), (BASE + 1, 2, "view", 2.0)])
+
+    proj = _stream(spark, src, max_files=10).select("event_id", "user_id", "event_type")
+    first = run_incremental(proj, out, ck)
+    assert first.count() == 2
+
+    time.sleep(1.1)
+    _write_events(spark, src, [(BASE + 100, 3, "error", 9.0)])
+    proj2 = _stream(spark, src, max_files=10).select("event_id", "user_id", "event_type")
+    second = run_incremental(proj2, out, ck)
+    # exactly-once across resume: sink has 3 rows total, nothing reprocessed
+    got = sorted((r.user_id, r.event_type) for r in second.collect())
+    assert got == [(1, "click"), (2, "view"), (3, "error")], got
+
+
+def test_stateful_running_max_multibatch(spark, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches; the last
+    update per key reflects all batches."""
+    from batch_public_spark.streaming import running_max_per_key
+
+    src = str(tmp_path / "events_src")
+    _write_events(spark, src, [(BASE, 1, "click", 5.0), (BASE + 1, 1, "click", 3.0)])
+    time.sleep(1.1)
+    _write_events(spark, src, [(BASE + 60, 1, "click", 7.0), (BASE + 61, 2, "view", 1.0)])
+
+    out = run_available_now(
+        running_max_per_key(_stream(spark, src)),
+        output_mode="update",
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    # take the LAST emitted update per key (memory sink appends updates)
+    final = {}
+    for r in out.collect():
+        final[r.user_id] = (r.max_value, r.n_events)
+    assert final[1] == (7.0, 3)
+    assert final[2] == (1.0, 1)
