@@ -64,12 +64,15 @@ class Orchestrator:
         transport_factory: Callable[[], Transport] = StubTransport,
         output_dir: str = "output",
         persist_before_submit: bool = True,
+        no_ts_filter: Optional[set[str]] = None,
     ):
         self.watermarks = watermarks
         self.ledger = ledger
         self.transport_factory = transport_factory
         self.output_dir = output_dir
         self.persist_before_submit = persist_before_submit
+        # Per-table static-data exemption (reference dynamo_fetcher.py:49-52).
+        self.no_ts_filter = NO_TS_FILTER if no_ts_filter is None else no_ts_filter
 
     def run_batch(
         self,
@@ -81,6 +84,7 @@ class Orchestrator:
         id_col: str = "id",
         order_col: str | None = None,
         test_only: bool = False,
+        submit_only: bool = False,
         now: Optional[int] = None,
     ) -> RunResult:
         """One orchestrated run over a source DataFrame."""
@@ -96,7 +100,7 @@ class Orchestrator:
         # F2 event-time discovery + F1 look-back filter (skip for static
         # tables, reference dynamo_fetcher.py:311-314).
         work = df.withColumn("_event_ts", discover_event_ts(df))
-        if table_name not in NO_TS_FILTER:
+        if table_name not in self.no_ts_filter:
             work = work.filter(
                 F.col("_event_ts").isNotNull() & (F.col("_event_ts") >= F.lit(cutoff))
             )
@@ -127,7 +131,7 @@ class Orchestrator:
             )
 
         new_wm = work.agg(F.max("_event_ts").alias("m")).collect()[0]["m"]  # A1
-        if self.persist_before_submit and table_name not in NO_TS_FILTER and new_wm:
+        if self.persist_before_submit and table_name not in self.no_ts_filter and new_wm:
             self.watermarks.advance(table_name, new_wm)
 
         self.ledger.record(
@@ -139,13 +143,23 @@ class Orchestrator:
             input_jsonl=jsonl_path,
         )
 
+        if submit_only:
+            # Async mode (reference --async / auto-async for >1 table,
+            # main.py:686-693): submit-and-exit so cron never blocks; the
+            # ledger entry stays pending until `resume`/`auto_resume_pending`
+            # closes it out on a later cycle.
+            return RunResult(
+                batch_id, table_name, n_input, n_requests,
+                requests=requests, jsonl_path=jsonl_path,
+            )
+
         # X1: the LLM stage (stub transport in CI/bench); X2's poll loop is
         # unnecessary for the synchronous path — the driver-side async Batch
         # flow keeps it (see `resume`).
         raw = respond(requests, self.transport_factory)
         parsed = parse_batch_output(raw)
 
-        if not self.persist_before_submit and table_name not in NO_TS_FILTER and new_wm:
+        if not self.persist_before_submit and table_name not in self.no_ts_filter and new_wm:
             self.watermarks.advance(table_name, new_wm)
         self.ledger.record(batch_id, status="completed", final_status="completed")
 
