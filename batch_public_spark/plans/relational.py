@@ -880,3 +880,129 @@ def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "word")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of / unpivot / statistical extensions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_asof_last_click",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+)
+def join_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (SURVEY §2b "range / as-of / interval join"): for each
+    error event, the most recent click at-or-before it for the same user.
+
+    Spark-first strategy: NOT a join at all — union the probe and build
+    streams with a tag, then ``last(click_ts, ignorenulls=True)`` over a
+    (user, ts, tag)-ordered running window. One shuffle on user_id, no
+    pair explosion, scales as sort-merge; the tag orders clicks before
+    errors at equal ts so ties honor >= semantics (DuckDB ASOF JOIN is the
+    oracle). Inner semantics: errors with no prior click are dropped
+    (match the default ASOF JOIN; avoids NULL-timestamp rows)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.lit(0).alias("probe"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("ev_ts"), F.lit(1).alias("probe")
+    )
+    u = clicks.unionByName(errors)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ev_ts", "probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    lc = F.last(F.when(F.col("probe") == 0, F.col("ev_ts")), ignorenulls=True).over(w)
+    return (
+        u.withColumn("last_click_ts", lc)
+        .filter((F.col("probe") == 1) & F.col("last_click_ts").isNotNull())
+        .select("event_id", "user_id", F.col("ev_ts").alias("ts"), "last_click_ts")
+    )
+
+
+@query(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT 'l_quantity' AS measure,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(15,4))), 2) AS DOUBLE) AS total
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(15,4))), 2) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           CAST(ROUND(SUM(CAST(l_discount AS DECIMAL(15,4))), 2) AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_tax', CAST(ROUND(SUM(CAST(l_tax AS DECIMAL(15,4))), 2) AS DOUBLE)
+    FROM lineitem
+    """,
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (wide → long) then aggregate per measure. The unpivot
+    itself is a zero-shuffle projection (each row emits 4); the aggregate is
+    partial+final on a 4-value key."""
+    li = t(spark, sf_dir, "lineitem")
+    melted = li.unpivot(
+        [],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "val",
+    )
+    return melted.groupBy("measure").agg(money_sum(F.col("val").cast(D15), "total"))
+
+
+@query(
+    "agg_percentiles_lineitem",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (both engines define quantiles by
+    linear interpolation). Exact percentile sorts per group — at 100 TB use
+    approx_percentile (t-digest) instead; this is the correctness anchor."""
+    li = t(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.element_at(pct, 1), 6).alias("p25"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p75"),
+    )
+
+
+@query(
+    "agg_corr_quantity_price",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qp,
+           ROUND(stddev_samp(l_extendedprice), 4) AS sd_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (corr/covar/stddev) — single-pass partial+final
+    moment accumulation in both engines."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+    )
