@@ -1006,3 +1006,146 @@ def agg_corr_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qp"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Subqueries & sampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "subquery_scalar_small_qty",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(15,4))) / 7.0, 2) AS DOUBLE)
+           AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey, AVG(l_quantity) AS avg_qty
+          FROM lineitem GROUP BY l_partkey) p
+      ON l.l_partkey = p.l_partkey
+    WHERE l.l_quantity < 0.2 * p.avg_qty
+    """,
+)
+def subquery_scalar_small_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (TPC-H Q17 shape): revenue of lineitems
+    below 20% of their part's average quantity.
+
+    Spark-first: decorrelate by hand — one groupBy(partkey) aggregate, then
+    an equi self-join back. At 100 TB the per-part average table is ~|part|
+    rows (small relative to lineitem) and AQE picks broadcast or shuffled
+    hash; never evaluate a per-row subquery."""
+    li = t(spark, sf_dir, "lineitem")
+    avg_qty = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(dec("l_extendedprice")) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "subquery_having_big_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(ROUND(CAST(o.o_totalprice AS DECIMAL(15,4)), 2) AS DOUBLE) AS o_totalprice,
+           CAST(ROUND(q.sum_qty, 2) AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(15,4))) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(CAST(l_quantity AS DECIMAL(15,4))) > 150) q
+      ON o.o_orderkey = q.l_orderkey
+    ORDER BY sum_qty DESC, o.o_orderkey
+    LIMIT 50
+    """,
+)
+def subquery_having_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery-with-HAVING (TPC-H Q18 shape): orders whose total line
+    quantity exceeds a threshold. Partial+final agg on l_orderkey, HAVING as
+    post-agg filter, then join back to orders — both sides already hashed on
+    orderkey so AQE reuses the exchange; top-k is TakeOrdered, no global
+    sort."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sum_qty_d"))
+        .filter(F.col("sum_qty_d") > 150)
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round(dec("o_totalprice"), 2).cast("double").alias("o_totalprice"),
+            F.round(F.col("sum_qty_d"), 2).cast("double").alias("sum_qty"),
+            F.col("sum_qty_d"),
+        )
+        .orderBy(F.desc("sum_qty_d"), "o_orderkey")
+        .limit(50)
+        .drop("sum_qty_d")
+    )
+
+
+@query(
+    "subquery_exists_correlated",
+    oracle="""
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F')
+    ORDER BY c.c_custkey
+    LIMIT 100
+    """,
+)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL entry point — Catalyst
+    decorrelates both into a left-semi and a left-anti hash join on custkey
+    (RewritePredicateSubquery); no per-row subquery execution."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("bps_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("bps_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM bps_customer c
+        WHERE EXISTS (SELECT 1 FROM bps_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM bps_orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        ORDER BY c.c_custkey
+        LIMIT 100
+        """
+    )
+
+
+@query(
+    "sample_deterministic_hash",
+    oracle="""
+    SELECT COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,4))), 2) AS DOUBLE)
+           AS sum_price
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~12.5% sample via md5(key) prefix — the scale-out
+    substitute for TABLESAMPLE when the sample must be reproducible across
+    engines, runs, and partitionings (seeded df.sample() is partition-layout
+    dependent). Embarrassingly parallel: a filter on a scan, no shuffle."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1).isin("0", "1"))
+        .agg(
+            F.count("*").alias("n"),
+            money_sum(dec("o_totalprice"), "sum_price"),
+        )
+    )
