@@ -32,6 +32,8 @@ from batch_public_spark.operators.semantic import (
 )
 from batch_public_spark.operators.textops import (
     PUNCT_CLASS,
+    fingerprint_md5,
+    fingerprint_winnow,
     lang_id,
     mean_word_len,
     punct_ratio,
@@ -325,3 +327,50 @@ def llmops_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return feats.select("doc_id", "n_bytes", F.round(norm, 6).alias("feat_norm"))
+
+
+@query(
+    "llmops_fingerprint_md5",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 200
+    """,
+)
+def llmops_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (content hash of normalized text) — the
+    exact-dedup key as a first-class column; scan-stage projection, no
+    shuffle, engine-parity via md5."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint_md5(F.col("text")).alias("fp"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+@query("llmops_fingerprint_winnow_pairs", oracle=None)
+def llmops_fingerprint_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup candidates: docs sharing ≥2 of their
+    4 smallest k-gram hashes (rolling-hash document fingerprinting in the
+    MOSS/winnowing spirit; xxhash64-based so rows-only — no DuckDB analog).
+
+    Scale shape: explode (doc, fp) postings — 4 rows per doc — then a
+    self equi-join on fp and a pair-count filter. Same posting-list join
+    pattern as MinHash banding: linear in corpus + collisions, never
+    all-pairs."""
+    d = t(spark, sf_dir, "documents")
+    posts = d.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(fingerprint_winnow(F.col("text"))).alias("fp"),
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .filter(F.col("shared_fps") >= 2)
+    )

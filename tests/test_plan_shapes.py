@@ -1,0 +1,101 @@
+"""Physical-plan audits: assert the plans we designed for are the plans
+Catalyst actually produces. Correctness tests prove the small-SF answer;
+these prove the 100 TB shape — filters reach the parquet scan, column
+pruning trims the ReadSchema, small dims broadcast, global top-k never
+globally sorts, and aggregates run partial+final inside whole-stage
+codegen. A regression here is a scale bug even when every value still
+matches the oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from batch_public_spark.plans import QUERIES
+from tests.conftest import SF_DIR
+
+
+def plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """q3's o_orderdate predicate must appear in PushedFilters on the
+    orders scan (parquet row-group pruning at scale)."""
+    p = plan(spark, "q3_shipping_priority")
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", p)
+    assert any("orderdate" in f.lower() for f in pushed), pushed
+
+
+def test_column_pruning_trims_readschema(spark):
+    """q1 touches 7 of lineitem's 11 columns; the scan must not read the
+    rest (ReadSchema is the columnar-IO contract)."""
+    p = plan(spark, "q1_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m is not None
+    cols = m.group(1)
+    assert "l_orderkey" not in cols and "l_partkey" not in cols, cols
+    assert "l_returnflag" in cols and "l_quantity" in cols
+
+
+def test_small_dims_broadcast(spark):
+    """region/nation joins must be broadcast-hash, not sort-merge — a
+    shuffle of the fact table on a dim key is the classic 100 TB mistake."""
+    p = plan(spark, "join_broadcast_geo")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_global_topk_is_take_ordered(spark):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    heap + driver merge), never a global Sort."""
+    p = plan(spark, "topk_orders_global")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_agg_is_partial_final(spark):
+    """q1's aggregate must be two-phase hash aggregation: map-side
+    partial_sum/partial_count before the exchange, final after. (AQE's
+    pre-execution formatted plan doesn't annotate codegen spans, so the
+    partial_* markers are the assertable contract.)"""
+    p = plan(spark, "q1_pricing_summary")
+    assert len(re.findall(r"\(\d+\) HashAggregate", p)) >= 2, "expected partial+final"
+    assert "partial_sum" in p and "partial_count" in p
+
+
+def test_semi_anti_joins_stay_joins(spark):
+    """EXISTS/NOT EXISTS must decorrelate to semi/anti hash joins — no
+    nested-loop or per-row subquery artifacts."""
+    p = plan(spark, "subquery_exists_correlated")
+    assert "LeftSemi" in p or "ExistenceJoin" in p, p[:2000]
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ann_candidate_shuffle_carries_no_vectors(spark):
+    """ann_lsh's candidate distinct must dedup (query_id, neighbor_id)
+    pairs only — embedding payloads stay out of that exchange."""
+    p = plan(spark, "llmops_ann_lsh")
+    # Every HashAggregate keys' section that mentions both ids must not
+    # mention the vector columns.
+    for m in re.finditer(r"HashAggregate[^\n]*\n(?:[^\n]*\n){0,6}", p):
+        block = m.group(0)
+        if "query_id" in block and "neighbor_id" in block:
+            assert "_qv" not in block and "_vv" not in block, block
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q5_region_revenue", "join_left_order_counts", "subquery_having_big_orders"],
+)
+def test_no_cartesian_products(spark, name):
+    """None of the equi-join queries may degrade to a cartesian/nested-loop
+    product."""
+    p = plan(spark, name)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
