@@ -571,6 +571,85 @@ def ann_lsh_topk(
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def ann_ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 32,
+    nprobe: int = 4,
+    round_sim: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: partition the corpus into inverted
+    lists by nearest centroid, probe only the ``nprobe`` closest lists per
+    query, exact-cosine rerank inside them.
+
+    Centroid selection is deterministic sampling (the ``n_centroids``
+    smallest md5(id) values — a uniform reproducible sample standing in
+    for k-means; at production scale you'd run a few Lloyd iterations with
+    the same assignment plumbing). Scale shape: centroids broadcast to
+    both assignment passes (corpus never shuffles for assignment); the
+    probe is an equi-join on centroid_id — cost ∝ corpus×(nprobe/n_centroids)
+    per query instead of the full scan. Recall tunes with nprobe.
+    """
+    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vv"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+
+    cents = (
+        vectors.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cv"))
+        .orderBy(F.md5(F.col("centroid_id").cast("string")))
+        .limit(n_centroids)
+    )
+
+    # Corpus → nearest centroid (rank-1 over the broadcast centroid set).
+    va = (
+        v.crossJoin(F.broadcast(cents))
+        .select(
+            "neighbor_id",
+            "_vv",
+            "centroid_id",
+            # rounded BEFORE ranking: the assignment must be reproducible
+            # across engines and accumulation orders
+            F.round(cosine(F.col("_vv"), F.col("_cv")), round_sim).alias("_cs"),
+        )
+    )
+    wv = W.partitionBy("neighbor_id").orderBy(F.desc("_cs"), "centroid_id")
+    assigned = (
+        va.withColumn("_r", F.row_number().over(wv)).filter(F.col("_r") == 1)
+        .select("neighbor_id", "_vv", "centroid_id")
+    )
+
+    # Queries → nprobe nearest centroids.
+    qa = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "_qv",
+            "centroid_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), round_sim).alias("_cs"),
+        )
+    )
+    wq = W.partitionBy("query_id").orderBy(F.desc("_cs"), "centroid_id")
+    probes = (
+        qa.withColumn("_r", F.row_number().over(wq)).filter(F.col("_r") <= nprobe)
+        .select("query_id", "_qv", "centroid_id")
+    )
+
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_vv")), round_sim).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     *,

@@ -114,8 +114,36 @@ def fingerprint_winnow(text: Column, k: int = 8, keep: int = 4) -> Column:
     """Winnowing-style rolling fingerprint: xxhash64 over k-char windows of
     the normalized text, keep the ``keep`` smallest hashes (a deterministic
     min-sample of the document's local substrings). Near-duplicate documents
-    share most fingerprint elements. One expression, no explode."""
-    norm = normalized_text(text)
-    idx = F.sequence(F.lit(1), F.greatest(F.length(norm) - (k - 1), F.lit(1)))
-    hashes = F.transform(idx, lambda i: F.xxhash64(norm.substr(i, F.lit(k))))
+    share most fingerprint elements. One expression, no explode.
+
+    The windows build from ``zip_with`` over k shifted slices of the char
+    array — NOT ``transform(sequence, i -> substr(norm, i, k))``, whose
+    lambda re-evaluates the normalization regexes per position (measured
+    ~60× slower: one regexp_replace per character per document)."""
+    chars = F.split(normalized_text(text), "")
+    length = F.greatest(F.size(chars) - (k - 1), F.lit(1))
+    win = F.slice(chars, 1, length)
+    for i in range(2, k + 1):
+        # concat_ws, not concat: for docs shorter than k chars the shifted
+        # slices null-pad, and concat_ws skips nulls (truncated window, like
+        # the substr form) where concat would null the whole window.
+        win = F.zip_with(win, F.slice(chars, i, length), lambda x, y: F.concat_ws("", x, y))
+    hashes = F.transform(win, lambda w: F.xxhash64(w))
     return F.slice(F.array_sort(F.array_distinct(hashes)), 1, keep)
+
+
+def fingerprint_modp(text: Column, k: int = 8, p: int = 64) -> Column:
+    """Broder-style 0-mod-p fingerprint sample: ALL k-char-window hashes
+    ≡ 0 (mod p) — an expected 1/p uniform sample of each document's
+    windows. Unlike the ``keep``-smallest winnow selection, the sample is
+    position-uniform per document, so two documents share fingerprints in
+    proportion to their actual k-gram overlap (the smallest-k selection
+    degenerates on low-entropy corpora where every document contains the
+    globally-minimal windows)."""
+    chars = F.split(normalized_text(text), "")
+    length = F.greatest(F.size(chars) - (k - 1), F.lit(1))
+    win = F.slice(chars, 1, length)
+    for i in range(2, k + 1):
+        win = F.zip_with(win, F.slice(chars, i, length), lambda x, y: F.concat_ws("", x, y))
+    hashes = F.transform(win, lambda w: F.xxhash64(w))
+    return F.array_distinct(F.filter(hashes, lambda h: F.pmod(h, F.lit(p)) == 0))

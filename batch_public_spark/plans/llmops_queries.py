@@ -12,6 +12,7 @@ in tests/test_llmops.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from batch_public_spark.operators.multimodal import (
@@ -21,6 +22,7 @@ from batch_public_spark.operators.multimodal import (
 )
 from batch_public_spark.operators.semantic import (
     ann_bruteforce_topk,
+    ann_ivf_topk,
     ann_lsh_topk,
     dedup_exact,
     dedup_minhash,
@@ -33,6 +35,7 @@ from batch_public_spark.operators.semantic import (
 from batch_public_spark.operators.textops import (
     PUNCT_CLASS,
     fingerprint_md5,
+    fingerprint_modp,
     fingerprint_winnow,
     lang_id,
     mean_word_len,
@@ -351,26 +354,83 @@ def llmops_fingerprint_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llmops_fingerprint_winnow_pairs", oracle=None)
-def llmops_fingerprint_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing-fingerprint near-dup candidates: docs sharing ≥2 of their
-    4 smallest k-gram hashes (rolling-hash document fingerprinting in the
-    MOSS/winnowing spirit; xxhash64-based so rows-only — no DuckDB analog).
+@query("llmops_fingerprint_modp_pairs", oracle=None)
+def llmops_fingerprint_modp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint near-dup candidates: docs sharing ≥3
+    0-mod-p sampled k-gram hashes (Broder-style document fingerprinting;
+    xxhash64-based so rows-only — no DuckDB analog).
 
-    Scale shape: explode (doc, fp) postings — 4 rows per doc — then a
-    self equi-join on fp and a pair-count filter. Same posting-list join
-    pattern as MinHash banding: linear in corpus + collisions, never
-    all-pairs."""
+    Scale shape: explode (doc, fp) postings (~windows/p rows per doc), cap
+    hot posting lists the way production dedup caps boilerplate shingles,
+    then a self equi-join on fp and a pair-count filter. Same posting-list
+    join pattern as MinHash banding: linear in corpus + collisions, never
+    all-pairs. (The ``keep``-smallest winnow selection is exposed as a
+    per-doc fingerprint column instead — globally-minimal windows degenerate
+    into everyone's-a-candidate on low-entropy corpora.)"""
     d = t(spark, sf_dir, "documents")
     posts = d.select(
         F.col("doc_id").alias("_id"),
-        F.explode(fingerprint_winnow(F.col("text"))).alias("fp"),
+        F.explode(fingerprint_modp(F.col("text"))).alias("fp"),
     )
+    sized = posts.withColumn("_n", F.count("*").over(W.partitionBy("fp")))
+    posts = sized.filter(F.col("_n") <= 100).drop("_n")
     a, b = posts.alias("a"), posts.alias("b")
     return (
         a.join(b, "fp")
         .filter(F.col("a._id") < F.col("b._id"))
         .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .agg(F.count("*").alias("shared_fps"))
-        .filter(F.col("shared_fps") >= 2)
+        .filter(F.col("shared_fps") >= 3)
     )
+
+
+@query(
+    "llmops_ann_ivf",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 32
+    ),
+    v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 5),
+    assigned AS (
+      SELECT neighbor_id, vv, centroid_id FROM (
+        SELECT v.neighbor_id, v.vv, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.neighbor_id
+                 ORDER BY ROUND(list_cosine_similarity(v.vv, c.cv), 6) DESC, c.centroid_id
+               ) AS r
+        FROM v CROSS JOIN cents c) WHERE r = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.centroid_id
+               ) AS r
+        FROM q CROSS JOIN cents c) WHERE r <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.neighbor_id,
+             ROUND(list_cosine_similarity(p.qv, a.vv), 6) AS sim
+      FROM assigned a JOIN probes p USING (centroid_id)
+      WHERE a.neighbor_id != p.query_id
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM cand) WHERE rank <= 5
+    """,
+)
+def llmops_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: md5-sampled centroids -> inverted-list assignment ->
+    nprobe-list probe -> exact rerank. Fully deterministic (sampled
+    centroids, rounded cosines, id tie-breaks), so unlike the LSH variant
+    it carries a complete DuckDB oracle."""
+    vecs = t(spark, sf_dir, "embeddings")
+    res = ann_ivf_topk(
+        vecs, vecs.filter(F.col("vec_id") < 5), k=5, n_centroids=32, nprobe=4
+    )
+    return res.withColumn("rank", F.col("rank").cast("bigint"))

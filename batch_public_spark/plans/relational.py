@@ -1149,3 +1149,34 @@ def sample_deterministic_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum(dec("o_totalprice"), "sum_price"),
         )
     )
+
+
+@query(
+    "agg_salted_hotkey_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST("value" AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_salted_hotkey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation on a hot-key column: event_type has a
+    handful of values, so a plain groupBy sends each type's entire volume to
+    one reducer. The salt spreads every type over 16 buckets (stage 1:
+    partial per (type, salt); stage 2: merge |types|×16 tiny rows). Identical
+    results to the plain aggregate — the oracle is the unsalted SQL."""
+    from batch_public_spark.operators.skew import salted_group_agg
+
+    ev = t(spark, sf_dir, "events")
+    agg = salted_group_agg(
+        ev.withColumn("_vd", F.col("value").cast("decimal(18,4)")),
+        ["event_type"],
+        [("count", "", "n"), ("sum", "_vd", "total_d")],
+        buckets=16,
+        salt_on=F.col("event_id"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        F.round(F.col("total_d"), 2).cast("double").alias("total_value"),
+    )

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from batch_public_spark.operators import (
     ann_bruteforce_topk,
+    ann_ivf_topk,
     ann_lsh_topk,
     dedup_exact,
     dedup_minhash,
@@ -158,3 +159,16 @@ def test_multimodal_decode_deterministic(documents):
     by_id2 = {r.doc_id: r.features for r in feats2}
     assert by_id1 == by_id2
     assert all(len(v) == 16 for v in by_id1.values())
+
+
+def test_ann_ivf_recall_vs_bruteforce(embeddings):
+    """IVF with nprobe=4 of 16 lists must recover most exact top-5 sets;
+    recall tunes with nprobe (nprobe=n_centroids degenerates to exact)."""
+    q = embeddings.filter(F.col("vec_id") < 20)
+    bf = {(r.query_id, r.neighbor_id) for r in ann_bruteforce_topk(embeddings, q, k=5).collect()}
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(embeddings, q, k=5, n_centroids=16, nprobe=4).collect()
+    }
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.5, f"ivf recall {recall}"
