@@ -434,3 +434,52 @@ def llmops_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         vecs, vecs.filter(F.col("vec_id") < 5), k=5, n_centroids=32, nprobe=4
     )
     return res.withColumn("rank", F.col("rank").cast("bigint"))
+
+
+@query(
+    "llmops_dedup_cc",
+    oracle=f"""
+    WITH RECURSIVE
+    d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len({_TOKS.replace("trim(text)", _NORM)}) - 2, 1) + 1),
+               i -> array_to_string(({_TOKS.replace("trim(text)", _NORM)})[i:i+2], ' ')
+             )) AS sh
+      FROM documents WHERE doc_id < 150),
+    pairs AS (
+      SELECT a.doc_id AS u, b.doc_id AS v
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(list_concat(a.sh, b.sh)))),
+    sym AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
+    walk(u, label) AS (
+      SELECT u, u AS label FROM (SELECT DISTINCT u FROM sym)
+      UNION
+      SELECT s.u, w.label FROM sym s JOIN walk w ON s.v = w.u
+    )
+    SELECT u AS id, MIN(label) AS component FROM walk GROUP BY u
+    """,
+)
+def llmops_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact near-dup pair graph: transitive
+    closure of J >= 0.5 word-3-gram pairs via hash-min label propagation
+    (operators.graph). The DuckDB oracle computes the same components with
+    a recursive CTE — an oracle-checked ITERATIVE algorithm, not just a
+    single plan. Edges here come from the bounded exact-Jaccard join; at
+    corpus scale the same CC runs on the MinHash band candidates."""
+    from batch_public_spark.operators.graph import connected_components
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select(F.col("doc_id"), word_shingles(F.col("text"), 3).alias("sh"))
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        .select("id_a", "id_b")
+    )
+    return connected_components(pairs)
