@@ -52,9 +52,13 @@ def normalize_ts(col: Column) -> Column:
     s = F.trim(col.cast("string"))
 
     # Branch 1+2: numeric (covers int/float/Decimal inputs and numeric
-    # strings). double→long cast truncates toward zero like Python int().
+    # strings). double→long via try_cast: truncates toward zero like Python
+    # int(), but NaN/±Infinity/beyond-long values become NULL instead of
+    # throwing under ANSI mode (Spark 4 default) — a single "inf" row must
+    # never kill a 100 TB scan. (Deviation from the reference, which would
+    # propagate Python's unbounded int for absurd magnitudes.)
     num = s.try_cast("double")
-    sec_num = F.when(num > 1e12, num / F.lit(1000.0)).otherwise(num).cast("long")
+    sec_num = F.when(num > 1e12, num / F.lit(1000.0)).otherwise(num).try_cast("long")
 
     # Branch 4 (checked before generic ISO so Spark's own zone-name parsing
     # never sees the EST/EDT suffix): strict seconds-precision parse at a

@@ -334,7 +334,7 @@ def llmops_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llmops_fingerprint_md5",
-    oracle="""
+    oracle=r"""
     SELECT doc_id,
            md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
     FROM documents
