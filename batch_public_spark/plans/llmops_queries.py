@@ -24,6 +24,7 @@ from batch_public_spark.operators.semantic import (
     ann_bruteforce_topk,
     ann_ivf_topk,
     ann_lsh_topk,
+    bucket_pairs,
     dedup_exact,
     dedup_minhash,
     embedding_neardup_pairs,
@@ -360,27 +361,22 @@ def llmops_fingerprint_modp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     0-mod-p sampled k-gram hashes (Broder-style document fingerprinting;
     xxhash64-based so rows-only — no DuckDB analog).
 
-    Scale shape: explode (doc, fp) postings (~windows/p rows per doc), cap
-    hot posting lists the way production dedup caps boilerplate shingles,
-    then a self equi-join on fp and a pair-count filter. Same posting-list
-    join pattern as MinHash banding: linear in corpus + collisions, never
-    all-pairs. (The ``keep``-smallest winnow selection is exposed as a
-    per-doc fingerprint column instead — globally-minimal windows degenerate
-    into everyone's-a-candidate on low-entropy corpora.)"""
+    Scale shape: explode (doc, fp) postings (~windows/p rows per doc), then
+    ONE posting-list gather per fp (bucket_pairs): oversized posting lists
+    drop in the same pass (the way production dedup caps boilerplate
+    shingles) and pairs emit from in-array combinatorics — linear in
+    corpus + collisions, never all-pairs, and never a posting self-join
+    (which would evaluate the rolling-hash subtree twice). (The
+    ``keep``-smallest winnow selection is exposed as a per-doc fingerprint
+    column instead — globally-minimal windows degenerate into
+    everyone's-a-candidate on low-entropy corpora.)"""
     d = t(spark, sf_dir, "documents")
     posts = d.select(
         F.col("doc_id").alias("_id"),
         F.explode(fingerprint_modp(F.col("text"))).alias("fp"),
     )
-    sized = posts.withColumn("_n", F.count("*").over(W.partitionBy("fp")))
-    posts = sized.filter(F.col("_n") <= 100).drop("_n")
-    a, b = posts.alias("a"), posts.alias("b")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("a._id") < F.col("b._id"))
-        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .agg(F.count("*").alias("shared_fps"))
-        .filter(F.col("shared_fps") >= 3)
+    return bucket_pairs(posts, ["fp"], "_id", 100, count_col="shared_fps").filter(
+        F.col("shared_fps") >= 3
     )
 
 

@@ -574,6 +574,34 @@ def window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY (CAST(o_orderdate AS DATE) - DATE '1970-01-01')
+                      RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS DOUBLE)
+             AS spend_30d
+    FROM orders
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-30-day spend per customer: a value-based RANGE frame (vs the
+    row-count frames elsewhere) over epoch-day ordering — the frame is
+    defined by day distance, so same-day orders always aggregate together
+    regardless of row order (deterministic without a tie-break key)."""
+    day = F.unix_date(F.col("o_orderdate").cast("date"))
+    w = W.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, 0)
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.round(F.sum(dec("o_totalprice")).over(w), 2).cast("double").alias("spend_30d"),
+    )
+
+
+@query(
     "window_ntile_quartiles",
     oracle="""
     SELECT q, COUNT(*) AS n,
