@@ -406,6 +406,43 @@ def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> Data
 
 
 @query(
+    "join_full_outer_daily_priority",
+    oracle="""
+    WITH u AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS nu
+               FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+         h AS (SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS nh
+               FROM orders WHERE o_orderpriority = '2-HIGH' GROUP BY 1)
+    SELECT strftime(COALESCE(u.d, h.d), '%Y-%m-%d') AS day,
+           COALESCE(u.nu, 0) AS n_urgent,
+           COALESCE(h.nh, 0) AS n_high
+    FROM u FULL OUTER JOIN h ON u.d = h.d
+    """,
+)
+def join_full_outer_daily_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two per-day aggregates: days where only one
+    priority class ordered surface with the other side null-filled
+    (coalesced to 0 so both engines hash identically). Physical plan is a
+    sort-merge join — full outer can't broadcast either side."""
+    o = t(spark, sf_dir, "orders")
+    day = F.date_format("o_orderdate", "yyyy-MM-dd")
+    u = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy(day.alias("du"))
+        .agg(F.count("*").alias("nu"))
+    )
+    h = (
+        o.filter(F.col("o_orderpriority") == "2-HIGH")
+        .groupBy(day.alias("dh"))
+        .agg(F.count("*").alias("nh"))
+    )
+    return u.join(h, u.du == h.dh, "full_outer").select(
+        F.coalesce(u.du, h.dh).alias("day"),
+        F.coalesce(u.nu, F.lit(0)).alias("n_urgent"),
+        F.coalesce(h.nh, F.lit(0)).alias("n_high"),
+    )
+
+
+@query(
     "join_broadcast_geo",
     oracle="""
     SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
