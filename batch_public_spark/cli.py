@@ -31,7 +31,7 @@ from batch_public_spark.pipeline import (
     StubTransport,
     WatermarkStore,
 )
-from batch_public_spark.pipeline.models import MODEL_MAP, SUPPORTED_MODELS
+from batch_public_spark.pipeline.models import ALIASES, CATALOG
 from batch_public_spark.sources.tables import load_table
 
 
@@ -103,9 +103,9 @@ def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
 
     if args.list_models:
-        for key, concrete in sorted(MODEL_MAP.items()):
+        for key, concrete in sorted(ALIASES.items()):
             print(f"{key} -> {concrete}")
-        for m in sorted(SUPPORTED_MODELS):
+        for m in sorted(CATALOG):
             print(m)
         return 0
 

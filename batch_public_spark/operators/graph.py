@@ -38,7 +38,11 @@ def connected_components(
 
     ``edges`` is an undirected pair list; isolated vertices absent from it
     are absent from the result (callers union them back with
-    component = own id if needed)."""
+    component = own id if needed).
+
+    Raises ``RuntimeError`` if labels are still changing after ``max_iter``
+    rounds — returning non-converged labels would silently under-merge
+    clusters (dedup would keep extra duplicates with no signal)."""
     # Undirected: materialize both directions once.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
@@ -51,6 +55,7 @@ def connected_components(
         .withColumnRenamed("u", "id")
     )
 
+    converged = False
     for _ in range(max_iter):
         # candidate label via one hop: min label among neighbors.
         nbr = (
@@ -78,8 +83,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
 
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds (graph diameter exceeds the budget); raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("component"))
 
 

@@ -568,76 +568,6 @@ def ann_bruteforce_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def hyperplane_signature(vec: Column, *, planes: int = 16, dim: int = 64, seed: int = 7) -> Column:
-    """Random-hyperplane (sign) LSH signature as a bigint bucket id.
-
-    Hyperplane p's component for dimension d is a deterministic ±1 derived
-    from xxhash64(seed, p, d) — no stored model, identical on every
-    executor, reproducible across runs."""
-    def plane_bit(p: int) -> Column:
-        proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda x, d: x.cast("double")
-                * F.when(
-                    F.xxhash64(F.lit(seed), F.lit(p), d).bitwiseAND(F.lit(1)) == 1, 1.0
-                ).otherwise(-1.0),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        return F.when(proj > 0, F.lit(1).cast("long")).otherwise(F.lit(0))
-
-    bits = [plane_bit(p) for p in range(planes)]
-    out = F.lit(0).cast("long")
-    for i, bit in enumerate(bits):
-        out = out + F.shiftleft(bit, i)
-    return out
-
-
-def hyperplane_signatures_agg(
-    df: DataFrame,
-    *,
-    id_col: str,
-    vec_col: str,
-    planes: int,
-    tables: int,
-    seed_base: int = 101,
-) -> DataFrame:
-    """Per-vector hyperplane-sign bucket ids for every hash table, via
-    posexplode → hash-aggregate (``sum(±x)`` per (table, plane), codegen'd)
-    — identical math to :func:`hyperplane_signature` per table, an order of
-    magnitude faster than the interpreted zip_with/aggregate form on large
-    corpora. Returns (id, sig0..sig{tables-1})."""
-    base = df.select(
-        F.col(id_col).alias("_hid"), F.posexplode(F.col(vec_col)).alias("_d", "_x")
-    )
-    x = F.col("_x").cast("double")
-    projs = base.groupBy("_hid").agg(
-        *[
-            F.sum(
-                F.when(
-                    F.xxhash64(F.lit(seed_base + t), F.lit(p), F.col("_d")).bitwiseAND(F.lit(1))
-                    == 1,
-                    x,
-                ).otherwise(-x)
-            ).alias(f"pr_{t}_{p}")
-            for t in range(tables)
-            for p in range(planes)
-        ]
-    )
-    sig_cols = []
-    for t in range(tables):
-        sig = F.lit(0).cast("long")
-        for p in range(planes):
-            sig = sig + F.when(
-                F.col(f"pr_{t}_{p}") > 0, F.lit(1 << p).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-        sig_cols.append(sig.alias(f"_sig{t}"))
-    return projs.select("_hid", *sig_cols)
-
-
 def hyperplane_signatures_gemm(
     df: DataFrame,
     *,
@@ -651,7 +581,11 @@ def hyperplane_signatures_gemm(
     """Per-vector hyperplane-sign bucket ids for every hash table as ONE
     ``array<long>`` column ``_sigs`` — zero-shuffle formulation.
 
-    The ±1 hyperplane matrix is regenerated identically on every executor
+    This is the ONLY hyperplane family in the engine: corpus and query
+    sides must both bucket through it (mixing hash families yields zero
+    recall, so the earlier xxhash64-derived variants were removed rather
+    than left as a trap). The ±1 hyperplane matrix is regenerated
+    identically on every executor
     from a seeded RandomState (no stored model, no broadcast), and all
     ``tables × planes`` projections for an Arrow batch happen in a single
     ``(batch × dim) @ (dim × tables·planes)`` numpy matmul. Replaces the

@@ -86,7 +86,16 @@ def salted_join(
     Replication multiplies the build side by B — use only when the build
     side is modest (it usually is: the probe side is skewed precisely
     because it's the big one) and the skew is too extreme for AQE's
-    median-based splitting."""
+    median-based splitting.
+
+    Only left-preserving joins are valid: the right side is replicated
+    across all B salts, so a right/full outer join would emit each
+    unmatched right row B times."""
+    if how not in {"inner", "left", "left_outer", "left_semi", "left_anti"}:
+        raise ValueError(
+            f"salted_join supports inner/left/left_semi/left_anti, not {how!r}: "
+            "the replicated right side would duplicate unmatched right rows"
+        )
     salt_src = salt_on if salt_on is not None else F.monotonically_increasing_id()
     l_salted = left.withColumn(_SALT, F.pmod(F.xxhash64(salt_src), F.lit(buckets)))
     r_exploded = right.withColumn(

@@ -11,7 +11,7 @@ from batch_public_spark.pipeline.llm import (
     Transport,
     respond,
 )
-from batch_public_spark.pipeline.models import MODEL_MAP, SUPPORTED_MODELS, resolve
+from batch_public_spark.pipeline.models import ALIASES, CATALOG, resolve
 from batch_public_spark.pipeline.orchestrator import NO_TS_FILTER, Orchestrator, RunResult
 from batch_public_spark.pipeline.parser import (
     OUTPUT_SCHEMA,
@@ -22,13 +22,13 @@ from batch_public_spark.pipeline.parser import (
 from batch_public_spark.pipeline.state import JobLedger, WatermarkStore
 
 __all__ = [
-    "MODEL_MAP",
+    "ALIASES",
     "NO_TS_FILTER",
     "OUTPUT_SCHEMA",
     "Orchestrator",
     "RetryingTransport",
     "RunResult",
-    "SUPPORTED_MODELS",
+    "CATALOG",
     "SYSTEM_PROMPT",
     "StubTransport",
     "Transport",

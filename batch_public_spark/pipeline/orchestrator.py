@@ -131,7 +131,10 @@ class Orchestrator:
             )
 
         new_wm = work.agg(F.max("_event_ts").alias("m")).collect()[0]["m"]  # A1
-        if self.persist_before_submit and table_name not in self.no_ts_filter and new_wm:
+        # `is not None`: a legitimate watermark of 0 (epoch start) must still
+        # advance — truthiness would silently skip it.
+        advance_wm = table_name not in self.no_ts_filter and new_wm is not None
+        if self.persist_before_submit and advance_wm:
             self.watermarks.advance(table_name, new_wm)
 
         self.ledger.record(
@@ -141,6 +144,14 @@ class Orchestrator:
             model=resolve(model_key),
             record_count=n_requests,
             input_jsonl=jsonl_path,
+            # Commit-after-success mode: the watermark may only advance once
+            # the batch closes. Recording it here lets an async submit-and-exit
+            # run (submit_only) advance it when resume()/auto_resume_pending()
+            # closes the entry — without this, every later run would reprocess
+            # and resubmit the same rows.
+            pending_watermark=(
+                int(new_wm) if (advance_wm and not self.persist_before_submit) else None
+            ),
         )
 
         if submit_only:
@@ -159,9 +170,7 @@ class Orchestrator:
         raw = respond(requests, self.transport_factory)
         parsed = parse_batch_output(raw)
 
-        if not self.persist_before_submit and table_name not in self.no_ts_filter and new_wm:
-            self.watermarks.advance(table_name, new_wm)
-        self.ledger.record(batch_id, status="completed", final_status="completed")
+        self._close(batch_id)
 
         return RunResult(
             batch_id, table_name, n_input, n_requests,
@@ -176,15 +185,29 @@ class Orchestrator:
             name: self.run_batch(df, table_name=name, **kwargs) for name, df in sources.items()
         }
 
+    def _close(self, batch_id: str, final_status: str = "completed") -> dict:
+        """Terminal ledger transition. In commit-after-success mode the
+        watermark recorded at submit time advances here — success is the
+        commit point, so a crash between submit and close re-sends (at-least-
+        once) instead of silently dropping rows (at-most-once)."""
+        entry = self.ledger.get(batch_id) or {}
+        wm = entry.get("pending_watermark")
+        if wm is not None and final_status == "completed":
+            self.watermarks.advance(entry["table_name"], wm)
+        return self.ledger.record(
+            batch_id, status=final_status, final_status=final_status, pending_watermark=None
+        )
+
     def resume(self, batch_id: str) -> Optional[dict]:
         """X4: single non-blocking status check per pending batch (reference
         main.py:368-421). With the synchronous stub transport everything
-        completes inline, so resume just closes out stale ledger entries."""
+        completes inline, so resume closes out stale ledger entries —
+        advancing any watermark deferred by commit-after-success mode."""
         entry = self.ledger.get(batch_id)
         if entry is None:
             return None
         if "final_status" not in entry:
-            entry = self.ledger.record(batch_id, status="completed", final_status="completed")
+            entry = self._close(batch_id)
         return entry
 
     def auto_resume_pending(self) -> dict[str, dict]:

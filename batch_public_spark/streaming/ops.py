@@ -184,7 +184,10 @@ def run_incremental(
     Unlike the memory sink, the file sink is fault-tolerant — re-running with
     the same checkpoint resumes exactly-once from where the last run left
     off (the reference's watermark-ledger incrementality for free).
-    Returns the accumulated sink contents."""
+    Returns the accumulated sink contents.
+
+    Raises ``TimeoutError`` if the run does not finish within ``timeout_s``
+    — returning the partial sink as if complete would silently truncate."""
     q = (
         stream_df.writeStream.format("parquet")
         .option("path", output_dir)
@@ -194,7 +197,9 @@ def run_incremental(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        if not finished:  # pragma: no cover — only on pathological slowness
+            raise TimeoutError(f"streaming run exceeded {timeout_s}s; sink is partial")
     finally:
         if q.isActive:  # pragma: no cover — timeout safety net
             q.stop()
@@ -225,7 +230,9 @@ def run_available_now(
         .start()
     )
     try:
-        q.awaitTermination(timeout_s)
+        finished = q.awaitTermination(timeout_s)
+        if not finished:  # pragma: no cover — only on pathological slowness
+            raise TimeoutError(f"streaming run exceeded {timeout_s}s; sink is partial")
     finally:
         if q.isActive:  # pragma: no cover — timeout safety net
             q.stop()

@@ -181,3 +181,30 @@ def test_read_batch_outputs_tolerates_malformed(spark, tmp_path):
     # malformed line quarantined, 500 filtered (F6), good row parsed
     assert len(rows) == 1
     assert rows[0]["parsed"]["a"] == "1"
+
+
+def test_async_commit_after_success_advances_watermark_on_resume(spark, source, tmp_path):
+    """Regression (ADVICE r1, orchestrator.py): submit_only + commit-after-
+    success must not strand the watermark — resume() closing the ledger
+    entry advances it, so the next run doesn't resubmit the same rows."""
+    orch = Orchestrator(
+        watermarks=WatermarkStore(str(tmp_path / "wm2.json")),
+        ledger=JobLedger(str(tmp_path / "ledger2.json")),
+        transport_factory=StubTransport,
+        output_dir=str(tmp_path / "out2"),
+        persist_before_submit=False,
+    )
+    res = orch.run_batch(source, table_name="news", hours=12, now=NOW, submit_only=True)
+    assert res.batch_id is not None
+    # not yet committed: the batch is in flight
+    assert orch.watermarks.last("news") is None
+    entry = orch.ledger.get(res.batch_id)
+    assert entry["pending_watermark"] == NOW - 100
+    # cron cycle closes the batch → watermark advances exactly once
+    closed = orch.resume(res.batch_id)
+    assert closed["final_status"] == "completed"
+    assert closed["pending_watermark"] is None
+    assert orch.watermarks.last("news") == NOW - 100
+    # rerun resubmits only the re-considered duplicate above the mark, not everything
+    second = orch.run_batch(source, table_name="news", hours=12, now=NOW, submit_only=True)
+    assert second.n_requests == 1
