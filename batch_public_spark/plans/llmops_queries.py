@@ -479,3 +479,98 @@ def llmops_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
     )
     return connected_components(pairs)
+
+
+_QUALITY_SQL = f"""
+      SELECT doc_id, lang,
+             CASE WHEN length(text) > 0
+                  THEN CAST(len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS DOUBLE) / length(text)
+                  ELSE 0.0 END AS pr,
+             CASE WHEN len({_TOKS}) > 0
+                  THEN CAST(len(list_filter({_TOKS}, x -> list_contains({_STOP}, lower(x)))) AS DOUBLE)
+                       / len({_TOKS})
+                  ELSE 0.0 END AS swr,
+             CASE WHEN len({_TOKS}) > 0
+                  THEN CAST(list_sum(list_transform({_TOKS}, x -> length(x))) AS DOUBLE) / len({_TOKS})
+                  ELSE 0.0 END AS mwl,
+             CAST(len({_TOKS}) AS DOUBLE) AS n_tok
+      FROM documents
+"""
+
+
+@query(
+    "llmops_quality_filter",
+    oracle=f"""
+    WITH m AS ({_QUALITY_SQL}),
+    q AS (
+      SELECT lang,
+             CAST(ROUND(least(n_tok / 50.0, 1.0) * 0.3
+                   + greatest(0.0, 1.0 - pr * 4) * 0.3
+                   + least(swr * 5, 1.0) * 0.2
+                   + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 6)
+               AS DECIMAL(10,6)) AS quality
+      FROM m)
+    SELECT lang,
+           COUNT(*) FILTER (WHERE quality >= 0.5) AS n_keep,
+           COUNT(*) FILTER (WHERE quality <  0.5) AS n_drop,
+           ROUND(CAST(SUM(quality) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+    FROM q GROUP BY lang
+    """,
+)
+def llmops_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4/Gopher-style corpus FILTER step: score every document, keep
+    quality >= 0.5, report keep/drop counts + mean quality per language.
+
+    Determinism: the per-doc score rounds to 6 then sums through
+    DECIMAL(10,6) (exact, order-free) before the final double division —
+    a float sum over a shuffled corpus would drift between engines.
+    Scale: pure scan-stage projection + one tiny agg; the filter itself
+    pushes nothing (quality needs the full text) but prunes every
+    downstream stage."""
+    d = t(spark, sf_dir, "documents")
+    q = F.round(quality_score(F.col("text")), 6).cast("decimal(10,6)")
+    return (
+        d.select("lang", q.alias("quality"))
+        .groupBy("lang")
+        .agg(
+            F.count_if(F.col("quality") >= 0.5).alias("n_keep"),
+            F.count_if(F.col("quality") < 0.5).alias("n_drop"),
+            F.round(F.sum("quality").cast("double") / F.count("*"), 6).alias("avg_quality"),
+        )
+    )
+
+
+@query(
+    "llmops_embedding_normalize",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS first_unit
+    FROM embeddings
+    """,
+)
+def llmops_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene for the ANN/near-dup family: per-vector L2 norm,
+    dimensionality check, and the first normalized component (unit-scaling
+    is what makes dot product == cosine in the search operators).
+
+    Both engines fold x² left-to-right over the same float32 array widened
+    to double, so the sums agree bit-for-bit before rounding. Scale: pure
+    map-side projection — no shuffle, whole-stage codegen."""
+    e = t(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(sq_sum)
+    return e.select(
+        "vec_id",
+        F.round(norm, 6).alias("l2_norm"),
+        F.size("embedding").cast("bigint").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double") / norm, 6).alias("first_unit"),
+    )

@@ -1,0 +1,589 @@
+"""Extended TPC-H-style suite over the testdata star schema (SURVEY §2b).
+
+The reference has no relational surface at all, so these queries exist to
+prove the engine's coverage of the classical shapes the TPC-H spec
+exercises — multi-way joins, correlated EXISTS, disjunctive predicates,
+having-filters over grouped fact scans, scalar subqueries, market-share
+ratios. Columns the testdata lacks (partsupp, commit/receipt dates, phone,
+shipmode) are adapted to equivalents and the adaptation is documented per
+query.
+
+Scale notes: every dim join (region/nation/supplier/customer/part) is
+broadcast; fact-fact joins shuffle on the orderkey and are AQE-managed;
+aggregations are partial+final; top-k sorts are TakeOrdered, never a global
+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from batch_public_spark.plans.registry import query
+from batch_public_spark.plans.relational import (
+    CHARGE,  # noqa: F401 — re-exported convenience
+    D6,
+    D15,
+    REV,
+    _rev_col,
+    _sql_dec,
+    dec,
+    money_sum,
+    ratio,
+)
+from batch_public_spark.sources.tables import load_table as t
+
+# Narrower money width for products whose operands multiply (keeps the
+# widened product + sum precision inside decimal(38) in both engines with
+# NO intermediate rounding — see registry docstring).
+D12 = "decimal(12,4)"
+
+
+@query(
+    "q4_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 analogue: orders per priority with a slow lineitem.
+
+    Adaptation: the testdata lacks commit/receipt dates, so "late" is a
+    shipment >60 days after the order date. The EXISTS compiles to a LEFT
+    SEMI join on l_orderkey with the non-equi ship-lag predicate attached —
+    one shuffle on orderkey, no row explosion (semi stops at first match).
+    """
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-07-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    slow = o.join(
+        li,
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return slow.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM({_sql_dec('l_extendedprice')} * {_sql_dec('l_discount', 'DECIMAL(6,4)')}), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan→filter→global agg — the pushdown showcase.
+
+    All three predicates reach the parquet reader (`PushedFilters`); the
+    single global sum is a partial+final agg with a 1-row shuffle.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        money_sum(dec("l_extendedprice") * dec("l_discount", D6), "revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@query(
+    "q7_nation_volume",
+    oracle=f"""
+    SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS INT) AS ship_year,
+           CAST(ROUND(SUM({REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}), 2) AS DOUBLE) AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND n1.n_name IN ('NATION_3', 'NATION_7')
+      AND n2.n_name IN ('NATION_3', 'NATION_7')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations by year.
+
+    Five dim joins all broadcast (nation/customer/supplier are tiny beside
+    lineitem); the only shuffle is lineitem↔orders on orderkey, and the
+    final 2×2×2-group agg is map-side combined.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_3", "NATION_7"))
+    n2 = n.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_3", "NATION_7"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(money_sum(_rev_col(), "volume"))
+
+
+@query(
+    "q8_market_share",
+    oracle=f"""
+    SELECT CAST(YEAR(o.o_orderdate) AS INT) AS order_year,
+           ROUND(CAST(SUM(CASE WHEN n2.n_name = 'NATION_7' THEN {REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} ELSE CAST(0 AS DECIMAL(15,4)) END) AS DOUBLE)
+                 / CAST(SUM({REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE), 6) AS mkt_share
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN region r   ON n1.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE r.r_name = 'EUROPE'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: one supplier nation's share of a region's revenue by year.
+
+    Conditional aggregation (sum of CASE) over a 6-way join; the share is
+    exact-decimal numerator/denominator divided as doubles at the end.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select("n_nationkey", "n_regionkey")
+    n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
+    )
+    rev = _rev_col()
+    zero = F.lit(0).cast(D15)
+    grouped = joined.groupBy(F.year("o_orderdate").cast("int").alias("order_year")).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_7", rev).otherwise(zero)).alias("_num"),
+        F.sum(rev).alias("_den"),
+    )
+    return grouped.select("order_year", ratio(F.col("_num"), F.col("_den").cast("double"), "mkt_share"))
+
+
+@query(
+    "q9_product_profit",
+    oracle=f"""
+    SELECT n.n_name AS supp_nation, CAST(YEAR(o.o_orderdate) AS INT) AS order_year,
+           CAST(ROUND(SUM({REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}
+                          - CAST(p.p_retailprice AS DECIMAL(12,4)) * CAST(l.l_quantity AS DECIMAL(12,4)) * CAST(0.1 AS DECIMAL(2,1))), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_name LIKE '%widget%' AND n.n_nationkey < 5
+    GROUP BY 1, 2
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 analogue: profit on a part family by supplier nation/year.
+
+    Adaptation: no partsupp table, so supply cost is modeled as 10% of
+    p_retailprice×quantity — all-decimal arithmetic with widths chosen so
+    no intermediate rounds (see D12 note). Part/supplier/nation broadcast;
+    lineitem↔orders is the one real shuffle.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    o = t(spark, sf_dir, "orders")
+    profit = _rev_col() - dec("p_retailprice", D12) * dec("l_quantity", D12) * F.lit(
+        0.1
+    ).cast("decimal(2,1)")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+    )
+    return joined.groupBy(
+        F.col("n_name").alias("supp_nation"),
+        F.year("o_orderdate").cast("int").alias("order_year"),
+    ).agg(money_sum(profit, "profit"))
+
+
+@query(
+    "q10_returned_items",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name, n.n_name,
+           CAST(ROUND(SUM({REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}), 2) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY 1, 2, 3
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: top-20 customers by revenue lost to returns in a quarter.
+
+    TakeOrdered top-k (no global sort); revenue is an exact decimal sum so
+    the DESC order + custkey tie-break is deterministic across engines.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-10-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(money_sum(_rev_col(), "revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@query(
+    "q12_late_priority",
+    oracle="""
+    SELECT CAST(YEAR(l.l_shipdate) AS INT) AS ship_year,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY 1
+    """,
+)
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 analogue: priority mix of late shipments by year.
+
+    Adaptation: no shipmode/receiptdate — "late" is >90 days after the
+    order date. Pivot-style conditional counts in one agg pass.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .groupBy(F.year("l_shipdate").cast("int").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q14_promo_revenue",
+    oracle=f"""
+    SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN {REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')} ELSE CAST(0 AS DECIMAL(15,4)) END) AS DOUBLE)
+                 / CAST(SUM({REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}) AS DOUBLE), 6) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo-part revenue share for one month (broadcast part,
+    conditional agg, single-row result)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    p = t(spark, sf_dir, "part")
+    rev = _rev_col()
+    zero = F.lit(0).cast(D15)
+    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("_promo"),
+        F.sum(rev).alias("_all"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("_promo").cast("double") / F.col("_all").cast("double"), 6
+        ).alias("promo_revenue_pct")
+    )
+
+
+@query(
+    "q15_top_supplier",
+    oracle=f"""
+    WITH srev AS (
+      SELECT l_suppkey,
+             CAST(ROUND(SUM({REV}), 2) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, srev.total_revenue
+    FROM srev JOIN supplier s ON s.s_suppkey = srev.l_suppkey
+    WHERE srev.total_revenue = (SELECT MAX(total_revenue) FROM srev)
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) hitting the max quarterly revenue.
+
+    The scalar-subquery MAX becomes an empty-frame window max — one extra
+    tiny shuffle over the per-supplier aggregate (|suppliers| rows), not a
+    second scan of lineitem. Revenue is decimal-exact so the equality
+    predicate is engine-stable.
+    """
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    srev = li.groupBy("l_suppkey").agg(money_sum(_rev_col(), "total_revenue"))
+    best = srev.withColumn("_mx", F.max("total_revenue").over(W.partitionBy())).filter(
+        F.col("total_revenue") == F.col("_mx")
+    )
+    s = t(spark, sf_dir, "supplier")
+    return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
+        "s_suppkey", "s_name", "total_revenue"
+    )
+
+
+@query(
+    "q16_part_supplier_variety",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY 1, 2, 3
+    """,
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 analogue: distinct suppliers per (brand, type, size).
+
+    Adaptation: lineitem stands in for partsupp as the part↔supplier link.
+    COUNT DISTINCT expands then two-phase aggregates; the negative and IN
+    predicates push to the part scan, which then broadcasts.
+    """
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@query(
+    "q18_large_volume",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice,
+           CAST(ROUND(SUM(CAST(l.l_quantity AS DECIMAL(15,4))), 2) AS DOUBLE) AS sum_qty
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(15,4))) > 250
+    )
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: customers behind very large orders (grouped-HAVING IN
+    subquery → semi join on the aggregated orderkey set)."""
+    li = t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
+        .agg(money_sum(dec("l_quantity"), "sum_qty"))
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(ROUND(SUM({REV.replace('l_extendedprice', 'l.l_extendedprice').replace('l_discount', 'l.l_discount')}), 2) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 30)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 40)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: OR-of-ANDs predicate spanning both join sides — exercises
+    CNF conversion: the per-side residuals (brand/size on part, quantity on
+    lineitem) still push below the broadcast join."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#15") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return joined.filter(cond).agg(
+        money_sum(_rev_col(), "revenue"), F.count("*").alias("n_rows")
+    )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH pair AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_supp, SUM(late) AS n_late FROM pair GROUP BY 1
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM pair p
+    JOIN per_order po ON p.l_orderkey = po.l_orderkey
+    JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    WHERE p.late = 1 AND po.n_supp >= 2 AND po.n_late = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 10
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 analogue: the sole late supplier on multi-supplier orders.
+
+    The spec's EXISTS/NOT-EXISTS pair is re-expressed as two aggregation
+    levels (per order-supplier pair, then per order) — same answer, but
+    each level is a partial+final hash agg instead of two correlated
+    re-scans of lineitem; the per-order side joins back at |pairs| scale.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("late"))
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
+    )
+    s = t(spark, sf_dir, "supplier")
+    return (
+        pair.filter(F.col("late") == 1)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), pair.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+@query(
+    "q22_low_activity_customers",
+    oracle="""
+    WITH threshold AS (
+      SELECT CAST(AVG(c_acctbal) AS DOUBLE) AS avg_bal FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n.n_name, COUNT(*) AS n_cust,
+           CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(15,4))), 2) AS DOUBLE) AS total_bal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > (SELECT avg_bal FROM threshold)
+      AND (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) < 5
+    GROUP BY n.n_name
+    """,
+)
+def q22_low_activity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 analogue: wealthy, near-inactive customers per nation.
+
+    Adaptation: no phone column — the country-code grouping becomes the
+    nation dim, and "no orders" (empty at this SF) becomes "<5 orders".
+    The scalar AVG broadcasts as a literal-ish 1-row cross join; the
+    correlated COUNT becomes a left join against per-customer order counts
+    (missing ⇒ 0 via coalesce).
+    """
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").cast("double").alias("avg_bal")
+    )
+    counts = o.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count("*").alias("_n_orders")
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(counts, "c_custkey", "left")
+        .filter(F.coalesce(F.col("_n_orders"), F.lit(0)) < 5)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_cust"), money_sum(dec("c_acctbal"), "total_bal"))
+    )
