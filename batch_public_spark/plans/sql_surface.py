@@ -266,9 +266,14 @@ def lateral_top2_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def values_inline_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inline VALUES relation as a broadcast dim (LocalRelation → constant
-    folding; the idiom for small config/lookup tables shipped in code)."""
-    codes = spark.createDataFrame(
-        [(0, "AF"), (1, "AM"), (2, "AS"), (3, "EU"), (4, "ME")], ["rk", "code"]
+    folding; the idiom for small config/lookup tables shipped in code).
+
+    Declared via SQL VALUES, not createDataFrame: the latter ships rows
+    through a Python RDD (`Scan ExistingRDD` — a per-run Python→JVM
+    serialization hop), while VALUES is a JVM-side LocalTableScan."""
+    codes = spark.sql(
+        "SELECT * FROM VALUES (0, 'AF'), (1, 'AM'), (2, 'AS'), (3, 'EU'), (4, 'ME')"
+        " AS v(rk, code)"
     )
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")

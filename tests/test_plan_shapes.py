@@ -99,3 +99,51 @@ def test_no_cartesian_products(spark, name):
     p = plan(spark, name)
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is the pushdown showcase: shipdate/discount/quantity predicates
+    must all reach the parquet scan."""
+    p = plan(spark, "q6_forecast_revenue")
+    pushed = " ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", p)).lower()
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, pushed
+
+
+def test_tpch_dims_broadcast_no_smj(spark):
+    """Q7/Q10: every dim side (nation/customer/supplier/region) broadcasts;
+    the only sort-merge-eligible join is fact-fact on orderkey."""
+    for name in ("q7_nation_volume", "q10_returned_items"):
+        p = plan(spark, name)
+        assert p.count("BroadcastHashJoin") >= 3, name
+        assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_q10_topk_is_take_ordered(spark):
+    """Q10's ORDER BY revenue LIMIT 20 must be TakeOrderedAndProject."""
+    p = plan(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q4_exists_is_semi_join(spark):
+    """Q4's EXISTS must stay a left-semi join (no row explosion, no
+    nested-loop re-scan)."""
+    p = plan(spark, "q4_priority_exists")
+    assert "LeftSemi" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_lateral_decorrelates_to_rank_filter(spark):
+    """The LATERAL ORDER BY LIMIT subquery must decorrelate to a window
+    rank-filter (one pass over customer), not a per-nation re-scan loop."""
+    p = plan(spark, "lateral_top2_per_nation")
+    assert "Window" in p, p[:2000]
+    assert "CartesianProduct" not in p
+
+
+def test_inline_values_is_local_relation(spark):
+    """The VALUES dim must stay a LocalTableScan feeding a broadcast —
+    never a shuffle exchange on the fact side of that join."""
+    p = plan(spark, "values_inline_dim_join")
+    assert "LocalTableScan" in p
+    assert "BroadcastHashJoin" in p
