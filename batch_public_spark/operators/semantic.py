@@ -61,6 +61,47 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
 
 
+def jaccard_text(a: Column, b: Column, shingle_n: int = 3) -> Column:
+    """Exact word-shingle Jaccard of two RAW texts as one Arrow-batched
+    pandas UDF — semantics identical to ``jaccard(word_shingles(a),
+    word_shingles(b))`` (same normalization, distinct shingles, short-doc
+    whole-text shingle, empty-union → 0.0).
+
+    Exists for the verify step above candidate-pair joins. The pure-Column
+    form is a hazard there: a ``.filter(jaccard >= t)`` above the pair join
+    collapses into the join as a CONDITION, so the whole shingle expression
+    is evaluated per probe row in interpreted (non-codegen) mode and then
+    AGAIN in the projection — measured 8× slower on minhash_candidates at
+    sf0.1. A Python UDF cannot appear in a join condition, so Catalyst keeps
+    it (and the threshold filter) above the join, evaluated once per
+    candidate pair. Candidates ≪ corpus, so the Python cost is off the
+    critical path at scale."""
+    n = shingle_n
+
+    @pandas_udf("double")
+    def _j(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        import re
+
+        # Match normalized_text + word_shingles exactly: Java \s is ASCII.
+        ws = re.compile(r"\s+", re.ASCII)
+
+        def shingles(t: str) -> set:
+            toks = ws.sub(" ", t.lower()).strip(" ").split(" ")
+            return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))}
+
+        out = []
+        for x, y in zip(ta, tb):
+            if x is None or y is None:
+                out.append(None)
+                continue
+            sa, sb = shingles(x), shingles(y)
+            u = len(sa | sb)
+            out.append(len(sa & sb) / u if u else 0.0)
+        return pd.Series(out, dtype="float64")
+
+    return _j(a, b)
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -232,7 +273,14 @@ def minhash_signatures(
     the signature is computed entirely map-side, which is the property that
     matters at corpus scale (measured ~4× faster than the groupBy form at
     sf0.1, and the groupBy form's shuffle grows with total shingle count
-    while this grows with zero)."""
+    while this grows with zero).
+
+    The input is ``spread()`` first: signature compute is pure per-row work,
+    so it should run at full cluster width even when the corpus arrives as
+    few row groups (no-op on a well-split corpus)."""
+    from batch_public_spark.sources.tables import spread
+
+    df = spread(df)
     k_range = num_hashes
 
     @pandas_udf("array<long>")
@@ -292,13 +340,19 @@ def minhash_candidates(
     # the gathered size, and bounds pair blowup at max_bucket² per bucket —
     # the same posting-list capping production dedup uses for boilerplate.
     pairs = bucket_pairs(buckets, ["band", "bucket"], "_id", max_bucket)
-    sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh")
-    )
+    # Verify: join pairs to RAW TEXT and shingle only the matched rows.
+    # Joining a pre-shingled corpus instead would re-run the shingling over
+    # every document twice (once per join side) to verify a candidate set
+    # that is orders of magnitude smaller than the corpus.
+    txt = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
     return (
-        pairs.join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
-        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        pairs.join(txt.withColumnRenamed("_id", "id_a").withColumnRenamed("_txt", "t_a"), "id_a")
+        .join(txt.withColumnRenamed("_id", "id_b").withColumnRenamed("_txt", "t_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jaccard_text(F.col("t_a"), F.col("t_b"), shingle_n).alias("jaccard"),
+        )
     )
 
 
@@ -418,7 +472,14 @@ def simhash_signatures(
     stay an array column and the 64 bit-votes + sign-pack run as one
     Arrow-batched pandas UDF (numpy arithmetic shift matches Spark
     ``shiftright`` on int64). Entirely map-side: the explode → groupBy(64
-    sums) shuffle disappears, which is what matters at corpus scale."""
+    sums) shuffle disappears, which is what matters at corpus scale.
+
+    Input is ``spread()`` for full-width per-row compute (no-op on a
+    well-split corpus)."""
+    from batch_public_spark.sources.tables import spread
+
+    df = spread(df)
+
     @pandas_udf("long")
     def _sig(hashes: pd.Series) -> pd.Series:
         bit_ids = np.arange(64, dtype=np.int64)

@@ -48,6 +48,7 @@ from batch_public_spark.operators.textops import (
 )
 from batch_public_spark.plans.registry import query
 from batch_public_spark.sources.tables import load_table as t
+from batch_public_spark.sources.tables import spread
 
 # Shared SQL fragments mirroring the Spark expressions exactly.
 _NORM = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -370,7 +371,7 @@ def llmops_fingerprint_modp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     ``keep``-smallest winnow selection is exposed as a per-doc fingerprint
     column instead — globally-minimal windows degenerate into
     everyone's-a-candidate on low-entropy corpora.)"""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents"))
     posts = d.select(
         F.col("doc_id").alias("_id"),
         F.explode(fingerprint_modp(F.col("text"))).alias("fp"),

@@ -57,6 +57,37 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Ensure ``df`` has at least ``min_parts`` (default: cluster default
+    parallelism) partitions before compute-heavy narrow stages.
+
+    Rationale: Spark splits parquet scans at ROW-GROUP boundaries; a corpus
+    written as few large row groups scans as few tasks, serializing every
+    downstream per-row stage (signature UDFs, shingle hashing) no matter how
+    many cores exist. When per-row compute dwarfs scan cost, one small
+    round-robin exchange of the raw rows buys full-width parallelism.
+
+    Self-disabling at scale: a real multi-file corpus already scans as
+    thousands of splits, so the width check makes this a no-op exactly when
+    the exchange would be waste. The check reads Catalyst's plan statistics
+    (``optimizedPlan().stats().sizeInBytes`` / ``files.maxPartitionBytes``
+    ≈ scan split count) — pure planning, no job, no RDD conversion (a
+    ``df.rdd.getNumPartitions()`` probe costs ~1 s of physical planning per
+    call). Do NOT use ahead of scan-bound stages (plain aggregates) — there
+    the read IS the work and an exchange only adds IO."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    try:
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").lower().rstrip("b"))
+        est_parts = max(1, size // max(max_bytes, 1))
+    except Exception:  # stats unavailable (e.g. streaming plan) → assume narrow
+        est_parts = 1
+    if est_parts >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
 
