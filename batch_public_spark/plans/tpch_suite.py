@@ -587,3 +587,263 @@ def q22_low_activity_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("n_cust"), money_sum(dec("c_acctbal"), "total_bal"))
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(l_extendedprice AS DECIMAL(15,4))) AS supply_cost
+      FROM lineitem GROUP BY 1, 2
+    ), regional AS (
+      SELECT sp.l_partkey, sp.supply_cost, s.s_name, s.s_acctbal, n.n_name
+      FROM supply sp
+      JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    )
+    SELECT s_acctbal, s_name, n_name, p.p_partkey, p.p_name,
+           CAST(supply_cost AS DOUBLE) AS supply_cost
+    FROM (
+      SELECT *, MIN(supply_cost) OVER (PARTITION BY l_partkey) AS min_cost
+      FROM regional
+    ) rg
+    JOIN part p ON rg.l_partkey = p.p_partkey
+    WHERE p.p_type = 'LARGE' AND rg.supply_cost = rg.min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 analogue: cheapest EUROPE supplier per LARGE part.
+
+    Adaptation (no partsupp table): the supply relation is derived from
+    lineitem — supply_cost(part, supp) = MIN(extendedprice) over their
+    shipped lines (reference ships no relational surface at all; SURVEY
+    §2b joins row). The correlated "= (SELECT MIN(...))" of the spec
+    becomes a per-part window MIN over the region-filtered supply rows —
+    one shuffle by partkey instead of a self-join (the window and the
+    final grouping share nothing, but the self-join form would rescan
+    and re-shuffle the whole supply subtree; see memory of measured
+    subtree-recompute costs). Dims broadcast; LIMIT is TakeOrdered.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(dec("l_extendedprice")).alias("supply_cost")
+    )
+    regional = (
+        supply.join(F.broadcast(s), supply.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), n.n_regionkey == r.r_regionkey)
+        .select("l_partkey", "supply_cost", "s_name", "s_acctbal", "n_name")
+    )
+    w = W.partitionBy("l_partkey")
+    return (
+        regional.withColumn("min_cost", F.min("supply_cost").over(w))
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.col("supply_cost").cast("double").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH filtered AS (
+      SELECT l.l_partkey, CAST(l.l_extendedprice AS DECIMAL(15,4)) AS val
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name = 'NATION_3'
+    )
+    SELECT l_partkey, CAST(ROUND(SUM(val), 2) AS DOUBLE) AS part_value
+    FROM filtered
+    GROUP BY l_partkey
+    HAVING SUM(val) > (SELECT SUM(val) * CAST(0.001 AS DECIMAL(6,4)) FROM filtered)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 analogue: parts holding an outsized share of one
+    nation's supplied value.
+
+    Adaptation (no partsupp): value(part) = SUM(extendedprice) of lines
+    supplied by NATION_3 suppliers; the spec's scalar-subquery HAVING
+    (share of the nation total) is kept. The nation-filtered fact scan is
+    aggregated ONCE per grouping (Spark evaluates the two aggs as two
+    jobs over the same scan; at cluster scale the scan is the cost and
+    both sides prune to two columns). Threshold compare stays decimal ×
+    decimal — exact in both engines, no float boundary flakes. The 1-row
+    total broadcasts.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    filtered = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_partkey", dec("l_extendedprice").alias("val"))
+    )
+    per_part = filtered.groupBy("l_partkey").agg(F.sum("val").alias("_sum_val"))
+    total = filtered.agg(
+        (F.sum("val") * F.lit(0.001).cast(D6)).alias("_threshold")
+    )
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("_sum_val") > F.col("_threshold"))
+        .select(
+            "l_partkey",
+            F.round(F.col("_sum_val"), 2).cast("double").alias("part_value"),
+        )
+    )
+
+
+@query(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY c.c_custkey
+    ) per_cust
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer order counts (left join
+    keeps zero-order customers; the comment-pattern exclusion becomes a
+    priority exclusion inside the JOIN condition, not a WHERE — the
+    difference is exactly the Q13 trap this query exists to pin).
+
+    Two-level aggregation: the first groups by the join key the left
+    join already shuffled on, the second is a near-trivial rollup of
+    |customers| rows.
+    """
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "5-LOW"),
+            "left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q17_small_quantity_revenue",
+    oracle="""
+    WITH brand_lines AS (
+      SELECT l.l_partkey, CAST(l.l_quantity AS DECIMAL(15,4)) AS qty,
+             CAST(l.l_extendedprice AS DECIMAL(15,4)) AS price
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE p.p_brand = 'Brand#12'
+    ), stats AS (
+      SELECT l_partkey, SUM(qty) AS sum_qty, COUNT(*) AS cnt
+      FROM brand_lines GROUP BY 1
+    )
+    SELECT CAST(ROUND(CAST(SUM(b.price) AS DOUBLE) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM brand_lines b
+    JOIN stats st ON b.l_partkey = st.l_partkey
+    WHERE b.qty * 5 * st.cnt < st.sum_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 analogue: yearly revenue locked in small-quantity
+    orders of one brand.
+
+    The spec's correlated "< 0.2 * AVG(l_quantity)" is algebraically
+    cleared of division: qty < sum/(5·cnt) ⇔ 5·qty·cnt < sum — every
+    operand stays decimal/int so both engines compare exactly (AVG would
+    go double in DuckDB and float-flake the boundary). Per-part stats
+    (≤|part| rows) broadcast back onto the brand-filtered lines; the
+    single-row result divides the exact decimal sum by 7 in double only
+    at the very end.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    lines = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+        "l_partkey", dec("l_quantity").alias("qty"), dec("l_extendedprice").alias("price")
+    )
+    stats = lines.groupBy("l_partkey").agg(
+        F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt")
+    )
+    return (
+        lines.join(F.broadcast(stats), "l_partkey")
+        .filter(F.col("qty") * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            F.round(F.sum("price").cast("double") / F.lit(7.0), 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q20_part_volume_suppliers",
+    oracle="""
+    SELECT s.s_name, s.s_acctbal
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_name = 'NATION_5'
+      AND s.s_suppkey IN (
+        SELECT l.l_suppkey
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE 'small %'
+          AND YEAR(l.l_shipdate) = 1997
+        GROUP BY l.l_suppkey, l.l_partkey
+        HAVING SUM(CAST(l.l_quantity AS DECIMAL(15,4))) > 40
+      )
+    """,
+)
+def q20_part_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 analogue: NATION_5 suppliers who moved real volume of
+    'small *' parts in 1997.
+
+    Adaptation (no partsupp/availqty): "availqty > half the shipped
+    quantity" becomes an absolute shipped-volume threshold per
+    (supplier, part). Shape preserved: a grouped HAVING feeding a
+    semi-join chain up to the supplier dim. The year filter and the
+    broadcast part filter prune the fact scan before the group-by; the
+    qualifying-supplier set is tiny and drives a left_semi join (no row
+    duplication, no distinct needed on the supplier side).
+    """
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("small %"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    movers = (
+        li.filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(dec("l_quantity")).alias("_qty"))
+        .filter(F.col("_qty") > 40)
+        .select(F.col("l_suppkey").alias("s_suppkey"))
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(movers, "s_suppkey", "left_semi")
+        .select("s_name", "s_acctbal")
+    )
