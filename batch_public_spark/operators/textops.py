@@ -162,3 +162,43 @@ def fingerprint_modp(text: Column, k: int = 8, p: int = 64) -> Column:
     degenerates on low-entropy corpora where every document contains the
     globally-minimal windows)."""
     return F.array_distinct(F.filter(_window_hashes(text, k), lambda h: F.pmod(h, F.lit(p)) == 0))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# Ordered (pattern, replacement) rules. Order matters: the card/SSN digit
+# shapes must run before the generic phone rule would eat their digits.
+# ASCII-only character classes — Java regex and any oracle engine agree on
+# these; \p{...} classes would not be portable.
+PII_RULES: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
+    (r"(?<![\w<])\+?\d[\d().\- ]{7,}\d\b", "<PHONE>"),
+)
+
+
+def redact_pii(text: Column) -> Column:
+    """Redact email / SSN / card-number / phone-shaped substrings with
+    typed placeholders. A chain of native ``regexp_replace`` calls — stays
+    in whole-stage codegen, no UDF; at corpus scale this is a free rider
+    on the scan (reference has no PII surface; this belongs to the
+    training-data-hygiene family BASELINE.json's north-star adds)."""
+    out = text
+    for pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_count(text: Column) -> Column:
+    """Number of PII-shaped substrings ``redact_pii`` would replace.
+    Counted on the progressively-redacted text so overlapping rules never
+    double-count one substring."""
+    out = text
+    total = F.lit(0).cast("bigint")
+    for pat, repl in PII_RULES:
+        total = total + F.regexp_count(out, F.lit(pat)).cast("bigint")
+        out = F.regexp_replace(out, pat, repl)
+    return total

@@ -575,3 +575,188 @@ def llmops_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("embedding").cast("bigint").alias("dim"),
         F.round(F.element_at("embedding", 1).cast("double") / norm, 6).alias("first_unit"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: decontamination, train-order shuffle, mixing, packing
+# ---------------------------------------------------------------------------
+
+# DuckDB fragment: distinct word-4-gram shingles of the normalized text
+# (mirrors operators.semantic.word_shingles(text, 4), including the
+# whole-text single shingle for docs shorter than 4 words).
+_TOKS_NORM = _TOKS.replace("trim(text)", _NORM)
+_GRAMS4 = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len({_TOKS_NORM}) - 3, 1) + 1), "
+    f"i -> array_to_string(({_TOKS_NORM})[i:i+3], ' ')))"
+)
+
+
+@query(
+    "llmops_decontaminate",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest({_GRAMS4}) AS gram FROM documents
+    ), bench AS (
+      SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+    )
+    SELECT g.doc_id, COUNT(*) AS n_shared
+    FROM g JOIN bench USING (gram)
+    WHERE g.doc_id % 97 <> 0
+    GROUP BY g.doc_id
+    """,
+)
+def llmops_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    4-gram with a held-out benchmark set (the n-gram-overlap contamination
+    check run before pretraining; docs with doc_id % 97 == 0 stand in for
+    the benchmark). Production corpora use n of 8-13; this corpus's tiny
+    synthetic vocabulary needs n=4 for any cross-doc collisions to exist —
+    the n is a free parameter of the same plan.
+
+    Shape at scale: benchmark n-gram sets are tiny (thousands of docs)
+    beside a 100 TB corpus, so the distinct benchmark grams BROADCAST and
+    the corpus side stays a scan → explode → broadcast-hash semi-match →
+    per-doc count, with no all-to-all shuffle of corpus grams. The final
+    groupBy shuffles only the matched grams — contamination hits, orders
+    of magnitude smaller than the corpus."""
+    d = t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 4)).alias("gram")
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
+@query(
+    "llmops_train_shuffle",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(doc_id || ':42')) AS BIGINT) AS position,
+           doc_id, md5(doc_id || ':42') AS shuffle_key
+    FROM documents
+    ORDER BY shuffle_key
+    LIMIT 200
+    """,
+)
+def llmops_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: every doc gets a
+    seeded content-independent key (md5 of id + seed), training reads in
+    key order. First 200 positions shown.
+
+    At scale this is the one global sort a training pipeline actually
+    needs, and it's a RANGE-partitioned sort on an incompressible uniform
+    key — Spark's orderBy samples the key space and writes sorted runs
+    per partition, which is exactly the sharded-shuffle layout the reader
+    wants; the LIMIT here makes it a TakeOrdered top-k instead (no full
+    sort materialized). The row_number window runs on 200 rows."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("42"))).alias(
+            "shuffle_key"
+        ),
+    )
+    top = d.orderBy("shuffle_key").limit(200)
+    return top.select(
+        F.row_number().over(W.orderBy("shuffle_key")).cast("bigint").alias("position"),
+        "doc_id",
+        "shuffle_key",
+    )
+
+
+@query(
+    "llmops_domain_mix",
+    oracle=f"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per)
+    SELECT source, n_docs, n_tokens,
+           ROUND(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE), 6) AS token_share,
+           ROUND(SQRT(CAST(n_tokens AS DOUBLE) / CAST(total AS DOUBLE)), 6) AS sample_weight
+    FROM per, tot
+    """,
+)
+def llmops_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture accounting: per-source doc/token totals, corpus
+    token share, and a temperature-smoothed sampling weight
+    (√share — the τ=2 upweighting of small domains used when drawing a
+    training mixture).
+
+    Token totals stay exact bigints end-to-end; the single-row corpus
+    total broadcasts back onto the per-source rows (no second scan). The
+    share division goes double only at the very end, identically in both
+    engines."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", token_count_ws(F.col("text")).alias("tok")
+    )
+    per = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("tok").alias("n_tokens")
+    )
+    total = per.agg(F.sum("n_tokens").alias("_total"))
+    share = F.col("n_tokens").cast("double") / F.col("_total").cast("double")
+    return per.join(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(F.sqrt(share), 6).alias("sample_weight"),
+    )
+
+
+@query(
+    "llmops_sequence_pack",
+    oracle=f"""
+    WITH d AS (
+      SELECT source, doc_id, GREATEST(len({_TOKS}), 1) AS tok FROM documents
+    ), c AS (
+      SELECT *, COALESCE(SUM(tok) OVER (
+        PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+      FROM d
+    )
+    SELECT source, doc_id, CAST(tok AS BIGINT) AS n_tokens,
+           CAST(cum_prev // 512 AS BIGINT) AS window_id,
+           CAST(cum_prev % 512 AS BIGINT) AS start_offset,
+           CAST((cum_prev + tok - 1) // 512 - cum_prev // 512 + 1 AS BIGINT) AS n_windows
+    FROM c
+    """,
+)
+def llmops_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, concatenation-style: per source, documents are
+    concatenated in doc_id order and cut into fixed 512-token context
+    windows; each doc reports its window id, start offset, and how many
+    windows it spans (GPT-style packing — no padding waste, docs may
+    straddle window boundaries).
+
+    One window spec per source (prefix-sum of exact bigint token counts);
+    the assignment is pure integer arithmetic on the running total, so
+    the whole layout derives from ONE shuffle by source — at corpus scale
+    this is the cheapest packing there is, and the per-source sort is the
+    write order a sharded training reader needs anyway."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.greatest(token_count_ws(F.col("text")), F.lit(1)).alias("tok"),
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    c = d.withColumn("cum_prev", F.coalesce(F.sum("tok").over(w), F.lit(0)))
+    return c.select(
+        "source",
+        "doc_id",
+        F.col("tok").cast("bigint").alias("n_tokens"),
+        F.expr("cum_prev DIV 512").cast("bigint").alias("window_id"),
+        F.pmod(F.col("cum_prev"), F.lit(512)).cast("bigint").alias("start_offset"),
+        (
+            F.expr("(cum_prev + tok - 1) DIV 512")
+            - F.expr("cum_prev DIV 512")
+            + F.lit(1)
+        )
+        .cast("bigint")
+        .alias("n_windows"),
+    )

@@ -172,3 +172,57 @@ def test_ann_ivf_recall_vs_bruteforce(embeddings):
     }
     recall = len(bf & ivf) / len(bf)
     assert recall >= 0.5, f"ivf recall {recall}"
+
+
+def test_redact_pii_shapes(spark):
+    from batch_public_spark.operators.textops import pii_count, redact_pii
+
+    rows = [
+        Row(text="contact bob.smith+x@example.co.uk now"),
+        Row(text="ssn 123-45-6789 and card 4111 1111 1111 1111 ok"),
+        Row(text="call +1 (415) 555-2671 tomorrow"),
+        Row(text="short digits 12345 stay; so does v1.2.3"),
+        Row(text="two mails a@b.io c@d.org"),
+    ]
+    out = (
+        spark.createDataFrame(rows)
+        .select(
+            redact_pii(F.col("text")).alias("red"),
+            pii_count(F.col("text")).alias("n"),
+        )
+        .collect()
+    )
+    assert out[0].red == "contact <EMAIL> now" and out[0].n == 1
+    assert out[1].red == "ssn <SSN> and card <CARD> ok" and out[1].n == 2
+    assert out[2].red == "call <PHONE> tomorrow" and out[2].n == 1
+    assert out[3].red == "short digits 12345 stay; so does v1.2.3" and out[3].n == 0
+    assert out[4].n == 2
+
+
+def test_redact_pii_idempotent(spark):
+    from batch_public_spark.operators.textops import pii_count, redact_pii
+
+    rows = [Row(text="mail a@b.io ssn 123-45-6789 tel +1 (415) 555-2671")]
+    once = spark.createDataFrame(rows).select(redact_pii(F.col("text")).alias("text"))
+    twice = once.select(
+        redact_pii(F.col("text")).alias("red"), pii_count(F.col("text")).alias("n")
+    ).collect()[0]
+    assert twice.red == once.collect()[0].text
+    assert twice.n == 0
+
+
+def test_sequence_pack_covers_all_tokens(spark, documents):
+    """Window math invariant: per source, the windows of consecutive docs
+    tile the concatenated token stream with no gaps or overlaps."""
+    from batch_public_spark.plans.llmops_queries import llmops_sequence_pack
+
+    out = llmops_sequence_pack(spark, SF_DIR).toPandas()
+    for _, g in out.groupby("source"):
+        g = g.sort_values("doc_id")
+        pos = 0
+        for r in g.itertuples():
+            assert r.window_id == pos // 512
+            assert r.start_offset == pos % 512
+            end = pos + r.n_tokens - 1
+            assert r.n_windows == end // 512 - pos // 512 + 1
+            pos += r.n_tokens
