@@ -147,3 +147,52 @@ def test_inline_values_is_local_relation(spark):
     p = plan(spark, "values_inline_dim_join")
     assert "LocalTableScan" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_q2_supply_window_single_shuffle_and_broadcast_dims(spark):
+    """q2's per-part MIN window must reuse the partkey shuffle of the
+    supply groupBy (one Exchange on l_partkey feeds both); all four dims
+    broadcast."""
+    p = plan(spark, "q2_min_cost_supplier")
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p  # LIMIT 100 never globally sorts
+
+
+def test_q17_stats_broadcast_back(spark):
+    """q17's per-part stats join back onto the brand lines as a broadcast
+    (stats ≤ |part| rows), never a fact-fact sort-merge."""
+    p = plan(spark, "q17_small_quantity_revenue")
+    assert "SortMergeJoin" not in p
+
+
+def test_q20_semi_join_chain(spark):
+    """q20's qualifying-supplier set must reach the supplier dim as a
+    semi join (no row duplication, no distinct)."""
+    p = plan(spark, "q20_part_volume_suppliers")
+    assert "LeftSemi" in p
+
+
+def test_decontaminate_benchmark_broadcasts(spark):
+    """The benchmark gram set must broadcast; the corpus gram side must
+    not shuffle before the join (only contamination hits shuffle, in the
+    per-doc count agg)."""
+    p = plan(spark, "llmops_decontaminate")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_train_shuffle_is_take_ordered(spark):
+    """The seeded-shuffle preview must be a top-k (TakeOrdered), not a
+    full global sort of the corpus."""
+    p = plan(spark, "llmops_train_shuffle")
+    assert "TakeOrderedAndProject" in p
+
+
+def test_sequence_pack_single_exchange(spark):
+    """Sequence packing is one shuffle by source feeding the window —
+    exactly one Exchange in the whole plan."""
+    p = plan(spark, "llmops_sequence_pack")
+    # Count operator detail blocks, not tree lines (each node appears twice
+    # in "formatted" output).
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
