@@ -116,3 +116,38 @@ def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     final converged state, which the batch oracle reproduces."""
     s = running_max_per_key(read_events_stream(spark, sf_dir))
     return run_available_now(s, output_mode="update")
+
+
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT c.c_mktsegment, e.event_type,
+           COUNT(*) AS n_events, {_VAL} AS total_value
+    FROM events e
+    JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: enrich the event stream with a static
+    dimension (customer, on user_id = c_custkey), then aggregate by
+    segment × type.
+
+    The static side is re-read per micro-batch by Spark and joins as a
+    BROADCAST hash join against each batch — no stream-side shuffle for
+    the join, no state (stream-static inner joins are stateless by
+    definition); only the downstream aggregate keeps state. This is the
+    canonical "enrich events with a dimension table" production shape.
+    """
+    from batch_public_spark.sources.tables import load_table
+
+    events = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = events.join(F.broadcast(cust), events.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+        .cast("double")
+        .alias("total_value"),
+    )
+    return run_available_now(agg, output_mode="complete")
