@@ -112,3 +112,104 @@ def decode_features(
                 yield pd.DataFrame(out[i : i + batch_hint])
 
     return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
+def sample_frames(
+    df: DataFrame,
+    *,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    frame_bytes: int = 64,
+    strict: bool = False,
+) -> DataFrame:
+    """Frame sampling over binary media payloads: one output row per
+    sampled frame (UDTF shape — rows multiply), via Arrow-batched
+    ``mapInPandas``.
+
+    ``strict=True`` is where a production build seeks the container
+    (ffmpeg) and decodes every k-th frame; absent codecs it raises. The
+    deterministic fake treats the payload as a raw byte stream and emits
+    consecutive ``frame_bytes`` slices with their digests — the row
+    explosion, batch shape, and downstream join/agg plumbing are exactly
+    the real pipeline's.
+
+    Scale: sampling is per-row work with multiplicative output — the
+    Arrow batch size bounds peak memory, and emitting digests/features
+    instead of raw frame bytes keeps the shuffle payload small when the
+    caller aggregates (the fake emits the digest for that reason).
+    """
+    from batch_public_spark.util import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+
+    schema = f"{id_col} long, frame_idx long, frame_len long, frame_md5 string"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        if strict:
+            raise NotImplementedError(
+                "real frame sampling requires video codecs not present in "
+                "this environment; run with strict=False for the byte-slice stub"
+            )
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r[blob_col]) if r[blob_col] is not None else b""
+                n = max((len(raw) + frame_bytes - 1) // frame_bytes, 1)
+                for k in range(n):
+                    chunk = raw[k * frame_bytes : (k + 1) * frame_bytes]
+                    out.append(
+                        {
+                            id_col: r[id_col],
+                            "frame_idx": k,
+                            "frame_len": len(chunk),
+                            "frame_md5": hashlib.md5(chunk).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)
+
+
+def resize_image(
+    df: DataFrame,
+    *,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    width: int = 32,
+    height: int = 32,
+    strict: bool = False,
+) -> DataFrame:
+    """Image resize plumbing: binary in → binary out with updated typed
+    metadata, via ``mapInPandas``.
+
+    ``strict=True`` is the PIL/libvips call site (raises here). The fake
+    emits a payload of exactly ``width*height`` bytes (truncate or
+    zero-pad) so byte-budget accounting downstream — parquet row-group
+    sizing, Arrow batch memory — behaves like a real thumbnail pipeline.
+    """
+    from batch_public_spark.util import ensure_workers_can_import
+
+    ensure_workers_can_import(df.sparkSession)
+
+    target = width * height
+    schema = f"{id_col} long, resized binary, width int, height int"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if strict:
+            raise NotImplementedError(
+                "real image resize requires codecs not present in this "
+                "environment; run with strict=False for the size-exact stub"
+            )
+        for pdf in batches:
+            out = []
+            for _, r in pdf.iterrows():
+                raw = bytes(r[blob_col]) if r[blob_col] is not None else b""
+                sized = raw[:target].ljust(target, b"\0")
+                out.append(
+                    {id_col: r[id_col], "resized": sized, "width": width, "height": height}
+                )
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, blob_col).mapInPandas(run, schema)

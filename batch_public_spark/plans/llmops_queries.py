@@ -760,3 +760,29 @@ def llmops_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_windows"),
     )
+
+
+@query(
+    "llmops_multimodal_frames",
+    oracle="""
+    WITH d AS (SELECT doc_id, text, length(text) AS ln FROM documents)
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS frame_idx,
+           CAST(LEAST(64, ln - k * 64) AS BIGINT) AS frame_len,
+           md5(substring(text, k * 64 + 1, 64)) AS frame_md5
+    FROM d, UNNEST(range(0, GREATEST(CAST(CEIL(ln / 64.0) AS BIGINT), 1))) AS t(k)
+    """,
+)
+def llmops_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over media payloads (video frame-extraction shape):
+    one row per fixed-size frame slice with its digest, emitted by the
+    Arrow-batched ``sample_frames`` UDTF over synthesized binary blobs.
+
+    The oracle replays the byte slicing on the text itself — the corpus
+    is pure ASCII, so char positions ≡ byte positions and md5(substring)
+    matches the blob-slice digest exactly. Per-row multiplicative output;
+    no shuffle anywhere in the plan."""
+    from batch_public_spark.operators.multimodal import sample_frames
+
+    blobs = synthesize_blobs(t(spark, sf_dir, "documents"))
+    return sample_frames(blobs, frame_bytes=64)

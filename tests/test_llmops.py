@@ -226,3 +226,38 @@ def test_sequence_pack_covers_all_tokens(spark, documents):
             end = pos + r.n_tokens - 1
             assert r.n_windows == end // 512 - pos // 512 + 1
             pos += r.n_tokens
+
+
+def test_sample_frames_tile_blob(spark, documents):
+    from batch_public_spark.operators.multimodal import sample_frames, synthesize_blobs
+
+    blobs = synthesize_blobs(documents.limit(20))
+    frames = sample_frames(blobs, frame_bytes=64).toPandas()
+    src = {r.doc_id: bytes(r.blob) for r in blobs.collect()}
+    for doc_id, g in frames.groupby("doc_id"):
+        g = g.sort_values("frame_idx")
+        # frames tile the payload exactly: lens sum to blob length, indexes
+        # are 0..n-1, every frame but the last is full-size
+        assert list(g.frame_idx) == list(range(len(g)))
+        assert g.frame_len.sum() == len(src[doc_id])
+        assert (g.frame_len.iloc[:-1] == 64).all()
+
+
+def test_sample_frames_strict_raises(spark, documents):
+    from batch_public_spark.operators.multimodal import sample_frames, synthesize_blobs
+
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    blobs = synthesize_blobs(documents.limit(2))
+    with _pytest.raises((NotImplementedError, Py4JJavaError, Exception)):
+        sample_frames(blobs, strict=True).collect()
+
+
+def test_resize_image_size_exact(spark, documents):
+    from batch_public_spark.operators.multimodal import resize_image, synthesize_blobs
+
+    blobs = synthesize_blobs(documents.limit(10))
+    out = resize_image(blobs, width=8, height=8).collect()
+    assert all(len(bytes(r.resized)) == 64 for r in out)
+    assert all(r.width == 8 and r.height == 8 for r in out)
