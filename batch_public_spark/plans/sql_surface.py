@@ -311,3 +311,48 @@ def scalar_null_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(disc_null.isNotNull(), "disc").otherwise("free").alias("nvl2_style"),
     )
+
+
+@query(
+    "sql_recursive_date_spine",
+    oracle="""
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-12-01'
+    )
+    SELECT m AS month_start, COUNT(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m
+    """,
+)
+def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4's WITH RECURSIVE) generating a monthly date
+    spine, left-joined to order counts — the reporting idiom that
+    zero-fills empty periods instead of dropping them.
+
+    The recursion runs entirely on the driver-planned LocalRelation (84
+    rows); the fact side aggregates per month FIRST (600k→84 rows, one
+    shuffle), then the tiny spine joins broadcast-style. Joining the raw
+    fact scan to the spine before aggregating would shuffle every
+    lineitem-month row instead."""
+    spine = spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01'
+          UNION ALL
+          SELECT m + INTERVAL 1 MONTH FROM months WHERE m < TIMESTAMP '2001-12-01'
+        ) SELECT m FROM months
+        """
+    )
+    o = t(spark, sf_dir, "orders")
+    per_month = o.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("m")
+    ).agg(F.count("o_orderkey").alias("_n"))
+    return (
+        spine.join(per_month, "m", "left")
+        .select(
+            F.col("m").alias("month_start"),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_orders"),
+        )
+    )
