@@ -14,6 +14,8 @@ or broadcast joins against tiny dims; nothing collects driver-side.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -355,4 +357,91 @@ def sql_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m").alias("month_start"),
             F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_orders"),
         )
+    )
+
+
+@query(
+    "udaf_grouped_median_quantity",
+    oracle="""
+    SELECT l_returnflag, ROUND(MEDIAN(l_quantity), 6) AS med_qty, COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udaf_grouped_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate as an Arrow-batched pandas GROUPED_AGG UDAF
+    (per-group median). Median is an order statistic — no accumulation
+    order, so pandas and the oracle agree bit-for-bit (even-count groups
+    average the two middles identically).
+
+    Scale note: a GROUPED_AGG UDAF materializes each group as one pandas
+    Series on one executor — right for bounded-cardinality groups like
+    returnflag (3 groups), wrong for per-key medians over millions of
+    keys (use percentile_approx there). The query exists to prove the
+    UDAF surface; the built-in exact median query covers the SQL path."""
+    from pyspark.sql.functions import pandas_udf  # noqa: PLC0415
+
+    @pandas_udf("double")
+    def med(v: pd.Series) -> float:
+        return float(v.median())
+
+    # A GROUPED_AGG pandas UDF cannot mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a pandas UDAF too.
+    @pandas_udf("long")
+    def cnt(v: pd.Series) -> int:
+        return int(len(v))
+
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(med("l_quantity"), 6).alias("med_qty"),
+        cnt("l_quantity").alias("n_rows"),
+    )
+
+
+@query(
+    "udtf_top_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> length(x) > 0) AS tk
+      FROM documents WHERE doc_id < 100
+    ), b AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i+1])) AS bigram
+      FROM toks
+    ), c AS (
+      SELECT doc_id, bigram, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, bigram) AS rk
+      FROM b GROUP BY doc_id, bigram
+    )
+    SELECT doc_id, bigram, n, CAST(rk AS INT) AS rk FROM c WHERE rk <= 3
+    """,
+)
+def udtf_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 bigrams via a REAL Python UDTF (``@udtf`` class,
+    Spark 3.5+) applied with a LATERAL join — the table-function surface
+    distinct from mapInPandas (which batches whole partitions; a UDTF
+    yields rows per input row and composes with SQL LATERAL).
+
+    Scale note: the UDTF is row-local (no state across rows), so it
+    pipelines inside the scan stage with zero shuffle; output is bounded
+    at 3 rows per doc."""
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(returnType="doc_id bigint, bigram string, n bigint, rk int")
+    class TopBigrams:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            import re
+            from collections import Counter
+
+            toks = [w for w in re.sub(r"\s+", " ", (text or "").lower(), flags=re.ASCII).strip().split(" ") if w]
+            counts = Counter(" ".join(p) for p in zip(toks, toks[1:]))
+            for rk, (bg, n) in enumerate(sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:3], 1):
+                yield doc_id, bg, n, rk
+
+    spark.udtf.register("top_bigrams", TopBigrams)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100).createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT s.* FROM _udtf_docs d, LATERAL top_bigrams(d.doc_id, d.text) s"
     )
