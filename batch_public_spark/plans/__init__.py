@@ -25,7 +25,22 @@ from batch_public_spark.plans import streaming_queries  # noqa: F401
 
 # Names pinned to the front of the registry, in order (see module docstring).
 _PRIORITY = [
-    # Extended TPC-H suite (new this round).
+    # Newest additions — no prior correctness record at all.
+    "q2_min_cost_supplier",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "q20_part_volume_suppliers",
+    "llmops_decontaminate",
+    "llmops_train_shuffle",
+    "llmops_domain_mix",
+    "llmops_sequence_pack",
+    "llmops_multimodal_frames",
+    "stream_static_enrich",
+    "sql_recursive_date_spine",
+    "udaf_grouped_median_quantity",
+    "udtf_top_bigrams",
+    # Extended TPC-H suite (new last round).
     "q4_priority_exists",
     "q6_forecast_revenue",
     "q7_nation_volume",
