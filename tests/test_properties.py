@@ -129,3 +129,32 @@ def test_first_wins_deterministic_and_idempotent(spark, rows):
     assert sa == sorted(map(tuple, b.collect()))
     twice = first_wins(a, F.col("k"), F.col("ord"))
     assert sa == sorted(map(tuple, twice.collect()))
+
+
+_doc_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), min_size=0, max_size=120
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(_doc_text, _doc_text), min_size=1, max_size=12))
+def test_jaccard_text_equals_column_form(spark, pairs):
+    """The Arrow-UDF verify path (jaccard_text) must agree exactly with the
+    Column-expression form jaccard(word_shingles(a), word_shingles(b)) —
+    the minhash candidate verifier swaps one in for the other purely for
+    plan-shape reasons (the filter must not collapse into the join)."""
+    from batch_public_spark.operators.semantic import jaccard, jaccard_text, word_shingles
+
+    rows = [(i, a, b) for i, (a, b) in enumerate(pairs)]
+    df = spark.createDataFrame(rows, "i int, a string, b string")
+    out = df.select(
+        "i",
+        jaccard(word_shingles(F.col("a")), word_shingles(F.col("b"))).alias("col_form"),
+        jaccard_text(F.col("a"), F.col("b")).alias("udf_form"),
+    ).collect()
+    for r in out:
+        assert r.col_form == pytest.approx(r.udf_form, abs=1e-12), (
+            pairs[r.i],
+            r.col_form,
+            r.udf_form,
+        )
