@@ -40,6 +40,7 @@ _PRIORITY = [
     "sql_recursive_date_spine",
     "udaf_grouped_median_quantity",
     "udtf_top_bigrams",
+    "llmops_stratified_sample",
     # Extended TPC-H suite (new last round).
     "q4_priority_exists",
     "q6_forecast_revenue",

@@ -786,3 +786,36 @@ def llmops_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     blobs = synthesize_blobs(t(spark, sf_dir, "documents"))
     return sample_frames(blobs, frame_bytes=64)
+
+
+@query(
+    "llmops_stratified_sample",
+    oracle="""
+    SELECT source, doc_id, CAST(rk AS BIGINT) AS sample_rank
+    FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(doc_id || ':s7')) AS rk
+      FROM documents
+    ) WHERE rk <= 10
+    """,
+)
+def llmops_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: a fixed quota per stratum
+    (source), selected by seeded hash order — the reproducible
+    eval-holdout / ablation sampler (unlike ``TABLESAMPLE``/`sample()`,
+    reruns and backfills pick identical rows).
+
+    One shuffle by stratum; the per-stratum rank is a windowed top-k the
+    optimizer handles with a running-window filter (no full sort of each
+    stratum materialized beyond the window's ordering)."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit("s7"))).alias("_k"),
+    )
+    w = W.partitionBy("source").orderBy("_k")
+    return (
+        d.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= 10)
+        .select("source", "doc_id", "sample_rank")
+    )
