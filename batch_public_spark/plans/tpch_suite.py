@@ -634,13 +634,19 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
-    supply = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(dec("l_extendedprice")).alias("supply_cost")
+    # Region-filter the supplier dim BEFORE the supply aggregation: the
+    # broadcast join prunes ~4/5 of the fact rows ahead of the
+    # (partkey, suppkey) shuffle, so the heaviest exchange carries only
+    # the region's lines (the post-agg-join order would shuffle them all).
+    regional_sup = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     regional = (
-        supply.join(F.broadcast(s), supply.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), n.n_regionkey == r.r_regionkey)
+        li.join(F.broadcast(regional_sup), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(dec("l_extendedprice")).alias("supply_cost"))
         .select("l_partkey", "supply_cost", "s_name", "s_acctbal", "n_name")
     )
     w = W.partitionBy("l_partkey")
