@@ -33,8 +33,9 @@ from batch_public_spark.operators.textops import normalized_text
 # ---------------------------------------------------------------------------
 
 
-def word_shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of the normalized text. Documents
+def word_shingles_all(text: Column, n: int = 3) -> Column:
+    """ALL word n-gram shingles of the normalized text, in order and with
+    repeats (position-multiset — what repetition scoring needs). Documents
     shorter than n words get their whole text as the single shingle.
 
     Built as ``zip_with`` over n shifted slices of the token array —
@@ -51,7 +52,13 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         grams = F.zip_with(
             grams, F.slice(toks, i, length), lambda x, y: F.concat_ws(" ", x, y)
         )
-    return F.array_distinct(grams)
+    return grams
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (set form — what Jaccard/MinHash
+    consume). See :func:`word_shingles_all` for the build strategy."""
+    return F.array_distinct(word_shingles_all(text, n))
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -41,6 +41,7 @@ _PRIORITY = [
     "udaf_grouped_median_quantity",
     "udtf_top_bigrams",
     "llmops_stratified_sample",
+    "llmops_repetition_filter",
     # Extended TPC-H suite (new last round).
     "q4_priority_exists",
     "q6_forecast_revenue",

@@ -819,3 +819,42 @@ def llmops_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sample_rank") <= 10)
         .select("source", "doc_id", "sample_rank")
     )
+
+
+@query(
+    "llmops_repetition_filter",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, source,
+             len({_GRAMS4.replace("list_distinct(", "(")}) AS n_total,
+             len({_GRAMS4}) AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id, source,
+           ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_total, 6) AS dup_ratio,
+           (1.0 - CAST(n_distinct AS DOUBLE) / n_total) > 0.2 AS repetitive
+    FROM g
+    """,
+)
+def llmops_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition score (Gopher-style quality rule): the
+    fraction of word 4-grams that are repeats of an earlier 4-gram in the
+    same document; docs above 20% flag as repetitive boilerplate.
+
+    Pure per-row JVM array expressions riding the scan — no UDF, no
+    shuffle; at corpus scale this filter is free alongside any other
+    per-doc stage. The ratio divides two exact ints per row (no
+    accumulation), so both engines agree bit-for-bit."""
+    from batch_public_spark.operators.semantic import word_shingles_all
+
+    d = t(spark, sf_dir, "documents")
+    grams = word_shingles_all(F.col("text"), 4)
+    n_total = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    dup = F.lit(1.0) - n_distinct.cast("double") / n_total
+    return d.select(
+        "doc_id",
+        "source",
+        F.round(dup, 6).alias("dup_ratio"),
+        (dup > 0.2).alias("repetitive"),
+    )
