@@ -42,6 +42,7 @@ _PRIORITY = [
     "udtf_top_bigrams",
     "llmops_stratified_sample",
     "llmops_repetition_filter",
+    "llmops_tfidf_top_terms",
     # Extended TPC-H suite (new last round).
     "q4_priority_exists",
     "q6_forecast_revenue",

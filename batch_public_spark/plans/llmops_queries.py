@@ -858,3 +858,56 @@ def llmops_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dup, 6).alias("dup_ratio"),
         (dup > 0.2).alias("repetitive"),
     )
+
+
+@query(
+    "llmops_tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_NORM}) AS term
+      FROM documents WHERE doc_id < 100
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             ROUND(tf.tf * LN(100.0 / df.df), 6) AS tfidf
+      FROM tf JOIN df USING (term)
+    )
+    SELECT doc_id, term, tf, df, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      FROM scored
+    ) WHERE rk <= 3
+    """,
+)
+def llmops_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF text analysis: top-3 most characteristic terms per document
+    (tf · ln(N/df) over a bounded 100-doc corpus; SURVEY §7 phase 6 names
+    TF-IDF as the text-analysis spine).
+
+    Plan: one explode → (doc, term) count, the document-frequency side is
+    an aggregate OF that aggregate (no second scan), and df (≤ vocab
+    size) broadcasts back. tf/df stay exact bigints; only the final
+    score takes the log, rounded. At corpus scale vocab ≪ corpus so the
+    broadcast holds; rank is a bounded per-doc window."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    from batch_public_spark.operators.textops import tokens as _tokens
+    from batch_public_spark.operators.textops import normalized_text as _norm
+
+    tok = d.select("doc_id", F.explode(_tokens(_norm(F.col("text")))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * F.log(F.lit(100.0) / F.col("df")), 6).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf")
+    )
