@@ -47,6 +47,8 @@ HEADLINE = [
     "llmops_ann_bruteforce",
     "llmops_ann_lsh",
     "llmops_text_metrics",
+    "llmops_decontaminate",
+    "llmops_sequence_pack",
     "stream_tumbling_counts",
     "stream_session_windows",
 ]
