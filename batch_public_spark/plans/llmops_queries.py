@@ -319,11 +319,29 @@ def llmops_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("llmops_multimodal_features", oracle=None)
+@query(
+    "llmops_multimodal_features",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, length(text) AS n_bytes,
+             list_transform(range(0, 16), b ->
+               CAST(len(list_filter(range(1, length(text) + 1),
+                                    i -> (ord(substring(text, i, 1)) % 16) = b)) AS DOUBLE)
+               / greatest(length(text), 1)) AS f
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           ROUND(SQRT(0.0 + f[1]*f[1] + f[2]*f[2] + f[3]*f[3] + f[4]*f[4] + f[5]*f[5] + f[6]*f[6] + f[7]*f[7] + f[8]*f[8] + f[9]*f[9] + f[10]*f[10] + f[11]*f[11] + f[12]*f[12] + f[13]*f[13] + f[14]*f[14] + f[15]*f[15] + f[16]*f[16]), 6) AS feat_norm
+    FROM h
+    """,
+)
 def llmops_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads (decode step
     stubbed with a deterministic byte-histogram — see operators.multimodal).
-    Returns per-source mean feature norm as a stable aggregate."""
+    Oracle-checked: the corpus is pure ASCII so char codes ≡ payload bytes,
+    and the norm folds the 16 exact-division bins left-to-right in both
+    engines (explicit addition chain in the SQL = Spark's aggregate fold
+    order), making even the float path bit-stable."""
     blobs = synthesize_blobs(t(spark, sf_dir, "documents"))
     feats = decode_features(blobs)
     norm = F.sqrt(
