@@ -289,14 +289,35 @@ def pipeline_parse_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("pipeline_llm_roundtrip", oracle=None)
+@query(
+    "pipeline_llm_roundtrip",
+    oracle="""
+    WITH d AS (SELECT text FROM documents WHERE doc_id < 50),
+    h AS (
+      SELECT
+        CAST(list_sum(list_transform(range(1, 65),
+          i -> strpos('0123456789abcdef', substring(sha256(text), i, 1)) - 1)) % 3 AS INT) AS s3,
+        CAST((strpos('0123456789abcdef', substring(sha256(text), 64, 1)) - 1) % 4 AS INT) AS v4
+      FROM d
+    )
+    SELECT (['bullish', 'bearish', 'neutral'])[s3 + 1] AS sentiment,
+           CAST(SUM(CASE WHEN v4 = 3 THEN 2 ELSE 1 END) AS BIGINT) AS n
+    FROM h GROUP BY 1
+    """,
+)
 def pipeline_llm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP1 e-g + EP3 on the deterministic stub transport: build requests
     from documents, 'call' the LLM via Arrow-batched mapInPandas, parse
-    replies, count outcomes per sentiment."""
+    replies, count outcomes per sentiment.
+
+    Oracle-checked end to end: the stub's sentiment is sha256(text) mod 3
+    (16 ≡ 1 mod 3 ⇒ hex-digit sum), and its array-reply variant
+    (sha mod 4 == 3, i.e. last hex digit mod 4) doubles the parsed rows —
+    the SQL replays both, so the whole request-build → Arrow transport →
+    fence-strip/repair/explode parse path is hash-verified."""
     d = (
         t(spark, sf_dir, "documents")
-        .limit(50)
+        .filter(F.col("doc_id") < 50)
         .select(F.col("doc_id").cast("string").alias("id"), "text")
     )
     requests = build_requests(d, text_col="text", id_col="id")
