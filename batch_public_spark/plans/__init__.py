@@ -21,11 +21,18 @@ from batch_public_spark.plans import tpch_suite  # noqa: F401
 from batch_public_spark.plans import sql_surface  # noqa: F401
 from batch_public_spark.plans import pipeline_queries  # noqa: F401
 from batch_public_spark.plans import llmops_queries  # noqa: F401
+from batch_public_spark.plans import curation_queries  # noqa: F401
 from batch_public_spark.plans import streaming_queries  # noqa: F401
 
 # Names pinned to the front of the registry, in order (see module docstring).
 _PRIORITY = [
     # Newest additions — no prior correctness record at all.
+    "llmops_bloom_dedup",
+    "llmops_quality_classifier",
+    "llmops_chunk_documents",
+    "llmops_weighted_sample",
+    "llmops_source_overlap",
+    "llmops_pii_redact",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q13_customer_distribution",

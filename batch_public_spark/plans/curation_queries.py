@@ -1,0 +1,443 @@
+"""Corpus-curation operators, wave 2: incremental bloom-gated dedup,
+hashed-feature quality classification, sliding-window chunking, weighted
+sampling, cross-source contamination, and PII redaction.
+
+These extend the north-star LLM-data-pipeline family (BASELINE.json; the
+reference has no analytics surface — its only dedup is the keyed first-wins
+D1 at batch/dynamo_fetcher.py:320-339). Oracle strategy follows
+llmops_queries: every formula here is pure deterministic integer/decimal
+arithmetic over md5 (both engines agree bit-for-bit), so all six queries are
+fully DuckDB-hash-checked — including the bloom filter, whose position-set
+formulation is plain relational algebra.
+
+Portable-hash discipline: DuckDB has no xxhash64 and Spark's ``hash`` is
+engine-specific, so cross-engine pseudo-randomness derives from md5 hex
+parsed 3 chars at a time via ``ascii()`` arithmetic (``_hex3``) — identical
+SQL text evaluated by both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from batch_public_spark.operators.textops import (
+    normalized_text,
+    pii_count,
+    redact_pii,
+    tokens,
+)
+from batch_public_spark.plans.llmops_queries import _GRAMS4, _NORM, _TOKS_NORM
+from batch_public_spark.plans.registry import query
+from batch_public_spark.sources.tables import load_table as t
+
+
+def _hexv(c: str) -> str:
+    """SQL: value of one lowercase hex digit expression (engine-neutral —
+    ``ascii`` arithmetic; Spark and RE2-era DuckDB agree on nothing fancier)."""
+    return f"(CASE WHEN ascii({c}) <= 57 THEN ascii({c}) - 48 ELSE ascii({c}) - 87 END)"
+
+
+def _hex3(h: str, start: int = 1) -> str:
+    """SQL: parse 3 hex chars of string expression ``h`` at ``start`` →
+    int in [0, 4096). The md5 inside ``h`` is textually repeated per char;
+    both engines fold the duplicate subexpression, and the strings are
+    tiny."""
+    a = _hexv(f"substr({h}, {start}, 1)")
+    b = _hexv(f"substr({h}, {start + 1}, 1)")
+    c = _hexv(f"substr({h}, {start + 2}, 1)")
+    return f"({a} * 256 + {b} * 16 + {c})"
+
+
+def _bloom_pos(ch: str, k: int, m: int = 4096) -> str:
+    """SQL: k-th bloom bit position of content-hash expression ``ch``."""
+    inner = "md5(concat({}, ':{}'))".format(ch, k)
+    return f"({_hex3(inner)} % {m})"
+
+
+# ---------------------------------------------------------------------------
+# Incremental bloom-gated dedup
+# ---------------------------------------------------------------------------
+
+_BLOOM_K = 3
+
+
+@query(
+    "llmops_bloom_dedup",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, md5({_NORM}) AS ch FROM documents),
+    h AS (SELECT * FROM d WHERE doc_id % 10 < 7),
+    i AS (SELECT * FROM d WHERE doc_id % 10 >= 7),
+    hp AS (SELECT DISTINCT unnest([{_bloom_pos('ch', 0)}, {_bloom_pos('ch', 1)},
+                                   {_bloom_pos('ch', 2)}]) AS p FROM h),
+    ip AS (SELECT doc_id, unnest([{_bloom_pos('ch', 0)}, {_bloom_pos('ch', 1)},
+                                  {_bloom_pos('ch', 2)}]) AS p FROM i),
+    f AS (SELECT ip.doc_id,
+                 MIN(CASE WHEN hp.p IS NULL THEN 0 ELSE 1 END) = 1 AS probably_seen
+          FROM ip LEFT JOIN hp USING (p) GROUP BY ip.doc_id),
+    x AS (SELECT i.doc_id, hc.ch IS NOT NULL AS truly_dup
+          FROM i LEFT JOIN (SELECT DISTINCT ch FROM h) hc ON i.ch = hc.ch)
+    SELECT f.doc_id, probably_seen, truly_dup FROM f JOIN x USING (doc_id)
+    """,
+)
+def llmops_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a historical corpus through a bloom-style
+    membership gate: the history's content hashes set k=3 bit positions in
+    an m=4096 bloom domain; an incoming doc is ``probably_seen`` iff all
+    its positions are set. ``truly_dup`` (the exact semi-join answer) is
+    emitted alongside, so the output exhibits the bloom contract: no false
+    negatives, a few false positives (~fill³).
+
+    The 100 TB shape this models: a PB-scale dedup ledger is too big to
+    semi-join against every ingest batch, but its bloom bitmap (GB for
+    billions of keys) BROADCASTS — each ingest partition probes locally and
+    only the survivors proceed. That is built literally here: the history's
+    positions pack into a 64×long bitmap (one row), the bitmap cross-join
+    broadcasts onto the incoming scan, and the probe is three bit tests per
+    row — no shuffle of the incoming side at all. The exact ``truly_dup``
+    check (the very join the bloom avoids at scale) runs only so the
+    output can exhibit the contract; the probe path never touches it."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("ch")
+    )
+    pos = F.array(*[F.expr(_bloom_pos("ch", k)) for k in range(_BLOOM_K)])
+    d = d.withColumn("pos", pos)
+    hist = d.filter(F.col("doc_id") % 10 < 7)
+    inc = d.filter(F.col("doc_id") % 10 >= 7)
+
+    # History → one-row 4096-bit bitmap (array of 64 longs).
+    bitmap = (
+        hist.select(F.explode("pos").alias("p"))
+        .agg(F.collect_set("p").alias("hp"))
+        .select(
+            F.expr(
+                "transform(sequence(0, 63), w -> "
+                "aggregate(filter(hp, p -> p div 64 = w), 0L, "
+                "(acc, p) -> acc | shiftleft(1L, cast(p % 64 as int))))"
+            ).alias("bits")
+        )
+    )
+    probe = F.expr(
+        "forall(pos, p -> (element_at(bits, cast(p div 64 as int) + 1) "
+        "& shiftleft(1L, cast(p % 64 as int))) != 0)"
+    )
+    return (
+        inc.crossJoin(F.broadcast(bitmap))
+        .withColumn("probably_seen", probe)
+        .join(hist.select("ch").distinct().withColumn("_dup", F.lit(1)), "ch", "left")
+        .select(
+            "doc_id",
+            "probably_seen",
+            (F.coalesce(F.col("_dup"), F.lit(0)) == 1).alias("truly_dup"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hashed-feature linear quality classifier
+# ---------------------------------------------------------------------------
+
+
+def _tok_weight(var: str) -> str:
+    """SQL: deterministic per-token classifier weight in [-2048, 2047] —
+    the hashed-features trick (fasttext/VW style): the weight vector is a
+    pure function of hash(token), so no vocabulary ships with the plan."""
+    inner = "md5(concat('w:', {}))".format(var)
+    return f"({_hex3(inner)} - 2048)"
+
+
+@query(
+    "llmops_quality_classifier",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS_NORM} AS toks FROM documents),
+    s AS (SELECT doc_id, source, len(toks) AS n_tokens,
+                 CAST(COALESCE(list_sum(list_transform(toks, t -> {_tok_weight('t')})), 0)
+                      AS BIGINT) AS w_sum
+          FROM d)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens, w_sum,
+           ROUND(CASE WHEN n_tokens > 0
+                      THEN 1.0 / (1.0 + EXP(-(CAST(w_sum AS DOUBLE) / (n_tokens * 410.0))))
+                      ELSE 0.5 END, 6) AS quality_prob,
+           w_sum > 0 AS keep
+    FROM s
+    """,
+)
+def llmops_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, linear hashed-features form: each
+    token's weight is a deterministic function of md5(token) (stand-in for
+    trained fasttext/logreg weights — same plan, different constants); the
+    document score is sigmoid of the length-normalized weight sum.
+
+    Zero-shuffle: tokenize → per-token weight → per-row HOF ``aggregate``
+    sum, all riding the scan inside codegen. The sum stays an exact BIGINT
+    (weights are ints), so both engines agree exactly; only the final
+    sigmoid goes floating-point, and ``keep`` compares the integer sum
+    against 0 — no float at the decision boundary. At 100 TB this is the
+    cheapest classifier there is: no model broadcast, no Python workers,
+    no aggregation tree — a real trained-weights variant only adds a
+    broadcast map lookup in place of the md5."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(normalized_text(F.col("text")))
+    )
+    w_sum = F.expr(
+        f"aggregate(transform(toks, t -> cast({_tok_weight('t')} as bigint)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    n_tok = F.size("toks")
+    score = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.col("w_sum").cast("double") / (F.col("n_tokens") * F.lit(410.0))))
+    )
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            n_tok.cast("bigint").alias("n_tokens"),
+            w_sum.alias("w_sum"),
+        )
+        .withColumn(
+            "quality_prob",
+            F.round(F.when(F.col("n_tokens") > 0, score).otherwise(F.lit(0.5)), 6),
+        )
+        .withColumn("keep", F.col("w_sum") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK, _STRIDE = 16, 12  # tiny windows for the ~30-token synthetic docs;
+# production RAG/embedding chunking uses e.g. 512/384 — same plan, free params.
+
+
+@query(
+    "llmops_chunk_documents",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n FROM d)
+    SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           CAST(k * {_STRIDE} AS BIGINT) AS chunk_start,
+           CAST(LEAST({_CHUNK}, n - k * {_STRIDE}) AS BIGINT) AS chunk_len,
+           md5(array_to_string(toks[k * {_STRIDE} + 1 : k * {_STRIDE} + {_CHUNK}], ' '))
+             AS chunk_md5
+    FROM n, UNNEST(range(0, GREATEST(CAST(CEIL(n / {_STRIDE}.0) AS BIGINT), 1))) AS u(k)
+    """,
+)
+def llmops_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking (the RAG/embedding prep step):
+    each document's token stream is cut into windows of {chunk} tokens at
+    stride {stride} (overlap {chunk}-{stride}); one output row per chunk
+    with its offset, length, and content digest.
+
+    Per-row multiplicative generate — ``sequence`` + ``explode`` + array
+    ``slice``, no shuffle, no UDF; the expansion factor is bounded by
+    doc_len/stride so executors never materialize more than one doc's
+    chunks at a time. This is the plan shape that feeds the ANN/embedding
+    family downstream (chunks → embed → index)."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(normalized_text(F.col("text")))
+    )
+    d = d.withColumn("n", F.size("toks"))
+    n_chunks = F.greatest(F.ceil(F.col("n") / F.lit(float(_STRIDE))).cast("int"), F.lit(1))
+    d = d.withColumn("k", F.explode(F.sequence(F.lit(0), n_chunks - 1)))
+    start = F.col("k") * _STRIDE
+    return d.select(
+        "doc_id",
+        F.col("k").cast("bigint").alias("chunk_idx"),
+        start.cast("bigint").alias("chunk_start"),
+        F.least(F.lit(_CHUNK), F.col("n") - start).cast("bigint").alias("chunk_len"),
+        F.md5(F.array_join(F.slice("toks", start + 1, _CHUNK), " ")).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (exponential race / A-ES)
+# ---------------------------------------------------------------------------
+
+_WS_SPARK_H = "md5(concat(cast(doc_id as string), ':ws'))"
+_WS_DUCK_H = "md5(doc_id || ':ws')"
+
+
+def _ws_u(h: str) -> str:
+    """SQL: seeded uniform in (0, 1] from 24 bits of md5 — exact integer
+    numerator, one final double divide (engine-identical)."""
+    return f"(({_hex3(h, 1)} * 4096 + {_hex3(h, 4)} + 1) / 16777216.0)"
+
+
+@query(
+    "llmops_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source, n_chars,
+           ROUND(-LN({_ws_u(_WS_DUCK_H)}) / n_chars, 9) AS sample_key
+    FROM documents
+    ORDER BY -LN({_ws_u(_WS_DUCK_H)}) / n_chars, doc_id
+    LIMIT 50
+    """,
+)
+def llmops_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, exponential-race form
+    (Efraimidis–Spirakis A-ES): key = -ln(u)/weight with a seeded
+    per-doc uniform; the global smallest-k keys ARE a weighted sample
+    without replacement (here weight = n_chars — length-proportional, the
+    common token-budget sampler). Deterministic: u derives from md5, so
+    reruns pick identical docs (``sample()``/TABLESAMPLE cannot promise
+    that across partition changes).
+
+    ORDER BY + LIMIT k is a TakeOrdered top-k: per-partition heaps of k
+    rows, one k-row merge at the driver — no global sort materializes at
+    any scale. The uniform's 24-bit numerator is exact in both engines;
+    -ln/÷ are one libm call apiece, rounded to 1e-9 (key gaps at corpus
+    scale are ~1e-6)."""
+    u = F.expr(_ws_u(_WS_SPARK_H))
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "source", "n_chars", key.alias("_key"))
+        .orderBy("_key", "doc_id")
+        .limit(50)
+        .select("doc_id", "source", "n_chars", F.round("_key", 9).alias("sample_key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llmops_source_overlap",
+    oracle=f"""
+    WITH g AS (SELECT DISTINCT source, unnest({_GRAMS4}) AS gram FROM documents),
+    s AS (SELECT source, COUNT(*) AS n FROM g GROUP BY source)
+    SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared,
+           sa.n AS n_a, sb.n AS n_b,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / (sa.n + sb.n - COUNT(*)), 6)
+             AS overlap_jaccard
+    FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+    JOIN s sa ON sa.source = a.source
+    JOIN s sb ON sb.source = b.source
+    GROUP BY a.source, b.source, sa.n, sb.n
+    """,
+)
+def llmops_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cross-source contamination: word-4-gram Jaccard between
+    every pair of sources (which crawls/dumps overlap, the question asked
+    before mixing a new source into a training corpus).
+
+    The oracle's naive form is a gram self-join; the Spark plan avoids the
+    self-join's double subtree evaluation (and its corpus×corpus shuffle):
+    ONE distinct over (source, gram), then ``collect_set`` per gram and
+    in-array pair combinatorics — the bucket_pairs trick from the MinHash
+    family. Shuffle volume is O(distinct grams), source-count lists are
+    ≤ |sources| long, and per-source totals broadcast onto the ~|sources|²
+    result rows."""
+    d = t(spark, sf_dir, "documents")
+    from batch_public_spark.operators.semantic import word_shingles
+
+    grams = d.select(
+        "source", F.explode(word_shingles(F.col("text"), 4)).alias("gram")
+    ).distinct()
+    by_gram = grams.groupBy("gram").agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+    # Per-source totals derive from by_gram (not a second pass over grams):
+    # the expensive scan→explode→distinct exchange is shared/reused, and
+    # |srcs| sums to exactly the distinct (source, gram) count.
+    sizes = (
+        by_gram.select(F.explode("srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+    )
+    pairs = (
+        by_gram.filter(F.size("srcs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(srcs, (x, i) -> "
+                    "transform(slice(srcs, i + 2, size(srcs)), "
+                    "y -> struct(x AS src_a, y AS src_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src_a", "p.src_b")
+    )
+    inter = pairs.groupBy("src_a", "src_b").agg(F.count("*").alias("n_shared"))
+    a = sizes.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    b = sizes.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(a), "src_a")
+        .join(F.broadcast(b), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("overlap_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (oracle-checked on synthesized PII)
+# ---------------------------------------------------------------------------
+
+# RE2-safe mirrors of the first two PII_RULES (textops.py) — the card/phone
+# rules can't fire on this synthesis (no residual digits), so the oracle's
+# 2-rule replay equals the engine's full 4-rule chain. The phone rule's
+# lookbehind is Java-regex-only, which is WHY the oracle synthesizes only
+# email+SSN shapes.
+_EMAIL_PAT = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_SSN_PAT = r"\b\d{3}-\d{2}-\d{4}\b"
+
+_PII_ORACLE = (
+    """
+    WITH s AS (
+      SELECT doc_id,
+             text || ' ssn ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                  || '-45-6789 mail u' || CAST(doc_id % 100 AS VARCHAR)
+                  || '@example.com' AS synth
+      FROM documents),
+    r1 AS (SELECT doc_id,
+                  regexp_replace(synth, '__EMAIL__', '<EMAIL>', 'g') AS t1,
+                  CAST(len(regexp_extract_all(synth, '__EMAIL__')) AS BIGINT) AS c1
+           FROM s),
+    r2 AS (SELECT doc_id, c1,
+                  regexp_replace(t1, '__SSN__', '<SSN>', 'g') AS t2,
+                  CAST(len(regexp_extract_all(t1, '__SSN__')) AS BIGINT) AS c2
+           FROM r1)
+    SELECT doc_id, c1 + c2 AS n_pii, md5(t2) AS redacted_md5 FROM r2
+    """.replace("__EMAIL__", _EMAIL_PAT)
+    .replace("__SSN__", _SSN_PAT)
+)
+
+
+@query("llmops_pii_redact", oracle=_PII_ORACLE)
+def llmops_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction as a declared, hash-checked query: the digit-free
+    synthetic corpus gets a deterministic SSN + email appended per doc
+    (PII shape varies with doc_id), then the full 4-rule
+    ``textops.redact_pii`` chain runs and the redacted digest + PII count
+    come back.
+
+    All native ``regexp_replace``/``regexp_count`` chained in codegen —
+    at 100 TB, redaction rides the ingest scan exactly like the quality
+    filters; no UDF, no shuffle (the reference has no PII surface — this
+    is north-star hygiene per BASELINE.json)."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" ssn "),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-45-6789 mail u"),
+            (F.col("doc_id") % 100).cast("string"),
+            F.lit("@example.com"),
+        ).alias("synth"),
+    )
+    return d.select(
+        "doc_id",
+        pii_count(F.col("synth")).alias("n_pii"),
+        F.md5(redact_pii(F.col("synth"))).alias("redacted_md5"),
+    )
