@@ -189,7 +189,10 @@ def pipeline_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").withColumn("_ts_s", F.unix_timestamp("ts"))
     kept = incremental_filter(e, "_ts_s", 1705276800)
     return kept.groupBy("event_type").agg(
-        F.count("*").alias("n"), F.max(F.unix_micros("ts")).alias("max_ts_us")
+        F.count("*").alias("n"),
+        # ts is TIMESTAMP_NTZ (plain parquet timestamp[us]); unix_micros needs
+        # LTZ — cast under the pinned UTC session tz so the epoch is stable.
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("max_ts_us"),
     )
 
 

@@ -36,8 +36,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Declared schema for the streaming file source (file streams cannot infer).
-# ts is parquet TIMESTAMP(NANOS) → read as epoch-nanos long (nanosAsLong),
-# truncated to micros in the stream itself, mirroring sources.tables.
+# The ts field's physical type varies by testdata generation — parquet
+# TIMESTAMP(NANOS) (surfaced as epoch-nanos long under nanosAsLong) or plain
+# TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ) — so the declared stream
+# schema is derived from a batch footer probe per directory at plan time.
 EVENTS_RAW_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
@@ -53,17 +55,31 @@ EVENTS_RAW_SCHEMA = T.StructType(
 def read_events_stream(
     spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """Streaming read of the events table (file source)."""
+    """Streaming read of the events table (file source).
+
+    Normalizes ``ts`` to session-zone TimestampType exactly like the batch
+    loader (sources.tables.load_table), whatever the file's physical type.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Footer-only batch probe: file streams cannot infer schemas, and the
+    # physical ts type differs across testdata generations.
+    path = os.path.join(sf_dir, "events.parquet")
+    probed = spark.read.parquet(path).schema
     # The file stream source requires a directory: stream the sf dir with a
     # glob filter rather than the single events.parquet file.
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA).option("pathGlobFilter", "events.parquet")
+    reader = spark.readStream.schema(probed).option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(sf_dir)
-    # integer `div`, NOT `/`: float division loses the last microsecond at
-    # epoch-nanos magnitude (~1.7e18 overflows double's 53-bit mantissa)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = probed["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # epoch-nanos long; integer `div`, NOT `/`: float division loses the
+        # last microsecond (~1.7e18 overflows double's 53-bit mantissa)
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif not isinstance(ts_type, T.TimestampType):
+        # TIMESTAMP_NTZ → LTZ under the pinned-UTC session zone.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
 
 
 def tumbling_counts(
