@@ -88,28 +88,31 @@ def decode_features(
     schema = f"{id_col} long, n_bytes long, features array<double>"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if strict:
             raise NotImplementedError(
                 "real media decode requires image/audio codecs not present in "
                 "this environment; run with strict=False for the deterministic stub"
             )
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r[blob_col]) if r[blob_col] is not None else b""
-                hist = [0] * FEATURE_DIM
-                for byte in raw:
-                    hist[byte % FEATURE_DIM] += 1
-                total = float(sum(hist)) or 1.0
-                out.append(
+            ids, lens, feats = [], [], []
+            for rid, blob in zip(pdf[id_col].to_numpy(), pdf[blob_col].to_numpy()):
+                raw = bytes(blob) if blob is not None else b""
+                arr = np.frombuffer(raw, dtype=np.uint8)
+                hist = np.bincount(arr % FEATURE_DIM, minlength=FEATURE_DIM)
+                total = float(hist.sum()) or 1.0
+                ids.append(rid)
+                lens.append(len(raw))
+                feats.append((hist / total).tolist())
+            for i in range(0, len(ids), batch_hint):
+                yield pd.DataFrame(
                     {
-                        id_col: r[id_col],
-                        "n_bytes": len(raw),
-                        "features": [h / total for h in hist],
+                        id_col: ids[i : i + batch_hint],
+                        "n_bytes": lens[i : i + batch_hint],
+                        "features": feats[i : i + batch_hint],
                     }
                 )
-            for i in range(0, len(out), batch_hint):
-                yield pd.DataFrame(out[i : i + batch_hint])
 
     return df.select(id_col, blob_col).mapInPandas(run, schema)
 
@@ -153,21 +156,25 @@ def sample_frames(
                 "this environment; run with strict=False for the byte-slice stub"
             )
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r[blob_col]) if r[blob_col] is not None else b""
+            ids, idxs, lens, digests = [], [], [], []
+            for rid, blob in zip(pdf[id_col].to_numpy(), pdf[blob_col].to_numpy()):
+                raw = bytes(blob) if blob is not None else b""
                 n = max((len(raw) + frame_bytes - 1) // frame_bytes, 1)
+                view = memoryview(raw)
                 for k in range(n):
-                    chunk = raw[k * frame_bytes : (k + 1) * frame_bytes]
-                    out.append(
-                        {
-                            id_col: r[id_col],
-                            "frame_idx": k,
-                            "frame_len": len(chunk),
-                            "frame_md5": hashlib.md5(chunk).hexdigest(),
-                        }
-                    )
-            yield pd.DataFrame(out)
+                    chunk = view[k * frame_bytes : (k + 1) * frame_bytes]
+                    ids.append(rid)
+                    idxs.append(k)
+                    lens.append(len(chunk))
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": idxs,
+                    "frame_len": lens,
+                    "frame_md5": digests,
+                }
+            )
 
     return df.select(id_col, blob_col).mapInPandas(run, schema)
 
@@ -203,13 +210,18 @@ def resize_image(
                 "environment; run with strict=False for the size-exact stub"
             )
         for pdf in batches:
-            out = []
-            for _, r in pdf.iterrows():
-                raw = bytes(r[blob_col]) if r[blob_col] is not None else b""
-                sized = raw[:target].ljust(target, b"\0")
-                out.append(
-                    {id_col: r[id_col], "resized": sized, "width": width, "height": height}
-                )
-            yield pd.DataFrame(out)
+            ids, blobs = [], []
+            for rid, blob in zip(pdf[id_col].to_numpy(), pdf[blob_col].to_numpy()):
+                raw = bytes(blob) if blob is not None else b""
+                ids.append(rid)
+                blobs.append(raw[:target].ljust(target, b"\0"))
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "resized": blobs,
+                    "width": width,
+                    "height": height,
+                }
+            )
 
     return df.select(id_col, blob_col).mapInPandas(run, schema)

@@ -25,61 +25,12 @@ from batch_public_spark.plans import curation_queries  # noqa: F401
 from batch_public_spark.plans import streaming_queries  # noqa: F401
 
 # Names pinned to the front of the registry, in order (see module docstring).
+# Round 3: the 28 queries that sat outside BOTH prior driver windows
+# (CORRECTNESS_r01 + r02) come first so this round's 50-query window
+# closes cumulative driver coverage to 128/128. New queries added this
+# round slot in right after them (still inside the window).
 _PRIORITY = [
-    # Newest additions — no prior correctness record at all.
-    "llmops_bloom_dedup",
-    "llmops_quality_classifier",
-    "llmops_chunk_documents",
-    "llmops_weighted_sample",
-    "llmops_source_overlap",
-    "llmops_pii_redact",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q20_part_volume_suppliers",
-    "llmops_decontaminate",
-    "llmops_train_shuffle",
-    "llmops_domain_mix",
-    "llmops_sequence_pack",
-    "llmops_multimodal_frames",
-    "stream_static_enrich",
-    "sql_recursive_date_spine",
-    "udaf_grouped_median_quantity",
-    "udtf_top_bigrams",
-    "llmops_stratified_sample",
-    "llmops_repetition_filter",
-    "llmops_tfidf_top_terms",
-    # Extended TPC-H suite (new last round).
-    "q4_priority_exists",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q12_late_priority",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q18_large_volume",
-    "q19_disjunctive_revenue",
-    "q21_waiting_supplier",
-    "q22_low_activity_customers",
-    # SQL-surface long tail (new this round).
-    "window_percent_rank",
-    "window_first_last_nth",
-    "agg_string_concat",
-    "agg_median_orders",
-    "agg_bool_filtered",
-    "agg_bitwise_lineno",
-    "scalar_regexp_extract_all",
-    "array_sequence_fold",
-    "scalar_map_access",
-    "lateral_top2_per_nation",
-    "values_inline_dim_join",
-    "scalar_null_battery",
-    # LLM-data-pipeline operators (first-class; round-1 window missed them).
-    "llmops_dedup_exact",
+    # --- never driver-verified (r1+r2 windows missed them) ---
     "llmops_ngram_jaccard_pairs",
     "llmops_minhash_candidates",
     "llmops_minhash_dedup",
@@ -98,12 +49,18 @@ _PRIORITY = [
     "llmops_multimodal_features",
     "llmops_fingerprint_md5",
     "llmops_fingerprint_modp_pairs",
-    # Pipeline entries the round-1 window cut off.
     "pipeline_watermark_filter",
     "pipeline_request_build",
     "pipeline_parse_outputs",
     "pipeline_llm_roundtrip",
     "pipeline_dedup_key_priority",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_windows",
+    "stream_dedup_watermark",
+    "stream_stateful_running_max",
+    # --- new this round (no prior record) — keep inside the 50-window ---
+    # (names appended here as round-3 queries land)
 ]
 
 
