@@ -190,9 +190,9 @@ def pipeline_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = incremental_filter(e, "_ts_s", 1705276800)
     return kept.groupBy("event_type").agg(
         F.count("*").alias("n"),
-        # ts is TIMESTAMP_NTZ (plain parquet timestamp[us]); unix_micros needs
-        # LTZ — cast under the pinned UTC session tz so the epoch is stable.
-        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("max_ts_us"),
+        # load_table normalizes ts to TimestampType under a pinned-UTC
+        # session zone, whatever the file's physical type.
+        F.max(F.unix_micros(F.col("ts"))).alias("max_ts_us"),
     )
 
 

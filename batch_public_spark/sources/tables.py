@@ -40,20 +40,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and projections applied downstream push into the parquet scan."""
     if name == "events":
         # Must work on ANY session (the driver builds its own), so set the
-        # nanos conf at runtime rather than relying on our session factory.
+        # confs at runtime rather than relying on our session factory. The
+        # UTC pin keeps the NTZ→LTZ normalization below (and every epoch
+        # extraction downstream) independent of the driver's session zone —
+        # the repo-wide convention (plans.pipeline_queries._utc).
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is parquet TIMESTAMP(NANOS); with nanosAsLong it surfaces as a
-        # bigint of epoch-nanos. Truncate to micros (exactly what DuckDB's
-        # micro-precision timestamps do) and restore TimestampType.
+        # ts's physical type varies by testdata generation. Normalize every
+        # variant to TimestampType so batch and stream (streaming.ops.
+        # read_events_stream) agree:
+        #  - TIMESTAMP(NANOS): surfaces as epoch-nanos bigint under
+        #    nanosAsLong; truncate to micros (exactly what DuckDB's
+        #    micro-precision timestamps do) and restore TimestampType.
+        #  - TIMESTAMP(MICROS): surfaces as TIMESTAMP_NTZ; cast under the
+        #    pinned-UTC session zone.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             # integer `div`, NOT `/`: float division loses the last microsecond
             # at epoch-nanos magnitude (~1.7e18 overflows double's 53-bit mantissa)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif not isinstance(ts_type, T.TimestampType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -73,19 +85,94 @@ def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     (``optimizedPlan().stats().sizeInBytes`` / ``files.maxPartitionBytes``
     ≈ scan split count) — pure planning, no job, no RDD conversion (a
     ``df.rdd.getNumPartitions()`` probe costs ~1 s of physical planning per
-    call). Do NOT use ahead of scan-bound stages (plain aggregates) — there
-    the read IS the work and an exchange only adds IO."""
+    call). The stats accessor goes through JVM internals, so it is
+    feature-tested ONCE per process; when unavailable (API moved, Connect),
+    the width estimate falls back to public ``inputFiles()`` sizing, and
+    with no information at all spread() is a NO-OP — never an unconditional
+    exchange on every call. Do NOT use ahead of scan-bound stages (plain
+    aggregates) — there the read IS the work and an exchange only adds IO."""
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
-    try:
-        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-        max_bytes = int(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b").lower().rstrip("b"))
+    max_bytes = _max_partition_bytes(spark)
+    size = _plan_size_bytes(df)
+    if size is not None:
         est_parts = max(1, size // max(max_bytes, 1))
-    except Exception:  # stats unavailable (e.g. streaming plan) → assume narrow
-        est_parts = 1
+    else:
+        est_parts = _scan_file_parts(df, max_bytes)
+        if est_parts is None:
+            # No width signal at all (streaming plan, local relation):
+            # leaving a narrow plan narrow is recoverable; injecting a
+            # shuffle into every caller is not.
+            return df
     if est_parts >= target:
         return df
     return df.repartition(target)
+
+
+# Capability of the Catalyst plan-stats accessor: None = not yet probed,
+# False = accessor unavailable in this runtime (API moved, Spark Connect).
+# Probed ONCE per process on a trivial known-good plan, so a per-plan
+# failure (e.g. a streaming DataFrame) can neither disable the accessor for
+# the rest of the process nor degrade into per-call blanket excepts.
+_PLAN_STATS_OK: bool | None = None
+
+
+def _plan_stats_available(spark: SparkSession) -> bool:
+    global _PLAN_STATS_OK
+    if _PLAN_STATS_OK is None:
+        try:
+            probe = spark.range(1)
+            int(str(probe._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+            _PLAN_STATS_OK = True
+        except Exception:
+            _PLAN_STATS_OK = False
+    return _PLAN_STATS_OK
+
+
+def _plan_size_bytes(df: DataFrame) -> int | None:
+    if not _plan_stats_available(df.sparkSession):
+        return None
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:
+        # Accessor exists (probed) — this is a per-plan condition
+        # (streaming plan, unanalyzable relation). Fall through to the
+        # public-API estimate for THIS df only.
+        return None
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b")).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return max(1, int(raw) * mult)
+    except ValueError:
+        return 128 << 20
+
+
+def _scan_file_parts(df: DataFrame, max_bytes: int) -> int | None:
+    """Public-API width estimate: bytes of the scan's input files / split
+    size. Local paths are sized directly; for remote filesystems assume at
+    least one split per file (an undercount only when single files exceed
+    the split size — acceptable for a lower bound)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    total = 0
+    for f in files:
+        p = f[7:] if f.startswith("file://") else (f[5:] if f.startswith("file:") else f)
+        if not os.path.exists(p):
+            return max(1, len(files))
+        total += os.path.getsize(p)
+    return max(1, total // max(max_bytes, 1))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:

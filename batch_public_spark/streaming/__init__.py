@@ -1,5 +1,4 @@
 from batch_public_spark.streaming.ops import (
-    EVENTS_RAW_SCHEMA,
     dedup_within_watermark,
     read_events_stream,
     run_available_now,
@@ -11,7 +10,6 @@ from batch_public_spark.streaming.ops import (
 )
 
 __all__ = [
-    "EVENTS_RAW_SCHEMA",
     "dedup_within_watermark",
     "read_events_stream",
     "run_available_now",

@@ -35,23 +35,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# Declared schema for the streaming file source (file streams cannot infer).
-# The ts field's physical type varies by testdata generation — parquet
-# TIMESTAMP(NANOS) (surfaced as epoch-nanos long under nanosAsLong) or plain
-# TIMESTAMP(MICROS) (surfaced as TIMESTAMP_NTZ) — so the declared stream
-# schema is derived from a batch footer probe per directory at plan time.
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(
     spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -61,6 +44,10 @@ def read_events_stream(
     loader (sources.tables.load_table), whatever the file's physical type.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin UTC so the NTZ→LTZ normalization below (and watermark/window
+    # boundaries downstream) cannot shift under a driver-supplied session
+    # zone — same convention as sources.tables.load_table.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Footer-only batch probe: file streams cannot infer schemas, and the
     # physical ts type differs across testdata generations.
     path = os.path.join(sf_dir, "events.parquet")

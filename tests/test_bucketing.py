@@ -82,3 +82,76 @@ def test_bucketed_agg_has_no_exchange(spark, bucketed_tables):
         agg._jdf.queryExecution(), "formatted"
     )
     assert "Exchange" not in plan, plan
+
+
+class TestSpread:
+    """spread() width heuristics — both the Catalyst-stats path and the
+    public-API fallback when the JVM accessor is unavailable."""
+
+    def test_stats_path_noop_on_wide_scan(self, spark):
+        from batch_public_spark.sources import tables
+
+        df = load_table(spark, SF_DIR, "lineitem")
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096b")
+        try:
+            assert tables._plan_stats_available(spark) is True
+            out = tables.spread(df, min_parts=4)
+            # already-wide estimate → identity, no injected exchange
+            assert out is df
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    def test_stats_path_widens_narrow_scan(self, spark):
+        from batch_public_spark.sources import tables
+
+        df = load_table(spark, SF_DIR, "region")  # tiny: estimates narrow
+        out = tables.spread(df, min_parts=4)
+        assert out is not df
+        assert "Repartition" in out._jdf.queryExecution().logical().toString()
+
+    def test_fallback_files_path_noop_on_wide_scan(self, spark, monkeypatch):
+        """With the stats accessor gone, an already-wide parquet scan must
+        NOT be repartitioned (VERDICT r2 'What's wrong' #2)."""
+        from batch_public_spark.sources import tables
+
+        monkeypatch.setattr(tables, "_PLAN_STATS_OK", False)
+        df = load_table(spark, SF_DIR, "lineitem")
+        old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "4096b")
+        try:
+            out = tables.spread(df, min_parts=4)
+            assert out is df
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+    def test_fallback_no_signal_is_noop(self, spark, monkeypatch):
+        """No stats AND no input files (in-memory relation): spread must be
+        a no-op rather than an unconditional exchange."""
+        from batch_public_spark.sources import tables
+
+        monkeypatch.setattr(tables, "_PLAN_STATS_OK", False)
+        df = spark.range(10).toDF("n")
+        out = tables.spread(df, min_parts=4)
+        assert out is df
+
+    def test_max_partition_bytes_parsing(self):
+        from batch_public_spark.sources.tables import _max_partition_bytes
+
+        class FakeConf:
+            def __init__(self, v):
+                self.v = v
+
+            def get(self, *_a, **_k):
+                return self.v
+
+        class FakeSpark:
+            def __init__(self, v):
+                self.conf = FakeConf(v)
+
+        assert _max_partition_bytes(FakeSpark("134217728b")) == 134217728
+        assert _max_partition_bytes(FakeSpark("128MB")) == 128 << 20
+        assert _max_partition_bytes(FakeSpark("64m")) == 64 << 20
+        assert _max_partition_bytes(FakeSpark("1g")) == 1 << 30
+        assert _max_partition_bytes(FakeSpark("4096")) == 4096
+        assert _max_partition_bytes(FakeSpark("garbage")) == 128 << 20

@@ -13,9 +13,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from batch_public_spark.streaming import run_available_now
-from batch_public_spark.streaming.ops import EVENTS_RAW_SCHEMA
 
 BASE = 1_700_000_000  # epoch seconds anchor
+
+# Legacy TIMESTAMP(NANOS) write fixture: ts stored as an epoch-nanos long,
+# mirroring how the nanos-typed driver testdata surfaces under
+# spark.sql.legacy.parquet.nanosAsLong. Production code probes the footer
+# per directory (streaming.ops.read_events_stream); this constant exists
+# only to WRITE nanos-shaped fixtures for these tests.
+NANOS_FIXTURE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
 
 
 def _write_events(spark, path, rows):
@@ -26,17 +41,62 @@ def _write_events(spark, path, rows):
             (i, int(ts * 1_000_000_000), uid, etype, float(v), "{}")
             for i, (ts, uid, etype, v) in enumerate(rows)
         ],
-        EVENTS_RAW_SCHEMA,
+        NANOS_FIXTURE_SCHEMA,
     )
     df.coalesce(1).write.mode("append").parquet(path)
 
 
 def _stream(spark, path, *, max_files=1):
     reader = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA).option("maxFilesPerTrigger", max_files)
+        spark.readStream.schema(NANOS_FIXTURE_SCHEMA).option("maxFilesPerTrigger", max_files)
     )
     df = reader.parquet(path)
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_read_events_stream_micros_typed_fixture(spark, tmp_path):
+    """The footer-probe + NTZ branch of read_events_stream: a plain
+    timestamp[us] (TIMESTAMP_NTZ) events fixture streams back as
+    TimestampType with the exact epoch — matching what load_table yields
+    for the same file (batch/stream ts parity, ADVICE r2)."""
+    import datetime
+
+    from batch_public_spark.sources.tables import load_table
+    from batch_public_spark.streaming.ops import read_events_stream
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # Single FILE named events.parquet (like the driver testdata — the
+    # stream reader's pathGlobFilter matches leaf file names), with a plain
+    # timestamp[us] (no tz ⇒ TIMESTAMP_NTZ in Spark) ts column.
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    dt = datetime.datetime(2024, 1, 15, 12, 0, 0, 123456)
+    table = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([dt], pa.timestamp("us")),
+            "user_id": pa.array([7], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(table, os.path.join(sf_dir, "events.parquet"))
+
+    stream = read_events_stream(spark, sf_dir)
+    assert isinstance(stream.schema["ts"].dataType, T.TimestampType)
+    out = run_available_now(
+        stream.select("event_id", F.unix_micros("ts").alias("us")),
+        checkpoint_dir=str(tmp_path / "ck"),
+    )
+    expected_us = int(dt.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    assert [(r.event_id, r.us) for r in out.collect()] == [(1, expected_us)]
+
+    batch = load_table(spark, sf_dir, "events")
+    assert isinstance(batch.schema["ts"].dataType, T.TimestampType)
+    assert batch.select(F.unix_micros("ts").alias("us")).collect()[0].us == expected_us
 
 
 def test_late_data_dropped_across_batches(spark, tmp_path):
