@@ -1,3 +1,12 @@
+from batch_public_spark.pipeline.batch_api import (
+    TERMINAL_STATES,
+    BatchClient,
+    MockBatchClient,
+    download_results,
+    openai_batch_client,
+    submit_jsonl_dir,
+    wait_for_completion,
+)
 from batch_public_spark.pipeline.formatter import (
     SYSTEM_PROMPT,
     build_requests,
@@ -23,7 +32,14 @@ from batch_public_spark.pipeline.state import JobLedger, WatermarkStore
 
 __all__ = [
     "ALIASES",
+    "BatchClient",
+    "MockBatchClient",
     "NO_TS_FILTER",
+    "TERMINAL_STATES",
+    "download_results",
+    "openai_batch_client",
+    "submit_jsonl_dir",
+    "wait_for_completion",
     "OUTPUT_SCHEMA",
     "Orchestrator",
     "RetryingTransport",

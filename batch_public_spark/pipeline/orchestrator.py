@@ -31,6 +31,13 @@ from pyspark.sql import functions as F
 from batch_public_spark.functions.text import dedup_key, extract_text
 from batch_public_spark.functions.timestamps import discover_event_ts
 from batch_public_spark.operators.dedup import first_wins, incremental_filter
+from batch_public_spark.pipeline.batch_api import (
+    TERMINAL_STATES,
+    BatchClient,
+    download_results,
+    submit_jsonl_dir,
+    wait_for_completion,
+)
 from batch_public_spark.pipeline.formatter import build_requests, write_jsonl
 from batch_public_spark.pipeline.llm import StubTransport, Transport, respond
 from batch_public_spark.pipeline.models import resolve
@@ -65,6 +72,8 @@ class Orchestrator:
         output_dir: str = "output",
         persist_before_submit: bool = True,
         no_ts_filter: Optional[set[str]] = None,
+        batch_client: Optional[BatchClient] = None,
+        poll_every: int = 60,
     ):
         self.watermarks = watermarks
         self.ledger = ledger
@@ -73,6 +82,12 @@ class Orchestrator:
         self.persist_before_submit = persist_before_submit
         # Per-table static-data exemption (reference dynamo_fetcher.py:49-52).
         self.no_ts_filter = NO_TS_FILTER if no_ts_filter is None else no_ts_filter
+        # X1/X2 provider lifecycle. When set, submit_only runs the REAL
+        # upload→create flow (batch_api.submit_jsonl_dir) and resume()
+        # performs genuine poll/download transitions; when None, the
+        # synchronous in-process path is used (CI/bench default).
+        self.batch_client = batch_client
+        self.poll_every = poll_every
 
     def run_batch(
         self,
@@ -158,7 +173,18 @@ class Orchestrator:
             # Async mode (reference --async / auto-async for >1 table,
             # main.py:686-693): submit-and-exit so cron never blocks; the
             # ledger entry stays pending until `resume`/`auto_resume_pending`
-            # closes it out on a later cycle.
+            # closes it out on a later cycle. With a provider client, this
+            # is the REAL X1 upload→create flow (batch_submitter.py:48-118):
+            # one uploaded file + one provider batch per JSONL part file.
+            if self.batch_client is not None:
+                provider = submit_jsonl_dir(self.batch_client, jsonl_path)
+                self.ledger.record(
+                    batch_id,
+                    provider_batches=provider,
+                    input_file_id=(
+                        provider[0]["input_file_id"] if len(provider) == 1 else None
+                    ),
+                )
             return RunResult(
                 batch_id, table_name, n_input, n_requests,
                 requests=requests, jsonl_path=jsonl_path,
@@ -200,15 +226,90 @@ class Orchestrator:
 
     def resume(self, batch_id: str) -> Optional[dict]:
         """X4: single non-blocking status check per pending batch (reference
-        main.py:368-421). With the synchronous stub transport everything
-        completes inline, so resume closes out stale ledger entries —
-        advancing any watermark deferred by commit-after-success mode."""
+        main.py:368-421).
+
+        With a provider client, each pending provider batch gets exactly ONE
+        ``retrieve`` per resume call (non-blocking, cron-friendly). All
+        completed → download every result file (X2's download half,
+        status_checker.py:70-94), record the paths, close the entry, advance
+        any deferred watermark. Any failed/expired/cancelled → close with
+        that terminal status WITHOUT advancing the watermark, so the rows
+        are re-sent next cycle (at-least-once). Non-terminal → the entry
+        stays pending for the next sweep.
+
+        Without a provider client the synchronous transport completed
+        everything inline, so resume just closes stale ledger entries."""
         entry = self.ledger.get(batch_id)
         if entry is None:
             return None
-        if "final_status" not in entry:
-            entry = self._close(batch_id)
-        return entry
+        if "final_status" in entry:
+            return entry
+        provider = entry.get("provider_batches")
+        if provider and self.batch_client is not None:
+            return self._resume_provider(batch_id, provider)
+        return self._close(batch_id)
+
+    def _resume_provider(self, batch_id: str, provider: list[dict]) -> dict:
+        updated = []
+        for pb in provider:
+            if pb.get("status") in TERMINAL_STATES:
+                updated.append(pb)
+                continue
+            snap = self.batch_client.retrieve(pb["batch_id"])
+            updated.append(
+                {
+                    **pb,
+                    "status": snap["status"],
+                    "output_file_id": snap.get("output_file_id"),
+                    "error_file_id": snap.get("error_file_id"),
+                }
+            )
+        entry = self.ledger.record(batch_id, provider_batches=updated)
+        statuses = [pb["status"] for pb in updated]
+        if not all(s in TERMINAL_STATES for s in statuses):
+            return entry  # still pending — next cron cycle polls again
+        if all(s == "completed" for s in statuses):
+            result_dir = f"{self.output_dir}/results/{batch_id}"
+            paths = [
+                download_results(self.batch_client, pb["output_file_id"], result_dir)
+                for pb in updated
+            ]
+            self.ledger.record(batch_id, output_paths=paths, output_dir=result_dir)
+            return self._close(batch_id)
+        # Partial/total failure: worst terminal status wins; no watermark.
+        worst = next(s for s in ("failed", "expired", "cancelled") if s in statuses)
+        return self._close(batch_id, final_status=worst)
+
+    def wait(self, batch_id: str, *, sleep=time.sleep, max_polls: int | None = None) -> dict:
+        """X2 blocking poll-until-terminal (status_checker.wait_for_completion,
+        60 s cadence): poll every provider batch of this ledger entry to a
+        terminal state, then resume() once to download + close."""
+        entry = self.ledger.get(batch_id)
+        if entry is None:
+            raise KeyError(batch_id)
+        if self.batch_client is not None:
+            for pb in entry.get("provider_batches", []):
+                if pb.get("status") not in TERMINAL_STATES:
+                    wait_for_completion(
+                        self.batch_client,
+                        pb["batch_id"],
+                        poll_every=self.poll_every,
+                        sleep=sleep,
+                        max_polls=max_polls,
+                    )
+        return self.resume(batch_id)
+
+    def parsed_outputs(self, spark, batch_id: str) -> Optional[DataFrame]:
+        """Downloaded result files → parsed DataFrame (EP3 over the async
+        path): read the recorded output JSONLs and run the same parse stage
+        the synchronous path uses."""
+        from batch_public_spark.pipeline.parser import read_batch_outputs
+
+        entry = self.ledger.get(batch_id) or {}
+        out_dir = entry.get("output_dir")
+        if not out_dir:
+            return None
+        return parse_batch_output(read_batch_outputs(spark, out_dir))
 
     def auto_resume_pending(self) -> dict[str, dict]:
         """X4 sweep (reference _auto_resume_pending, main.py:446-523)."""
