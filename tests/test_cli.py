@@ -86,3 +86,51 @@ def test_agent_api_roundtrip(spark, tmp_path):
 def test_no_tables_selected_errors(tmp_path, capsys):
     rc = main(["--config", str(tmp_path / "missing.json"), "--data-dir", SF])
     assert rc == 2
+
+
+def test_template_module_dry_run(spark, tmp_path, capsys):
+    """The copyable per-table template (reference templates/news_table.py)
+    runs --test end-to-end: JSONL written, no LLM call, summary on stdout."""
+    from batch_public_spark.templates import documents_table
+
+    rc = documents_table.main(
+        [
+            "--hours", "1000000",
+            "--test",
+            "--data-dir", SF,
+            "--output-dir", str(tmp_path / "out"),
+        ]
+    )
+    assert rc == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["n_requests"] > 0
+    assert "jsonl_test" in summary["jsonl_path"]  # X7 quarantined dir
+    assert summary["batch_id"] is None  # dry-run: nothing submitted
+
+
+def test_rotating_logger_configuration(tmp_path, monkeypatch):
+    """Reference logger.py:13-15 parity: 10 MB x 5 rotating file handler +
+    console echo, configured once per logger name."""
+    import logging
+    from logging.handlers import RotatingFileHandler
+
+    from batch_public_spark.logger import LOG_FILE_NAME, get_logger
+
+    monkeypatch.setenv("BPS_LOG_DIR", str(tmp_path / "logs"))
+    log = get_logger("bps.test.rotating")
+    rotating = [h for h in log.handlers if isinstance(h, RotatingFileHandler)]
+    assert len(rotating) == 1
+    assert rotating[0].maxBytes == 10 * 1024 * 1024
+    assert rotating[0].backupCount == 5
+    assert any(
+        isinstance(h, logging.StreamHandler) and not isinstance(h, RotatingFileHandler)
+        for h in log.handlers
+    )
+    assert log.propagate is False
+
+    log.info("hello rotation")
+    rotating[0].flush()
+    assert "hello rotation" in (tmp_path / "logs" / LOG_FILE_NAME).read_text()
+
+    # configure-once: a second call must not duplicate handlers
+    assert get_logger("bps.test.rotating").handlers == log.handlers
