@@ -181,9 +181,17 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register every table as a temp view so spark.sql() queries and
-    spark.catalog.listTables() (reference S2) work against the catalog."""
+    spark.catalog.listTables() (reference S2) work against the catalog.
+
+    ``SPARK_GRAFT_SYNTH_PARTSUPP=1`` additionally registers a ``partsupp``
+    view (real file when present, else synthesized from lineitem — see
+    sources.partsupp) so spec-shaped TPC-H queries can run."""
     for name in names:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    if os.environ.get("SPARK_GRAFT_SYNTH_PARTSUPP") == "1":
+        from batch_public_spark.sources.partsupp import load_partsupp
+
+        load_partsupp(spark, sf_dir).createOrReplaceTempView("partsupp")
 
 
 def list_tables(spark: SparkSession) -> list[str]:
