@@ -23,6 +23,7 @@ from batch_public_spark.plans import pipeline_queries  # noqa: F401
 from batch_public_spark.plans import llmops_queries  # noqa: F401
 from batch_public_spark.plans import curation_queries  # noqa: F401
 from batch_public_spark.plans import streaming_queries  # noqa: F401
+from batch_public_spark.plans import analytics_queries  # noqa: F401
 
 # Names pinned to the front of the registry, in order (see module docstring).
 # Round 3: the 28 queries that sat outside BOTH prior driver windows
@@ -60,7 +61,20 @@ _PRIORITY = [
     "stream_dedup_watermark",
     "stream_stateful_running_max",
     # --- new this round (no prior record) — keep inside the 50-window ---
-    # (names appended here as round-3 queries land)
+    "events_sessionize_gap",
+    "events_funnel_conversion",
+    "events_daily_retention",
+    "llmops_token_count_compare",
+    "llmops_length_histogram",
+    "llmops_sentence_stats",
+    "llmops_source_token_entropy",
+    "llmops_embedding_quantize",
+    "llmops_multimodal_resize",
+    "window_cume_dist_orders",
+    "agg_regr_price_qty",
+    "join_null_safe_eq",
+    "string_funcs_extended",
+    "date_trunc_weekday_matrix",
 ]
 
 

@@ -1,0 +1,542 @@
+"""Round-3 surface widening: event-stream analytics (sessionization,
+funnels, retention), corpus statistics (token-cost comparison, length
+histograms, sentence stats, per-source entropy), embedding quantization,
+multimodal resize plumbing, and SQL-surface fill-ins (cume_dist, regr_*,
+null-safe join, string/date batteries).
+
+The reference has no analytics surface (it is an ETL pipeline); these are
+the queries a user of a 100 TB event/corpus lake runs daily, expressed
+Spark-first: window functions for sessionization (one shuffle on user_id,
+no self-joins), conditional aggregation for funnels (single pass), and
+pre-aggregated counts before any many-to-many join. Oracle discipline per
+plans.registry: decimal-exact measures, round-6 ratios, string-formatted
+dates, engine-portable regex classes only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from batch_public_spark.operators.textops import token_count_bpe_ish, token_count_ws, tokens
+from batch_public_spark.plans.registry import query
+from batch_public_spark.sources.tables import load_table as t
+
+SESSION_GAP_US = 600 * 1_000_000  # 10 minutes
+
+
+# ---------------------------------------------------------------------------
+# Event-stream analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_sessionize_gap",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM ordered
+    ), per AS (
+      SELECT user_id, sid, count(*) AS n FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(max(n) AS BIGINT) AS max_session_events,
+           CAST(sum(n) AS BIGINT) AS n_events
+    FROM per GROUP BY user_id
+    """,
+)
+def events_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gap-based sessionization (the batch twin of
+    streaming.session_counts): a session breaks after 10 min of user
+    inactivity.
+
+    Spark-first: lag + running-sum windows over ONE shuffle on user_id —
+    no self-join, no session-id explosion; (ts, event_id) is a total
+    per-user order so the running sum is deterministic. At 100 TB this is
+    the canonical sessionize plan: both windows and the final per-user
+    aggregate reuse the same hash partitioning on user_id."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.unix_micros(F.col("ts")) - F.unix_micros(prev)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    sess = e.select("user_id", "ts", "event_id").withColumn(
+        "sid", F.sum(is_new).over(w)
+    )
+    per = sess.groupBy("user_id", "sid").agg(F.count("*").alias("n"))
+    return per.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n").alias("max_session_events"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(count(v) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND v < c
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(sum(CASE WHEN v IS NOT NULL AND c IS NOT NULL AND p IS NOT NULL
+                          AND v < c AND c < p
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click_purchase
+    FROM per_user
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): users whose FIRST view
+    precedes their first click precedes their first purchase.
+
+    Spark-first: conditional min-aggregation — one shuffle on user_id,
+    one row per user, then a single global roll-up. The naive 3-way
+    self-join of events explodes at 100 TB; this never materializes more
+    than |users| rows."""
+    e = t(spark, sf_dir, "events")
+
+    def first_ts(etype: str):
+        return F.min(F.when(F.col("event_type") == etype, F.col("ts")))
+
+    per_user = e.groupBy("user_id").agg(
+        first_ts("view").alias("v"), first_ts("click").alias("c"), first_ts("purchase").alias("p")
+    )
+    v, c, p = F.col("v"), F.col("c"), F.col("p")
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.count("v").alias("n_view"),
+        F.sum(
+            F.when(v.isNotNull() & c.isNotNull() & (v < c), 1).otherwise(0)
+        ).alias("n_view_click"),
+        F.sum(
+            F.when(
+                v.isNotNull() & c.isNotNull() & p.isNotNull() & (v < c) & (c < p), 1
+            ).otherwise(0)
+        ).alias("n_view_click_purchase"),
+    )
+
+
+@query(
+    "events_daily_retention",
+    oracle="""
+    WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)
+    SELECT strftime(a.d, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_active,
+           CAST(count(b.user_id) AS BIGINT) AS n_retained
+    FROM du a LEFT JOIN du b ON a.user_id = b.user_id AND b.d = a.d + 1
+    GROUP BY a.d
+    """,
+)
+def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-day retention: of the users active on day d, how many return
+    on d+1.
+
+    Spark-first: dedup to (user, day) FIRST (the distinct is the heavy
+    shuffle and it shrinks 10k events → |user×day|), then a self
+    equi-join on (user_id, day+1) — sort-merge on the compound key, no
+    cross-day explosion. The day column is emitted as a string per the
+    registry timestamp discipline."""
+    e = t(spark, sf_dir, "events")
+    du = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    a, b = du.alias("a"), du.alias("b")
+    joined = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.d") == F.date_add(F.col("a.d"), 1)),
+        "left",
+    )
+    return joined.groupBy(F.col("a.d").alias("_d")).agg(
+        F.count("*").alias("n_active"), F.count(F.col("b.user_id")).alias("n_retained")
+    ).select(F.date_format("_d", "yyyy-MM-dd").alias("day"), "n_active", "n_retained")
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llmops_token_count_compare",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT source,
+             length(list_filter(string_split_regex(trim(text), '\s+'),
+                                s -> length(s) > 0)) AS ws,
+             length(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe
+      FROM documents
+    )
+    SELECT source,
+           CAST(sum(ws) AS BIGINT) AS ws_tokens,
+           CAST(sum(bpe) AS BIGINT) AS bpe_tokens,
+           round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS bpe_per_ws
+    FROM per_doc GROUP BY source
+    """,
+)
+def llmops_token_count_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer cost model: whitespace vs BPE-ish (``\\w+|[^\\w\\s]``)
+    token counts per source — the ratio is what a training-data budget
+    planner multiplies corpus sizes by. Pure JVM column expressions; the
+    regex classes are deliberately ASCII so Java and RE2 agree."""
+    d = t(spark, sf_dir, "documents")
+    per = d.select(
+        "source",
+        token_count_ws(F.col("text")).alias("ws"),
+        token_count_bpe_ish(F.col("text")).alias("bpe"),
+    )
+    return per.groupBy("source").agg(
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("bpe").alias("bpe_tokens"),
+        F.round(F.sum("bpe").cast("double") / F.sum("ws"), 6).alias("bpe_per_ws"),
+    )
+
+
+@query(
+    "llmops_length_histogram",
+    oracle="""
+    SELECT n_chars // 200 AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY 1
+    """,
+)
+def llmops_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (200-char buckets) — the length-filter
+    design input for curation. Map-side partial aggregation; integer
+    arithmetic only, so hash-exact across engines."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.expr("n_chars div 200").alias("bucket"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@query(
+    "llmops_sentence_stats",
+    oracle=r"""
+    WITH per_doc AS (
+      SELECT source,
+             length(list_filter(string_split_regex(text, '[.!?]+'),
+                                s -> length(trim(s)) > 0)) AS n_sent
+      FROM documents
+    )
+    SELECT source,
+           CAST(sum(n_sent) AS BIGINT) AS total_sentences,
+           round(CAST(sum(n_sent) AS DOUBLE) / count(*), 6) AS avg_sentences,
+           CAST(max(n_sent) AS BIGINT) AS max_sentences
+    FROM per_doc GROUP BY source
+    """,
+)
+def llmops_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats per source (terminal-punctuation split,
+    empty fragments dropped) — chunking/packing design input. Column
+    expressions only; exact-int sums divided as doubles per the registry
+    ratio discipline."""
+    d = t(spark, sf_dir, "documents")
+    n_sent = F.size(
+        F.filter(F.split(F.col("text"), r"[.!?]+"), lambda s: F.length(F.trim(s)) > 0)
+    )
+    per = d.select("source", n_sent.alias("n_sent"))
+    return per.groupBy("source").agg(
+        F.sum("n_sent").alias("total_sentences"),
+        F.round(F.sum("n_sent").cast("double") / F.count("*"), 6).alias("avg_sentences"),
+        F.max("n_sent").alias("max_sentences"),
+    )
+
+
+@query(
+    "llmops_source_token_entropy",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source, lower(tk.tok) AS tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                              s -> length(s) > 0)) AS tk(tok)
+    ), cnt AS (
+      SELECT source, tok, count(*) AS c FROM tok GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, sum(c) AS n, count(*) AS vocab FROM cnt GROUP BY 1
+    )
+    SELECT c.source,
+           CAST(t.n AS BIGINT) AS n_tokens,
+           CAST(t.vocab AS BIGINT) AS vocab,
+           round(-sum((CAST(c.c AS DOUBLE) / t.n) * ln(CAST(c.c AS DOUBLE) / t.n)), 6)
+             AS entropy
+    FROM cnt c JOIN tot t USING (source)
+    GROUP BY c.source, t.n, t.vocab
+    """,
+)
+def llmops_source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the per-source token distribution — the
+    diversity signal behind domain-mixing weights.
+
+    Spark-first: explode → two hash aggregations sharing the source key;
+    the token explosion is the only large intermediate and it partial-
+    aggregates map-side. Entropy sums double terms of similar magnitude
+    so round-6 is far above the accumulation-order noise floor."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("tok")
+    )
+    cnt = tok.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    tot = cnt.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count("*").alias("vocab")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        cnt.join(tot, "source")
+        .groupBy("source", "n", "vocab")
+        .agg(F.round(-F.sum(p * F.log(p)), 6).alias("entropy"))
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            "vocab",
+            "entropy",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embeddings + multimodal
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llmops_embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             greatest(list_max(list_transform(embedding,
+                                              x -> abs(CAST(x AS DOUBLE)))), 1e-9) AS sc
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) / sc * 127) AS INT)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           md5(array_to_string(qv, ',')) AS q_sig,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max
+    FROM q
+    """,
+)
+def llmops_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8-style quantization: per-vector max-abs scale, floor
+    to [-127, 127]. ``floor`` (not ``round``) keeps the result bit-exact
+    across engines; float32→double widening is exact so both engines see
+    identical doubles. Shuffle-free map stage — the quantized corpus is
+    what ships to the ANN index at 100 TB (4× smaller than float32)."""
+    e = t(spark, sf_dir, "embeddings")
+    dbl = lambda x: x.cast("double")  # noqa: E731
+    with_scale = e.withColumn(
+        "_sc",
+        F.greatest(
+            F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(dbl(x)))),
+            F.lit(1e-9),
+        ),
+    )
+    q = F.transform(
+        F.col("embedding"), lambda x: F.floor(dbl(x) / F.col("_sc") * 127).cast("int")
+    )
+    # Scalars + an md5 over the joined values pin the full array content
+    # without emitting an array column (engine result-type drift).
+    qd = with_scale.select("vec_id", q.alias("qv"))
+    return qd.select(
+        "vec_id",
+        F.md5(
+            F.array_join(F.transform(F.col("qv"), lambda v: v.cast("string")), ",")
+        ).alias("q_sig"),
+        F.aggregate(F.col("qv"), F.lit(0).cast("bigint"), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+    )
+
+
+@query(
+    "llmops_multimodal_resize",
+    oracle="""
+    SELECT doc_id, 32 AS width, 32 AS height, CAST(1024 AS BIGINT) AS n_resized
+    FROM documents
+    """,
+)
+def llmops_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing over binary payloads (operators.multimodal.
+    resize_image, codec stubbed per brief): every blob resizes to an
+    exactly width×height-byte payload via Arrow-batched mapInPandas. The
+    oracle pins the row mapping and the byte-budget invariant; payload
+    content is covered by unit tests (test_llmops)."""
+    from batch_public_spark.operators.multimodal import resize_image, synthesize_blobs
+
+    d = t(spark, sf_dir, "documents")
+    r = resize_image(synthesize_blobs(d), blob_col="blob", id_col="doc_id")
+    return r.select(
+        "doc_id", "width", "height", F.octet_length("resized").alias("n_resized")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL-surface fill-ins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_cume_dist_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           round(cume_dist() OVER (PARTITION BY o_orderpriority
+                                   ORDER BY o_totalprice), 6) AS cd
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-03-01' AND o_orderdate < DATE '1995-04-01'
+    """,
+)
+def window_cume_dist_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist window function (ties share a value, so it is
+    deterministic without a tie-break — unlike row_number). The month
+    filter prunes at the scan before the window shuffle."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-03-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+
+
+@query(
+    "agg_regr_price_qty",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+           round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_regr_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-regression aggregates (slope/intercept/R² of price on
+    quantity per return flag) — single-pass partial-aggregable moments,
+    so they scale like any hash aggregate. Round-6 sits far above the
+    double-accumulation noise of the internal moment sums."""
+    li = t(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.regr_count(y, x).alias("n"),
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 6).alias("intercept"),
+        F.round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+@query(
+    "join_null_safe_eq",
+    oracle="""
+    WITH c AS (
+      SELECT nullif(c_nationkey % 5, 4) AS k, count(*) AS cn
+      FROM customer GROUP BY 1
+    ), s AS (
+      SELECT nullif(s_nationkey % 5, 4) AS k, count(*) AS sn
+      FROM supplier GROUP BY 1
+    )
+    SELECT coalesce(CAST(c.k AS VARCHAR), 'NULL') AS k,
+           CAST(c.cn * s.sn AS BIGINT) AS n_pairs
+    FROM c JOIN s ON c.k IS NOT DISTINCT FROM s.k
+    """,
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of vanishing.
+
+    Spark-first: both sides pre-aggregate to per-key counts BEFORE the
+    join, so the many-to-many pair explosion is never materialized —
+    n_pairs is a product of two tiny aggregates. At 100 TB the naive
+    row-level null-safe join is a hot-key disaster; this shape is the
+    scale answer."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.expr("nullif(c_nationkey % 5, 4)").alias("k"))
+        .agg(F.count("*").alias("cn"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.expr("nullif(s_nationkey % 5, 4)").alias("k"))
+        .agg(F.count("*").alias("sn"))
+    )
+    joined = c.join(s, c["k"].eqNullSafe(s["k"]))
+    # The NULL bucket is emitted as the string 'NULL': a nullable numeric
+    # output column round-trips through pandas as float+NaN on the oracle
+    # side, which would never hash-match.
+    return joined.select(
+        F.coalesce(c["k"].cast("string"), F.lit("NULL")).alias("k"),
+        (F.col("cn") * F.col("sn")).alias("n_pairs"),
+    )
+
+
+@query(
+    "string_funcs_extended",
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_type, ' ', 2) AS type_mid,
+           translate(p_name, 'aeiou', 'AEIOU') AS shouted,
+           reverse(p_brand) AS brand_rev,
+           repeat(left(p_name, 3), 2) AS echo,
+           right(p_type, 4) AS type_tail
+    FROM part WHERE p_partkey % 7 = 0
+    """,
+)
+def string_funcs_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function battery #2: split_part / translate / reverse /
+    repeat / left / right — all JVM-side, all pushdown-friendly (the
+    modulo filter reaches the scan)."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0)
+    return p.select(
+        "p_partkey",
+        F.expr("split_part(p_type, ' ', 2)").alias("type_mid"),
+        F.translate("p_name", "aeiou", "AEIOU").alias("shouted"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.expr("left(p_name, 3)"), 2).alias("echo"),
+        F.expr("right(p_type, 4)").alias("type_tail"),
+    )
+
+
+@query(
+    "date_trunc_weekday_matrix",
+    oracle="""
+    SELECT strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS quarter,
+           CAST(isodow(o_orderdate) - 1 AS INT) AS weekday,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def date_trunc_weekday_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc + ISO-weekday matrix over orders (quarter × weekday
+    order counts). Weekday is Monday=0 in both engines (Spark ``weekday``
+    ≡ DuckDB ``isodow - 1``); quarters format to strings per the registry
+    timestamp discipline."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias("quarter"),
+        F.weekday("o_orderdate").alias("weekday"),
+    ).agg(F.count("*").alias("n"))

