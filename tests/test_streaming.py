@@ -135,6 +135,43 @@ def test_late_data_dropped_across_batches(spark, tmp_path):
     assert n == 4 and total == 4.0  # late row (value 99) dropped
 
 
+def test_late_data_exact_watermark_boundary(spark, tmp_path):
+    """Golden boundary semantics (VERDICT r2 #7): with windowed aggregation
+    a row is late iff its WINDOW's end <= watermark — not its own ts.
+    Probed empirically on this Spark build: at watermark W (30s-aligned),
+    ts=W-1 (window [W-30,W), end == W) is dropped; ts=W (window [W,W+30),
+    end > W) is kept even though both rows are behind max-seen event time."""
+    W = BASE + 10  # 1_700_000_010 — multiple of 30 ⇒ a window boundary
+    src = str(tmp_path / "events_src")
+    # batch 1 raises the watermark to (W+600) − 10 min = W; batch 2 commits
+    # it (the late filter uses the PREVIOUS batch's committed watermark).
+    _write_events(spark, src, [(W + 600, 1, "click", 1.0)])
+    time.sleep(1.1)
+    _write_events(spark, src, [(W + 601, 1, "click", 1.0)])
+    time.sleep(1.1)
+    # batch 3: the two boundary probes
+    _write_events(spark, src, [(W - 1, 2, "click", 100.0), (W, 3, "click", 200.0)])
+
+    agg = (
+        _stream(spark, src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "30 seconds").alias("w"))
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+    )
+    out = run_available_now(agg, output_mode="update", checkpoint_dir=str(tmp_path / "ck"))
+    totals = {}
+    for r in out.collect():
+        totals[r["w"]["start"].isoformat()] = (r["n"], r["total"])
+    # the closed window [W-30, W) never appears; [W, W+30) keeps its row
+    assert not any(v[1] == 100.0 for v in totals.values()), totals
+    import datetime
+
+    w_start = datetime.datetime.fromtimestamp(W, datetime.timezone.utc).replace(
+        tzinfo=None
+    )
+    assert totals[w_start.isoformat()] == (1, 200.0), totals
+
+
 def test_dedup_within_watermark_drops_duplicate_key(spark, tmp_path):
     src = str(tmp_path / "events_src")
     _write_events(
