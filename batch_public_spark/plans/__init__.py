@@ -75,6 +75,8 @@ _PRIORITY = [
     "join_null_safe_eq",
     "string_funcs_extended",
     "date_trunc_weekday_matrix",
+    "llmops_kmeans_lloyd",
+    "events_transition_matrix",
 ]
 
 

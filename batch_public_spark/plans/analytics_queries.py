@@ -540,3 +540,105 @@ def date_trunc_weekday_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd").alias("quarter"),
         F.weekday("o_orderdate").alias("weekday"),
     ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Iterative algorithms + sequence analytics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llmops_kmeans_lloyd",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+    ),
+    a1 AS (
+      SELECT vec_id, vv, cluster_id FROM (
+        SELECT v.vec_id, v.vv, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 round(list_sum(list_transform(list_zip(v.vv, c.cv),
+                                               s -> (s[1]-s[2])^2)), 6),
+                 c.cluster_id) AS r
+        FROM v CROSS JOIN c0 c) WHERE r = 1
+    ),
+    dims AS (
+      -- fixed 64-dim embeddings (TESTDATA.md); DuckDB 1.0 can't lateral-ref
+      -- len(vv) inside generate_series
+      SELECT cluster_id, i AS pos, round(avg(vv[i]), 6) AS m
+      FROM a1 CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY cluster_id, i
+    ),
+    c1 AS (SELECT cluster_id, array_agg(m ORDER BY pos) AS cv FROM dims GROUP BY cluster_id),
+    a2 AS (
+      SELECT vec_id, cluster_id, d2 FROM (
+        SELECT v.vec_id, c.cluster_id,
+               round(list_sum(list_transform(list_zip(v.vv, c.cv),
+                                             s -> (s[1]-s[2])^2)), 6) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 round(list_sum(list_transform(list_zip(v.vv, c.cv),
+                                               s -> (s[1]-s[2])^2)), 6),
+                 c.cluster_id) AS r
+        FROM v CROSS JOIN c1 c) WHERE r = 1
+    )
+    SELECT cluster_id,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(round(sum(CAST(d2 AS DECIMAL(18,6))), 4) AS DOUBLE) AS inertia
+    FROM a2 GROUP BY cluster_id
+    """,
+)
+def llmops_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means, one Lloyd iteration + final stats (k=8) — the
+    iterative-algorithm shape on DataFrames, fully oracle-checked because
+    every per-iteration quantity (distance, mean) is rounded to a fixed
+    precision. See operators.semantic.kmeans_lloyd for the 100 TB plan
+    notes (broadcast assignment, one dim-exploded shuffle per recompute)."""
+    from batch_public_spark.operators.semantic import kmeans_lloyd
+
+    return kmeans_lloyd(t(spark, sf_dir, "embeddings"), k=8, iters=1)
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, count(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ), tot AS (
+      SELECT prev_type, sum(n) AS t FROM pairs GROUP BY 1
+    )
+    SELECT p.prev_type, p.next_type,
+           CAST(p.n AS BIGINT) AS n,
+           round(CAST(p.n AS DOUBLE) / t.t, 6) AS prob
+    FROM pairs p JOIN tot t USING (prev_type)
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (which event follows which, with conditional probabilities).
+
+    Spark-first: lag window on the (user_id) shuffle, then two tiny
+    aggregates — |types|² output regardless of input size, the classic
+    clickstream summarization at 100 TB."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count("*").alias("n")
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("t"))
+    return pairs.join(tot, "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("prob"),
+    )

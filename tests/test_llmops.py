@@ -261,3 +261,20 @@ def test_resize_image_size_exact(spark, documents):
     out = resize_image(blobs, width=8, height=8).collect()
     assert all(len(bytes(r.resized)) == 64 for r in out)
     assert all(r.width == 8 and r.height == 8 for r in out)
+
+
+def test_kmeans_lloyd_inertia_decreases(spark):
+    """Lloyd's algorithm property: total inertia is non-increasing with
+    more iterations (up to the fixed-precision rounding of means)."""
+    from batch_public_spark.operators.semantic import kmeans_lloyd
+    from tests.conftest import SF_DIR
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def inertia(iters):
+        rows = kmeans_lloyd(emb, k=8, iters=iters).collect()
+        assert sum(r.n_members for r in rows) == emb.count()
+        return sum(r.inertia for r in rows)
+
+    i1, i2 = inertia(1), inertia(2)
+    assert i2 <= i1 * 1.0001, (i1, i2)
