@@ -77,6 +77,9 @@ _PRIORITY = [
     "date_trunc_weekday_matrix",
     "llmops_kmeans_lloyd",
     "events_transition_matrix",
+    "agg_hll_union_region",
+    "scalar_try_cast_battery",
+    "llmops_train_val_test_split",
 ]
 
 

@@ -642,3 +642,103 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("t"), 6).alias("prob"),
     )
+
+
+@query(
+    "agg_hll_union_region",
+    oracle=None,  # Datasketches HLL binaries are engine-specific: rows-only
+)
+def agg_hll_union_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch aggregation: per-nation HyperLogLog sketches of
+    customer keys, UNIONED up to region level and estimated — the
+    canonical two-level distinct-count at 100 TB (sketches shuffle as a
+    few KB per group instead of re-shuffling raw keys for each rollup
+    level; re-aggregation is free once sketches exist).
+
+    Rows-only check by nature (Datasketches binaries differ across
+    engines); the estimate-vs-exact tolerance is asserted in
+    tests/test_llmops.py."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    per_nation = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk")
+    )
+    with_region = per_nation.join(
+        F.broadcast(n.select("n_nationkey", "n_regionkey")),
+        per_nation["c_nationkey"] == F.col("n_nationkey"),
+    )
+    return (
+        with_region.groupBy("n_regionkey")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"))
+        .select(F.col("n_regionkey").alias("region_key"), "approx_customers")
+    )
+
+
+@query(
+    "scalar_try_cast_battery",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(count(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER)) AS BIGINT)
+             AS n_prio_int,
+           CAST(count(TRY_CAST(o_orderstatus AS INTEGER)) AS BIGINT) AS n_status_int,
+           CAST(count(TRY_CAST(CAST(o_orderdate AS VARCHAR) AS DATE)) AS BIGINT)
+             AS n_date_roundtrip,
+           CAST(sum(COALESCE(TRY_CAST(substr(o_orderpriority, 1, 1) AS INTEGER), 0))
+             AS BIGINT) AS prio_sum
+    FROM orders
+    """,
+)
+def scalar_try_cast_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe casting (try_cast): malformed values become NULL instead
+    of failing the job — the ingestion posture for dirty data at scale
+    (the reference's parse-or-quarantine stance, S3, as an expression).
+    Numeric priority prefix parses; alphabetic status does not; dates
+    round-trip through strings."""
+    o = t(spark, sf_dir, "orders")
+    prio = F.expr("try_cast(substr(o_orderpriority, 1, 1) AS INT)")
+    return o.agg(
+        F.count("*").alias("n"),
+        F.count(prio).alias("n_prio_int"),
+        F.count(F.expr("try_cast(o_orderstatus AS INT)")).alias("n_status_int"),
+        F.count(
+            F.expr("try_cast(cast(o_orderdate AS STRING) AS DATE)")
+        ).alias("n_date_roundtrip"),
+        F.sum(F.coalesce(prio, F.lit(0))).alias("prio_sum"),
+    )
+
+
+@query(
+    "llmops_train_val_test_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT source, n_chars,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('c', 'd')
+                    THEN 'val'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('e', 'f')
+                    THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT source, split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY source, split
+    """,
+)
+def llmops_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 75/12.5/12.5 train/val/test split: the assignment is
+    a pure function of the stable document id (md5 first hex digit), so
+    it is reproducible across runs, engines, partitionings — and
+    immovable: a document can never migrate between splits as the corpus
+    grows (the property that prevents eval contamination). Shuffle-free
+    tag + one aggregation."""
+    d = t(spark, sf_dir, "documents")
+    h1 = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = (
+        F.when(h1.isin("c", "d"), "val")
+        .when(h1.isin("e", "f"), "test")
+        .otherwise("train")
+    )
+    return d.select("source", "n_chars", split.alias("split")).groupBy(
+        "source", "split"
+    ).agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))

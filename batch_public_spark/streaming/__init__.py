@@ -2,6 +2,7 @@ from batch_public_spark.streaming.ops import (
     dedup_within_watermark,
     read_events_stream,
     run_available_now,
+    run_foreach_batch,
     run_incremental,
     running_max_per_key,
     session_counts,
@@ -13,6 +14,7 @@ __all__ = [
     "dedup_within_watermark",
     "read_events_stream",
     "run_available_now",
+    "run_foreach_batch",
     "run_incremental",
     "running_max_per_key",
     "session_counts",

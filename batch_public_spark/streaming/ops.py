@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -241,3 +242,38 @@ def run_available_now(
             q.stop()
     spark = stream_df.sparkSession
     return spark.table(name)
+
+
+def run_foreach_batch(
+    stream_df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    *,
+    checkpoint_dir: str | None = None,
+    timeout_s: int = 300,
+) -> None:
+    """Custom-sink cadence via ``foreachBatch`` + Trigger.AvailableNow:
+    each micro-batch arrives as a BATCH DataFrame with its epoch id, so
+    arbitrary idempotent sinks (the reference's K4 ledger upsert, a JDBC
+    MERGE, a dedup-write) compose with exactly-once checkpointing — the
+    epoch id is the idempotency key a sink replays safely after recovery
+    (reference main.py:329-335's update-or-insert under cron, made
+    transactional).
+
+    Scale note: ``foreachBatch`` hands the sink a distributed DataFrame —
+    the sink decides what stays distributed (df.write) vs what gates on
+    the driver (ledger row). Raises ``TimeoutError`` on overrun like the
+    other runners rather than returning with a partial sink."""
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="bps_ckpt_")
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        finished = q.awaitTermination(timeout_s)
+        if not finished:  # pragma: no cover — only on pathological slowness
+            raise TimeoutError(f"streaming run exceeded {timeout_s}s; sink is partial")
+    finally:
+        if q.isActive:  # pragma: no cover — timeout safety net
+            q.stop()

@@ -278,3 +278,29 @@ def test_kmeans_lloyd_inertia_decreases(spark):
 
     i1, i2 = inertia(1), inertia(2)
     assert i2 <= i1 * 1.0001, (i1, i2)
+
+
+def test_hll_union_estimate_close_to_exact(spark):
+    """Region-level HLL estimates (merged from per-nation sketches) must
+    sit within the sketch's error bounds of the exact distinct counts."""
+    from batch_public_spark.plans import QUERIES
+    from tests.conftest import SF_DIR
+
+    approx = {
+        r.region_key: r.approx_customers
+        for r in QUERIES["agg_hll_union_region"].fn(spark, SF_DIR).collect()
+    }
+    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    from pyspark.sql import functions as F
+
+    exact = {
+        r.n_regionkey: r.n
+        for r in c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])

@@ -237,3 +237,34 @@ def test_stateful_running_max_multibatch(spark, tmp_path):
         final[r.user_id] = (r.max_value, r.n_events)
     assert final[1] == (7.0, 3)
     assert final[2] == (1.0, 1)
+
+
+def test_foreach_batch_ledger_sink(spark, tmp_path):
+    """foreachBatch + AvailableNow: each micro-batch lands in a custom
+    idempotent sink (the reference's K4 ledger upsert) keyed by epoch id —
+    and a checkpointed re-run replays nothing."""
+    from batch_public_spark.pipeline.state import JobLedger
+    from batch_public_spark.streaming import run_foreach_batch
+
+    src = str(tmp_path / "events_src")
+    _write_events(spark, src, [(BASE, 1, "click", 1.0), (BASE + 1, 2, "view", 2.0)])
+    time.sleep(1.1)
+    _write_events(spark, src, [(BASE + 60, 3, "error", 9.0)])
+
+    ledger = JobLedger(str(tmp_path / "ledger.json"))
+
+    def sink(batch_df, epoch_id):
+        ledger.record(f"epoch_{epoch_id}", n_rows=batch_df.count(), status="completed")
+
+    proj = _stream(spark, src, max_files=1).select("event_id", "user_id")
+    run_foreach_batch(proj, sink, checkpoint_dir=str(tmp_path / "ck"))
+
+    entries = ledger.all()
+    assert sum(e["n_rows"] for e in entries.values()) == 3
+    assert len(entries) >= 2  # one upsert per micro-batch
+
+    # exactly-once across resume: same checkpoint, no new files → no calls
+    before = dict(entries)
+    proj2 = _stream(spark, src, max_files=1).select("event_id", "user_id")
+    run_foreach_batch(proj2, sink, checkpoint_dir=str(tmp_path / "ck"))
+    assert ledger.all() == before
