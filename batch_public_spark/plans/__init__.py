@@ -80,6 +80,9 @@ _PRIORITY = [
     "agg_hll_union_region",
     "scalar_try_cast_battery",
     "llmops_train_val_test_split",
+    "llmops_bigram_logprob_score",
+    "llmops_bpe_first_merges",
+    "llmops_hard_negatives",
 ]
 
 

@@ -742,3 +742,187 @@ def llmops_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("source", "n_chars", split.alias("split")).groupBy(
         "source", "split"
     ).agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus LM scoring + vocabulary induction + hard negatives
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llmops_bigram_logprob_score",
+    oracle=r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                        s -> length(s) > 0), s -> lower(s)) AS tk
+      FROM documents
+    ), big AS (
+      SELECT doc_id,
+             list_transform(
+               list_zip(tk[1:len(tk)-1], tk[2:len(tk)]),
+               s -> s[1] || ' ' || s[2]) AS bgs
+      FROM toks WHERE len(tk) >= 2
+    ), doc_bigrams AS (
+      SELECT doc_id, b.bg FROM big, UNNEST(bgs) AS b(bg)
+    ), c2 AS (SELECT bg, count(*) AS n2 FROM doc_bigrams GROUP BY bg),
+    c1 AS (
+      SELECT split_part(bg, ' ', 1) AS w1, sum(n2) AS n1 FROM c2 GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           round(avg(ln(CAST(c2.n2 AS DOUBLE) / c1.n1)), 6) AS avg_logprob
+    FROM doc_bigrams d
+    JOIN c2 USING (bg)
+    JOIN c1 ON c1.w1 = split_part(d.bg, ' ', 1)
+    GROUP BY d.doc_id
+    """,
+)
+def llmops_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: score every document by the average
+    bigram log-probability under a language model estimated from the
+    corpus itself (MLE, no smoothing needed — scoring the training
+    corpus, every bigram is seen).
+
+    Spark-first: bigrams come from ``zip_with`` over the token array (no
+    per-doc window), the LM is two hash aggregations, and scoring joins
+    the exploded bigrams back to the LM. At 100 TB the LM side is pruned
+    to top-K bigrams and BROADCAST (docstring contract: the join below is
+    the exact-oracle shape; the broadcast variant is the same plan with a
+    pruned build side)."""
+    d = t(spark, sf_dir, "documents")
+    tk = F.transform(tokens(F.col("text")), F.lower)
+    toks = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 2)
+    n = F.size("tk")
+    bgs = F.zip_with(
+        F.slice(F.col("tk"), 1, n - 1),
+        F.slice(F.col("tk"), 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    doc_bigrams = toks.select("doc_id", F.explode(bgs).alias("bg"))
+    c2 = doc_bigrams.groupBy("bg").agg(F.count("*").alias("n2"))
+    # n1 (unigram-prefix total) as a window over the bigram counts: the LM
+    # becomes ONE table with the per-bigram logprob precomputed, so scoring
+    # is a single join instead of two.
+    lm = c2.withColumn(
+        "lp",
+        F.log(
+            F.col("n2").cast("double")
+            / F.sum("n2").over(W.partitionBy(F.expr("split_part(bg, ' ', 1)")))
+        ),
+    ).select("bg", "lp")
+    return (
+        doc_bigrams.join(lm, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
+
+
+@query(
+    "llmops_bpe_first_merges",
+    oracle=r"""
+    WITH toks AS (
+      SELECT lower(tk.tok) AS tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                              s -> length(s) > 0)) AS tk(tok)
+    ), pairs AS (
+      SELECT substr(tok, i, 2) AS pair
+      FROM toks CROSS JOIN generate_series(1, 30) g(i)
+      WHERE length(tok) >= 2 AND i <= length(tok) - 1 AND i <= 30
+    )
+    SELECT pair, CAST(n AS BIGINT) AS n, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT pair, count(*) AS n,
+             ROW_NUMBER() OVER (ORDER BY count(*) DESC, pair) AS rank
+      FROM pairs GROUP BY pair) WHERE rank <= 20
+    """,
+)
+def llmops_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction, step one: the 20 most frequent adjacent
+    character pairs inside tokens — the first merge candidates a BPE
+    trainer would pick. (A full trainer iterates this exact count with
+    the winning pair collapsed; each round is this same plan.)
+
+    Scale shape: character-pair explosion partial-aggregates map-side;
+    the global top-20 is TakeOrdered, never a full sort. Positions are
+    capped at 30 per token in BOTH engines (DuckDB cannot lateral-ref
+    token length in generate_series; tokens this long are noise for
+    merge statistics anyway)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("tok")
+    ).filter(F.length("tok") >= 2)
+    pairs = tok.select(
+        F.explode(
+            F.sequence(F.lit(1), F.least(F.length("tok") - 1, F.lit(30)))
+        ).alias("i"),
+        "tok",
+    ).select(F.expr("substr(tok, i, 2)").alias("pair"))
+    counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
+    w = W.orderBy(F.desc("n"), "pair")
+    return (
+        counted.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("pair", "n", F.col("rank").cast("bigint").alias("rank"))
+    )
+
+
+@query(
+    "llmops_hard_negatives",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                      CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    s AS (SELECT q.query_id, v.vec_id AS neighbor_id, v.label AS nlabel,
+                 ROUND(list_cosine_similarity(q.qv, CAST(v.embedding AS DOUBLE[])), 6)
+                   AS sim
+          FROM embeddings v CROSS JOIN q
+          WHERE v.vec_id != q.query_id AND v.label != q.qlabel)
+    SELECT query_id, neighbor_id, CAST(nlabel AS INT) AS neg_label, sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s) WHERE rank <= 3
+    """,
+)
+def llmops_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the top-3
+    most similar vectors with a DIFFERENT label — maximally confusing
+    negatives. Same broadcast-query / corpus-stays-put shape as
+    ann_bruteforce with the label anti-filter pushed below the ranking."""
+    from batch_public_spark.operators.semantic import cosine
+
+    e = t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qv"),
+    )
+    v = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("embedding").alias("vv"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(
+            (F.col("neighbor_id") != F.col("query_id"))
+            & (F.col("nlabel") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("nlabel").cast("int").alias("neg_label"),
+            F.round(cosine(F.col("qv"), F.col("vv")), 6).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "neg_label", "sim", F.col("rank").cast("bigint").alias("rank"))
+    )

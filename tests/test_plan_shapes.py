@@ -247,3 +247,18 @@ def test_regr_agg_partial_final(spark):
     p = plan(spark, "agg_regr_price_qty")
     assert len(re.findall(r"\(\d+\) HashAggregate\b", p)) == 2
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1
+
+
+def test_bpe_merge_topk_is_take_ordered(spark):
+    """llmops_bpe_first_merges: the global top-20 must be TakeOrdered
+    (per-partition heap), never a full sort of the pair counts."""
+    p = plan(spark, "llmops_bpe_first_merges")
+    assert "TakeOrderedAndProject" in p or "WindowGroupLimit" in p, p
+
+
+def test_bigram_lm_single_scoring_join(spark):
+    """llmops_bigram_logprob_score: the LM folds the unigram totals in via
+    a window over bigram counts, so scoring is exactly ONE join."""
+    p = plan(spark, "llmops_bigram_logprob_score")
+    joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", p))
+    assert joins == 1, p
