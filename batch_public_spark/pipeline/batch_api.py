@@ -41,7 +41,12 @@ from datetime import datetime, timezone
 from itertools import count
 from typing import Any, Callable, Protocol
 
-TERMINAL_STATES = {"completed", "failed", "expired", "cancelled"}
+from batch_public_spark.pipeline.state import JobLedger
+
+# Single source of truth shared with the ledger's pending/terminal logic
+# (state.py) — the poll loop and the ledger must never disagree on what
+# "terminal" means.
+TERMINAL_STATES = JobLedger.TERMINAL
 
 ENDPOINT = "/v1/chat/completions"
 

@@ -159,6 +159,10 @@ class Orchestrator:
             model=resolve(model_key),
             record_count=n_requests,
             input_jsonl=jsonl_path,
+            # Recorded BEFORE any provider call: a crash between here and
+            # submit_jsonl_dir leaves a marked entry that resume() closes
+            # as failed (rows re-sent) instead of silently "completed".
+            transport="provider" if self.batch_client is not None else "inline",
             # Commit-after-success mode: the watermark may only advance once
             # the batch closes. Recording it here lets an async submit-and-exit
             # run (submit_only) advance it when resume()/auto_resume_pending()
@@ -190,9 +194,29 @@ class Orchestrator:
                 requests=requests, jsonl_path=jsonl_path,
             )
 
-        # X1: the LLM stage (stub transport in CI/bench); X2's poll loop is
-        # unnecessary for the synchronous path — the driver-side async Batch
-        # flow keeps it (see `resume`).
+        # X1 blocking path. With a provider client this is the reference's
+        # wait=True orchestrate mode: real submit → poll to terminal →
+        # download → parse (a configured client must never be silently
+        # bypassed in favor of the stub). Without one, the synchronous
+        # mapInPandas transport runs in-process (CI/bench default) and X2's
+        # poll loop is unnecessary.
+        if self.batch_client is not None:
+            provider = submit_jsonl_dir(self.batch_client, jsonl_path)
+            self.ledger.record(batch_id, provider_batches=provider)
+            entry = self.wait(batch_id)
+            final = entry.get("final_status")
+            if final != "completed":
+                return RunResult(
+                    batch_id, table_name, n_input, n_requests,
+                    requests=requests, jsonl_path=jsonl_path,
+                    skipped_reason=f"provider batch {final}",
+                )
+            parsed = self.parsed_outputs(df.sparkSession, batch_id)
+            return RunResult(
+                batch_id, table_name, n_input, n_requests,
+                requests=requests, parsed=parsed, jsonl_path=jsonl_path,
+            )
+
         raw = respond(requests, self.transport_factory)
         parsed = parse_batch_output(raw)
 
@@ -245,14 +269,33 @@ class Orchestrator:
         if "final_status" in entry:
             return entry
         provider = entry.get("provider_batches")
-        if provider and self.batch_client is not None:
+        if provider:
+            if self.batch_client is None:
+                # Provider-submitted, but THIS process has no client (e.g.
+                # a cron sweep constructed without one): leave it pending —
+                # closing it "completed" here would advance the watermark
+                # with nothing downloaded.
+                return entry
             return self._resume_provider(batch_id, provider)
+        if entry.get("transport") == "provider":
+            # Marked for provider submission but provider_batches never got
+            # recorded: the upload/create crashed mid-submit. Close as
+            # failed (no watermark advance) so the rows re-send next cycle.
+            return self._close(batch_id, final_status="failed")
         return self._close(batch_id)
 
     def _resume_provider(self, batch_id: str, provider: list[dict]) -> dict:
         updated = []
         for pb in provider:
-            if pb.get("status") in TERMINAL_STATES:
+            status = pb.get("status")
+            # A batch is settled only when terminal AND (for completed) its
+            # output file id is known — a batch that was already terminal at
+            # create time has no output_file_id in the submit record, so it
+            # still needs one retrieve.
+            settled = status in TERMINAL_STATES and (
+                status != "completed" or pb.get("output_file_id")
+            )
+            if settled:
                 updated.append(pb)
                 continue
             snap = self.batch_client.retrieve(pb["batch_id"])
@@ -269,6 +312,11 @@ class Orchestrator:
         if not all(s in TERMINAL_STATES for s in statuses):
             return entry  # still pending — next cron cycle polls again
         if all(s == "completed" for s in statuses):
+            missing = [pb["batch_id"] for pb in updated if not pb.get("output_file_id")]
+            if missing:  # provider contract violation — fail loudly,
+                raise RuntimeError(  # never a silent "completed" close
+                    f"provider batches completed without an output file: {missing}"
+                )
             result_dir = f"{self.output_dir}/results/{batch_id}"
             paths = [
                 download_results(self.batch_client, pb["output_file_id"], result_dir)

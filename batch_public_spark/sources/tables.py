@@ -40,12 +40,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     and projections applied downstream push into the parquet scan."""
     if name == "events":
         # Must work on ANY session (the driver builds its own), so set the
-        # confs at runtime rather than relying on our session factory. The
-        # UTC pin keeps the NTZ→LTZ normalization below (and every epoch
-        # extraction downstream) independent of the driver's session zone —
-        # the repo-wide convention (plans.pipeline_queries._utc).
+        # read conf at runtime rather than relying on our session factory.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts's physical type varies by testdata generation. Normalize every
@@ -54,8 +50,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #  - TIMESTAMP(NANOS): surfaces as epoch-nanos bigint under
         #    nanosAsLong; truncate to micros (exactly what DuckDB's
         #    micro-precision timestamps do) and restore TimestampType.
-        #  - TIMESTAMP(MICROS): surfaces as TIMESTAMP_NTZ; cast under the
-        #    pinned-UTC session zone.
+        #  - TIMESTAMP(MICROS): surfaces as TIMESTAMP_NTZ; interpret the
+        #    wall time as UTC via make_timestamp's explicit-zone form,
+        #    which is independent of the caller's session timezone (a
+        #    plain NTZ→LTZ cast would shift the instant under a non-UTC
+        #    session, and a table loader must not mutate session conf).
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
@@ -65,8 +64,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # at epoch-nanos magnitude (~1.7e18 overflows double's 53-bit mantissa)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif not isinstance(ts_type, T.TimestampType):
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+            df = df.withColumn("ts", F.expr(_NTZ_AS_UTC))
     return df
+
+
+# Session-timezone-independent TIMESTAMP_NTZ → TIMESTAMP(LTZ) conversion:
+# field extraction from NTZ carries no zone, and make_timestamp's explicit
+# 'UTC' argument fixes the interpretation (extract(SECOND) keeps the
+# fractional microseconds).
+_NTZ_AS_UTC = (
+    "make_timestamp(year(ts), month(ts), day(ts), hour(ts), minute(ts), "
+    "extract(SECOND FROM ts), 'UTC')"
+)
 
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:

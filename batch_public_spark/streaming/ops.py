@@ -45,10 +45,6 @@ def read_events_stream(
     loader (sources.tables.load_table), whatever the file's physical type.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Pin UTC so the NTZ→LTZ normalization below (and watermark/window
-    # boundaries downstream) cannot shift under a driver-supplied session
-    # zone — same convention as sources.tables.load_table.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     # Footer-only batch probe: file streams cannot infer schemas, and the
     # physical ts type differs across testdata generations.
     path = os.path.join(sf_dir, "events.parquet")
@@ -65,8 +61,11 @@ def read_events_stream(
         # last microsecond (~1.7e18 overflows double's 53-bit mantissa)
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif not isinstance(ts_type, T.TimestampType):
-        # TIMESTAMP_NTZ → LTZ under the pinned-UTC session zone.
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        # TIMESTAMP_NTZ wall time interpreted as UTC, independent of the
+        # caller's session timezone (sources.tables._NTZ_AS_UTC).
+        from batch_public_spark.sources.tables import _NTZ_AS_UTC
+
+        df = df.withColumn("ts", F.expr(_NTZ_AS_UTC))
     return df
 
 

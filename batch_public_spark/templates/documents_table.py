@@ -18,9 +18,6 @@ import argparse
 import json
 
 from batch_public_spark.agent_api import run_batch
-from batch_public_spark.logger import get_logger
-
-log = get_logger(__name__)
 
 # Catalog table to process. Replace with your table name.
 TABLE_NAME = "documents"
@@ -41,6 +38,11 @@ def _build_cli() -> argparse.ArgumentParser:
 
 
 def main(argv: list[str] | None = None) -> int:
+    # Logger configured at run time, not import time (importing a module
+    # must not create a logs/ directory in the caller's cwd).
+    from batch_public_spark.logger import get_logger
+
+    log = get_logger(__name__)
     args = _build_cli().parse_args(argv)
     summary = run_batch(
         TABLE_NAME,

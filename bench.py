@@ -98,21 +98,22 @@ def main() -> None:
     for name, t in times.items():
         families[family(name)] = round(families.get(family(name), 0.0) + t, 2)
 
-    FULL_PATH.write_text(
-        json.dumps(
-            {
-                "metric": "total wall seconds over declared query set",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "families": families,
-                "sf": sf,
-                "n_queries": len(times),
-            },
-            indent=1,
-            sort_keys=True,
+    if names is not HEADLINE:  # headline smoke runs must not clobber the
+        FULL_PATH.write_text(  # full-registry record (BENCH_NOTES baseline)
+            json.dumps(
+                {
+                    "metric": "total wall seconds over declared query set",
+                    "value": total,
+                    "unit": "sec",
+                    "queries": times,
+                    "families": families,
+                    "sf": sf,
+                    "n_queries": len(times),
+                },
+                indent=1,
+                sort_keys=True,
+            )
         )
-    )
 
     headline = {n: round(times[n], 2) for n in HEADLINE if n in times}
     out = {

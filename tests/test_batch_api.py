@@ -212,3 +212,66 @@ class TestOrchestratorAsyncLifecycle:
         for pb in provider:
             final = wait_for_completion(client, pb["batch_id"], sleep=lambda _s: None)
             assert final["status"] == "completed"
+
+
+class TestResumeEdgeCases:
+    def test_mid_submit_crash_closes_failed_not_completed(self, spark, source, tmp_path):
+        """A ledger entry marked for provider transport whose upload/create
+        never recorded provider_batches (crash mid-submit) must close as
+        FAILED — never 'completed' with a watermark advance (review r3)."""
+
+        class ExplodingClient(MockBatchClient):
+            def upload_file(self, path, *, purpose="batch"):
+                raise RuntimeError("network down")
+
+        orch = _orch(tmp_path, ExplodingClient(), persist_before_submit=False)
+        with pytest.raises(RuntimeError):
+            orch.run_batch(source, table_name="news", hours=12, now=NOW, submit_only=True)
+        [(bid, entry)] = orch.ledger.pending().items()
+        assert entry["transport"] == "provider" and "provider_batches" not in entry
+        closed = orch.resume(bid)
+        assert closed["final_status"] == "failed"
+        assert orch.watermarks.last("news") is None  # rows will re-send
+
+    def test_sweep_without_client_leaves_provider_entries_pending(
+        self, spark, source, tmp_path
+    ):
+        """A cron process constructed WITHOUT a batch client must not close
+        provider-submitted entries (nothing was downloaded)."""
+        from batch_public_spark.pipeline import JobLedger, Orchestrator, WatermarkStore
+
+        client = MockBatchClient()
+        orch = _orch(tmp_path, client)
+        res = orch.run_batch(source, table_name="news", hours=12, now=NOW, submit_only=True)
+
+        clientless = Orchestrator(
+            watermarks=WatermarkStore(str(tmp_path / "wm.json")),
+            ledger=JobLedger(str(tmp_path / "ledger.json")),
+            output_dir=str(tmp_path / "out"),
+        )
+        swept = clientless.auto_resume_pending()
+        assert "final_status" not in swept[res.batch_id]
+        assert res.batch_id in clientless.ledger.pending()
+
+    def test_instant_terminal_batch_still_downloads(self, spark, source, tmp_path):
+        """A batch already 'completed' at create time has no output_file_id
+        in the submit record; resume must refresh it, not KeyError."""
+        client = MockBatchClient(states=("completed",))
+        orch = _orch(tmp_path, client)
+        res = orch.run_batch(source, table_name="news", hours=12, now=NOW, submit_only=True)
+        closed = orch.resume(res.batch_id)
+        assert closed["final_status"] == "completed"
+        assert orch.ledger.get(res.batch_id)["output_paths"]
+
+    def test_blocking_run_with_client_uses_real_lifecycle(self, spark, source, tmp_path):
+        """run_batch WITHOUT submit_only + a configured client must run the
+        provider lifecycle (submit→poll→download→parse), never silently
+        fall back to the in-process stub transport."""
+        client = MockBatchClient(states=("validating", "completed"))
+        orch = _orch(tmp_path, client, poll_every=0)
+        res = orch.run_batch(source, table_name="news", hours=12, now=NOW)
+        entry = orch.ledger.get(res.batch_id)
+        assert entry["final_status"] == "completed"
+        assert entry["provider_batches"] and entry["output_paths"]
+        got = {r["_source_custom_id"] for r in res.parsed.collect()}
+        assert got == {"row_1", "row_3"}

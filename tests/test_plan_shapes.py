@@ -222,18 +222,26 @@ def test_null_safe_join_pre_aggregates(spark):
     join inputs are per-key counts, not raw rows) — the pair explosion
     is computed arithmetically, never materialized."""
     p = plan(spark, "join_null_safe_eq")
-    join_pos = min(
-        (p.find(s) for s in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin")
-         if p.find(s) != -1),
-        default=-1,
+    tree = p.split("\n\n")[0]  # the indented operator tree section
+    lines = tree.splitlines()
+    ji = next(
+        (i for i, l in enumerate(lines)
+         if re.search(r"(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", l)),
+        None,
     )
-    assert join_pos != -1, p
-    # every HashAggregate pair appears before the join consumes them in the
-    # formatted plan's node numbering: assert the join's inputs are aggs by
-    # checking no parquet scan feeds the join directly (scans sit under aggs)
-    assert "HashAggregate" in p
-    first_agg = p.find("HashAggregate")
-    assert first_agg != -1 and first_agg < join_pos or "AdaptiveSparkPlan" in p
+    assert ji is not None, tree
+    # Both join inputs must be aggregates: the first ':-' branch under the
+    # join is the left child; the right child is the exchange immediately
+    # under it whose own child is a HashAggregate. A raw 'Scan parquet'
+    # child here would mean the pair explosion is materialized.
+    left = next(l for l in lines[ji + 1:] if ":-" in l)
+    assert "HashAggregate" in left, tree
+    right_idx = next(
+        i for i, l in enumerate(lines) if i > ji and "+-" in l and ":" not in l
+    )
+    right_block = "\n".join(lines[right_idx : right_idx + 2])
+    assert "HashAggregate" in right_block or "Exchange" in right_block, tree
+    assert "HashAggregate" in "\n".join(lines[right_idx:]), tree
 
 
 def test_quantize_is_shuffle_free(spark):

@@ -98,6 +98,18 @@ def test_read_events_stream_micros_typed_fixture(spark, tmp_path):
     assert isinstance(batch.schema["ts"].dataType, T.TimestampType)
     assert batch.select(F.unix_micros("ts").alias("us")).collect()[0].us == expected_us
 
+    # The NTZ wall time is interpreted as UTC regardless of the session
+    # zone (make_timestamp explicit-zone form), and the loader must not
+    # mutate the caller's session timezone as a side effect.
+    old_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        shifted = load_table(spark, sf_dir, "events")
+        assert shifted.select(F.unix_micros("ts").alias("us")).collect()[0].us == expected_us
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old_tz)
+
 
 def test_late_data_dropped_across_batches(spark, tmp_path):
     """Rows arriving behind the watermark are dropped — the reference's
