@@ -50,6 +50,11 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="dry-run: write JSONL to the quarantined dir, no LLM call")
     p.add_argument("--async", dest="async_mode", action="store_true",
                    help="submit-and-exit (auto-enabled for >1 table)")
+    p.add_argument("--batch-mock", action="store_true",
+                   help="run the real provider Batch lifecycle (upload/create/"
+                        "poll/download) against the durable in-repo mock; "
+                        "state persists under <output-dir>/mock_provider so "
+                        "--resume works from a later process")
     p.add_argument("--resume", metavar="BATCH_ID", default=None,
                    help="resume a previously submitted batch")
     p.add_argument("--check-outputs", action="store_true",
@@ -116,10 +121,19 @@ def main(argv: list[str] | None = None) -> int:
 
     watermarks = WatermarkStore(os.path.join(args.output_dir, "batch_watermark.json"))
     ledger = JobLedger(os.path.join(args.output_dir, "batch_status.json"))
+    batch_client = None
+    if args.batch_mock:
+        from batch_public_spark.pipeline.batch_api import MockBatchClient
+
+        batch_client = MockBatchClient(
+            state_dir=os.path.join(args.output_dir, "mock_provider")
+        )
     orch = Orchestrator(
         watermarks=watermarks, ledger=ledger,
         transport_factory=StubTransport, output_dir=args.output_dir,
         no_ts_filter=_STATIC_TABLES,
+        batch_client=batch_client,
+        poll_every=0 if args.batch_mock else 60,
     )
 
     if args.resume:

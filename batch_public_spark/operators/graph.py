@@ -109,3 +109,64 @@ def dedup_by_components(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def pagerank_weighted(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+    iters: int = 2,
+    damping: float = 0.85,
+    round_at: int = 8,
+) -> DataFrame:
+    """Weighted PageRank over a directed edge list → (vertex, pr).
+
+    pr'(v) = (1-d)/N + d · Σ_{u→v} pr(u) · w(u,v) / wdeg(u)
+
+    Spark-first iterative shape (same discipline as hash-min CC above and
+    semantic.kmeans_lloyd): each iteration is one join of the edge list
+    with the current rank vector plus one aggregation — both shuffles on
+    the vertex key, so a cluster reuses the partitioning across rounds.
+    Ranks are rounded to ``round_at`` per iteration, which makes the whole
+    computation bit-reproducible across engines/partitionings (and
+    oracle-checkable); lineage is truncated per round with
+    ``localCheckpoint`` for deep runs.
+
+    Dangling vertices (no out-edges) leak their mass — acceptable for the
+    co-occurrence graphs this serves (symmetrized ⇒ no danglers)."""
+    e = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    )
+    verts = e.select(F.col("u").alias("vertex")).union(
+        e.select(F.col("v").alias("vertex"))
+    ).distinct().localCheckpoint(eager=True)
+    n = verts.count()
+    wdeg = e.groupBy("u").agg(F.sum("w").alias("wdeg"))
+    e = e.join(wdeg, "u").localCheckpoint(eager=True)
+
+    pr = verts.withColumn("pr", F.round(F.lit(1.0 / n), round_at))
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        contrib = (
+            e.join(pr, e["u"] == pr["vertex"])
+            .select(
+                F.col("v").alias("vertex"),
+                (F.col("pr") * F.col("w") / F.col("wdeg")).alias("c"),
+            )
+            .groupBy("vertex")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        pr = (
+            verts.join(contrib, "vertex", "left")
+            .select(
+                "vertex",
+                F.round(
+                    F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0)),
+                    round_at,
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr

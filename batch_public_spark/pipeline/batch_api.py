@@ -237,6 +237,11 @@ class MockBatchClient:
 
     ``states`` ending in ``failed``/``expired``/``cancelled`` exercises the
     failure paths (no output file is materialized).
+
+    ``state_dir`` makes the provider durable (files + batch state persisted
+    to disk), so the submit-and-exit → later-process resume cycle — the
+    CLI's ``--async`` / ``--resume`` cadence — works across process
+    boundaries exactly like a real provider.
     """
 
     def __init__(
@@ -244,6 +249,7 @@ class MockBatchClient:
         *,
         states: tuple[str, ...] = ("validating", "in_progress", "finalizing", "completed"),
         transport_factory=None,
+        state_dir: str | None = None,
     ):
         if states[-1] not in TERMINAL_STATES:
             raise ValueError(f"last state must be terminal, got {states!r}")
@@ -255,14 +261,46 @@ class MockBatchClient:
         self._transport = (transport_factory or StubTransport)()
         self._files: dict[str, bytes] = {}
         self._batches: dict[str, dict] = {}
-        self._seq = count(1)
+        self._state_dir = state_dir
         self.retrieve_calls = 0
+        if state_dir:
+            os.makedirs(os.path.join(state_dir, "files"), exist_ok=True)
+            meta_path = os.path.join(state_dir, "batches.json")
+            if os.path.exists(meta_path):
+                import json
+
+                with open(meta_path, encoding="utf-8") as fh:
+                    self._batches = json.load(fh)
+            for f in os.listdir(os.path.join(state_dir, "files")):
+                with open(os.path.join(state_dir, "files", f), "rb") as fh:
+                    self._files[f] = fh.read()
+        start = 1 + max(
+            (int(k.rsplit("-", 1)[-1]) for k in (*self._files, *self._batches)),
+            default=0,
+        )
+        self._seq = count(start)
+
+    def _persist(self) -> None:
+        if not self._state_dir:
+            return
+        import json
+
+        for fid, data in self._files.items():
+            p = os.path.join(self._state_dir, "files", fid)
+            if not os.path.exists(p):
+                with open(p, "wb") as fh:
+                    fh.write(data)
+        tmp = os.path.join(self._state_dir, "batches.json.tmp")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(self._batches, fh)
+        os.replace(tmp, os.path.join(self._state_dir, "batches.json"))
 
     def upload_file(self, path: str, *, purpose: str = "batch") -> str:
         with open(path, "rb") as fh:
             data = fh.read()
         file_id = f"file-mock-{next(self._seq)}"
         self._files[file_id] = data
+        self._persist()
         return file_id
 
     def create_batch(
@@ -280,6 +318,7 @@ class MockBatchClient:
             "output_file_id": None,
             "error_file_id": None,
         }
+        self._persist()
         return self._snapshot(batch_id)
 
     def retrieve(self, batch_id: str) -> dict:
@@ -289,6 +328,7 @@ class MockBatchClient:
             b["step"] += 1
         if self.states[b["step"]] == "completed" and b["output_file_id"] is None:
             b["output_file_id"] = self._materialize_output(b["input_file_id"])
+        self._persist()
         return self._snapshot(batch_id)
 
     def download(self, file_id: str) -> bytes:

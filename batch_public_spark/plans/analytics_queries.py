@@ -926,3 +926,97 @@ def llmops_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "neg_label", "sim", F.col("rank").cast("bigint").alias("rank"))
     )
+
+
+@query(
+    "llmops_term_pagerank",
+    oracle=r"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, lower(tk.tok) AS term
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                              s -> length(s) > 0)) AS tk(tok)
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY count(*) DESC, term) AS r
+        FROM dt GROUP BY term) WHERE r <= 30
+    ), dv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
+    pairs AS (
+      SELECT a.term AS u, b.term AS v, count(*) AS w
+      FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term
+      GROUP BY 1, 2
+    ), e AS (SELECT u, v, w FROM pairs UNION ALL SELECT v, u, w FROM pairs),
+    verts AS (SELECT DISTINCT u AS vertex FROM e),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+    wdeg AS (SELECT u, sum(w) AS wdeg FROM e GROUP BY u),
+    pr0 AS (SELECT vertex, round(1.0 / nn.n, 8) AS pr FROM verts, nn),
+    it1 AS (
+      SELECT vv.vertex,
+             round((1.0 - 0.85) / nn.n
+                   + 0.85 * coalesce(m.in_mass, 0.0), 8) AS pr
+      FROM verts vv CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.v AS vertex, sum(p.pr * e.w / d.wdeg) AS in_mass
+        FROM e JOIN pr0 p ON e.u = p.vertex JOIN wdeg d ON e.u = d.u
+        GROUP BY e.v) m USING (vertex)
+    ), it2 AS (
+      SELECT vv.vertex,
+             round((1.0 - 0.85) / nn.n
+                   + 0.85 * coalesce(m.in_mass, 0.0), 8) AS pr
+      FROM verts vv CROSS JOIN nn
+      LEFT JOIN (
+        SELECT e.v AS vertex, sum(p.pr * e.w / d.wdeg) AS in_mass
+        FROM e JOIN it1 p ON e.u = p.vertex JOIN wdeg d ON e.u = d.u
+        GROUP BY e.v) m USING (vertex)
+    )
+    SELECT vertex AS term, round(pr, 6) AS pagerank, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pr DESC, vertex) AS rank FROM it2)
+    WHERE rank <= 20
+    """,
+)
+def llmops_term_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the term co-occurrence graph (top-30-df vocabulary,
+    doc-level co-occurrence edges, 2 damped iterations) — the second
+    fully-oracle-checked iterative algorithm (with semantic.kmeans_lloyd):
+    per-iteration rounding makes the fixpoint math bit-reproducible.
+
+    Spark-first: vocabulary and edges are two aggregations; each PageRank
+    round is one edge⋈rank join + one aggregation, both shuffled on the
+    vertex key (operators.graph.pagerank_weighted — localCheckpoint per
+    round bounds lineage). At 100 TB the rank vector is ~|vocab| rows and
+    broadcasts; the edge list is the only large operand."""
+    from batch_public_spark.operators.graph import pagerank_weighted
+
+    d = t(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term")
+    ).distinct()
+    wdf = W.orderBy(F.desc("df"), "term")
+    vocab = (
+        dt.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .withColumn("r", F.row_number().over(wdf))
+        .filter(F.col("r") <= 30)
+        .select("term")
+    )
+    dv = dt.join(F.broadcast(vocab), "term").select("doc_id", "term")
+    a, b = dv.alias("a"), dv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
+        .groupBy(F.col("a.term").alias("u"), F.col("b.term").alias("v"))
+        .agg(F.count("*").alias("w"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    pr = pagerank_weighted(sym, src="u", dst="v", weight="w", iters=2)
+    wr = W.orderBy(F.desc("pr"), "vertex")
+    return (
+        pr.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= 20)
+        .select(
+            F.col("vertex").alias("term"),
+            F.round("pr", 6).alias("pagerank"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -134,3 +134,40 @@ def test_rotating_logger_configuration(tmp_path, monkeypatch):
 
     # configure-once: a second call must not duplicate handlers
     assert get_logger("bps.test.rotating").handlers == log.handlers
+
+
+def test_cli_batch_mock_async_resume_across_processes(spark, tmp_path, capsys):
+    """--batch-mock + --async submits through the durable mock provider;
+    a LATER orchestrator (fresh mock instance over the same state_dir)
+    resumes the entry through its poll states to download + close —
+    the CLI's cron cadence across process boundaries."""
+    out_dir = str(tmp_path / "out")
+    rc, out = _run(
+        capsys, "--table", "documents", "--hours", "1000000", "--async",
+        "--batch-mock", "--data-dir", SF, "--output-dir", out_dir,
+    )
+    assert rc == 0
+    bid = json.loads(out.strip().splitlines()[-1])["batch_id"]
+    with open(os.path.join(out_dir, "batch_status.json"), encoding="utf-8") as fh:
+        entry = json.load(fh)[bid]
+    assert entry["transport"] == "provider"
+    [prov] = entry["provider_batches"]
+    assert prov["status"] == "validating"
+
+    # later cron cycles: each --resume is one poll (validating → … → completed)
+    for _ in range(4):
+        rc, out = _run(
+            capsys, "--resume", bid, "--batch-mock",
+            "--data-dir", SF, "--output-dir", out_dir,
+        )
+        assert rc == 0
+        entry = json.loads(out)[bid]
+        if entry.get("final_status"):
+            break
+    assert entry["final_status"] == "completed"
+    assert entry["output_paths"]
+    # the downloaded JSONL parses through the shared parse stage
+    from batch_public_spark.pipeline import parse_batch_output, read_batch_outputs
+
+    parsed = parse_batch_output(read_batch_outputs(spark, entry["output_dir"]))
+    assert parsed.count() >= entry["record_count"]
