@@ -1020,3 +1020,42 @@ def llmops_term_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+@query(
+    "join_orders_within_week",
+    oracle="""
+    SELECT a.o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(date_diff('day', a.o_orderdate, b.o_orderdate)) <= 7
+    GROUP BY a.o_custkey
+    """,
+)
+def join_orders_within_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval self-join: per customer, order pairs placed within
+    7 days of each other (repeat-purchase burst detection).
+
+    Spark-first: equi-join on o_custkey carries the whole shuffle; the
+    date band is a post-join filter inside the sort-merge — never a
+    cross join. At 100 TB the refinement is bucketing both sides by
+    custkey (sources.bucketing elides the exchange) or week-bucketing the
+    date to pre-prune pairs; the per-customer key keeps band explosion
+    bounded by per-customer order counts."""
+    o = t(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k_a"),
+        F.col("o_orderdate").alias("d_a"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k_b"),
+        F.col("o_orderdate").alias("d_b"),
+    )
+    pairs = a.join(b, "custkey").filter(
+        (F.col("k_a") < F.col("k_b"))
+        & (F.abs(F.datediff("d_a", "d_b")) <= 7)
+    )
+    return pairs.groupBy("custkey").agg(F.count("*").alias("n_pairs"))
