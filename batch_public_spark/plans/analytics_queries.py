@@ -1059,3 +1059,69 @@ def join_orders_within_week(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.abs(F.datediff("d_a", "d_b")) <= 7)
     )
     return pairs.groupBy("custkey").agg(F.count("*").alias("n_pairs"))
+
+
+@query(
+    "dq_orders_constraints",
+    oracle="""
+    SELECT 'not_null(o_orderdate)' AS rule,
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'accepted_values(o_orderstatus)',
+           CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
+                           OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'range(o_totalprice)',
+           CAST(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000
+                           OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(coalesce(sum(n - 1), 0) AS BIGINT)
+    FROM (SELECT o_orderkey, count(*) AS n FROM orders GROUP BY 1 HAVING count(*) > 1)
+    UNION ALL
+    SELECT 'references(o_custkey)',
+           CAST(count(*) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_custkey IS NULL
+    """,
+)
+def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate over orders (operators.quality.validate): three
+    row-level rules in ONE aggregation pass, key uniqueness as a keyed
+    pre-aggregate, referential integrity as a broadcast anti-join against
+    the customer dim — the dbt-tests/Deequ surface a lake gates every
+    ingest on, at its scale-correct plan shape."""
+    from batch_public_spark.operators.quality import (
+        accepted_values,
+        in_range,
+        not_null,
+        validate,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    # in_range uses exclusive violations (< min or > max); the oracle's
+    # `<= 0` means min bound just above 0 — use matching semantics via
+    # min_value=None and an explicit rule instead.
+    from batch_public_spark.operators.quality import RowRule
+
+    price_rule = RowRule(
+        "range(o_totalprice)",
+        (F.col("o_totalprice") <= 0)
+        | (F.col("o_totalprice") > 1_000_000)
+        | F.col("o_totalprice").isNull(),
+    )
+    return validate(
+        o,
+        [
+            not_null("o_orderdate"),
+            accepted_values("o_orderstatus", ("F", "O", "P")),
+            price_rule,
+        ],
+        unique=["o_orderkey"],
+        references=[("o_custkey", c, "c_custkey")],
+    )

@@ -206,3 +206,16 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
 def list_tables(spark: SparkSession) -> list[str]:
     """Catalog listing (reference main.py:624-634)."""
     return [t.name for t in spark.catalog.listTables()]
+
+
+def read_evolving(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under EVOLVING
+    schemas (columns added over time): ``mergeSchema`` unions the footers
+    into the superset schema; rows from older files surface the missing
+    columns as NULL.
+
+    Scale note: schema merging reads every footer — on a very large file
+    count, pin the canonical schema with ``spark.read.schema(...)`` instead
+    and let parquet's by-name column resolution do the rest; this helper is
+    the discovery path."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -211,3 +211,20 @@ class TestPartsuppSynthesis:
             """
         ).collect()
         assert len(out) == 1
+
+
+def test_read_evolving_merges_added_columns(spark, tmp_path):
+    """Files written before/after a column addition read back as one
+    superset schema with NULLs for the older rows."""
+    from batch_public_spark.sources.tables import read_evolving
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id int, name string").write.parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id int, name string, score double"
+    ).write.mode("append").parquet(p)
+
+    df = read_evolving(spark, p)
+    assert set(df.columns) == {"id", "name", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows == {1: None, 2: 9.5}
