@@ -228,3 +228,25 @@ def test_read_evolving_merges_added_columns(spark, tmp_path):
     assert set(df.columns) == {"id", "name", "score"}
     rows = {r.id: r.score for r in df.collect()}
     assert rows == {1: None, 2: 9.5}
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """20 tiny files compact to a handful, atomically, with identical rows."""
+    from batch_public_spark.sources.maintenance import compact_parquet
+
+    p = str(tmp_path / "tiny")
+    df = spark.range(2000).toDF("n")
+    df.repartition(20).write.parquet(p)
+    import os
+
+    n_before = len([f for f in os.listdir(p) if f.endswith(".parquet")])
+    assert n_before >= 20
+
+    summary = compact_parquet(spark, p, target_mb=128)
+    assert summary["rows"] == 2000
+    assert summary["files_after"] < n_before
+    assert summary["files_after"] <= 2
+
+    back = spark.read.parquet(p)
+    assert back.count() == 2000
+    assert sorted(r.n for r in back.collect()) == list(range(2000))
