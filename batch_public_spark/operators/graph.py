@@ -143,6 +143,9 @@ def pagerank_weighted(
         e.select(F.col("v").alias("vertex"))
     ).distinct().localCheckpoint(eager=True)
     n = verts.count()
+    if n == 0:
+        # empty graph → empty (vertex, pr) result, not ZeroDivisionError
+        return verts.withColumn("pr", F.lit(0.0))
     wdeg = e.groupBy("u").agg(F.sum("w").alias("wdeg"))
     e = e.join(wdeg, "u").localCheckpoint(eager=True)
 

@@ -82,7 +82,11 @@ def validate(
         # single pass: one conditional sum per rule
         agg = df.agg(
             *[
-                F.sum(F.when(r.violation, 1).otherwise(0)).alias(f"_r{i}")
+                # coalesce: sum over ZERO rows is NULL, and an empty
+                # micro-batch must still report 0 violations per rule
+                F.coalesce(
+                    F.sum(F.when(r.violation, 1).otherwise(0)), F.lit(0)
+                ).alias(f"_r{i}")
                 for i, r in enumerate(row_rules)
             ]
         )

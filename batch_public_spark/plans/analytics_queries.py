@@ -1096,18 +1096,16 @@ def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     the customer dim — the dbt-tests/Deequ surface a lake gates every
     ingest on, at its scale-correct plan shape."""
     from batch_public_spark.operators.quality import (
+        RowRule,
         accepted_values,
-        in_range,
         not_null,
         validate,
     )
 
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
-    # in_range uses exclusive violations (< min or > max); the oracle's
-    # `<= 0` means min bound just above 0 — use matching semantics via
-    # min_value=None and an explicit rule instead.
-    from batch_public_spark.operators.quality import RowRule
+    # quality.in_range violates on `< min` (exclusive); the oracle's
+    # boundary is `<= 0`, so the price rule is written explicitly.
 
     price_rule = RowRule(
         "range(o_totalprice)",

@@ -29,15 +29,6 @@ import shutil
 from pyspark.sql import SparkSession
 
 
-def _dir_bytes(path: str) -> int:
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            if not f.startswith((".", "_")):
-                total += os.path.getsize(os.path.join(root, f))
-    return total
-
-
 def _data_files(path: str) -> list[str]:
     out = []
     for root, _dirs, files in os.walk(path):
@@ -45,6 +36,10 @@ def _data_files(path: str) -> list[str]:
             if not f.startswith((".", "_")):
                 out.append(os.path.join(root, f))
     return out
+
+
+def _dir_bytes(path: str) -> int:
+    return sum(os.path.getsize(f) for f in _data_files(path))
 
 
 def compact_parquet(
@@ -60,10 +55,34 @@ def compact_parquet(
     ``allow_split=True`` also repartitions (shuffle) when files are
     OVERSIZED; default only merges small files (shuffle-free coalesce).
     """
+    base = path.rstrip("/")
+    # Leading '_' so Spark/Hadoop directory listings and partition
+    # discovery over the PARENT skip the work dirs (the same convention
+    # _data_files itself applies) — no double counting mid-compaction.
+    tmp = os.path.join(os.path.dirname(base), "_" + os.path.basename(base) + ".compact_tmp")
+    old = os.path.join(os.path.dirname(base), "_" + os.path.basename(base) + ".compact_old")
+
+    # Crash recovery: a previous run killed between the two swap renames
+    # left the data under the old-dir; restore it before anything else.
+    if not os.path.exists(path) and os.path.exists(old):
+        os.rename(old, path)
+
     before_files = len(_data_files(path))
     before_bytes = _dir_bytes(path)
     target_bytes = target_mb << 20
     n_out = max(1, math.ceil(before_bytes / target_bytes))
+
+    if before_files <= n_out and not allow_split:
+        # already at/below target: a rewrite would be pure wasted IO plus
+        # an unnecessary swap window
+        return {
+            "files_before": before_files,
+            "files_after": before_files,
+            "bytes_before": before_bytes,
+            "bytes_after": before_bytes,
+            "rows": None,
+            "skipped": "already compact",
+        }
 
     df = spark.read.parquet(path)
     n_rows = df.count()
@@ -75,8 +94,6 @@ def compact_parquet(
     else:
         out_df = df
 
-    tmp = path.rstrip("/") + "._compact_tmp"
-    old = path.rstrip("/") + "._compact_old"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)
     out_df.write.parquet(tmp)
@@ -87,7 +104,10 @@ def compact_parquet(
         shutil.rmtree(tmp)
         raise RuntimeError(f"compaction row mismatch: {n_rows} -> {n_check}; aborted")
 
-    # atomic-enough swap: two renames; a reader races onto either full layout
+    # Swap via two renames. A concurrent reader of THIS exact path can hit
+    # a brief not-exists window between them (parent-directory readers are
+    # unaffected — the work dirs are underscore-hidden); a crash in the
+    # window is healed by the restore-from-old step above on the next run.
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(path, old)

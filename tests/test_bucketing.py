@@ -250,3 +250,39 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == 2000
     assert sorted(r.n for r in back.collect()) == list(range(2000))
+
+
+def test_compact_parquet_skips_when_already_compact(spark, tmp_path):
+    """Re-running compaction over an already-compact directory must not
+    rewrite anything (review r3)."""
+    from batch_public_spark.sources.maintenance import compact_parquet
+
+    p = str(tmp_path / "tiny2")
+    spark.range(100).toDF("n").coalesce(1).write.parquet(p)
+    first = compact_parquet(spark, p, target_mb=128)
+    assert first.get("skipped") == "already compact"
+    assert spark.read.parquet(p).count() == 100
+
+
+def test_compact_parquet_work_dirs_hidden_from_parent_reads(spark, tmp_path):
+    """The swap work dirs are underscore-prefixed siblings so a reader of
+    the PARENT directory never double-counts mid-compaction names."""
+    import os
+
+    from batch_public_spark.sources import maintenance
+
+    p = str(tmp_path / "part")
+    spark.range(500).toDF("n").repartition(10).write.parquet(p)
+    real_rename = os.rename
+    seen = []
+
+    def spy(a, b):
+        seen.append(os.path.basename(b if "compact" in os.path.basename(b) else a))
+        real_rename(a, b)
+
+    os.rename = spy
+    try:
+        maintenance.compact_parquet(spark, p, target_mb=128)
+    finally:
+        os.rename = real_rename
+    assert seen and all(name.startswith("_") for name in seen), seen

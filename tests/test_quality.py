@@ -77,3 +77,16 @@ def test_row_rules_fold_into_single_aggregate(spark):
     out = validate(df, [not_null("status"), in_range("price", min_value=0.0)])
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("Aggregate") == 1, plan
+
+
+def test_empty_table_reports_zero_not_null_counts(spark):
+    """An empty micro-batch (the common ingest case) must report 0
+    violations per rule, never NULL (review r3)."""
+    df = _fixture(spark).filter(F.lit(False))
+    out = validate(
+        df,
+        [not_null("status"), in_range("price", min_value=0.0)],
+        unique=["id"],
+    )
+    got = {r.rule: r.n_violations for r in out.collect()}
+    assert all(v == 0 for v in got.values()), got
