@@ -150,28 +150,41 @@ def sample_frames(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
+        import numpy as np
+
         if strict:
             raise NotImplementedError(
                 "real frame sampling requires video codecs not present in "
                 "this environment; run with strict=False for the byte-slice stub"
             )
         for pdf in batches:
-            ids, idxs, lens, digests = [], [], [], []
+            id_parts, idx_parts, len_parts, digests = [], [], [], []
             for rid, blob in zip(pdf[id_col].to_numpy(), pdf[blob_col].to_numpy()):
                 raw = bytes(blob) if blob is not None else b""
-                n = max((len(raw) + frame_bytes - 1) // frame_bytes, 1)
-                view = memoryview(raw)
-                for k in range(n):
-                    chunk = view[k * frame_bytes : (k + 1) * frame_bytes]
-                    ids.append(rid)
-                    idxs.append(k)
-                    lens.append(len(chunk))
-                    digests.append(hashlib.md5(chunk).hexdigest())
+                total = len(raw)
+                n = max((total + frame_bytes - 1) // frame_bytes, 1)
+                n_full = total // frame_bytes
+                # Vectorized slicing: one frombuffer+reshape gives every
+                # full frame as a contiguous row — no per-chunk Python
+                # slicing. md5 reads each row via the buffer protocol.
+                full = np.frombuffer(
+                    raw, dtype=np.uint8, count=n_full * frame_bytes
+                ).reshape(n_full, frame_bytes)
+                row_digests = [hashlib.md5(f).hexdigest() for f in full]
+                lens = np.full(n, frame_bytes, dtype=np.int64)
+                if n > n_full:  # trailing partial frame (or empty payload)
+                    tail = raw[n_full * frame_bytes :]
+                    row_digests.append(hashlib.md5(tail).hexdigest())
+                    lens[-1] = len(tail)
+                id_parts.append(np.full(n, rid, dtype=np.int64))
+                idx_parts.append(np.arange(n, dtype=np.int64))
+                len_parts.append(lens)
+                digests.extend(row_digests)
             yield pd.DataFrame(
                 {
-                    id_col: ids,
-                    "frame_idx": idxs,
-                    "frame_len": lens,
+                    id_col: np.concatenate(id_parts) if id_parts else np.array([], dtype=np.int64),
+                    "frame_idx": np.concatenate(idx_parts) if idx_parts else np.array([], dtype=np.int64),
+                    "frame_len": np.concatenate(len_parts) if len_parts else np.array([], dtype=np.int64),
                     "frame_md5": digests,
                 }
             )

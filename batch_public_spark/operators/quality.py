@@ -39,28 +39,36 @@ def not_null(col: str) -> RowRule:
     return RowRule(f"not_null({col})", F.col(col).isNull())
 
 
-def accepted_values(col: str, values: tuple) -> RowRule:
-    return RowRule(
-        f"accepted_values({col})",
-        ~F.col(col).isin(*values) | F.col(col).isNull(),
-    )
+def accepted_values(col: str, values: tuple, *, nulls_violate: bool = False) -> RowRule:
+    """dbt semantics by default: NULLs pass (pair with ``not_null`` to
+    reject them); ``nulls_violate=True`` counts NULL as a violation too."""
+    cond = ~F.col(col).isin(*values)
+    if nulls_violate:
+        cond = cond | F.col(col).isNull()
+    return RowRule(f"accepted_values({col})", cond)
 
 
-def in_range(col: str, *, min_value=None, max_value=None) -> RowRule:
+def in_range(col: str, *, min_value=None, max_value=None, nulls_violate: bool = False) -> RowRule:
+    """Bounds are exclusive-violation (`< min` / `> max`); NULLs pass by
+    default (dbt accepted_range semantics), ``nulls_violate=True`` opts in
+    to counting them."""
     cond = F.lit(False)
     if min_value is not None:
         cond = cond | (F.col(col) < min_value)
     if max_value is not None:
         cond = cond | (F.col(col) > max_value)
-    return RowRule(f"range({col})", cond | F.col(col).isNull())
+    if nulls_violate:
+        cond = cond | F.col(col).isNull()
+    return RowRule(f"range({col})", cond)
 
 
-def matches(col: str, pattern: str) -> RowRule:
-    """Regex shape constraint (keep patterns ASCII for oracle parity)."""
-    return RowRule(
-        f"matches({col})",
-        ~F.regexp_like(F.col(col), F.lit(pattern)) | F.col(col).isNull(),
-    )
+def matches(col: str, pattern: str, *, nulls_violate: bool = False) -> RowRule:
+    """Regex shape constraint (keep patterns ASCII for oracle parity).
+    NULLs pass by default; ``nulls_violate=True`` counts them."""
+    cond = ~F.regexp_like(F.col(col), F.lit(pattern))
+    if nulls_violate:
+        cond = cond | F.col(col).isNull()
+    return RowRule(f"matches({col})", cond)
 
 
 def validate(

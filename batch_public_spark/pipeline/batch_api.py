@@ -312,6 +312,11 @@ class MockBatchClient:
         self._batches[batch_id] = {
             "id": batch_id,
             "step": 0,
+            # The lifecycle is pinned per batch at creation and persisted,
+            # so a later process resuming with a differently-configured
+            # client replays THIS batch's sequence (no IndexError / state
+            # teleport from a shorter/different ``states`` tuple).
+            "states": list(self.states),
             "input_file_id": input_file_id,
             "endpoint": endpoint,
             "completion_window": completion_window,
@@ -321,12 +326,21 @@ class MockBatchClient:
         self._persist()
         return self._snapshot(batch_id)
 
+    def _batch_states(self, b: dict) -> list[str]:
+        # Batches persisted before the per-batch pin fall back to the
+        # client's states, step-clamped so a shorter sequence can never
+        # IndexError on resume.
+        states = b.get("states") or list(self.states)
+        b["step"] = min(b["step"], len(states) - 1)
+        return states
+
     def retrieve(self, batch_id: str) -> dict:
         self.retrieve_calls += 1
         b = self._batches[batch_id]
-        if b["step"] < len(self.states) - 1:
+        states = self._batch_states(b)
+        if b["step"] < len(states) - 1:
             b["step"] += 1
-        if self.states[b["step"]] == "completed" and b["output_file_id"] is None:
+        if states[b["step"]] == "completed" and b["output_file_id"] is None:
             b["output_file_id"] = self._materialize_output(b["input_file_id"])
         self._persist()
         return self._snapshot(batch_id)
@@ -338,7 +352,7 @@ class MockBatchClient:
         b = self._batches[batch_id]
         return {
             "id": b["id"],
-            "status": self.states[b["step"]],
+            "status": self._batch_states(b)[b["step"]],
             "input_file_id": b["input_file_id"],
             "output_file_id": b["output_file_id"],
             "error_file_id": b["error_file_id"],

@@ -26,63 +26,20 @@ from batch_public_spark.plans import streaming_queries  # noqa: F401
 from batch_public_spark.plans import analytics_queries  # noqa: F401
 
 # Names pinned to the front of the registry, in order (see module docstring).
-# Round 3: the 28 queries that sat outside BOTH prior driver windows
-# (CORRECTNESS_r01 + r02) come first so this round's 50-query window
-# closes cumulative driver coverage to 128/128. New queries added this
-# round slot in right after them (still inside the window).
+# Round 4: CORRECTNESS_r01+r02+r03 cover 150/153 registered queries; the 3
+# never-driver-verified ones lead so this round's window closes cumulative
+# coverage to 153/153. Next come queries whose plan or threshold changed
+# this round (re-verification), then every query newly added this round.
 _PRIORITY = [
-    # --- never driver-verified (r1+r2 windows missed them) ---
-    "llmops_ngram_jaccard_pairs",
-    "llmops_minhash_candidates",
-    "llmops_minhash_dedup",
-    "llmops_simhash_neardup",
-    "llmops_embedding_neardup",
-    "llmops_ann_bruteforce",
-    "llmops_ann_lsh",
-    "llmops_ann_ivf",
-    "llmops_dedup_cc",
-    "llmops_text_metrics",
-    "llmops_lang_id",
-    "llmops_language_split",
-    "llmops_quality_filter",
-    "llmops_embedding_normalize",
-    "llmops_multimodal_metadata",
-    "llmops_multimodal_features",
-    "llmops_fingerprint_md5",
-    "llmops_fingerprint_modp_pairs",
-    "pipeline_watermark_filter",
-    "pipeline_request_build",
-    "pipeline_parse_outputs",
-    "pipeline_llm_roundtrip",
-    "pipeline_dedup_key_priority",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_windows",
-    "stream_dedup_watermark",
-    "stream_stateful_running_max",
+    # --- never driver-verified (outside all three prior windows) ---
+    "llmops_term_pagerank",
+    "join_orders_within_week",
+    "dq_orders_constraints",
+    # --- changed this round: re-verify ---
+    "llmops_embedding_neardup",  # threshold 0.8 -> 0.4 (r3 hash-match was vacuous: 0 rows)
+    "llmops_bpe_first_merges",  # global-rank window -> TakeOrdered top-k
+    "llmops_multimodal_frames",  # sample_frames vectorized (hash must not move)
     # --- new this round (no prior record) — keep inside the 50-window ---
-    "events_sessionize_gap",
-    "events_funnel_conversion",
-    "events_daily_retention",
-    "llmops_token_count_compare",
-    "llmops_length_histogram",
-    "llmops_sentence_stats",
-    "llmops_source_token_entropy",
-    "llmops_embedding_quantize",
-    "llmops_multimodal_resize",
-    "window_cume_dist_orders",
-    "agg_regr_price_qty",
-    "join_null_safe_eq",
-    "string_funcs_extended",
-    "date_trunc_weekday_matrix",
-    "llmops_kmeans_lloyd",
-    "events_transition_matrix",
-    "agg_hll_union_region",
-    "scalar_try_cast_battery",
-    "llmops_train_val_test_split",
-    "llmops_bigram_logprob_score",
-    "llmops_bpe_first_merges",
-    "llmops_hard_negatives",
 ]
 
 

@@ -862,10 +862,14 @@ def llmops_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tok",
     ).select(F.expr("substr(tok, i, 2)").alias("pair"))
     counted = pairs.groupBy("pair").agg(F.count("*").alias("n"))
-    w = W.orderBy(F.desc("n"), "pair")
+    # Global top-k via orderBy+limit (TakeOrdered — per-partition heaps,
+    # never a single-partition full sort); the rank window then runs over
+    # the <=20 survivors only.
+    top = counted.orderBy(F.desc("n"), "pair").limit(20)
+    # Constant partition key: the single partition is deliberate (<=20 rows).
+    w = W.partitionBy(F.lit(0)).orderBy(F.desc("n"), "pair")
     return (
-        counted.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(w))
         .select("pair", "n", F.col("rank").cast("bigint").alias("rank"))
     )
 
@@ -991,12 +995,14 @@ def llmops_term_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = d.select(
         "doc_id", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term")
     ).distinct()
-    wdf = W.orderBy(F.desc("df"), "term")
+    # Top-30 vocabulary by document frequency via TakeOrdered — at 100 TB
+    # the term vocabulary is tens of millions of rows; orderBy+limit keeps
+    # the selection a per-partition heap instead of a one-partition window.
     vocab = (
         dt.groupBy("term")
         .agg(F.count("*").alias("df"))
-        .withColumn("r", F.row_number().over(wdf))
-        .filter(F.col("r") <= 30)
+        .orderBy(F.desc("df"), "term")
+        .limit(30)
         .select("term")
     )
     dv = dt.join(F.broadcast(vocab), "term").select("doc_id", "term")
@@ -1010,10 +1016,12 @@ def llmops_term_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
     )
     pr = pagerank_weighted(sym, src="u", dst="v", weight="w", iters=2)
-    wr = W.orderBy(F.desc("pr"), "vertex")
+    # TakeOrdered top-20, then rank the 20 survivors (window input <= 20 rows).
+    top = pr.orderBy(F.desc("pr"), "vertex").limit(20)
+    # Constant partition key: the single partition is deliberate (<=20 rows).
+    wr = W.partitionBy(F.lit(0)).orderBy(F.desc("pr"), "vertex")
     return (
-        pr.withColumn("rank", F.row_number().over(wr))
-        .filter(F.col("rank") <= 20)
+        top.withColumn("rank", F.row_number().over(wr))
         .select(
             F.col("vertex").alias("term"),
             F.round("pr", 6).alias("pagerank"),
@@ -1071,7 +1079,7 @@ def join_orders_within_week(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'accepted_values(o_orderstatus)',
            CAST(sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P')
-                           OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                    THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders
     UNION ALL
     SELECT 'range(o_totalprice)',

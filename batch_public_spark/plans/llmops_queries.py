@@ -145,13 +145,19 @@ def llmops_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         CAST(b.embedding AS DOUBLE[])), 6) AS sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.8
+                                       CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
     """,
 )
 def llmops_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs (exact, bounded corpus). The at-scale
-    variant prunes through hyperplane-LSH buckets first."""
-    return embedding_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.8)
+    variant prunes through hyperplane-LSH buckets first.
+
+    The query passes threshold=0.4 (not the operator's 0.8 production
+    default) because the synthetic sf0.01 fixture tops out at sim 0.51 —
+    at 0.8 both engines return the empty set and the hash-match would
+    verify nothing about the cosine/GEMM path. 0.4 yields 59 pairs at
+    sf0.01, a real fixture for the blocked-GEMM kernel."""
+    return embedding_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 # ---------------------------------------------------------------------------

@@ -26,7 +26,20 @@ import math
 import os
 import shutil
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _content_checksum(df: DataFrame) -> tuple[int, object]:
+    """(row count, order-independent content checksum) in one pass.
+
+    xxhash64 over the full row struct, summed as decimal(38,0) so the
+    aggregate can neither overflow (ANSI) nor depend on row order."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(F.struct(*df.columns)).cast("decimal(38,0)")).alias("chk"),
+    ).collect()[0]
+    return row["n"], row["chk"]
 
 
 def _data_files(path: str) -> list[str]:
@@ -54,7 +67,20 @@ def compact_parquet(
     Returns a summary dict: files/bytes before and after, rows verified.
     ``allow_split=True`` also repartitions (shuffle) when files are
     OVERSIZED; default only merges small files (shuffle-free coalesce).
+
+    The path must be on a LOCAL/POSIX filesystem: the swap relies on
+    atomic same-device ``os.rename``, which object stores (s3://, gs://)
+    do not provide — there, use the table format's OPTIMIZE instead. The
+    previous layout is kept as an underscore-hidden ``.compact_old``
+    sibling until the NEXT successful compaction, so one manual rollback
+    step is always available.
     """
+    if "://" in path and not path.startswith("file://"):
+        raise ValueError(
+            f"compact_parquet requires a local filesystem path, got {path!r}; "
+            "object-store tables should use the table format's OPTIMIZE"
+        )
+    path = path.removeprefix("file://")
     base = path.rstrip("/")
     # Leading '_' so Spark/Hadoop directory listings and partition
     # discovery over the PARENT skip the work dirs (the same convention
@@ -85,7 +111,7 @@ def compact_parquet(
         }
 
     df = spark.read.parquet(path)
-    n_rows = df.count()
+    n_rows, checksum = _content_checksum(df)
     current_parts = df.rdd.getNumPartitions()
     if n_out < current_parts:
         out_df = df.coalesce(n_out)
@@ -98,21 +124,27 @@ def compact_parquet(
         shutil.rmtree(tmp)
     out_df.write.parquet(tmp)
 
-    # verify BEFORE swapping — a bad rewrite must never replace good data
-    n_check = spark.read.parquet(tmp).count()
-    if n_check != n_rows:
+    # verify BEFORE swapping — a bad rewrite must never replace good data.
+    # Row count AND order-independent content checksum: a rewrite that
+    # drops one row and duplicates another would pass a count-only check.
+    n_check, chk_check = _content_checksum(spark.read.parquet(tmp))
+    if n_check != n_rows or chk_check != checksum:
         shutil.rmtree(tmp)
-        raise RuntimeError(f"compaction row mismatch: {n_rows} -> {n_check}; aborted")
+        raise RuntimeError(
+            f"compaction verify mismatch: rows {n_rows} -> {n_check}, "
+            f"checksum {checksum} -> {chk_check}; aborted"
+        )
 
     # Swap via two renames. A concurrent reader of THIS exact path can hit
     # a brief not-exists window between them (parent-directory readers are
     # unaffected — the work dirs are underscore-hidden); a crash in the
     # window is healed by the restore-from-old step above on the next run.
+    # The old layout is deliberately KEPT after the swap — it is this
+    # run's rollback copy, reclaimed by the next successful compaction.
     if os.path.exists(old):
         shutil.rmtree(old)
     os.rename(path, old)
     os.rename(tmp, path)
-    shutil.rmtree(old)
 
     return {
         "files_before": before_files,

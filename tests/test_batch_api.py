@@ -102,6 +102,42 @@ class TestMockLifecycle:
         final = wait_for_completion(client, prov["batch_id"], sleep=lambda _s: None)
         assert final["status"] == "failed" and final["output_file_id"] is None
 
+    def test_durable_resume_replays_creating_clients_states(self, tmp_path):
+        """A batch's lifecycle is pinned at creation and persisted: a later
+        process resuming with a SHORTER states sequence must replay the
+        original sequence, not IndexError or teleport (advice r3)."""
+        sd = str(tmp_path / "state")
+        long_states = ("validating", "in_progress", "in_progress", "finalizing", "completed")
+        client = MockBatchClient(states=long_states, state_dir=sd)
+        [prov] = submit_jsonl_dir(client, _write_request_file(tmp_path))
+        assert client.retrieve(prov["batch_id"])["status"] == "in_progress"
+
+        resumed = MockBatchClient(states=("validating", "completed"), state_dir=sd)
+        seen = [resumed.retrieve(prov["batch_id"])["status"] for _ in range(4)]
+        assert seen == ["in_progress", "finalizing", "completed", "completed"]
+
+    def test_durable_resume_clamps_legacy_batches_without_states(self, tmp_path):
+        """Batches persisted before the per-batch pin (no 'states' key)
+        fall back to the resuming client's states, step-clamped so a
+        shorter sequence can never IndexError."""
+        import json as _json
+        import os as _os
+
+        sd = str(tmp_path / "state")
+        client = MockBatchClient(state_dir=sd)
+        [prov] = submit_jsonl_dir(client, _write_request_file(tmp_path))
+        client.retrieve(prov["batch_id"])  # step -> 1
+        meta = _os.path.join(sd, "batches.json")
+        batches = _json.load(open(meta))
+        for b in batches.values():
+            b.pop("states", None)
+            b["step"] = 3  # beyond a 2-state sequence
+        _json.dump(batches, open(meta, "w"))
+
+        resumed = MockBatchClient(states=("validating", "completed"), state_dir=sd)
+        snap = resumed.retrieve(prov["batch_id"])
+        assert snap["status"] == "completed" and snap["output_file_id"]
+
     def test_download_results_writes_bytes(self, tmp_path):
         client = MockBatchClient()
         [prov] = submit_jsonl_dir(client, _write_request_file(tmp_path))

@@ -264,6 +264,40 @@ def test_compact_parquet_skips_when_already_compact(spark, tmp_path):
     assert spark.read.parquet(p).count() == 100
 
 
+def test_compact_parquet_keeps_rollback_until_next_run(spark, tmp_path):
+    """After a successful swap the previous layout survives as the
+    underscore-hidden .compact_old sibling (this run's rollback copy);
+    the NEXT successful compaction reclaims it (advice r3)."""
+    import os
+
+    from batch_public_spark.sources.maintenance import compact_parquet
+
+    p = str(tmp_path / "roll")
+    spark.range(3000).toDF("n").repartition(20).write.parquet(p)
+    compact_parquet(spark, p, target_mb=128)
+    old = str(tmp_path / "_roll.compact_old")
+    assert os.path.isdir(old), "rollback copy must survive the swap"
+    assert len([f for f in os.listdir(old) if f.endswith(".parquet")]) >= 20
+
+    # next run over a re-fragmented dir replaces the rollback copy
+    spark.range(3000).toDF("n").repartition(20).write.mode("overwrite").parquet(p)
+    compact_parquet(spark, p, target_mb=128)
+    assert os.path.isdir(old)
+    assert len([f for f in os.listdir(old) if f.endswith(".parquet")]) >= 20
+    assert spark.read.parquet(p).count() == 3000
+
+
+def test_compact_parquet_rejects_object_store_paths(spark):
+    """os.rename swaps are not atomic (or possible) on object stores —
+    the utility must refuse rather than half-swap (advice r3)."""
+    import pytest
+
+    from batch_public_spark.sources.maintenance import compact_parquet
+
+    with pytest.raises(ValueError, match="local filesystem"):
+        compact_parquet(spark, "s3://bucket/table", target_mb=128)
+
+
 def test_compact_parquet_work_dirs_hidden_from_parent_reads(spark, tmp_path):
     """The swap work dirs are underscore-prefixed siblings so a reader of
     the PARENT directory never double-counts mid-compaction names."""

@@ -45,11 +45,31 @@ def test_all_rule_kinds_count_planted_violations(spark):
     got = {r.rule: r.n_violations for r in out.collect()}
     assert got == {
         "not_null(status)": 1,
-        "accepted_values(status)": 2,  # None + 'Z'
+        "accepted_values(status)": 1,  # 'Z' (dbt default: NULL passes)
         "range(price)": 1,
-        "matches(email)": 2,  # 'bad-email' + None
+        "matches(email)": 1,  # 'bad-email' (NULL passes)
         "unique(id)": 1,  # one extra row beyond the first id=3
         "references(cust)": 1,  # cust=99 orphan
+    }
+
+
+def test_nulls_violate_opt_in_counts_nulls(spark):
+    """nulls_violate=True counts NULL as a violation per rule (the pre-r4
+    behavior, now opt-in)."""
+    df = _fixture(spark)
+    out = validate(
+        df,
+        [
+            accepted_values("status", ("F", "O"), nulls_violate=True),
+            matches("email", r"^[a-z]+@[a-z]+\.[a-z]+$", nulls_violate=True),
+            in_range("price", min_value=0.0, nulls_violate=True),
+        ],
+    )
+    got = {r.rule: r.n_violations for r in out.collect()}
+    assert got == {
+        "accepted_values(status)": 2,  # None + 'Z'
+        "matches(email)": 2,  # 'bad-email' + None
+        "range(price)": 1,  # -5.0 (no NULL prices planted)
     }
 
 
