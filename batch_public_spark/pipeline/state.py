@@ -10,8 +10,11 @@ through a distributed write would add latency and give nothing.
 
 At cluster scale the upgrade path is a Delta/Iceberg ledger table with
 ``MERGE INTO`` (ACID upsert ≈ the reference's update-or-insert fallback at
-main.py:350-362) — gated behind an import-try since the local image carries
-no Delta jars.
+main.py:350-362): :class:`DeltaJobLedger` below, gated behind an import-try
+since the local image carries no Delta jars. Its ledger semantics are
+contract-identical to :class:`JobLedger` and unit-tested through a
+dict-backed storage shim; the Delta backend itself only composes the
+CREATE/MERGE statements and runs where delta-spark is installed.
 
 Commit-order semantics (SURVEY §4): the reference persists the watermark
 *before* submitting (at-most-once; duplicates impossible, loss possible,
@@ -112,3 +115,147 @@ class JobLedger:
         """Batches lacking a final_status (reference pending = no
         ``final_status`` key, main.py:462-470)."""
         return {k: v for k, v in _read_json(self.path).items() if "final_status" not in v}
+
+
+# ---------------------------------------------------------------------------
+# Delta-table ledger (the SURVEY §1 batch_status.json → Delta mapping)
+# ---------------------------------------------------------------------------
+
+
+def delta_available() -> bool:
+    """True when delta-spark is importable (it is not in this sandbox)."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class MemoryLedgerBackend:
+    """Dict-backed stand-in with MERGE-INTO upsert semantics, used by the
+    contract tests (and usable as a scratch ledger). Mirrors exactly what
+    the Delta MERGE does: full-row UPDATE on key match, INSERT otherwise."""
+
+    def __init__(self):
+        self.rows: dict[str, tuple[str, Optional[str], str]] = {}
+
+    def upsert(self, batch_id: str, created_utc: str, final_status: Optional[str], payload: str) -> None:
+        self.rows[batch_id] = (created_utc, final_status, payload)
+
+    def lookup(self, batch_id: str) -> Optional[str]:
+        row = self.rows.get(batch_id)
+        return row[2] if row else None
+
+    def scan(self, *, pending_only: bool = False):
+        for bid, (_c, final_status, payload) in self.rows.items():
+            if pending_only and final_status is not None:
+                continue
+            yield bid, payload
+
+
+class DeltaLedgerBackend:
+    """Delta storage primitive: one ACID ``MERGE INTO`` per upsert, point
+    lookup / pending scan with ``final_status`` as a pushdown-able column.
+
+    Concurrent drivers sharing one ledger are serialized by Delta's
+    optimistic concurrency control — the exact failure mode the JSON-file
+    ledger cannot handle (two ``os.replace`` writers lose one update).
+    """
+
+    SCHEMA = "batch_id STRING, created_utc STRING, final_status STRING, payload STRING"
+
+    def __init__(self, spark, path: str):
+        if not delta_available():
+            raise ImportError(
+                "DeltaJobLedger requires the delta-spark package and Delta "
+                "jars on the Spark classpath; use JobLedger (JSON file) here"
+            )
+        self._spark = spark
+        self._path = path
+        spark.sql(self.create_sql(path))
+
+    @staticmethod
+    def create_sql(path: str) -> str:
+        return (
+            f"CREATE TABLE IF NOT EXISTS delta.`{path}` "
+            f"({DeltaLedgerBackend.SCHEMA}) USING DELTA"
+        )
+
+    @staticmethod
+    def merge_sql(path: str) -> str:
+        return f"""
+            MERGE INTO delta.`{path}` AS t
+            USING _ledger_upsert_src AS s
+            ON t.batch_id = s.batch_id
+            WHEN MATCHED THEN UPDATE SET
+                t.created_utc = s.created_utc,
+                t.final_status = s.final_status,
+                t.payload = s.payload
+            WHEN NOT MATCHED THEN INSERT *
+        """
+
+    def upsert(self, batch_id: str, created_utc: str, final_status: Optional[str], payload: str) -> None:
+        src = self._spark.createDataFrame(
+            [(batch_id, created_utc, final_status, payload)],
+            self.SCHEMA,
+        )
+        src.createOrReplaceTempView("_ledger_upsert_src")
+        self._spark.sql(self.merge_sql(self._path))
+
+    def lookup(self, batch_id: str) -> Optional[str]:
+        rows = (
+            self._spark.read.format("delta")
+            .load(self._path)
+            .where(f"batch_id = '{batch_id}'")
+            .select("payload")
+            .collect()
+        )
+        return rows[0][0] if rows else None
+
+    def scan(self, *, pending_only: bool = False):
+        df = self._spark.read.format("delta").load(self._path)
+        if pending_only:
+            df = df.where("final_status IS NULL")
+        for row in df.select("batch_id", "payload").collect():
+            yield row[0], row[1]
+
+
+class DeltaJobLedger:
+    """:class:`JobLedger` contract on an ACID table backend.
+
+    ``record``/``get``/``all``/``pending`` behave identically to the JSON
+    ledger (field-merge on repeat record, ``created_utc`` defaulted once,
+    pending = no ``final_status``); only the storage primitive differs.
+    Default backend is :class:`DeltaLedgerBackend` (requires delta-spark);
+    tests inject :class:`MemoryLedgerBackend` to verify the contract in
+    environments without Delta jars.
+    """
+
+    TERMINAL = JobLedger.TERMINAL
+
+    def __init__(self, spark=None, path: Optional[str] = None, *, backend=None):
+        self._backend = backend if backend is not None else DeltaLedgerBackend(spark, path)
+
+    def record(self, batch_id: str, **fields: Any) -> dict:
+        payload = self._backend.lookup(batch_id)
+        entry: dict = json.loads(payload) if payload else {}
+        entry.update(fields)
+        entry.setdefault("created_utc", time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
+        self._backend.upsert(
+            batch_id,
+            entry["created_utc"],
+            entry.get("final_status"),
+            json.dumps(entry, sort_keys=True),
+        )
+        return entry
+
+    def get(self, batch_id: str) -> Optional[dict]:
+        payload = self._backend.lookup(batch_id)
+        return json.loads(payload) if payload else None
+
+    def all(self) -> dict[str, dict]:
+        return {bid: json.loads(p) for bid, p in self._backend.scan()}
+
+    def pending(self) -> dict[str, dict]:
+        return {bid: json.loads(p) for bid, p in self._backend.scan(pending_only=True)}

