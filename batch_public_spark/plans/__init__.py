@@ -40,6 +40,10 @@ _PRIORITY = [
     "llmops_bpe_first_merges",  # global-rank window -> TakeOrdered top-k
     "llmops_multimodal_frames",  # sample_frames vectorized (hash must not move)
     # --- new this round (no prior record) — keep inside the 50-window ---
+    "agg_approx_distinct_accuracy",
+    "llmops_groupwise_zscore",
+    "source_csv_roundtrip",
+    "llmops_bloom_incremental_roundtrip",
 ]
 
 

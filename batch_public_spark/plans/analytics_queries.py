@@ -1131,3 +1131,172 @@ def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         unique=["o_orderkey"],
         references=[("o_custkey", c, "c_custkey")],
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: sketch accuracy, grouped-map applyInPandas, CSV source
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "agg_approx_distinct_accuracy",
+    oracle="""
+    WITH b AS (
+      SELECT round(quantile_cont(o_totalprice, 0.25), 6) AS b1,
+             round(quantile_cont(o_totalprice, 0.50), 6) AS b2,
+             round(quantile_cont(o_totalprice, 0.75), 6) AS b3
+      FROM orders),
+    bucketed AS (
+      SELECT CASE WHEN o_totalprice <= b1 THEN 'q1'
+                  WHEN o_totalprice <= b2 THEN 'q2'
+                  WHEN o_totalprice <= b3 THEN 'q3'
+                  ELSE 'q4' END AS bucket,
+             o_custkey
+      FROM orders CROSS JOIN b)
+    SELECT bucket,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custkeys,
+           TRUE AS within_5pct
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def agg_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ accuracy gate, percentile-bucketed: orders fall into
+    price quartiles (exact interpolated quantile boundaries — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` agree bit-for-bit on
+    doubles), and per bucket the sketch estimate (rsd=0.02) must land
+    within 5% of the exact distinct-customer count. The oracle pins the
+    exact counts AND the within-tolerance verdict, so a sketch regression
+    hash-fails rather than drifting silently.
+
+    Scale shape: the sketch is the 100 TB path (fixed ~KB state per
+    bucket, map-side mergeable, no distinct shuffle of the key set); the
+    exact count here exists to certify it. Quartile boundaries are one
+    tiny agg broadcast onto the scan."""
+    o = t(spark, sf_dir, "orders")
+    b = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("b1"),
+        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("b2"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("b3"),
+    )
+    bucketed = o.crossJoin(F.broadcast(b)).select(
+        F.when(F.col("o_totalprice") <= F.col("b1"), "q1")
+        .when(F.col("o_totalprice") <= F.col("b2"), "q2")
+        .when(F.col("o_totalprice") <= F.col("b3"), "q3")
+        .otherwise("q4")
+        .alias("bucket"),
+        "o_custkey",
+    )
+    exact = F.countDistinct("o_custkey")
+    approx = F.approx_count_distinct("o_custkey", 0.02)
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_orders"),
+        exact.alias("exact_custkeys"),
+        ((F.abs(approx - exact) / exact) <= F.lit(0.05)).alias("within_5pct"),
+    )
+
+
+@query(
+    "llmops_groupwise_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             count(*) AS n,
+             sum(n_chars) AS s1,
+             sum(n_chars * n_chars) AS s2
+      FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source,
+           CASE WHEN s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n) <= 0 THEN 0.0
+                ELSE round((d.n_chars - s.s1 / s.n)
+                           / sqrt(s.s2 / s.n - (s.s1 / s.n) * (s.s1 / s.n)), 6)
+           END AS z
+    FROM documents d JOIN s USING (source)
+    """,
+)
+def llmops_groupwise_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas``: per-source z-score of document
+    length — the registered-query face of the grouped-map Pandas path
+    (previously exercised only inside operators.semantic). Each group
+    arrives as one Arrow-backed pandas frame; the kernel derives mean and
+    population variance from EXACT integer sums (s1, s2) so the float
+    pipeline (s1/n, s2/n - mu*mu, IEEE sqrt/divide) is bit-identical to
+    the oracle's; rounding happens JVM-side after the UDF (pandas round is
+    half-even, Spark/DuckDB round is half-up).
+
+    Scale shape: one shuffle on the group key; group state is O(1) beyond
+    the rows themselves. Skewed sources are the caveat at 100 TB — a
+    single giant group lands on one worker, so the production variant
+    computes (n, s1, s2) via plain aggregation + broadcast join (the
+    oracle's own plan) and keeps applyInPandas for kernels that genuinely
+    need the whole group in memory."""
+    import math
+
+    import pandas as pd  # noqa: F401 (worker-side)
+
+    def zscore(pdf):
+        import numpy as np
+        import pandas as pd
+
+        x = pdf["n_chars"].to_numpy(dtype="int64")
+        n = len(x)
+        s1 = int(x.sum())
+        s2 = int((x * x).sum())
+        mu = s1 / n
+        var = s2 / n - mu * mu
+        if var <= 0:
+            z = np.zeros(n, dtype="float64")
+        else:
+            z = (x - mu) / math.sqrt(var)
+        return pd.DataFrame({"doc_id": pdf["doc_id"], "source": pdf["source"], "z": z})
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    out = d.groupBy("source").applyInPandas(zscore, "doc_id long, source string, z double")
+    return out.select("doc_id", "source", F.round("z", 6).alias("z"))
+
+
+@query(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,4))), 2) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink → CSV source round-trip: write orders out as
+    schema-explicit CSV, read it back, aggregate — proving the text
+    interchange path preserves keys, decimals, and grouping semantics
+    (the oracle aggregates the ORIGINAL parquet, so any CSV encode/decode
+    drift hash-fails).
+
+    Scale notes built in: the read declares an explicit schema — never
+    ``inferSchema``, which costs a full extra pass over 100 TB; prices
+    travel as decimal strings (no float round-trip); the write is
+    per-partition parallel and the directory reads back with the same
+    parallelism. CSV remains the slowest lake format (no pushdown, no
+    column pruning, full-row parse) — this query is the migration/export
+    path, not the storage recommendation."""
+    import os
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bps_csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(15,4)").alias("o_totalprice"),
+    )
+    o.write.mode("overwrite").option("header", True).csv(out_dir)
+    back = (
+        spark.read.option("header", True)
+        .schema("o_orderkey long, o_orderstatus string, o_totalprice decimal(15,4)")
+        .csv(out_dir)
+    )
+    return back.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).cast("double").alias("sum_price"),
+    )

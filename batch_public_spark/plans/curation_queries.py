@@ -441,3 +441,99 @@ def llmops_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_count(F.col("synth")).alias("n_pii"),
         F.md5(redact_pii(F.col("synth"))).alias("redacted_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4: bloom STATE carried across successive ingests (daily cadence)
+# ---------------------------------------------------------------------------
+
+_POS3 = "[{}, {}, {}]".format(
+    _bloom_pos("ch", 0), _bloom_pos("ch", 1), _bloom_pos("ch", 2)
+)
+
+
+def _pos_bitmap(pos_df: DataFrame) -> DataFrame:
+    """Position set → one-row 4096-bit bitmap (array of 64 longs)."""
+    return (
+        pos_df.select(F.explode("pos").alias("p"))
+        .agg(F.collect_set("p").alias("hp"))
+        .select(
+            F.expr(
+                "transform(sequence(0, 63), w -> "
+                "aggregate(filter(hp, p -> p div 64 = w), 0L, "
+                "(acc, p) -> acc | shiftleft(1L, cast(p % 64 as int))))"
+            ).alias("bits")
+        )
+    )
+
+
+_PROBE = (
+    "forall(pos, p -> (element_at(bits, cast(p div 64 as int) + 1) "
+    "& shiftleft(1L, cast(p % 64 as int))) != 0)"
+)
+
+
+@query(
+    "llmops_bloom_incremental_roundtrip",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, md5({_NORM}) AS ch FROM documents),
+    d0 AS (SELECT * FROM d WHERE doc_id % 10 < 6),
+    d1 AS (SELECT * FROM d WHERE doc_id % 10 IN (6, 7)),
+    d2 AS (SELECT * FROM d WHERE doc_id % 10 >= 8),
+    p0 AS (SELECT DISTINCT unnest({_POS3}) AS p FROM d0),
+    p1 AS (SELECT doc_id, unnest({_POS3}) AS p FROM d1),
+    f1 AS (SELECT p1.doc_id,
+                  MIN(CASE WHEN p0.p IS NULL THEN 0 ELSE 1 END) = 1 AS probably_seen
+           FROM p1 LEFT JOIN p0 USING (p) GROUP BY p1.doc_id),
+    s1 AS (SELECT d1.doc_id, d1.ch FROM d1 JOIN f1 USING (doc_id)
+           WHERE NOT f1.probably_seen),
+    p01 AS (SELECT p FROM p0 UNION SELECT unnest({_POS3}) AS p FROM s1),
+    p2 AS (SELECT doc_id, unnest({_POS3}) AS p FROM d2),
+    f2 AS (SELECT p2.doc_id,
+                  MIN(CASE WHEN q.p IS NULL THEN 0 ELSE 1 END) = 1 AS probably_seen
+           FROM p2 LEFT JOIN p01 q USING (p) GROUP BY p2.doc_id)
+    SELECT doc_id, CAST(1 AS BIGINT) AS ingest_day, probably_seen FROM f1
+    UNION ALL
+    SELECT doc_id, CAST(2 AS BIGINT) AS ingest_day, probably_seen FROM f2
+    """,
+)
+def llmops_bloom_incremental_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ledger state carried across TWO simulated daily ingests — the
+    100 TB incremental-corpus story end to end. Day 0 is history; day 1
+    probes the history bloom and its survivors are merged INTO the bloom;
+    day 2 probes the UPDATED bloom. Output is every probed doc's
+    (ingest_day, probably_seen) decision, fully oracle-replicated (the
+    bloom is md5-position arithmetic both engines compute identically).
+
+    Scale shape: the carried state is the one-row 64×long bitmap — at
+    production sizing (billions of keys → GB of bits, still one row of
+    longs) it persists to the lake between runs and BROADCASTS onto each
+    day's scan; merging a day's survivors is a bitwise OR of bitmap rows,
+    never a rescan of history. Each ingest shuffles nothing: probe is
+    three bit tests per row against the broadcast state. (Here the merge
+    unions position sets before re-packing — same associative OR.)"""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(normalized_text(F.col("text"))).alias("ch")
+    )
+    d = d.withColumn("pos", F.array(*[F.expr(_bloom_pos("ch", k)) for k in range(_BLOOM_K)]))
+    day0 = d.filter(F.col("doc_id") % 10 < 6)
+    day1 = d.filter((F.col("doc_id") % 10).isin(6, 7))
+    day2 = d.filter(F.col("doc_id") % 10 >= 8)
+
+    probed1 = (
+        day1.crossJoin(F.broadcast(_pos_bitmap(day0)))
+        .withColumn("probably_seen", F.expr(_PROBE))
+        .select("doc_id", "pos", "probably_seen")
+    )
+    survivors1 = probed1.filter(~F.col("probably_seen")).select("pos")
+    state1 = _pos_bitmap(day0.select("pos").unionByName(survivors1))
+    probed2 = (
+        day2.crossJoin(F.broadcast(state1))
+        .withColumn("probably_seen", F.expr(_PROBE))
+        .select("doc_id", "probably_seen")
+    )
+    return probed1.select(
+        "doc_id", F.lit(1).cast("bigint").alias("ingest_day"), "probably_seen"
+    ).unionByName(
+        probed2.select("doc_id", F.lit(2).cast("bigint").alias("ingest_day"), "probably_seen")
+    )
