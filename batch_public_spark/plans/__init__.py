@@ -44,6 +44,9 @@ _PRIORITY = [
     "llmops_groupwise_zscore",
     "source_csv_roundtrip",
     "llmops_bloom_incremental_roundtrip",
+    "stream_stream_join",
+    "source_orc_roundtrip",
+    "agg_approx_percentile_accuracy",
 ]
 
 

@@ -1300,3 +1300,75 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.round(F.sum("o_totalprice"), 2).cast("double").alias("sum_price"),
     )
+
+
+@query(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(15,4))), 2) AS DOUBLE) AS sum_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → ORC source round-trip (the second columnar lake format
+    Spark ships natively): write orders as ORC, read back
+    self-described, aggregate — oracle'd against the ORIGINAL parquet, so
+    type fidelity across the format boundary is what's being hashed.
+
+    ORC at scale behaves like parquet (columnar, predicate pushdown,
+    column pruning, splittable stripes); this query certifies the format
+    path so a lake migrating between the two keeps bit-identical
+    aggregates. Decimals travel as real DECIMAL(15,4) — no float
+    round-trip."""
+    import os
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bps_orc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(15,4)").alias("o_totalprice"),
+    )
+    o.write.mode("overwrite").orc(out_dir)
+    back = spark.read.orc(out_dir)
+    return back.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).cast("double").alias("sum_price"),
+    )
+
+
+@query(
+    "agg_approx_percentile_accuracy",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS exact_median,
+           TRUE AS within_1pct
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile accuracy gate, the quantile-sketch companion to
+    agg_approx_distinct_accuracy: per priority class, the KLL-style
+    sketch median (accuracy=10000) must land within 1% of the exact
+    interpolated median. The oracle pins the exact medians and the
+    tolerance verdict.
+
+    Scale shape: exact percentiles need the full sorted key set per
+    group (memory-unbounded at 100 TB); the sketch is fixed-size,
+    map-side mergeable state — the only viable plan at scale, certified
+    here against the exact answer while the data still fits."""
+    o = t(spark, sf_dir, "orders")
+    exact = F.expr("percentile(o_totalprice, 0.5)")
+    approx = F.expr("approx_percentile(o_totalprice, 0.5, 10000)")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n"),
+        F.round(exact, 6).alias("exact_median"),
+        ((F.abs(approx - exact) / exact) <= F.lit(0.01)).alias("within_1pct"),
+    )

@@ -151,3 +151,33 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
     )
     return run_available_now(agg, output_mode="complete")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join (click → view within 1 h per user), both
+    sides watermarked, executed as a real stream. The interval condition
+    bounds the join state (a buffered click is dropped once the view-side
+    watermark passes click.ts + 1 h); inner joins emit pairs in append
+    mode with no held-back tail on a finite stream. The oracle is the
+    identical batch interval join."""
+    from batch_public_spark.streaming import interval_join_pairs
+
+    s = interval_join_pairs(
+        read_events_stream(spark, sf_dir),
+        read_events_stream(spark, sf_dir),
+        left_type="click",
+        right_type="view",
+        within="1 hour",
+        watermark="1 day",
+    )
+    return run_available_now(s, output_mode="append")

@@ -1,5 +1,6 @@
 from batch_public_spark.streaming.ops import (
     dedup_within_watermark,
+    interval_join_pairs,
     read_events_stream,
     run_available_now,
     run_foreach_batch,
@@ -12,6 +13,7 @@ from batch_public_spark.streaming.ops import (
 
 __all__ = [
     "dedup_within_watermark",
+    "interval_join_pairs",
     "read_events_stream",
     "run_available_now",
     "run_foreach_batch",

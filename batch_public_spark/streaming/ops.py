@@ -174,6 +174,58 @@ def running_max_per_key(events: DataFrame) -> DataFrame:
     )
 
 
+def interval_join_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_type: str = "click",
+    right_type: str = "view",
+    within: str = "1 hour",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Stream-STREAM inner join: (left_type, right_type) event pairs for
+    the same user with right.ts in [left.ts, left.ts + within].
+
+    Both sides carry watermarks and the join condition carries the time
+    band — that pair is what lets Spark BOUND the join state: a buffered
+    left row is droppable once the right watermark passes left.ts +
+    within, so state is O(events within the band), not O(history). An
+    inner stream-stream join emits pairs in append mode as soon as both
+    sides arrive; there is no held-back tail on a finite stream.
+
+    At 100 TB the state bound is the whole story — without the interval
+    condition Spark must buffer both streams forever (it rejects the
+    plan for append mode without a watermark+range)."""
+    lt = (
+        left.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("event_id").alias("left_id"),
+            F.col("user_id").alias("left_user"),
+            F.col("ts").alias("left_ts"),
+        )
+        .withWatermark("left_ts", watermark)
+    )
+    rt = (
+        right.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("event_id").alias("right_id"),
+            F.col("user_id").alias("right_user"),
+            F.col("ts").alias("right_ts"),
+        )
+        .withWatermark("right_ts", watermark)
+    )
+    return lt.join(
+        rt,
+        (F.col("left_user") == F.col("right_user"))
+        & (F.col("right_ts") >= F.col("left_ts"))
+        & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("left_user").alias("user_id"),
+        F.col("left_id").alias("click_id"),
+        F.col("right_id").alias("view_id"),
+    )
+
+
 def run_incremental(
     stream_df: DataFrame,
     output_dir: str,
