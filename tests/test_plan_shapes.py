@@ -270,3 +270,48 @@ def test_bigram_lm_single_scoring_join(spark):
     p = plan(spark, "llmops_bigram_logprob_score")
     joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", p))
     assert joins == 1, p
+
+
+def test_bm25_probe_broadcasts_and_topk_is_take_ordered(spark):
+    """llmops_bm25_topk: the query-term side and corpus stats broadcast
+    (the postings equi-join is the inverted-index probe, never a shuffle
+    of the query side) and the global top-10 is TakeOrdered."""
+    p = plan(spark, "llmops_bm25_topk")
+    assert "TakeOrderedAndProject" in p
+    assert re.search(r"\(\d+\) BroadcastHashJoin", p), p
+
+
+def test_groupwise_zscore_is_grouped_map_pandas(spark):
+    """llmops_groupwise_zscore: the registered query must actually run the
+    grouped-map Arrow path (FlatMapGroupsInPandas) after one exchange on
+    the group key."""
+    p = plan(spark, "llmops_groupwise_zscore")
+    assert "FlatMapGroupsInPandas" in p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+
+
+def test_bloom_roundtrip_probes_are_broadcast(spark):
+    """llmops_bloom_incremental_roundtrip: both daily probes join the
+    carried bitmap state via broadcast nested-loop (one state row) — the
+    incoming scan itself never shuffles for the probe."""
+    p = plan(spark, "llmops_bloom_incremental_roundtrip")
+    assert len(re.findall(r"BroadcastNestedLoopJoin", p)) >= 2, p
+
+
+def test_approx_distinct_gate_single_pass(spark):
+    """agg_approx_distinct_accuracy: sketch + exact count compute in the
+    same aggregation (no second scan of the bucketed rows), and the
+    quartile-boundary side is a broadcast onto the scan."""
+    p = plan(spark, "agg_approx_distinct_accuracy")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    # orders.parquet is scanned twice total: once for boundaries, once for
+    # bucketed counting — not three times. (Details-section headers count
+    # each physical scan node exactly once.)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 2, p
+
+
+def test_temperature_mix_all_small_sides_broadcast(spark):
+    """llmops_temperature_mix: the per-source count table is tiny; both
+    scalar joins (total, normalizer) must broadcast."""
+    p = plan(spark, "llmops_temperature_mix")
+    assert "SortMergeJoin" not in p, p
