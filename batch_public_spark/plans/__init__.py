@@ -24,6 +24,7 @@ from batch_public_spark.plans import llmops_queries  # noqa: F401
 from batch_public_spark.plans import curation_queries  # noqa: F401
 from batch_public_spark.plans import streaming_queries  # noqa: F401
 from batch_public_spark.plans import analytics_queries  # noqa: F401
+from batch_public_spark.plans import temporal_queries  # noqa: F401
 
 # Names pinned to the front of the registry, in order (see module docstring).
 # Round 4: CORRECTNESS_r01+r02+r03 cover 150/153 registered queries; the 3
@@ -49,6 +50,13 @@ _PRIORITY = [
     "agg_approx_percentile_accuracy",
     "llmops_bm25_topk",
     "llmops_temperature_mix",
+    "events_gapfill_locf",
+    "scd2_event_type_history",
+    "cust_rfm_segments",
+    "dq_orders_mad_outliers",
+    "graph_triangle_count",
+    "llmops_pmi_collocations",
+    "sample_deterministic_per_group",
 ]
 
 

@@ -1501,3 +1501,213 @@ def llmops_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pw") / F.col("zsum") * 100000 / F.col("n"), 6).alias("dup_factor"),
         )
     )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=r"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, lower(tk.tok) AS term
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                              s -> length(s) > 0)) AS tk(tok)
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY count(*) DESC, term) AS r
+        FROM dt GROUP BY term) WHERE r <= 30
+    ), dv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
+    edges AS (
+      SELECT DISTINCT a.term AS u, b.term AS v
+      FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), pv AS (
+      SELECT a AS term FROM tri UNION ALL
+      SELECT b FROM tri UNION ALL
+      SELECT c FROM tri
+    )
+    SELECT term, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM pv GROUP BY term
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counting on the term co-occurrence graph (same
+    top-30-df vocabulary + doc-level edges as llmops_term_pagerank) — the
+    classic clustering-coefficient numerator and the third graph operator
+    alongside connected components and PageRank.
+
+    Spark-first: edges are oriented by the vertex total order (u < v), so
+    each triangle {a,b,c} is enumerated exactly once as the wedge
+    (a,b)+(b,c) closed by (a,c) — two shuffled equi-joins on the edge
+    list, no DISTINCT-after-explosion. At general scale the standard
+    refinement is degree orientation (point each edge at the
+    higher-degree endpoint) so wedge counts are bounded by arboricity;
+    with a bounded vocabulary the term-order orientation is already
+    bounded. Per-vertex counts are one union + hash aggregate."""
+    d = t(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term")
+    ).distinct()
+    vocab = (
+        dt.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(30)
+        .select("term")
+    )
+    dv = dt.join(F.broadcast(vocab), "term").select("doc_id", "term")
+    a, b = dv.alias("a"), dv.alias("b")
+    edges = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
+        .select(F.col("a.term").alias("u"), F.col("b.term").alias("v"))
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.select(F.col("u").alias("u2"), F.col("v").alias("v2")).alias("e2")
+    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("v3")).alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u2"))
+        .join(e3, (F.col("e3.u3") == F.col("e1.u")) & (F.col("e3.v3") == F.col("e2.v2")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v2").alias("c"))
+    )
+    pv = (
+        tri.select(F.col("a").alias("term"))
+        .unionAll(tri.select(F.col("b").alias("term")))
+        .unionAll(tri.select(F.col("c").alias("term")))
+    )
+    return pv.groupBy("term").agg(F.count("*").cast("bigint").alias("n_triangles"))
+
+
+@query(
+    "llmops_pmi_collocations",
+    oracle=r"""
+    WITH tk AS (
+      SELECT list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                        s -> length(s) > 0),
+                            s -> lower(s)) AS toks
+      FROM documents
+    ), uni AS (
+      SELECT w, CAST(count(*) AS DOUBLE) AS c
+      FROM (SELECT unnest(toks) AS w FROM tk) GROUP BY w
+    ), ntok AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+    pr AS (
+      SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c_ab FROM (
+        SELECT unnest(toks[1:length(toks)-1]) AS w1,
+               unnest(toks[2:length(toks)]) AS w2
+        FROM tk WHERE length(toks) >= 2) GROUP BY 1, 2
+    ), npair AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS n FROM pr),
+    scored AS (
+      SELECT w1, w2, CAST(c_ab AS BIGINT) AS n_pair,
+             round(ln(c_ab * ntok.n * ntok.n / (npair.n * a.c * b.c)), 6) AS pmi
+      FROM pr JOIN uni a ON pr.w1 = a.w JOIN uni b ON pr.w2 = b.w
+      CROSS JOIN ntok CROSS JOIN npair
+      WHERE c_ab >= 5
+    )
+    SELECT w1, w2, n_pair, pmi, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM scored)
+    WHERE rank <= 20
+    """,
+)
+def llmops_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining via pointwise mutual information over adjacent
+    token pairs: PMI = ln(P(w1,w2) / (P(w1)P(w2))), support >= 5, top-20
+    — the classic phrase-detection signal (word2vec's phrase pass,
+    n-gram-LM feature selection) a corpus pipeline runs before tokenizer
+    training.
+
+    Spark-first: adjacent pairs come from ``zip_with`` over two array
+    slices INSIDE the row — no posexplode self-join, so the heavy path is
+    explode + two hash aggregations (pair counts, unigram counts). The
+    unigram side joins back on the word key (shuffle join; at 100 TB the
+    unigram table is Zipf-headed, and AQE skew-split handles the hot
+    keys). Scalars (N_tok, N_pair) broadcast; ranking orders by the
+    ROUNDED score with (w1, w2) tie-breaks; top-20 is TakeOrdered."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(F.transform(tokens(F.col("text")), F.lower).alias("toks"))
+    uni = (
+        tk.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("double").alias("c"))
+    )
+    ntok = uni.agg(F.sum("c").alias("n_tok"))
+    pairs = (
+        tk.filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    "         slice(toks, 2, size(toks) - 1),"
+                    "         (x, y) -> struct(x AS w1, y AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+    )
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("double").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    npair = pairs.groupBy().agg(F.count("*").cast("double").alias("n_pair"))
+    ua = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        pc.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(ntok))
+        .crossJoin(F.broadcast(npair))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("bigint").alias("n_pair"),
+            F.round(
+                F.log(
+                    F.col("c_ab") * F.col("n_tok") * F.col("n_tok")
+                    / (F.col("n_pair") * F.col("c_a") * F.col("c_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    top = scored.orderBy(F.desc("pmi"), "w1", "w2").limit(20)
+    # Constant-valued non-foldable partition key (see llmops_bpe_first_merges).
+    w = W.partitionBy(F.col("pmi") * 0).orderBy(F.desc("pmi"), "w1", "w2")
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+
+
+@query(
+    "sample_deterministic_per_group",
+    oracle="""
+    SELECT source, doc_id, CAST(rnk AS BIGINT) AS sample_rank FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(concat('seed42:', CAST(doc_id AS VARCHAR))), doc_id) AS rnk
+      FROM documents) WHERE rnk <= 5
+    """,
+)
+def sample_deterministic_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sampling: take each source's 5 documents
+    that rank lowest under a salted cryptographic hash of the key — a
+    reproducible "random" sample (same seed → same rows, on any engine,
+    any partitioning) without rand(), which is neither cross-engine
+    comparable nor stable under retries/speculative execution.
+
+    Spark-first: one row_number window partitioned by the group key (one
+    shuffle, per-group sort bounded by group size) — never a global sort.
+    At 100 TB with heavy groups, the refinement is a pre-filter on the
+    hash prefix (keep rows whose hash < adaptive threshold ~ k/|group|)
+    before the window, which turns the sort input into ~k rows per group;
+    the window form here is the exact-semantics anchor."""
+    d = t(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("seed42:"), F.col("doc_id").cast("string")))
+    w = W.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5)
+        .select("source", "doc_id", F.col("rnk").cast("bigint").alias("sample_rank"))
+    )

@@ -1,0 +1,297 @@
+"""Round-4 temporal analytics: hypertable-style gapfill + LOCF, SCD
+type-2 history construction, RFM customer segmentation, and robust
+(median/MAD) outlier gating.
+
+These are the time-series / warehouse-maintenance operations a 100 TB
+event lake needs beyond plain windowing: a dense time grid with
+last-observation-carried-forward (the TimescaleDB ``time_bucket_gapfill``
++ ``locf`` shape), slowly-changing-dimension interval tables built from an
+append-only event log, and quartile segmentation. Oracle discipline per
+plans.registry: decimal-exact measures, round-6 ratios, string-formatted
+timestamps, integer-arithmetic ranking wherever a float boundary could
+flip a comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from batch_public_spark.plans.registry import query
+from batch_public_spark.sources.tables import load_table as t
+
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+@query(
+    "events_gapfill_locf",
+    oracle="""
+    WITH hi AS (SELECT date_trunc('hour', max(ts)) AS hi FROM events),
+    lo AS (SELECT event_type, date_trunc('hour', min(ts)) AS lo
+           FROM events GROUP BY 1),
+    grid AS (SELECT event_type,
+                    unnest(generate_series(lo.lo, hi.hi, INTERVAL 1 HOUR)) AS bucket
+             FROM lo CROSS JOIN hi),
+    agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             CAST(count(*) AS BIGINT) AS n,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS av
+      FROM events GROUP BY 1, 2
+    )
+    SELECT g.event_type,
+           strftime(g.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           coalesce(a.n, 0) AS n_events,
+           last_value(a.av IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_locf
+    FROM grid g
+    LEFT JOIN agg a ON a.event_type = g.event_type AND a.bucket = g.bucket
+    """,
+)
+def events_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gapfill with last-observation-carried-forward: a dense
+    hourly grid per event_type over the data's own time range; empty
+    buckets get count 0 and the most recent non-null hourly average
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf`` semantics).
+
+    Spark-first: one hash aggregation per (type, hour); the grid is
+    ``sequence(lo_type, hi, 1 hour)`` exploded from a per-type bounds
+    aggregate (each type's grid starts at its own first observation, so
+    LOCF never sees a null-before-first-value row) — grid size is
+    |types| x |hours|, independent of row count, so at 100 TB the dense
+    side stays small while the event scan does all the heavy lifting in
+    one pass. LOCF is ``last(ignorenulls)`` over a window partitioned by
+    event_type — never a global sort. The hourly average goes through
+    DECIMAL so the value LOCF carries is bit-identical cross-engine."""
+    e = t(spark, sf_dir, "events")
+    agg = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value"),
+            6,
+        ).alias("av"),
+    )
+    # Per-type grid start at the type's first observed hour (so LOCF always
+    # has a prior observation — no NULL-before-first-value rows), global end.
+    hi = e.agg(F.date_trunc("hour", F.max("ts")).alias("hi"))
+    lo = e.groupBy("event_type").agg(F.date_trunc("hour", F.min("ts")).alias("lo"))
+    grid = lo.crossJoin(F.broadcast(hi)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    joined = grid.join(agg, ["event_type", "bucket"], "left")
+    locf = W.partitionBy("event_type").orderBy("bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("av", ignorenulls=True).over(locf).alias("avg_value_locf"),
+    )
+
+
+@query(
+    "scd2_event_type_history",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      FROM events
+    ), runs AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '{_TS_FMT_DUCK}') AS valid_from,
+           strftime(lead(ts) OVER w, '{_TS_FMT_DUCK}') AS valid_to,
+           CAST(row_number() OVER w AS BIGINT) AS version,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval construction from an append-only event log:
+    collapse each user's consecutive same-type runs into validity
+    intervals [valid_from, valid_to) with a version counter and an
+    is_current flag on the open interval — the standard dimension-history
+    build every lakehouse runs nightly.
+
+    Spark-first: lag to detect change points, filter, then lead +
+    row_number over the surviving run-starts — three window functions, ONE
+    shuffle on user_id shared by all of them (same partition key and
+    ordering), no self-join against the "next row". At 100 TB this is the
+    canonical plan: per-user history fits a partition and the filter
+    between the two window stages shrinks data before the second sort."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    runs = e.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNull() | (F.col("prev") != F.col("event_type"))
+    )
+    nxt = F.lead("ts").over(w)
+    return runs.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", _TS_FMT_SPARK).alias("valid_from"),
+        F.date_format(nxt, _TS_FMT_SPARK).alias("valid_to"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "cust_rfm_segments",
+    oracle="""
+    WITH anchor AS (SELECT CAST(max(o_orderdate) AS DATE) AS mx FROM orders),
+    per AS (
+      SELECT o_custkey,
+             CAST(anchor.mx - CAST(max(o_orderdate) AS DATE) AS BIGINT) AS recency_days,
+             CAST(count(*) AS BIGINT) AS freq,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS mon
+      FROM orders CROSS JOIN anchor GROUP BY o_custkey, anchor.mx
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM per),
+    scored AS (
+      SELECT o_custkey, mon,
+             1 + (row_number() OVER (ORDER BY recency_days, o_custkey) - 1) * 4 // n.n AS r,
+             1 + (row_number() OVER (ORDER BY freq DESC, o_custkey) - 1) * 4 // n.n AS f,
+             1 + (row_number() OVER (ORDER BY mon DESC, o_custkey) - 1) * 4 // n.n AS m
+      FROM per CROSS JOIN n
+    )
+    SELECT concat('R', r, 'F', f, 'M', m) AS segment,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(round(sum(mon), 2) AS DOUBLE) AS total_monetary
+    FROM scored GROUP BY 1
+    """,
+)
+def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: quartile-score every customer on Recency (days
+    since last order), Frequency (order count), and Monetary (decimal
+    spend), label segments "R{r}F{f}M{m}", and roll up customer count and
+    total spend per segment.
+
+    Quartiles are assigned by explicit integer arithmetic on row_number —
+    ``1 + (rank-1)*4 div n`` — never by interpolated percentile
+    boundaries, so a customer sitting at a float boundary cannot score
+    differently across engines. The three rank windows run over the
+    PER-CUSTOMER aggregate (|customers| rows, not |orders|); at 100 TB
+    scale the drop-in replacement is approx_percentile thresholds
+    (computed map-side, broadcast, compared per row) — the segment
+    roll-up below is unchanged. Ordering carries o_custkey as a total
+    tie-break so equal metrics rank deterministically."""
+    o = t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("mx"))
+    per = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count("*").alias("freq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("mon"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mx"), F.col("last_order")).cast("bigint").alias("recency_days"),
+            "freq",
+            "mon",
+        )
+    )
+    n = per.agg(F.count("*").alias("n"))
+    # Constant-valued non-foldable partition key (see llmops_bpe_first_merges):
+    # acknowledges the single-partition rank over the bounded per-customer set.
+    def score(order_cols):
+        w = W.partitionBy(F.col("o_custkey") * 0).orderBy(*order_cols)
+        # Integer quartile assignment: 1 + (rank-1)*4 div n. floor() on an
+        # exact small-integer division is engine-identical.
+        return (1 + F.floor((F.row_number().over(w) - 1) * 4 / F.col("n"))).cast("int")
+
+    scored = per.crossJoin(F.broadcast(n)).select(
+        "o_custkey",
+        "mon",
+        score([F.col("recency_days"), F.col("o_custkey")]).alias("r"),
+        score([F.desc("freq"), F.col("o_custkey")]).alias("f"),
+        score([F.desc("mon"), F.col("o_custkey")]).alias("m"),
+    )
+    return scored.groupBy(
+        F.concat(F.lit("R"), "r", F.lit("F"), "f", F.lit("M"), "m").alias("segment")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.round(F.sum("mon"), 2).cast("double").alias("total_monetary"),
+    )
+
+
+@query(
+    "dq_orders_mad_outliers",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             round(CAST(quantile_cont(o_totalprice, 0.5) AS DOUBLE), 6) AS med
+      FROM orders GROUP BY 1
+    ), dev AS (
+      SELECT o.o_orderpriority,
+             round(CAST(quantile_cont(abs(o.o_totalprice - m.med), 0.5) AS DOUBLE), 6) AS mad
+      FROM orders o JOIN med m USING (o_orderpriority) GROUP BY 1
+    )
+    SELECT o.o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN abs(o.o_totalprice - m.med)
+                              > round(3 * 1.4826 * d.mad, 6)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(m.med, 2) AS median_price,
+           round(d.mad, 2) AS mad_price
+    FROM orders o JOIN med m USING (o_orderpriority) JOIN dev d USING (o_orderpriority)
+    GROUP BY o.o_orderpriority, m.med, d.mad
+    """,
+)
+def dq_orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier gate: per order priority, flag orders whose absolute
+    deviation from the group median exceeds 3 x 1.4826 x MAD (the
+    median-absolute-deviation rule — resistant to the very outliers it
+    hunts, unlike z-scores). Complements dq_orders_constraints (rule
+    checks) with a distributional check.
+
+    Spark-first: two grouped exact-percentile aggregations (median, then
+    MAD over re-joined deviations) + one conditional-count pass — three
+    shuffles on the 5-value priority key, with the 5-row median/MAD tables
+    broadcast back. Both median and MAD are ROUNDED to 6 dp before the
+    threshold comparison so a value at an interpolation boundary cannot
+    flip the count across engines. At 100 TB swap percentile for
+    approx_percentile(1e-4 accuracy): the plan shape is unchanged."""
+    o = t(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 6).alias("med")
+    )
+    dev = (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.round(
+                F.percentile(F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)), 6
+            ).alias("mad")
+        )
+    )
+    thresh = F.round(F.lit(3) * F.lit(1.4826) * F.col("mad"), 6)
+    return (
+        o.join(F.broadcast(med), "o_orderpriority")
+        .join(F.broadcast(dev), "o_orderpriority")
+        .groupBy("o_orderpriority", "med", "mad")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(
+                F.when(F.abs(F.col("o_totalprice") - F.col("med")) > thresh, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            "n_outliers",
+            F.round("med", 2).alias("median_price"),
+            F.round("mad", 2).alias("mad_price"),
+        )
+    )

@@ -315,3 +315,46 @@ def test_temperature_mix_all_small_sides_broadcast(spark):
     scalar joins (total, normalizer) must broadcast."""
     p = plan(spark, "llmops_temperature_mix")
     assert "SortMergeJoin" not in p, p
+
+
+def test_gapfill_windows_partition_by_type(spark):
+    """events_gapfill_locf: the LOCF window must partition on event_type
+    (never a global sort) and the grid side must stay tiny — the events
+    scan is the only large operand."""
+    p = plan(spark, "events_gapfill_locf")
+    assert re.search(r"Window.*partition.*event_type|partitionBy.*event_type", p, re.I) or (
+        "Window" in p and "event_type" in p
+    ), p
+
+
+def test_scd2_single_exchange_on_user(spark):
+    """scd2_event_type_history: lag, lead and row_number all share the
+    (user_id; ts, event_id) partitioning+ordering — exactly ONE exchange
+    of the event rows."""
+    p = plan(spark, "scd2_event_type_history")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+
+
+def test_triangle_join_count(spark):
+    """graph_triangle_count: triangle closure is wedge-join + closing
+    edge-join — the plan may not contain a cartesian/nested-loop product
+    of the edge list with itself."""
+    p = plan(spark, "graph_triangle_count")
+    assert "CartesianProduct" not in p, p
+
+
+def test_pmi_pairs_have_no_self_join_before_agg(spark):
+    """llmops_pmi_collocations: adjacent pairs come from in-row zip_with
+    slices (zero joins until the unigram re-join) and the top-20 is
+    TakeOrdered."""
+    p = plan(spark, "llmops_pmi_collocations")
+    assert "TakeOrderedAndProject" in p, p
+    assert "zip_with" in p, p
+
+
+def test_group_sample_partitions_by_source(spark):
+    """sample_deterministic_per_group: the rank window partitions on the
+    group key — a single exchange on source, no global sort."""
+    p = plan(spark, "sample_deterministic_per_group")
+    assert "Sort" in p and "source" in p, p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
