@@ -57,6 +57,8 @@ _PRIORITY = [
     "graph_triangle_count",
     "llmops_pmi_collocations",
     "sample_deterministic_per_group",
+    "source_kvscan_segmented",
+    "source_partitioned_pruning",
 ]
 
 

@@ -1679,6 +1679,115 @@ def llmops_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_kvscan_segmented",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+    FROM events
+    WHERE epoch_us(ts) >= 1704844800000000
+    GROUP BY event_type
+    """,
+)
+def source_kvscan_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source round-trip (sources/kvscan.py): snapshot
+    the events table as JSONL through the source's two-phase-commit
+    writer, read it back as ``format("kvsnapshot")`` with byte-range
+    segmented partitions and the look-back cutoff PUSHED INTO the source
+    (reference dynamo_fetcher.py:282-291 re-expressed: parallel segments
+    instead of a sequential page loop, source-side pushdown instead of the
+    client-side temporal filter), then aggregate — the oracle aggregates
+    the ORIGINAL parquet, so writer encode, segmented read, pushdown
+    semantics, and double/long JSON round-trip fidelity are all hashed.
+
+    Scale shape: the snapshot scan parallelism is |segments| (option), the
+    filter never materializes pre-cutoff rows into Spark, and the
+    aggregate is one map-side-partial shuffle on event_type."""
+    import os
+    import tempfile
+
+    from batch_public_spark.sources.kvscan import register_kv_source
+
+    register_kv_source(spark)
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bps_kvscan_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    e = t(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+    )
+    e.write.format("kvsnapshot").mode("overwrite").option("path", out_dir).save()
+    back = (
+        spark.read.format("kvsnapshot")
+        .option("path", out_dir)
+        .option("segments", 8)
+        .load()
+    )
+    cutoff = 1704844800000000  # 2024-01-10T00:00:00Z — mid-fixture look-back
+    return (
+        back.filter(F.col("ts_us") >= cutoff)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+            F.min("ts_us").cast("bigint").alias("min_ts_us"),
+            F.max("ts_us").cast("bigint").alias("max_ts_us"),
+        )
+    )
+
+
+@query(
+    "source_partitioned_pruning",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    """,
+)
+def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lake layout round-trip: write events partitioned
+    by event_type (`partitionBy` → one directory per value), read the
+    dataset back with a partition-key predicate, aggregate. The oracle
+    aggregates the ORIGINAL parquet, so partition-column recovery from
+    directory names and data fidelity under the layout change are hashed.
+
+    This is THE 100 TB scan pattern: the predicate prunes entire
+    directories at planning time (PartitionFilters in the scan node, see
+    tests/test_plan_shapes.py::test_partitioned_roundtrip_prunes) — a
+    two-of-five-types query reads ~40% of the bytes with zero row-level
+    filtering. Partition keys must be low-cardinality (types, dates,
+    tenants); high-cardinality keys produce the small-file problem that
+    sources.maintenance.compact_parquet exists to fix."""
+    import os
+    import tempfile
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"bps_part_prune_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    e.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
+    back = spark.read.parquet(out_dir).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+        F.count_distinct(F.col("user_id")).cast("bigint").alias("n_users"),
+    )
+
+
+@query(
     "sample_deterministic_per_group",
     oracle="""
     SELECT source, doc_id, CAST(rnk AS BIGINT) AS sample_rank FROM (

@@ -1,0 +1,268 @@
+"""Segmented KV-snapshot data source (Spark 4 Python Data Source API).
+
+The reference's primary source is a paginated key-value table scan
+(reference ``batch/dynamo_fetcher.py:282-291`` — a sequential
+``table.scan`` loop following ``ExclusiveStartKey`` pages). Its
+Spark-native re-expression is a *custom data source* whose scan is
+**parallel by construction**: the snapshot is split into byte-range
+partitions (DynamoDB's own scale story for this is ``Scan`` with
+``Segment``/``TotalSegments`` — one segment per Spark task), and the
+reference's client-side temporal filter (main.py look-back window) becomes
+**filter pushdown** evaluated inside the source instead of a post-scan
+Spark filter.
+
+Registered as ``spark.read.format("kvsnapshot")`` via
+:func:`register_kv_source`. Reads a directory (or single file) of JSONL
+records with a flat scalar schema; supports:
+
+* ``segments`` option — target number of byte-range input partitions
+  (line-aligned splits, Hadoop LineRecordReader semantics: a line belongs
+  to the split containing the byte before its first byte).
+* Filter pushdown for ``=``, ``<``, ``<=``, ``>``, ``>=``, ``IS (NOT)
+  NULL`` on top-level columns — consumed filters are fully evaluated in
+  ``read()`` so Spark can drop them from the plan.
+* ``mode=strict`` (default: malformed JSON raises) or ``mode=permissive``
+  (malformed lines are skipped — the reference tolerates dirty records the
+  same way in its JSONL parse half, batch_parse/parser.py).
+* A task-commit writer: tasks emit temp files, the driver commit renames
+  them into place (and in ``overwrite`` mode retires prior parts) — the
+  standard two-phase sink protocol. Local/POSIX filesystem only, same
+  caveat as sources.maintenance.compact_parquet.
+
+100 TB notes: byte-range splitting is what makes a text snapshot
+scan-parallel without a pre-shuffle; pushdown keeps the look-back filter
+from materializing cold pages into Spark rows. For a *real* remote KV
+store the partition planner would emit one partition per store segment
+instead of byte ranges — ``partitions()`` is the single place that
+changes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, List, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+    WriterCommitMessage,
+)
+from pyspark.sql.types import StructType
+
+DEFAULT_SCHEMA_DDL = "event_id BIGINT, ts_us BIGINT, event_type STRING, value DOUBLE"
+
+
+@dataclass
+class RangePartition(InputPartition):
+    path: str
+    start: int
+    end: int
+
+
+@dataclass
+class KVCommitMessage(WriterCommitMessage):
+    tmp_path: str
+
+
+def _data_files(path: str) -> List[str]:
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith(("_", ".")):
+            continue
+        full = os.path.join(path, name)
+        if os.path.isfile(full):
+            out.append(full)
+    return out
+
+
+def _plan_ranges(files: Sequence[str], segments: int) -> List[RangePartition]:
+    sizes = {f: os.path.getsize(f) for f in files}
+    total = sum(sizes.values())
+    if total == 0:
+        return [RangePartition(f, 0, 0) for f in files[:1]] or []
+    chunk = max(1, -(-total // segments))  # ceil division
+    parts: List[RangePartition] = []
+    for f in files:
+        size = sizes[f]
+        if size == 0:
+            continue
+        start = 0
+        while start < size:
+            parts.append(RangePartition(f, start, min(start + chunk, size)))
+            start += chunk
+    return parts
+
+
+def _read_lines(part: RangePartition) -> Iterator[bytes]:
+    """Line-aligned byte-range read: a line belongs to the partition that
+    contains the byte immediately preceding its first byte (the first line
+    of the file belongs to the partition with start == 0)."""
+    with open(part.path, "rb") as f:
+        if part.start > 0:
+            f.seek(part.start - 1)
+            f.readline()  # remainder of a line owned by the previous range
+        while f.tell() < part.end:
+            line = f.readline()
+            if not line:
+                break
+            yield line
+
+
+_SUPPORTED_FILTERS = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    IsNull,
+    IsNotNull,
+)
+
+
+def _passes(flt: Filter, rec: dict) -> bool:
+    col = flt.attribute[0]
+    v = rec.get(col)
+    if isinstance(flt, IsNull):
+        return v is None
+    if isinstance(flt, IsNotNull):
+        return v is not None
+    if v is None:
+        return False  # comparisons with NULL are never true
+    if isinstance(flt, EqualTo):
+        return v == flt.value
+    if isinstance(flt, GreaterThan):
+        return v > flt.value
+    if isinstance(flt, GreaterThanOrEqual):
+        return v >= flt.value
+    if isinstance(flt, LessThan):
+        return v < flt.value
+    if isinstance(flt, LessThanOrEqual):
+        return v <= flt.value  # pragma: no cover - exhaustive above
+    raise AssertionError(f"unsupported filter leaked through pushFilters: {flt}")
+
+
+class KVSnapshotReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kvsnapshot requires option 'path'")
+        self.segments = int(options.get("segments", 8))
+        if self.segments < 1:
+            raise ValueError("segments must be >= 1")
+        self.permissive = options.get("mode", "strict").lower() == "permissive"
+        self.fields = [f.name for f in schema.fields]
+        self.pushed: List[Filter] = []
+
+    def pushFilters(self, filters: List[Filter]):  # noqa: N802 (API name)
+        for flt in filters:
+            if isinstance(flt, _SUPPORTED_FILTERS) and len(flt.attribute) == 1:
+                self.pushed.append(flt)  # fully evaluated in read()
+            else:
+                yield flt  # Spark keeps evaluating it post-scan
+
+    def partitions(self) -> Sequence[InputPartition]:
+        parts = _plan_ranges(_data_files(self.path), self.segments)
+        # Always at least one (possibly empty) partition so empty snapshots
+        # still produce an empty DataFrame instead of a planning error.
+        return parts or [RangePartition(path="", start=0, end=0)]
+
+    def read(self, partition: RangePartition) -> Iterator[tuple]:
+        if not partition.path:
+            return
+        for raw in _read_lines(partition):
+            raw = raw.strip()
+            if not raw:
+                continue
+            try:
+                rec = json.loads(raw)
+                if not isinstance(rec, dict):
+                    raise ValueError("record is not a JSON object")
+            except ValueError:
+                if self.permissive:
+                    continue
+                raise
+            if all(_passes(flt, rec) for flt in self.pushed):
+                yield tuple(rec.get(name) for name in self.fields)
+
+
+class KVSnapshotWriter(DataSourceWriter):
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kvsnapshot requires option 'path'")
+        self.fields = [f.name for f in schema.fields]
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> KVCommitMessage:
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                rec = {name: row[i] for i, name in enumerate(self.fields)}
+                f.write(json.dumps(rec, ensure_ascii=False))
+                f.write("\n")
+                n += 1
+        return KVCommitMessage(tmp_path=tmp)
+
+    def commit(self, messages) -> None:
+        # Two-phase commit: all tasks succeeded; retire old parts (overwrite
+        # mode) then promote temp files. Promotion is rename-only, so a
+        # failure before this point leaves prior data untouched.
+        if self.overwrite:
+            for name in os.listdir(self.path):
+                if name.startswith("part-") and name.endswith(".jsonl"):
+                    os.remove(os.path.join(self.path, name))
+        for i, msg in enumerate(messages):
+            os.replace(msg.tmp_path, os.path.join(self.path, f"part-{i:05d}.jsonl"))
+
+    def abort(self, messages) -> None:
+        for msg in messages:
+            if msg is not None and os.path.exists(msg.tmp_path):
+                os.remove(msg.tmp_path)
+
+
+class KVSnapshotDataSource(DataSource):
+    """``spark.read.format("kvsnapshot")`` — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kvsnapshot"
+
+    def schema(self) -> str:
+        return self.options.get("ddl", DEFAULT_SCHEMA_DDL)
+
+    def reader(self, schema: StructType) -> KVSnapshotReader:
+        return KVSnapshotReader(schema, dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool) -> KVSnapshotWriter:
+        return KVSnapshotWriter(schema, dict(self.options), overwrite)
+
+
+def register_kv_source(spark) -> None:
+    """Idempotently register the kvsnapshot format on this session.
+
+    Set at runtime (not in session-builder conf) because the round driver
+    hands us a vanilla session — same pattern as the parquet-nanos conf in
+    sources.tables.load_table."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    try:
+        spark.dataSource.register(KVSnapshotDataSource)
+    except Exception as exc:  # already registered → fine
+        if "already" not in str(exc).lower():
+            raise

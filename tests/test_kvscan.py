@@ -1,0 +1,185 @@
+"""Custom Python Data Source (sources/kvscan.py): byte-range split
+planning, line-ownership semantics, filter pushdown, permissive mode, and
+the two-phase-commit writer."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual, StringContains
+
+from batch_public_spark.sources.kvscan import (
+    KVSnapshotReader,
+    RangePartition,
+    _plan_ranges,
+    _read_lines,
+    register_kv_source,
+)
+
+
+def _write_jsonl(path, records):
+    with open(path, "w", encoding="utf-8") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def snapshot(tmp_path):
+    recs = [
+        {"event_id": i, "ts_us": 1_000_000 * i, "event_type": "click" if i % 2 else "view", "value": i / 4}
+        for i in range(200)
+    ]
+    p = tmp_path / "snap.jsonl"
+    _write_jsonl(p, recs)
+    return str(p), recs
+
+
+def test_every_line_read_exactly_once_across_ranges(snapshot):
+    """Line-ownership rule: any split plan covers each record exactly once
+    — including ranges that start mid-line and exactly at line starts."""
+    path, recs = snapshot
+    size = os.path.getsize(path)
+    for n_ranges in (1, 2, 3, 7, 50):
+        chunk = -(-size // n_ranges)
+        seen = []
+        start = 0
+        while start < size:
+            part = RangePartition(path, start, min(start + chunk, size))
+            seen.extend(json.loads(x) for x in _read_lines(part))
+            start += chunk
+        assert seen == recs, f"n_ranges={n_ranges}"
+
+
+def test_plan_ranges_targets_segment_count(tmp_path):
+    files = []
+    for i in range(3):
+        p = tmp_path / f"f{i}.jsonl"
+        _write_jsonl(p, [{"x": j} for j in range(100)])
+        files.append(str(p))
+    parts = _plan_ranges(files, 6)
+    assert 3 <= len(parts) <= 9  # proportional, >= 1 per file
+    # ranges tile each file exactly
+    by_file = {}
+    for p in parts:
+        by_file.setdefault(p.path, []).append((p.start, p.end))
+    for f, ranges in by_file.items():
+        ranges.sort()
+        assert ranges[0][0] == 0
+        assert ranges[-1][1] == os.path.getsize(f)
+        for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+            assert e1 == s2
+
+
+def test_push_filters_consumed_and_evaluated(snapshot):
+    path, recs = snapshot
+    reader = KVSnapshotReader(
+        schema=_schema(), options={"path": path, "segments": "1"}
+    )
+    unsupported = list(
+        reader.pushFilters(
+            [
+                GreaterThanOrEqual(("ts_us",), 100_000_000),
+                EqualTo(("event_type",), "click"),
+                StringContains(("event_type",), "cl"),  # not supported → returned
+            ]
+        )
+    )
+    assert len(unsupported) == 1 and isinstance(unsupported[0], StringContains)
+    [part] = reader.partitions()
+    rows = list(reader.read(part))
+    exp = [r for r in recs if r["ts_us"] >= 100_000_000 and r["event_type"] == "click"]
+    assert len(rows) == len(exp)
+    assert all(r[2] == "click" and r[1] >= 100_000_000 for r in rows)
+
+
+def test_permissive_mode_skips_malformed_strict_raises(tmp_path):
+    p = tmp_path / "dirty.jsonl"
+    with open(p, "w") as f:
+        f.write('{"event_id": 1, "ts_us": 5, "event_type": "x", "value": 1.0}\n')
+        f.write("NOT JSON AT ALL\n")
+        f.write('[1, 2, 3]\n')  # JSON but not an object
+        f.write('{"event_id": 2, "ts_us": 6, "event_type": "y", "value": 2.0}\n')
+    strict = KVSnapshotReader(_schema(), {"path": str(p), "segments": "1"})
+    with pytest.raises(ValueError):
+        list(strict.read(strict.partitions()[0]))
+    perm = KVSnapshotReader(
+        _schema(), {"path": str(p), "segments": "1", "mode": "permissive"}
+    )
+    rows = list(perm.read(perm.partitions()[0]))
+    assert [r[0] for r in rows] == [1, 2]
+
+
+def test_empty_snapshot_reads_empty(tmp_path):
+    p = tmp_path / "empty.jsonl"
+    p.touch()
+    reader = KVSnapshotReader(_schema(), {"path": str(p), "segments": "4"})
+    parts = reader.partitions()
+    assert len(parts) >= 1
+    assert [r for part in parts for r in reader.read(part)] == []
+
+
+def _schema():
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+
+
+def test_spark_roundtrip_and_overwrite(spark, tmp_path):
+    register_kv_source(spark)
+    out = str(tmp_path / "snap")
+    df = spark.range(50).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 1000).alias("ts_us"),
+        F.lit("view").alias("event_type"),
+        (F.col("id") / 8).alias("value"),
+    )
+    df.write.format("kvsnapshot").mode("overwrite").option("path", out).save()
+    first_parts = sorted(f for f in os.listdir(out) if f.startswith("part-"))
+    assert first_parts
+    back = spark.read.format("kvsnapshot").option("path", out).option("segments", 3).load()
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # overwrite retires the previous generation completely
+    df2 = df.filter(F.col("event_id") < 10)
+    df2.write.format("kvsnapshot").mode("overwrite").option("path", out).save()
+    back2 = spark.read.format("kvsnapshot").option("path", out).load()
+    assert back2.count() == 10
+
+
+def test_spark_filter_fully_pushed(spark, tmp_path):
+    """With all predicates consumed by pushFilters, the physical plan has
+    no post-scan Filter node — the source IS the filter."""
+    register_kv_source(spark)
+    out = str(tmp_path / "snap")
+    spark.range(100).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 1000).alias("ts_us"),
+        F.lit("view").alias("event_type"),
+        (F.col("id") / 8).alias("value"),
+    ).write.format("kvsnapshot").mode("overwrite").option("path", out).save()
+    q = (
+        spark.read.format("kvsnapshot")
+        .option("path", out)
+        .load()
+        .filter((F.col("ts_us") >= 50_000) & (F.col("event_type") == "view"))
+    )
+    assert q.count() == 50
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert re.search(r"\(\d+\) Filter\b", plan) is None, plan

@@ -358,3 +358,15 @@ def test_group_sample_partitions_by_source(spark):
     p = plan(spark, "sample_deterministic_per_group")
     assert "Sort" in p and "source" in p, p
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+
+
+def test_partitioned_roundtrip_prunes(spark):
+    """source_partitioned_pruning: the event_type predicate must prune at
+    the directory level — PartitionFilters on the scan, not a row Filter
+    over all partitions."""
+    df = QUERIES["source_partitioned_pruning"].fn(spark, SF_DIR)
+    p = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
+    assert m and "event_type" in m.group(1), p
