@@ -59,6 +59,10 @@ _PRIORITY = [
     "sample_deterministic_per_group",
     "source_kvscan_segmented",
     "source_partitioned_pruning",
+    "window_rolling_7day_spend",
+    "cdc_snapshot_merge",
+    "scalar_variant_props_battery",
+    "llmops_embedding_norm_arrow",
 ]
 
 

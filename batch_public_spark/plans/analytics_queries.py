@@ -1820,3 +1820,109 @@ def sample_deterministic_per_group(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("rnk") <= 5)
         .select("source", "doc_id", F.col("rnk").cast("bigint").alias("sample_rank"))
     )
+
+
+@query(
+    "scalar_variant_props_battery",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(min(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(max(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS max_k,
+           CAST(sum(CASE WHEN props->>'$.missing' IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+    """,
+)
+def scalar_variant_props_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access via Spark 4's VariantType: ``parse_json``
+    the events ``props`` payload once into a binary variant, then
+    ``try_variant_get`` typed paths out of it — the open-schema column
+    pattern (one variant column instead of N sparse typed columns) that
+    replaced string-JSON + get_json_object for lakehouse event payloads.
+
+    At 100 TB variant beats raw JSON strings because parsing happens once
+    per row into a binary form whose fields decode without re-tokenizing
+    the document, and shredded-variant readers can prune paths at scan
+    time. Missing paths return NULL via try_variant_get (counted here),
+    never an error. The oracle reads the same payloads with DuckDB's JSON
+    path operators — typed extraction semantics must agree exactly."""
+    e = t(spark, sf_dir, "events")
+    v = e.select("event_type", F.parse_json(F.col("props")).alias("v"))
+    k = F.try_variant_get(F.col("v"), "$.k", "bigint")
+    missing = F.try_variant_get(F.col("v"), "$.missing", "string")
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+        F.sum(F.when(missing.isNull(), 1).otherwise(0)).cast("bigint").alias("n_missing"),
+    )
+
+
+@query(
+    "llmops_embedding_norm_arrow",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           len(embedding) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE)
+                 / sqrt(list_sum(list_transform(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS first_unit
+    FROM embeddings
+    """,
+)
+def llmops_embedding_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``mapInArrow`` twin of llmops_embedding_normalize: identical
+    semantics (per-vector L2 norm, dim, first unit component — same
+    oracle), but computed in a zero-copy Arrow batch UDF with numpy
+    instead of JVM column expressions — certifying the LAST UDF transport
+    Spark offers (row Python UDF < pandas UDF < **Arrow UDF**, which
+    skips even the pandas Series materialization).
+
+    Float discipline: squares are summed per-row with
+    ``np.add.reduceat`` over the flattened values — a strictly
+    sequential left-to-right fold (numpy's pairwise summation does not
+    apply to reduceat), bit-identical to the oracle's list_sum fold and
+    to the JVM ``aggregate`` twin. Rounding happens JVM-side after the
+    UDF (np.round is banker's; SQL round is half-away-from-zero).
+    Scale: pure map-side, no shuffle, batch-vectorized."""
+    import pyarrow as pa
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            vec_id = batch.column("vec_id")
+            emb = batch.column("embedding")
+            flat = emb.flatten()
+            lengths = np.asarray(emb.value_lengths(), dtype=np.int64)
+            starts = np.zeros(len(lengths), dtype=np.int64)
+            np.cumsum(lengths[:-1], out=starts[1:])
+            vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+            sq_sums = np.add.reduceat(vals * vals, starts)
+            first = vals[starts]
+            norm = np.sqrt(sq_sums)
+            yield pa.record_batch(
+                {
+                    "vec_id": vec_id,
+                    "l2_norm": pa.array(norm, type=pa.float64()),
+                    "dim": pa.array(lengths, type=pa.int64()),
+                    "first_unit": pa.array(first / norm, type=pa.float64()),
+                }
+            )
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = e.mapInArrow(
+        norms, "vec_id long, l2_norm double, dim long, first_unit double"
+    )
+    return out.select(
+        "vec_id",
+        F.round("l2_norm", 6).alias("l2_norm"),
+        "dim",
+        F.round("first_unit", 6).alias("first_unit"),
+    )

@@ -295,3 +295,129 @@ def dq_orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("mad", 2).alias("mad_price"),
         )
     )
+
+
+@query(
+    "window_rolling_7day_spend",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+             PARTITION BY o_custkey
+             ORDER BY CAST(o_orderdate AS DATE) - DATE '1990-01-01'
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS spend_7d
+    FROM orders
+    """,
+)
+def window_rolling_7day_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day spend per customer via a RANGE window frame: for
+    every order, the customer's total spend over the trailing week —
+    RANGE (value-based) frames are the time-series windowing mode ROWS
+    frames can't express when orders per day vary.
+
+    Spark-first: ``rangeBetween(-6, 0)`` over an integer day number
+    (days since an epoch date — value-based frames need a numeric
+    ordering key, and integer days sidestep timestamp-unit ambiguity
+    cross-engine). One shuffle on o_custkey, per-customer sort; the frame
+    is evaluated with a sliding accumulator, not per-row rescans. Spend
+    goes through DECIMAL so trailing sums are exact. Same-day peer rows
+    are included together by RANGE semantics in both engines."""
+    o = t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.to_date(F.lit("1990-01-01")))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day.alias("day_num"))
+        .rangeBetween(-6, W.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w), 2)
+        .cast("double")
+        .alias("spend_7d"),
+    )
+
+
+@query(
+    "cdc_snapshot_merge",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), changes AS (
+      -- updates: +10% on every 7th base key; deletes: every 11th base key;
+      -- inserts: the odd keys (absent from base)
+      SELECT k, CAST(round(price * 1.1, 4) AS DECIMAL(18,4)) AS price, 'U' AS op
+      FROM base WHERE k % 7 = 0 AND k % 11 <> 0
+      UNION ALL
+      SELECT k, NULL, 'D' FROM base WHERE k % 11 = 0
+      UNION ALL
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,4)), 'I'
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), merged AS (
+      SELECT coalesce(c.k, b.k) AS k,
+             CASE WHEN c.op = 'D' THEN NULL
+                  WHEN c.op IS NOT NULL THEN c.price
+                  ELSE b.price END AS price,
+             CASE WHEN c.op = 'D' THEN 'deleted'
+                  WHEN c.op = 'U' THEN 'updated'
+                  WHEN c.op = 'I' THEN 'inserted'
+                  ELSE 'unchanged' END AS outcome
+      FROM base b FULL OUTER JOIN changes c ON b.k = c.k
+    )
+    SELECT outcome,
+           CAST(count(*) AS BIGINT) AS n,
+           coalesce(CAST(round(sum(price), 2) AS DOUBLE), 0.0) AS total_price
+    FROM merged GROUP BY outcome
+    """,
+)
+def cdc_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE semantics on plain parquet: apply a change batch
+    (inserts / updates / deletes, derived deterministically from the
+    orders table itself) onto a base snapshot via one full-outer join and
+    per-row outcome classification — the exact row-matching logic of
+    Delta/Iceberg ``MERGE INTO`` (pipeline.state.DeltaJobLedger documents
+    the table-format version), runnable on any lake layout.
+
+    Spark-first: ONE full-outer sort-merge join on the key — never
+    per-change point lookups; outcome classification and the audit
+    roll-up are projections over the join. At 100 TB the change batch is
+    typically <<1% of base, so the real deployment partitions base by
+    key range and joins only touched partitions (partition pruning from
+    the change-key min/max) — the join shape here is that inner loop."""
+    o = t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+    )
+    updates = base.filter((F.col("k") % 7 == 0) & (F.col("k") % 11 != 0)).select(
+        "k",
+        F.round(F.col("price") * 1.1, 4).cast("decimal(18,4)").alias("price"),
+        F.lit("U").alias("op"),
+    )
+    deletes = base.filter(F.col("k") % 11 == 0).select(
+        "k", F.lit(None).cast("decimal(18,4)").alias("price"), F.lit("D").alias("op")
+    )
+    inserts = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        F.lit("I").alias("op"),
+    )
+    changes = updates.unionByName(deletes).unionByName(inserts)
+    b, c = base.alias("b"), changes.alias("c")
+    merged = b.join(c, F.col("b.k") == F.col("c.k"), "full_outer").select(
+        F.when(F.col("c.op") == "D", F.lit(None).cast("decimal(18,4)"))
+        .when(F.col("c.op").isNotNull(), F.col("c.price"))
+        .otherwise(F.col("b.price"))
+        .alias("price"),
+        F.when(F.col("c.op") == "D", "deleted")
+        .when(F.col("c.op") == "U", "updated")
+        .when(F.col("c.op") == "I", "inserted")
+        .otherwise("unchanged")
+        .alias("outcome"),
+    )
+    return merged.groupBy("outcome").agg(
+        F.count("*").cast("bigint").alias("n"),
+        # deleted rows carry NULL price; the group total is 0 by definition
+        F.coalesce(F.round(F.sum("price"), 2).cast("double"), F.lit(0.0)).alias(
+            "total_price"
+        ),
+    )

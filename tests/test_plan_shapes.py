@@ -370,3 +370,37 @@ def test_partitioned_roundtrip_prunes(spark):
     )
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", p)
     assert m and "event_type" in m.group(1), p
+
+
+def test_rolling_range_frame_single_exchange(spark):
+    """window_rolling_7day_spend: the RANGE frame evaluates after ONE
+    exchange on o_custkey — value-based frames must not add shuffles."""
+    p = plan(spark, "window_rolling_7day_spend")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert "RANGE BETWEEN" in p or "specifiedwindowframe(RangeFrame" in p, p
+
+
+def test_cdc_merge_is_one_full_outer_join(spark):
+    """cdc_snapshot_merge: MERGE row-matching is exactly one full-outer
+    join of base vs changes — no per-change lookups, no extra joins."""
+    p = plan(spark, "cdc_snapshot_merge")
+    joins = re.findall(
+        r"\(\d+\) (?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", p
+    )
+    assert len(joins) == 1, p
+    assert "FullOuter" in p, p
+
+
+def test_variant_battery_stays_jvm_side(spark):
+    """scalar_variant_props_battery: parse_json/try_variant_get are JVM
+    expressions — no Python evaluation node may appear."""
+    p = plan(spark, "scalar_variant_props_battery")
+    assert "EvalPython" not in p and "MapInArrow" not in p, p
+
+
+def test_embedding_norm_uses_arrow_transport(spark):
+    """llmops_embedding_norm_arrow: the registered query must actually
+    run the Arrow-batch UDF path (not pandas, not row Python)."""
+    p = plan(spark, "llmops_embedding_norm_arrow")
+    assert re.search(r"MapInArrow|ArrowEvalPython", p), p
+    assert "BatchEvalPython" not in p, p
