@@ -63,6 +63,10 @@ _PRIORITY = [
     "cdc_snapshot_merge",
     "scalar_variant_props_battery",
     "llmops_embedding_norm_arrow",
+    "mv_incremental_refresh",
+    "maintenance_zorder_stats",
+    "llmops_span_corruption_stats",
+    "llmops_oov_rate",
 ]
 
 

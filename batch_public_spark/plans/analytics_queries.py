@@ -1926,3 +1926,136 @@ def llmops_embedding_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dim",
         F.round("first_unit", 6).alias("first_unit"),
     )
+
+
+@query(
+    "llmops_span_corruption_stats",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id,
+             length(list_filter(string_split_regex(trim(text), '\\s+'),
+                                s -> length(s) > 0)) AS n_tokens
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, n_tokens, unnest(generate_series(1, n_tokens)) AS p
+      FROM lens WHERE n_tokens > 0
+    ), m AS (
+      SELECT doc_id, n_tokens, p,
+             CASE WHEN (doc_id * 2654435761 + p * 40503) % 97 < 20
+                  THEN 1 ELSE 0 END AS masked
+      FROM pos
+    ), runs AS (
+      SELECT doc_id, n_tokens, masked,
+             CASE WHEN masked = 1 AND
+                       coalesce(lag(masked) OVER (PARTITION BY doc_id ORDER BY p), 0) = 0
+                  THEN 1 ELSE 0 END AS span_start
+      FROM m
+    )
+    SELECT doc_id,
+           CAST(max(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(masked) AS BIGINT) AS n_masked,
+           CAST(sum(span_start) AS BIGINT) AS n_spans,
+           round(CAST(sum(masked) AS DOUBLE) / max(n_tokens), 6) AS corruption_ratio
+    FROM runs GROUP BY doc_id
+    """,
+)
+def llmops_span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/BERT-style span-corruption planning stats: mask ~20% of each
+    document's token positions with a deterministic multiplicative hash
+    (reproducible across engines, retries, and partitionings — rand()
+    is none of those), then report per-doc mask count, SPAN count
+    (runs of consecutive masked positions — the denoiser's sentinel
+    count), and corruption ratio. Tuning the hash threshold vs span
+    count is exactly the mean-span-length knob of the T5 objective.
+
+    Spark-first: positions come from ``sequence(1, n)`` exploded in-row
+    (no join against a numbers table); span starts are one lag window
+    per doc (single shuffle on doc_id shared with the final rollup). At
+    100 TB this runs as one pass over the corpus; the per-position rows
+    never leave the doc partition."""
+    d = t(spark, sf_dir, "documents")
+    lens = d.select("doc_id", token_count_ws(F.col("text")).alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    pos = lens.select(
+        "doc_id", "n_tokens", F.explode(F.sequence(F.lit(1), F.col("n_tokens"))).alias("p")
+    )
+    masked = F.when(
+        (F.col("doc_id") * 2654435761 + F.col("p") * 40503) % 97 < 20, 1
+    ).otherwise(0)
+    m = pos.select("doc_id", "n_tokens", "p", masked.alias("masked"))
+    w = W.partitionBy("doc_id").orderBy("p")
+    runs = m.select(
+        "doc_id",
+        "n_tokens",
+        "masked",
+        F.when(
+            (F.col("masked") == 1)
+            & (F.coalesce(F.lag("masked").over(w), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("span_start"),
+    )
+    return runs.groupBy("doc_id").agg(
+        F.max("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("masked").cast("bigint").alias("n_masked"),
+        F.sum("span_start").cast("bigint").alias("n_spans"),
+        F.round(
+            F.sum("masked").cast("double") / F.max("n_tokens"), 6
+        ).alias("corruption_ratio"),
+    )
+
+
+@query(
+    "llmops_oov_rate",
+    oracle="""
+    WITH tok AS (
+      SELECT source, lower(tk.tok) AS term
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                              s -> length(s) > 0)) AS tk(tok)
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY count(*) DESC, term) AS r
+        FROM tok GROUP BY term) WHERE r <= 40
+    )
+    SELECT tok.source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab v USING (term)
+    GROUP BY tok.source
+    """,
+)
+def llmops_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocabulary coverage audit: with a top-40-frequency
+    vocabulary, the out-of-vocabulary token rate per source — the metric
+    that decides whether a tokenizer trained on the head domains is
+    acceptable for the tail ones (high per-source OOV → fertility blowup
+    → wasted context window).
+
+    Spark-first: the vocabulary is a TakeOrdered top-k off the global
+    term counts (never a one-partition rank of the full vocabulary) and
+    BROADCASTS into a left anti-style membership probe on the exploded
+    token stream — one scan, one small-dim join, one aggregation. At
+    100 TB the vocab is 32-256k entries: still broadcast territory."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term")
+    )
+    vocab = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "term")
+        .limit(40)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    probed = tok.join(F.broadcast(vocab), "term", "left")
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return probed.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(oov).cast("bigint").alias("n_oov"),
+        F.round(F.sum(oov).cast("double") / F.count("*"), 6).alias("oov_rate"),
+    )

@@ -421,3 +421,126 @@ def cdc_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_price"
         ),
     )
+
+
+@query(
+    "mv_incremental_refresh",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a per-priority (count,
+    decimal-sum) MV is refreshed by combining yesterday's PARTIAL
+    aggregates with the delta's partial aggregates — re-aggregating two
+    tiny summary tables instead of rescanning the base. The oracle is the
+    FULL recompute over all rows, so what's hashed is the algebraic
+    claim itself: partial-agg merge == full recompute (count/sum are the
+    canonical self-maintainable aggregates; max/min join them, avg
+    derives, and DISTINCT/percentile famously do NOT — those need
+    sketches or recompute).
+
+    This is THE 100 TB daily pattern: the nightly refresh touches
+    |delta| + |MV| rows, never |base|. Both partial aggregations are
+    map-side-combined shuffles on the same key; the merge is a union of
+    two |groups|-row tables."""
+    o = t(spark, sf_dir, "orders")
+    split = F.to_date(F.lit("1997-01-01"))
+
+    def partial(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("s"),
+        )
+
+    base_mv = partial(o.filter(F.col("o_orderdate").cast("date") < split))
+    delta_mv = partial(o.filter(F.col("o_orderdate").cast("date") >= split))
+    return (
+        base_mv.unionByName(delta_mv)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.round(F.sum("s"), 2).cast("double").alias("total"),
+        )
+    )
+
+
+def _z_interleave(x, y, bits: int = 8):
+    """16-bit Morton code: interleave the low `bits` of x (even positions)
+    and y (odd positions) with plain integer arithmetic — engine-portable
+    (same expression is spelled in the oracle SQL)."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+@query(
+    "maintenance_zorder_stats",
+    oracle="""
+    WITH coded AS (
+      SELECT user_id % 256 AS ux,
+             CAST(strftime(ts, '%d') AS BIGINT) % 256 AS dy,
+             user_id, CAST(strftime(ts, '%d') AS BIGINT) AS day
+      FROM events
+    ), z AS (
+      SELECT user_id, day,
+             ( ((ux >> 0) & 1) << 0)  + ( ((dy >> 0) & 1) << 1)
+           + ( ((ux >> 1) & 1) << 2)  + ( ((dy >> 1) & 1) << 3)
+           + ( ((ux >> 2) & 1) << 4)  + ( ((dy >> 2) & 1) << 5)
+           + ( ((ux >> 3) & 1) << 6)  + ( ((dy >> 3) & 1) << 7)
+           + ( ((ux >> 4) & 1) << 8)  + ( ((dy >> 4) & 1) << 9)
+           + ( ((ux >> 5) & 1) << 10) + ( ((dy >> 5) & 1) << 11)
+           + ( ((ux >> 6) & 1) << 12) + ( ((dy >> 6) & 1) << 13)
+           + ( ((ux >> 7) & 1) << 14) + ( ((dy >> 7) & 1) << 15) AS zval
+      FROM coded
+    )
+    SELECT CAST(zval >> 10 AS BIGINT) AS z_bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(user_id) AS BIGINT) AS min_user,
+           CAST(max(user_id) AS BIGINT) AS max_user,
+           CAST(min(day) AS BIGINT) AS min_day,
+           CAST(max(day) AS BIGINT) AS max_day
+    FROM z GROUP BY 1
+    """,
+)
+def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering audit: interleave the bits of
+    two query dimensions (user bucket, day-of-month) into a 16-bit
+    z-value, bucket the curve, and report per-bucket min/max of BOTH
+    dimensions — the file-level min/max stats a lakehouse OPTIMIZE
+    ZORDER produces, and exactly what makes 2-dimensional data skipping
+    work (each z-bucket bounds a small rectangle in (user, day) space,
+    so a predicate on EITHER dimension prunes most buckets; single-column
+    sorting bounds only one).
+
+    Spark-first: the Morton code is a pure unrolled integer expression
+    (shiftleft/shiftright/bitwiseAND — whole-stage codegen, no UDF); at
+    100 TB you'd ``repartitionByRange(zval)`` + ``sortWithinPartitions``
+    before the write so parquet row-group stats inherit the rectangles.
+    The oracle spells the identical arithmetic in SQL."""
+    e = t(spark, sf_dir, "events")
+    day = F.date_format("ts", "dd").cast("bigint")
+    coded = e.select(
+        (F.col("user_id") % 256).alias("ux"),
+        (day % 256).alias("dy"),
+        "user_id",
+        day.alias("day"),
+    )
+    z = coded.select(
+        "user_id", "day", _z_interleave(F.col("ux"), F.col("dy")).alias("zval")
+    )
+    return z.groupBy(F.shiftright("zval", 10).cast("bigint").alias("z_bucket")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min("user_id").cast("bigint").alias("min_user"),
+        F.max("user_id").cast("bigint").alias("max_user"),
+        F.min("day").cast("bigint").alias("min_day"),
+        F.max("day").cast("bigint").alias("max_day"),
+    )
