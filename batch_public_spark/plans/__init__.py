@@ -67,6 +67,10 @@ _PRIORITY = [
     "maintenance_zorder_stats",
     "llmops_span_corruption_stats",
     "llmops_oov_rate",
+    "events_cohort_retention_matrix",
+    "llmops_rouge_overlap_pairs",
+    "llmops_dataset_card",
+    "join_bucketed_colocated",
 ]
 
 

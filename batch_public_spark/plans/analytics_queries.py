@@ -2059,3 +2059,259 @@ def llmops_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(oov).cast("bigint").alias("n_oov"),
         F.round(F.sum(oov).cast("double") / F.count("*"), 6).alias("oov_rate"),
     )
+
+
+@query(
+    "events_cohort_retention_matrix",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             CAST((CAST(date_trunc('week', e.ts) AS DATE)
+                   - CAST(f.cohort AS DATE)) // 7 AS BIGINT) AS week_offset
+      FROM events e JOIN firstw f USING (user_id)
+    )
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           CAST(count(*) AS BIGINT) AS n_active
+    FROM act GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-activity
+    week; each cell (cohort, week_offset) counts users from that cohort
+    active offset weeks later — the full matrix behind every retention
+    curve (events_daily_retention is its day-1 diagonal).
+
+    Spark-first: the cohort table is one min-aggregation; activity joins
+    it back on user_id (same hash partitioning both sides — one exchange
+    each, reused), distinct-per-cell BEFORE the matrix aggregation so a
+    power user counts once per cell. ISO Monday week truncation in both
+    engines. At 100 TB the matrix is |weeks|² cells — tiny output from
+    one big equi-join."""
+    e = t(spark, sf_dir, "events")
+    firstw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    act = (
+        e.join(firstw, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return act.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"), "week_offset"
+    ).agg(F.count("*").cast("bigint").alias("n_active"))
+
+
+@query(
+    "llmops_rouge_overlap_pairs",
+    oracle="""
+    WITH tokc AS (
+      SELECT doc_id, source, lower(tk.tok) AS term, CAST(count(*) AS BIGINT) AS c
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\\s+'),
+                              s -> length(s) > 0)) AS tk(tok)
+      GROUP BY 1, 2, 3
+    ), lens AS (
+      SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n FROM tokc GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_id AS a_id, lead(doc_id) OVER w AS b_id
+      FROM lens WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+    ), ov AS (
+      SELECT p.a_id, p.b_id, sum(least(ta.c, tb.c)) AS overlap
+      FROM pairs p
+      JOIN tokc ta ON ta.doc_id = p.a_id
+      JOIN tokc tb ON tb.doc_id = p.b_id AND tb.term = ta.term
+      WHERE p.b_id IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT ov.a_id, ov.b_id,
+           CAST(ov.overlap AS BIGINT) AS overlap,
+           round(CAST(ov.overlap AS DOUBLE) / la.n, 6) AS rouge_recall,
+           round(CAST(ov.overlap AS DOUBLE) / lb.n, 6) AS rouge_precision
+    FROM ov JOIN lens la ON la.doc_id = ov.a_id
+            JOIN lens lb ON lb.doc_id = ov.b_id
+    """,
+)
+def llmops_rouge_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 overlap (clipped unigram counts — the summarization-eval
+    metric) between each document and its successor within the same
+    source: overlap = Σ min(count_a, count_b), recall = overlap/|a|,
+    precision = overlap/|b|. At corpus scale this is the
+    reference-vs-candidate scoring loop of eval pipelines, expressed
+    relationally.
+
+    Spark-first: per-doc term counts are ONE exploded aggregation; the
+    pair list comes from a lead window per source (no cross join); the
+    clipped intersection is an equi-join on (doc, term) postings — cost
+    proportional to shared vocabulary, never |a| x |b|. Pairs with zero
+    shared terms drop out of the inner join (exactly ROUGE = 0; omitted
+    rather than emitted, matching the oracle)."""
+    d = t(spark, sf_dir, "documents")
+    tokc = (
+        d.select(
+            "doc_id",
+            "source",
+            F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term"),
+        )
+        .groupBy("doc_id", "source", "term")
+        .agg(F.count("*").alias("c"))
+    )
+    lens = tokc.groupBy("doc_id", "source").agg(F.sum("c").alias("n"))
+    w = W.partitionBy("source").orderBy("doc_id")
+    pairs = lens.select(
+        F.col("doc_id").alias("a_id"), F.lead("doc_id").over(w).alias("b_id")
+    ).filter(F.col("b_id").isNotNull())
+    ta = tokc.select(F.col("doc_id").alias("a_id"), "term", F.col("c").alias("ca"))
+    tb = tokc.select(F.col("doc_id").alias("b_id"), "term", F.col("c").alias("cb"))
+    ov = (
+        pairs.join(ta, "a_id")
+        .join(tb, ["b_id", "term"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.least("ca", "cb")).alias("overlap"))
+    )
+    la = lens.select(F.col("doc_id").alias("a_id"), F.col("n").alias("na"))
+    lb = lens.select(F.col("doc_id").alias("b_id"), F.col("n").alias("nb"))
+    return (
+        ov.join(la, "a_id")
+        .join(lb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.col("overlap").cast("bigint").alias("overlap"),
+            F.round(F.col("overlap").cast("double") / F.col("na"), 6).alias("rouge_recall"),
+            F.round(F.col("overlap").cast("double") / F.col("nb"), 6).alias("rouge_precision"),
+        )
+    )
+
+
+@query(
+    "llmops_dataset_card",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, source, md5(text) AS h,
+             length(list_filter(string_split_regex(trim(text), '\\s+'),
+                                s -> length(s) > 0)) AS n_tok
+      FROM documents
+    ), top_src AS (
+      SELECT CAST(count(*) AS DOUBLE) AS top_n FROM documents
+      GROUP BY source ORDER BY count(*) DESC, source LIMIT 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           round(CAST(sum(n_tok) AS DOUBLE) / count(*), 6) AS mean_tokens,
+           round(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*), 6) AS exact_dup_rate,
+           round(top_src.top_n / count(*), 6) AS top_source_share
+    FROM tok CROSS JOIN top_src GROUP BY top_src.top_n
+    """,
+)
+def llmops_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset card: the headline numbers every corpus release
+    publishes — document/source/language counts, token total and mean,
+    exact-duplicate rate (1 − distinct md5 / n), and head-source share
+    (concentration warning for mixing).
+
+    Spark-first: a single aggregation pass computes every scalar
+    (count-distincts expand to partial sketch...exact two-phase aggs, all
+    sharing the one scan); the top-source share joins a TakeOrdered
+    1-row side in by broadcast. This is the daily health check in front
+    of every training-data refresh."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        token_count_ws(F.col("text")).alias("n_tok"),
+    )
+    top_src = (
+        d.groupBy("source")
+        .agg(F.count("*").cast("double").alias("top_n"))
+        .orderBy(F.desc("top_n"), "source")
+        .limit(1)
+        .select("top_n")
+    )
+    return (
+        tok.crossJoin(F.broadcast(top_src))
+        .groupBy("top_n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count_distinct(F.col("source")).cast("bigint").alias("n_sources"),
+            F.count_distinct(F.col("lang")).cast("bigint").alias("n_langs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_tok").cast("double") / F.count("*"), 6).alias("mean_tokens"),
+            F.round(
+                F.lit(1.0) - F.count_distinct(F.col("h")).cast("double") / F.count("*"), 6
+            ).alias("exact_dup_rate"),
+            F.round(F.max("top_n") / F.count("*"), 6).alias("top_source_share"),
+        )
+        .drop("top_n")
+    )
+
+
+@query(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT o.o_orderstatus AS status,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-located fact-to-fact join, REGISTERED: orders and lineitem
+    written as bucketed+sorted tables on the join key (sources/
+    bucketing.py), then joined through the catalog — the persisted
+    bucketing replaces both runtime Exchanges, the daily 100 TB win this
+    layout exists for (tests/test_plan_shapes.py::
+    test_bucketed_registered_join_has_no_exchange asserts the plan).
+    The oracle computes the identical join over the raw parquet, so
+    bucketed-write fidelity is hashed too."""
+    import os
+    import tempfile
+
+    from batch_public_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    root = os.path.join(tempfile.gettempdir(), f"bps_bucketed_{tag}")
+    ot, lt = f"bps_orders_b_{tag}", f"bps_lineitem_b_{tag}"
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    l = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    for name in (ot, lt):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    write_bucketed(o, ot, key="o_orderkey", buckets=8, path=os.path.join(root, "o"))
+    write_bucketed(l, lt, key="l_orderkey", buckets=8, path=os.path.join(root, "l"))
+    ob, lb = read_bucketed(spark, ot), read_bucketed(spark, lt)
+    joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+    return joined.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.round(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,4)"))
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

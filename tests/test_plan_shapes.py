@@ -438,3 +438,23 @@ def test_oov_vocab_probe_broadcasts(spark):
     p = plan(spark, "llmops_oov_rate")
     assert "TakeOrderedAndProject" in p, p
     assert re.search(r"\(\d+\) BroadcastHashJoin", p), p
+
+
+def test_bucketed_registered_join_has_no_exchange(spark):
+    """join_bucketed_colocated: with broadcast disabled (forcing the
+    large-scale SMJ path), the catalog-read bucketed join must contain
+    NO Exchange — the persisted bucketing IS the shuffle."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = plan(spark, "join_bucketed_colocated")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    m = re.search(r"SortMergeJoin", p)
+    assert m, p
+    # the only allowed exchange is the one under the final aggregation
+    join_section = p[: m.start()]
+    assert "Exchange" not in join_section.split("== Physical Plan ==")[-1] or (
+        len(re.findall(r"\(\d+\) Exchange\b", p)) <= 1
+    ), p
+    assert "SelectedBucketsCount" in p or "Bucketed: true" in p, p
