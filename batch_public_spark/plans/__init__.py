@@ -71,6 +71,8 @@ _PRIORITY = [
     "llmops_rouge_overlap_pairs",
     "llmops_dataset_card",
     "join_bucketed_colocated",
+    "llmops_minhash_estimator_accuracy",
+    "llmops_tokenizer_fertility",
 ]
 
 

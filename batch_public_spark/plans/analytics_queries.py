@@ -2315,3 +2315,127 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# DuckDB fragment: distinct word-3-gram shingles of normalized text —
+# mirrors operators.semantic.word_shingles(text, 3) (whole-text single
+# shingle under 3 words). Kept in lockstep with llmops_queries._GRAMS4.
+_NORM3 = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+_TOKS3 = (
+    f"list_filter(string_split_regex({_NORM3}, '\\s+'), x -> length(x) > 0)"
+)
+_GRAMS3 = (
+    f"list_distinct(list_transform("
+    f"range(1, greatest(len({_TOKS3}) - 2, 1) + 1), "
+    f"i -> array_to_string(({_TOKS3})[i:i+2], ' ')))"
+)
+
+_MINHASH_K = 8
+_SIG_MATCHES_SQL = " +\n             ".join(
+    f"(CASE WHEN list_min(list_transform(sha, s -> md5(concat('{i}:', s))))"
+    f" = list_min(list_transform(shb, s -> md5(concat('{i}:', s))))"
+    f" THEN 1 ELSE 0 END)"
+    for i in range(_MINHASH_K)
+)
+
+
+@query(
+    "llmops_minhash_estimator_accuracy",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, {_GRAMS3} AS s FROM documents
+    ), pairs AS (
+      SELECT doc_id AS a_id, s AS sha,
+             lead(doc_id) OVER w AS b_id, lead(s) OVER w AS shb
+      FROM sh WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+    )
+    SELECT a_id, b_id,
+           round(CAST({_SIG_MATCHES_SQL} AS DOUBLE) / {_MINHASH_K}, 6) AS est_jaccard,
+           round(CAST(length(list_intersect(sha, shb)) AS DOUBLE)
+                 / length(list_distinct(list_concat(sha, shb))), 6) AS exact_jaccard
+    FROM pairs WHERE b_id IS NOT NULL
+    """,
+)
+def llmops_minhash_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ESTIMATOR itself, fully oracle-hashed: an 8-permutation
+    signature built from md5 (engine-portable, unlike the xxhash64 the
+    production operators use for speed — which is why the
+    llmops_minhash_* family is rows-only-checked), compared against exact
+    shingle Jaccard for each successive same-source document pair. The
+    match fraction IS the unbiased Jaccard estimate (P[min-hash collision]
+    = J); hashing est vs exact per pair certifies signature construction,
+    min-selection, and the collision arithmetic cross-engine.
+
+    Scale shape: signatures are per-row array expressions (zero shuffle —
+    exactly how semantic.minhash_signatures computes them); the pair list
+    is a lead window per source. Production path: band the signatures and
+    equi-join buckets (llmops_minhash_candidates); this query pins the
+    estimator math that path depends on."""
+    from batch_public_spark.operators.semantic import word_shingles
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", "source", word_shingles(F.col("text"), 3).alias("s"))
+    w = W.partitionBy("source").orderBy("doc_id")
+    pairs = sh.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("s").alias("sha"),
+        F.lead("doc_id").over(w).alias("b_id"),
+        F.lead("s").over(w).alias("shb"),
+    ).filter(F.col("b_id").isNotNull())
+
+    def sig(col_name: str, i: int):
+        return F.array_min(
+            F.transform(F.col(col_name), lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        )
+
+    matches = None
+    for i in range(_MINHASH_K):
+        term = F.when(sig("sha", i) == sig("shb", i), 1).otherwise(0)
+        matches = term if matches is None else matches + term
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size(F.array_union("sha", "shb"))
+    return pairs.select(
+        "a_id",
+        "b_id",
+        F.round(matches.cast("double") / _MINHASH_K, 6).alias("est_jaccard"),
+        F.round(inter.cast("double") / union, 6).alias("exact_jaccard"),
+    )
+
+
+@query(
+    "llmops_tokenizer_fertility",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(list_filter(string_split_regex(trim(text), '\\s+'),
+                                       x -> length(x) > 0))) AS BIGINT) AS ws_tokens,
+           CAST(sum(length(regexp_extract_all(text, '[0-9A-Za-z_]+|[^0-9A-Za-z_\\s]')))
+                AS BIGINT) AS bpe_tokens,
+           round(CAST(sum(length(regexp_extract_all(text, '[0-9A-Za-z_]+|[^0-9A-Za-z_\\s]')))
+                      AS DOUBLE)
+                 / sum(length(list_filter(string_split_regex(trim(text), '\\s+'),
+                                          x -> length(x) > 0))), 6) AS fertility
+    FROM documents GROUP BY lang
+    """,
+)
+def llmops_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word — the multilingual-tokenizer health metric (fertility ≫ 1 for a
+    language means its text costs disproportionate context window, the
+    standard argument for vocabulary rebalancing).
+
+    Pure column expressions over one scan (regexp_count vs split-size),
+    one tiny aggregation on lang. The \\w-class is spelled as an explicit
+    ASCII class in BOTH engines (textops.PUNCT_CLASS discipline: Java and
+    RE2 disagree about Unicode word characters)."""
+    d = t(spark, sf_dir, "documents")
+    ws = token_count_ws(F.col("text"))
+    bpe = F.regexp_count(
+        F.col("text"), F.lit(r"[0-9A-Za-z_]+|[^0-9A-Za-z_\s]")
+    ).cast("bigint")
+    return d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(ws).cast("bigint").alias("ws_tokens"),
+        F.sum(bpe).cast("bigint").alias("bpe_tokens"),
+        F.round(F.sum(bpe).cast("double") / F.sum(ws), 6).alias("fertility"),
+    )
