@@ -73,6 +73,8 @@ _PRIORITY = [
     "join_bucketed_colocated",
     "llmops_minhash_estimator_accuracy",
     "llmops_tokenizer_fertility",
+    "events_rolling_distinct_users",
+    "agg_mode_orders",
 ]
 
 

@@ -2439,3 +2439,100 @@ def llmops_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(bpe).cast("bigint").alias("bpe_tokens"),
         F.round(F.sum(bpe).cast("double") / F.sum(ws), 6).alias("fertility"),
     )
+
+
+@query(
+    "events_rolling_distinct_users",
+    oracle="""
+    WITH contrib AS (
+      SELECT DISTINCT e.user_id,
+             CAST(date_trunc('day', e.ts) AS DATE) + CAST(t.i AS INTEGER) AS wday
+      FROM events e, range(7) t(i)
+    ), days AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT c.user_id) AS BIGINT) AS rolling_7d_users
+    FROM days JOIN contrib c ON c.wday = days.d
+    GROUP BY d
+    """,
+)
+def events_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct users per day — the windowed COUNT
+    DISTINCT that window frames cannot express (DISTINCT aggregates are
+    not frame-able in either engine) and the naive day×history
+    range-join makes quadratic.
+
+    Spark-first trick: INVERT the window — each (user, active-day)
+    contributes itself to the 7 window-days it falls inside
+    (``explode(sequence(0,6))``), then one distinct aggregation per
+    window-day. A range join becomes map-side explode + exchange on the
+    day key; at 100 TB the explode factor is the window length (7), flat
+    and shuffle-friendly, vs a range-join's |days| probe amplification.
+    Days with no activity in their trailing week simply don't appear
+    (inner semantics, matched by the oracle)."""
+    e = t(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).distinct()
+    contrib = active.select(
+        "user_id",
+        F.explode(
+            F.transform(F.sequence(F.lit(0), F.lit(6)), lambda i: F.date_add("d", i))
+        ).alias("wday"),
+    ).distinct()
+    days = e.select(F.date_trunc("day", F.col("ts")).cast("date").alias("d")).distinct()
+    return (
+        contrib.join(days, contrib.wday == days.d)
+        .groupBy(F.date_format("d", "yyyy-MM-dd").alias("day"))
+        .agg(F.count_distinct("user_id").cast("bigint").alias("rolling_7d_users"))
+    )
+
+
+@query(
+    "agg_mode_orders",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT o_orderpriority, o_orderstatus, n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY n DESC, o_orderstatus) AS r
+      FROM c
+    )
+    SELECT o_orderpriority, o_orderstatus AS modal_status, n AS modal_count
+    FROM ranked WHERE r = 1
+    """,
+)
+def agg_mode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: the most frequent order status per
+    priority, ties broken by status value — expressed as
+    ``max_by``-over-counts instead of the builtin ``mode()``, whose
+    tie-breaking is engine-/partitioning-dependent (exactly the
+    nondeterminism the registry's determinism discipline bans).
+
+    Spark-first: count per (group, value), then one max_by on the
+    (count, reversed-value) struct — two map-side-combined aggregations,
+    no window over the raw rows. The struct-ordering trick makes 'highest
+    count, then lowest value' a single total order."""
+    o = t(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(F.count("*").alias("n"))
+    # max over (n, reversed status) == highest n, ties -> lexicographically
+    # smallest status. Reverse via unbase-able trick: order by struct(n,
+    # negated-rank of status) is not expressible generically, so use
+    # min_by over (negated n, status) instead: smallest (-n, status).
+    picked = c.groupBy("o_orderpriority").agg(
+        F.min_by(
+            F.struct(
+                F.col("o_orderstatus").alias("modal_status"),
+                F.col("n").alias("modal_count"),
+            ),
+            F.struct((-F.col("n")).alias("neg"), F.col("o_orderstatus").alias("s")),
+        ).alias("m")
+    )
+    return picked.select(
+        "o_orderpriority",
+        F.col("m.modal_status").alias("modal_status"),
+        F.col("m.modal_count").cast("bigint").alias("modal_count"),
+    )
