@@ -75,6 +75,8 @@ _PRIORITY = [
     "llmops_tokenizer_fertility",
     "events_rolling_distinct_users",
     "agg_mode_orders",
+    "events_rate_spike_detect",
+    "llmops_prefix_dedup_groups",
 ]
 
 

@@ -2536,3 +2536,104 @@ def agg_mode_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.modal_status").alias("modal_status"),
         F.col("m.modal_count").cast("bigint").alias("modal_count"),
     )
+
+
+@query(
+    "events_rate_spike_detect",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n, prev_n,
+           round(CAST(n AS DOUBLE) / prev_n, 6) AS ratio,
+           CAST(n AS DOUBLE) / prev_n > 1.5 AS is_spike
+    FROM (
+      SELECT event_type, strftime(d, '%Y-%m-%d') AS day, n,
+             lag(n) OVER (PARTITION BY event_type ORDER BY d) AS prev_n
+      FROM daily
+    ) WHERE prev_n IS NOT NULL
+    """,
+)
+def events_rate_spike_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day rate-spike detection per event type: daily counts,
+    the previous day's count via lag, and a >1.5x ratio flag — the
+    pipeline-health alarm every ingest monitors (a spike in `error`
+    events is an incident; a spike in `purchase` is a promo).
+
+    One aggregation to daily grain (map-side combined), one lag window
+    partitioned by type over the tiny daily table. Each type's first day
+    has no baseline and is dropped (NULL-free output by construction). At
+    100 TB the windowed table is |types| x |days| rows — the scan does
+    the work, the window is free."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).cast("date").alias("d")
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("d")
+    prev = F.lag("n").over(w)
+    ratio = F.col("n").cast("double") / F.col("prev_n")
+    return (
+        daily.select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.col("n").cast("bigint").alias("n"),
+            prev.cast("bigint").alias("prev_n"),
+        )
+        .filter(F.col("prev_n").isNotNull())
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "prev_n",
+            F.round(ratio, 6).alias("ratio"),
+            (ratio > 1.5).alias("is_spike"),
+        )
+    )
+
+
+@query(
+    "llmops_prefix_dedup_groups",
+    oracle="""
+    WITH pref AS (
+      SELECT doc_id,
+             array_to_string((list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                                          x -> length(x) > 0))[1:8], ' ') AS prefix
+      FROM documents
+    )
+    SELECT prefix,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+           CAST(count(*) - 1 AS BIGINT) AS n_removable
+    FROM pref GROUP BY prefix HAVING count(*) > 1
+    """,
+)
+def llmops_prefix_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-group dedup: documents sharing an identical first-8-token
+    prefix (lowercased) — the cheap boilerplate detector that catches
+    templated pages, mirrored headers, and scraper artifacts BEFORE the
+    expensive MinHash pass (a prefix group is a guaranteed-candidate
+    cluster; first-wins keeps min doc_id as canonical, the same policy as
+    operators.dedup).
+
+    One map-side prefix projection + one hash aggregation; HAVING > 1
+    keeps only actionable groups. At 100 TB this is the first wave of the
+    dedup cascade: exact-hash → prefix-group → MinHash band → verify,
+    each wave shrinking the next wave's input."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    prefix = F.array_join(F.slice(toks, 1, 8), " ")
+    return (
+        d.select("doc_id", prefix.alias("prefix"))
+        .groupBy("prefix")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            (F.count("*") - 1).cast("bigint").alias("n_removable"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
