@@ -133,22 +133,38 @@ def delta_available() -> bool:
 
 
 class MemoryLedgerBackend:
-    """Dict-backed stand-in with MERGE-INTO upsert semantics, used by the
-    contract tests (and usable as a scratch ledger). Mirrors exactly what
-    the Delta MERGE does: full-row UPDATE on key match, INSERT otherwise."""
+    """Dict-backed stand-in with versioned MERGE-INTO upsert semantics,
+    used by the contract tests (and usable as a scratch ledger). Mirrors
+    the Delta MERGE exactly: the update applies only when the stored
+    version equals the writer's expected version (compare-and-swap), the
+    insert only when the row is absent and the writer expected absence."""
 
     def __init__(self):
-        self.rows: dict[str, tuple[str, Optional[str], str]] = {}
+        # batch_id -> (version, created_utc, final_status, payload)
+        self.rows: dict[str, tuple[int, str, Optional[str], str]] = {}
 
-    def upsert(self, batch_id: str, created_utc: str, final_status: Optional[str], payload: str) -> None:
-        self.rows[batch_id] = (created_utc, final_status, payload)
+    def upsert(
+        self,
+        batch_id: str,
+        created_utc: str,
+        final_status: Optional[str],
+        payload: str,
+        *,
+        expected_version: int,
+    ) -> bool:
+        cur = self.rows.get(batch_id)
+        cur_version = cur[0] if cur else 0
+        if cur_version != expected_version:
+            return False  # stale read — caller re-reads and retries
+        self.rows[batch_id] = (cur_version + 1, created_utc, final_status, payload)
+        return True
 
-    def lookup(self, batch_id: str) -> Optional[str]:
+    def lookup(self, batch_id: str) -> Optional[tuple[str, int]]:
         row = self.rows.get(batch_id)
-        return row[2] if row else None
+        return (row[3], row[0]) if row else None
 
     def scan(self, *, pending_only: bool = False):
-        for bid, (_c, final_status, payload) in self.rows.items():
+        for bid, (_v, _c, final_status, payload) in self.rows.items():
             if pending_only and final_status is not None:
                 continue
             yield bid, payload
@@ -158,12 +174,21 @@ class DeltaLedgerBackend:
     """Delta storage primitive: one ACID ``MERGE INTO`` per upsert, point
     lookup / pending scan with ``final_status`` as a pushdown-able column.
 
-    Concurrent drivers sharing one ledger are serialized by Delta's
-    optimistic concurrency control — the exact failure mode the JSON-file
-    ledger cannot handle (two ``os.replace`` writers lose one update).
+    Concurrency: Delta's optimistic concurrency control serializes the
+    MERGE commits, but the ledger's field-merge happens in Python between
+    a lookup and the MERGE — so each row carries a ``version`` and the
+    MERGE applies ONLY when the stored version equals the version the
+    writer read (compare-and-swap; insert requires expected version 0).
+    A stale writer's MERGE is a no-op, detected by the read-back in
+    :meth:`upsert`, and :meth:`DeltaJobLedger.record` re-reads and
+    retries — no lost updates, which neither OCC alone nor the JSON-file
+    ledger (two ``os.replace`` writers) can guarantee.
     """
 
-    SCHEMA = "batch_id STRING, created_utc STRING, final_status STRING, payload STRING"
+    SCHEMA = (
+        "batch_id STRING, version BIGINT, created_utc STRING, "
+        "final_status STRING, payload STRING"
+    )
 
     def __init__(self, spark, path: str):
         if not delta_available():
@@ -184,34 +209,56 @@ class DeltaLedgerBackend:
 
     @staticmethod
     def merge_sql(path: str) -> str:
+        # Compare-and-swap MERGE: update only from the version the writer
+        # read; insert only when the writer read absence (expected 0). A
+        # stale writer matches neither branch and the MERGE is a no-op.
         return f"""
             MERGE INTO delta.`{path}` AS t
             USING _ledger_upsert_src AS s
             ON t.batch_id = s.batch_id
-            WHEN MATCHED THEN UPDATE SET
+            WHEN MATCHED AND t.version = s.expected_version THEN UPDATE SET
+                t.version = s.expected_version + 1,
                 t.created_utc = s.created_utc,
                 t.final_status = s.final_status,
                 t.payload = s.payload
-            WHEN NOT MATCHED THEN INSERT *
+            WHEN NOT MATCHED AND s.expected_version = 0 THEN INSERT
+                (batch_id, version, created_utc, final_status, payload)
+                VALUES (s.batch_id, 1, s.created_utc, s.final_status, s.payload)
         """
 
-    def upsert(self, batch_id: str, created_utc: str, final_status: Optional[str], payload: str) -> None:
+    def upsert(
+        self,
+        batch_id: str,
+        created_utc: str,
+        final_status: Optional[str],
+        payload: str,
+        *,
+        expected_version: int,
+    ) -> bool:
         src = self._spark.createDataFrame(
-            [(batch_id, created_utc, final_status, payload)],
-            self.SCHEMA,
+            [(batch_id, int(expected_version), created_utc, final_status, payload)],
+            "batch_id STRING, expected_version BIGINT, created_utc STRING, "
+            "final_status STRING, payload STRING",
         )
         src.createOrReplaceTempView("_ledger_upsert_src")
         self._spark.sql(self.merge_sql(self._path))
+        # Applied iff the row now carries OUR payload at expected+1 — a
+        # concurrent writer advancing from the same base leaves a different
+        # payload there, which the caller's retry loop resolves.
+        row = self.lookup(batch_id)
+        return row is not None and row[1] == expected_version + 1 and row[0] == payload
 
-    def lookup(self, batch_id: str) -> Optional[str]:
+    def lookup(self, batch_id: str) -> Optional[tuple[str, int]]:
+        from pyspark.sql import functions as F
+
         rows = (
             self._spark.read.format("delta")
             .load(self._path)
-            .where(f"batch_id = '{batch_id}'")
-            .select("payload")
+            .where(F.col("batch_id") == batch_id)
+            .select("payload", "version")
             .collect()
         )
-        return rows[0][0] if rows else None
+        return (rows[0][0], rows[0][1]) if rows else None
 
     def scan(self, *, pending_only: bool = False):
         df = self._spark.read.format("delta").load(self._path)
@@ -237,22 +284,37 @@ class DeltaJobLedger:
     def __init__(self, spark=None, path: Optional[str] = None, *, backend=None):
         self._backend = backend if backend is not None else DeltaLedgerBackend(spark, path)
 
+    MAX_CAS_RETRIES = 8
+
     def record(self, batch_id: str, **fields: Any) -> dict:
-        payload = self._backend.lookup(batch_id)
-        entry: dict = json.loads(payload) if payload else {}
-        entry.update(fields)
-        entry.setdefault("created_utc", time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()))
-        self._backend.upsert(
-            batch_id,
-            entry["created_utc"],
-            entry.get("final_status"),
-            json.dumps(entry, sort_keys=True),
+        """Field-merge upsert as compare-and-swap: read (payload, version),
+        merge in Python, write back conditioned on the version still being
+        the one read; on conflict re-read and retry, so two drivers
+        updating different fields of the same batch both land."""
+        for _ in range(self.MAX_CAS_RETRIES):
+            row = self._backend.lookup(batch_id)
+            payload, version = row if row is not None else (None, 0)
+            entry: dict = json.loads(payload) if payload else {}
+            entry.update(fields)
+            entry.setdefault(
+                "created_utc", time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+            )
+            if self._backend.upsert(
+                batch_id,
+                entry["created_utc"],
+                entry.get("final_status"),
+                json.dumps(entry, sort_keys=True),
+                expected_version=version,
+            ):
+                return entry
+        raise RuntimeError(
+            f"ledger CAS conflict persisted for batch_id={batch_id!r} after "
+            f"{self.MAX_CAS_RETRIES} retries"
         )
-        return entry
 
     def get(self, batch_id: str) -> Optional[dict]:
-        payload = self._backend.lookup(batch_id)
-        return json.loads(payload) if payload else None
+        row = self._backend.lookup(batch_id)
+        return json.loads(row[0]) if row is not None else None
 
     def all(self) -> dict[str, dict]:
         return {bid: json.loads(p) for bid, p in self._backend.scan()}

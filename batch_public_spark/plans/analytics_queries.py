@@ -26,6 +26,19 @@ from batch_public_spark.sources.tables import load_table as t
 SESSION_GAP_US = 600 * 1_000_000  # 10 minutes
 
 
+def _scratch_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
+    """Session-scoped scratch path for write→read round-trip queries:
+    keyed by the Spark applicationId so concurrent sessions (bench +
+    pytest on one box) never overwrite each other's intermediates, and
+    stable within a session so re-runs reuse mode('overwrite')."""
+    import os
+    import tempfile
+
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
+    return os.path.join(tempfile.gettempdir(), f"bps_{tag}_{sf}_{app}")
+
+
 # ---------------------------------------------------------------------------
 # Event-stream analytics
 # ---------------------------------------------------------------------------
@@ -1284,10 +1297,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bps_csv_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    out_dir = _scratch_dir(spark, sf_dir, "csv_roundtrip")
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderstatus",
@@ -1329,10 +1339,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bps_orc_roundtrip_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    out_dir = _scratch_dir(spark, sf_dir, "orc_roundtrip")
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_orderpriority",
@@ -1711,10 +1718,7 @@ def source_kvscan_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_public_spark.sources.kvscan import register_kv_source
 
     register_kv_source(spark)
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bps_kvscan_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    out_dir = _scratch_dir(spark, sf_dir, "kvscan")
     e = t(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
     )
@@ -1769,10 +1773,7 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    out_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"bps_part_prune_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
+    out_dir = _scratch_dir(spark, sf_dir, "part_prune")
     e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
     e.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
     back = spark.read.parquet(out_dir).filter(
@@ -1893,6 +1894,7 @@ def llmops_embedding_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def norms(batches):
         import numpy as np
+        import pyarrow.compute as pc
 
         for batch in batches:
             if batch.num_rows == 0:
@@ -1900,7 +1902,16 @@ def llmops_embedding_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
             vec_id = batch.column("vec_id")
             emb = batch.column("embedding")
             flat = emb.flatten()
-            lengths = np.asarray(emb.value_lengths(), dtype=np.int64)
+            vl = emb.value_lengths()
+            # np.add.reduceat misbehaves on empty segments (returns the
+            # NEXT segment's first element, or IndexErrors at the tail) —
+            # refuse loudly instead of returning silently wrong norms.
+            if vl.null_count or pc.min(vl).as_py() <= 0:
+                raise ValueError(
+                    "empty or NULL embedding encountered; filter upstream "
+                    "(size(embedding) > 0) before norm computation"
+                )
+            lengths = np.asarray(vl, dtype=np.int64)
             starts = np.zeros(len(lengths), dtype=np.int64)
             np.cumsum(lengths[:-1], out=starts[1:])
             vals = flat.to_numpy(zero_copy_only=False).astype(np.float64)
@@ -2290,8 +2301,10 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from batch_public_spark.sources.bucketing import read_bucketed, write_bucketed
 
-    tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    root = os.path.join(tempfile.gettempdir(), f"bps_bucketed_{tag}")
+    root = _scratch_dir(spark, sf_dir, "bucketed")
+    # table names must be session-unique too (shared in-memory catalog is
+    # per-session, but the external paths under root must pair with them)
+    tag = os.path.basename(root).replace(".", "_")
     ot, lt = f"bps_orders_b_{tag}", f"bps_lineitem_b_{tag}"
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     l = t(spark, sf_dir, "lineitem").select(

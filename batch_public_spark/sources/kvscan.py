@@ -207,6 +207,9 @@ class KVSnapshotWriter(DataSourceWriter):
             raise ValueError("kvsnapshot requires option 'path'")
         self.fields = [f.name for f in schema.fields]
         self.overwrite = overwrite
+        # Per-write token: committed part names are unique across writes,
+        # so append mode can never clobber a previous generation's parts.
+        self.token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> KVCommitMessage:
         os.makedirs(self.path, exist_ok=True)
@@ -229,7 +232,10 @@ class KVSnapshotWriter(DataSourceWriter):
                 if name.startswith("part-") and name.endswith(".jsonl"):
                     os.remove(os.path.join(self.path, name))
         for i, msg in enumerate(messages):
-            os.replace(msg.tmp_path, os.path.join(self.path, f"part-{i:05d}.jsonl"))
+            os.replace(
+                msg.tmp_path,
+                os.path.join(self.path, f"part-{self.token}-{i:05d}.jsonl"),
+            )
 
     def abort(self, messages) -> None:
         for msg in messages:
@@ -261,8 +267,6 @@ def register_kv_source(spark) -> None:
     hands us a vanilla session — same pattern as the parquet-nanos conf in
     sources.tables.load_table."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    try:
-        spark.dataSource.register(KVSnapshotDataSource)
-    except Exception as exc:  # already registered → fine
-        if "already" not in str(exc).lower():
-            raise
+    # Re-registration replaces the prior entry (Spark logs a WARN), so this
+    # is safe to call once per query; real failures propagate.
+    spark.dataSource.register(KVSnapshotDataSource)

@@ -183,3 +183,24 @@ def test_spark_filter_fully_pushed(spark, tmp_path):
     import re
 
     assert re.search(r"\(\d+\) Filter\b", plan) is None, plan
+
+
+def test_append_preserves_previous_generation(spark, tmp_path):
+    """Append-mode commits must never clobber earlier parts (committed
+    names carry a per-write token; the r4 review's clobber scenario)."""
+    register_kv_source(spark)
+    out = str(tmp_path / "snap")
+    df = spark.range(50).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 1000).alias("ts_us"),
+        F.lit("view").alias("event_type"),
+        (F.col("id") / 8).alias("value"),
+    )
+    df.repartition(4).write.format("kvsnapshot").mode("overwrite").option(
+        "path", out
+    ).save()
+    df.filter(F.col("event_id") < 10).write.format("kvsnapshot").mode(
+        "append"
+    ).option("path", out).save()
+    back = spark.read.format("kvsnapshot").option("path", out).load()
+    assert back.count() == 60
