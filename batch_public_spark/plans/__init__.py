@@ -77,6 +77,8 @@ _PRIORITY = [
     "agg_mode_orders",
     "events_rate_spike_detect",
     "llmops_prefix_dedup_groups",
+    "window_value_functions_battery",
+    "llmops_embedding_pca_power",
 ]
 
 

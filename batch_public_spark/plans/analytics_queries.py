@@ -2650,3 +2650,121 @@ def llmops_prefix_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@query(
+    "window_value_functions_battery",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           first_value(o_orderkey) OVER w AS cheapest_key,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS priciest_key,
+           nth_value(o_orderkey, 3) OVER (
+             PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_cheapest_key,
+           round(percent_rank() OVER w, 6) AS price_pct_rank
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_value_functions_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window VALUE functions in one pass: first_value / last_value /
+    nth_value (full-partition frame — the default running frame makes
+    last_value famously 'wrong'; spelling ROWS UNBOUNDED..UNBOUNDED is
+    the correct idiom in both engines) + percent_rank, all over one
+    (priority; price, key) window — completing the window-function
+    surface next to rank/dense_rank/ntile/cume_dist/lag/lead.
+
+    One exchange on o_orderpriority serves all four functions (same
+    partitioning and ordering); the ordering carries o_orderkey as a
+    total tie-break so value functions pick deterministically."""
+    o = t(spark, sf_dir, "orders")
+    running = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    full = running.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.first("o_orderkey").over(full).alias("cheapest_key"),
+        F.last("o_orderkey").over(full).alias("priciest_key"),
+        F.nth_value("o_orderkey", 3).over(full).alias("third_cheapest_key"),
+        F.round(F.percent_rank().over(running), 6).alias("price_pct_rank"),
+    )
+
+
+@query(
+    "llmops_embedding_pca_power",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             unnest(range(len(embedding))) AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), dims AS (SELECT DISTINCT dim FROM x),
+    d AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dims),
+    v0 AS (SELECT dim, round(1.0 / sqrt(d.n), 8) AS v FROM dims CROSS JOIN d),
+    s1 AS (
+      SELECT x.vec_id, round(sum(x.val * v0.v), 8) AS s
+      FROM x JOIN v0 USING (dim) GROUP BY x.vec_id
+    ), y1 AS (
+      SELECT x.dim, round(sum(x.val * s1.s), 6) AS y
+      FROM x JOIN s1 USING (vec_id) GROUP BY x.dim
+    ), n1 AS (SELECT round(sqrt(sum(y * y)), 8) AS nrm FROM y1),
+    v1 AS (SELECT dim, round(y / n1.nrm, 8) AS v FROM y1 CROSS JOIN n1),
+    s2 AS (
+      SELECT x.vec_id, round(sum(x.val * v1.v), 8) AS s
+      FROM x JOIN v1 USING (dim) GROUP BY x.vec_id
+    ), y2 AS (
+      SELECT x.dim, round(sum(x.val * s2.s), 6) AS y
+      FROM x JOIN s2 USING (vec_id) GROUP BY x.dim
+    ), n2 AS (SELECT round(sqrt(sum(y * y)), 8) AS nrm FROM y2),
+    v2 AS (SELECT dim, round(y / n2.nrm, 8) AS v FROM y2 CROSS JOIN n2)
+    SELECT CAST(dim AS BIGINT) AS dim, round(v, 6) AS component FROM v2
+    """,
+)
+def llmops_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power iteration for the corpus's top principal
+    direction (uncentered PCA / leading right-singular vector of the
+    embedding matrix): v ← normalize(Xᵀ(X v)), two matrix-free rounds
+    from the uniform start — the third fully-oracle-checked ITERATIVE
+    algorithm beside kmeans_lloyd and term_pagerank, with the same
+    fixed-precision discipline (round-8 after every aggregate, so the
+    fixpoint arithmetic is reproducible across engines and partition
+    orders; sign is pinned by the all-positive start).
+
+    Spark-first: X lives exploded as (vec_id, dim, val); the direction v
+    is |dims| rows and BROADCASTS into the X⋈v score join; each round is
+    two map-side-combined aggregations (scores by vec_id, loadings by
+    dim) — never a materialized Gram matrix, which is dim² and dense. At
+    100 TB this is exactly how you'd get the top component for embedding
+    whitening/dedup preconditioning."""
+    e = t(spark, sf_dir, "embeddings")
+    x = e.select(
+        "vec_id", F.posexplode(F.col("embedding"))
+    ).select("vec_id", F.col("pos").alias("dim"), F.col("col").cast("double").alias("val"))
+    dims = x.select("dim").distinct()
+    d = dims.agg(F.count("*").cast("double").alias("n"))
+    v = dims.crossJoin(F.broadcast(d)).select(
+        "dim", F.round(F.lit(1.0) / F.sqrt(F.col("n")), 8).alias("v")
+    )
+    for _ in range(2):
+        s = (
+            x.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.round(F.sum(F.col("val") * F.col("v")), 8).alias("s"))
+        )
+        y = (
+            x.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(F.round(F.sum(F.col("val") * F.col("s")), 6).alias("y"))
+        )
+        nrm = y.agg(F.round(F.sqrt(F.sum(F.col("y") * F.col("y"))), 8).alias("nrm"))
+        v = y.crossJoin(F.broadcast(nrm)).select(
+            "dim", F.round(F.col("y") / F.col("nrm"), 8).alias("v")
+        )
+    return v.select(
+        F.col("dim").cast("bigint").alias("dim"), F.round("v", 6).alias("component")
+    )

@@ -458,3 +458,18 @@ def test_bucketed_registered_join_has_no_exchange(spark):
         len(re.findall(r"\(\d+\) Exchange\b", p)) <= 1
     ), p
     assert "SelectedBucketsCount" in p or "Bucketed: true" in p, p
+
+
+def test_pca_power_direction_broadcasts(spark):
+    """llmops_embedding_pca_power: the |dims|-row direction vector must
+    broadcast into the score join every iteration — the exploded X table
+    never shuffles onto the tiny side."""
+    p = plan(spark, "llmops_embedding_pca_power")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", p)) >= 2, p
+
+
+def test_window_value_battery_single_exchange(spark):
+    """window_value_functions_battery: all four value functions share one
+    (priority; price, key) exchange."""
+    p = plan(spark, "window_value_functions_battery")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
