@@ -881,9 +881,13 @@ def llmops_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counted.orderBy(F.desc("n"), "pair").limit(20)
     # Constant-valued (but non-foldable) partition key: the single
     # partition is deliberate (<=20 rows). A plain lit(0) gets folded away
-    # by the analyzer and the no-partition warning returns; so does any
-    # expression over a non-nullable column (count(*) * 0 folds to 0).
-    w = W.partitionBy(F.length("pair") * 0).orderBy(F.desc("n"), "pair")
+    # by the analyzer, and `col * 0` over a NON-NULLABLE column (pair is
+    # substr of an exploded token) is simplified to 0 by the arithmetic
+    # rules, resurrecting the no-partition warning — a CASE WHEN over the
+    # column survives both rules while still evaluating to a constant.
+    w = W.partitionBy(F.when(F.length("pair") >= 0, F.lit(0))).orderBy(
+        F.desc("n"), "pair"
+    )
     return (
         top.withColumn("rank", F.row_number().over(w))
         .select("pair", "n", F.col("rank").cast("bigint").alias("rank"))
