@@ -79,6 +79,8 @@ _PRIORITY = [
     "llmops_prefix_dedup_groups",
     "window_value_functions_battery",
     "llmops_embedding_pca_power",
+    "events_hypertable_rollup",
+    "join_range_containment",
 ]
 
 

@@ -544,3 +544,122 @@ def maintenance_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("day").cast("bigint").alias("min_day"),
         F.max("day").cast("bigint").alias("max_day"),
     )
+
+
+@query(
+    "events_hypertable_rollup",
+    oracle="""
+    WITH base AS (
+      SELECT event_type,
+             CAST(date_trunc('day', ts) AS DATE) AS d,
+             CAST(date_trunc('week', ts) AS DATE) AS w,
+             value
+      FROM events
+    )
+    SELECT event_type,
+           CASE WHEN GROUPING(d) = 0 THEN 'day'
+                WHEN GROUPING(w) = 0 THEN 'week'
+                ELSE 'type' END AS grain,
+           coalesce(strftime(d, '%Y-%m-%d'), strftime(w, '%Y-%m-%d'), 'ALL') AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM base
+    GROUP BY GROUPING SETS ((event_type, d), (event_type, w), (event_type))
+    """,
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: day, week, and
+    per-type totals for the event stream in ONE pass via GROUPING SETS —
+    the TimescaleDB continuous-aggregate / druid-rollup shape, with
+    ``GROUPING()`` disambiguating the grain of each output row.
+
+    Spark-first: GROUPING SETS expands to one aggregation whose grouping
+    key carries the set id — one shuffle produces all three grains
+    (versus three scans for three GROUP BYs); measures go through
+    DECIMAL so every grain's totals are exact and the week total equals
+    the sum of its days. At 100 TB this materializes the rollup a
+    dashboard reads, refreshed incrementally per mv_incremental_refresh."""
+    e = t(spark, sf_dir, "events")
+    e.select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("d"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("w"),
+        "value",
+    ).createOrReplaceTempView("events_rollup_base")
+    return spark.sql(
+        """
+        SELECT event_type,
+               CASE WHEN grouping(d) = 0 THEN 'day'
+                    WHEN grouping(w) = 0 THEN 'week'
+                    ELSE 'type' END AS grain,
+               coalesce(date_format(d, 'yyyy-MM-dd'),
+                        date_format(w, 'yyyy-MM-dd'), 'ALL') AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+        FROM events_rollup_base
+        GROUP BY GROUPING SETS ((event_type, d), (event_type, w), (event_type))
+        """
+    )
+
+
+@query(
+    "join_range_containment",
+    oracle="""
+    WITH promos(promo, start_d, end_d) AS (
+      VALUES ('winter96', DATE '1996-01-01', DATE '1996-04-01'),
+             ('summer96', DATE '1996-06-01', DATE '1996-09-01'),
+             ('winter97', DATE '1997-01-01', DATE '1997-04-01'),
+             ('summer97', DATE '1997-06-01', DATE '1997-09-01')
+    )
+    SELECT p.promo,
+           CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+           coalesce(CAST(round(sum(CAST(o.o_totalprice AS DECIMAL(18,4))), 2)
+                         AS DOUBLE), 0.0) AS revenue
+    FROM promos p LEFT JOIN orders o
+      ON CAST(o.o_orderdate AS DATE) >= p.start_d
+     AND CAST(o.o_orderdate AS DATE) < p.end_d
+    GROUP BY p.promo
+    """,
+)
+def join_range_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment RANGE join: each order matched to the promo period
+    whose [start, end) interval contains its date — the canonical range
+    join (point-in-interval) next to the as-of join and the banded
+    interval self-join.
+
+    Spark-first: the interval dimension is an inline VALUES relation
+    (4 rows) that BROADCASTS; the fact table streams through one
+    broadcast nested-loop probe against the date band — at any scale
+    the fact side scans once and never shuffles. For interval dims too
+    large to broadcast, the standard refinement buckets both sides by
+    coarse time grain and equi-joins the bucket key with the band as a
+    residual filter (the join_orders_within_week shape). LEFT join from
+    the dim keeps empty promos visible with zero totals."""
+    o = t(spark, sf_dir, "orders")
+    promos = spark.createDataFrame(
+        [
+            ("winter96", "1996-01-01", "1996-04-01"),
+            ("summer96", "1996-06-01", "1996-09-01"),
+            ("winter97", "1997-01-01", "1997-04-01"),
+            ("summer97", "1997-06-01", "1997-09-01"),
+        ],
+        "promo string, start_d string, end_d string",
+    ).select(
+        "promo",
+        F.to_date("start_d").alias("start_d"),
+        F.to_date("end_d").alias("end_d"),
+    )
+    od = o.select(
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+    )
+    joined = F.broadcast(promos).join(
+        od, (F.col("d") >= F.col("start_d")) & (F.col("d") < F.col("end_d")), "left"
+    )
+    return joined.groupBy("promo").agg(
+        F.count("o_orderkey").cast("bigint").alias("n_orders"),
+        F.coalesce(F.round(F.sum("price"), 2).cast("double"), F.lit(0.0)).alias(
+            "revenue"
+        ),
+    )
