@@ -81,6 +81,8 @@ _PRIORITY = [
     "llmops_embedding_pca_power",
     "events_hypertable_rollup",
     "join_range_containment",
+    "llmops_url_canonicalize",
+    "agg_conditional_battery",
 ]
 
 

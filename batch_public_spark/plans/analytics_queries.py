@@ -2772,3 +2772,102 @@ def llmops_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         F.col("dim").cast("bigint").alias("dim"), F.round("v", 6).alias("component")
     )
+
+
+@query(
+    "llmops_url_canonicalize",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             concat('HTTPS://', upper(source), '.Example.COM/art/', doc_id,
+                    '?utm_source=feed&utm_campaign=x&id=', doc_id, '#frag') AS url
+      FROM documents
+    ), canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 concat(lower(regexp_extract(url, '^([A-Za-z]+://[^/?#]+)', 1)),
+                        regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)),
+                 '/$', ''),
+               '^https://', '') AS canonical
+      FROM u
+    )
+    SELECT regexp_extract(canonical, '^([^/]+)', 1) AS host,
+           CAST(count(*) AS BIGINT) AS n_urls,
+           CAST(count(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           min(canonical) AS sample_canonical
+    FROM canon GROUP BY 1
+    """,
+)
+def llmops_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the first normalization every web-corpus
+    dedup applies (scheme/host case-folding, query-string + fragment
+    stripping, trailing-slash removal) so that tracking-parameter
+    variants of one page collapse to one key. URLs are synthesized
+    deterministically from the documents table (host from source, path
+    from doc_id, noisy utm_* + fragment) so the transform — not the
+    fixture — is what's hashed.
+
+    Pure regexp column expressions (identical patterns spelled in both
+    engines — no parse_url, which DuckDB lacks and whose component
+    semantics differ subtly); one aggregation on the canonical host. At
+    100 TB this runs map-side ahead of the exact-dedup hash
+    (semantic.dedup_exact) with the canonical URL as the dedup key."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://"),
+        F.upper("source"),
+        F.lit(".Example.COM/art/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&utm_campaign=x&id="),
+        F.col("doc_id").cast("string"),
+        F.lit("#frag"),
+    )
+    scheme_host = F.lower(F.regexp_extract(url, r"^([A-Za-z]+://[^/?#]+)", 1))
+    path = F.regexp_extract(url, r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    canonical = F.regexp_replace(
+        F.regexp_replace(F.concat(scheme_host, path), r"/$", ""),
+        r"^https://",
+        "",
+    )
+    canon = d.select("doc_id", canonical.alias("canonical"))
+    return canon.groupBy(
+        F.regexp_extract("canonical", r"^([^/]+)", 1).alias("host")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_urls"),
+        F.count_distinct(F.col("canonical")).cast("bigint").alias("n_canonical"),
+        F.min("canonical").alias("sample_canonical"),
+    )
+
+
+@query(
+    "agg_conditional_battery",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count_if(o_totalprice > 150000) AS BIGINT) AS n_big,
+           bool_and(o_totalprice > 0) AS all_positive,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+           round(CAST(count_if(o_totalprice > 150000) AS DOUBLE) / count(*), 6)
+             AS big_share
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate battery: count_if, every/bool_and,
+    some/bool_or, conditional COUNT, and a conditional share — the
+    filtered-aggregation idioms that replace self-joins and CASE
+    pyramids in reporting queries (one pass, map-side combined).
+
+    Spark's every/some are DuckDB's bool_and/bool_or; count_if is spelled
+    identically in both. All six measures share one aggregation over one
+    scan."""
+    o = t(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 150000
+    return o.groupBy("o_orderpriority").agg(
+        F.count_if(big).cast("bigint").alias("n_big"),
+        F.every(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.some(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.count(F.when(F.col("o_orderstatus") == "O", 1)).cast("bigint").alias("n_open"),
+        F.round(F.count_if(big).cast("double") / F.count("*"), 6).alias("big_share"),
+    )
