@@ -83,6 +83,8 @@ _PRIORITY = [
     "join_range_containment",
     "llmops_url_canonicalize",
     "agg_conditional_battery",
+    "llmops_label_encode",
+    "events_idle_gap_stats",
 ]
 
 

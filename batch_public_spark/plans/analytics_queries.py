@@ -2871,3 +2871,99 @@ def agg_conditional_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderstatus") == "O", 1)).cast("bigint").alias("n_open"),
         F.round(F.count_if(big).cast("double") / F.count("*"), 6).alias("big_share"),
     )
+
+
+@query(
+    "llmops_label_encode",
+    oracle="""
+    WITH vocab AS (
+      SELECT lang, ROW_NUMBER() OVER (ORDER BY lang) - 1 AS label_id
+      FROM (SELECT DISTINCT lang FROM documents)
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS k FROM vocab)
+    SELECT d.doc_id, d.lang, v.label_id,
+           md5(array_to_string(
+             list_transform(range(n.k),
+                            i -> CASE WHEN i = v.label_id THEN 1 ELSE 0 END),
+             ',')) AS one_hot_md5
+    FROM documents d JOIN vocab v USING (lang) CROSS JOIN n
+    """,
+)
+def llmops_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical label encoding for training prep: a deterministic
+    label id per language (alphabetical — NOT hash- or arrival-order,
+    which would differ between runs and engines) plus the one-hot vector,
+    built relationally so the SAME vocabulary maps train and eval splits.
+
+    Spark-first: the vocabulary is a distinct + row_number over |langs|
+    rows and BROADCASTS back onto the corpus; the one-hot is an in-row
+    ``transform(sequence(...))`` — no UDF, no pivot. At 100 TB the
+    pattern holds for any bounded-cardinality feature (language, source,
+    license class); unbounded keys go through hashing-trick buckets
+    instead (llmops_quality_classifier's feature path)."""
+    d = t(spark, sf_dir, "documents")
+    langs = d.select("lang").distinct()
+    # <=|langs| rows: rank window over the broadcastable vocab only.
+    w = W.partitionBy(F.when(F.length("lang") >= 0, F.lit(0))).orderBy("lang")
+    vocab = langs.select("lang", (F.row_number().over(w) - 1).alias("label_id"))
+    n = vocab.agg(F.count("*").alias("k"))
+    one_hot = F.transform(
+        F.sequence(F.lit(0), F.col("k") - 1),
+        lambda i: F.when(i == F.col("label_id"), 1).otherwise(0),
+    )
+    # Array content pinned via md5 of the joined string — the registry's
+    # array-output discipline (see llmops_embedding_quantize): the driver
+    # hash compares scalars, so arrays travel as content digests.
+    return (
+        d.select("doc_id", "lang")
+        .join(F.broadcast(vocab), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "lang",
+            "label_id",
+            F.md5(F.array_join(one_hot, ",")).alias("one_hot_md5"),
+        )
+    )
+
+
+@query(
+    "events_idle_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+           round(CAST(quantile_cont(gap_us, 0.5) AS DOUBLE), 6) AS median_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_idle_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event idle-gap distribution: per event type, the min / max /
+    median microsecond gap since the same user's previous event — the
+    empirical basis for choosing the sessionization gap threshold
+    (events_sessionize_gap hardcodes 10 min; this query is how you'd
+    justify it from data).
+
+    One lag window on (user_id; ts, event_id) — the same exchange every
+    session query uses — then a tiny per-type aggregate with an exact
+    interpolated median (at 100 TB: approx_percentile, same plan). Each
+    user's first event has no gap and is excluded in both engines."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    gaps = e.select("event_type", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").cast("bigint").alias("n_gaps"),
+        F.min("gap_us").cast("bigint").alias("min_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+        F.round(F.percentile(F.col("gap_us"), F.lit(0.5)), 6).alias("median_gap_us"),
+    )
