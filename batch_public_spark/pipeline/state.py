@@ -199,6 +199,13 @@ class DeltaLedgerBackend:
         self._spark = spark
         self._path = path
         spark.sql(self.create_sql(path))
+        # Upgrade path for ledgers created before the version column: the
+        # CREATE IF NOT EXISTS above no-ops on an existing 4-column table
+        # and every MERGE would then fail on t.version — add + backfill.
+        cols = spark.read.format("delta").load(path).columns
+        if "version" not in cols:
+            for stmt in self.migrate_sql(path):
+                spark.sql(stmt)
 
     @staticmethod
     def create_sql(path: str) -> str:
@@ -206,6 +213,16 @@ class DeltaLedgerBackend:
             f"CREATE TABLE IF NOT EXISTS delta.`{path}` "
             f"({DeltaLedgerBackend.SCHEMA}) USING DELTA"
         )
+
+    @staticmethod
+    def migrate_sql(path: str) -> list[str]:
+        """DDL to upgrade a pre-version ledger in place: add the column,
+        then backfill existing rows to version 1 (any live CAS writer sees
+        a consistent non-null version afterwards)."""
+        return [
+            f"ALTER TABLE delta.`{path}` ADD COLUMN (version BIGINT)",
+            f"UPDATE delta.`{path}` SET version = 1 WHERE version IS NULL",
+        ]
 
     @staticmethod
     def merge_sql(path: str) -> str:
@@ -241,7 +258,16 @@ class DeltaLedgerBackend:
             "final_status STRING, payload STRING",
         )
         src.createOrReplaceTempView("_ledger_upsert_src")
-        self._spark.sql(self.merge_sql(self._path))
+        try:
+            self._spark.sql(self.merge_sql(self._path))
+        except Exception as exc:
+            # Delta OCC rejects one of two racing MERGE commits with a
+            # Concurrent*Exception rather than committing it as a no-op —
+            # for the CAS contract that is just a failed swap: report
+            # not-applied so record() re-reads and retries.
+            if "Concurrent" in type(exc).__name__ or "Concurrent" in str(exc):
+                return False
+            raise
         # Applied iff the row now carries OUR payload at expected+1 — a
         # concurrent writer advancing from the same base leaves a different
         # payload there, which the caller's retry loop resolves.

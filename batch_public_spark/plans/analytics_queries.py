@@ -26,17 +26,40 @@ from batch_public_spark.sources.tables import load_table as t
 SESSION_GAP_US = 600 * 1_000_000  # 10 minutes
 
 
+_SCRATCH_DIRS: set = set()
+
+
 def _scratch_dir(spark: SparkSession, sf_dir: str, tag: str) -> str:
     """Session-scoped scratch path for write→read round-trip queries:
     keyed by the Spark applicationId so concurrent sessions (bench +
     pytest on one box) never overwrite each other's intermediates, and
-    stable within a session so re-runs reuse mode('overwrite')."""
+    stable within a session so re-runs reuse mode('overwrite'). Every
+    path handed out is removed at interpreter exit — per-session names
+    would otherwise accumulate in /tmp unboundedly across runs."""
+    import atexit
     import os
+    import shutil
     import tempfile
 
     app = spark.sparkContext.applicationId.replace("-", "_")
     sf = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    return os.path.join(tempfile.gettempdir(), f"bps_{tag}_{sf}_{app}")
+    path = os.path.join(tempfile.gettempdir(), f"bps_{tag}_{sf}_{app}")
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
+        )
+    _SCRATCH_DIRS.add(path)
+    return path
+
+
+def _const_partition(col: str):
+    """Constant-valued but NON-FOLDABLE window partition key for ranking a
+    bounded (top-k) survivor set on a single deliberate partition without
+    the WindowExec no-partition warning: a plain ``lit(0)`` is folded by
+    the analyzer, and ``col * 0`` over a NON-NULLABLE column is folded by
+    the arithmetic simplification rules — a CASE WHEN over the column
+    survives both while still evaluating to a constant."""
+    return F.when(F.length(col) >= 0, F.lit(0))
 
 
 # ---------------------------------------------------------------------------
@@ -879,15 +902,9 @@ def llmops_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never a single-partition full sort); the rank window then runs over
     # the <=20 survivors only.
     top = counted.orderBy(F.desc("n"), "pair").limit(20)
-    # Constant-valued (but non-foldable) partition key: the single
-    # partition is deliberate (<=20 rows). A plain lit(0) gets folded away
-    # by the analyzer, and `col * 0` over a NON-NULLABLE column (pair is
-    # substr of an exploded token) is simplified to 0 by the arithmetic
-    # rules, resurrecting the no-partition warning — a CASE WHEN over the
-    # column survives both rules while still evaluating to a constant.
-    w = W.partitionBy(F.when(F.length("pair") >= 0, F.lit(0))).orderBy(
-        F.desc("n"), "pair"
-    )
+    # Single deliberate partition over the <=20 survivors; see
+    # _const_partition for why neither lit(0) nor pair*0 works here.
+    w = W.partitionBy(_const_partition("pair")).orderBy(F.desc("n"), "pair")
     return (
         top.withColumn("rank", F.row_number().over(w))
         .select("pair", "n", F.col("rank").cast("bigint").alias("rank"))
@@ -1298,9 +1315,6 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelism. CSV remains the slowest lake format (no pushdown, no
     column pruning, full-row parse) — this query is the migration/export
     path, not the storage recommendation."""
-    import os
-    import tempfile
-
     out_dir = _scratch_dir(spark, sf_dir, "csv_roundtrip")
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -1340,9 +1354,6 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path so a lake migrating between the two keeps bit-identical
     aggregates. Decimals travel as real DECIMAL(15,4) — no float
     round-trip."""
-    import os
-    import tempfile
-
     out_dir = _scratch_dir(spark, sf_dir, "orc_roundtrip")
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
@@ -1716,9 +1727,6 @@ def source_kvscan_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the snapshot scan parallelism is |segments| (option), the
     filter never materializes pre-cutoff rows into Spark, and the
     aggregate is one map-side-partial shuffle on event_type."""
-    import os
-    import tempfile
-
     from batch_public_spark.sources.kvscan import register_kv_source
 
     register_kv_source(spark)
@@ -1774,9 +1782,6 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     filtering. Partition keys must be low-cardinality (types, dates,
     tenants); high-cardinality keys produce the small-file problem that
     sources.maintenance.compact_parquet exists to fix."""
-    import os
-    import tempfile
-
     out_dir = _scratch_dir(spark, sf_dir, "part_prune")
     e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
     e.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
@@ -2301,7 +2306,6 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle computes the identical join over the raw parquet, so
     bucketed-write fidelity is hashed too."""
     import os
-    import tempfile
 
     from batch_public_spark.sources.bucketing import read_bucketed, write_bucketed
 
@@ -2903,7 +2907,7 @@ def llmops_label_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     langs = d.select("lang").distinct()
     # <=|langs| rows: rank window over the broadcastable vocab only.
-    w = W.partitionBy(F.when(F.length("lang") >= 0, F.lit(0))).orderBy("lang")
+    w = W.partitionBy(_const_partition("lang")).orderBy("lang")
     vocab = langs.select("lang", (F.row_number().over(w) - 1).alias("label_id"))
     n = vocab.agg(F.count("*").alias("k"))
     one_hot = F.transform(

@@ -330,3 +330,13 @@ def test_memory_backend_upsert_rejects_stale_version():
     assert version == 1 and payload == "{}"
     assert b.upsert("x", "t1", None, '{"a":1}', expected_version=1)
     assert b.lookup("x")[1] == 2
+
+
+def test_delta_ledger_migration_sql_shapes():
+    """Pre-version ledgers must be upgradeable in place: add the column,
+    backfill to version 1 (so live CAS writers see non-null versions)."""
+    from batch_public_spark.pipeline.state import DeltaLedgerBackend
+
+    stmts = DeltaLedgerBackend.migrate_sql("/lake/ledger")
+    assert stmts[0] == "ALTER TABLE delta.`/lake/ledger` ADD COLUMN (version BIGINT)"
+    assert stmts[1] == "UPDATE delta.`/lake/ledger` SET version = 1 WHERE version IS NULL"
