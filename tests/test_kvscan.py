@@ -5,6 +5,7 @@ the two-phase-commit writer."""
 from __future__ import annotations
 
 import json
+from collections import defaultdict
 import os
 
 import pytest
@@ -204,3 +205,73 @@ def test_append_preserves_previous_generation(spark, tmp_path):
     ).option("path", out).save()
     back = spark.read.format("kvsnapshot").option("path", out).load()
     assert back.count() == 60
+
+
+# ---------------------------------------------------------------------------
+# Property tests: split planning and line ownership under arbitrary shapes
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    line_lengths=st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+    n_ranges=st.integers(min_value=1, max_value=12),
+)
+def test_line_ownership_exactly_once_property(tmp_path_factory, line_lengths, n_ranges):
+    """For ANY file of lines (including empty lines) and ANY equal-chunk
+    range plan, every line is read exactly once and in order."""
+    tmp = tmp_path_factory.mktemp("kv")
+    path = str(tmp / "f.jsonl")
+    lines = ["x" * n for n in line_lengths]
+    with open(path, "w") as f:
+        for ln in lines:
+            f.write(ln + "\n")
+    size = os.path.getsize(path)
+    chunk = max(1, -(-size // n_ranges))
+    seen = []
+    start = 0
+    while start < size:
+        part = RangePartition(path, start, min(start + chunk, size))
+        seen.extend(x.rstrip(b"\n").decode() for x in _read_lines(part))
+        start += chunk
+    # blank lines are skipped by read() but _read_lines yields them raw
+    assert seen == lines
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    sizes=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=6),
+    segments=st.integers(min_value=1, max_value=20),
+)
+def test_plan_ranges_tiles_exactly_property(tmp_path_factory, sizes, segments):
+    """For ANY set of file sizes and ANY segment target: ranges tile each
+    non-empty file exactly (no gap, no overlap, full coverage), and empty
+    files contribute no ranges."""
+    tmp = tmp_path_factory.mktemp("kv")
+    files = []
+    for i, n in enumerate(sizes):
+        p = str(tmp / f"f{i}")
+        with open(p, "wb") as f:
+            f.write(b"a" * n)
+        files.append(p)
+    parts = _plan_ranges(files, segments)
+    if sum(sizes) == 0:
+        # all-empty snapshot → one (0,0) placeholder so planning still
+        # yields >= 1 partition (empty DataFrame, not a planning error)
+        assert [(p.start, p.end) for p in parts] == [(0, 0)]
+        return
+    by_file = defaultdict(list)
+    for p in parts:
+        by_file[p.path].append((p.start, p.end))
+    for f, n in zip(files, sizes):
+        ranges = sorted(by_file.get(f, []))
+        if n == 0:
+            assert ranges == []
+            continue
+        assert ranges[0][0] == 0 and ranges[-1][1] == n
+        for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
+            assert e1 == s2
+            assert e2 > s2
