@@ -58,6 +58,7 @@ from pyspark.sql.datasource import (
     IsNull,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
@@ -243,6 +244,72 @@ class KVSnapshotWriter(DataSourceWriter):
                 os.remove(msg.tmp_path)
 
 
+class KVSnapshotStreamReader(SimpleDataSourceStreamReader):
+    """File-granular streaming reader: each micro-batch ingests the part
+    files that appeared since the last offset (the writer promotes files
+    atomically via rename, so a file is either fully visible or absent —
+    the same contract Spark's own file stream source relies on).
+
+    Offsets are the sorted list of consumed file names — JSON-simple,
+    replayable (``readBetweenOffsets`` re-reads exactly the files between
+    two offsets for exactly-once recovery after a failed batch). This is
+    the streaming face of the reference's cron-cadence incremental scan
+    (dynamo fetch + high-water mark): the offset IS the watermark, kept
+    by the engine's checkpoint instead of a side file."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("kvsnapshot requires option 'path'")
+        self.permissive = options.get("mode", "strict").lower() == "permissive"
+        self.fields = [f.name for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"seen": []}
+
+    def _parse_file(self, full: str) -> Iterator[tuple]:
+        with open(full, "rb") as f:
+            for raw in f:
+                raw = raw.strip()
+                if not raw:
+                    continue
+                try:
+                    rec = json.loads(raw)
+                    if not isinstance(rec, dict):
+                        raise ValueError("record is not a JSON object")
+                except ValueError:
+                    if self.permissive:
+                        continue
+                    raise
+                yield tuple(rec.get(name) for name in self.fields)
+
+    def _read_names(self, names) -> list:
+        # Materialized, not a generator: the Simple stream API prefetches
+        # on the driver and caches batch entries with copy.copy, which
+        # cannot copy generators. (This API is the low-throughput path by
+        # design — per-batch data lives on the driver either way; a
+        # partition-parallel DataSourceStreamReader is the upgrade when
+        # batches outgrow driver memory.)
+        out = []
+        for name in names:
+            out.extend(self._parse_file(os.path.join(self.path, name)))
+        return out
+
+    def read(self, start: dict):
+        seen = set(start.get("seen", []))
+        current = [os.path.basename(p) for p in _data_files(self.path)]
+        new = sorted(n for n in current if n not in seen)
+        end = {"seen": sorted(seen | set(new))}
+        return self._read_names(new), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> list:
+        delta = sorted(set(end.get("seen", [])) - set(start.get("seen", [])))
+        return self._read_names(delta)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the engine checkpoint; nothing to release
+
+
 class KVSnapshotDataSource(DataSource):
     """``spark.read.format("kvsnapshot")`` — see module docstring."""
 
@@ -258,6 +325,9 @@ class KVSnapshotDataSource(DataSource):
 
     def writer(self, schema: StructType, overwrite: bool) -> KVSnapshotWriter:
         return KVSnapshotWriter(schema, dict(self.options), overwrite)
+
+    def simpleStreamReader(self, schema: StructType) -> KVSnapshotStreamReader:
+        return KVSnapshotStreamReader(schema, dict(self.options))
 
 
 def register_kv_source(spark) -> None:

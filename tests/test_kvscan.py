@@ -275,3 +275,66 @@ def test_plan_ranges_tiles_exactly_property(tmp_path_factory, sizes, segments):
         for (s1, e1), (s2, e2) in zip(ranges, ranges[1:]):
             assert e1 == s2
             assert e2 > s2
+
+
+def test_stream_reader_incremental_with_checkpoint(spark, tmp_path):
+    """readStream over kvsnapshot: first run ingests the snapshot, a later
+    run with the SAME checkpoint ingests only the appended generation —
+    the file-name offset is the engine-checkpointed high-water mark."""
+    register_kv_source(spark)
+    snap, ckpt, out = (
+        str(tmp_path / "snap"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "out"),
+    )
+    df = spark.range(30).select(
+        F.col("id").alias("event_id"),
+        (F.col("id") * 1000).alias("ts_us"),
+        F.lit("view").alias("event_type"),
+        (F.col("id") / 4).alias("value"),
+    )
+    df.write.format("kvsnapshot").mode("overwrite").option("path", snap).save()
+
+    def run_once():
+        s = spark.readStream.format("kvsnapshot").option("path", snap).load()
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(180)
+        return spark.read.parquet(out).count()
+
+    assert run_once() == 30
+    df.filter(F.col("event_id") < 5).write.format("kvsnapshot").mode("append").option(
+        "path", snap
+    ).save()
+    assert run_once() == 35  # only the 5 appended rows ingested
+
+
+def test_stream_reader_offsets_replayable():
+    """readBetweenOffsets must re-read exactly the files between two
+    offsets (exactly-once replay after a failed batch)."""
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    for i, n in enumerate((3, 4)):
+        _write_jsonl(
+            os.path.join(d, f"part-x-{i:05d}.jsonl"),
+            [{"event_id": i * 10 + j, "ts_us": j, "event_type": "v", "value": 0.0} for j in range(n)],
+        )
+    r = __import__(
+        "batch_public_spark.sources.kvscan", fromlist=["KVSnapshotStreamReader"]
+    ).KVSnapshotStreamReader(_schema(), {"path": d})
+    start = r.initialOffset()
+    rows, end = r.read(start)
+    assert len(list(rows)) == 7
+    assert end["seen"] == ["part-x-00000.jsonl", "part-x-00001.jsonl"]
+    # replay only the second file's delta
+    mid = {"seen": ["part-x-00000.jsonl"]}
+    assert len(r.readBetweenOffsets(mid, end)) == 4
+    # nothing new → empty batch, offset unchanged
+    rows2, end2 = r.read(end)
+    assert list(rows2) == [] and end2 == end
