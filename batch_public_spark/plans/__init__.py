@@ -25,6 +25,7 @@ from batch_public_spark.plans import curation_queries  # noqa: F401
 from batch_public_spark.plans import streaming_queries  # noqa: F401
 from batch_public_spark.plans import analytics_queries  # noqa: F401
 from batch_public_spark.plans import temporal_queries  # noqa: F401
+from batch_public_spark.plans import stats_queries  # noqa: F401
 
 # Names pinned to the front of the registry, in order (see module docstring).
 # Round 4: CORRECTNESS_r01+r02+r03 cover 150/153 registered queries; the 3

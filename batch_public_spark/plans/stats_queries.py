@@ -1,0 +1,607 @@
+"""Round-4 (late) statistical-monitoring family: distribution drift
+(PSI, two-sample KS), independence testing (chi-square), sweep-line
+interval concurrency, EWMA smoothing, rolling exact medians, Zipf-law
+fitting, and length-bucketed batch planning.
+
+These are the statistical gates a 100 TB training-data pipeline runs
+between ingest and training: "did today's corpus drift from the reference
+distribution?" (PSI/KS), "are language and source independent or is one
+source polluting one language?" (chi-square), "what token budget does a
+length-bucketed packing plan waste?" (batch planning). All are expressed
+as single-pass aggregations + tiny-grid joins — the heavy scan happens
+once, the statistics run on post-aggregation tables whose size is bounded
+by cardinality (bins, sources, days), not row count.
+
+Oracle discipline per plans.registry: counts stay integer-exact; shares
+and test statistics divide exact components as doubles and round to 6;
+float-weight sums go through DECIMAL so accumulation order can't move a
+hash; EWMA decay weights are spelled as identical double literals in both
+engines (never pow(), whose last ulp differs between libm and the JVM).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from batch_public_spark.operators.textops import token_count_ws, tokens
+from batch_public_spark.plans.registry import query
+from batch_public_spark.sources.tables import load_table as t
+
+# EWMA decay weights 0.7^k, k=0..13, materialized once in Python and spelled
+# as the SAME double literals in the Spark plan and the DuckDB oracle:
+# repr() round-trips exactly, so both engines parse the identical double and
+# no pow() (1-ulp engine divergence) ever runs at query time.
+_EWMA_ALPHA = 0.7
+_EWMA_SPAN = 14
+_EWMA_W = [repr(_EWMA_ALPHA**k) for k in range(_EWMA_SPAN)]
+
+_PSI_SPLIT = "1998-01-01"  # orders span 1995-01-01 .. 2001-08-01
+
+
+@query(
+    "dq_psi_drift",
+    oracle=f"""
+    WITH edges AS (
+      SELECT list_transform(quantile_cont(o_totalprice,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]), e -> round(e, 6)) AS es
+      FROM orders WHERE o_orderdate < TIMESTAMP '{_PSI_SPLIT}'
+    ), binned AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref,
+             1 + len(list_filter(es, e -> e < o_totalprice)) AS bin
+      FROM orders CROSS JOIN edges
+    ), counts AS (
+      SELECT bin,
+             CAST(sum(is_ref) AS BIGINT) AS n_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS n_cur
+      FROM binned GROUP BY bin
+    ), tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS tr, CAST(sum(n_cur) AS BIGINT) AS tc
+      FROM counts
+    )
+    SELECT bin, n_ref, n_cur,
+           round((n_ref + 0.5) / (tr + 5.0), 6) AS ref_share,
+           round((n_cur + 0.5) / (tc + 5.0), 6) AS cur_share,
+           round(((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+                 * ln(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0))),
+                 6) AS psi_term
+    FROM counts CROSS JOIN tot
+    """,
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a reference period (orders
+    before 1998) and the current period, over decile bins of the
+    reference price distribution — the standard "did the feature drift?"
+    monitor; PSI = Σ (p−q)·ln(p/q), bins carrying their own term so the
+    alert can say WHERE the mass moved. Laplace-smoothed shares (+0.5)
+    keep empty bins finite and deterministic.
+
+    Spark-first: bin edges come from ONE exact-percentile aggregation
+    over the reference scan (never an ntile window — no single-partition
+    global sort), broadcast as a 9-element array; bin assignment is an
+    in-row ``size(filter(edges, e < price))`` over that array, so the
+    full fact scan stays in whole-stage codegen with zero extra
+    shuffles. At 100 TB swap percentile → approx_percentile(1e-4): plan
+    unchanged. Edges are rounded to 6dp in BOTH engines before the
+    comparison; ties at an edge (edges interpolate onto data values when
+    n%10==0) compare identically because the doubles are identical."""
+    o = t(spark, sf_dir, "orders")
+    split = F.to_timestamp(F.lit(_PSI_SPLIT))
+    edges = (
+        o.filter(F.col("o_orderdate") < split)
+        .agg(
+            F.expr(
+                "percentile(o_totalprice, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))"
+            ).alias("es")
+        )
+        .select(F.transform("es", lambda e: F.round(e, 6)).alias("es"))
+    )
+    binned = o.crossJoin(F.broadcast(edges)).select(
+        F.when(F.col("o_orderdate") < split, 1).otherwise(0).alias("is_ref"),
+        (
+            1
+            + F.size(F.filter("es", lambda e: e < F.col("o_totalprice")))
+        ).alias("bin"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum("is_ref").cast("bigint").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("bigint").alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("bigint").alias("tr"), F.sum("n_cur").cast("bigint").alias("tc")
+    )
+    p = (F.col("n_ref") + 0.5) / (F.col("tr") + 5.0)
+    q = (F.col("n_cur") + 0.5) / (F.col("tc") + 5.0)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        F.round(p, 6).alias("ref_share"),
+        F.round(q, 6).alias("cur_share"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )
+
+
+@query(
+    "llmops_ks_drift",
+    oracle="""
+    WITH lens AS (
+      SELECT n_chars AS len, CAST(count(*) AS BIGINT) AS g
+      FROM documents GROUP BY 1
+    ), per_src AS (
+      SELECT source, n_chars AS len, CAST(count(*) AS BIGINT) AS c
+      FROM documents GROUP BY 1, 2
+    ), srcs AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_src FROM documents GROUP BY 1
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM documents),
+    grid AS (
+      SELECT s.source, s.n_src, l.len, l.g, coalesce(p.c, 0) AS c
+      FROM srcs s CROSS JOIN lens l
+      LEFT JOIN per_src p ON p.source = s.source AND p.len = l.len
+    ), cum AS (
+      SELECT source, n_src, len, g, c,
+             sum(c) OVER w AS cs,
+             sum(g) OVER w AS cg
+      FROM grid CROSS JOIN n
+      WINDOW w AS (PARTITION BY source ORDER BY len
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT source, max(n_src) AS n_docs,
+           round(max(abs(CAST(cs AS DOUBLE) / n_src
+                         - CAST(cg AS DOUBLE) / (SELECT n_all FROM n))), 6) AS ks_stat
+    FROM cum GROUP BY source
+    """,
+)
+def llmops_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift statistic per source: the
+    supremum gap between each source's empirical CDF of document length
+    and the whole-corpus CDF — the distributional screen that catches a
+    source whose documents suddenly run short/long even when its mean
+    looks normal. Exact, not sampled: the sup is evaluated at every
+    distinct length (the only points where either step function moves).
+
+    Spark-first: two grouped counts (per-length, per-source-length) off
+    one scan pattern, then a |sources| × |distinct lengths| grid — size
+    bounded by cardinality, independent of corpus row count — with the
+    step functions materialized by ONE cumulative window partitioned by
+    source (never a global sort). CDF values are exact integer ratios
+    divided as doubles; both engines perform the identical IEEE ops, and
+    only the final sup is rounded."""
+    d = t(spark, sf_dir, "documents")
+    lens = d.groupBy(F.col("n_chars").alias("len")).agg(
+        F.count("*").cast("bigint").alias("g")
+    )
+    per_src = d.groupBy("source", F.col("n_chars").alias("len")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    srcs = d.groupBy("source").agg(F.count("*").cast("bigint").alias("n_src"))
+    n = d.agg(F.count("*").cast("bigint").alias("n_all"))
+    grid = (
+        srcs.crossJoin(lens)
+        .join(per_src, ["source", "len"], "left")
+        .select("source", "n_src", "len", "g", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    w = W.partitionBy("source").orderBy("len").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = grid.crossJoin(F.broadcast(n)).select(
+        "source",
+        "n_src",
+        (F.sum("c").over(w).cast("double") / F.col("n_src")).alias("f_src"),
+        (F.sum("g").over(w).cast("double") / F.col("n_all")).alias("f_all"),
+    )
+    return cum.groupBy("source").agg(
+        F.max("n_src").alias("n_docs"),
+        F.round(F.max(F.abs(F.col("f_src") - F.col("f_all"))), 6).alias("ks_stat"),
+    )
+
+
+@query(
+    "llmops_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2
+    ), langs AS (SELECT lang, CAST(sum(o) AS BIGINT) AS rl FROM cells GROUP BY 1),
+    srcs AS (SELECT source, CAST(sum(o) AS BIGINT) AS cl FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    grid AS (
+      SELECT l.lang, s.source, l.rl, s.cl, coalesce(c.o, 0) AS o
+      FROM langs l CROSS JOIN srcs s
+      LEFT JOIN cells c ON c.lang = l.lang AND c.source = s.source
+    ), terms AS (
+      SELECT CAST(round(
+               (o - CAST(rl AS DOUBLE) * cl / n.n)
+               * (o - CAST(rl AS DOUBLE) * cl / n.n)
+               / (CAST(rl AS DOUBLE) * cl / n.n), 10) AS DECIMAL(24,10)) AS term
+      FROM grid CROSS JOIN n
+    )
+    SELECT CAST(round(sum(term), 6) AS DOUBLE) AS chi2,
+           CAST(((SELECT count(*) FROM langs) - 1)
+                * ((SELECT count(*) FROM srcs) - 1) AS BIGINT) AS dof,
+           (SELECT n FROM n) AS n
+    FROM terms
+    """,
+)
+def llmops_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test for language × source over the
+    corpus: Σ (observed − expected)²/expected with expected = row·col/N —
+    the contingency gate that flags a scraper feeding one language into
+    one source bucket (corpus composition drift that per-column monitors
+    miss). Emits the statistic, degrees of freedom, and N so the caller
+    can look up the p-value.
+
+    Spark-first: ONE grouped count over the scan builds the contingency
+    cells; marginals re-aggregate the cells (|langs|+|sources| rows, no
+    second scan); the dense |langs|×|sources| grid restores
+    observed-zero cells, which legitimately contribute (0−e)²/e. Each
+    cell's term is computed in double (identical IEEE sequence in both
+    engines), rounded to 10dp, then summed as DECIMAL so accumulation
+    ORDER cannot move the hash — only the total is re-rounded to 6."""
+    d = t(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").cast("bigint").alias("o"))
+    langs = cells.groupBy("lang").agg(F.sum("o").cast("bigint").alias("rl"))
+    srcs = cells.groupBy("source").agg(F.sum("o").cast("bigint").alias("cl"))
+    n = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    grid = (
+        langs.crossJoin(srcs)
+        .join(cells, ["lang", "source"], "left")
+        .select("lang", "source", "rl", "cl", F.coalesce("o", F.lit(0)).alias("o"))
+        .crossJoin(F.broadcast(n))
+    )
+    e = F.col("rl").cast("double") * F.col("cl") / F.col("n")
+    # The per-cell term is computed wholly in DOUBLE (both engines run the
+    # identical IEEE sequence on identical inputs), rounded to 10dp, and only
+    # THEN cast to decimal for the order-invariant sum — decimal×decimal
+    # would hit engine-specific precision-overflow scale rules.
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 10).cast("decimal(24,10)")
+    terms = grid.select(term.alias("term"))
+    dof = (
+        langs.agg(F.count("*").alias("nl"))
+        .crossJoin(srcs.agg(F.count("*").alias("ns")))
+        .select(((F.col("nl") - 1) * (F.col("ns") - 1)).cast("bigint").alias("dof"))
+    )
+    return (
+        terms.agg(F.round(F.sum("term"), 6).cast("double").alias("chi2"))
+        .crossJoin(F.broadcast(dof))
+        .crossJoin(F.broadcast(n))
+    )
+
+
+@query(
+    "events_max_concurrency",
+    oracle="""
+    WITH intervals AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, min(ts) AS s, max(ts) AS e
+      FROM events GROUP BY 1, 2
+    ), deltas AS (
+      SELECT d, s AS ts, 1 AS delta, user_id FROM intervals
+      UNION ALL
+      SELECT d, e AS ts, -1 AS delta, user_id FROM intervals
+    ), running AS (
+      SELECT d, sum(delta) OVER (
+        PARTITION BY d ORDER BY ts, delta DESC, user_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      FROM deltas
+    ), per_day AS (
+      SELECT d, CAST(max(live) AS BIGINT) AS day_max FROM running GROUP BY d
+    ), peak AS (SELECT max(day_max) AS mx FROM per_day)
+    SELECT CAST(peak.mx AS BIGINT) AS max_concurrent,
+           strftime(min(per_day.d), '%Y-%m-%d') AS first_date,
+           CAST(count(*) AS BIGINT) AS n_days_at_max
+    FROM per_day JOIN peak ON per_day.day_max = peak.mx
+    GROUP BY peak.mx
+    """,
+)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line maximum concurrency: how many users' daily activity
+    spans [first event, last event] overlap at the busiest instant — the
+    capacity-planning number (peak simultaneous sessions) that no
+    group-by can produce. Interval endpoints become +1/−1 deltas; a
+    running sum ordered by (time, starts-before-ends) traces the live
+    count; the peak is its max.
+
+    Spark-first: the sweep is PARTITIONED BY DAY — intervals are built
+    per user-day so they never cross midnight, which turns the classic
+    "global sort" sweep into |days| independent sweeps (the 100 TB
+    decomposition; any interval-closing time grain works). Both engines
+    pin the exact same total order (ts, delta DESC, user_id) and an
+    explicit ROWS frame — RANGE would collapse equal-timestamp peers and
+    report a different (wrong) intermediate peak. Day-level peaks are
+    permutation-invariant at ties since all +1s at a timestamp precede
+    all −1s."""
+    e = t(spark, sf_dir, "events")
+    intervals = e.groupBy("user_id", F.col("ts").cast("date").alias("d")).agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = intervals.select(
+        "d", F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id"
+    ).unionByName(
+        intervals.select("d", F.col("e").alias("ts"), F.lit(-1).alias("delta"), "user_id")
+    )
+    w = (
+        W.partitionBy("d")
+        .orderBy(F.col("ts"), F.col("delta").desc(), F.col("user_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    per_day = (
+        deltas.select("d", F.sum("delta").over(w).alias("live"))
+        .groupBy("d")
+        .agg(F.max("live").cast("bigint").alias("day_max"))
+    )
+    peak = per_day.agg(F.max("day_max").alias("mx"))
+    return (
+        per_day.join(F.broadcast(peak), per_day.day_max == F.col("mx"))
+        .groupBy("mx")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("first_date"),
+            F.count("*").cast("bigint").alias("n_days_at_max"),
+        )
+        .select(
+            F.col("mx").cast("bigint").alias("max_concurrent"),
+            "first_date",
+            "n_days_at_max",
+        )
+    )
+
+
+@query(
+    "events_ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS dn,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS av
+      FROM events GROUP BY 1, 2, 3
+    ), w(k, wt) AS (
+      SELECT k, ([{", ".join(_EWMA_W)}])[k + 1]
+      FROM (SELECT unnest(range(0, {_EWMA_SPAN})) AS k)
+    ), joined AS (
+      SELECT d1.event_type, d1.d,
+             CAST(round(w.wt * d2.av, 12) AS DECIMAL(28,12)) AS num_term,
+             CAST(round(w.wt, 12) AS DECIMAL(28,12)) AS den_term
+      FROM daily d1
+      JOIN daily d2 ON d2.event_type = d1.event_type
+                   AND d1.dn - d2.dn BETWEEN 0 AND {_EWMA_SPAN - 1}
+      JOIN w ON w.k = d1.dn - d2.dn
+    )
+    SELECT event_type, strftime(d, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_in_window,
+           round(CAST(sum(num_term) AS DOUBLE) / CAST(sum(den_term) AS DOUBLE), 6) AS ewma
+    FROM joined GROUP BY event_type, d
+    """,
+)
+def events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjusted exponentially-weighted moving average of the daily mean
+    event value per type (span 14, α-decay 0.7): ewma_t =
+    Σ wᵏ·x_{t−k} / Σ wᵏ over the trailing fortnight, weights keyed by
+    CALENDAR day distance so a missing day decays the signal instead of
+    silently shifting it — the smoothing curve every ops dashboard draws
+    over a noisy daily metric.
+
+    Spark-first: the event scan collapses to a (type × day) daily grid
+    ONCE (decimal-exact means); the EWMA is a band self-join on that
+    post-aggregation grid, whose size is |types|·|days| — independent of
+    event count, so at 100 TB the join costs nothing while the scan
+    stays single-pass. Decay weights are pre-materialized double
+    LITERALS spelled identically in both engines (pow()'s last ulp
+    differs between libm and the JVM); weighted terms round to 12dp and
+    sum as DECIMAL so accumulation order is hash-invariant."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.col("ts").cast("date").alias("d"),
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("av")
+    ).withColumn("dn", F.datediff("d", F.to_date(F.lit("2024-01-01"))).cast("bigint"))
+    weights = F.array(*[F.lit(float(w)) for w in _EWMA_W])
+    d1, d2 = daily.alias("d1"), daily.alias("d2")
+    gap = F.col("d1.dn") - F.col("d2.dn")
+    joined = d1.join(
+        d2,
+        (F.col("d2.event_type") == F.col("d1.event_type"))
+        & (gap >= 0)
+        & (gap < _EWMA_SPAN),
+    ).select(
+        F.col("d1.event_type").alias("event_type"),
+        F.col("d1.d").alias("d"),
+        F.round(F.element_at(weights, (gap + 1).cast("int")) * F.col("d2.av"), 12)
+        .cast("decimal(28,12)")
+        .alias("num_term"),
+        F.round(F.element_at(weights, (gap + 1).cast("int")), 12)
+        .cast("decimal(28,12)")
+        .alias("den_term"),
+    )
+    return joined.groupBy("event_type", "d").agg(
+        F.count("*").cast("bigint").alias("n_in_window"),
+        F.round(
+            F.sum("num_term").cast("double") / F.sum("den_term").cast("double"), 6
+        ).alias("ewma"),
+    ).select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_in_window",
+        "ewma",
+    )
+
+
+@query(
+    "window_rolling_median_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1990-01-01' AS BIGINT) AS dn,
+             round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 2) AS rev
+      FROM orders GROUP BY 1, 2, 3
+    )
+    SELECT d1.pri, strftime(d1.d, '%Y-%m-%d') AS day,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(CAST(quantile_cont(d2.rev, 0.5) AS DOUBLE), 6) AS med_rev_7d
+    FROM daily d1
+    JOIN daily d2 ON d2.pri = d1.pri AND d1.dn - d2.dn BETWEEN 0 AND 6
+    GROUP BY d1.pri, d1.d
+    """,
+)
+def window_rolling_median_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day EXACT rolling median of daily revenue per order
+    priority — the robust centerline for a spike detector (a single
+    whale order drags a rolling mean but not the median). Median has no
+    frame-windowed form in either engine (it is not
+    decomposable/self-maintainable — the same reason mv_incremental_
+    refresh excludes percentiles from incremental MVs), so the rolling
+    version is a calendar band join over the DAILY grid + exact
+    percentile per (priority, day).
+
+    Spark-first: the fact scan collapses to |priorities|·|days| rows
+    first; the band self-join and percentile run on that bounded grid,
+    so cost is calendar-sized, not data-sized, at any scale. Daily
+    revenues go through DECIMAL (exact) and are rounded BEFORE the
+    median, so the interpolated midpoint averages identical doubles in
+    both engines."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).cast("double"), 2).alias(
+            "rev"
+        )
+    ).withColumn("dn", F.datediff("d", F.to_date(F.lit("1990-01-01"))).cast("bigint"))
+    d1, d2 = daily.alias("d1"), daily.alias("d2")
+    gap = F.col("d1.dn") - F.col("d2.dn")
+    return (
+        d1.join(d2, (F.col("d2.pri") == F.col("d1.pri")) & (gap >= 0) & (gap <= 6))
+        .groupBy(F.col("d1.pri").alias("pri"), F.col("d1.d").alias("d"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_days"),
+            F.round(F.percentile(F.col("d2.rev"), F.lit(0.5)), 6).alias("med_rev_7d"),
+        )
+        .select("pri", F.date_format("d", "yyyy-MM-dd").alias("day"), "n_days", "med_rev_7d")
+    )
+
+
+@query(
+    "llmops_zipf_slope",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term
+    ), top AS (
+      SELECT term, n FROM counts ORDER BY n DESC, term LIMIT 300
+    ), ranked AS (
+      SELECT n, CAST(row_number() OVER (ORDER BY n DESC, term) AS BIGINT) AS rnk
+      FROM top
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_terms,
+           round(regr_slope(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS slope,
+           round(regr_intercept(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS intercept,
+           round(regr_r2(ln(CAST(n AS DOUBLE)), ln(CAST(rnk AS DOUBLE))), 6) AS r2
+    FROM ranked
+    """,
+)
+def llmops_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit over the corpus vocabulary: regress log(frequency)
+    on log(rank) for the top-300 terms — natural language sits near
+    slope −1, so a corpus whose slope drifts toward 0 (too uniform:
+    boilerplate/templated text) or below −1.5 (too peaked: repetition)
+    fails the linguistic-health gate. Emits slope, intercept, and R².
+
+    Spark-first: term counts are one explode + map-side-combined count;
+    the top-300 selection is ``orderBy(n DESC, term).limit`` — a
+    TakeOrdered reduction, never a global rank window over the full
+    vocabulary (tens of millions of terms at 100 TB). Only the 300
+    survivors pass through the (bounded, acknowledged) rank window and
+    the regression, whose Σxy/Σx² run over 300 near-unit logs — double
+    noise ~1e-13, far from the 6dp rounding."""
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "term").limit(300)
+    # Constant-valued non-foldable partition key: the rank window runs over
+    # exactly the 300 TakeOrdered survivors (see cust_rfm_segments).
+    wr = W.partitionBy(F.col("n") * 0).orderBy(F.desc("n"), "term")
+    ranked = top.select(
+        F.log(F.col("n").cast("double")).alias("y"),
+        F.log(F.row_number().over(wr).cast("double")).alias("x"),
+    )
+    return ranked.agg(
+        F.count("*").cast("bigint").alias("n_terms"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )
+
+
+@query(
+    "llmops_length_bucket_batching",
+    oracle="""
+    WITH lens AS (
+      SELECT length(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '')) AS n_tok
+      FROM documents
+    ), bucketed AS (
+      SELECT n_tok,
+             CASE WHEN n_tok <= 16 THEN 16 WHEN n_tok <= 32 THEN 32
+                  WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+                  WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+                  WHEN n_tok <= 1024 THEN 1024 ELSE 2048 END AS bucket
+      FROM lens
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST((count(*) + 31) // 32 AS BIGINT) AS n_batches,
+           round(1.0 - CAST(sum(n_tok) AS DOUBLE) / (CAST(bucket AS DOUBLE) * count(*)),
+                 6) AS pad_waste_ratio
+    FROM bucketed GROUP BY bucket
+    """,
+)
+def llmops_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch planning: assign every document to the
+    smallest power-of-two sequence length that holds its whitespace
+    token count, then report per-bucket document count, batch count (at
+    batch size 32), and the padding-waste ratio — the number a training
+    pipeline minimizes when it chooses bucket boundaries (padding every
+    sequence to a global max wastes most of the FLOPs; this query
+    quantifies exactly how much each bucket saves).
+
+    Spark-first: a single narrow scan computes token counts in-row; the
+    bucket is a constant CASE ladder (whole-stage codegen — deliberately
+    NOT ceil(log2(n)), whose float boundary at exact powers of two is an
+    engine-portability trap); one map-side-combined aggregation per
+    bucket. All outputs are exact integer arithmetic except the final
+    ratio (exact ints divided as doubles, round 6)."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = token_count_ws(F.col("text"))
+    bucket = (
+        F.when(n_tok <= 16, 16)
+        .when(n_tok <= 32, 32)
+        .when(n_tok <= 64, 64)
+        .when(n_tok <= 128, 128)
+        .when(n_tok <= 256, 256)
+        .when(n_tok <= 512, 512)
+        .when(n_tok <= 1024, 1024)
+        .otherwise(2048)
+    )
+    return (
+        d.select(n_tok.alias("n_tok"), bucket.cast("bigint").alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.floor((F.count("*") + 31) / 32).cast("bigint").alias("n_batches"),
+            F.round(
+                1.0
+                - F.sum("n_tok").cast("double")
+                / (F.col("bucket").cast("double") * F.count("*")),
+                6,
+            ).alias("pad_waste_ratio"),
+        )
+    )
