@@ -605,3 +605,253 @@ def llmops_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("pad_waste_ratio"),
         )
     )
+
+
+@query(
+    "llmops_edit_distance_pairs",
+    oracle="""
+    WITH en AS (
+      SELECT doc_id, n_chars, left(text, 200) AS head
+      FROM documents WHERE lang = 'en' AND doc_id < 150
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM en a JOIN en b
+      ON b.doc_id > a.doc_id
+     AND b.n_chars BETWEEN a.n_chars - 40 AND a.n_chars + 40
+    WHERE levenshtein(a.head, b.head) <= 120
+    """,
+)
+def llmops_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate verifier: Levenshtein distance over
+    document heads for length-banded candidate pairs — the third exact
+    verifier in the dedup cascade next to n-gram Jaccard (set overlap)
+    and SimHash Hamming (bit distance); edit distance is the one that
+    catches small in-place edits (typo fixes, entity swaps) that leave
+    shingle sets nearly intact.
+
+    Spark-first scale shape: Levenshtein is O(len²) per pair, so it NEVER
+    runs all-pairs — candidates come from a banded equi-ish join
+    (|n_chars| within ±40 after blocking) and the distance runs on fixed
+    200-char heads, exactly how the production cascade verifies only
+    MinHash/SimHash survivors. The sf fixture anchors the pair set with
+    ``doc_id < 150`` (documented bounded oracle anchor, same as
+    llmops_ngram_jaccard_pairs). English-only: both engines count
+    Unicode code points, but pinning ASCII-heavy text keeps the
+    comparison trivially portable."""
+    d = t(spark, sf_dir, "documents")
+    en = d.filter((F.col("lang") == "en") & (F.col("doc_id") < 150)).select(
+        "doc_id", "n_chars", F.substring("text", 1, 200).alias("head")
+    )
+    a, b = en.alias("a"), en.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("b.doc_id") > F.col("a.doc_id"))
+        & (F.col("b.n_chars") >= F.col("a.n_chars") - 40)
+        & (F.col("b.n_chars") <= F.col("a.n_chars") + 40),
+    )
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head"))
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        dist.cast("bigint").alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= 120)
+
+
+@query(
+    "llmops_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts)
+    SELECT term, n, round(CAST(n AS DOUBLE) / total, 6) AS share
+    FROM counts CROSS JOIN tot
+    WHERE n * 1000 > total
+    """,
+)
+def llmops_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters: every term whose frequency exceeds 1/1000 of
+    all tokens — the support threshold phrased as the EXACT answer that
+    streaming sketches (Misra-Gries / SpaceSaving / count-min) guarantee
+    to superset; this query is both the boilerplate-token detector
+    (tokens this frequent are markup, not language) and the ground truth
+    an approximate heavy-hitter pass is validated against.
+
+    Spark-first: one explode + map-side-combined count; the threshold
+    filter is integer arithmetic (``n·1000 > total`` — no float
+    boundary) against a broadcast one-row total, applied POST-agg so
+    only the |vocab|-row count table is rescanned, never the corpus. At
+    100 TB the count table is the thing you'd feed to SpaceSaving; the
+    plan shape here (explode → partial count → tiny broadcast) is
+    unchanged."""
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * 1000 > F.col("total"))
+        .select(
+            "term",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        )
+    )
+
+
+@query(
+    "agg_winsorized_stats",
+    oracle="""
+    WITH edges AS (
+      SELECT o_orderpriority AS pri,
+             round(CAST(quantile_cont(o_totalprice, 0.05) AS DOUBLE), 6) AS lo,
+             round(CAST(quantile_cont(o_totalprice, 0.95) AS DOUBLE), 6) AS hi
+      FROM orders GROUP BY 1
+    )
+    SELECT o.o_orderpriority AS pri,
+           CAST(count(*) AS BIGINT) AS n,
+           round(e.lo, 2) AS p05,
+           round(e.hi, 2) AS p95,
+           round(CAST(sum(CAST(least(greatest(o.o_totalprice, e.lo), e.hi)
+                               AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS winsorized_mean,
+           CAST(sum(CASE WHEN o.o_totalprice > e.lo AND o.o_totalprice < e.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_n,
+           round(CAST(sum(CASE WHEN o.o_totalprice > e.lo AND o.o_totalprice < e.hi
+                              THEN CAST(o.o_totalprice AS DECIMAL(18,6))
+                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / sum(CASE WHEN o.o_totalprice > e.lo AND o.o_totalprice < e.hi
+                            THEN 1 ELSE 0 END), 6) AS trimmed_mean
+    FROM orders o JOIN edges e ON e.pri = o.o_orderpriority
+    GROUP BY o.o_orderpriority, e.lo, e.hi
+    """,
+)
+def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized and trimmed means per order priority: clamp (or drop)
+    values outside the group's exact [p05, p95] band before averaging —
+    the outlier-resistant mean every metrics pipeline swaps in when a
+    single whale order should not move the daily KPI. Complements
+    dq_orders_mad_outliers (which FLAGS outliers) by producing the
+    robust statistic itself.
+
+    Spark-first: one exact-percentile aggregation per group (at 100 TB:
+    approx_percentile, same plan), broadcast back as a 5-row edge table;
+    clamp/trim are in-row expressions inside one conditional-aggregation
+    pass. Edges round to 6dp in both engines before comparison; clamped
+    values go through DECIMAL so the winsorized sum is order-invariant;
+    only the final means divide as doubles."""
+    o = t(spark, sf_dir, "orders")
+    edges = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.95)), 6).alias("hi"),
+    )
+    j = o.join(F.broadcast(edges), o.o_orderpriority == edges.pri)
+    clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    inside = (F.col("o_totalprice") > F.col("lo")) & (F.col("o_totalprice") < F.col("hi"))
+    return (
+        j.groupBy("pri", "lo", "hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(
+                F.sum(clamped.cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+            ).alias("winsorized_mean"),
+            F.sum(F.when(inside, 1).otherwise(0)).cast("bigint").alias("trimmed_n"),
+            F.round(
+                F.sum(
+                    F.when(inside, F.col("o_totalprice").cast("decimal(18,6)")).otherwise(
+                        F.lit(0).cast("decimal(18,6)")
+                    )
+                ).cast("double")
+                / F.sum(F.when(inside, 1).otherwise(0)),
+                6,
+            ).alias("trimmed_mean"),
+        )
+        .select(
+            "pri",
+            "n",
+            F.round("lo", 2).alias("p05"),
+            F.round("hi", 2).alias("p95"),
+            "winsorized_mean",
+            "trimmed_n",
+            "trimmed_mean",
+        )
+    )
+
+
+@query(
+    "events_lasttouch_attribution",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                        IGNORE NULLS) OVER w AS prev_type,
+             last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+                        IGNORE NULLS) OVER w AS prev_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN prev_type IS NOT NULL
+                 AND epoch_us(ts) - prev_us <= 86400000000
+                THEN prev_type ELSE 'none' END AS attributed_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+    FROM ordered WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def events_lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: credit each purchase's value to the
+    user's most recent NON-purchase event within the trailing 24 hours
+    (else 'none') and roll up count + value per attributed channel — the
+    marketing-attribution join every event warehouse answers, done
+    without a range self-join.
+
+    Spark-first: ONE window pass per user (``last(..., ignorenulls)``
+    over an UNBOUNDED..−1 ROWS frame carries the latest non-purchase
+    type and its timestamp together — the two carried columns null out
+    on exactly the same rows, so they always describe the same event),
+    then a filter to purchases and one aggregation: a single shuffle on
+    user_id instead of the O(events × events) interval join. The 24 h
+    recency test is exact integer microsecond arithmetic; purchase
+    values sum as DECIMAL."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    non_purchase = F.col("event_type") != "purchase"
+    enriched = e.select(
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+        F.last(F.when(non_purchase, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("prev_type"),
+        F.last(F.when(non_purchase, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("prev_us"),
+    )
+    attributed = F.when(
+        F.col("prev_type").isNotNull()
+        & ((F.col("us") - F.col("prev_us")) <= 86_400_000_000),
+        F.col("prev_type"),
+    ).otherwise("none")
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .groupBy(attributed.alias("attributed_type"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
