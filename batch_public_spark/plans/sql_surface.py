@@ -424,10 +424,12 @@ def udtf_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale note: the UDTF is row-local (no state across rows), so it
     pipelines inside the scan stage with zero shuffle; output is bounded
-    at 3 rows per doc."""
+    at 3 rows per doc. ``useArrow=True`` swaps the pickled-row transport
+    for Arrow batches (ArrowEvalPythonUDTF — plans.lint flags the
+    row-at-a-time BatchEvalPython path)."""
     from pyspark.sql.functions import udtf  # noqa: PLC0415
 
-    @udtf(returnType="doc_id bigint, bigram string, n bigint, rk int")
+    @udtf(returnType="doc_id bigint, bigram string, n bigint, rk int", useArrow=True)
     class TopBigrams:
         def eval(self, doc_id, text):  # noqa: ANN001
             import re

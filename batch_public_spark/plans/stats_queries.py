@@ -523,10 +523,13 @@ def llmops_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+    from batch_public_spark.plans.lint import bounded_window_key
+
     top = counts.orderBy(F.desc("n"), "term").limit(300)
-    # Constant-valued non-foldable partition key: the rank window runs over
-    # exactly the 300 TakeOrdered survivors (see cust_rfm_segments).
-    wr = W.partitionBy(F.col("n") * 0).orderBy(F.desc("n"), "term")
+    # The rank window runs over exactly the 300 TakeOrdered survivors;
+    # bounded_window_key keeps the plan visibly partitioned (a naive
+    # ``n * 0`` key is constant-folded away and lint_plan flags it).
+    wr = W.partitionBy(bounded_window_key(F.col("n"))).orderBy(F.desc("n"), "term")
     ranked = top.select(
         F.log(F.col("n").cast("double")).alias("y"),
         F.log(F.row_number().over(wr).cast("double")).alias("x"),

@@ -201,10 +201,12 @@ def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = per.agg(F.count("*").alias("n"))
-    # Constant-valued non-foldable partition key (see llmops_bpe_first_merges):
-    # acknowledges the single-partition rank over the bounded per-customer set.
+    # bounded_window_key (see plans.lint): acknowledges the single-partition
+    # rank over the bounded per-customer aggregate, non-foldably.
+    from batch_public_spark.plans.lint import bounded_window_key
+
     def score(order_cols):
-        w = W.partitionBy(F.col("o_custkey") * 0).orderBy(*order_cols)
+        w = W.partitionBy(bounded_window_key(F.col("o_custkey"))).orderBy(*order_cols)
         # Integer quartile assignment: 1 + (rank-1)*4 div n. floor() on an
         # exact small-integer division is engine-identical.
         return (1 + F.floor((F.row_number().over(w) - 1) * 4 / F.col("n"))).cast("int")

@@ -376,16 +376,19 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) hitting the max quarterly revenue.
 
-    The scalar-subquery MAX becomes an empty-frame window max — one extra
-    tiny shuffle over the per-supplier aggregate (|suppliers| rows), not a
-    second scan of lineitem. Revenue is decimal-exact so the equality
-    predicate is engine-stable.
+    The scalar-subquery MAX becomes a one-row MAX aggregate broadcast
+    back over the per-supplier aggregate — NOT an empty-partition window
+    (plans.lint flags those: at 100 TB "per-supplier" is millions of rows
+    and a global window funnels them through one task; the broadcast max
+    costs one tiny agg and keeps every stage partitioned). Revenue is
+    decimal-exact so the equality predicate is engine-stable.
     """
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
     )
     srev = li.groupBy("l_suppkey").agg(money_sum(_rev_col(), "total_revenue"))
-    best = srev.withColumn("_mx", F.max("total_revenue").over(W.partitionBy())).filter(
+    mx = srev.agg(F.max("total_revenue").alias("_mx"))
+    best = srev.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("_mx")
     )
     s = t(spark, sf_dir, "supplier")
