@@ -2971,3 +2971,125 @@ def events_idle_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
         F.round(F.percentile(F.col("gap_us"), F.lit(0.5)), 6).alias("median_gap_us"),
     )
+
+
+@query(
+    "events_ab_uplift",
+    oracle="""
+    WITH assigned AS (
+      SELECT event_type, user_id, value,
+             CASE WHEN substr(md5('exp1:' || CAST(user_id AS VARCHAR)), 1, 1)
+                       BETWEEN '0' AND '7'
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events
+    )
+    SELECT event_type,
+           CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           CAST(count(DISTINCT CASE WHEN arm = 'A' THEN user_id END) AS BIGINT) AS users_a,
+           CAST(count(DISTINCT CASE WHEN arm = 'B' THEN user_id END) AS BIGINT) AS users_b,
+           round(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(18,6))
+                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END), 6) AS mean_a,
+           round(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(18,6))
+                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END), 6) AS mean_b,
+           round(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(18,6))
+                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+               - CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(18,6))
+                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END), 6) AS uplift
+    FROM assigned GROUP BY event_type
+    """,
+)
+def events_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B experiment readout: users are assigned to arms
+    by the first hex digit of a salted md5 of their id (0–7 → A, 8–f →
+    B: an exact 50/50 hash split that is stable across engines, retries,
+    and reprocessing — rand() is none of those), then per-event-type arm
+    means and the B−A uplift in ONE conditional-aggregation pass.
+
+    Spark-first: assignment is an in-row expression (no experiment-
+    assignment table to join at read time — the hash IS the table);
+    event/user counts and decimal-exact value sums for both arms come
+    out of a single grouped aggregation (map-side combined), never one
+    pass per arm. Uplift is reported as an absolute difference of
+    round-6 means — a ratio would divide by a near-zero control mean
+    for value-less event types."""
+    e = t(spark, sf_dir, "events")
+    arm = F.when(
+        F.substring(
+            F.md5(F.concat(F.lit("exp1:"), F.col("user_id").cast("string"))), 1, 1
+        ).between("0", "7"),
+        "A",
+    ).otherwise("B")
+    assigned = e.select("event_type", "user_id", "value", arm.alias("arm"))
+    dec = F.col("value").cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    is_a, is_b = F.col("arm") == "A", F.col("arm") == "B"
+    mean_a = F.sum(F.when(is_a, dec).otherwise(zero)).cast("double") / F.sum(
+        F.when(is_a, 1).otherwise(0)
+    )
+    mean_b = F.sum(F.when(is_b, dec).otherwise(zero)).cast("double") / F.sum(
+        F.when(is_b, 1).otherwise(0)
+    )
+    return assigned.groupBy("event_type").agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(is_b, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.count_distinct(F.when(is_a, F.col("user_id"))).cast("bigint").alias("users_a"),
+        F.count_distinct(F.when(is_b, F.col("user_id"))).cast("bigint").alias("users_b"),
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_b - mean_a, 6).alias("uplift"),
+    )
+
+
+@query(
+    "join_salted_hotkey",
+    oracle="""
+    SELECT s.s_nationkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS revenue
+    FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: the dimension side is replicated 8× (one copy
+    per salt value) and every fact row picks a deterministic salt, so a
+    hot supplier key's rows spread across 8 tasks instead of stalling
+    one straggler — the classic manual skew-join remedy (AQE's
+    skew-split is the automatic variant; salting is the portable one
+    that also works for aggregations). The ORACLE is the PLAIN join:
+    what is hashed is the claim that salting never changes results.
+
+    Spark-first: the 8× replication applies to the SMALL side only
+    (|dim|·8 rows — still broadcastable here; for shuffle joins it
+    merely widens the build side), via an in-row explode of a literal
+    salt array; the fact side computes its salt with pure integer
+    arithmetic (no rand() — deterministic under retries). The join is a
+    plain equi-join on (key, salt) that Catalyst plans like any other."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n_salt = 8
+    s_salted = s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("salt"),
+    )
+    li_salted = li.select(
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price"),
+        (F.col("l_orderkey") % n_salt).cast("int").alias("salt"),
+    )
+    joined = li_salted.join(
+        F.broadcast(s_salted),
+        (li_salted.l_suppkey == s_salted.s_suppkey)
+        & (li_salted.salt == s_salted.salt),
+    )
+    return joined.groupBy("s_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.round(F.sum("price"), 2).cast("double").alias("revenue"),
+    )

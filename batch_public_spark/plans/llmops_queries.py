@@ -940,3 +940,204 @@ def llmops_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .select("doc_id", "term", "tf", "df", "tfidf")
     )
+
+
+@query(
+    "llmops_boilerplate_sentence_filter",
+    oracle="""
+    WITH inst AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(s), '\\s+', ' ', 'g'))) AS sh
+      FROM (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split_regex(text, '[.!?]+'),
+                      x -> length(trim(x)) > 0)) AS s
+        FROM documents
+      )
+    ), df AS (
+      SELECT sh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with
+      FROM inst GROUP BY sh
+    )
+    SELECT i.source,
+           CAST(count(DISTINCT i.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS total_sentences,
+           CAST(sum(CASE WHEN d.n_docs_with >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS boilerplate_sentences,
+           round(CAST(sum(CASE WHEN d.n_docs_with >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS boilerplate_ratio
+    FROM inst i JOIN df d ON d.sh = i.sh
+    GROUP BY i.source
+    """,
+)
+def llmops_boilerplate_sentence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate sentence detection: a sentence whose
+    normalized form appears in ≥3 DISTINCT documents is boilerplate
+    (cookie banners, nav text, license footers — the line-level junk that
+    survives document-level dedup because every page differs elsewhere);
+    reports per-source instance counts and the boilerplate ratio — the
+    input to a CCNet-style line-filtering pass.
+
+    Spark-first: sentences explode once and are immediately reduced to a
+    16-byte md5 — the document-frequency aggregation and the join back
+    ship hashes, never sentence text (at 100 TB the sentence table is the
+    biggest intermediate in the pipeline; hashing first keeps the
+    shuffle narrow). Doc-frequency counts DISTINCT docs so in-document
+    repetition can't promote a sentence to boilerplate."""
+    d = t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.split(F.col("text"), r"[.!?]+"), lambda s: F.length(F.trim(s)) > 0
+    )
+    inst = d.select(
+        "doc_id",
+        "source",
+        F.explode(sents).alias("s"),
+    ).select(
+        "doc_id",
+        "source",
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("s")), r"\s+", " "))).alias("sh"),
+    )
+    df_ = inst.groupBy("sh").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs_with")
+    )
+    boiler = F.when(F.col("n_docs_with") >= 3, 1).otherwise(0)
+    return (
+        inst.join(df_, "sh")
+        .groupBy("source")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").cast("bigint").alias("total_sentences"),
+            F.sum(boiler).cast("bigint").alias("boilerplate_sentences"),
+            F.round(F.sum(boiler).cast("double") / F.count("*"), 6).alias(
+                "boilerplate_ratio"
+            ),
+        )
+    )
+
+
+@query(
+    "llmops_dedup_cascade_e2e",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text FROM documents),
+    n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    s1 AS (  -- wave 1: exact (normalized md5, min id survives)
+      SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5({_NORM})
+    ),
+    n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+    s2 AS (  -- wave 2: first-8-token prefix groups among exact survivors
+      SELECT MIN(b.doc_id) AS doc_id
+      FROM base b JOIN s1 ON s1.doc_id = b.doc_id
+      GROUP BY array_to_string(
+        (list_filter(string_split_regex(trim(lower(b.text)), '\\s+'),
+                     x -> length(x) > 0))[1:8], ' ')
+    ),
+    n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
+    sh AS (  -- wave 3: exact 3-gram Jaccard on the bounded anchor subset
+      SELECT b.doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len({_TOKS_NORM}) - 2, 1) + 1),
+               i -> array_to_string(({_TOKS_NORM})[i:i+2], ' '))) AS sh
+      FROM base b JOIN s2 ON s2.doc_id = b.doc_id
+      WHERE b.doc_id < 150
+    ),
+    removed3 AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 2
+            >= len(list_distinct(list_concat(a.sh, b.sh)))
+    ),
+    n3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM removed3)
+    SELECT 'exact' AS stage, n0.n - n1.n AS n_removed, n1.n AS n_remaining
+    FROM n0, n1
+    UNION ALL
+    SELECT 'prefix', n1.n - n2.n, n2.n FROM n1, n2
+    UNION ALL
+    SELECT 'neardup', n3.n, n2.n - n3.n FROM n2, n3
+    """,
+)
+def llmops_dedup_cascade_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup cascade end-to-end: exact-hash → prefix-group → exact
+    3-gram-Jaccard near-dup, each wave consuming the previous wave's
+    survivors, reported as a three-row funnel (stage, removed,
+    remaining) — the single table a 100 TB dedup run publishes to prove
+    what each wave bought.
+
+    Wave economics (why cascade at all): exact dedup is one narrow
+    hash shuffle over everything; prefix grouping is one aggregation
+    over survivors; the O(pairs) Jaccard verify runs LAST, only on what
+    the cheap waves could not kill (here additionally bounded by the
+    documented ``doc_id < 150`` oracle anchor — at scale the pair source
+    is the MinHash band join, llmops_minhash_candidates). Near-dup
+    removal is greedy by id (the larger doc_id of every qualifying pair
+    drops; no transitive closure — that is llmops_dedup_cc's job).
+    Min-id survivor policy everywhere, matching operators.dedup.
+
+    The funnel assembles LAZILY: each wave's count is a one-row
+    aggregate, the four are cross-joined (all broadcastable singletons)
+    and exploded into the three stage rows — one plan, one action, no
+    driver-side count() round-trips."""
+    base = t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    s1 = dedup_exact(base).select("doc_id")
+
+    toks_lower = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: F.length(x) > 0
+    )
+    s2 = (
+        base.join(s1, "doc_id")
+        .groupBy(F.array_join(F.slice(toks_lower, 1, 8), " ").alias("prefix"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    toks_norm = F.filter(F.split(norm, r"\s+"), lambda x: F.length(x) > 0)
+    sh = (
+        base.join(s2, "doc_id")
+        .filter(F.col("doc_id") < 150)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(toks_norm) - 2, F.lit(1))),
+                    lambda i: F.array_join(F.slice(toks_norm, i, 3), " "),
+                )
+            ).alias("sh"),
+        )
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
+    # Explicit broadcast: the anchor set is ≤150 rows but sits behind two
+    # joins, so Catalyst's size estimate balloons and it would otherwise
+    # plan a CartesianProduct (plans.lint flags those).
+    removed3 = (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter * 2 >= union)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+    )
+
+    counts = (
+        base.agg(F.count("*").alias("n0"))
+        .crossJoin(s1.agg(F.count("*").alias("n1")))
+        .crossJoin(s2.agg(F.count("*").alias("n2")))
+        .crossJoin(removed3.agg(F.count("*").alias("n3")))
+    )
+
+    def stage(name, removed, remaining):
+        return F.struct(
+            F.lit(name).alias("stage"),
+            removed.cast("bigint").alias("n_removed"),
+            remaining.cast("bigint").alias("n_remaining"),
+        )
+
+    n0, n1, n2, n3 = (F.col(c) for c in ("n0", "n1", "n2", "n3"))
+    return counts.select(
+        F.explode(
+            F.array(
+                stage("exact", n0 - n1, n1),
+                stage("prefix", n1 - n2, n2),
+                stage("neardup", n3, n2 - n3),
+            )
+        ).alias("r")
+    ).select("r.*")
