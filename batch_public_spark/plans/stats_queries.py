@@ -858,3 +858,211 @@ def events_lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_value"),
         )
     )
+
+
+@query(
+    "dq_k_anonymity",
+    oracle="""
+    WITH groups AS (
+      SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS grp_n
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+             AS exposed_rows,
+           CAST(min(grp_n) AS BIGINT) AS k_actual,
+           round(CAST(sum(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS DOUBLE)
+                 / sum(grp_n), 6) AS exposed_share
+    FROM groups
+    """,
+)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier pair (nation, market
+    segment): a row is re-identifiable when its QI combination is shared
+    by fewer than k=5 rows; reports violating groups, exposed rows, the
+    dataset's actual k (the smallest group), and the exposed share — the
+    release gate a privacy review runs before publishing any
+    "anonymized" extract, next to llmops_pii_redact's column-level scrub.
+
+    Spark-first: ONE grouped count over the QI columns then a one-pass
+    roll-up of the |QI-combinations|-row group table — never a
+    per-row join back (row-level exposure flags only matter when you
+    suppress, and suppression re-uses the same broadcast group table).
+    Pure integer arithmetic except the final share."""
+    c = t(spark, sf_dir, "customer")
+    groups = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("grp_n")
+    )
+    small = F.col("grp_n") < 5
+    return groups.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("bigint").alias("violating_groups"),
+        F.sum(F.when(small, F.col("grp_n")).otherwise(0))
+        .cast("bigint")
+        .alias("exposed_rows"),
+        F.min("grp_n").cast("bigint").alias("k_actual"),
+        F.round(
+            F.sum(F.when(small, F.col("grp_n")).otherwise(0)).cast("double")
+            / F.sum("grp_n"),
+            6,
+        ).alias("exposed_share"),
+    )
+
+
+@query(
+    "llmops_kl_source_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS term
+      FROM documents
+    ), vocab AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS g
+      FROM toks GROUP BY term ORDER BY g DESC, term LIMIT 200
+    ), src_counts AS (
+      SELECT t.source, t.term, CAST(count(*) AS BIGINT) AS c
+      FROM toks t JOIN vocab v ON v.term = t.term
+      GROUP BY 1, 2
+    ), srcs AS (SELECT DISTINCT source FROM toks),
+    grid AS (
+      SELECT s.source, v.term, v.g, coalesce(sc.c, 0) AS c
+      FROM srcs s CROSS JOIN vocab v
+      LEFT JOIN src_counts sc ON sc.source = s.source AND sc.term = v.term
+    ), totals AS (
+      SELECT source, CAST(sum(c) AS BIGINT) AS src_tot,
+             CAST(sum(sum(c)) OVER () AS BIGINT) AS all_tot
+      FROM grid GROUP BY source
+    ), terms AS (
+      SELECT g.source,
+             CAST(round(
+               ((g.c + 0.5) / (t.src_tot + 100.0))
+               * ln(((g.c + 0.5) / (t.src_tot + 100.0))
+                    / ((g.g + 0.5) / (t.all_tot + 100.0))), 10)
+               AS DECIMAL(24,10)) AS term_kl
+      FROM grid g JOIN totals t ON t.source = g.source
+    )
+    SELECT source, CAST(round(sum(term_kl), 6) AS DOUBLE) AS kl_divergence
+    FROM terms GROUP BY source
+    """,
+)
+def llmops_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution over
+    the top-200 vocabulary (Laplace-smoothed): THE language-model drift
+    number — a source whose KL jumps is feeding text the model's token
+    distribution has not seen, even when KS-on-lengths (llmops_ks_drift)
+    and chi-square composition both look calm.
+
+    Spark-first: one tokenize+count pass; the vocabulary is TakeOrdered
+    top-200 (never a global rank window); per-source counts against the
+    BROADCAST vocab; the |sources|×200 grid restores zero cells (which
+    carry positive KL mass under smoothing). Per-term contributions are
+    computed in double (identical IEEE sequence), rounded to 10dp, and
+    summed as DECIMAL so accumulation order is hash-invariant."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("g"))
+        .orderBy(F.desc("g"), "term")
+        .limit(200)
+    )
+    src_counts = (
+        toks.join(F.broadcast(vocab.select("term")), "term")
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    srcs = toks.select("source").distinct()
+    grid = (
+        srcs.crossJoin(F.broadcast(vocab))
+        .join(src_counts, ["source", "term"], "left")
+        .select("source", "term", "g", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    totals = grid.groupBy("source").agg(F.sum("c").cast("bigint").alias("src_tot"))
+    all_tot = totals.agg(F.sum("src_tot").cast("bigint").alias("all_tot"))
+    g = grid.join(F.broadcast(totals), "source").crossJoin(F.broadcast(all_tot))
+    p = (F.col("c") + 0.5) / (F.col("src_tot") + 100.0)
+    q = (F.col("g") + 0.5) / (F.col("all_tot") + 100.0)
+    term_kl = F.round(p * F.log(p / q), 10).cast("decimal(24,10)")
+    return (
+        g.select("source", term_kl.alias("term_kl"))
+        .groupBy("source")
+        .agg(F.round(F.sum("term_kl"), 6).cast("double").alias("kl_divergence"))
+    )
+
+
+@query(
+    "events_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us
+      FROM events GROUP BY user_id
+    ), conv AS (
+      SELECT f.user_id,
+             (min(CASE WHEN e.event_type = 'purchase'
+                        AND epoch_us(e.ts) > f.s_us
+                       THEN epoch_us(e.ts) END) - f.s_us) / 1000000 AS secs
+      FROM firsts f JOIN events e ON e.user_id = f.user_id
+      WHERE f.s_us IS NOT NULL
+      GROUP BY f.user_id, f.s_us
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_signup_users,
+           CAST(count(secs) AS BIGINT) AS n_converted,
+           round(CAST(count(secs) AS DOUBLE) / count(*), 6) AS conversion_rate,
+           CAST(round(quantile_cont(secs, 0.5), 6) AS DOUBLE) AS p50_secs,
+           CAST(round(quantile_cont(secs, 0.9), 6) AS DOUBLE) AS p90_secs
+    FROM conv
+    """,
+)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user who signed up, the
+    seconds from FIRST signup to the first subsequent purchase; reports
+    converter counts, conversion rate, and exact p50/p90 latencies — the
+    funnel's "how fast", complementing events_funnel_conversion's "how
+    many".
+
+    Spark-first: ONE conditional aggregation per user computes both the
+    first signup and the first qualifying purchase (min over a CASE — no
+    events×events self-join, no window pass), then one global percentile
+    over the |users|-row result. Timestamps compare as exact integer
+    microseconds; only the final percentile interpolation produces
+    fractions, rounded identically in both engines."""
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    per = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "signup", us)).alias("s_us"),
+        )
+        .filter(F.col("s_us").isNotNull())
+    )
+    conv = (
+        e.join(per, "user_id")
+        .groupBy("user_id", "s_us")
+        .agg(
+            (
+                (
+                    F.min(
+                        F.when(
+                            (F.col("event_type") == "purchase") & (us > F.col("s_us")),
+                            us,
+                        )
+                    )
+                    - F.col("s_us")
+                )
+                / 1_000_000
+            ).alias("secs")
+        )
+    )
+    return conv.agg(
+        F.count("*").cast("bigint").alias("n_signup_users"),
+        F.count("secs").cast("bigint").alias("n_converted"),
+        F.round(F.count("secs").cast("double") / F.count("*"), 6).alias(
+            "conversion_rate"
+        ),
+        F.round(F.percentile("secs", F.lit(0.5)), 6).alias("p50_secs"),
+        F.round(F.percentile("secs", F.lit(0.9)), 6).alias("p90_secs"),
+    )

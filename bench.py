@@ -52,6 +52,8 @@ HEADLINE = [
     "stream_tumbling_counts",
     "stream_session_windows",
     "events_sessionize_gap",
+    "dq_psi_drift",
+    "llmops_dedup_cascade_e2e",
 ]
 
 
