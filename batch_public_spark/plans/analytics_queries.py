@@ -2988,18 +2988,25 @@ def events_idle_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
            CAST(count(DISTINCT CASE WHEN arm = 'A' THEN user_id END) AS BIGINT) AS users_a,
            CAST(count(DISTINCT CASE WHEN arm = 'B' THEN user_id END) AS BIGINT) AS users_b,
-           round(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(18,6))
-                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-                 / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END), 6) AS mean_a,
-           round(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(18,6))
-                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-                 / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END), 6) AS mean_b,
-           round(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(18,6))
-                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-                 / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
-               - CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(18,6))
-                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-                 / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END), 6) AS uplift
+           CASE WHEN sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) > 0
+                THEN round(CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(18,6))
+                                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                           / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END), 6)
+           END AS mean_a,
+           CASE WHEN sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) > 0
+                THEN round(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(18,6))
+                                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                           / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END), 6)
+           END AS mean_b,
+           CASE WHEN sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) > 0
+                 AND sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) > 0
+                THEN round(CAST(sum(CASE WHEN arm = 'B' THEN CAST(value AS DECIMAL(18,6))
+                                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                           / sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END)
+                         - CAST(sum(CASE WHEN arm = 'A' THEN CAST(value AS DECIMAL(18,6))
+                                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                           / sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END), 6)
+           END AS uplift
     FROM assigned GROUP BY event_type
     """,
 )
@@ -3028,20 +3035,20 @@ def events_ab_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = F.col("value").cast("decimal(18,6)")
     zero = F.lit(0).cast("decimal(18,6)")
     is_a, is_b = F.col("arm") == "A", F.col("arm") == "B"
-    mean_a = F.sum(F.when(is_a, dec).otherwise(zero)).cast("double") / F.sum(
-        F.when(is_a, 1).otherwise(0)
-    )
-    mean_b = F.sum(F.when(is_b, dec).otherwise(zero)).cast("double") / F.sum(
-        F.when(is_b, 1).otherwise(0)
-    )
+    cnt_a = F.sum(F.when(is_a, 1).otherwise(0))
+    cnt_b = F.sum(F.when(is_b, 1).otherwise(0))
+    mean_a = F.sum(F.when(is_a, dec).otherwise(zero)).cast("double") / cnt_a
+    mean_b = F.sum(F.when(is_b, dec).otherwise(zero)).cast("double") / cnt_b
+    # Empty-arm guard: DuckDB's x/0 is NULL but Spark's ANSI divide throws,
+    # so a type with all traffic in one arm must short-circuit to NULL.
     return assigned.groupBy("event_type").agg(
-        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
-        F.sum(F.when(is_b, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        cnt_a.cast("bigint").alias("n_a"),
+        cnt_b.cast("bigint").alias("n_b"),
         F.count_distinct(F.when(is_a, F.col("user_id"))).cast("bigint").alias("users_a"),
         F.count_distinct(F.when(is_b, F.col("user_id"))).cast("bigint").alias("users_b"),
-        F.round(mean_a, 6).alias("mean_a"),
-        F.round(mean_b, 6).alias("mean_b"),
-        F.round(mean_b - mean_a, 6).alias("uplift"),
+        F.when(cnt_a > 0, F.round(mean_a, 6)).alias("mean_a"),
+        F.when(cnt_b > 0, F.round(mean_b, 6)).alias("mean_b"),
+        F.when((cnt_a > 0) & (cnt_b > 0), F.round(mean_b - mean_a, 6)).alias("uplift"),
     )
 
 

@@ -727,11 +727,16 @@ def llmops_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS winsorized_mean,
            CAST(sum(CASE WHEN o.o_totalprice > e.lo AND o.o_totalprice < e.hi
                          THEN 1 ELSE 0 END) AS BIGINT) AS trimmed_n,
-           round(CAST(sum(CASE WHEN o.o_totalprice > e.lo AND o.o_totalprice < e.hi
-                              THEN CAST(o.o_totalprice AS DECIMAL(18,6))
-                              ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
-                 / sum(CASE WHEN o.o_totalprice > e.lo AND o.o_totalprice < e.hi
-                            THEN 1 ELSE 0 END), 6) AS trimmed_mean
+           CASE WHEN sum(CASE WHEN o.o_totalprice > e.lo AND o.o_totalprice < e.hi
+                              THEN 1 ELSE 0 END) > 0
+                THEN round(CAST(sum(CASE WHEN o.o_totalprice > e.lo
+                                          AND o.o_totalprice < e.hi
+                                        THEN CAST(o.o_totalprice AS DECIMAL(18,6))
+                                        ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                           / sum(CASE WHEN o.o_totalprice > e.lo
+                                       AND o.o_totalprice < e.hi
+                                      THEN 1 ELSE 0 END), 6)
+           END AS trimmed_mean
     FROM orders o JOIN edges e ON e.pri = o.o_orderpriority
     GROUP BY o.o_orderpriority, e.lo, e.hi
     """,
@@ -766,14 +771,20 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(clamped.cast("decimal(18,6)")).cast("double") / F.count("*"), 6
             ).alias("winsorized_mean"),
             F.sum(F.when(inside, 1).otherwise(0)).cast("bigint").alias("trimmed_n"),
-            F.round(
-                F.sum(
-                    F.when(inside, F.col("o_totalprice").cast("decimal(18,6)")).otherwise(
-                        F.lit(0).cast("decimal(18,6)")
-                    )
-                ).cast("double")
-                / F.sum(F.when(inside, 1).otherwise(0)),
-                6,
+            # Degenerate guard: a group whose values all sit AT the band
+            # edges trims to nothing — DuckDB's 0/0 is NULL while Spark's
+            # ANSI divide throws, so the zero case must short-circuit.
+            F.when(
+                F.sum(F.when(inside, 1).otherwise(0)) > 0,
+                F.round(
+                    F.sum(
+                        F.when(
+                            inside, F.col("o_totalprice").cast("decimal(18,6)")
+                        ).otherwise(F.lit(0).cast("decimal(18,6)"))
+                    ).cast("double")
+                    / F.sum(F.when(inside, 1).otherwise(0)),
+                    6,
+                ),
             ).alias("trimmed_mean"),
         )
         .select(
@@ -1011,7 +1022,9 @@ def llmops_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(count(*) AS BIGINT) AS n_signup_users,
            CAST(count(secs) AS BIGINT) AS n_converted,
-           round(CAST(count(secs) AS DOUBLE) / count(*), 6) AS conversion_rate,
+           CASE WHEN count(*) > 0
+                THEN round(CAST(count(secs) AS DOUBLE) / count(*), 6)
+           END AS conversion_rate,
            CAST(round(quantile_cont(secs, 0.5), 6) AS DOUBLE) AS p50_secs,
            CAST(round(quantile_cont(secs, 0.9), 6) AS DOUBLE) AS p90_secs
     FROM conv
@@ -1060,9 +1073,11 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conv.agg(
         F.count("*").cast("bigint").alias("n_signup_users"),
         F.count("secs").cast("bigint").alias("n_converted"),
-        F.round(F.count("secs").cast("double") / F.count("*"), 6).alias(
-            "conversion_rate"
-        ),
+        # No-signups guard: DuckDB's 0/0 is NULL, Spark's ANSI divide throws.
+        F.when(
+            F.count("*") > 0,
+            F.round(F.count("secs").cast("double") / F.count("*"), 6),
+        ).alias("conversion_rate"),
         F.round(F.percentile("secs", F.lit(0.5)), 6).alias("p50_secs"),
         F.round(F.percentile("secs", F.lit(0.9)), 6).alias("p90_secs"),
     )

@@ -182,3 +182,43 @@ def test_zipf_vocab_selection_is_take_ordered(spark):
     global rank over the whole vocabulary."""
     p = _plan(spark, "llmops_zipf_slope")
     assert "TakeOrderedAndProject" in p, p
+
+
+def test_degenerate_inputs_yield_null_not_error(spark, tmp_path):
+    """Degenerate corpora must produce NULL statistics, never an ANSI
+    divide-by-zero: a group whose values all sit at the winsorization
+    band edges trims to nothing, and an event log without signups has no
+    conversion denominator. (DuckDB's 0/0 is NULL; Spark under ANSI
+    throws — the queries guard the division explicitly.)"""
+    import datetime
+
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        [(i, 1, "O", 100.0, datetime.datetime(1996, 1, 1), "1-URGENT") for i in range(3)],
+        "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{sf}/orders.parquet")
+    spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1, 1, 0, 0, i), 1, "view", 1.0, "{}")
+            for i in range(4)
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    rows = {r.pri: r for r in QUERIES["agg_winsorized_stats"].fn(spark, sf).collect()}
+    r = rows["1-URGENT"]
+    assert r.trimmed_n == 0 and r.trimmed_mean is None
+    assert r.winsorized_mean == 100.0  # clamp of identical values is exact
+
+    (c,) = QUERIES["events_time_to_convert"].fn(spark, sf).collect()
+    assert c.n_signup_users == 0 and c.n_converted == 0
+    assert c.conversion_rate is None and c.p50_secs is None
+
+    # Single-user log: one A/B arm is empty -> means/uplift NULL for it.
+    arms = {r.event_type: r for r in QUERIES["events_ab_uplift"].fn(spark, sf).collect()}
+    v = arms["view"]
+    assert (v.n_a == 0) != (v.n_b == 0)  # exactly one arm populated
+    empty_mean = v.mean_a if v.n_a == 0 else v.mean_b
+    assert empty_mean is None and v.uplift is None
