@@ -42,10 +42,13 @@ from batch_public_spark.operators.textops import (
     mean_word_len,
     punct_ratio,
     quality_score,
+    normalized_text,
     stopword_ratio,
     token_count_bpe_ish,
     token_count_ws,
+    tokens,
 )
+from batch_public_spark.plans.lint import bounded_window_key
 from batch_public_spark.plans.registry import query
 from batch_public_spark.sources.tables import load_table as t
 from batch_public_spark.sources.tables import spread
@@ -684,8 +687,6 @@ def llmops_train_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shuffle_key"
         ),
     )
-    from batch_public_spark.plans.lint import bounded_window_key
-
     top = d.orderBy("shuffle_key").limit(200)
     # Rank window runs over exactly the 200 TakeOrdered survivors; the
     # bounded_window_key idiom keeps the plan visibly partitioned.
@@ -994,7 +995,7 @@ def llmops_boilerplate_sentence_filter(spark: SparkSession, sf_dir: str) -> Data
     ).select(
         "doc_id",
         "source",
-        F.md5(F.trim(F.regexp_replace(F.lower(F.col("s")), r"\s+", " "))).alias("sh"),
+        fingerprint_md5(F.col("s")).alias("sh"),
     )
     df_ = inst.groupBy("sh").agg(
         F.count_distinct("doc_id").cast("bigint").alias("n_docs_with")
@@ -1079,9 +1080,10 @@ def llmops_dedup_cascade_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s1 = dedup_exact(base).select("doc_id")
 
-    toks_lower = F.filter(
-        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: F.length(x) > 0
-    )
+    # Same tokenization/normalization helpers as the standalone wave
+    # queries (operators.textops) — the cascade's keys must never drift
+    # from dedup_exact's and prefix_dedup's.
+    toks_lower = tokens(F.lower(F.col("text")))
     s2 = (
         base.join(s1, "doc_id")
         .groupBy(F.array_join(F.slice(toks_lower, 1, 8), " ").alias("prefix"))
@@ -1089,8 +1091,7 @@ def llmops_dedup_cascade_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
 
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    toks_norm = F.filter(F.split(norm, r"\s+"), lambda x: F.length(x) > 0)
+    toks_norm = tokens(normalized_text(F.col("text")))
     sh = (
         base.join(s2, "doc_id")
         .filter(F.col("doc_id") < 150)

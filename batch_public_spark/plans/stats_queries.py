@@ -26,6 +26,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from batch_public_spark.operators.textops import token_count_ws, tokens
+from batch_public_spark.plans.lint import bounded_window_key
 from batch_public_spark.plans.registry import query
 from batch_public_spark.sources.tables import load_table as t
 
@@ -523,8 +524,6 @@ def llmops_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").cast("bigint").alias("n"))
     )
-    from batch_public_spark.plans.lint import bounded_window_key
-
     top = counts.orderBy(F.desc("n"), "term").limit(300)
     # The rank window runs over exactly the 300 TakeOrdered survivors;
     # bounded_window_key keeps the plan visibly partitioned (a naive
@@ -647,8 +646,11 @@ def llmops_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_chars", F.substring("text", 1, 200).alias("head")
     )
     a, b = en.alias("a"), en.alias("b")
+    # Explicit broadcast: the join has no equi-key, and without it the
+    # planner falls back to CartesianProduct once the scan's size estimate
+    # passes the auto-broadcast threshold (the lint gate flags those).
     pairs = a.join(
-        b,
+        F.broadcast(b),
         (F.col("b.doc_id") > F.col("a.doc_id"))
         & (F.col("b.n_chars") >= F.col("a.n_chars") - 40)
         & (F.col("b.n_chars") <= F.col("a.n_chars") + 40),
@@ -816,7 +818,7 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AND epoch_us(ts) - prev_us <= 86400000000
                 THEN prev_type ELSE 'none' END AS attributed_type,
            CAST(count(*) AS BIGINT) AS n_purchases,
-           round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS total_value
     FROM ordered WHERE event_type = 'purchase'
     GROUP BY 1
     """,

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from batch_public_spark.plans.lint import bounded_window_key
 from batch_public_spark.plans.registry import query
 from batch_public_spark.sources.tables import load_table as t
 
@@ -201,10 +202,9 @@ def cust_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = per.agg(F.count("*").alias("n"))
+
     # bounded_window_key (see plans.lint): acknowledges the single-partition
     # rank over the bounded per-customer aggregate, non-foldably.
-    from batch_public_spark.plans.lint import bounded_window_key
-
     def score(order_cols):
         w = W.partitionBy(bounded_window_key(F.col("o_custkey"))).orderBy(*order_cols)
         # Integer quartile assignment: 1 + (rank-1)*4 div n. floor() on an
