@@ -3100,3 +3100,111 @@ def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_items"),
         F.round(F.sum("price"), 2).cast("double").alias("revenue"),
     )
+
+
+_SIMHASH_BITS = 16
+# Engine-portable bit extraction: hex chars with the nibble's high bit set
+# are exactly {8,9,a,b,c,d,e,f} = lexicographically >= '8' (md5 emits
+# lowercase hex in both engines) — no hex->integer conversion anywhere.
+_SIMHASH_SIG_SQL = "|| ".join(
+    f"""CASE WHEN list_sum(list_transform(tk,
+          t -> CASE WHEN substr(md5(t), {i + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+        THEN '1' ELSE '0' END """
+    for i in range(_SIMHASH_BITS)
+)
+_SIMHASH_HAMMING_SQL = "+ ".join(
+    f"CASE WHEN substr(sa, {i + 1}, 1) <> substr(sb, {i + 1}, 1) THEN 1 ELSE 0 END "
+    for i in range(_SIMHASH_BITS)
+)
+
+
+@query(
+    "llmops_simhash_estimator_accuracy",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             list_distinct(list_filter(
+               string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS tk
+      FROM documents
+    ), sigs AS (
+      SELECT doc_id, source, tk, {_SIMHASH_SIG_SQL} AS sig FROM tk
+    ), pairs AS (
+      SELECT doc_id AS a_id, sig AS sa, tk AS ta,
+             lead(doc_id) OVER w AS b_id, lead(sig) OVER w AS sb,
+             lead(tk) OVER w AS tb
+      FROM sigs WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+    )
+    SELECT a_id, b_id,
+           CAST({_SIMHASH_HAMMING_SQL} AS BIGINT) AS hamming,
+           CASE WHEN length(list_distinct(list_concat(ta, tb))) > 0
+                THEN round(CAST(length(list_intersect(ta, tb)) AS DOUBLE)
+                           / length(list_distinct(list_concat(ta, tb))), 6)
+           END AS exact_jaccard
+    FROM pairs WHERE b_id IS NOT NULL
+    """,
+)
+def llmops_simhash_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SimHash ESTIMATOR itself, fully oracle-hashed: a 16-bit
+    majority-vote signature built from md5 nibble high-bits
+    (engine-portable, unlike the xxhash64 64-bit signatures the
+    production operator uses for speed — which is why
+    llmops_simhash_neardup is rows-only-checked), with the Hamming
+    distance between successive same-source documents next to their
+    exact token-set Jaccard. Hashing signature construction, the
+    majority vote, tie policy (sum 0 → bit 0), and the bit-difference
+    count cross-engine gives the rows-only SimHash family its
+    hash-checked anchor — the same role llmops_minhash_estimator_
+    accuracy plays for MinHash.
+
+    Scale shape: signatures are pure in-row higher-order-function
+    expressions over the distinct-token array (zero shuffle — exactly
+    how operators.semantic computes the production signatures); the pair
+    list is a lead window per source. Production path: band the bits
+    and equi-join buckets (pigeonhole blocking); this query pins the
+    estimator math that path depends on."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id",
+        "source",
+        F.array_distinct(tokens(F.lower(F.col("text")))).alias("tk"),
+    )
+
+    def bit(i: int):
+        vote = F.aggregate(
+            F.col("tk"),
+            F.lit(0),
+            lambda acc, tok: acc
+            + F.when(F.substring(F.md5(tok), i + 1, 1) >= "8", 1).otherwise(-1),
+        )
+        return F.when(vote > 0, F.lit("1")).otherwise(F.lit("0"))
+
+    sigs = tk.select(
+        "doc_id", "source", "tk", F.concat(*[bit(i) for i in range(_SIMHASH_BITS)]).alias("sig")
+    )
+    w = W.partitionBy("source").orderBy("doc_id")
+    pairs = sigs.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("sig").alias("sa"),
+        F.col("tk").alias("ta"),
+        F.lead("doc_id").over(w).alias("b_id"),
+        F.lead("sig").over(w).alias("sb"),
+        F.lead("tk").over(w).alias("tb"),
+    ).filter(F.col("b_id").isNotNull())
+    hamming = None
+    for i in range(_SIMHASH_BITS):
+        term = F.when(
+            F.substring("sa", i + 1, 1) != F.substring("sb", i + 1, 1), 1
+        ).otherwise(0)
+        hamming = term if hamming is None else hamming + term
+    inter = F.size(F.array_intersect("ta", "tb"))
+    union = F.size(F.array_union("ta", "tb"))
+    # Empty-union guard (two all-whitespace docs): DuckDB 0/0 is NULL,
+    # Spark's ANSI divide throws.
+    return pairs.select(
+        "a_id",
+        "b_id",
+        hamming.cast("bigint").alias("hamming"),
+        F.when(union > 0, F.round(inter.cast("double") / union, 6)).alias(
+            "exact_jaccard"
+        ),
+    )
