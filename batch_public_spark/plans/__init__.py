@@ -89,6 +89,21 @@ _PRIORITY = [
 ]
 
 
+# Round-5 rotation candidates (added after this round's 50-entry window
+# filled; each is builder-parity-green but has no driver record yet):
+# the statistical-monitoring family (dq_psi_drift, llmops_ks_drift,
+# llmops_chi2_independence, events_max_concurrency, events_ewma_daily,
+# window_rolling_median_daily, llmops_zipf_slope,
+# llmops_length_bucket_batching), robust stats + attribution
+# (llmops_edit_distance_pairs, llmops_heavy_hitters, agg_winsorized_stats,
+# events_lasttouch_attribution), llmops_boilerplate_sentence_filter,
+# llmops_dedup_cascade_e2e, events_ab_uplift, join_salted_hotkey,
+# dq_k_anonymity, llmops_kl_source_divergence, events_time_to_convert,
+# llmops_simhash_estimator_accuracy — plus re-attestation for the plans
+# changed this round: q15_top_supplier, udtf_top_bigrams,
+# llmops_train_shuffle, llmops_zipf_slope, cust_rfm_segments (in-window).
+
+
 def _reorder() -> None:
     missing = [n for n in _PRIORITY if n not in QUERIES]
     if missing:  # registration drift is a bug, not a silent downgrade
