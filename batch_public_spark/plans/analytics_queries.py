@@ -3208,3 +3208,166 @@ def llmops_simhash_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataF
             "exact_jaccard"
         ),
     )
+
+
+@query(
+    "source_jsonl_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → JSONL source round-trip: serialize events the same
+    way the reference's K1 request sink does (``to_json(struct(...))``
+    one compact object per line), read the lines back with an EXPLICIT
+    schema, and aggregate — the oracle aggregates the ORIGINAL parquet,
+    so any encode/decode drift (decimal precision, unicode, null
+    handling) hash-fails. JSONL is the reference engine's native
+    interchange format (requests out, LLM results in), which makes this
+    the round-trip that matters most for pipeline parity.
+
+    Scale notes: explicit read schema (never ``inferSchema``/sampling —
+    a second full pass at 100 TB); values travel as fixed-scale decimals
+    (no float round-trip); write and read are per-partition parallel.
+    PERMISSIVE-mode malformed-line tolerance for untrusted inputs is
+    covered separately by pipeline_parse_outputs."""
+    out_dir = _scratch_dir(spark, sf_dir, "jsonl_roundtrip")
+    e = t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("value"),
+    )
+    e.select(F.to_json(F.struct("event_id", "event_type", "value")).alias("line")).write.mode(
+        "overwrite"
+    ).text(out_dir)
+    back = spark.read.schema("event_id long, event_type string, value decimal(18,6)").json(
+        out_dir
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("value"), 2).cast("double").alias("sum_value"),
+    )
+
+
+@query(
+    "date_interval_battery",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(dayofyear(o_orderdate)) AS BIGINT) AS sum_doy,
+           CAST(count(DISTINCT week(o_orderdate)) AS BIGINT) AS n_isoweeks,
+           CAST(max(quarter(o_orderdate)) AS BIGINT) AS quarter,
+           strftime(last_day(CAST(date_trunc('month', o_orderdate) AS DATE)),
+                    '%Y-%m-%d') AS month_end,
+           strftime(CAST(date_trunc('month', o_orderdate) AS DATE)
+                    + INTERVAL 1 MONTH, '%Y-%m-%d') AS next_month_start,
+           CAST(date_diff('day', CAST(date_trunc('month', o_orderdate) AS DATE),
+                          last_day(CAST(date_trunc('month', o_orderdate) AS DATE)))
+                + 1 AS BIGINT) AS days_in_month
+    FROM orders
+    GROUP BY date_trunc('month', o_orderdate)
+    """,
+)
+def date_interval_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/interval function battery over monthly buckets: day-of-year
+    sums, ISO week counts, quarter, last_day, add_months, and
+    month-length arithmetic — the calendar-function surface (beyond
+    date_trunc/weekday, covered by date_trunc_weekday_matrix) that every
+    fiscal-reporting query leans on, pinned cross-engine.
+
+    Portability notes baked in: ISO week only (both engines' ``week``/
+    ``weekofyear`` are ISO-8601); ``add_months``/``+ INTERVAL 1 MONTH``
+    both clamp to month end; month length is computed as
+    ``datediff(last_day, month_start) + 1`` — pure date arithmetic, no
+    locale, no timezone. One hash aggregation on the month key."""
+    o = t(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).cast("date")
+    return (
+        o.select(
+            month.alias("m"),
+            F.dayofyear("o_orderdate").alias("doy"),
+            F.weekofyear("o_orderdate").alias("wk"),
+            F.quarter("o_orderdate").alias("q"),
+        )
+        .groupBy("m")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("doy").cast("bigint").alias("sum_doy"),
+            F.count_distinct("wk").cast("bigint").alias("n_isoweeks"),
+            F.max("q").cast("bigint").alias("quarter"),
+        )
+        .select(
+            F.date_format("m", "yyyy-MM-dd").alias("month_start"),
+            "n",
+            "sum_doy",
+            "n_isoweeks",
+            "quarter",
+            F.date_format(F.last_day(F.col("m")), "yyyy-MM-dd").alias("month_end"),
+            F.date_format(F.add_months(F.col("m"), 1), "yyyy-MM-dd").alias(
+                "next_month_start"
+            ),
+            (F.datediff(F.last_day(F.col("m")), F.col("m")) + 1)
+            .cast("bigint")
+            .alias("days_in_month"),
+        )
+    )
+
+
+@query(
+    "window_order_streaks",
+    oracle="""
+    WITH months AS (
+      SELECT DISTINCT o_custkey,
+             CAST(strftime(o_orderdate, '%Y') AS BIGINT) * 12
+             + CAST(strftime(o_orderdate, '%m') AS BIGINT) AS mn
+      FROM orders
+    ), islands AS (
+      SELECT o_custkey,
+             mn - row_number() OVER (PARTITION BY o_custkey ORDER BY mn) AS island
+      FROM months
+    ), streaks AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS streak
+      FROM islands GROUP BY o_custkey, island
+    )
+    SELECT o_custkey,
+           CAST(sum(streak) AS BIGINT) AS n_active_months,
+           CAST(max(streak) AS BIGINT) AS max_streak
+    FROM streaks GROUP BY o_custkey
+    HAVING max(streak) >= 3
+    """,
+)
+def window_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest run of CONSECUTIVE active months per
+    customer via the classic rank-difference trick — consecutive month
+    numbers minus their row_number collapse to a constant island key, so
+    streak length is a plain GROUP BY — the idiom behind every "current
+    streak" / "consecutive days active" metric, done without self-joins
+    or iterative logic.
+
+    Spark-first: distinct (customer, month) first (shrinks orders to at
+    most |customers|×|months| rows), ONE row_number window partitioned
+    by customer, then two hash aggregations — a single shuffle on
+    o_custkey shared by the window and both groupings. Month numbers are
+    exact integer arithmetic (year*12+month); HAVING ≥3 keeps the
+    output to genuinely streaky customers."""
+    o = t(spark, sf_dir, "orders")
+    mn = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    months = o.select("o_custkey", mn.alias("mn")).distinct()
+    w = W.partitionBy("o_custkey").orderBy("mn")
+    islands = months.select(
+        "o_custkey", (F.col("mn") - F.row_number().over(w)).alias("island")
+    )
+    streaks = islands.groupBy("o_custkey", "island").agg(
+        F.count("*").cast("bigint").alias("streak")
+    )
+    return (
+        streaks.groupBy("o_custkey")
+        .agg(
+            F.sum("streak").cast("bigint").alias("n_active_months"),
+            F.max("streak").cast("bigint").alias("max_streak"),
+        )
+        .filter(F.col("max_streak") >= 3)
+    )
