@@ -100,7 +100,8 @@ _PRIORITY = [
 # llmops_dedup_cascade_e2e, events_ab_uplift, join_salted_hotkey,
 # dq_k_anonymity, llmops_kl_source_divergence, events_time_to_convert,
 # llmops_simhash_estimator_accuracy, source_jsonl_roundtrip,
-# date_interval_battery, window_order_streaks — plus re-attestation for the plans
+# date_interval_battery, window_order_streaks, llmops_dataset_mixture_epochs,
+# dq_schema_contract_check, events_dow_hour_profile — plus re-attestation for the plans
 # changed this round: q15_top_supplier, udtf_top_bigrams,
 # llmops_train_shuffle, llmops_zipf_slope, cust_rfm_segments (in-window).
 

@@ -1083,3 +1083,197 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("secs", F.lit(0.5)), 6).alias("p50_secs"),
         F.round(F.percentile("secs", F.lit(0.9)), 6).alias("p90_secs"),
     )
+
+
+@query(
+    "llmops_dataset_mixture_epochs",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(length(list_filter(string_split_regex(trim(text), '\\s+'),
+                                         x -> length(x) > 0))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, n_tokens,
+             CAST(round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS DECIMAL(24,6)) AS wt
+      FROM per
+    ), tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS b, sum(wt) AS sw FROM w
+    )
+    SELECT source, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / b, 6) AS natural_share,
+           round(CAST(wt AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS target_share,
+           round((CAST(wt AS DOUBLE) / CAST(sw AS DOUBLE)) * b
+                 / n_tokens, 6) AS epochs,
+           (CAST(wt AS DOUBLE) / CAST(sw AS DOUBLE)) * b / n_tokens > 1.0
+             AS oversampled
+    FROM w CROSS JOIN tot
+    """,
+)
+def llmops_dataset_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture epoch planner: given per-source token counts and
+    a temperature-0.5 target mixture (share ∝ √tokens — the standard
+    down-weighting of giant sources), compute how many EPOCHS of each
+    source a one-corpus-sized token budget implies — the actual table a
+    training run's data loader is configured from (epochs > 1 means the
+    source is oversampled/repeated; < 1 means subsampled), one step past
+    llmops_temperature_mix's shares.
+
+    Spark-first: one tokenize+aggregate pass to per-source counts
+    (|sources| rows), then pure arithmetic against a broadcast one-row
+    total. √n is rounded to 6dp and summed as DECIMAL so the mixture
+    denominator is accumulation-order-invariant; every downstream ratio
+    divides exact components as doubles."""
+    d = t(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(
+        F.sum(token_count_ws(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    w = per.select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")), 6)
+        .cast("decimal(24,6)")
+        .alias("wt"),
+    )
+    tot = w.agg(
+        F.sum("n_tokens").cast("bigint").alias("b"), F.sum("wt").alias("sw")
+    )
+    share = F.col("wt").cast("double") / F.col("sw").cast("double")
+    epochs = share * F.col("b") / F.col("n_tokens")
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(F.col("n_tokens").cast("double") / F.col("b"), 6).alias(
+            "natural_share"
+        ),
+        F.round(share, 6).alias("target_share"),
+        F.round(epochs, 6).alias("epochs"),
+        (epochs > 1.0).alias("oversampled"),
+    )
+
+
+# The canonical cross-engine type vocabulary for contract checks: both
+# engines read the SAME parquet footer, so their logical types must map to
+# the same canonical name or the contract is genuinely violated.
+_CONTRACT_EXPECTED = [
+    ("o_orderkey", "int64"),
+    ("o_custkey", "int64"),
+    ("o_orderstatus", "string"),
+    ("o_totalprice", "float64"),
+    ("o_orderdate", "timestamp"),
+    ("o_orderpriority", "string"),
+]
+_CONTRACT_VALUES_SQL = ", ".join(f"('{c}', '{ty}')" for c, ty in _CONTRACT_EXPECTED)
+
+
+@query(
+    "dq_schema_contract_check",
+    oracle=f"""
+    WITH expected(column_name, expected_type) AS (
+      VALUES {_CONTRACT_VALUES_SQL}
+    ), actual AS (
+      SELECT column_name,
+             CASE lower(column_type)
+               WHEN 'bigint' THEN 'int64'
+               WHEN 'integer' THEN 'int32'
+               WHEN 'double' THEN 'float64'
+               WHEN 'float' THEN 'float32'
+               WHEN 'varchar' THEN 'string'
+               WHEN 'timestamp' THEN 'timestamp'
+               WHEN 'timestamp_ns' THEN 'timestamp'
+               WHEN 'date' THEN 'date'
+               WHEN 'boolean' THEN 'bool'
+               ELSE lower(column_type) END AS actual_type
+      FROM (DESCRIBE SELECT * FROM orders)
+    )
+    SELECT coalesce(e.column_name, a.column_name) AS column_name,
+           e.expected_type, a.actual_type,
+           e.expected_type IS NOT NULL AND a.actual_type IS NOT NULL
+             AND e.expected_type = a.actual_type AS ok
+    FROM expected e FULL OUTER JOIN actual a ON a.column_name = e.column_name
+    """,
+)
+def dq_schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-contract gate: the orders table's ACTUAL schema (as each
+    engine reads it from the parquet footer) joined against the expected
+    column/type contract, one row per column with an ok flag — the
+    metadata-level data-quality check that runs BEFORE any row-level
+    rule (operators.quality) and catches upstream type drift (int
+    widened to string, timestamp downgraded) the moment a bad file
+    lands.
+
+    Zero data scan: the Spark side reflects ``df.schema`` (driver-side
+    metadata only) and the oracle DESCRIBEs its view — both map their
+    engine-native type names onto one canonical vocabulary, so the
+    hash-match certifies the MAPPING agrees, not just the check. The
+    full-outer join keeps missing AND unexpected columns visible."""
+    from pyspark.sql import types as T
+
+    canon_map = {
+        T.LongType(): "int64",
+        T.IntegerType(): "int32",
+        T.DoubleType(): "float64",
+        T.FloatType(): "float32",
+        T.StringType(): "string",
+        T.TimestampType(): "timestamp",
+        T.TimestampNTZType(): "timestamp",
+        T.DateType(): "date",
+        T.BooleanType(): "bool",
+    }
+    actual_rows = [
+        (f.name, canon_map.get(f.dataType, f.dataType.simpleString()))
+        for f in t(spark, sf_dir, "orders").schema.fields
+    ]
+    actual = spark.createDataFrame(actual_rows, "column_name string, actual_type string")
+    expected = spark.createDataFrame(
+        _CONTRACT_EXPECTED, "column_name string, expected_type string"
+    )
+    e, a = expected.alias("e"), actual.alias("a")
+    return e.join(a, F.col("a.column_name") == F.col("e.column_name"), "full_outer").select(
+        F.coalesce(F.col("e.column_name"), F.col("a.column_name")).alias("column_name"),
+        F.col("e.expected_type").alias("expected_type"),
+        F.col("a.actual_type").alias("actual_type"),
+        (
+            F.col("e.expected_type").isNotNull()
+            & F.col("a.actual_type").isNotNull()
+            & (F.col("e.expected_type") == F.col("a.actual_type"))
+        ).alias("ok"),
+    )
+
+
+@query(
+    "events_dow_hour_profile",
+    oracle="""
+    WITH cells AS (
+      SELECT isodow(ts) AS dow, CAST(strftime(ts, '%H') AS BIGINT) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells)
+    SELECT CAST(dow AS BIGINT) AS dow, hr, n,
+           round(CAST(n AS DOUBLE) / total, 6) AS share
+    FROM cells CROSS JOIN tot
+    """,
+)
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: event volume per (ISO weekday, hour)
+    cell with its share of total traffic — the 7×24 heatmap behind
+    capacity planning and anomaly baselines (events_rate_spike_detect
+    compares day-over-day; this is the long-run shape it normalizes
+    against).
+
+    Portability: ISO weekday numbering only (Monday=1 … Sunday=7 — both
+    engines' default ``dayofweek`` start Sunday at different ordinals,
+    a classic cross-engine trap) and a zero-padded hour parsed as an
+    integer. One hash aggregation; the total broadcasts back."""
+    e = t(spark, sf_dir, "events")
+    cells = e.groupBy(
+        (F.expr("weekday(ts)") + 1).cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hr"),
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    tot = cells.agg(F.sum("n").cast("bigint").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "dow",
+        "hr",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+    )
