@@ -3106,9 +3106,12 @@ _SIMHASH_BITS = 16
 # Engine-portable bit extraction: hex chars with the nibble's high bit set
 # are exactly {8,9,a,b,c,d,e,f} = lexicographically >= '8' (md5 emits
 # lowercase hex in both engines) — no hex->integer conversion anywhere.
+# Tokens are hashed ONCE into `hs`; all 16 bit votes read that array
+# (separate per-bit lambdas are not common-subexpression-eliminated, so
+# hashing inside each vote would cost 16x).
 _SIMHASH_SIG_SQL = "|| ".join(
-    f"""CASE WHEN list_sum(list_transform(tk,
-          t -> CASE WHEN substr(md5(t), {i + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
+    f"""CASE WHEN list_sum(list_transform(hs,
+          h -> CASE WHEN substr(h, {i + 1}, 1) >= '8' THEN 1 ELSE -1 END)) > 0
         THEN '1' ELSE '0' END """
     for i in range(_SIMHASH_BITS)
 )
@@ -3126,8 +3129,10 @@ _SIMHASH_HAMMING_SQL = "+ ".join(
              list_distinct(list_filter(
                string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')) AS tk
       FROM documents
+    ), hashed AS (
+      SELECT doc_id, source, tk, list_transform(tk, t -> md5(t)) AS hs FROM tk
     ), sigs AS (
-      SELECT doc_id, source, tk, {_SIMHASH_SIG_SQL} AS sig FROM tk
+      SELECT doc_id, source, tk, {_SIMHASH_SIG_SQL} AS sig FROM hashed
     ), pairs AS (
       SELECT doc_id AS a_id, sig AS sa, tk AS ta,
              lead(doc_id) OVER w AS b_id, lead(sig) OVER w AS sb,
@@ -3168,17 +3173,19 @@ def llmops_simhash_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataF
         "source",
         F.array_distinct(tokens(F.lower(F.col("text")))).alias("tk"),
     )
+    # Hash every token ONCE; the 16 bit votes read the hash array.
+    hashed = tk.withColumn("hs", F.transform("tk", lambda tok: F.md5(tok)))
 
     def bit(i: int):
         vote = F.aggregate(
-            F.col("tk"),
+            F.col("hs"),
             F.lit(0),
-            lambda acc, tok: acc
-            + F.when(F.substring(F.md5(tok), i + 1, 1) >= "8", 1).otherwise(-1),
+            lambda acc, h: acc
+            + F.when(F.substring(h, i + 1, 1) >= "8", 1).otherwise(-1),
         )
         return F.when(vote > 0, F.lit("1")).otherwise(F.lit("0"))
 
-    sigs = tk.select(
+    sigs = hashed.select(
         "doc_id", "source", "tk", F.concat(*[bit(i) for i in range(_SIMHASH_BITS)]).alias("sig")
     )
     w = W.partitionBy("source").orderBy("doc_id")

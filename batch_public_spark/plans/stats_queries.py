@@ -1103,10 +1103,12 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source, n_tokens,
            round(CAST(n_tokens AS DOUBLE) / b, 6) AS natural_share,
            round(CAST(wt AS DOUBLE) / CAST(sw AS DOUBLE), 6) AS target_share,
-           round((CAST(wt AS DOUBLE) / CAST(sw AS DOUBLE)) * b
-                 / n_tokens, 6) AS epochs,
-           (CAST(wt AS DOUBLE) / CAST(sw AS DOUBLE)) * b / n_tokens > 1.0
-             AS oversampled
+           CASE WHEN n_tokens > 0
+                THEN round((CAST(wt AS DOUBLE) / CAST(sw AS DOUBLE)) * b
+                           / n_tokens, 6) END AS epochs,
+           CASE WHEN n_tokens > 0
+                THEN (CAST(wt AS DOUBLE) / CAST(sw AS DOUBLE)) * b / n_tokens > 1.0
+           END AS oversampled
     FROM w CROSS JOIN tot
     """,
 )
@@ -1140,6 +1142,9 @@ def llmops_dataset_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     share = F.col("wt").cast("double") / F.col("sw").cast("double")
     epochs = share * F.col("b") / F.col("n_tokens")
+    # Empty-source guard (all-whitespace documents -> n_tokens 0): DuckDB's
+    # x/0 is NULL, Spark's ANSI divide throws.
+    has_tokens = F.col("n_tokens") > 0
     return w.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
@@ -1147,8 +1152,8 @@ def llmops_dataset_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame
             "natural_share"
         ),
         F.round(share, 6).alias("target_share"),
-        F.round(epochs, 6).alias("epochs"),
-        (epochs > 1.0).alias("oversampled"),
+        F.when(has_tokens, F.round(epochs, 6)).alias("epochs"),
+        F.when(has_tokens, epochs > 1.0).alias("oversampled"),
     )
 
 
@@ -1264,7 +1269,11 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Portability: ISO weekday numbering only (Monday=1 … Sunday=7 — both
     engines' default ``dayofweek`` start Sunday at different ordinals,
     a classic cross-engine trap) and a zero-padded hour parsed as an
-    integer. One hash aggregation; the total broadcasts back."""
+    integer. hour()/weekday() read LTZ timestamps through the session
+    timezone, so it is pinned to UTC (the oracle reads naive UTC wall
+    times) — same defensive pin as pipeline_queries._utc. One hash
+    aggregation; the total broadcasts back."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     e = t(spark, sf_dir, "events")
     cells = e.groupBy(
         (F.expr("weekday(ts)") + 1).cast("bigint").alias("dow"),
