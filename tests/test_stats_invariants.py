@@ -222,3 +222,55 @@ def test_degenerate_inputs_yield_null_not_error(spark, tmp_path):
     assert (v.n_a == 0) != (v.n_b == 0)  # exactly one arm populated
     empty_mean = v.mean_a if v.n_a == 0 else v.mean_b
     assert empty_mean is None and v.uplift is None
+
+
+def test_cascade_funnel_chains_and_covers_corpus(spark):
+    """The dedup funnel must be internally consistent: stage outputs
+    chain (exact's remaining feeds prefix, prefix's feeds neardup) and
+    exact's removed+remaining equals the corpus size."""
+    from batch_public_spark.sources.tables import load_table
+
+    rows = {r.stage: r for r in _rows(spark, "llmops_dedup_cascade_e2e")}
+    assert set(rows) == {"exact", "prefix", "neardup"}
+    total = load_table(spark, SF_DIR, "documents").count()
+    e, p, n = rows["exact"], rows["prefix"], rows["neardup"]
+    assert e.n_removed + e.n_remaining == total
+    assert p.n_removed + p.n_remaining == e.n_remaining
+    assert n.n_removed + n.n_remaining == p.n_remaining
+    assert all(r.n_removed >= 0 for r in rows.values())
+
+
+def test_mixture_epochs_shares_and_budget_balance(spark):
+    """Target shares sum to ~1, natural shares sum to ~1, and the epoch
+    plan spends exactly the one-corpus token budget:
+    Σ epochs_s · n_tokens_s == Σ n_tokens (each term is share_s · B)."""
+    rows = _rows(spark, "llmops_dataset_mixture_epochs")
+    assert rows
+    assert abs(sum(r.natural_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.target_share for r in rows) - 1.0) < 1e-4
+    budget = sum(r.n_tokens for r in rows)
+    spent = sum(r.epochs * r.n_tokens for r in rows)
+    assert abs(spent - budget) / budget < 1e-3
+    # temperature < 1 compresses: big sources sampled under their natural
+    # share, small ones over
+    big = max(rows, key=lambda r: r.n_tokens)
+    small = min(rows, key=lambda r: r.n_tokens)
+    if big.n_tokens != small.n_tokens:
+        assert big.target_share <= big.natural_share + 1e-9
+        assert small.target_share >= small.natural_share - 1e-9
+
+
+def test_schema_contract_all_ok_on_healthy_table(spark):
+    rows = _rows(spark, "dq_schema_contract_check")
+    assert len(rows) == 6
+    assert all(r.ok for r in rows), rows
+
+
+def test_dow_profile_partitions_events(spark):
+    from batch_public_spark.sources.tables import load_table
+
+    rows = _rows(spark, "events_dow_hour_profile")
+    assert all(1 <= r.dow <= 7 and 0 <= r.hr <= 23 for r in rows)
+    total = load_table(spark, SF_DIR, "events").count()
+    assert sum(r.n for r in rows) == total
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
