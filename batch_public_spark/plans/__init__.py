@@ -101,7 +101,8 @@ _PRIORITY = [
 # dq_k_anonymity, llmops_kl_source_divergence, events_time_to_convert,
 # llmops_simhash_estimator_accuracy, source_jsonl_roundtrip,
 # date_interval_battery, window_order_streaks, llmops_dataset_mixture_epochs,
-# dq_schema_contract_check, events_dow_hour_profile — plus re-attestation for the plans
+# dq_schema_contract_check, events_dow_hour_profile, setop_bag_semantics,
+# agg_multi_distinct, subquery_not_in_null_trap — plus re-attestation for the plans
 # changed this round: q15_top_supplier, udtf_top_bigrams,
 # llmops_train_shuffle, llmops_zipf_slope, cust_rfm_segments (in-window).
 

@@ -1245,3 +1245,147 @@ def agg_salted_hotkey_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("total_d"), 2).cast("double").alias("total_value"),
     )
+
+
+@query(
+    "setop_bag_semantics",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority AS pri FROM orders
+               WHERE strftime(o_orderdate, '%Y') = '1996'),
+         b AS (SELECT o_orderpriority AS pri FROM orders
+               WHERE strftime(o_orderdate, '%Y') = '1997'),
+    i AS (SELECT pri FROM a INTERSECT ALL SELECT pri FROM b),
+    e AS (SELECT pri FROM a EXCEPT ALL SELECT pri FROM b)
+    SELECT pri,
+           (SELECT CAST(count(*) AS BIGINT) FROM i WHERE i.pri = p.pri)
+             AS n_intersect_all,
+           (SELECT CAST(count(*) AS BIGINT) FROM e WHERE e.pri = p.pri)
+             AS n_except_all
+    FROM (SELECT DISTINCT pri FROM a) p
+    """,
+)
+def setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — the BAG (multiset) set operations
+    the distinct variants above cannot express: per priority,
+    ``intersectAll`` keeps min(count_1996, count_1997) duplicate copies
+    and ``exceptAll`` keeps max(0, count_1996 − count_1997); the query
+    rolls each result up to per-priority counts so the multiset
+    arithmetic itself is what gets hashed.
+
+    Spark-first: both operators plan as aggregate-count + replicate
+    (one shuffle each on the row value) — no join explosion; at scale
+    they behave like a grouped count diff, which is also the manual
+    rewrite when an engine lacks the operators."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    b = o.filter(F.year("o_orderdate") == 1997).select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    i = a.intersectAll(b).groupBy("pri").agg(
+        F.count("*").cast("bigint").alias("n_intersect_all")
+    )
+    e = a.exceptAll(b).groupBy("pri").agg(
+        F.count("*").cast("bigint").alias("n_except_all")
+    )
+    return (
+        a.select("pri")
+        .distinct()
+        .join(i, "pri", "left")
+        .join(e, "pri", "left")
+        .select(
+            "pri",
+            F.coalesce("n_intersect_all", F.lit(0)).cast("bigint").alias(
+                "n_intersect_all"
+            ),
+            F.coalesce("n_except_all", F.lit(0)).cast("bigint").alias("n_except_all"),
+        )
+    )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_priorities,
+           CAST(count(DISTINCT strftime(o_orderdate, '%Y')) AS BIGINT) AS n_years,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates over DIFFERENT columns in one
+    grouped query — the shape that forces Catalyst's Expand-based
+    rewrite (each input row fans out once per distinct group, tagged
+    with a grouping id, then two aggregate stages reassemble) rather
+    than a simple partial+final hash agg.
+
+    Scale note: Expand multiplies the shuffle by the number of distinct
+    clauses (3× here) — acceptable for low-cardinality distincts; when a
+    distinct column is high-cardinality at 100 TB the rewrite is
+    approx_count_distinct (HLL, agg_approx_distinct_accuracy quantifies
+    the error) or a two-step groupBy. This query pins the exact
+    semantics those rewrites approximate."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.count_distinct("o_orderpriority").cast("bigint").alias("n_priorities"),
+        F.count_distinct(F.date_format("o_orderdate", "yyyy")).cast("bigint").alias(
+            "n_years"
+        ),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+
+
+@query(
+    "subquery_not_in_null_trap",
+    oracle="""
+    WITH keys AS (
+      SELECT CASE WHEN c_custkey % 100 = 0 THEN NULL ELSE c_custkey END AS k
+      FROM customer
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_custkey NOT IN (SELECT k FROM keys)) AS n_not_in,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM keys WHERE keys.k = o.o_custkey))
+             AS n_not_exists,
+           (SELECT CAST(count(*) AS BIGINT) FROM keys WHERE k IS NULL)
+             AS n_null_keys
+    """,
+)
+def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN null trap, pinned as ANSI three-valued logic: when the
+    subquery list contains even one NULL, ``x NOT IN (list)`` is never
+    TRUE (x <> NULL is UNKNOWN), so the NOT IN count collapses to 0
+    while the NOT EXISTS form — which most authors actually meant —
+    counts real non-matches. One row with both counts plus the NULL-key
+    count makes the trap (and both engines' identical handling of it)
+    the thing the hash certifies.
+
+    Spark-first: NOT IN plans as a null-aware anti join (a stricter,
+    more expensive operator than the plain left-anti NOT EXISTS gets) —
+    which is exactly why style guides ban NOT IN on nullable columns at
+    scale; this query is the registry's executable version of that
+    rule."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    keys = c.select(
+        F.when(F.col("c_custkey") % 100 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("c_custkey"))
+        .alias("k")
+    )
+    keys.createOrReplaceTempView("_null_trap_keys")
+    o.createOrReplaceTempView("_null_trap_orders")
+    return spark.sql(
+        """
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM _null_trap_orders
+                WHERE o_custkey NOT IN (SELECT k FROM _null_trap_keys)) AS n_not_in,
+               (SELECT CAST(count(*) AS BIGINT) FROM _null_trap_orders o
+                WHERE NOT EXISTS (SELECT 1 FROM _null_trap_keys t
+                                  WHERE t.k = o.o_custkey)) AS n_not_exists,
+               (SELECT CAST(count(*) AS BIGINT) FROM _null_trap_keys
+                WHERE k IS NULL) AS n_null_keys
+        """
+    )
