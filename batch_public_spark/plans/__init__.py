@@ -102,7 +102,8 @@ _PRIORITY = [
 # llmops_simhash_estimator_accuracy, source_jsonl_roundtrip,
 # date_interval_battery, window_order_streaks, llmops_dataset_mixture_epochs,
 # dq_schema_contract_check, events_dow_hour_profile, setop_bag_semantics,
-# agg_multi_distinct, subquery_not_in_null_trap — plus re-attestation for the plans
+# agg_multi_distinct, subquery_not_in_null_trap, dq_benford_first_digit,
+# agg_gini_daily_revenue, events_journey_pattern_match — plus re-attestation for the plans
 # changed this round: q15_top_supplier, udtf_top_bigrams,
 # llmops_train_shuffle, llmops_zipf_slope, cust_rfm_segments (in-window).
 

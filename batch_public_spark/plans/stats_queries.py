@@ -1286,3 +1286,201 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
     )
+
+
+# Benford expected first-digit shares log10(1 + 1/d), d=1..9 — materialized
+# once in Python and spelled as the SAME double literals in both engines.
+_BENFORD = [repr(__import__("math").log10(1 + 1 / d)) for d in range(1, 10)]
+
+
+@query(
+    "dq_benford_first_digit",
+    oracle=f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+      SELECT digit, CAST(count(*) AS BIGINT) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+    expected(digit, benford_share) AS (
+      VALUES {", ".join(f"({d + 1}, {s})" for d, s in enumerate(_BENFORD))}
+    )
+    SELECT e.digit,
+           coalesce(c.n, 0) AS n,
+           round(CAST(coalesce(c.n, 0) AS DOUBLE) / total, 6) AS share,
+           round(e.benford_share, 6) AS benford_share,
+           round(abs(CAST(coalesce(c.n, 0) AS DOUBLE) / total - e.benford_share), 6)
+             AS abs_deviation
+    FROM expected e LEFT JOIN counts c ON c.digit = e.digit CROSS JOIN tot
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit: the distribution of leading
+    digits of order totals against the log10(1+1/d) expectation — the
+    classic fabricated-data / truncation detector (organically-generated
+    amounts follow Benford; synthetic, capped, or hand-entered ones
+    deviate per digit, and the per-digit |deviation| says HOW). All nine
+    digits stay visible via the expected-side left join even when a
+    digit never occurs.
+
+    Spark-first: the leading digit is pure string arithmetic on the
+    integer part (no log10-of-value float comparison at bin edges); one
+    map-side-combined count, 9-row expected dim broadcast; the Benford
+    shares are Python-materialized double literals spelled identically
+    in both engines."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    counts = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    expected = spark.createDataFrame(
+        [(d + 1, float(s)) for d, s in enumerate(_BENFORD)],
+        "digit bigint, benford_share double",
+    )
+    share = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("total")
+    return (
+        expected.join(counts, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n"),
+            F.round(share, 6).alias("share"),
+            F.round("benford_share", 6).alias("benford_share"),
+            F.round(F.abs(share - F.col("benford_share")), 6).alias("abs_deviation"),
+        )
+    )
+
+
+@query(
+    "agg_gini_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS pri, CAST(o_orderdate AS DATE) AS d,
+             sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY 1, 2
+    ), ranked AS (
+      SELECT pri, rev,
+             CAST(row_number() OVER (PARTITION BY pri ORDER BY rev, d) AS BIGINT) AS rk
+      FROM daily
+    )
+    SELECT pri,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(round(sum(rev), 2) AS DOUBLE) AS total_rev,
+           round(2.0 * CAST(sum(CAST(rk AS DECIMAL(18,0)) * rev) AS DOUBLE)
+                 / (count(*) * CAST(sum(rev) AS DOUBLE))
+                 - (count(*) + 1.0) / count(*), 6) AS gini
+    FROM ranked GROUP BY pri
+    """,
+)
+def agg_gini_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of daily revenue per order priority — the
+    inequality/concentration number (0 = every day earns the same,
+    →1 = a few days carry everything) a capacity planner reads next to
+    the seasonality profile; computed by the exact sorted formula
+    G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n.
+
+    Spark-first: the fact scan collapses to the |priorities|×|days|
+    daily grid first, so the rank window that exact Gini inherently
+    needs runs PARTITIONED BY PRIORITY over calendar-bounded rows —
+    never a global sort of raw orders. Revenues and the rank-weighted
+    sum stay DECIMAL (exact) with ties broken by date; only the final
+    G divides as double."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    w = W.partitionBy("pri").orderBy("rev", "d")
+    ranked = daily.select(
+        "pri", "rev", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    n = F.count("*")
+    sum_rev = F.sum("rev")
+    weighted = F.sum(F.col("rk").cast("decimal(18,0)") * F.col("rev"))
+    return ranked.groupBy("pri").agg(
+        n.cast("bigint").alias("n_days"),
+        F.round(sum_rev, 2).cast("double").alias("total_rev"),
+        F.round(
+            2.0 * weighted.cast("double") / (n * sum_rev.cast("double"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+@query(
+    "events_journey_pattern_match",
+    oracle="""
+    WITH journeys AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+      FROM events GROUP BY user_id
+    ), pats(pattern) AS (
+      VALUES ('v.*c.*p'), ('s.*p'), ('e.*e.*e'), ('^v')
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM journeys)
+    SELECT p.pattern,
+           CAST(sum(CASE WHEN regexp_matches(j.journey, p.pattern)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+           tot.n_users,
+           round(CAST(sum(CASE WHEN regexp_matches(j.journey, p.pattern)
+                              THEN 1 ELSE 0 END) AS DOUBLE) / tot.n_users, 6)
+             AS match_share
+    FROM pats p CROSS JOIN journeys j CROSS JOIN tot
+    GROUP BY p.pattern, tot.n_users
+    """,
+)
+def events_journey_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern matching over user journeys (MATCH_RECOGNIZE /
+    CEP-lite): each user's ordered event-type initials collapse into a
+    journey string, and behavior patterns become plain regexes over it —
+    "viewed then clicked then purchased" is ``v.*c.*p`` — with per-
+    pattern match counts and shares. This is the portable re-expression
+    of SQL MATCH_RECOGNIZE / Flink CEP for patterns without quantifier
+    backtracking semantics.
+
+    Spark-first: journeys build with ONE shuffle on user_id (sort_array
+    of (ts, event_id, initial) structs inside the aggregation — struct
+    field order IS the sort key, so ordering is total and engine-
+    identical); the 4-row pattern dim broadcasts and the regex battery
+    runs in-row. Regexes stay in the Java∩RE2 common subset (``.``,
+    ``*``, ``^`` — no backrefs or lookahead, which RE2 lacks)."""
+    e = t(spark, sf_dir, "events")
+    journeys = (
+        e.select(
+            "user_id",
+            F.struct(
+                F.col("ts"), F.col("event_id"), F.substring("event_type", 1, 1).alias("i")
+            ).alias("s"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("s")), lambda s: s["i"]), ""
+            ).alias("journey")
+        )
+    )
+    pats = spark.createDataFrame(
+        [("v.*c.*p",), ("s.*p",), ("e.*e.*e",), ("^v",)], "pattern string"
+    )
+    tot = journeys.agg(F.count("*").cast("bigint").alias("n_users"))
+    matched = F.when(
+        F.expr("journey RLIKE pattern"), 1
+    ).otherwise(0)
+    return (
+        F.broadcast(pats)
+        .crossJoin(journeys)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("pattern", "n_users")
+        .agg(
+            F.sum(matched).cast("bigint").alias("n_matched"),
+            F.round(F.sum(matched).cast("double") / F.first("n_users"), 6).alias(
+                "match_share"
+            ),
+        )
+        .select("pattern", "n_matched", "n_users", "match_share")
+    )
