@@ -1290,7 +1290,9 @@ def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Benford expected first-digit shares log10(1 + 1/d), d=1..9 — materialized
 # once in Python and spelled as the SAME double literals in both engines.
-_BENFORD = [repr(__import__("math").log10(1 + 1 / d)) for d in range(1, 10)]
+import math  # noqa: E402
+
+_BENFORD = [repr(math.log10(1 + 1 / d)) for d in range(1, 10)]
 
 
 @query(
@@ -1419,7 +1421,9 @@ def agg_gini_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id,
              string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
                AS journey
-      FROM events GROUP BY user_id
+      FROM events
+      WHERE ts IS NOT NULL AND event_id IS NOT NULL
+      GROUP BY user_id
     ), pats(pattern) AS (
       VALUES ('v.*c.*p'), ('s.*p'), ('e.*e.*e'), ('^v')
     ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users FROM journeys)
@@ -1448,8 +1452,15 @@ def events_journey_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     field order IS the sort key, so ordering is total and engine-
     identical); the 4-row pattern dim broadcasts and the regex battery
     runs in-row. Regexes stay in the Java∩RE2 common subset (``.``,
-    ``*``, ``^`` — no backrefs or lookahead, which RE2 lacks)."""
-    e = t(spark, sf_dir, "events")
+    ``*``, ``^`` — no backrefs or lookahead, which RE2 lacks). Events
+    with a NULL ts or event_id are excluded in BOTH engines — they have
+    no position in an ordered journey, and the engines' null-sort
+    directions differ (Spark struct sort: nulls first; SQL ORDER BY
+    default: nulls last), so keeping them would be a latent hash
+    divergence."""
+    e = t(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_id").isNotNull()
+    )
     journeys = (
         e.select(
             "user_id",
