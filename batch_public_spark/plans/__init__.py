@@ -26,6 +26,7 @@ from batch_public_spark.plans import streaming_queries  # noqa: F401
 from batch_public_spark.plans import analytics_queries  # noqa: F401
 from batch_public_spark.plans import temporal_queries  # noqa: F401
 from batch_public_spark.plans import stats_queries  # noqa: F401
+from batch_public_spark.plans import eval_mining_queries  # noqa: F401  # eval/mining/allocation family
 
 # Names pinned to the front of the registry, in order (see module docstring).
 # Round 4: CORRECTNESS_r01+r02+r03 cover 150/153 registered queries; the 3
@@ -103,8 +104,12 @@ _PRIORITY = [
 # date_interval_battery, window_order_streaks, llmops_dataset_mixture_epochs,
 # dq_schema_contract_check, events_dow_hour_profile, setop_bag_semantics,
 # agg_multi_distinct, subquery_not_in_null_trap, dq_benford_first_digit,
-# agg_gini_daily_revenue, events_journey_pattern_match — plus re-attestation for the plans
-# changed this round: q15_top_supplier, udtf_top_bigrams,
+# agg_gini_daily_revenue, events_journey_pattern_match, and the
+# evaluation/mining/allocation family (events_interval_coalesce,
+# mba_brand_pair_lift, agg_weighted_median,
+# llmops_largest_remainder_allocation, llmops_score_auc,
+# llmops_classifier_prf, llmops_calibration_ece) — plus re-attestation for
+# the plans changed this round: q15_top_supplier, udtf_top_bigrams,
 # llmops_train_shuffle, llmops_zipf_slope, cust_rfm_segments (in-window).
 
 

@@ -1,0 +1,570 @@
+"""Round-4 (final) evaluation-metrics + pattern-mining + allocation
+family: rank-based AUC, multiclass precision/recall/F1, calibration
+error (ECE), interval coalescing, market-basket lift, weighted medians,
+and largest-remainder quota allocation.
+
+These close two gaps a training-data platform hits right after the
+statistical-monitoring family (plans.stats_queries): **evaluating the
+classifiers the pipeline itself runs** (the quality classifier, the
+language-ID heuristic — "is its score actually discriminative (AUC)?",
+"is it calibrated (ECE)?", "what is per-class P/R/F1?") and **turning
+corpus statistics into operational decisions** (how many sample slots
+per language — exactly, with largest-remainder rounding; which item
+pairs co-occur beyond chance — lift; how much wall-clock a user's
+activity actually covers — interval coalescing).
+
+Oracle discipline per plans.registry: metric numerators/denominators are
+carried as exact BIGINT (rank sums via the 2× integer trick, weights via
+DECIMAL) and divided once as doubles, rounded to 6; the only windows are
+per-key (user_id, returnflag) or over post-aggregation grids bounded by
+value cardinality and marked with the non-foldable
+``bounded_window_key`` idiom so the plan linter sees the bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from batch_public_spark.plans.lint import bounded_window_key
+from batch_public_spark.plans.registry import query
+from batch_public_spark.sources.tables import load_table as t
+
+# Session-style activity half-window: an event "covers" [ts, ts+5min).
+_COVER_US = 300 * 1_000_000
+
+# Largest-remainder allocation: total sample slots to hand out. 777 is
+# deliberately coprime-ish with the fixture's lang counts so base shares
+# have non-trivial remainders at every SF (1000 would divide evenly).
+_SLOTS = 777
+
+
+@query(
+    "events_interval_coalesce",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + {_COVER_US} AS e
+      FROM events
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+                    OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv
+    ), islands AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ), per_island AS (
+      SELECT user_id, island,
+             max(e) - min(s) AS covered_us
+      FROM islands GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(covered_us) AS BIGINT) AS covered_us,
+           CAST(max(covered_us) AS BIGINT) AS max_island_us
+    FROM per_island GROUP BY 1
+    """,
+)
+def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (coalescing): treat each event as covering
+    [ts, ts+5min) and merge overlapping/touching-free intervals per user
+    into maximal islands, reporting how much wall-clock each user's
+    activity actually covers — the dwell-time/uptime primitive that a
+    naive sum-of-durations double-counts. Classic cumulative-max
+    algorithm: an interval starts a new island iff its start exceeds the
+    running max end of every earlier interval.
+
+    Spark-first: ONE shuffle on user_id shared by both window passes and
+    the final aggregation (same partition key throughout); arithmetic is
+    entirely integer microseconds (``unix_micros``), so the hash cannot
+    drift. At 100 TB the plan is unchanged — per-user event counts bound
+    the window state, and no global sort exists anywhere."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_COVER_US)).alias("e"),
+    )
+    order = W.partitionBy("user_id").orderBy("s", "event_id")
+    prev_max_e = F.max("e").over(order.rowsBetween(W.unboundedPreceding, -1))
+    flagged = ev.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0).alias(
+            "new_island"
+        ),
+    )
+    run = W.partitionBy("user_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, 0)
+    islands = flagged.select(
+        "user_id", "s", "e", F.sum("new_island").over(run).alias("island")
+    )
+    per_island = islands.groupBy("user_id", "island").agg(
+        (F.max("e") - F.min("s")).alias("covered_us")
+    )
+    return per_island.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_islands"),
+        F.sum("covered_us").cast("bigint").alias("covered_us"),
+        F.max("covered_us").cast("bigint").alias("max_island_us"),
+    )
+
+
+@query(
+    "mba_brand_pair_lift",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l.l_orderkey, p.p_brand
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    ), n AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM baskets
+    ), singles AS (
+      SELECT p_brand, CAST(count(*) AS BIGINT) AS n_s FROM baskets GROUP BY 1
+    ), pairs AS (
+      SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      GROUP BY 1, 2
+    )
+    SELECT pr.brand_a, pr.brand_b, pr.n_ab,
+           round(pr.n_ab * 1.0 / n.n_orders, 6) AS support,
+           round(pr.n_ab * 1.0 / sa.n_s, 6) AS confidence,
+           round((pr.n_ab * 1.0 * n.n_orders) / (sa.n_s * sb.n_s), 6) AS lift
+    FROM pairs pr
+    JOIN singles sa ON pr.brand_a = sa.p_brand
+    JOIN singles sb ON pr.brand_b = sb.p_brand
+    CROSS JOIN n
+    """,
+)
+def mba_brand_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: for every pair of part brands
+    co-ordered in the same order, support / confidence / lift — the
+    "customers who bought X also bought Y beyond chance" readout
+    (lift = P(A∩B) / (P(A)·P(B)) over order baskets).
+
+    Spark-first: baskets are distinct (orderkey, brand) pairs (part dim
+    broadcast into the lineitem scan); the pair generation is a
+    SELF-JOIN ON THE BASKET KEY, never an all-pairs product — per-order
+    line counts bound the blow-up at ≤ C(lines,2) per basket, and the
+    brand vocabulary (25) bounds the output at C(25,2) rows regardless
+    of fact size. Singles and the order count are tiny post-aggregation
+    tables broadcast onto the pair counts. At 100 TB: identical plan —
+    one shuffle on orderkey for baskets, one on the pair key."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n = baskets.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
+    singles = baskets.groupBy("p_brand").agg(F.count("*").cast("bigint").alias("n_s"))
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"), F.col("b.p_brand").alias("brand_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+    )
+    sa = singles.select(F.col("p_brand").alias("brand_a"), F.col("n_s").alias("na"))
+    sb = singles.select(F.col("p_brand").alias("brand_b"), F.col("n_s").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "brand_a")
+        .join(F.broadcast(sb), "brand_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.round(F.col("n_ab") * 1.0 / F.col("n_orders"), 6).alias("support"),
+            F.round(F.col("n_ab") * 1.0 / F.col("na"), 6).alias("confidence"),
+            F.round(
+                (F.col("n_ab") * 1.0 * F.col("n_orders")) / (F.col("na") * F.col("nb")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH grid AS (
+      SELECT l_returnflag, l_quantity,
+             sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, l_quantity, w,
+             sum(w) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(w) OVER (PARTITION BY l_returnflag) AS tw
+      FROM grid
+    )
+    SELECT l_returnflag,
+           CAST(min(l_quantity) AS DOUBLE) AS weighted_median_qty,
+           round(CAST(max(tw) AS DOUBLE), 2) AS total_weight
+    FROM cum
+    WHERE cw * 2 >= tw
+    GROUP BY 1
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median: the smallest l_quantity whose cumulative revenue
+    weight reaches half the flag's total revenue — "the quantity at which
+    half the money sits at or below". The unweighted median/percentile
+    family (agg_median_orders, agg_percentiles_lineitem) can't express
+    revenue-weighted location statistics.
+
+    Spark-first: the fact scan collapses FIRST to the (flag × distinct
+    quantity) grid with map-side partial sums (≤ 3×50 rows at any SF), so
+    both windows and the threshold test run on a bounded table; weights
+    accumulate as DECIMAL(18,4) (exact, order-independent) and the
+    half-total comparison ``2·cum ≥ tot`` is decimal-exact in both
+    engines — no floating comparison anywhere near the boundary."""
+    grid = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias("w"))
+    )
+    byflag = W.partitionBy("l_returnflag")
+    cum = grid.select(
+        "l_returnflag",
+        "l_quantity",
+        F.sum("w")
+        .over(byflag.orderBy("l_quantity").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("w").over(byflag).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("l_quantity").cast("double").alias("weighted_median_qty"),
+            F.round(F.max("tw").cast("double"), 2).alias("total_weight"),
+        )
+    )
+
+
+@query(
+    "llmops_largest_remainder_allocation",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS n FROM counts
+    ), based AS (
+      SELECT c.lang, c.n_docs,
+             ({_SLOTS} * c.n_docs) // t.n AS base_alloc,
+             ({_SLOTS} * c.n_docs) % t.n AS rem
+      FROM counts c CROSS JOIN tot t
+    ), ranked AS (
+      SELECT lang, n_docs, base_alloc, rem,
+             row_number() OVER (ORDER BY rem DESC, lang) AS rk,
+             {_SLOTS} - sum(base_alloc) OVER () AS leftover
+      FROM based
+    )
+    SELECT lang, n_docs,
+           CAST(base_alloc AS BIGINT) AS base_alloc,
+           CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+           CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS final_alloc
+    FROM ranked
+    """,
+)
+def llmops_largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) quota allocation: split a fixed
+    sampling budget across languages proportional to corpus share, with
+    the rounding leftovers going to the largest fractional remainders —
+    the exact-integer way a curation pipeline turns "sample 777 docs
+    proportionally" into per-language counts that provably sum to 777
+    (naive per-group rounding over- or under-shoots).
+
+    Spark-first: one aggregation collapses the corpus to the language
+    grid; quota arithmetic is pure BIGINT (``div``/``pmod`` — no floor of
+    a float anywhere, so a product that lands exactly on an integer can't
+    misround). The remainder rank runs over the bounded language
+    vocabulary and carries the non-foldable ``bounded_window_key`` so the
+    plan linter sees the deliberate single partition."""
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+    tot = counts.agg(F.sum("n_docs").cast("bigint").alias("n"))
+    based = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.expr(f"({_SLOTS} * n_docs) div n").alias("base_alloc"),
+        F.pmod(F.lit(_SLOTS) * F.col("n_docs"), F.col("n")).alias("rem"),
+    )
+    grid = W.partitionBy(bounded_window_key(F.col("rem")))
+    ranked = based.select(
+        "lang",
+        "n_docs",
+        "base_alloc",
+        F.row_number().over(grid.orderBy(F.desc("rem"), "lang")).alias("rk"),
+        (F.lit(_SLOTS) - F.sum("base_alloc").over(grid)).alias("leftover"),
+    )
+    extra = F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "lang",
+        "n_docs",
+        F.col("base_alloc").cast("bigint").alias("base_alloc"),
+        extra.cast("bigint").alias("extra"),
+        (F.col("base_alloc") + extra).cast("bigint").alias("final_alloc"),
+    )
+
+
+@query(
+    "llmops_score_auc",
+    oracle="""
+    WITH grid AS (
+      SELECT n_chars AS len,
+             CAST(count(*) AS BIGINT) AS n_tot,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      FROM documents GROUP BY 1
+    ), cum AS (
+      SELECT len, n_tot, n_pos,
+             coalesce(sum(n_tot) OVER (ORDER BY len
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+      FROM grid
+    ), agg AS (
+      SELECT CAST(sum(n_pos * (2 * before + n_tot + 1)) AS BIGINT) AS ranksum2,
+             CAST(sum(n_pos) AS BIGINT) AS n_pos,
+             CAST(sum(n_tot) - sum(n_pos) AS BIGINT) AS n_neg
+      FROM cum
+    )
+    SELECT n_pos, n_neg,
+           round((ranksum2 - n_pos * (n_pos + 1)) * 1.0 / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM agg
+    """,
+)
+def llmops_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-based AUC (Mann–Whitney U): does document length, used as a
+    classifier score, actually discriminate English from non-English
+    docs? AUC is the probability a random positive outranks a random
+    negative — the threshold-free readout every pipeline-side classifier
+    (quality score, lang-id confidence) gets evaluated with before its
+    cutoff is chosen.
+
+    Spark-first: the corpus collapses to the distinct-score grid in one
+    aggregation (map-side combine), so the rank computation runs on a
+    table bounded by score cardinality, not row count. Tied scores get
+    average ranks via the 2× integer trick — ``Σ n_pos·(2·cum_before +
+    n_tot + 1)`` is exactly twice the positive rank sum, all BIGINT, so
+    the single final division is the only floating op. The cumulative
+    window carries ``bounded_window_key`` (bounded by the score domain);
+    at 100 TB with a continuous score, pre-bucket the score to fixed
+    precision first — same plan."""
+    d = t(spark, sf_dir, "documents")
+    grid = d.groupBy(F.col("n_chars").alias("len")).agg(
+        F.count("*").cast("bigint").alias("n_tot"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("bigint").alias("n_pos"),
+    )
+    cumw = (
+        W.partitionBy(bounded_window_key(F.col("len")))
+        .orderBy("len")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "n_tot",
+        "n_pos",
+        F.coalesce(F.sum("n_tot").over(cumw), F.lit(0)).alias("before"),
+    )
+    agg = cum.agg(
+        F.sum(F.col("n_pos") * (2 * F.col("before") + F.col("n_tot") + 1))
+        .cast("bigint")
+        .alias("ranksum2"),
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        (F.sum("n_tot") - F.sum("n_pos")).cast("bigint").alias("n_neg"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(
+            (F.col("ranksum2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            * 1.0
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "llmops_classifier_prf",
+    oracle="""
+    WITH scored AS (
+      SELECT lang AS actual,
+             CASE WHEN position(' the ' IN text) > 0 THEN 'en'
+                  ELSE (['de','es','fr','zh'])[1 + ascii(substr(md5(text), 1, 1)) % 4]
+             END AS pred
+      FROM documents
+    ), cm AS (
+      SELECT actual, pred, CAST(count(*) AS BIGINT) AS c FROM scored GROUP BY 1, 2
+    ), tp AS (
+      SELECT actual AS cls, c AS tp FROM cm WHERE actual = pred
+    ), act AS (
+      SELECT actual AS cls, CAST(sum(c) AS BIGINT) AS support FROM cm GROUP BY 1
+    ), prd AS (
+      SELECT pred AS cls, CAST(sum(c) AS BIGINT) AS n_pred FROM cm GROUP BY 1
+    )
+    SELECT a.cls,
+           CAST(coalesce(t.tp, 0) AS BIGINT) AS tp,
+           CAST(coalesce(p.n_pred, 0) - coalesce(t.tp, 0) AS BIGINT) AS fp,
+           CAST(a.support - coalesce(t.tp, 0) AS BIGINT) AS fn,
+           a.support,
+           round(CASE WHEN coalesce(p.n_pred, 0) = 0 THEN 0.0
+                      ELSE coalesce(t.tp, 0) * 1.0 / p.n_pred END, 6) AS precision,
+           round(coalesce(t.tp, 0) * 1.0 / a.support, 6) AS recall,
+           round(CASE WHEN coalesce(t.tp, 0) = 0 THEN 0.0
+                      ELSE 2.0 * (coalesce(t.tp, 0) * 1.0 / p.n_pred)
+                           * (coalesce(t.tp, 0) * 1.0 / a.support)
+                           / ((coalesce(t.tp, 0) * 1.0 / p.n_pred)
+                              + (coalesce(t.tp, 0) * 1.0 / a.support)) END, 6) AS f1
+    FROM act a
+    LEFT JOIN tp t ON a.cls = t.cls
+    LEFT JOIN prd p ON a.cls = p.cls
+    """,
+)
+def llmops_classifier_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass precision/recall/F1 from a confusion matrix: evaluate
+    a deterministic baseline language predictor (' the ' marker → 'en',
+    otherwise an md5-hash pick among the rest — i.e. signal for one class,
+    chance for the others) against the labeled lang column. The point is
+    the metric machinery — per-class TP/FP/FN from one grouped confusion
+    count, the readout every lang-id / quality-classifier change ships
+    with.
+
+    Spark-first: ONE aggregation builds the (actual × pred) confusion
+    matrix — bounded by the label vocabulary squared — and every metric
+    derives from broadcast-joined marginals of that tiny table; the full
+    corpus is scanned exactly once, predictor inline in codegen (md5 +
+    pmod, identical bytes in both engines). Zero-denominator guards make
+    empty predicted classes score 0, not NULL."""
+    d = t(spark, sf_dir, "documents")
+    others = F.array(F.lit("de"), F.lit("es"), F.lit("fr"), F.lit("zh"))
+    pred = F.when(F.instr("text", " the ") > 0, F.lit("en")).otherwise(
+        F.element_at(others, (1 + F.pmod(F.ascii(F.substring(F.md5("text"), 1, 1)), 4)))
+    )
+    cm = (
+        d.select(F.col("lang").alias("actual"), pred.alias("pred"))
+        .groupBy("actual", "pred")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    tp = cm.filter(F.col("actual") == F.col("pred")).select(
+        F.col("actual").alias("cls"), F.col("c").alias("tp")
+    )
+    act = cm.groupBy(F.col("actual").alias("cls")).agg(
+        F.sum("c").cast("bigint").alias("support")
+    )
+    prd = cm.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum("c").cast("bigint").alias("n_pred")
+    )
+    j = (
+        act.join(F.broadcast(tp), "cls", "left")
+        .join(F.broadcast(prd), "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("tp", F.lit(0)).alias("tp"),
+            F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+            "support",
+        )
+    )
+    prec = F.when(F.col("n_pred") == 0, F.lit(0.0)).otherwise(
+        F.col("tp") * 1.0 / F.col("n_pred")
+    )
+    rec = F.col("tp") * 1.0 / F.col("support")
+    f1 = F.when(F.col("tp") == 0, F.lit(0.0)).otherwise(
+        2.0 * prec * rec / (prec + rec)
+    )
+    return j.select(
+        "cls",
+        F.col("tp").cast("bigint").alias("tp"),
+        (F.col("n_pred") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("support") - F.col("tp")).cast("bigint").alias("fn"),
+        "support",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+@query(
+    "llmops_calibration_ece",
+    oracle="""
+    WITH scored AS (
+      SELECT least(n_chars, 400) AS conf400,
+             least(CAST(floor(least(n_chars, 400) / 400.0 * 10) AS INTEGER), 9) AS bin,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_all FROM scored
+    ), bins AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(conf400) AS BIGINT) AS conf_sum400,
+             CAST(sum(pos) AS BIGINT) AS n_pos
+      FROM scored GROUP BY 1
+    )
+    SELECT bin, n, n_pos,
+           round(conf_sum400 / (400.0 * n), 6) AS avg_conf,
+           round(n_pos * 1.0 / n, 6) AS pos_rate,
+           round((n * 1.0 / n_all)
+                 * abs(conf_sum400 / (400.0 * n) - n_pos * 1.0 / n), 6) AS ece_term
+    FROM bins CROSS JOIN n
+    """,
+)
+def llmops_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration / reliability diagram + Expected Calibration Error:
+    bucket a [0,1] confidence score (length-based, ``min(n_chars,400)/
+    400``) into deciles and compare each bin's mean confidence against
+    its observed positive rate; ECE is the count-weighted sum of the
+    per-bin gaps. The "is the classifier's probability a probability?"
+    check that gates using a quality score as a sampling weight.
+
+    Spark-first: one pass bins and counts (map-side combine to ≤10
+    rows); mean confidence is carried as the exact BIGINT sum of the
+    clamped integer numerators and divided once at output (no
+    order-dependent double accumulation), and the bin id comes from an
+    integer-exact floor of a shared-literal division, so both engines
+    land every doc in the same bin. ece_term derives from identical IEEE
+    doubles in both engines — sum the column for the headline ECE."""
+    d = t(spark, sf_dir, "documents")
+    conf400 = F.least(F.col("n_chars"), F.lit(400))
+    scored = d.select(
+        conf400.alias("conf400"),
+        F.least((F.floor(conf400 / 400.0 * 10)).cast("int"), F.lit(9)).alias("bin"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    n = scored.agg(F.count("*").cast("bigint").alias("n_all"))
+    bins = scored.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conf400").cast("bigint").alias("conf_sum400"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+    )
+    avg_conf = F.col("conf_sum400") / (400.0 * F.col("n"))
+    pos_rate = F.col("n_pos") * 1.0 / F.col("n")
+    return bins.crossJoin(F.broadcast(n)).select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(avg_conf, 6).alias("avg_conf"),
+        F.round(pos_rate, 6).alias("pos_rate"),
+        F.round((F.col("n") * 1.0 / F.col("n_all")) * F.abs(avg_conf - pos_rate), 6).alias(
+            "ece_term"
+        ),
+    )
