@@ -108,7 +108,9 @@ _PRIORITY = [
 # evaluation/mining/allocation family (events_interval_coalesce,
 # mba_brand_pair_lift, agg_weighted_median,
 # llmops_largest_remainder_allocation, llmops_score_auc,
-# llmops_classifier_prf, llmops_calibration_ece) — plus re-attestation for
+# llmops_classifier_prf, llmops_calibration_ece, plus
+# events_seasonal_residual_outliers, llmops_inverted_index,
+# graph_clustering_coefficient, window_pareto_frontier) — plus re-attestation for
 # the plans changed this round: q15_top_supplier, udtf_top_bigrams,
 # llmops_train_shuffle, llmops_zipf_slope, cust_rfm_segments (in-window).
 

@@ -568,3 +568,306 @@ def llmops_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ece_term"
         ),
     )
+
+
+@query(
+    "events_seasonal_residual_outliers",
+    oracle="""
+    WITH cells AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             isodow(ts) AS dow,
+             CAST(hour(ts) AS INTEGER) AS hr,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), base AS (
+      SELECT dow, hr,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS sum_c,
+             CAST(sum(c * c) AS BIGINT) AS sum_c2
+      FROM cells GROUP BY 1, 2
+    )
+    SELECT cells.day, cells.hr, cells.c,
+           round(base.sum_c * 1.0 / base.n_days, 6) AS expected,
+           round((base.n_days * cells.c - base.sum_c)
+                 / (base.n_days
+                    * sqrt((base.n_days * base.sum_c2 - base.sum_c * base.sum_c)
+                           * 1.0 / (base.n_days * base.n_days))), 6) AS zscore
+    FROM cells JOIN base ON cells.dow = base.dow AND cells.hr = base.hr
+    WHERE base.n_days >= 2
+      AND (base.n_days * base.sum_c2 - base.sum_c * base.sum_c) > 0
+      AND abs((base.n_days * cells.c - base.sum_c)
+              / (base.n_days
+                 * sqrt((base.n_days * base.sum_c2 - base.sum_c * base.sum_c)
+                        * 1.0 / (base.n_days * base.n_days)))) > 1.5
+    """,
+)
+def events_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: compare each (day, hour)
+    event count against the baseline for that ISO-weekday × hour cell
+    (mean ± population σ across all days), and report cells whose
+    z-score exceeds ±1.5 — "Tuesday 3am is quiet *for a Tuesday 3am*", the
+    step after events_dow_hour_profile that turns the profile into an
+    alert. A raw-count threshold can't distinguish a weekend dip from an
+    outage; the residual can. The ±1.5 gate is fixture-calibrated: with
+    d days of history a population z-score is bounded by √(d−1), so the
+    ~30-day fixtures cap |z| near 1.7 — production history would run the
+    conventional ±3 on the same plan.
+
+    Spark-first: the fact scan collapses to hourly cells in one
+    aggregation (map-side combine); the baseline is a second aggregation
+    over the bounded 7×24 grid, broadcast back onto the cells. Variance
+    comes from exact BIGINT moment sums (n·Σc² − (Σc)²), so the only
+    floating ops are one division and one IEEE-correctly-rounded sqrt —
+    identical doubles in both engines, no accumulation-order drift."""
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.dayofweek(F.date_sub("ts", 1)).alias("dow"),  # isodow: Mon=1..Sun=7
+        F.hour("ts").cast("int").alias("hr"),
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    base = cells.groupBy("dow", "hr").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("sum_c"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("sum_c2"),
+    )
+    j = cells.join(F.broadcast(base), ["dow", "hr"])
+    var_num = F.col("n_days") * F.col("sum_c2") - F.col("sum_c") * F.col("sum_c")
+    z = (F.col("n_days") * F.col("c") - F.col("sum_c")) / (
+        F.col("n_days")
+        * F.sqrt(var_num * 1.0 / (F.col("n_days") * F.col("n_days")))
+    )
+    return (
+        j.filter((F.col("n_days") >= 2) & (var_num > 0) & (F.abs(z) > 1.5))
+        .select(
+            "day",
+            "hr",
+            "c",
+            F.round(F.col("sum_c") * 1.0 / F.col("n_days"), 6).alias("expected"),
+            F.round(z, 6).alias("zscore"),
+        )
+    )
+
+
+@query(
+    "llmops_inverted_index",
+    oracle=r"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, lower(tk.tok) AS term
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                              s -> length(s) > 0)) AS tk(tok)
+    ), vocab AS (
+      SELECT term, df FROM (
+        SELECT term, CAST(count(*) AS BIGINT) AS df,
+               ROW_NUMBER() OVER (ORDER BY count(*) DESC, term) AS r
+        FROM dt GROUP BY term) WHERE r <= 50
+    ), capped AS (
+      SELECT dt.doc_id, dt.term FROM (
+        SELECT doc_id, term,
+               ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS pr
+        FROM dt) dt JOIN vocab USING (term)
+      WHERE dt.pr <= 20
+    )
+    SELECT c.term, v.df,
+           array_to_string(list(c.doc_id ORDER BY c.doc_id), ',') AS postings,
+           CAST(count(*) AS BIGINT) AS n_postings
+    FROM capped c JOIN vocab v USING (term)
+    GROUP BY 1, 2
+    """,
+)
+def llmops_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: for the top-50-df vocabulary, the
+    sorted posting list of documents containing each term (capped at 20
+    postings per term) plus document frequency — the search-index build
+    step a training-data platform runs for contamination lookups and
+    interactive corpus debugging ("show me every doc with this term").
+
+    Spark-first: postings are CAPPED BEFORE collection by a per-term rank
+    window (partitioned by term — no global sort), so the grouped
+    collect_list holds ≤ 20 ids per term and executor state stays bounded
+    no matter the corpus size; at 100 TB the same plan shards postings by
+    (term, bucket) for full lists. Lists are sorted then serialized to a
+    canonical comma string so the cross-engine hash sees bytes, not
+    engine-specific array renderings."""
+    d = t(spark, sf_dir, "documents")
+    from batch_public_spark.operators.textops import tokens
+
+    dt = d.select(
+        "doc_id", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term")
+    ).distinct()
+    df_counts = dt.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
+    vocab = df_counts.orderBy(F.desc("df"), "term").limit(50)
+    per_term = W.partitionBy("term").orderBy("doc_id")
+    capped = (
+        dt.join(F.broadcast(vocab.select("term")), "term")
+        .withColumn("pr", F.row_number().over(per_term))
+        .filter(F.col("pr") <= 20)
+    )
+    return (
+        capped.groupBy("term")
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("doc_id")), ",").alias("postings"),
+            F.count("*").cast("bigint").alias("n_postings"),
+        )
+        .join(F.broadcast(vocab), "term")
+        .select("term", "df", "postings", "n_postings")
+    )
+
+
+@query(
+    "graph_clustering_coefficient",
+    oracle=r"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, lower(tk.tok) AS term
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                              s -> length(s) > 0)) AS tk(tok)
+    ), vocab AS (
+      SELECT term FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY count(*) DESC, term) AS r
+        FROM dt GROUP BY term) WHERE r <= 30
+    ), dv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
+    edges AS (
+      SELECT DISTINCT a.term AS u, b.term AS v
+      FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term
+    ), deg AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS degree FROM (
+        SELECT u AS term FROM edges UNION ALL SELECT v FROM edges)
+      GROUP BY 1
+    ), tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e1.v = e2.u
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), tcount AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+        SELECT a AS term FROM tri UNION ALL
+        SELECT b FROM tri UNION ALL
+        SELECT c FROM tri)
+      GROUP BY 1
+    )
+    SELECT d.term, d.degree,
+           CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+           round(CASE WHEN d.degree < 2 THEN 0.0
+                      ELSE 2.0 * coalesce(tc.n_triangles, 0)
+                           / (d.degree * (d.degree - 1)) END, 6) AS clustering
+    FROM deg d LEFT JOIN tcount tc USING (term)
+    """,
+)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex: 2·T(v) / (deg(v)·(deg(v)−1))
+    on the same top-30 term co-occurrence graph as graph_triangle_count —
+    the "how clique-like is this term's neighborhood" readout that
+    separates hub terms (low clustering, bridge many topics) from
+    community terms (high clustering). Completes the graph family:
+    components, PageRank, triangles, and now the triangle-to-wedge ratio.
+
+    Spark-first: same ordered-edge wedge-closure join as the triangle
+    query (each triangle counted once), degrees from one union + hash
+    aggregate, and the final combine is a broadcast left join on the
+    bounded vocabulary — isolated-triangle-free vertices keep a 0 row, so
+    the output covers every vertex, not just triangle members."""
+    d = t(spark, sf_dir, "documents")
+    from batch_public_spark.operators.textops import tokens
+
+    dt = d.select(
+        "doc_id", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term")
+    ).distinct()
+    vocab = (
+        dt.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "term")
+        .limit(30)
+        .select("term")
+    )
+    dv = dt.join(F.broadcast(vocab), "term").select("doc_id", "term")
+    a, b = dv.alias("a"), dv.alias("b")
+    edges = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
+        .select(F.col("a.term").alias("u"), F.col("b.term").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("term"))
+        .unionAll(edges.select(F.col("v").alias("term")))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.select(F.col("u").alias("u2"), F.col("v").alias("v2")).alias("e2")
+    e3 = edges.select(F.col("u").alias("u3"), F.col("v").alias("v3")).alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u2"))
+        .join(e3, (F.col("e3.u3") == F.col("e1.u")) & (F.col("e3.v3") == F.col("e2.v2")))
+        .select(F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v2").alias("c"))
+    )
+    tcount = (
+        tri.select(F.col("a").alias("term"))
+        .unionAll(tri.select(F.col("b").alias("term")))
+        .unionAll(tri.select(F.col("c").alias("term")))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    j = deg.join(F.broadcast(tcount), "term", "left").select(
+        "term", "degree", F.coalesce("n_triangles", F.lit(0)).alias("n_triangles")
+    )
+    clustering = F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+        2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1))
+    )
+    return j.select(
+        "term",
+        "degree",
+        F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        F.round(clustering, 6).alias("clustering"),
+    )
+
+
+@query(
+    "window_pareto_frontier",
+    oracle="""
+    WITH flagged AS (
+      SELECT o_orderpriority,
+             strftime(o_orderdate, '%Y-%m-%d') AS day,
+             o_orderkey, o_totalprice,
+             max(o_totalprice) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_orderdate, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM orders
+    )
+    SELECT o_orderpriority, day, o_orderkey, o_totalprice
+    FROM flagged
+    WHERE prev_max IS NULL OR o_totalprice > prev_max
+    """,
+)
+def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record-breaking points (the streaming form of a 2-D Pareto
+    frontier): per order priority, the orders whose total price strictly
+    exceeds every earlier order's — i.e. the skyline of (earliest date,
+    highest price). The running-record shape shows up as "new
+    highest-quality doc seen so far" curation cursors and
+    best-so-far monitoring; its output is provably small (expected
+    O(log n) records per partition under random arrival).
+
+    Spark-first: one shuffle on the priority key, one running-max window
+    with an explicit ROWS frame and a total (date, orderkey) tie-break
+    order identical in both engines; the comparison is on STORED doubles
+    (no arithmetic), so strict inequality cannot drift. At 100 TB the
+    same plan holds — partition cardinality bounds parallelism, and the
+    window state is a single running max."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = o.select(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        "o_orderkey",
+        "o_totalprice",
+        F.max("o_totalprice").over(w).alias("prev_max"),
+    )
+    return flagged.filter(
+        F.col("prev_max").isNull() | (F.col("o_totalprice") > F.col("prev_max"))
+    ).select("o_orderpriority", "day", "o_orderkey", "o_totalprice")
