@@ -871,3 +871,288 @@ def window_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.filter(
         F.col("prev_max").isNull() | (F.col("o_totalprice") > F.col("prev_max"))
     ).select("o_orderpriority", "day", "o_orderkey", "o_totalprice")
+
+
+@query(
+    "events_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,4)) AS v,
+             epoch_us(ts) AS s,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+               AS nxt
+      FROM events
+    ), seg AS (
+      SELECT user_id, v, nxt - s AS dur_us FROM seq WHERE nxt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(sum(dur_us) AS BIGINT) AS total_us,
+           round(CAST(sum(v * dur_us) AS DOUBLE) / CAST(sum(dur_us) AS DOUBLE), 6)
+             AS twap
+    FROM seg GROUP BY 1
+    """,
+)
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP, TimescaleDB's ``time_weight``): treat
+    each event's value as holding until the user's next event
+    (last-observation-carried-forward) and average weighted by how long
+    each value was in force — the correct summary for irregularly-sampled
+    gauges, where the arithmetic mean over-weights chatty periods.
+
+    Spark-first: one shuffle on user_id shared by the lead() window and
+    the final aggregation; durations are exact integer microseconds and
+    values go through DECIMAL(18,4), so the weighted sum Σ v·dur is
+    decimal-exact and order-independent — the single closing division is
+    the only floating op. The open final segment (no next event) is
+    excluded in both engines."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.col("event_id"))
+    seq = ev.select(
+        "user_id",
+        F.col("value").cast("decimal(18,4)").alias("v"),
+        F.unix_micros("ts").alias("s"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt"),
+    )
+    seg = seq.filter(F.col("nxt").isNotNull()).select(
+        "user_id", "v", (F.col("nxt") - F.col("s")).alias("dur_us")
+    )
+    return seg.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        F.sum("dur_us").cast("bigint").alias("total_us"),
+        F.round(
+            F.sum(F.col("v") * F.col("dur_us")).cast("double")
+            / F.sum("dur_us").cast("double"),
+            6,
+        ).alias("twap"),
+    )
+
+
+@query(
+    "agg_skew_kurtosis_exact",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS s2,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+             CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+                  AS BIGINT) AS s4
+      FROM lineitem GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           round(s1 * 1.0 / n, 6) AS mean,
+           round((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n), 6) AS variance,
+           round(((s3 * 1.0 / n) - 3.0 * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+                  + 2.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                 / pow((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n), 1.5), 6)
+             AS skewness,
+           round(((s4 * 1.0 / n) - 4.0 * (s1 * 1.0 / n) * (s3 * 1.0 / n)
+                  + 6.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+                  - 3.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s1 * 1.0 / n)
+                    * (s1 * 1.0 / n))
+                 / (((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                    * ((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))) - 3.0, 6)
+             AS excess_kurtosis
+    FROM m
+    """,
+)
+def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-moment shape statistics (population skewness and excess
+    kurtosis) per return flag, computed from EXACT integer raw-moment
+    sums — the engine-independent formulation. The builtin skewness()/
+    kurtosis() aggregates accumulate doubles in partition order (and the
+    two engines disagree on sample-vs-population conventions), so this is
+    the portable way to ship distribution-shape monitoring: one pass,
+    map-side combinable, and the moments double as drift fingerprints.
+
+    Spark-first: l_quantity is integral, so Σx..Σx⁴ stay BIGINT-exact
+    (50⁴·|rows| is far inside int64 at any SF — at 100 TB promote the
+    raw-moment sums to DECIMAL(38,0), same plan); central moments derive
+    from the raw sums with an identical floating expression tree in both
+    engines — divisions, one pow(·,1.5) on IEEE-identical inputs."""
+    q = F.col("l_quantity").cast("bigint")
+    m = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(q).cast("bigint").alias("s1"),
+            F.sum(q * q).cast("bigint").alias("s2"),
+            F.sum(q * q * q).cast("bigint").alias("s3"),
+            F.sum(q * q * q * q).cast("bigint").alias("s4"),
+        )
+    )
+    mu = F.col("s1") * 1.0 / F.col("n")
+    r2 = F.col("s2") * 1.0 / F.col("n")
+    r3 = F.col("s3") * 1.0 / F.col("n")
+    r4 = F.col("s4") * 1.0 / F.col("n")
+    var = r2 - mu * mu
+    m3 = r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu
+    m4 = r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(mu, 6).alias("mean"),
+        F.round(var, 6).alias("variance"),
+        F.round(m3 / F.pow(var, 1.5), 6).alias("skewness"),
+        F.round(m4 / (var * var) - 3.0, 6).alias("excess_kurtosis"),
+    )
+
+
+@query(
+    "llmops_embedding_dim_stats",
+    oracle="""
+    WITH idx AS (
+      SELECT unnest(generate_series(1, len(embedding))) AS dim, embedding
+      FROM embeddings
+    ), flat AS (
+      SELECT dim,
+             CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1048576) AS BIGINT) AS q
+      FROM idx
+    ), m AS (
+      SELECT dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(q) AS BIGINT) AS qs,
+             CAST(sum(q * q) AS BIGINT) AS qs2,
+             CAST(min(q) AS BIGINT) AS qmin,
+             CAST(max(q) AS BIGINT) AS qmax
+      FROM flat GROUP BY 1
+    )
+    SELECT dim, n,
+           round(qs / (n * 1048576.0), 6) AS mean,
+           round(sqrt((n * qs2 - qs * qs) * 1.0 / (n * 1.0 * n))
+                 / 1048576.0, 6) AS stddev,
+           round(qmin / 1048576.0, 6) AS vmin,
+           round(qmax / 1048576.0, 6) AS vmax
+    FROM m
+    """,
+)
+def llmops_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding statistics (mean / σ / min / max for every
+    coordinate) — the whitening/normalization profile a vector pipeline
+    computes before PCA, quantization, or drift monitoring ("did dim 17's
+    variance collapse after the encoder update?").
+
+    Spark-first: posexplode flattens to (dim, value) with map-side
+    combine down to |dims| rows; values are fixed-pointed FIRST
+    (``floor(x·2²⁰)`` — float32→double widening is exact, the scaled
+    floor is bit-identical in both engines, resolution 2⁻²⁰ ≪ float32
+    noise), so all moment sums are BIGINT-exact and the only floating ops
+    are the closing divisions and one IEEE-exact sqrt. At 100 TB this is
+    ONE aggregation over the exploded corpus — no shuffle of raw
+    vectors."""
+    e = t(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        (F.col("dim0") + 1).alias("dim"),
+        F.floor(F.col("v").cast("double") * 1048576).cast("bigint").alias("q"),
+    )
+    m = flat.groupBy("dim").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("qs"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("qs2"),
+        F.min("q").cast("bigint").alias("qmin"),
+        F.max("q").cast("bigint").alias("qmax"),
+    )
+    return m.select(
+        "dim",
+        "n",
+        F.round(F.col("qs") / (F.col("n") * 1048576.0), 6).alias("mean"),
+        F.round(
+            F.sqrt(
+                (F.col("n") * F.col("qs2") - F.col("qs") * F.col("qs"))
+                * 1.0
+                / (F.col("n") * 1.0 * F.col("n"))
+            )
+            / 1048576.0,
+            6,
+        ).alias("stddev"),
+        F.round(F.col("qmin") / 1048576.0, 6).alias("vmin"),
+        F.round(F.col("qmax") / 1048576.0, 6).alias("vmax"),
+    )
+
+
+@query(
+    "dq_snapshot_diff_classify",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, md5(text) AS sig FROM documents
+    ), v2 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN md5('v2 ' || text) ELSE md5(text) END AS sig
+      FROM documents WHERE doc_id % 11 != 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, md5('new ' || text) AS sig
+      FROM documents WHERE doc_id % 13 = 0
+    ), classified AS (
+      SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.sig != v2.sig THEN 'changed'
+                  ELSE 'unchanged' END AS change_kind,
+             coalesce(v1.doc_id, v2.doc_id) AS doc_id
+      FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    )
+    SELECT change_kind,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id,
+           CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+    FROM classified GROUP BY 1
+    """,
+)
+def dq_snapshot_diff_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff with row classification: full-outer-join two corpus
+    versions on the primary key and bucket every row as added / removed /
+    changed / unchanged by content signature — the audit a versioned data
+    lake runs between ingests ("what did yesterday's crawl actually
+    touch?"), and the verification side of CDC (cdc_snapshot_merge applies
+    a diff; this derives one). v2 is simulated deterministically from the
+    fixture (mod-7 edits, mod-11 deletes, mod-13 inserts) so the query is
+    self-contained.
+
+    Spark-first: comparison ships md5 CONTENT SIGNATURES, never text —
+    the full outer join shuffles 16-byte digests on the key, which is the
+    100 TB-viable shape (text stays columnar-pruned out of the scan in a
+    real two-table diff); per-class id sums/extrema pin membership
+    exactly without emitting per-row output."""
+    d = t(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", F.md5("text").alias("sig"))
+    v2 = (
+        d.filter(F.col("doc_id") % 11 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 0, F.md5(F.concat(F.lit("v2 "), F.col("text")))
+            )
+            .otherwise(F.md5("text"))
+            .alias("sig"),
+        )
+        .unionAll(
+            d.filter(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.md5(F.concat(F.lit("new "), F.col("text"))).alias("sig"),
+            )
+        )
+    )
+    j = v1.alias("a").join(v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+    classified = j.select(
+        F.when(F.col("a.doc_id").isNull(), "added")
+        .when(F.col("b.doc_id").isNull(), "removed")
+        .when(F.col("a.sig") != F.col("b.sig"), "changed")
+        .otherwise("unchanged")
+        .alias("change_kind"),
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+    )
+    return classified.groupBy("change_kind").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+    )
