@@ -49,7 +49,7 @@ _SLOTS = 777
              epoch_us(ts) + {_COVER_US} AS e
       FROM events
     ), flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                        IS NULL
@@ -59,7 +59,7 @@ _SLOTS = 777
       FROM iv
     ), islands AS (
       SELECT user_id, s, e,
-             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       FROM flagged
     ), per_island AS (
@@ -98,13 +98,19 @@ def events_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev_max_e = F.max("e").over(order.rowsBetween(W.unboundedPreceding, -1))
     flagged = ev.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(prev_max_e.isNull() | (F.col("s") > prev_max_e), 1).otherwise(0).alias(
             "new_island"
         ),
     )
-    run = W.partitionBy("user_id").orderBy("s", "e").rowsBetween(W.unboundedPreceding, 0)
+    # Same (s, event_id) total order as the flag window: a tie in (s, e)
+    # (two events, one timestamp) must not let the engines disagree on
+    # which island the tied rows join.
+    run = (
+        W.partitionBy("user_id").orderBy("s", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    )
     islands = flagged.select(
         "user_id", "s", "e", F.sum("new_island").over(run).alias("island")
     )
@@ -950,7 +956,8 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
            round((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n), 6) AS variance,
            round(((s3 * 1.0 / n) - 3.0 * (s1 * 1.0 / n) * (s2 * 1.0 / n)
                   + 2.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s1 * 1.0 / n))
-                 / pow((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n), 1.5), 6)
+                 / (((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                    * sqrt((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))), 6)
              AS skewness,
            round(((s4 * 1.0 / n) - 4.0 * (s1 * 1.0 / n) * (s3 * 1.0 / n)
                   + 6.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s2 * 1.0 / n)
@@ -975,7 +982,9 @@ def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     (50⁴·|rows| is far inside int64 at any SF — at 100 TB promote the
     raw-moment sums to DECIMAL(38,0), same plan); central moments derive
     from the raw sums with an identical floating expression tree in both
-    engines — divisions, one pow(·,1.5) on IEEE-identical inputs."""
+    engines — divisions, multiplications, and IEEE-correctly-rounded
+    sqrt (σ³ is var·√var, never pow(·,1.5), whose last ulp is
+    libm-dependent)."""
     q = F.col("l_quantity").cast("bigint")
     m = (
         t(spark, sf_dir, "lineitem")
@@ -1000,7 +1009,7 @@ def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(mu, 6).alias("mean"),
         F.round(var, 6).alias("variance"),
-        F.round(m3 / F.pow(var, 1.5), 6).alias("skewness"),
+        F.round(m3 / (var * F.sqrt(var)), 6).alias("skewness"),
         F.round(m4 / (var * var) - 3.0, 6).alias("excess_kurtosis"),
     )
 
@@ -1026,7 +1035,7 @@ def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT dim, n,
            round(qs / (n * 1048576.0), 6) AS mean,
-           round(sqrt((n * qs2 - qs * qs) * 1.0 / (n * 1.0 * n))
+           round(sqrt(qs2 * 1.0 / n - (qs * 1.0 / n) * (qs * 1.0 / n))
                  / 1048576.0, 6) AS stddev,
            round(qmin / 1048576.0, 6) AS vmin,
            round(qmax / 1048576.0, 6) AS vmax
@@ -1044,7 +1053,9 @@ def llmops_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``floor(x·2²⁰)`` — float32→double widening is exact, the scaled
     floor is bit-identical in both engines, resolution 2⁻²⁰ ≪ float32
     noise), so all moment sums are BIGINT-exact and the only floating ops
-    are the closing divisions and one IEEE-exact sqrt. At 100 TB this is
+    are the closing divisions and one IEEE-exact sqrt (variance as
+    E[q²]−E[q]² in doubles — the n·Σq² integer form can overflow int64
+    at corpus scale). At 100 TB this is
     ONE aggregation over the exploded corpus — no shuffle of raw
     vectors."""
     e = t(spark, sf_dir, "embeddings")
@@ -1067,9 +1078,8 @@ def llmops_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("qs") / (F.col("n") * 1048576.0), 6).alias("mean"),
         F.round(
             F.sqrt(
-                (F.col("n") * F.col("qs2") - F.col("qs") * F.col("qs"))
-                * 1.0
-                / (F.col("n") * 1.0 * F.col("n"))
+                F.col("qs2") * 1.0 / F.col("n")
+                - (F.col("qs") * 1.0 / F.col("n")) * (F.col("qs") * 1.0 / F.col("n"))
             )
             / 1048576.0,
             6,
