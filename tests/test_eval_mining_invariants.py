@@ -1,0 +1,222 @@
+"""Semantic invariants of the evaluation / mining / allocation family.
+
+Oracle equality (tests/test_oracle_parity.py) proves both engines compute
+the same thing; these pin down WHAT that thing is: allocation quotas that
+provably sum to the budget, AUC that agrees with a brute-force pair count,
+confusion-matrix marginals that add up, interval islands that never exceed
+the naive duration sum, lift that is symmetric in its marginals, and a
+Pareto frontier that is genuinely strictly increasing.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+from batch_public_spark.plans import QUERIES
+from batch_public_spark.plans.eval_mining_queries import _COVER_US, _SLOTS
+from batch_public_spark.sources.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _rows(spark, name):
+    return QUERIES[name].fn(spark, SF_DIR).collect()
+
+
+def test_allocation_sums_to_budget_and_is_within_one_of_quota(spark):
+    """Largest-remainder guarantees: totals hit the budget exactly, and
+    every language's final allocation is within 1 of its exact quota
+    (the 'quota rule' that makes Hamilton apportionment defensible)."""
+    rows = _rows(spark, "llmops_largest_remainder_allocation")
+    assert sum(r.final_alloc for r in rows) == _SLOTS
+    total = sum(r.n_docs for r in rows)
+    for r in rows:
+        quota = _SLOTS * r.n_docs / total
+        assert math.floor(quota) <= r.final_alloc <= math.ceil(quota)
+        assert r.extra in (0, 1)
+        assert r.final_alloc == r.base_alloc + r.extra
+
+
+def test_auc_matches_bruteforce_pair_count(spark):
+    """AUC from the grid/rank formulation equals the direct definition:
+    (wins + ties/2) / (n_pos * n_neg) over all positive-negative pairs."""
+    [row] = _rows(spark, "llmops_score_auc")
+    docs = load_table(spark, SF_DIR, "documents").select("n_chars", "lang").collect()
+    pos = [d.n_chars for d in docs if d.lang == "en"]
+    neg = [d.n_chars for d in docs if d.lang != "en"]
+    assert (row.n_pos, row.n_neg) == (len(pos), len(neg))
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    expected = (wins + ties / 2.0) / (len(pos) * len(neg))
+    assert abs(row.auc - expected) < 1e-6
+    assert 0.0 <= row.auc <= 1.0
+
+
+def test_prf_marginals_add_up(spark):
+    """tp+fn == support per class; Σ(tp+fp) == Σ support == corpus size;
+    precision/recall/f1 all in [0, 1]."""
+    rows = _rows(spark, "llmops_classifier_prf")
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.support for r in rows) == total
+    assert sum(r.tp + r.fp for r in rows) == total  # predictions partition too
+    for r in rows:
+        assert r.tp + r.fn == r.support
+        for m in (r.precision, r.recall, r.f1):
+            assert 0.0 <= m <= 1.0
+        if r.precision + r.recall > 0 and r.tp > 0:
+            hm = 2 * r.precision * r.recall / (r.precision + r.recall)
+            assert abs(r.f1 - hm) < 1e-5
+
+
+def test_ece_bins_partition_corpus_and_terms_bounded(spark):
+    rows = _rows(spark, "llmops_calibration_ece")
+    total = load_table(spark, SF_DIR, "documents").count()
+    assert sum(r.n for r in rows) == total
+    for r in rows:
+        assert 0 <= r.bin <= 9
+        assert 0.0 <= r.avg_conf <= 1.0
+        assert 0.0 <= r.pos_rate <= 1.0
+        # term = share * |conf - rate| <= share <= 1
+        assert 0.0 <= r.ece_term <= r.n / total + 1e-9
+
+
+def test_interval_coalesce_bounds(spark):
+    """Each user's covered time is at least one cover-window, at most the
+    naive (double-counting) sum, and the max island never exceeds the
+    total; island count never exceeds event count."""
+    rows = _rows(spark, "events_interval_coalesce")
+    ev_counts = defaultdict(int)
+    for e in load_table(spark, SF_DIR, "events").select("user_id").collect():
+        ev_counts[e.user_id] += 1
+    assert set(ev_counts) == {r.user_id for r in rows}
+    for r in rows:
+        assert r.covered_us >= _COVER_US  # at least one island of one event
+        assert r.covered_us <= ev_counts[r.user_id] * _COVER_US  # <= naive sum
+        assert r.max_island_us <= r.covered_us
+        assert 1 <= r.n_islands <= ev_counts[r.user_id]
+
+
+def test_lift_matches_bruteforce_baskets(spark):
+    """Recompute support/confidence/lift in pure Python from the raw
+    (orderkey, brand) baskets and compare every emitted pair."""
+    from itertools import combinations
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_partkey").collect()
+    part = {
+        p.p_partkey: p.p_brand
+        for p in load_table(spark, SF_DIR, "part").select("p_partkey", "p_brand").collect()
+    }
+    baskets = defaultdict(set)
+    for x in li:
+        baskets[x.l_orderkey].add(part[x.l_partkey])
+    n_orders = len(baskets)
+    singles = defaultdict(int)
+    pairs = defaultdict(int)
+    for brands in baskets.values():
+        for b in brands:
+            singles[b] += 1
+        for a, b in combinations(sorted(brands), 2):
+            pairs[(a, b)] += 1
+    rows = _rows(spark, "mba_brand_pair_lift")
+    assert {(r.brand_a, r.brand_b) for r in rows} == set(pairs)
+    for r in rows:
+        assert r.brand_a < r.brand_b  # canonical orientation, no mirror pairs
+        n_ab = pairs[(r.brand_a, r.brand_b)]
+        assert r.n_ab == n_ab
+        assert abs(r.support - n_ab / n_orders) < 1e-6
+        assert abs(r.confidence - n_ab / singles[r.brand_a]) < 1e-6
+        assert (
+            abs(r.lift - n_ab * n_orders / (singles[r.brand_a] * singles[r.brand_b]))
+            < 1e-5
+        )
+
+
+def test_weighted_median_lies_in_quantity_range(spark):
+    rows = _rows(spark, "agg_weighted_median")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_returnflag", "l_quantity").collect()
+    by_flag = defaultdict(list)
+    for x in li:
+        by_flag[x.l_returnflag].append(x.l_quantity)
+    assert set(by_flag) == {r.l_returnflag for r in rows}
+    for r in rows:
+        qs = by_flag[r.l_returnflag]
+        assert min(qs) <= r.weighted_median_qty <= max(qs)
+
+
+def test_pareto_frontier_strictly_increasing(spark):
+    """Within each priority, frontier prices are strictly increasing in
+    (date, orderkey) order — the defining property of record points."""
+    rows = _rows(spark, "window_pareto_frontier")
+    by_prio = defaultdict(list)
+    for r in rows:
+        by_prio[r.o_orderpriority].append((r.day, r.o_orderkey, r.o_totalprice))
+    for prio, pts in by_prio.items():
+        pts.sort()
+        prices = [p for _, _, p in pts]
+        assert all(b > a for a, b in zip(prices, prices[1:])), prio
+        # the first record is the partition's first row's price; the last is the max
+        assert prices[-1] == max(prices)
+
+
+def test_skew_kurtosis_match_python_reference(spark):
+    """Population skewness/kurtosis recomputed in pure Python from the
+    raw rows agree to 1e-6."""
+    rows = _rows(spark, "agg_skew_kurtosis_exact")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_returnflag", "l_quantity").collect()
+    by_flag = defaultdict(list)
+    for x in li:
+        by_flag[x.l_returnflag].append(float(x.l_quantity))
+    for r in rows:
+        xs = by_flag[r.l_returnflag]
+        n = len(xs)
+        mu = sum(xs) / n
+        var = sum((x - mu) ** 2 for x in xs) / n
+        m3 = sum((x - mu) ** 3 for x in xs) / n
+        m4 = sum((x - mu) ** 4 for x in xs) / n
+        assert r.n == n
+        assert abs(r.mean - mu) < 1e-6
+        assert abs(r.variance - var) < 1e-4
+        assert abs(r.skewness - m3 / var**1.5) < 1e-4
+        assert abs(r.excess_kurtosis - (m4 / var**2 - 3.0)) < 1e-4
+
+
+def test_dim_stats_cover_all_dims_and_sigma_nonnegative(spark):
+    rows = _rows(spark, "llmops_embedding_dim_stats")
+    emb = load_table(spark, SF_DIR, "embeddings").select("embedding").first()
+    n_dims = len(emb.embedding)
+    assert sorted(r.dim for r in rows) == list(range(1, n_dims + 1))
+    for r in rows:
+        assert r.stddev >= 0.0
+        assert r.vmin <= r.mean <= r.vmax
+
+
+def test_snapshot_diff_classes_consistent_with_simulation(spark):
+    """Class counts must match the mod-7/11/13 simulation recomputed
+    directly from the fixture's doc_ids."""
+    rows = {r.change_kind: r for r in _rows(spark, "dq_snapshot_diff_classify")}
+    ids = [
+        d.doc_id
+        for d in load_table(spark, SF_DIR, "documents").select("doc_id").collect()
+    ]
+    added = sum(1 for i in ids if i % 13 == 0)
+    removed = sum(1 for i in ids if i % 11 == 0)
+    changed = sum(1 for i in ids if i % 11 != 0 and i % 7 == 0)
+    unchanged = sum(1 for i in ids if i % 11 != 0 and i % 7 != 0)
+    assert rows["added"].n_docs == added
+    assert rows["removed"].n_docs == removed
+    assert rows["changed"].n_docs == changed
+    assert rows["unchanged"].n_docs == unchanged
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+
+
+def test_twap_bounded_by_value_range(spark):
+    rows = _rows(spark, "events_time_weighted_avg")
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "value").collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append(e.value)
+    for r in rows:
+        vs = by_user[r.user_id]
+        assert min(vs) - 1e-4 <= r.twap <= max(vs) + 1e-4
+        assert r.total_us > 0
+        assert r.n_segments == len(vs) - 1  # every event but the last opens a segment
