@@ -112,7 +112,9 @@ _PRIORITY = [
 # events_seasonal_residual_outliers, llmops_inverted_index,
 # graph_clustering_coefficient, window_pareto_frontier,
 # events_time_weighted_avg, agg_skew_kurtosis_exact,
-# llmops_embedding_dim_stats, dq_snapshot_diff_classify) — plus re-attestation for
+# llmops_embedding_dim_stats, dq_snapshot_diff_classify,
+# events_gapfill_interpolate, llmops_impute_battery,
+# window_rolling_corr) — plus re-attestation for
 # the plans changed this round: q15_top_supplier, udtf_top_bigrams,
 # llmops_train_shuffle, llmops_zipf_slope, cust_rfm_segments (in-window).
 

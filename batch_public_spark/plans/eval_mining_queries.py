@@ -1166,3 +1166,273 @@ def dq_snapshot_diff_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
         F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
     )
+
+
+@query(
+    "events_gapfill_interpolate",
+    oracle="""
+    WITH hi AS (SELECT date_trunc('hour', max(ts)) AS hi FROM events),
+    lo AS (SELECT event_type, date_trunc('hour', min(ts)) AS lo
+           FROM events GROUP BY 1),
+    grid AS (SELECT event_type,
+                    unnest(generate_series(lo.lo, hi.hi, INTERVAL 1 HOUR)) AS bucket
+             FROM lo CROSS JOIN hi),
+    agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket,
+             round(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value), 6) AS av
+      FROM events GROUP BY 1, 2
+    ), joined AS (
+      SELECT g.event_type, g.bucket,
+             CAST(epoch(g.bucket) AS BIGINT) AS hr,
+             a.av
+      FROM grid g
+      LEFT JOIN agg a ON a.event_type = g.event_type AND a.bucket = g.bucket
+    ), ctx AS (
+      SELECT event_type, bucket, hr, av,
+             last_value(av IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             last_value(CASE WHEN av IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             first_value(av IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN av IS NOT NULL THEN hr END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hr
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM joined
+    )
+    SELECT event_type,
+           strftime(bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+           CASE WHEN av IS NOT NULL THEN 0 ELSE 1 END AS was_gap,
+           round(CASE
+             WHEN av IS NOT NULL THEN av
+             WHEN nv IS NULL THEN pv
+             ELSE pv + (nv - pv) * (hr - ph) * 1.0 / (nh - ph)
+           END, 6) AS value_interp
+    FROM ctx
+    """,
+)
+def events_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gapfill with LINEAR INTERPOLATION (TimescaleDB
+    ``interpolate``): the companion to events_gapfill_locf — empty hourly
+    buckets get the straight line between the surrounding observations
+    instead of a held value; trailing gaps (no next observation) fall
+    back to LOCF. The pair covers both gapfill semantics a downsampling
+    pipeline offers.
+
+    Spark-first: same bounded grid as the LOCF query (|types| × |hours|,
+    independent of fact rows; per-type start at first observation so a
+    previous value always exists); surrounding observations come from
+    TWO ignore-nulls windows over one event_type partition — a forward
+    last() and a backward first() — no self-join against the observation
+    set. Bucket positions are exact epoch-second integers (the
+    interpolation ratio is scale-invariant), observed averages are
+    decimal-rounded doubles, and the interpolation expression tree is
+    identical in both engines."""
+    e = t(spark, sf_dir, "events")
+    agg = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count("value"),
+            6,
+        ).alias("av")
+    )
+    hi = e.agg(F.date_trunc("hour", F.max("ts")).alias("hi"))
+    lo = e.groupBy("event_type").agg(F.date_trunc("hour", F.min("ts")).alias("lo"))
+    grid = lo.crossJoin(F.broadcast(hi)).select(
+        "event_type",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("bucket"),
+    )
+    joined = grid.join(agg, ["event_type", "bucket"], "left").select(
+        "event_type",
+        "bucket",
+        F.unix_timestamp("bucket").cast("bigint").alias("hr"),
+        "av",
+    )
+    back = W.partitionBy("event_type").orderBy("hr").rowsBetween(W.unboundedPreceding, 0)
+    fwd = W.partitionBy("event_type").orderBy("hr").rowsBetween(0, W.unboundedFollowing)
+    obs_hr = F.when(F.col("av").isNotNull(), F.col("hr"))
+    ctx = joined.select(
+        "event_type",
+        "bucket",
+        "hr",
+        "av",
+        F.last("av", ignorenulls=True).over(back).alias("pv"),
+        F.last(obs_hr, ignorenulls=True).over(back).alias("ph"),
+        F.first("av", ignorenulls=True).over(fwd).alias("nv"),
+        F.first(obs_hr, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("av").isNotNull(), F.col("av"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("hr") - F.col("ph"))
+            * 1.0
+            / (F.col("nh") - F.col("ph"))
+        )
+    )
+    return ctx.select(
+        "event_type",
+        F.date_format("bucket", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.when(F.col("av").isNotNull(), 0).otherwise(1).alias("was_gap"),
+        F.round(interp, 6).alias("value_interp"),
+    )
+
+
+@query(
+    "llmops_impute_battery",
+    oracle="""
+    WITH masked AS (
+      SELECT user_id,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(value AS DECIMAL(18,4)) END AS v
+      FROM events
+    ), stats AS (
+      SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(v) AS BIGINT) AS n_obs,
+             CAST(count(*) - count(v) AS BIGINT) AS n_missing,
+             CAST(sum(v) AS DOUBLE) AS s,
+             round(quantile_cont(CAST(v AS DOUBLE), 0.5), 6) AS med
+      FROM masked GROUP BY 1
+    )
+    SELECT user_id, n_obs, n_missing,
+           round(s / n_obs, 6) AS impute_mean,
+           med AS impute_median,
+           round(s + n_missing * (s / n_obs), 6) AS sum_mean_filled,
+           round(s + n_missing * med, 6) AS sum_median_filled,
+           round(s, 6) AS sum_zero_filled
+    FROM stats
+    """,
+)
+def llmops_impute_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-data imputation battery: mask a value column (error events
+    → NULL, a deterministic missingness pattern), then impute per user
+    with the three standard strategies — group mean, group exact median,
+    constant zero — and report each strategy's filled total. The step
+    every feature pipeline runs before models that can't take NULLs; the
+    side-by-side totals show how much the strategy choice moves the
+    distribution.
+
+    Spark-first: ONE aggregation computes count/sum/median per user
+    (exact ``percentile``; at 100 TB swap to approx_percentile — same
+    plan), and the imputed totals are closed-form from those aggregates —
+    the imputation itself never materializes a filled row set just to
+    re-aggregate it. Sums go through DECIMAL; the only floating ops are
+    the final divisions/multiplications on IEEE-identical inputs."""
+    ev = t(spark, sf_dir, "events")
+    masked = ev.select(
+        "user_id",
+        F.when(F.col("event_type") == "error", F.lit(None))
+        .otherwise(F.col("value").cast("decimal(18,4)"))
+        .alias("v"),
+    )
+    stats = masked.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("v").cast("bigint").alias("n_obs"),
+        (F.count("*") - F.count("v")).cast("bigint").alias("n_missing"),
+        F.sum("v").cast("double").alias("s"),
+        F.round(F.expr("percentile(cast(v as double), 0.5D)"), 6).alias("med"),
+    )
+    mean = F.col("s") / F.col("n_obs")
+    return stats.select(
+        "user_id",
+        "n_obs",
+        "n_missing",
+        F.round(mean, 6).alias("impute_mean"),
+        F.col("med").alias("impute_median"),
+        F.round(F.col("s") + F.col("n_missing") * mean, 6).alias("sum_mean_filled"),
+        F.round(F.col("s") + F.col("n_missing") * F.col("med"), 6).alias(
+            "sum_median_filled"
+        ),
+        F.round(F.col("s"), 6).alias("sum_zero_filled"),
+    )
+
+
+@query(
+    "window_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority,
+             strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS x,
+             CAST(sum(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM orders GROUP BY 1, 2
+    ), framed AS (
+      SELECT o_orderpriority, day, x, y,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(x) OVER w AS BIGINT) AS sx,
+             CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(sum(y) OVER w AS BIGINT) AS sy,
+             CAST(sum(y * y) OVER w AS BIGINT) AS syy,
+             CAST(sum(x * y) OVER w AS BIGINT) AS sxy
+      FROM daily
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_orderpriority, day, n,
+           round((n * sxy - sx * sy) * 1.0
+                 / sqrt((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)),
+                 6) AS rolling_corr
+    FROM framed
+    WHERE n = 7
+      AND (n * sxx - sx * sx) > 0
+      AND (n * syy - sy * sy) > 0
+    """,
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling Pearson correlation between two daily series — order count
+    vs revenue over a 7-observation trailing window per priority — the
+    co-movement monitor ("did volume decouple from revenue this week?")
+    that complements the rolling mean/median family. Uses the raw-moment
+    identity r = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)) so the window
+    carries SUMS, not residuals.
+
+    Spark-first: the fact scan collapses to the (priority × day) grid
+    first; all six windowed sums share ONE partition+frame spec and are
+    BIGINT-exact end to end (revenue rounded to whole currency units
+    first — a correlation is insensitive to sub-unit noise, and integer
+    moments can't drift or overflow where decimal-squared sums hit the
+    precision-38 cap), and
+    the closing expression is the same IEEE tree in both engines — the
+    builtin corr() aggregate is avoided precisely because its
+    accumulation order is engine-dependent. Full windows only (n=7),
+    degenerate zero-variance frames filtered in both engines."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").cast("bigint").alias("x"),
+        F.sum(F.floor(F.col("o_totalprice") + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("y"),
+    )
+    w = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    framed = daily.select(
+        "o_orderpriority",
+        "day",
+        F.count("*").over(w).cast("bigint").alias("n"),
+        F.sum("x").over(w).cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("bigint").alias("sxx"),
+        F.sum("y").over(w).cast("bigint").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).over(w).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).cast("bigint").alias("sxy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / F.sqrt(
+        varx * 1.0 * vary
+    )
+    return framed.filter((F.col("n") == 7) & (varx > 0) & (vary > 0)).select(
+        "o_orderpriority", "day", "n", F.round(corr, 6).alias("rolling_corr")
+    )
