@@ -220,3 +220,102 @@ def test_twap_bounded_by_value_range(spark):
         assert min(vs) - 1e-4 <= r.twap <= max(vs) + 1e-4
         assert r.total_us > 0
         assert r.n_segments == len(vs) - 1  # every event but the last opens a segment
+
+
+def test_interpolate_respects_observations_and_bounds(spark):
+    """Observed buckets keep their exact hourly average; gap buckets lie
+    between their two anchors (linear interpolation is monotone-bounded);
+    each type's grid is a contiguous hourly range."""
+    rows = _rows(spark, "events_gapfill_interpolate")
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.bucket)
+        # contiguous grid, shared end
+        assert len({r.bucket for r in rs}) == len(rs)
+        vals = [r.value_interp for r in rs]
+        gaps = [r.was_gap for r in rs]
+        assert gaps[0] == 0  # grid starts at first observation
+        # every gap value is within [min, max] of nearest observed anchors
+        obs_idx = [i for i, g in enumerate(gaps) if g == 0]
+        for i, r in enumerate(rs):
+            if r.was_gap:
+                prev = max(j for j in obs_idx if j < i)
+                nxts = [j for j in obs_idx if j > i]
+                lo_v = vals[prev]
+                hi_v = vals[nxts[0]] if nxts else vals[prev]
+                assert min(lo_v, hi_v) - 1e-6 <= r.value_interp <= max(lo_v, hi_v) + 1e-6
+
+
+def test_impute_battery_matches_bruteforce(spark):
+    rows = {r.user_id: r for r in _rows(spark, "llmops_impute_battery")}
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "event_type", "value"
+    ).collect()
+    by_user = defaultdict(list)
+    miss = defaultdict(int)
+    for e in ev:
+        if e.event_type == "error":
+            miss[e.user_id] += 1
+        else:
+            by_user[e.user_id].append(e.value)
+    for uid, r in rows.items():
+        obs = by_user[uid]
+        assert r.n_obs == len(obs)
+        assert r.n_missing == miss[uid]
+        mean = sum(obs) / len(obs)
+        assert abs(r.impute_mean - mean) < 1e-3
+        assert abs(r.sum_zero_filled - sum(obs)) < 1e-2
+        assert abs(r.sum_mean_filled - (sum(obs) + miss[uid] * mean)) < 1e-2
+        # median imputation total uses the exact median
+        assert abs(r.sum_median_filled - (sum(obs) + miss[uid] * r.impute_median)) < 1e-2
+        assert min(obs) <= r.impute_median <= max(obs)
+
+
+def test_rolling_corr_bounded_and_matches_python(spark):
+    import statistics
+
+    rows = _rows(spark, "window_rolling_corr")
+    assert rows
+    assert all(r.n == 7 for r in rows)
+    assert all(-1.0 - 1e-9 <= r.rolling_corr <= 1.0 + 1e-9 for r in rows)
+    # rebuild the daily grid and check a sample of frames end-to-end
+    daily = defaultdict(dict)
+    for o in load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", "o_orderdate", "o_totalprice"
+    ).collect():
+        day = o.o_orderdate.strftime("%Y-%m-%d")
+        x, y = daily[o.o_orderpriority].get(day, (0, 0))
+        daily[o.o_orderpriority][day] = (x + 1, y + int(math.floor(o.o_totalprice + 0.5)))
+    checked = 0
+    for r in rows[:20]:
+        days = sorted(daily[r.o_orderpriority])
+        i = days.index(r.day)
+        frame = [daily[r.o_orderpriority][d] for d in days[i - 6 : i + 1]]
+        xs = [f[0] for f in frame]
+        ys = [f[1] for f in frame]
+        if statistics.pstdev(xs) > 0 and statistics.pstdev(ys) > 0:
+            expected = statistics.correlation(xs, ys)
+            assert abs(r.rolling_corr - expected) < 1e-4
+            checked += 1
+    assert checked > 0
+
+
+def test_interpolate_agrees_with_locf_on_observed_buckets(spark):
+    """The two gapfill semantics must agree wherever there IS an
+    observation — they only differ inside gaps."""
+    interp = {
+        (r.event_type, r.bucket): r
+        for r in _rows(spark, "events_gapfill_interpolate")
+    }
+    locf = {
+        (r.event_type, r.bucket): r for r in _rows(spark, "events_gapfill_locf")
+    }
+    assert set(interp) == set(locf)
+    agree = 0
+    for k, r in interp.items():
+        if not r.was_gap and locf[k].avg_value_locf is not None:
+            assert abs(r.value_interp - locf[k].avg_value_locf) < 1e-6
+            agree += 1
+    assert agree > 0
