@@ -1436,3 +1436,342 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.filter((F.col("n") == 7) & (varx > 0) & (vary > 0)).select(
         "o_orderpriority", "day", "n", F.round(corr, 6).alias("rolling_corr")
     )
+
+
+@query(
+    "events_cusum_drift",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), params AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(c) AS BIGINT) AS tot,
+             CAST(sum(c * c) AS BIGINT) AS tot2
+      FROM cells GROUP BY 1
+    ), sig AS (
+      SELECT event_type, n_days, tot,
+             sqrt(tot2 * 1.0 / n_days
+                  - (tot * 1.0 / n_days) * (tot * 1.0 / n_days)) AS sigma
+      FROM params
+    ), dev AS (
+      SELECT cells.event_type, cells.day, cells.c, sig.sigma, sig.n_days,
+             sig.n_days * cells.c - sig.tot
+               - CAST(ceil(sig.n_days * sig.sigma / 2.0) AS BIGINT) AS d
+      FROM cells JOIN sig USING (event_type)
+    ), cumr AS (
+      SELECT event_type, day, c, sigma, n_days,
+             sum(d) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+      FROM dev
+    ), walk AS (
+      SELECT event_type, day, c, sigma, n_days, r,
+             min(r) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rmin
+      FROM cumr
+    )
+    SELECT event_type, day, c,
+           CAST(r - least(rmin, 0) AS BIGINT) AS s_cusum_scaled,
+           CAST(CASE WHEN r - least(rmin, 0) > 2.0 * sigma * n_days THEN 1 ELSE 0 END
+                AS INTEGER) AS alarm
+    FROM walk
+    """,
+)
+def events_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection on daily event volumes: the
+    sequential test that fires when counts drift persistently above
+    their per-type baseline, catching slow leaks a fixed threshold
+    (events_rate_spike_detect) misses. The textbook recursion
+    S_t = max(0, S_{t−1} + x_t − k) is not window-expressible, so we use
+    the reflection identity S_t = R_t − min(0, min_{j≤t} R_j) with R the
+    cumulative sum of deviations — two stacked cumulative windows.
+
+    Spark-first: the fact scan collapses to (type, day) cells; the walk
+    is SCALED BY n_days so the textbook allowance k = μ + σ/2 stays
+    integer-exact (d = n_days·c − tot − ceil(n_days·σ/2), every term
+    BIGINT; ceil of an IEEE-identical double is bit-stable) — no
+    float accumulates across days; the 2σ·n_days alarm line is the only
+    floating comparison (fixture-calibrated — ~30 days of stationary
+    synthetic data never reaches the production 4–5σ decision interval). Both windows share one event_type partition —
+    one shuffle, bounded by the calendar."""
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    params = cells.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("c").cast("bigint").alias("tot"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("tot2"),
+    )
+    mean = F.col("tot") * 1.0 / F.col("n_days")
+    sig = params.select(
+        "event_type",
+        "n_days",
+        "tot",
+        F.sqrt(F.col("tot2") * 1.0 / F.col("n_days") - mean * mean).alias("sigma"),
+    )
+    dev = cells.join(F.broadcast(sig), "event_type").select(
+        "event_type",
+        "day",
+        "c",
+        "sigma",
+        "n_days",
+        (
+            F.col("n_days") * F.col("c")
+            - F.col("tot")
+            - F.ceil(F.col("n_days") * F.col("sigma") / 2.0).cast("bigint")
+        ).alias("d"),
+    )
+    cum = (
+        W.partitionBy("event_type").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    )
+    walk = dev.select(
+        "event_type",
+        "day",
+        "c",
+        "sigma",
+        "n_days",
+        F.sum("d").over(cum).alias("r"),
+    ).withColumn("rmin", F.min("r").over(cum))
+    s = F.col("r") - F.least(F.col("rmin"), F.lit(0))
+    return walk.select(
+        "event_type",
+        "day",
+        "c",
+        s.cast("bigint").alias("s_cusum_scaled"),
+        F.when(s > 2.0 * F.col("sigma") * F.col("n_days"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("alarm"),
+    )
+
+
+@query(
+    "agg_theil_decomposition",
+    oracle="""
+    WITH xl AS (
+      SELECT o_orderpriority,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS x,
+             CAST(round(o_totalprice * ln(o_totalprice), 10) AS DECIMAL(28,10)) AS xlx
+      FROM orders
+    ), grp AS (
+      SELECT o_orderpriority,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(x) AS DOUBLE) AS sum_g,
+             CAST(sum(xlx) AS DOUBLE) AS sxlx_g
+      FROM xl GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n, CAST(sum(sum_g) AS DOUBLE) AS s FROM grp
+    )
+    SELECT o_orderpriority, n_g,
+           round(sum_g / t.s, 6) AS revenue_share,
+           round((sum_g / t.s)
+                 * (sxlx_g / sum_g - ln(sum_g / n_g)), 6) AS theil_within_term,
+           round((sum_g / t.s) * ln((sum_g / n_g) / (t.s / t.n)), 6)
+             AS theil_between_term
+    FROM grp CROSS JOIN tot t
+    """,
+)
+def agg_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index with exact within/between-group
+    decomposition over order revenue by priority — the inequality
+    measure that (unlike Gini, agg_gini_daily_revenue) decomposes
+    additively: T = Σ s_g·T_g + Σ s_g·ln(μ_g/μ), so the report says how
+    much revenue concentration lives INSIDE priorities vs BETWEEN them.
+    The same decomposition audits token-budget concentration across
+    corpus sources.
+
+    Spark-first: T_g needs Σ x·ln x — each row's term is computed in
+    double (identical IEEE sequence in both engines), rounded to 10dp
+    and summed as DECIMAL so accumulation order cannot move the hash
+    (the llmops_kl_source_divergence discipline); Σx goes through
+    DECIMAL directly. One aggregation pass; the group table is bounded
+    by the priority vocabulary."""
+    o = t(spark, sf_dir, "orders")
+    xl = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("x"),
+        F.round(F.col("o_totalprice") * F.log(F.col("o_totalprice")), 10)
+        .cast("decimal(28,10)")
+        .alias("xlx"),
+    )
+    grp = xl.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("n_g"),
+        F.sum("x").cast("double").alias("sum_g"),
+        F.sum("xlx").cast("double").alias("sxlx_g"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"), F.sum("sum_g").cast("double").alias("s")
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    share = F.col("sum_g") / F.col("s")
+    mu_g = F.col("sum_g") / F.col("n_g")
+    mu = F.col("s") / F.col("n")
+    return j.select(
+        "o_orderpriority",
+        "n_g",
+        F.round(share, 6).alias("revenue_share"),
+        F.round(share * (F.col("sxlx_g") / F.col("sum_g") - F.log(mu_g)), 6).alias(
+            "theil_within_term"
+        ),
+        F.round(share * F.log(mu_g / mu), 6).alias("theil_between_term"),
+    )
+
+
+@query(
+    "llmops_quantile_normalize",
+    oracle="""
+    WITH lens AS (
+      SELECT n_chars AS len, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1
+    ), grid AS (
+      SELECT len,
+             coalesce(sum(cnt) OVER (ORDER BY len
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below,
+             CAST(sum(cnt) OVER () AS BIGINT) AS n
+      FROM lens
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           round(percent_rank() OVER (PARTITION BY d.source ORDER BY d.n_chars), 6)
+             AS pr_source,
+           round(g.below * 1.0 / (g.n - 1), 6) AS pr_global,
+           round(percent_rank() OVER (PARTITION BY d.source ORDER BY d.n_chars)
+                 - g.below * 1.0 / (g.n - 1), 6) AS pr_shift
+    FROM documents d JOIN grid g ON g.len = d.n_chars
+    """,
+)
+def llmops_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization diagnostics: each document's length
+    percentile WITHIN its source vs its GLOBAL percentile, and the shift
+    between them — the transform (map per-source ranks onto the pooled
+    distribution) that removes per-source length bias before
+    length-based quality gates, and the diagnostic that shows which
+    sources sit systematically long or short.
+
+    Spark-first: the global percentile does NOT use a global rank window
+    — it comes from cumulative counts over the bounded distinct-length
+    grid (the llmops_score_auc idiom), broadcast-joined back onto the
+    corpus; percent_rank ties resolve identically in both engines (first
+    tie's rank). The only per-row window is partitioned by source. At
+    100 TB: same plan, grid bounded by the length domain."""
+    d = t(spark, sf_dir, "documents")
+    lens = d.groupBy(F.col("n_chars").alias("len")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    gw = W.partitionBy(bounded_window_key(F.col("len"))).orderBy("len")
+    grid = lens.select(
+        "len",
+        F.coalesce(
+            F.sum("cnt").over(gw.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+        ).alias("below"),
+        F.sum("cnt")
+        .over(W.partitionBy(bounded_window_key(F.col("len"))))
+        .cast("bigint")
+        .alias("n"),
+    )
+    src_w = W.partitionBy("source").orderBy("n_chars")
+    pr_src = F.percent_rank().over(src_w)
+    pr_glob = F.col("below") * 1.0 / (F.col("n") - 1)
+    return (
+        d.join(F.broadcast(grid), d.n_chars == grid.len)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.round(pr_src, 6).alias("pr_source"),
+            F.round(pr_glob, 6).alias("pr_global"),
+            F.round(pr_src - pr_glob, 6).alias("pr_shift"),
+        )
+    )
+
+
+@query(
+    "llmops_ngram_novelty",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) % 5 = 4 AS is_test,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), tri AS (
+      SELECT doc_id, lang, is_test,
+             unnest(list_transform(generate_series(1, len(toks) - 2),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS tg
+      FROM base WHERE len(toks) >= 3
+    ), train_set AS (
+      SELECT DISTINCT tg FROM tri WHERE NOT is_test
+    ), test_set AS (
+      SELECT DISTINCT lang, tg FROM tri WHERE is_test
+    )
+    SELECT ts.lang,
+           CAST(count(*) AS BIGINT) AS n_test_trigrams,
+           CAST(sum(CASE WHEN tr.tg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(sum(CASE WHEN tr.tg IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS novelty_rate
+    FROM test_set ts LEFT JOIN train_set tr ON ts.tg = tr.tg
+    GROUP BY 1
+    """,
+)
+def llmops_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out n-gram novelty: hash-split the corpus 80/20, then
+    measure what fraction of each language's distinct test trigrams
+    never appear in the training split — the memorization-vs-
+    generalization gauge (a near-zero rate means the held-out set is
+    TRAIN-CONTAMINATED at the phrase level; a high rate means the split
+    really is novel text). Complements llmops_decontaminate (which asks
+    the same question about an external benchmark).
+
+    Spark-first: trigrams are built IN-ROW from the token array (an
+    index-sequence transform, no explode-then-window reassembly); both
+    sides reduce to DISTINCT trigram sets before the membership join, so
+    the join keys are unique; the anti-membership test is a left join on
+    the trigram string — at 100 TB both sides hash-partition on that key
+    (or ship xxhash64 digests), the fixture-scale plan broadcasts
+    nothing it shouldn't. The md5 doc split is the same idempotent
+    hash-split idiom as llmops_train_val_test_split."""
+    from batch_public_spark.operators.textops import tokens
+
+    d = t(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        (F.pmod(F.ascii(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)), 5) == 4)
+        .alias("is_test"),
+        tokens(F.lower(F.col("text"))).alias("toks"),
+    ).filter(F.size("toks") >= 3)
+    tri = base.select(
+        "lang",
+        "is_test",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("toks", i),
+                    F.element_at("toks", i + 1),
+                    F.element_at("toks", i + 2),
+                ),
+            )
+        ).alias("tg"),
+    )
+    train_set = tri.filter(~F.col("is_test")).select("tg").distinct()
+    test_set = tri.filter(F.col("is_test")).select("lang", "tg").distinct()
+    j = test_set.join(
+        train_set.withColumnRenamed("tg", "tg_train"),
+        test_set.tg == F.col("tg_train"),
+        "left",
+    )
+    return j.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_test_trigrams"),
+        F.sum(F.when(F.col("tg_train").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_novel"),
+        F.round(
+            F.sum(F.when(F.col("tg_train").isNull(), 1).otherwise(0)) * 1.0 / F.count("*"),
+            6,
+        ).alias("novelty_rate"),
+    )
