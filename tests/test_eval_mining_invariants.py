@@ -319,3 +319,78 @@ def test_interpolate_agrees_with_locf_on_observed_buckets(spark):
             assert abs(r.value_interp - locf[k].avg_value_locf) < 1e-6
             agree += 1
     assert agree > 0
+
+
+def test_cusum_reflection_identity_matches_recursion(spark):
+    """The windowed reflection form S = R − min(0, min R) must replay
+    exactly as the textbook recursion S_t = max(0, S_{t−1} + d_t)."""
+    rows = _rows(spark, "events_cusum_drift")
+    by_type = defaultdict(list)
+    for r in rows:
+        by_type[r.event_type].append(r)
+    for rs in by_type.values():
+        rs.sort(key=lambda r: r.day)
+        n_days = len(rs)
+        tot = sum(r.c for r in rs)
+        mean = tot / n_days
+        var = sum(r.c * r.c for r in rs) / n_days - mean * mean
+        slack = math.ceil(n_days * math.sqrt(var) / 2.0)
+        s = 0
+        for r in rs:
+            d = n_days * r.c - tot - slack
+            s = max(0, s + d)
+            assert r.s_cusum_scaled == s
+            assert r.alarm == (1 if s > 2.0 * math.sqrt(var) * n_days else 0)
+
+
+def test_theil_decomposition_adds_up(spark):
+    """Σ within + Σ between must equal the brute-force pooled Theil-T,
+    every within term is ≥ 0, and revenue shares sum to 1."""
+    rows = _rows(spark, "agg_theil_decomposition")
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
+    xs = [
+        o.o_totalprice
+        for o in load_table(spark, SF_DIR, "orders").select("o_totalprice").collect()
+    ]
+    n = len(xs)
+    mu = sum(xs) / n
+    pooled = sum((x / mu) * math.log(x / mu) for x in xs) / n
+    recon = sum(r.theil_within_term for r in rows) + sum(
+        r.theil_between_term for r in rows
+    )
+    assert abs(recon - pooled) < 1e-3
+    for r in rows:
+        assert r.theil_within_term >= -1e-9  # each group Theil is non-negative
+
+
+def test_quantile_normalize_ranges_and_global_rank(spark):
+    rows = _rows(spark, "llmops_quantile_normalize")
+    lens = sorted(
+        d.n_chars
+        for d in load_table(spark, SF_DIR, "documents").select("n_chars").collect()
+    )
+    n = len(lens)
+    assert len(rows) == n
+    import bisect
+
+    for r in rows[:100]:
+        assert 0.0 <= r.pr_source <= 1.0
+        assert 0.0 <= r.pr_global <= 1.0
+        expected = bisect.bisect_left(lens, r.n_chars) / (n - 1)
+        assert abs(r.pr_global - expected) < 1e-6
+        assert abs(r.pr_shift - (r.pr_source - r.pr_global)) < 2e-6
+    # each source's smallest doc has pr_source == 0
+    by_src_min = {}
+    for r in rows:
+        if r.pr_source == 0.0:
+            by_src_min[r.source] = True
+    assert len(by_src_min) == len({r.source for r in rows})
+
+
+def test_ngram_novelty_bounded_and_partition(spark):
+    rows = _rows(spark, "llmops_ngram_novelty")
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_novel <= r.n_test_trigrams
+        assert 0.0 <= r.novelty_rate <= 1.0
+        assert abs(r.novelty_rate - r.n_novel / r.n_test_trigrams) < 1e-6
