@@ -115,7 +115,8 @@ _PRIORITY = [
 # llmops_embedding_dim_stats, dq_snapshot_diff_classify,
 # events_gapfill_interpolate, llmops_impute_battery,
 # window_rolling_corr, events_cusum_drift, agg_theil_decomposition,
-# llmops_quantile_normalize, llmops_ngram_novelty) — plus re-attestation for
+# llmops_quantile_normalize, llmops_ngram_novelty,
+# agg_percentile_disc_battery, dq_column_profile) — plus re-attestation for
 # the plans changed this round: q15_top_supplier, udtf_top_bigrams,
 # llmops_train_shuffle, llmops_zipf_slope, cust_rfm_segments (in-window).
 

@@ -1775,3 +1775,144 @@ def llmops_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("novelty_rate"),
     )
+
+
+@query(
+    "agg_percentile_disc_battery",
+    oracle="""
+    WITH grid AS (
+      SELECT o_orderpriority, o_totalprice,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ), cum AS (
+      SELECT o_orderpriority, o_totalprice,
+             sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             sum(cnt) OVER (PARTITION BY o_orderpriority) AS tw
+      FROM grid
+    )
+    SELECT o_orderpriority,
+           min(CASE WHEN cw * 4 >= tw THEN o_totalprice END) AS p25_disc,
+           min(CASE WHEN cw * 2 >= tw THEN o_totalprice END) AS p50_disc,
+           min(CASE WHEN cw * 4 >= tw * 3 THEN o_totalprice END) AS p75_disc,
+           min(CASE WHEN cw * 10 >= tw * 9 THEN o_totalprice END) AS p90_disc,
+           CAST(max(tw) AS BIGINT) AS n
+    FROM cum GROUP BY 1
+    """,
+)
+def agg_percentile_disc_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (nearest-rank) percentiles p25/p50/p75/p90 per priority —
+    the PERCENTILE_DISC semantics neither engine pair exposes
+    compatibly as a builtin (Spark's percentile interpolates; engines
+    also disagree on interpolation conventions), expressed engine-
+    independently: the smallest value whose cumulative count reaches
+    ⌈q·n⌉, tested with pure integer cross-multiplication (cw·k ≥ tw·m —
+    no floating quantile math anywhere, so the selected values are
+    ACTUAL data values, bit-identical by construction).
+
+    Spark-first: the scan collapses to the (priority × distinct price)
+    grid first (map-side combine), the cumulative window runs on that
+    bounded grid partitioned by priority, and all four percentiles come
+    from ONE conditional-min aggregation pass over it."""
+    o = t(spark, sf_dir, "orders")
+    grid = o.groupBy("o_orderpriority", "o_totalprice").agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    byp = W.partitionBy("o_orderpriority")
+    cum = grid.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.sum("cnt")
+        .over(byp.orderBy("o_totalprice").rowsBetween(W.unboundedPreceding, 0))
+        .alias("cw"),
+        F.sum("cnt").over(byp).alias("tw"),
+    )
+    pick = lambda k, m: F.min(  # noqa: E731
+        F.when(F.col("cw") * k >= F.col("tw") * m, F.col("o_totalprice"))
+    )
+    return cum.groupBy("o_orderpriority").agg(
+        pick(4, 1).alias("p25_disc"),
+        pick(2, 1).alias("p50_disc"),
+        pick(4, 3).alias("p75_disc"),
+        pick(10, 9).alias("p90_disc"),
+        F.max("tw").cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "dq_column_profile",
+    oracle="""
+    WITH unp AS (
+      SELECT 'o_orderpriority' AS col, o_orderpriority AS val FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+    ), vals AS (
+      SELECT col, val, CAST(count(*) AS BIGINT) AS c FROM unp GROUP BY 1, 2
+    ), tot AS (
+      SELECT col,
+             CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN val IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_null,
+             CAST(count(CASE WHEN val IS NOT NULL THEN 1 END) AS BIGINT) AS n_distinct
+      FROM vals GROUP BY 1
+    ), ent AS (
+      SELECT v.col,
+             CAST(round(-(c * 1.0 / t.n) * ln(c * 1.0 / t.n), 10)
+                  AS DECIMAL(24,10)) AS term
+      FROM vals v JOIN tot t ON v.col = t.col
+      WHERE v.val IS NOT NULL
+    )
+    SELECT t.col, t.n, t.n_null, t.n_distinct,
+           round(t.n_distinct * 1.0 / t.n, 6) AS distinct_ratio,
+           CAST(round(sum(e.term), 6) AS DOUBLE) AS shannon_entropy
+    FROM tot t JOIN ent e ON e.col = t.col
+    GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile (the Deequ/Great-Expectations profiler
+    step): for each categorical column — row count, null count, distinct
+    cardinality, distinct ratio, and Shannon entropy of the value
+    distribution — the per-column fingerprint a quality platform stores
+    per ingest to spot schema rot (entropy collapse = a column went
+    constant; distinct-ratio spike = an enum became free text).
+
+    Spark-first: the unpivot is a zero-copy stack() over one scan; all
+    statistics derive from ONE (col, value) count table — no per-column
+    repeated scans; entropy terms follow the round-10-decimal-sum
+    discipline so accumulation order is hash-invariant. At 100 TB: same
+    plan, one shuffle on (col, value) with map-side combine."""
+    o = t(spark, sf_dir, "orders")
+    unp = o.select(
+        F.expr(
+            "stack(3, 'o_orderpriority', o_orderpriority,"
+            " 'o_orderstatus', o_orderstatus,"
+            " 'o_custkey', CAST(o_custkey AS STRING)) AS (col, val)"
+        )
+    )
+    vals = unp.groupBy("col", "val").agg(F.count("*").cast("bigint").alias("c"))
+    tot = vals.groupBy("col").agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("val").isNull(), F.col("c")).otherwise(0))
+        .cast("bigint")
+        .alias("n_null"),
+        F.count(F.when(F.col("val").isNotNull(), 1)).cast("bigint").alias("n_distinct"),
+    )
+    p = F.col("c") * 1.0 / F.col("n")
+    ent = (
+        vals.filter(F.col("val").isNotNull())
+        .join(F.broadcast(tot), "col")
+        .select("col", F.round(-p * F.log(p), 10).cast("decimal(24,10)").alias("term"))
+    )
+    return (
+        tot.join(ent.groupBy("col").agg(F.sum("term").alias("esum")), "col")
+        .select(
+            "col",
+            "n",
+            "n_null",
+            "n_distinct",
+            F.round(F.col("n_distinct") * 1.0 / F.col("n"), 6).alias("distinct_ratio"),
+            F.round(F.col("esum"), 6).cast("double").alias("shannon_entropy"),
+        )
+    )
