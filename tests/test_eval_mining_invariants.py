@@ -394,3 +394,42 @@ def test_ngram_novelty_bounded_and_partition(spark):
         assert 0 <= r.n_novel <= r.n_test_trigrams
         assert 0.0 <= r.novelty_rate <= 1.0
         assert abs(r.novelty_rate - r.n_novel / r.n_test_trigrams) < 1e-6
+
+
+def test_percentile_disc_are_data_values_and_monotone(spark):
+    """Each discrete percentile must be an ACTUAL value from its group
+    (the defining property vs interpolation), monotone across q, and
+    equal to the ceil(q·n) nearest-rank element."""
+    rows = _rows(spark, "agg_percentile_disc_battery")
+    by_prio = defaultdict(list)
+    for o in load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    ).collect():
+        by_prio[o.o_orderpriority].append(o.o_totalprice)
+    for r in rows:
+        xs = sorted(by_prio[r.o_orderpriority])
+        assert r.n == len(xs)
+        for q, v in ((0.25, r.p25_disc), (0.5, r.p50_disc), (0.75, r.p75_disc), (0.9, r.p90_disc)):
+            assert v in by_prio[r.o_orderpriority]
+            assert v == xs[math.ceil(q * len(xs)) - 1]
+        assert r.p25_disc <= r.p50_disc <= r.p75_disc <= r.p90_disc
+
+
+def test_column_profile_entropy_bounds(spark):
+    rows = _rows(spark, "dq_column_profile")
+    assert {r.col for r in rows} == {"o_orderpriority", "o_orderstatus", "o_custkey"}
+    total = load_table(spark, SF_DIR, "orders").count()
+    for r in rows:
+        assert r.n == total
+        assert r.n_null == 0
+        assert 0.0 < r.distinct_ratio <= 1.0
+        # Shannon entropy is bounded by ln(k) and non-negative
+        assert -1e-9 <= r.shannon_entropy <= math.log(r.n_distinct) + 1e-9
+    # brute-force entropy for one column
+    vals = defaultdict(int)
+    for o in load_table(spark, SF_DIR, "orders").select("o_orderpriority").collect():
+        vals[o.o_orderpriority] += 1
+    n = sum(vals.values())
+    expected = -sum((c / n) * math.log(c / n) for c in vals.values())
+    got = next(r for r in rows if r.col == "o_orderpriority").shannon_entropy
+    assert abs(got - expected) < 1e-5
