@@ -1916,3 +1916,134 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("esum"), 6).cast("double").alias("shannon_entropy"),
         )
     )
+
+
+@query(
+    "llmops_dedup_survivorship",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             md5(substr(trim(lower(text)), 1, 40)) AS cluster_key
+      FROM documents
+    ), clusters AS (
+      SELECT cluster_key,
+             CAST(count(*) AS BIGINT) AS n_members,
+             CAST(min(doc_id) AS BIGINT) AS survivor_doc_id,
+             CAST((min(CAST((100000 - n_chars) AS BIGINT) * 10000000 + doc_id))
+                  % 10000000 AS BIGINT) AS longest_doc_id,
+             CAST(CASE WHEN count(DISTINCT lang) > 1 THEN 1 ELSE 0 END AS INTEGER)
+               AS lang_conflict,
+             CAST(max(n_chars) AS BIGINT) AS max_chars
+      FROM keyed GROUP BY 1 HAVING count(*) >= 2
+    )
+    SELECT cluster_key, n_members, survivor_doc_id, longest_doc_id,
+           lang_conflict, max_chars
+    FROM clusters
+    """,
+)
+def llmops_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record selection: after near-dup clustering
+    (here: normalized 40-char prefix keys, the llmops_prefix_dedup_groups
+    blocking), pick each cluster's canonical record under two competing
+    rules — deterministic first (lowest doc_id) and content-richest
+    (longest text, doc_id tie-break) — and flag clusters whose members
+    disagree on a field (lang): the MDM step between "these are dupes"
+    and "this is the row we keep", and the conflict flag is the queue a
+    human review process consumes.
+
+    Spark-first: one aggregation over the cluster key with map-side
+    combine; the argmax-by-length is encoded as a single packed-integer
+    min ((100000−n_chars)·10⁷ + doc_id — monotone in (-n_chars, doc_id),
+    exact BIGINT, no engine-specific max_by tie behavior); shuffles
+    carry 16-byte keys and scalars, never text."""
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.md5(F.substring(F.trim(F.lower(F.col("text"))), 1, 40)).alias("cluster_key"),
+    )
+    packed = (F.lit(100000) - F.col("n_chars")).cast("bigint") * 10000000 + F.col(
+        "doc_id"
+    )
+    return (
+        keyed.groupBy("cluster_key")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min("doc_id").cast("bigint").alias("survivor_doc_id"),
+            F.pmod(F.min(packed), F.lit(10000000)).cast("bigint").alias(
+                "longest_doc_id"
+            ),
+            F.when(F.countDistinct("lang") > 1, 1).otherwise(0).cast("int").alias(
+                "lang_conflict"
+            ),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_key",
+            "n_members",
+            "survivor_doc_id",
+            "longest_doc_id",
+            "lang_conflict",
+            "max_chars",
+        )
+    )
+
+
+@query(
+    "llmops_sample_size_planner",
+    oracle="""
+    WITH baselines AS (
+      SELECT * FROM (VALUES (0.05), (0.10), (0.20)) AS b(p1)
+    ), mdes AS (
+      SELECT * FROM (VALUES (0.05), (0.10), (0.20)) AS m(mde_rel)
+    ), grid AS (
+      SELECT p1, mde_rel, p1 * (1.0 + mde_rel) AS p2 FROM baselines CROSS JOIN mdes
+    )
+    SELECT p1, mde_rel, round(p2, 6) AS p2,
+           CAST(ceil(
+             (1.959964 + 0.841621) * (1.959964 + 0.841621)
+             * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+             / ((p2 - p1) * (p2 - p1))
+           ) AS BIGINT) AS n_per_arm,
+           CAST(2 * ceil(
+             (1.959964 + 0.841621) * (1.959964 + 0.841621)
+             * (p1 * (1.0 - p1) + p2 * (1.0 - p2))
+             / ((p2 - p1) * (p2 - p1))
+           ) AS BIGINT) AS n_total
+    FROM grid
+    """,
+)
+def llmops_sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion experiment sample-size planning table (α=0.05
+    two-sided, power=0.80): for a grid of baseline conversion rates ×
+    relative minimum detectable effects, the per-arm n from the standard
+    normal-approximation formula — the table a team consults before
+    launching the A/B tests that events_ab_uplift later reads out. The z
+    constants are spelled as identical double literals in both engines
+    (never an inverse-CDF call, which neither engine shares).
+
+    Spark-first: a VALUES×VALUES grid — constant-folded, zero scans; it
+    exists to pin the planning arithmetic into the verified registry
+    (sample-size bugs silently undermine every experiment downstream).
+    sf_dir is accepted and unused: the planner is data-free."""
+    baselines = spark.createDataFrame([(0.05,), (0.10,), (0.20,)], ["p1"])
+    mdes = spark.createDataFrame([(0.05,), (0.10,), (0.20,)], ["mde_rel"])
+    grid = baselines.crossJoin(F.broadcast(mdes)).withColumn(
+        "p2", F.col("p1") * (1.0 + F.col("mde_rel"))
+    )
+    z = 1.959964 + 0.841621
+    n_arm = F.ceil(
+        z
+        * z
+        * (F.col("p1") * (1.0 - F.col("p1")) + F.col("p2") * (1.0 - F.col("p2")))
+        / ((F.col("p2") - F.col("p1")) * (F.col("p2") - F.col("p1")))
+    ).cast("bigint")
+    return grid.select(
+        "p1",
+        "mde_rel",
+        F.round("p2", 6).alias("p2"),
+        n_arm.alias("n_per_arm"),
+        (2 * n_arm).cast("bigint").alias("n_total"),
+    )
