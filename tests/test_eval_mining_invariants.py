@@ -433,3 +433,46 @@ def test_column_profile_entropy_bounds(spark):
     expected = -sum((c / n) * math.log(c / n) for c in vals.values())
     got = next(r for r in rows if r.col == "o_orderpriority").shannon_entropy
     assert abs(got - expected) < 1e-5
+
+
+def test_survivorship_rules_match_bruteforce(spark):
+    rows = _rows(spark, "llmops_dedup_survivorship")
+    assert rows
+    import hashlib as _h
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars", "text"
+    ).collect()
+    clusters = defaultdict(list)
+    for d in docs:
+        k = _h.md5(d.text.strip().lower()[:40].encode()).hexdigest()
+        clusters[k].append(d)
+    expected = {k: v for k, v in clusters.items() if len(v) >= 2}
+    assert {r.cluster_key for r in rows} == set(expected)
+    for r in rows:
+        mem = expected[r.cluster_key]
+        assert r.n_members == len(mem)
+        assert r.survivor_doc_id == min(d.doc_id for d in mem)
+        best = min(mem, key=lambda d: (-d.n_chars, d.doc_id))
+        assert r.longest_doc_id == best.doc_id
+        assert r.max_chars == max(d.n_chars for d in mem)
+        assert r.lang_conflict == (1 if len({d.lang for d in mem}) > 1 else 0)
+
+
+def test_sample_size_planner_matches_formula(spark):
+    rows = _rows(spark, "llmops_sample_size_planner")
+    assert len(rows) == 9
+    z = 1.959964 + 0.841621
+    for r in rows:
+        p2 = r.p1 * (1 + r.mde_rel)
+        n = math.ceil(z * z * (r.p1 * (1 - r.p1) + p2 * (1 - p2)) / (p2 - r.p1) ** 2)
+        assert r.n_per_arm == n
+        assert r.n_total == 2 * n
+        # sanity: smaller effects need more samples
+    by_p1 = defaultdict(list)
+    for r in rows:
+        by_p1[r.p1].append((r.mde_rel, r.n_per_arm))
+    for arms in by_p1.values():
+        arms.sort()
+        ns = [n for _, n in arms]
+        assert ns == sorted(ns, reverse=True)
