@@ -117,7 +117,8 @@ _PRIORITY = [
 # window_rolling_corr, events_cusum_drift, agg_theil_decomposition,
 # llmops_quantile_normalize, llmops_ngram_novelty,
 # agg_percentile_disc_battery, dq_column_profile,
-# llmops_dedup_survivorship, llmops_sample_size_planner) — plus re-attestation for
+# llmops_dedup_survivorship, llmops_sample_size_planner,
+# events_markov_stationary, llmops_shard_file_planner) — plus re-attestation for
 # the plans changed this round: q15_top_supplier, udtf_top_bigrams,
 # llmops_train_shuffle, llmops_zipf_slope, cust_rfm_segments (in-window).
 

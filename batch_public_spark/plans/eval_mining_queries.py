@@ -2047,3 +2047,132 @@ def llmops_sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_arm.alias("n_per_arm"),
         (2 * n_arm).cast("bigint").alias("n_total"),
     )
+
+
+@query(
+    "events_markov_stationary",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS nxt
+      FROM events
+    ), trans AS (
+      SELECT event_type AS src, nxt AS dst, CAST(count(*) AS BIGINT) AS c
+      FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ), p AS (
+      SELECT src, dst,
+             round(c * 1.0 / sum(c) OVER (PARTITION BY src), 10) AS pr
+      FROM trans
+    ), states AS (
+      SELECT DISTINCT src AS s FROM trans
+    ), n AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+    pi0 AS (
+      SELECT s, round(1.0 / k, 10) AS v FROM states CROSS JOIN n
+    ), pi1 AS (
+      SELECT p.dst AS s, round(sum(round(pi0.v * p.pr, 10)), 10) AS v
+      FROM pi0 JOIN p ON p.src = pi0.s GROUP BY 1
+    ), pi2 AS (
+      SELECT p.dst AS s, round(sum(round(pi1.v * p.pr, 10)), 10) AS v
+      FROM pi1 JOIN p ON p.src = pi1.s GROUP BY 1
+    ), pi3 AS (
+      SELECT p.dst AS s, round(sum(round(pi2.v * p.pr, 10)), 10) AS v
+      FROM pi2 JOIN p ON p.src = pi2.s GROUP BY 1
+    )
+    SELECT s AS event_type, round(v, 6) AS pi FROM pi3
+    """,
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary-distribution estimate of the event-type Markov chain:
+    three power-iteration steps from the uniform vector over the
+    user-journey transition matrix (the same chain
+    events_transition_matrix tabulates) — "where does a user's session
+    settle?", the long-run occupancy that ranks states by eventual
+    traffic rather than raw counts.
+
+    Spark-first: the transition matrix is a bounded |types|² table; each
+    iteration is a broadcast join + aggregation on it (the
+    llmops_term_pagerank shape, but the matrix is tiny so every step
+    broadcasts). Fixed-precision discipline for an iterative algorithm:
+    probabilities and every per-step product/sum are rounded to 10dp in
+    BOTH engines, so three iterations stay bit-identical — the same
+    trick that made k-means and PageRank oracle-checkable."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("src"), F.col("nxt").alias("dst")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    p = trans.select(
+        "src",
+        "dst",
+        F.round(
+            F.col("c") * 1.0 / F.sum("c").over(W.partitionBy("src")), 10
+        ).alias("pr"),
+    )
+    states = trans.select(F.col("src").alias("s")).distinct()
+    k = states.count()  # bounded by the event-type vocabulary (plan-time scalar)
+    pi = states.select("s", F.round(F.lit(1.0 / k), 10).alias("v"))
+    for _ in range(3):
+        pi = (
+            pi.join(F.broadcast(p), pi.s == p.src)
+            .groupBy(F.col("dst").alias("s2"))
+            .agg(F.round(F.sum(F.round(F.col("v") * F.col("pr"), 10)), 10).alias("v"))
+            .withColumnRenamed("s2", "s")
+        )
+    return pi.select(F.col("s").alias("event_type"), F.round("v", 6).alias("pi"))
+
+
+@query(
+    "llmops_shard_file_planner",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_bytes
+      FROM documents GROUP BY 1
+    )
+    SELECT source, n_docs, total_bytes,
+           CAST((total_bytes + 4095) // 4096 AS BIGINT) AS n_shards,
+           CAST((n_docs + ((total_bytes + 4095) // 4096) - 1)
+                // ((total_bytes + 4095) // 4096) AS BIGINT) AS max_rows_per_shard,
+           CAST(((total_bytes + 4095) // 4096) * 4096 - total_bytes AS BIGINT)
+             AS padding_bytes
+    FROM src
+    """,
+)
+def llmops_shard_file_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-shard planning: per source, how many ~4 KiB shards (fixture-calibrated; production targets 128-512 MB with identical arithmetic) the
+    corpus needs, the row cap per shard, and the padding slack — the
+    arithmetic behind `maxRecordsPerFile` / compaction target sizing
+    (sources/maintenance.py) surfaced as a verified query, because a
+    sizing bug silently produces the small-file problem the compactor
+    exists to fix. Byte counts proxy via n_chars (the fixture's only
+    size column).
+
+    Spark-first: one aggregation to the per-source grid; all planning
+    arithmetic is BIGINT ceil-division (a+b−1 div b — no float floor
+    anywhere), so the plan a driver reads equals the plan the writer
+    executes. At 100 TB the same query plans real byte sums from file
+    metadata."""
+    d = t(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_bytes"),
+    )
+    n_shards = F.expr("(total_bytes + 4095) div 4096")
+    return src.select(
+        "source",
+        "n_docs",
+        "total_bytes",
+        n_shards.cast("bigint").alias("n_shards"),
+        F.expr(
+            "(n_docs + ((total_bytes + 4095) div 4096) - 1)"
+            " div ((total_bytes + 4095) div 4096)"
+        )
+        .cast("bigint")
+        .alias("max_rows_per_shard"),
+        (n_shards * 4096 - F.col("total_bytes")).cast("bigint").alias("padding_bytes"),
+    )
