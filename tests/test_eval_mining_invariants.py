@@ -476,3 +476,44 @@ def test_sample_size_planner_matches_formula(spark):
         arms.sort()
         ns = [n for _, n in arms]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_markov_stationary_is_probability_vector(spark):
+    """π after 3 iterations is a probability vector over the observed
+    states, and matches a pure-Python replay of the rounded iteration."""
+    rows = _rows(spark, "events_markov_stationary")
+    assert abs(sum(r.pi for r in rows) - 1.0) < 1e-4
+    assert all(r.pi > 0 for r in rows)
+    # replay: build transition matrix and iterate with the same rounding
+    ev = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user = defaultdict(list)
+    for e in ev:
+        by_user[e.user_id].append((e.ts, e.event_id, e.event_type))
+    trans = defaultdict(int)
+    row_tot = defaultdict(int)
+    for seq in by_user.values():
+        seq.sort()
+        for (_, _, a), (_, _, b) in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+            row_tot[a] += 1
+    p = {k: round(c / row_tot[k[0]], 10) for k, c in trans.items()}
+    states = sorted(row_tot)
+    pi = {s: round(1.0 / len(states), 10) for s in states}
+    for _ in range(3):
+        nxt = defaultdict(float)
+        for (a, b), pr in p.items():
+            nxt[b] += round(pi[a] * pr, 10)
+        pi = {s: round(v, 10) for s, v in nxt.items()}
+    for r in rows:
+        assert abs(r.pi - round(pi[r.event_type], 6)) < 2e-6
+
+
+def test_shard_planner_ceil_division_consistent(spark):
+    rows = _rows(spark, "llmops_shard_file_planner")
+    for r in rows:
+        assert r.n_shards == math.ceil(r.total_bytes / 4096)
+        assert r.max_rows_per_shard == math.ceil(r.n_docs / r.n_shards)
+        assert 0 <= r.padding_bytes < 4096 * r.n_shards
+        assert r.n_shards * r.max_rows_per_shard >= r.n_docs
