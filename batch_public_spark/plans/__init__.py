@@ -118,7 +118,8 @@ _PRIORITY = [
 # llmops_quantile_normalize, llmops_ngram_novelty,
 # agg_percentile_disc_battery, dq_column_profile,
 # llmops_dedup_survivorship, llmops_sample_size_planner,
-# events_markov_stationary, llmops_shard_file_planner) — plus re-attestation for
+# events_markov_stationary, llmops_shard_file_planner,
+# dq_freshness_sla, agg_bootstrap_hash_ci) — plus re-attestation for
 # the plans changed this round: q15_top_supplier, udtf_top_bigrams,
 # llmops_train_shuffle, llmops_zipf_slope, cust_rfm_segments (in-window).
 

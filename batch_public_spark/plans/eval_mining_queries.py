@@ -2176,3 +2176,175 @@ def llmops_shard_file_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_rows_per_shard"),
         (n_shards * 4096 - F.col("total_bytes")).cast("bigint").alias("padding_bytes"),
     )
+
+
+@query(
+    "dq_freshness_sla",
+    oracle="""
+    WITH per_type AS (
+      SELECT event_type,
+             CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ), overall AS (
+      SELECT CAST(max(max_ts_us) AS BIGINT) AS global_max_us FROM per_type
+    )
+    SELECT p.event_type, p.n_events,
+           CAST((o.global_max_us - p.max_ts_us) // 60000000 AS BIGINT)
+             AS lag_minutes,
+           CAST(CASE WHEN o.global_max_us - p.max_ts_us > CAST(7200000000 AS BIGINT)
+                     THEN 1 ELSE 0 END AS INTEGER) AS sla_breach
+    FROM per_type p CROSS JOIN overall o
+    """,
+)
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA monitor: per event stream, how far its newest
+    record lags the freshest stream, and whether that staleness breaches
+    a 2-hour SLA — the "is this feed stuck?" gate every ingestion
+    platform runs beside volume checks (a feed can keep its row counts
+    while silently replaying old data; the lag catches it). Complements
+    the ingestion-side high-water-mark (pipeline watermark filter) with
+    a consumer-side view.
+
+    Spark-first: ONE aggregation to |streams| rows (max is map-side
+    combinable — the scan never shuffles raw events), the global max
+    broadcast back; arithmetic is integer microseconds with integer
+    division to minutes, exact in both engines. At 100 TB the same
+    query reads partition-level max stats instead of scanning."""
+    ev = t(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max(F.unix_micros("ts")).cast("bigint").alias("max_ts_us"),
+        F.count("*").cast("bigint").alias("n_events"),
+    )
+    overall = per_type.agg(F.max("max_ts_us").cast("bigint").alias("global_max_us"))
+    lag = F.col("global_max_us") - F.col("max_ts_us")
+    return per_type.crossJoin(F.broadcast(overall)).select(
+        "event_type",
+        "n_events",
+        F.expr("(global_max_us - max_ts_us) div 60000000")
+        .cast("bigint")
+        .alias("lag_minutes"),
+        F.when(lag > F.lit(7200000000).cast('bigint'), 1).otherwise(0).cast("int").alias("sla_breach"),
+    )
+
+
+@query(
+    "agg_bootstrap_hash_ci",
+    oracle="""
+    WITH reps AS (
+      SELECT b.b,
+             CASE ascii(substr(md5(CAST(o.o_orderkey AS VARCHAR) || '-'
+                                  || CAST(b.b AS VARCHAR)), 1, 1)) % 4
+               WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 1 END AS w,
+             CAST(o.o_totalprice AS DECIMAL(18,4)) AS x
+      FROM orders o CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS b) b
+    ), means AS (
+      SELECT b,
+             round(CAST(sum(w * x) AS DOUBLE) / sum(w), 6) AS m
+      FROM reps GROUP BY b HAVING sum(w) > 0
+    ), ranked AS (
+      SELECT m, row_number() OVER (ORDER BY m, b) AS rk,
+             count(*) OVER () AS nb
+      FROM means
+    )
+    SELECT CAST(max(nb) AS BIGINT) AS n_replicates,
+           round(CAST(sum(CAST(m AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+             AS boot_mean,
+           min(CASE WHEN rk = 2 THEN m END) AS ci_lo,
+           min(CASE WHEN rk = nb - 1 THEN m END) AS ci_hi
+    FROM ranked
+    """,
+)
+def agg_bootstrap_hash_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bootstrap confidence interval for mean order
+    revenue: 32 resampling replicates where each row's multiplicity in
+    replicate b is a hash of (key, b) mapped to {0,1,2} with mean 1 (the
+    Poisson-bootstrap idea with a two-point weight), CI from the 2nd and
+    31st ordered replicate means (~94% coverage) — resampling-based
+    uncertainty for ANY pipeline statistic without distributional
+    assumptions, and reproducible across runs/engines because the
+    "randomness" is md5.
+
+    Spark-first: replicates come from ONE pass — the 32-way expansion is
+    an in-row sequence explode feeding a map-side-combinable (b) keyed
+    aggregation, so the corpus is scanned once and the shuffle carries
+    32 partial sums per partition, not 32× the data; weighted sums go
+    through DECIMAL; the order statistics run over 32 rows. Replicate
+    count scales the CI resolution, never the scan count."""
+    o = t(spark, sf_dir, "orders")
+    reps = o.select(
+        F.col("o_totalprice").cast("decimal(18,4)").alias("x"),
+        F.col("o_orderkey"),
+        F.explode(F.sequence(F.lit(1), F.lit(32))).alias("b"),
+    ).select(
+        "b",
+        "x",
+        (
+            F.when(
+                F.pmod(
+                    F.ascii(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "-",
+                                    F.col("o_orderkey").cast("string"),
+                                    F.col("b").cast("string"),
+                                )
+                            ),
+                            1,
+                            1,
+                        )
+                    ),
+                    4,
+                )
+                == 0,
+                0,
+            )
+            .when(
+                F.pmod(
+                    F.ascii(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "-",
+                                    F.col("o_orderkey").cast("string"),
+                                    F.col("b").cast("string"),
+                                )
+                            ),
+                            1,
+                            1,
+                        )
+                    ),
+                    4,
+                )
+                == 1,
+                2,
+            )
+            .otherwise(1)
+        ).alias("w"),
+    )
+    means = (
+        reps.groupBy("b")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("x")).cast("double") / F.sum("w"), 6
+            ).alias("m"),
+            F.sum("w").alias("tw"),
+        )
+        .filter(F.col("tw") > 0)
+        .select("b", "m")
+    )
+    rw = W.partitionBy(bounded_window_key(F.col("b")))
+    ranked = means.select(
+        "m",
+        F.row_number().over(rw.orderBy("m", "b")).alias("rk"),
+        F.count("*").over(rw).alias("nb"),
+    )
+    return ranked.agg(
+        F.max("nb").cast("bigint").alias("n_replicates"),
+        F.round(
+            F.sum(F.col("m").cast("decimal(18,6)")).cast("double") / F.count("*"), 6
+        ).alias("boot_mean"),
+        F.min(F.when(F.col("rk") == 2, F.col("m"))).alias("ci_lo"),
+        F.min(F.when(F.col("rk") == F.col("nb") - 1, F.col("m"))).alias("ci_hi"),
+    )
