@@ -517,3 +517,39 @@ def test_shard_planner_ceil_division_consistent(spark):
         assert r.max_rows_per_shard == math.ceil(r.n_docs / r.n_shards)
         assert 0 <= r.padding_bytes < 4096 * r.n_shards
         assert r.n_shards * r.max_rows_per_shard >= r.n_docs
+
+
+def test_freshness_sla_lag_consistent(spark):
+    rows = _rows(spark, "dq_freshness_sla")
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "ts").collect()
+    max_by_type = {}
+    for e in ev:
+        if e.event_type not in max_by_type or e.ts > max_by_type[e.event_type]:
+            max_by_type[e.event_type] = e.ts
+    global_max = max(max_by_type.values())
+    assert {r.event_type for r in rows} == set(max_by_type)
+    freshest = [r for r in rows if r.lag_minutes == 0]
+    assert freshest  # at least one stream defines the frontier
+    for r in rows:
+        lag_min = int((global_max - max_by_type[r.event_type]).total_seconds() // 60)
+        assert r.lag_minutes == lag_min
+        assert r.sla_breach == (1 if lag_min > 120 else 0)
+
+
+def test_bootstrap_ci_brackets_true_mean(spark):
+    """The 2nd/31st order-statistic CI should bracket the true mean for
+    a well-behaved statistic, and ci_lo <= boot_mean <= ci_hi."""
+    [row] = _rows(spark, "agg_bootstrap_hash_ci")
+    assert row.n_replicates == 32
+    assert row.ci_lo <= row.boot_mean <= row.ci_hi
+    xs = [
+        o.o_totalprice
+        for o in load_table(spark, SF_DIR, "orders").select("o_totalprice").collect()
+    ]
+    true_mean = sum(xs) / len(xs)
+    assert row.ci_lo <= true_mean <= row.ci_hi
+    # CI width shrinks like 1/sqrt(n): sanity bound, not a tight check
+    import statistics
+
+    se = statistics.pstdev(xs) / math.sqrt(len(xs))
+    assert row.ci_hi - row.ci_lo < 10 * se
