@@ -759,6 +759,7 @@ def ann_ivf_topk(
     n_centroids: int = 32,
     nprobe: int = 4,
     round_sim: int = 6,
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """IVF-style approximate top-k: partition the corpus into inverted
     lists by nearest centroid, probe only the ``nprobe`` closest lists per
@@ -766,37 +767,78 @@ def ann_ivf_topk(
 
     Centroid selection is deterministic sampling (the ``n_centroids``
     smallest md5(id) values — a uniform reproducible sample standing in
-    for k-means; at production scale you'd run a few Lloyd iterations with
-    the same assignment plumbing). Scale shape: centroids broadcast to
-    both assignment passes (corpus never shuffles for assignment); the
-    probe is an equi-join on centroid_id — cost ∝ corpus×(nprobe/n_centroids)
+    for k-means; ``ann_ivf_lloyd_topk`` below refines these with real
+    Lloyd iterations on the same plumbing). Scale shape: the centroid
+    model is collected once (k×dim doubles — control plane) and shipped
+    in a ``mapInPandas`` closure; corpus assignment is a map-side numpy
+    GEMM argmax with zero row amplification and zero exchange. The probe
+    is an equi-join on centroid_id — cost ∝ corpus×(nprobe/n_centroids)
     per query instead of the full scan. Recall tunes with nprobe.
     """
     v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
 
-    cents = (
-        vectors.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cv"))
-        .orderBy(F.md5(F.col("centroid_id").cast("string")))
-        .limit(n_centroids)
-    )
-
-    # Corpus → nearest centroid (rank-1 over the broadcast centroid set).
-    va = (
-        v.crossJoin(F.broadcast(cents))
-        .select(
-            "neighbor_id",
-            "_vv",
-            "centroid_id",
-            # rounded BEFORE ranking: the assignment must be reproducible
-            # across engines and accumulation orders
-            F.round(cosine(F.col("_vv"), F.col("_cv")), round_sim).alias("_cs"),
+    if lloyd_iters > 0:
+        # Real k-means centroids: refine the md5 seed sample with Lloyd
+        # iterations (L2, fixed-precision means — the oracle-checkable
+        # discipline of kmeans_lloyd) before building the inverted lists.
+        cents = lloyd_centroids(
+            vectors,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=n_centroids,
+            iters=lloyd_iters,
+        ).select(F.col("cluster_id").alias("centroid_id"), F.col("cv").alias("_cv"))
+    else:
+        cents = (
+            vectors.select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cv"))
+            .orderBy(F.md5(F.col("centroid_id").cast("string")))
+            .limit(n_centroids)
         )
-    )
-    wv = W.partitionBy("neighbor_id").orderBy(F.desc("_cs"), "centroid_id")
-    assigned = (
-        va.withColumn("_r", F.row_number().over(wv)).filter(F.col("_r") == 1)
-        .select("neighbor_id", "_vv", "centroid_id")
+
+    # Corpus → nearest centroid via a map-side GEMM argmax (the
+    # hyperplane_signatures_gemm pattern): the centroid model (k×dim
+    # doubles — tiny at any k a driver would hold) ships to executors in
+    # the UDF closure, and each Arrow batch scores against ALL centroids
+    # with one numpy matmul. ZERO row amplification and ZERO exchange for
+    # assignment — the previous formulation cross-joined the corpus with
+    # the centroid set and shuffled |corpus|×k scored rows (with vector
+    # payloads) through a row_number window just to pick rank 1; at scale
+    # that exchange was the whole job. Tie-break parity with the oracle's
+    # ORDER BY sim DESC, centroid_id: centroids are sorted by id and
+    # np.argmax returns the FIRST maximal index, and sims are rounded at
+    # round_sim before the argmax exactly like the expression form (round
+    # absorbs fold-vs-GEMM accumulation-order noise, same contract as the
+    # DuckDB list_cosine_similarity oracle).
+    cent_rows = cents.orderBy("centroid_id").collect()  # control plane: k×dim
+    cent_ids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
+    cmat = np.array([np.asarray(r["_cv"], dtype=np.float64) for r in cent_rows])
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1.0  # zero-norm centroid → sims 0, matches cosine()
+    cunit = cmat / cnorm[:, None]
+
+    def _assign(batches: "pd.DataFrame"):  # mapInPandas: corpus stays put
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.vstack(pdf["_vv"].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            sims = np.zeros((len(pdf), len(cent_ids)))
+            nz = norms > 0
+            if nz.any():
+                sims[nz] = (m[nz] / norms[nz, None]) @ cunit.T
+            best = np.round(sims, round_sim).argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    "neighbor_id": pdf["neighbor_id"],
+                    "_vv": pdf["_vv"],
+                    "centroid_id": cent_ids[best],
+                }
+            )
+
+    vv_type = vectors.schema[vec_col].dataType.simpleString()
+    assigned = v.mapInPandas(
+        _assign, f"neighbor_id long, _vv {vv_type}, centroid_id long"
     )
 
     # Queries → nprobe nearest centroids.
@@ -932,6 +974,43 @@ def _kmeans_assign(v: DataFrame, cents: DataFrame, round_at: int) -> DataFrame:
     )
 
 
+def lloyd_centroids(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 1,
+    round_at: int = 6,
+) -> DataFrame:
+    """``(cluster_id, cv)`` centroids after ``iters`` Lloyd iterations from
+    the deterministic md5 seed sample. The shared refinement core of
+    :func:`kmeans_lloyd` and :func:`ann_ivf_topk`'s ``lloyd_iters`` path:
+    per-iteration means are rounded at ``round_at`` so the trajectory is
+    bit-reproducible and fully oracle-expressible. cluster_id stays the
+    seed row's id (distinct by construction — stable tie-break key)."""
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vv")
+    )
+    cents = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(k)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("vv").alias("cv"))
+    )
+    for _ in range(iters):
+        assigned = _kmeans_assign(v, cents, round_at)
+        dims = assigned.select("cluster_id", F.posexplode("vv").alias("pos", "x"))
+        means = dims.groupBy("cluster_id", "pos").agg(
+            F.round(F.avg("x"), round_at).alias("m")
+        )
+        cents = means.groupBy("cluster_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("cv")
+        )
+    return cents
+
+
 def kmeans_lloyd(
     vectors: DataFrame,
     *,
@@ -964,22 +1043,9 @@ def kmeans_lloyd(
     v = vectors.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("vv")
     )
-    cents = (
-        v.orderBy(F.md5(F.col("vec_id").cast("string")))
-        .limit(k)
-        .select(F.col("vec_id").alias("cluster_id"), F.col("vv").alias("cv"))
+    cents = lloyd_centroids(
+        vectors, id_col=id_col, vec_col=vec_col, k=k, iters=iters, round_at=round_at
     )
-    for _ in range(iters):
-        assigned = _kmeans_assign(v, cents, round_at)
-        dims = assigned.select("cluster_id", F.posexplode("vv").alias("pos", "x"))
-        means = dims.groupBy("cluster_id", "pos").agg(
-            F.round(F.avg("x"), round_at).alias("m")
-        )
-        cents = means.groupBy("cluster_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("cv")
-        )
     final = _kmeans_assign(v, cents, round_at)
     return final.groupBy("cluster_id").agg(
         F.count("*").alias("n_members"),

@@ -461,6 +461,105 @@ def llmops_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llmops_ann_ivf_lloyd_recall",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+    ),
+    a1 AS (
+      SELECT vec_id, vv, cluster_id FROM (
+        SELECT v.vec_id, v.vv, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 round(list_sum(list_transform(list_zip(v.vv, c.cv),
+                                               s -> (s[1]-s[2])^2)), 6),
+                 c.cluster_id) AS r
+        FROM v CROSS JOIN c0 c) WHERE r = 1
+    ),
+    dims AS (
+      SELECT cluster_id, i AS pos, round(avg(vv[i]), 6) AS m
+      FROM a1 CROSS JOIN generate_series(1, 64) g(i)
+      GROUP BY cluster_id, i
+    ),
+    c1 AS (SELECT cluster_id AS centroid_id, array_agg(m ORDER BY pos) AS cv
+           FROM dims GROUP BY cluster_id),
+    q AS (SELECT vec_id AS query_id, vv AS qv FROM v WHERE vec_id < 5),
+    assigned AS (
+      SELECT neighbor_id, vv, centroid_id FROM (
+        SELECT v.vec_id AS neighbor_id, v.vv, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 ROUND(list_cosine_similarity(v.vv, c.cv), 6) DESC, c.centroid_id
+               ) AS r
+        FROM v CROSS JOIN c1 c) WHERE r = 1
+    ),
+    probes AS (
+      SELECT query_id, qv, centroid_id FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.centroid_id
+               ) AS r
+        FROM q CROSS JOIN c1 c) WHERE r <= 2
+    ),
+    ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                 ROUND(list_cosine_similarity(p.qv, a.vv), 6) DESC, a.neighbor_id
+               ) AS rank
+        FROM assigned a JOIN probes p USING (centroid_id)
+        WHERE a.neighbor_id != p.query_id) WHERE rank <= 5
+    ),
+    bf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 ROUND(list_cosine_similarity(q.qv, v.vv), 6) DESC, v.vec_id
+               ) AS rank
+        FROM v CROSS JOIN q WHERE v.vec_id != q.query_id) WHERE rank <= 5
+    ),
+    hits AS (
+      SELECT i.query_id, CAST(count(*) AS BIGINT) AS hits
+      FROM ivf i JOIN bf b
+        ON i.query_id = b.query_id AND i.neighbor_id = b.neighbor_id
+      GROUP BY i.query_id
+    )
+    SELECT q.query_id,
+           COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+           round(COALESCE(h.hits, 0) / 5.0, 6) AS recall_at_5
+    FROM q LEFT JOIN hits h USING (query_id)
+    """,
+)
+def llmops_ann_ivf_lloyd_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of Lloyd-refined IVF against the brute-force ground truth —
+    the accuracy anchor for the ``lloyd_iters`` path of ann_ivf_topk (the
+    pattern of llmops_minhash_estimator_accuracy: the approximate family's
+    quality is itself an oracle-hashed query, not a test-only claim).
+    Centroids are the k=8 md5 seed sample refined by ONE L2 Lloyd round
+    (fixed-precision means — the kmeans_lloyd discipline, which is what
+    makes the full DuckDB replay possible); probes nprobe=2 of 8 lists, so
+    recall is genuinely < 1 for some queries and the measurement is
+    non-vacuous. Scale shape inherits from the parents: centroid model is
+    control-plane, corpus assignment is the map-side GEMM argmax, and the
+    recall join broadcasts the 25-row ground-truth side."""
+    vecs = t(spark, sf_dir, "embeddings")
+    qs = vecs.filter(F.col("vec_id") < 5)
+    ivf = ann_ivf_topk(vecs, qs, k=5, n_centroids=8, nprobe=2, lloyd_iters=1)
+    bf = ann_bruteforce_topk(vecs, qs, k=5).select("query_id", "neighbor_id")
+    per_q = (
+        ivf.join(F.broadcast(bf), ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("bigint").alias("hits"))
+    )
+    base = qs.select(F.col("vec_id").alias("query_id"))
+    return base.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("hits"), F.lit(0).cast("bigint")).alias("hits"),
+        F.round(F.coalesce(F.col("hits"), F.lit(0)) / F.lit(5.0), 6).alias("recall_at_5"),
+    )
+
+
+@query(
     "llmops_dedup_cc",
     oracle=f"""
     WITH RECURSIVE

@@ -711,6 +711,121 @@ def llmops_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Count-min sketch geometry: d independent hash rows × w buckets. Buckets
+# derive from md5 hex (the _hex3 portable-hash discipline of
+# curation_queries) so BOTH engines address the identical sketch cells.
+_CM_D = 4
+_CM_W = 64
+
+
+def _cm_bucket_sql(j: int) -> str:
+    """SQL (engine-neutral): count-min bucket of ``term`` for hash row j."""
+    from batch_public_spark.plans.curation_queries import _hex3
+
+    inner = "md5(concat('cm" + str(j) + ":', term))"
+    return f"({_hex3(inner)} % {_CM_W})"
+
+
+@query(
+    "llmops_countmin_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM counts),
+    cells AS (
+      SELECT j,
+             CASE j WHEN 0 THEN {_cm_bucket_sql(0)}
+                    WHEN 1 THEN {_cm_bucket_sql(1)}
+                    WHEN 2 THEN {_cm_bucket_sql(2)}
+                    ELSE {_cm_bucket_sql(3)} END AS bucket,
+             term, n
+      FROM counts CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+    ), cm AS (
+      SELECT j, bucket, CAST(sum(n) AS BIGINT) AS cnt
+      FROM cells GROUP BY j, bucket
+    ), est AS (
+      SELECT c.term, max(c.n) AS n, CAST(min(s.cnt) AS BIGINT) AS est
+      FROM cells c JOIN cm s ON c.j = s.j AND c.bucket = s.bucket
+      GROUP BY c.term
+    ), cands AS (
+      SELECT CAST(count(*) AS BIGINT) AS sketch_candidates
+      FROM est CROSS JOIN tot WHERE est * 1000 > total
+    )
+    SELECT term, n, est, est >= n AS est_ge_exact, sketch_candidates
+    FROM est CROSS JOIN tot CROSS JOIN cands
+    WHERE n * 1000 > total
+    """,
+)
+def llmops_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch pass over the token stream, validated against the
+    exact heavy hitters: for every exact >0.1% term the sketch estimate is
+    ≥ the true count (the count-min one-sided guarantee, emitted as the
+    ``est_ge_exact`` column the oracle hash pins to true), and
+    ``sketch_candidates`` — the number of terms the SKETCH would flag at
+    the same threshold — bounds the superset's inflation. This is the
+    approximate pass llmops_heavy_hitters documents itself as ground
+    truth for.
+
+    Spark-first scale shape: count-min is LINEAR, so the sketch is built
+    from the |vocab|-row count table (one explode + map-side-combined
+    count — the same single corpus scan the exact query does), not by
+    re-hashing every token occurrence; each vocab row fans out to its
+    d=4 (row, bucket) cells and ONE aggregation produces all d×w=256
+    sketch cells with map-side partials — exactly how mergeable
+    per-partition sketches combine. Bucket addressing is md5-hex
+    arithmetic (curation_queries._hex3) evaluated from identical inputs
+    in both engines, so the DuckDB replay fills the identical sketch."""
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
+    cells = counts.select(
+        "term",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.expr(_cm_bucket_sql(j)).cast("int").alias("bucket"),
+                    )
+                    for j in range(_CM_D)
+                ]
+            )
+        ).alias("jb"),
+    ).select("term", "n", F.col("jb.j").alias("j"), F.col("jb.bucket").alias("bucket"))
+    cm = cells.groupBy("j", "bucket").agg(F.sum("n").cast("bigint").alias("cnt"))
+    est = (
+        cells.join(cm, ["j", "bucket"])
+        .groupBy("term")
+        .agg(F.max("n").alias("n"), F.min("cnt").cast("bigint").alias("est"))
+    )
+    cands = (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("est") * 1000 > F.col("total"))
+        .agg(F.count("*").cast("bigint").alias("sketch_candidates"))
+    )
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("n") * 1000 > F.col("total"))
+        .crossJoin(F.broadcast(cands))
+        .select(
+            "term",
+            "n",
+            "est",
+            (F.col("est") >= F.col("n")).alias("est_ge_exact"),
+            "sketch_candidates",
+        )
+    )
+
+
 @query(
     "agg_winsorized_stats",
     oracle="""
