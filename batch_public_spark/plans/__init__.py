@@ -29,103 +29,96 @@ from batch_public_spark.plans import stats_queries  # noqa: F401
 from batch_public_spark.plans import eval_mining_queries  # noqa: F401  # eval/mining/allocation family
 
 # Names pinned to the front of the registry, in order (see module docstring).
-# Round 4: CORRECTNESS_r01+r02+r03 cover 150/153 registered queries; the 3
-# never-driver-verified ones lead so this round's window closes cumulative
-# coverage to 153/153. Next come queries whose plan or threshold changed
-# this round (re-verification), then every query newly added this round.
+# Names pinned to the front of the registry, in order (see module docstring).
+# Round 6 rotation (verdict-r5 item #1): CORRECTNESS_r01..r05 union covers
+# 197/261 registered queries with 64 never driver-verified. The 50-entry
+# window below carries the 2 plans rewritten in r5 after their last driver
+# check (llmops_ann_ivf, llmops_kmeans_lloyd — re-attestation) followed by
+# 48 of the 64-query backlog. The 16 that do not fit are declared in
+# _NEXT_WINDOW and MUST lead the r7 rotation; tests/test_registry_rotation.py
+# enforces that every registered query is driver-attested, in this window,
+# or in _NEXT_WINDOW (and that _NEXT_WINDOW fits a single future window).
 _PRIORITY = [
-    # --- never driver-verified (outside all three prior windows) ---
-    "llmops_term_pagerank",
-    "join_orders_within_week",
-    "dq_orders_constraints",
-    # --- changed this round: re-verify ---
-    "llmops_embedding_neardup",  # threshold 0.8 -> 0.4 (r3 hash-match was vacuous: 0 rows)
-    "llmops_bpe_first_merges",  # global-rank window -> TakeOrdered top-k
-    "llmops_multimodal_frames",  # sample_frames vectorized (hash must not move)
-    # --- new this round (no prior record) — keep inside the 50-window ---
-    "agg_approx_distinct_accuracy",
-    "llmops_groupwise_zscore",
-    "source_csv_roundtrip",
-    "llmops_bloom_incremental_roundtrip",
-    "stream_stream_join",
-    "source_orc_roundtrip",
-    "agg_approx_percentile_accuracy",
-    "llmops_bm25_topk",
-    "llmops_temperature_mix",
-    "events_gapfill_locf",
-    "scd2_event_type_history",
-    "cust_rfm_segments",
-    "dq_orders_mad_outliers",
-    "graph_triangle_count",
-    "llmops_pmi_collocations",
-    "sample_deterministic_per_group",
-    "source_kvscan_segmented",
-    "source_partitioned_pruning",
-    "window_rolling_7day_spend",
-    "cdc_snapshot_merge",
-    "scalar_variant_props_battery",
-    "llmops_embedding_norm_arrow",
-    "mv_incremental_refresh",
-    "maintenance_zorder_stats",
-    "llmops_span_corruption_stats",
-    "llmops_oov_rate",
-    "events_cohort_retention_matrix",
-    "llmops_rouge_overlap_pairs",
-    "llmops_dataset_card",
-    "join_bucketed_colocated",
-    "llmops_minhash_estimator_accuracy",
-    "llmops_tokenizer_fertility",
-    "events_rolling_distinct_users",
-    "agg_mode_orders",
-    "events_rate_spike_detect",
-    "llmops_prefix_dedup_groups",
-    "window_value_functions_battery",
-    "llmops_embedding_pca_power",
-    "events_hypertable_rollup",
-    "join_range_containment",
-    "llmops_url_canonicalize",
-    "agg_conditional_battery",
-    "llmops_label_encode",
-    "events_idle_gap_stats",
+    # --- changed in r5 after last driver check: re-attest post-rewrite hashes ---
+    "llmops_ann_ivf",
+    "llmops_kmeans_lloyd",
+    # --- never driver-verified (48 of the 64-query backlog) ---
+    "llmops_ann_ivf_lloyd_recall",
+    "llmops_countmin_heavy_hitters",
+    "llmops_dedup_cascade_e2e",
+    "events_ab_uplift",
+    "llmops_simhash_estimator_accuracy",
+    "dq_psi_drift",
+    "llmops_ks_drift",
+    "llmops_chi2_independence",
+    "events_max_concurrency",
+    "events_ewma_daily",
+    "window_rolling_median_daily",
+    "llmops_zipf_slope",
+    "llmops_length_bucket_batching",
+    "llmops_edit_distance_pairs",
+    "llmops_heavy_hitters",
+    "agg_winsorized_stats",
+    "events_lasttouch_attribution",
+    "dq_k_anonymity",
+    "events_interval_coalesce",
+    "mba_brand_pair_lift",
+    "agg_weighted_median",
+    "llmops_largest_remainder_allocation",
+    "llmops_score_auc",
+    "llmops_classifier_prf",
+    "llmops_calibration_ece",
+    "events_seasonal_residual_outliers",
+    "llmops_inverted_index",
+    "graph_clustering_coefficient",
+    "window_pareto_frontier",
+    "events_time_weighted_avg",
+    "agg_skew_kurtosis_exact",
+    "llmops_embedding_dim_stats",
+    "dq_snapshot_diff_classify",
+    "events_gapfill_interpolate",
+    "llmops_impute_battery",
+    "window_rolling_corr",
+    "events_cusum_drift",
+    "agg_theil_decomposition",
+    "llmops_quantile_normalize",
+    "llmops_ngram_novelty",
+    "agg_percentile_disc_battery",
+    "dq_column_profile",
+    "llmops_dedup_survivorship",
+    "llmops_sample_size_planner",
+    "events_markov_stationary",
+    "llmops_shard_file_planner",
+    "dq_freshness_sla",
+    "agg_bootstrap_hash_ci",
+]
+
+# The remainder of the never-driver-verified backlog. These 16 did not fit
+# the r6 window; they are the mandatory head of the r7 _PRIORITY rotation.
+# tests/test_registry_rotation.py fails if a registered query is in none of
+# {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}.
+_NEXT_WINDOW = [
+    "setop_bag_semantics",
+    "agg_multi_distinct",
+    "subquery_not_in_null_trap",
+    "source_jsonl_roundtrip",
+    "date_interval_battery",
+    "window_order_streaks",
+    "dq_schema_contract_check",
+    "events_dow_hour_profile",
+    "llmops_boilerplate_sentence_filter",
+    "events_journey_pattern_match",
+    "llmops_dataset_mixture_epochs",
+    "events_time_to_convert",
+    "dq_benford_first_digit",
+    "agg_gini_daily_revenue",
+    "llmops_kl_source_divergence",
+    "join_salted_hotkey",
 ]
 
 
-# Round-5 rotation candidates (added after this round's 50-entry window
-# filled; each is builder-parity-green but has no driver record yet):
-# the statistical-monitoring family (dq_psi_drift, llmops_ks_drift,
-# llmops_chi2_independence, events_max_concurrency, events_ewma_daily,
-# window_rolling_median_daily, llmops_zipf_slope,
-# llmops_length_bucket_batching), robust stats + attribution
-# (llmops_edit_distance_pairs, llmops_heavy_hitters, agg_winsorized_stats,
-# events_lasttouch_attribution), llmops_boilerplate_sentence_filter,
-# llmops_dedup_cascade_e2e, events_ab_uplift, join_salted_hotkey,
-# dq_k_anonymity, llmops_kl_source_divergence, events_time_to_convert,
-# llmops_simhash_estimator_accuracy, source_jsonl_roundtrip,
-# date_interval_battery, window_order_streaks, llmops_dataset_mixture_epochs,
-# dq_schema_contract_check, events_dow_hour_profile, setop_bag_semantics,
-# agg_multi_distinct, subquery_not_in_null_trap, dq_benford_first_digit,
-# agg_gini_daily_revenue, events_journey_pattern_match, and the
-# evaluation/mining/allocation family (events_interval_coalesce,
-# mba_brand_pair_lift, agg_weighted_median,
-# llmops_largest_remainder_allocation, llmops_score_auc,
-# llmops_classifier_prf, llmops_calibration_ece, plus
-# events_seasonal_residual_outliers, llmops_inverted_index,
-# graph_clustering_coefficient, window_pareto_frontier,
-# events_time_weighted_avg, agg_skew_kurtosis_exact,
-# llmops_embedding_dim_stats, dq_snapshot_diff_classify,
-# events_gapfill_interpolate, llmops_impute_battery,
-# window_rolling_corr, events_cusum_drift, agg_theil_decomposition,
-# llmops_quantile_normalize, llmops_ngram_novelty,
-# agg_percentile_disc_battery, dq_column_profile,
-# llmops_dedup_survivorship, llmops_sample_size_planner,
-# events_markov_stationary, llmops_shard_file_planner,
-# dq_freshness_sla, agg_bootstrap_hash_ci) — plus re-attestation for
-# the plans changed this round: q15_top_supplier, udtf_top_bigrams,
-# llmops_train_shuffle, llmops_zipf_slope, cust_rfm_segments (in-window).
-
-
 def _reorder() -> None:
-    missing = [n for n in _PRIORITY if n not in QUERIES]
+    missing = [n for n in (*_PRIORITY, *_NEXT_WINDOW) if n not in QUERIES]
     if missing:  # registration drift is a bug, not a silent downgrade
         raise RuntimeError(f"priority list references unregistered queries: {missing}")
     ordered = {n: QUERIES[n] for n in _PRIORITY}
