@@ -807,11 +807,23 @@ def ann_ivf_topk(
     # that exchange was the whole job. Tie-break parity with the oracle's
     # ORDER BY sim DESC, centroid_id: centroids are sorted by id and
     # np.argmax returns the FIRST maximal index, and sims are rounded at
-    # round_sim before the argmax exactly like the expression form (round
-    # absorbs fold-vs-GEMM accumulation-order noise, same contract as the
-    # DuckDB list_cosine_similarity oracle).
+    # round_sim before the argmax with the same half-away-from-zero rule
+    # as F.round / DuckDB ROUND (np.round would be half-to-even; the
+    # divergence needs an exact decimal half in binary doubles — all but
+    # unreachable, but the parity contract is kept literal anyway). The
+    # rounding absorbs fold-vs-GEMM accumulation-order noise.
     cent_rows = cents.orderBy("centroid_id").collect()  # control plane: k×dim
-    cent_ids = np.array([r["centroid_id"] for r in cent_rows], dtype=np.int64)
+    if not cent_rows:
+        # Empty corpus or n_centroids=0: no inverted lists, no candidates.
+        # (Without the guard, np.linalg.norm(..., axis=1) on a (0,) array
+        # raises at plan-build time; the lazy expression form returned
+        # empty.)
+        spark = vectors.sparkSession
+        id_t = vectors.schema[id_col].dataType.simpleString()
+        return spark.createDataFrame(
+            [], f"query_id {id_t}, neighbor_id {id_t}, sim double, rank int"
+        )
+    cent_ids = np.array([r["centroid_id"] for r in cent_rows])
     cmat = np.array([np.asarray(r["_cv"], dtype=np.float64) for r in cent_rows])
     cnorm = np.linalg.norm(cmat, axis=1)
     cnorm[cnorm == 0] = 1.0  # zero-norm centroid → sims 0, matches cosine()
@@ -827,7 +839,12 @@ def ann_ivf_topk(
             nz = norms > 0
             if nz.any():
                 sims[nz] = (m[nz] / norms[nz, None]) @ cunit.T
-            best = np.round(sims, round_sim).argmax(axis=1)
+            # half-away-from-zero at round_sim decimals, matching F.round
+            scale = 10.0 ** round_sim
+            best = (
+                (np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5) / scale)
+                .argmax(axis=1)
+            )
             yield pd.DataFrame(
                 {
                     "neighbor_id": pdf["neighbor_id"],
@@ -837,8 +854,10 @@ def ann_ivf_topk(
             )
 
     vv_type = vectors.schema[vec_col].dataType.simpleString()
+    nid_type = vectors.schema[id_col].dataType.simpleString()
+    cid_type = cents.schema["centroid_id"].dataType.simpleString()
     assigned = v.mapInPandas(
-        _assign, f"neighbor_id long, _vv {vv_type}, centroid_id long"
+        _assign, f"neighbor_id {nid_type}, _vv {vv_type}, centroid_id {cid_type}"
     )
 
     # Queries → nprobe nearest centroids.

@@ -601,11 +601,15 @@ def date_trunc_weekday_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v CROSS JOIN c0 c) WHERE r = 1
     ),
     dims AS (
-      -- fixed 64-dim embeddings (TESTDATA.md); DuckDB 1.0 can't lateral-ref
-      -- len(vv) inside generate_series
-      SELECT cluster_id, i AS pos, round(avg(vv[i]), 6) AS m
-      FROM a1 CROSS JOIN generate_series(1, 64) g(i)
-      GROUP BY cluster_id, i
+      -- dim derived from the vector itself (zipped unnest; DuckDB 1.0 can't
+      -- lateral-ref len(vv) inside a generate_series table function, but a
+      -- SELECT-list unnest can), so a fixture dim change cannot desync this
+      -- oracle from the Spark side
+      SELECT cluster_id, pos, round(avg(x), 6) AS m FROM (
+        SELECT cluster_id, unnest(generate_series(1, len(vv))) AS pos,
+               unnest(vv) AS x
+        FROM a1
+      ) GROUP BY cluster_id, pos
     ),
     c1 AS (SELECT cluster_id, array_agg(m ORDER BY pos) AS cv FROM dims GROUP BY cluster_id),
     a2 AS (

@@ -772,7 +772,8 @@ def llmops_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
 
     Spark-first scale shape: count-min is LINEAR, so the sketch is built
     from the |vocab|-row count table (one explode + map-side-combined
-    count — the same single corpus scan the exact query does), not by
+    count — the same corpus scan the exact query does, executed once per
+    job via runtime exchange reuse, see inline note), not by
     re-hashing every token occurrence; each vocab row fans out to its
     d=4 (row, bucket) cells and ONE aggregation produces all d×w=256
     sketch cells with map-side partials — exactly how mergeable
@@ -807,14 +808,20 @@ def llmops_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("term")
         .agg(F.max("n").alias("n"), F.min("cnt").cast("bigint").alias("est"))
     )
-    cands = (
-        est.crossJoin(F.broadcast(tot))
-        .filter(F.col("est") * 1000 > F.col("total"))
-        .agg(F.count("*").cast("bigint").alias("sketch_candidates"))
+    # Both outputs derive from the sketch-candidate superset: the count-min
+    # one-sided guarantee (est >= n always) makes every exact heavy hitter a
+    # sketch candidate, so filtering to est-heavy first loses nothing. The
+    # two consumers of `flagged` (the scalar count and the final rows) do
+    # declare the subtree twice, but the duplicated shuffles below it are
+    # canonically identical and Spark's runtime exchange reuse (verified:
+    # ReusedExchange nodes in the AQE final plan) executes the corpus
+    # scan/count/sketch once — the recompute is the post-shuffle tail only.
+    flagged = est.crossJoin(F.broadcast(tot)).filter(
+        F.col("est") * 1000 > F.col("total")
     )
+    cands = flagged.agg(F.count("*").cast("bigint").alias("sketch_candidates"))
     return (
-        est.crossJoin(F.broadcast(tot))
-        .filter(F.col("n") * 1000 > F.col("total"))
+        flagged.filter(F.col("n") * 1000 > F.col("total"))
         .crossJoin(F.broadcast(cands))
         .select(
             "term",

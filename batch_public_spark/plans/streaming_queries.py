@@ -44,7 +44,7 @@ _VAL = 'CAST(ROUND(SUM(CAST("value" AS DECIMAL(18,4))), 2) AS DOUBLE)'
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window aggregation, executed as a real stream."""
     s = tumbling_counts(read_events_stream(spark, sf_dir), window="1 day", watermark="1 day")
-    return run_available_now(s, output_mode="complete")
+    return run_available_now(s, output_mode="complete", shuffle_partitions=8)
 
 
 @query(
@@ -63,7 +63,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = sliding_counts(
         read_events_stream(spark, sf_dir), window="1 day", slide="12 hours", watermark="1 day"
     )
-    return run_available_now(s, output_mode="complete")
+    return run_available_now(s, output_mode="complete", shuffle_partitions=8)
 
 
 @query(
@@ -85,7 +85,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the classic gaps-and-islands rewrite (session end = last event +
     gap, matching session_window semantics)."""
     s = session_counts(read_events_stream(spark, sf_dir), gap="12 hours", watermark="1 day")
-    return run_available_now(s, output_mode="complete")
+    return run_available_now(s, output_mode="complete", shuffle_partitions=8)
 
 
 @query(
@@ -100,7 +100,7 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = dedup_within_watermark(
         read_events_stream(spark, sf_dir), ["user_id", "event_type"], watermark="1 day"
     ).select("user_id", "event_type")
-    return run_available_now(s, output_mode="append")
+    return run_available_now(s, output_mode="append", shuffle_partitions=8)
 
 
 @query(
@@ -115,7 +115,7 @@ def stream_stateful_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     max + count. One availableNow batch ⇒ the emitted update equals the
     final converged state, which the batch oracle reproduces."""
     s = running_max_per_key(read_events_stream(spark, sf_dir))
-    return run_available_now(s, output_mode="update")
+    return run_available_now(s, output_mode="update", shuffle_partitions=8)
 
 
 @query(
@@ -150,7 +150,7 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
-    return run_available_now(agg, output_mode="complete")
+    return run_available_now(agg, output_mode="complete", shuffle_partitions=8)
 
 
 @query(
@@ -180,4 +180,4 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         within="1 hour",
         watermark="1 day",
     )
-    return run_available_now(s, output_mode="append")
+    return run_available_now(s, output_mode="append", shuffle_partitions=8)

@@ -27,6 +27,7 @@ Kafka/Kinesis source with identical semantics.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
 import uuid
@@ -226,6 +227,33 @@ def interval_join_pairs(
     )
 
 
+@contextlib.contextmanager
+def _scoped_shuffle_partitions(spark: SparkSession, n: int | None):
+    """Temporarily pin ``spark.sql.shuffle.partitions`` while a streaming
+    query STARTS (the value is snapshotted into the query — and into its
+    checkpoint — at start), restoring the session value afterwards.
+
+    Why: every stateful streaming operator materializes one state-store
+    instance per shuffle partition PER micro-batch, a fixed per-partition
+    overhead (store open/commit/snapshot) that dwarfs the data at
+    availableNow/test scale — a 32-partition stream-stream join over a few
+    thousand events spends its whole runtime on store bookkeeping. Scoping
+    the value to the query keeps the session's batch tuning untouched. On a
+    real cluster the right value instead scales with state size (state must
+    fit per-executor memory) — this knob sets whatever the caller decides,
+    it does not hardcode "small"."""
+    if n is None:
+        yield
+        return
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def run_incremental(
     stream_df: DataFrame,
     output_dir: str,
@@ -233,6 +261,7 @@ def run_incremental(
     *,
     output_mode: str = "append",
     timeout_s: int = 300,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Cron-cadence incremental run (reference main.py:658-702 + X4): process
     everything new since the checkpoint into a parquet sink, then exit.
@@ -243,14 +272,15 @@ def run_incremental(
 
     Raises ``TimeoutError`` if the run does not finish within ``timeout_s``
     — returning the partial sink as if complete would silently truncate."""
-    q = (
-        stream_df.writeStream.format("parquet")
-        .option("path", output_dir)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _scoped_shuffle_partitions(stream_df.sparkSession, shuffle_partitions):
+        q = (
+            stream_df.writeStream.format("parquet")
+            .option("path", output_dir)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         finished = q.awaitTermination(timeout_s)
         if not finished:  # pragma: no cover — only on pathological slowness
@@ -267,23 +297,29 @@ def run_available_now(
     output_mode: str = "append",
     checkpoint_dir: str | None = None,
     timeout_s: int = 300,
+    shuffle_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion with Trigger.AvailableNow
     into a memory sink; return the sink contents as a batch DataFrame.
 
     This is the reference's cron cadence (main.py:658-702): process
     everything available, then exit; re-running with the same checkpoint
-    resumes incrementally (X4 recovery for free)."""
+    resumes incrementally (X4 recovery for free).
+
+    ``shuffle_partitions`` scopes the state-store partition count to this
+    query (see ``_scoped_shuffle_partitions``); partition count never
+    changes results, only where state lives."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="bps_ckpt_")
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _scoped_shuffle_partitions(stream_df.sparkSession, shuffle_partitions):
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         finished = q.awaitTermination(timeout_s)
         if not finished:  # pragma: no cover — only on pathological slowness
@@ -301,6 +337,7 @@ def run_foreach_batch(
     *,
     checkpoint_dir: str | None = None,
     timeout_s: int = 300,
+    shuffle_partitions: int | None = None,
 ) -> None:
     """Custom-sink cadence via ``foreachBatch`` + Trigger.AvailableNow:
     each micro-batch arrives as a BATCH DataFrame with its epoch id, so
@@ -315,12 +352,13 @@ def run_foreach_batch(
     the driver (ledger row). Raises ``TimeoutError`` on overrun like the
     other runners rather than returning with a partial sink."""
     checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="bps_ckpt_")
-    q = (
-        stream_df.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
+    with _scoped_shuffle_partitions(stream_df.sparkSession, shuffle_partitions):
+        q = (
+            stream_df.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
     try:
         finished = q.awaitTermination(timeout_s)
         if not finished:  # pragma: no cover — only on pathological slowness
