@@ -1738,7 +1738,13 @@ def source_kvscan_segmented(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events").select(
         "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
     )
-    e.write.format("kvsnapshot").mode("overwrite").option("path", out_dir).save()
+    # The fixture parquet is one split, which would serialize the snapshot
+    # write into a single JSON-encoding task; spread it so writer tasks
+    # scale with cores (each task commits its own part file — the
+    # two-phase protocol is per-task by design).
+    e.repartition(8).write.format("kvsnapshot").mode("overwrite").option(
+        "path", out_dir
+    ).save()
     back = (
         spark.read.format("kvsnapshot")
         .option("path", out_dir)

@@ -47,8 +47,8 @@ from typing import Iterator, List, Sequence
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceWriter,
     EqualTo,
     Filter,
     GreaterThan,
@@ -61,6 +61,9 @@ from pyspark.sql.datasource import (
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
+import pyarrow as pa
+
+from pyspark.sql.pandas.types import to_arrow_schema
 from pyspark.sql.types import StructType
 
 DEFAULT_SCHEMA_DDL = "event_id BIGINT, ts_us BIGINT, event_type STRING, value DOUBLE"
@@ -167,6 +170,10 @@ class KVSnapshotReader(DataSourceReader):
             raise ValueError("segments must be >= 1")
         self.permissive = options.get("mode", "strict").lower() == "permissive"
         self.fields = [f.name for f in schema.fields]
+        self.spark_schema = schema
+        self.arrow_batch_size = int(options.get("arrow_batch_size", 4096))
+        if self.arrow_batch_size < 1:
+            raise ValueError("arrow_batch_size must be >= 1")
         self.pushed: List[Filter] = []
 
     def pushFilters(self, filters: List[Filter]):  # noqa: N802 (API name)
@@ -182,9 +189,20 @@ class KVSnapshotReader(DataSourceReader):
         # still produce an empty DataFrame instead of a planning error.
         return parts or [RangePartition(path="", start=0, end=0)]
 
-    def read(self, partition: RangePartition) -> Iterator[tuple]:
+    def read(self, partition: RangePartition) -> Iterator["pa.RecordBatch"]:
+        """Yield ``pyarrow.RecordBatch`` chunks instead of per-row tuples.
+
+        The Python Data Source API accepts either; Arrow batches skip the
+        per-row pickle round-trip between the Python worker and the JVM
+        (one columnar buffer per ~``arrow_batch_size`` rows instead of one
+        serialized tuple per record) — the same reason mapInArrow beats
+        row UDFs. Parsing and pushed-filter evaluation stay per-record
+        (they are dict-shaped by nature); only the transport is columnar.
+        """
         if not partition.path:
             return
+        arrow_schema = to_arrow_schema(self.spark_schema)
+        batch: List[dict] = []
         for raw in _read_lines(partition):
             raw = raw.strip()
             if not raw:
@@ -198,10 +216,22 @@ class KVSnapshotReader(DataSourceReader):
                     continue
                 raise
             if all(_passes(flt, rec) for flt in self.pushed):
-                yield tuple(rec.get(name) for name in self.fields)
+                batch.append({name: rec.get(name) for name in self.fields})
+                if len(batch) >= self.arrow_batch_size:
+                    yield pa.RecordBatch.from_pylist(batch, schema=arrow_schema)
+                    batch = []
+        if batch:
+            yield pa.RecordBatch.from_pylist(batch, schema=arrow_schema)
 
 
-class KVSnapshotWriter(DataSourceWriter):
+class KVSnapshotWriter(DataSourceArrowWriter):
+    """Arrow-batch task writer: each task receives ``pyarrow.RecordBatch``
+    chunks (no per-row pickle between JVM and Python worker; columnar
+    transfer like the reader). Encoding stays ``json.dumps`` over
+    ``to_pylist`` rows — pandas ``to_json`` would be faster still but
+    truncates doubles (default 10-digit precision), and the snapshot
+    round-trip is hashed for double/long fidelity."""
+
     def __init__(self, schema: StructType, options: dict, overwrite: bool):
         self.path = options.get("path")
         if not self.path:
@@ -212,16 +242,15 @@ class KVSnapshotWriter(DataSourceWriter):
         # so append mode can never clobber a previous generation's parts.
         self.token = uuid.uuid4().hex[:12]
 
-    def write(self, iterator) -> KVCommitMessage:
+    def write(self, iterator: Iterator["pa.RecordBatch"]) -> KVCommitMessage:
         os.makedirs(self.path, exist_ok=True)
         tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
-        n = 0
         with open(tmp, "w", encoding="utf-8") as f:
-            for row in iterator:
-                rec = {name: row[i] for i, name in enumerate(self.fields)}
-                f.write(json.dumps(rec, ensure_ascii=False))
-                f.write("\n")
-                n += 1
+            for batch in iterator:
+                f.writelines(
+                    json.dumps(rec, ensure_ascii=False) + "\n"
+                    for rec in batch.to_pylist()
+                )
         return KVCommitMessage(tmp_path=tmp)
 
     def commit(self, messages) -> None:

@@ -21,6 +21,14 @@ from batch_public_spark.sources.kvscan import (
 )
 
 
+def _rows(reader, part):
+    """Flatten the reader's Arrow RecordBatches back to row tuples."""
+    out = []
+    for batch in reader.read(part):
+        out.extend(tuple(d.values()) for d in batch.to_pylist())
+    return out
+
+
 def _write_jsonl(path, records):
     with open(path, "w", encoding="utf-8") as f:
         for r in records:
@@ -90,7 +98,7 @@ def test_push_filters_consumed_and_evaluated(snapshot):
     )
     assert len(unsupported) == 1 and isinstance(unsupported[0], StringContains)
     [part] = reader.partitions()
-    rows = list(reader.read(part))
+    rows = _rows(reader, part)
     exp = [r for r in recs if r["ts_us"] >= 100_000_000 and r["event_type"] == "click"]
     assert len(rows) == len(exp)
     assert all(r[2] == "click" and r[1] >= 100_000_000 for r in rows)
@@ -105,11 +113,11 @@ def test_permissive_mode_skips_malformed_strict_raises(tmp_path):
         f.write('{"event_id": 2, "ts_us": 6, "event_type": "y", "value": 2.0}\n')
     strict = KVSnapshotReader(_schema(), {"path": str(p), "segments": "1"})
     with pytest.raises(ValueError):
-        list(strict.read(strict.partitions()[0]))
+        _rows(strict, strict.partitions()[0])
     perm = KVSnapshotReader(
         _schema(), {"path": str(p), "segments": "1", "mode": "permissive"}
     )
-    rows = list(perm.read(perm.partitions()[0]))
+    rows = _rows(perm, perm.partitions()[0])
     assert [r[0] for r in rows] == [1, 2]
 
 
@@ -119,7 +127,7 @@ def test_empty_snapshot_reads_empty(tmp_path):
     reader = KVSnapshotReader(_schema(), {"path": str(p), "segments": "4"})
     parts = reader.partitions()
     assert len(parts) >= 1
-    assert [r for part in parts for r in reader.read(part)] == []
+    assert [r for part in parts for r in _rows(reader, part)] == []
 
 
 def _schema():
