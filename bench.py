@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import platform
 import sys
 import time
 from pathlib import Path
@@ -106,6 +107,21 @@ def main() -> None:
     sf = float(sf_tag) if sf_tag.replace(".", "").isdigit() else sf_tag
     total = round(sum(times.values()), 2)
 
+    # Host fingerprint: rounds run on different machines/loads, so absolute
+    # totals are only comparable within one host (BENCH_NOTES.md r3-r4: a
+    # 1.43x cross-host swing with flat per-query medians). Recording the
+    # host makes that caveat machine-readable.
+    try:
+        load1, load5, load15 = os.getloadavg()
+        host_info = {
+            "host": platform.node(),
+            "cpus": os.cpu_count(),
+            "loadavg_1m": round(load1, 2),
+            "loadavg_5m": round(load5, 2),
+        }
+    except OSError:  # pragma: no cover — getloadavg unsupported
+        host_info = {"host": platform.node(), "cpus": os.cpu_count()}
+
     families: dict[str, float] = {}
     for name, t in times.items():
         families[family(name)] = round(families.get(family(name), 0.0) + t, 2)
@@ -123,6 +139,7 @@ def main() -> None:
                     "sf": sf,
                     "n_queries": len(times),
                     "timing": "min of 2 executions per query",
+                    **host_info,
                 },
                 indent=1,
                 sort_keys=True,
@@ -140,6 +157,7 @@ def main() -> None:
         "n_queries": len(times),
         "timing": "min2",
         "full_detail": "BENCH_FULL.json",
+        **host_info,
     }
     line = json.dumps(out, separators=(",", ":"))
     # Hard cap: trim headline entries, then family entries, until it fits.
