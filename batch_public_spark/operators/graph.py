@@ -46,7 +46,10 @@ def connected_components(
     # Undirected: materialize both directions once.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    sym = sym.localCheckpoint(eager=True)
+    # Lazy checkpoint: the first iteration's `changed` action materializes
+    # it inside a job that was running anyway (eager would schedule a
+    # dedicated driver-blocking job just for the cut).
+    sym = sym.localCheckpoint(eager=False)
 
     # label(v) starts as v's min direct neighbor (or itself).
     labels = (
@@ -73,7 +76,7 @@ def connected_components(
                 ),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = new_labels.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -136,18 +139,31 @@ def pagerank_weighted(
 
     Dangling vertices (no out-edges) leak their mass — acceptable for the
     co-occurrence graphs this serves (symmetrized ⇒ no danglers)."""
-    e = edges.select(
+    # Materialize the edge list ONCE before anything derives from it —
+    # verts, wdeg, and the per-iteration joins all read the checkpointed
+    # blocks. (Checkpointing verts and the weighted edges separately, each
+    # upstream of the cut, ran the whole edge-construction pipeline — for
+    # the co-occurrence graph: corpus scan, explode, distinct, self-join —
+    # twice.)
+    e0 = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v"), F.col(weight).alias("w")
+    ).localCheckpoint(eager=False)
+    verts = (
+        e0.select(F.col("u").alias("vertex"))
+        .union(e0.select(F.col("v").alias("vertex")))
+        .distinct()
+        .localCheckpoint(eager=False)
     )
-    verts = e.select(F.col("u").alias("vertex")).union(
-        e.select(F.col("v").alias("vertex"))
-    ).distinct().localCheckpoint(eager=True)
+    # The count materializes e0 and verts in ONE job (lazy checkpoints cut
+    # lineage at first computation without scheduling a dedicated job each
+    # — eager checkpointing here added a driver-blocking job per cut, pure
+    # fixed overhead when the iteration frames are vocabulary-sized).
     n = verts.count()
     if n == 0:
         # empty graph → empty (vertex, pr) result, not ZeroDivisionError
         return verts.withColumn("pr", F.lit(0.0))
-    wdeg = e.groupBy("u").agg(F.sum("w").alias("wdeg"))
-    e = e.join(wdeg, "u").localCheckpoint(eager=True)
+    wdeg = e0.groupBy("u").agg(F.sum("w").alias("wdeg"))
+    e = e0.join(wdeg, "u").localCheckpoint(eager=False)
 
     pr = verts.withColumn("pr", F.round(F.lit(1.0 / n), round_at))
     base = (1.0 - damping) / n
@@ -170,6 +186,6 @@ def pagerank_weighted(
                     round_at,
                 ).alias("pr"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return pr
