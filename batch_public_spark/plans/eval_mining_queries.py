@@ -2271,57 +2271,49 @@ def agg_bootstrap_hash_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     32 partial sums per partition, not 32× the data; weighted sums go
     through DECIMAL; the order statistics run over 32 rows. Replicate
     count scales the CI resolution, never the scan count."""
-    o = t(spark, sf_dir, "orders")
-    reps = o.select(
-        F.col("o_totalprice").cast("decimal(18,4)").alias("x"),
-        F.col("o_orderkey"),
-        F.explode(F.sequence(F.lit(1), F.lit(32))).alias("b"),
-    ).select(
-        "b",
-        "x",
-        (
-            F.when(
-                F.pmod(
-                    F.ascii(
-                        F.substring(
-                            F.md5(
-                                F.concat_ws(
-                                    "-",
-                                    F.col("o_orderkey").cast("string"),
-                                    F.col("b").cast("string"),
-                                )
-                            ),
-                            1,
-                            1,
-                        )
-                    ),
-                    4,
-                )
-                == 0,
-                0,
+    from batch_public_spark.sources.tables import spread
+
+    # spread(): the 32× replicate explode multiplies per-row compute
+    # (md5 per (row, replicate)) BEFORE the first exchange, so a
+    # single-split parquet scan would hash the whole expansion on one
+    # core; the sums are decimal/long-exact, so parallelizing the narrow
+    # stage cannot move the result. (Warm 4.4s -> sub-second at sf0.1.)
+    o = spread(t(spark, sf_dir, "orders"))
+    # The per-(row, replicate) md5 is the one genuinely heavy expression
+    # (|orders|×32 hashes); project it into a named column once so the
+    # weight CASE branches on the cached byte instead of relying on
+    # common-subexpression elimination to dedupe two hash subtrees.
+    h = F.pmod(
+        F.ascii(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "-",
+                        F.col("o_orderkey").cast("string"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                1,
             )
-            .when(
-                F.pmod(
-                    F.ascii(
-                        F.substring(
-                            F.md5(
-                                F.concat_ws(
-                                    "-",
-                                    F.col("o_orderkey").cast("string"),
-                                    F.col("b").cast("string"),
-                                )
-                            ),
-                            1,
-                            1,
-                        )
-                    ),
-                    4,
-                )
-                == 1,
-                2,
-            )
+        ),
+        4,
+    )
+    reps = (
+        o.select(
+            F.col("o_totalprice").cast("decimal(18,4)").alias("x"),
+            F.col("o_orderkey"),
+            F.explode(F.sequence(F.lit(1), F.lit(32))).alias("b"),
+        )
+        .withColumn("_h", h)
+        .select(
+            "b",
+            "x",
+            F.when(F.col("_h") == 0, 0)
+            .when(F.col("_h") == 1, 2)
             .otherwise(1)
-        ).alias("w"),
+            .alias("w"),
+        )
     )
     means = (
         reps.groupBy("b")
