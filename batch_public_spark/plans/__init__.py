@@ -114,6 +114,13 @@ _NEXT_WINDOW = [
     "agg_gini_daily_revenue",
     "llmops_kl_source_divergence",
     "join_salted_hotkey",
+    # --- added in r6 (after this round's window filled) ---
+    "llmops_domain_quota_cap",
+    "llmops_group_split_leakage_safe",
+    "llmops_stratified_sample_exact",
+    "llmops_intradoc_repetition",
+    "events_funnel_steps",
+    "llmops_embedding_quantize_error",
 ]
 
 

@@ -19,6 +19,7 @@ SQL text evaluated by both engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from batch_public_spark.operators.textops import (
@@ -536,4 +537,229 @@ def llmops_bloom_incremental_roundtrip(spark: SparkSession, sf_dir: str) -> Data
         "doc_id", F.lit(1).cast("bigint").alias("ingest_day"), "probably_seen"
     ).unionByName(
         probed2.select("doc_id", F.lit(2).cast("bigint").alias("ingest_day"), "probably_seen")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: per-domain quotas, leakage-safe splits, stratified
+# sampling, intra-document repetition (round-6 additions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llmops_domain_quota_cap",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rn <= 10 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS kept_chars,
+           CAST(sum(CASE WHEN rn > 10 THEN n_chars ELSE 0 END) AS BIGINT)
+             AS dropped_chars
+    FROM ranked GROUP BY source
+    """,
+)
+def llmops_domain_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document quota (keep the best 10 per source, score =
+    length with id tie-break) — the crawl-curation cap that stops a
+    single boilerplate-heavy domain from dominating the training mix
+    (the CommonCrawl-pipeline counterpart of the per-bucket posting cap
+    in minhash_candidates).
+
+    Spark-first: ONE window ranked per source (the window key IS the
+    shuffle key, so the rank never sees more than a domain's docs in a
+    partition — skew-bounded by the largest domain, the same bound the
+    downstream cap enforces) and one aggregation on the identical key —
+    at scale the second shuffle disappears into the first's
+    partitioning. Kept/dropped char mass is reported per domain so the
+    cap's cost is observable."""
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.desc("n_chars"), "doc_id")
+    ranked = d.select("source", "n_chars", F.row_number().over(w).alias("rn"))
+    kept = F.col("rn") <= 10
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_chars"),
+        F.sum(F.when(~kept, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_chars"),
+    )
+
+
+@query(
+    "llmops_group_split_leakage_safe",
+    oracle="""
+    WITH tagged AS (
+      SELECT source, n_chars,
+             CASE WHEN substr(md5(source), 1, 1) IN ('c', 'd') THEN 'val'
+                  WHEN substr(md5(source), 1, 1) IN ('e', 'f') THEN 'test'
+                  ELSE 'train' END AS split
+      FROM documents
+    )
+    SELECT split,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY split
+    """,
+)
+def llmops_group_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-level train/val/test split: the assignment hashes the SOURCE
+    (md5 first hex digit), not the document — every domain lands wholly
+    in one split, so near-duplicate documents from the same domain can
+    never straddle the train/eval boundary (the leakage mode a doc-level
+    split like llmops_train_val_test_split cannot prevent). Same
+    immovable-assignment property: a domain never migrates as the corpus
+    grows.
+
+    Spark-first: shuffle-free tag (the hash is a row-local expression)
+    + one aggregation; the distinct-source count rides the same shuffle
+    as the group-by. Reported per split so the 17/1/2-domain imbalance
+    of a small fixture is visible — group splits trade balance for
+    safety, and that trade should be measured."""
+    d = t(spark, sf_dir, "documents")
+    h1 = F.substring(F.md5(F.col("source")), 1, 1)
+    split = (
+        F.when(h1.isin("c", "d"), "val")
+        .when(h1.isin("e", "f"), "test")
+        .otherwise("train")
+    )
+    return (
+        d.select("source", "n_chars", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "llmops_stratified_sample_exact",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS sz
+      FROM documents
+    )
+    SELECT lang,
+           CAST(max(sz) AS BIGINT) AS n_stratum,
+           CAST(sum(CASE WHEN rn <= (sz + 4) // 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(sum(CASE WHEN rn <= (sz + 4) // 5 THEN n_chars ELSE 0 END)
+                AS BIGINT) AS sampled_chars
+    FROM ranked GROUP BY lang
+    """,
+)
+def llmops_stratified_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sample: ceil(20%) of every language stratum,
+    selected by md5(doc_id) rank — per-stratum counts are EXACT (unlike
+    ``sampleBy``'s Bernoulli draws, which only hit the fraction in
+    expectation and drift on small strata) and the selection is
+    deterministic/immovable across runs, engines, and partitionings.
+
+    Spark-first: one window per stratum (rank and stratum size share the
+    same partition key, so both ride one shuffle; integer-exact ceil via
+    ``(sz + 4) div 5``) + one aggregation on the same key. The rank is
+    skew-bounded by the largest stratum — the same shape as the
+    per-domain quota cap above."""
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id"))
+        .alias("rn"),
+        F.count("*").over(w).alias("sz"),
+    )
+    sampled = F.col("rn") <= F.expr("(sz + 4) div 5")
+    return ranked.groupBy("lang").agg(
+        F.max("sz").cast("bigint").alias("n_stratum"),
+        F.sum(F.when(sampled, 1).otherwise(0)).cast("bigint").alias("n_sampled"),
+        F.sum(F.when(sampled, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_chars"),
+    )
+
+
+@query(
+    "llmops_intradoc_repetition",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), tg AS (
+      SELECT doc_id, lang,
+             list_transform(generate_series(1, len(toks) - 2),
+                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+               AS grams
+      FROM base WHERE len(toks) >= 3
+    ), per_doc AS (
+      SELECT doc_id, lang,
+             CAST(round(1.0 - len(list_distinct(grams)) * 1.0 / len(grams), 6)
+                  AS DECIMAL(18,6)) AS rep
+      FROM tg
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(rep) AS DOUBLE) / count(*), 6) AS avg_repetition,
+           round(CAST(max(rep) AS DOUBLE), 6) AS max_repetition
+    FROM per_doc GROUP BY lang
+    """,
+)
+def llmops_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document trigram repetition (1 − distinct/total word
+    trigrams) per language — the Gopher/C4-style self-repetition signal
+    that flags template/boilerplate documents BEFORE any cross-document
+    dedup sees them (a doc that repeats itself inflates every
+    shingle-based similarity downstream).
+
+    Spark-first: the trigram multiset is built IN-ROW from the token
+    array (index-sequence transform — no explode of the gram stream, so
+    nothing shuffles at gram granularity; the corpus-wide gram explode
+    the countmin/novelty queries need is exactly what this per-doc
+    statistic avoids). Per-doc ratios round at 1e-6 into DECIMAL before
+    the per-language mean so the aggregate is partitioning-independent."""
+    d = t(spark, sf_dir, "documents")
+    tk = tokens(F.lower(F.col("text")))
+    base = d.select("doc_id", "lang", tk.alias("toks")).filter(F.size("toks") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i),
+            F.element_at("toks", i + F.lit(1)),
+            F.element_at("toks", i + F.lit(2)),
+        ),
+    )
+    per_doc = base.select(
+        "lang",
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("rep"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.sum("rep").cast("double") / F.count("*"), 6).alias("avg_repetition"),
+        F.round(F.max("rep").cast("double"), 6).alias("max_repetition"),
     )

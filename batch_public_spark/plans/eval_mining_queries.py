@@ -2340,3 +2340,165 @@ def agg_bootstrap_hash_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("rk") == 2, F.col("m"))).alias("ci_lo"),
         F.min(F.when(F.col("rk") == F.col("nb") - 1, F.col("m"))).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis + embedding quantization error (round-6 additions)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "events_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS v_ts
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS c_ts
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        AND e.ts <= v.v_ts + INTERVAL 24 HOURS
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        AND e.ts <= c.c_ts + INTERVAL 24 HOURS
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_view_users,
+           (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_click_after,
+           (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchase_after
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase, each step
+    strictly later and within 24 h of the previous step): how many users
+    reach each stage in ORDER — the product-analytics primitive a plain
+    per-type count cannot answer (a purchase before the first view must
+    not convert; one a week later does not either). The step deadline is
+    what makes the fixture discriminate: 150/60/25 at sf0.01 vs a
+    saturated 150/150/150 unbounded.
+
+    Spark-first: each stage is filter → per-user MIN → equi-join on
+    user_id — three aggregations and two joins all keyed on user_id, so
+    at scale one hash partitioning on user carries the entire funnel
+    (and each stage's frame shrinks monotonically: stage N+1 joins
+    against stage N's survivors only). No windows over event history, no
+    per-user sequence materialization — min-timestamp chaining is
+    algebraic."""
+    e = t(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(
+            (F.col("ts") > F.col("v_ts"))
+            & (F.col("ts") <= F.col("v_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("ts") > F.col("c_ts"))
+            & (F.col("ts") <= F.col("c_ts") + F.expr("INTERVAL 24 HOURS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    return (
+        v.agg(F.count("*").cast("bigint").alias("n_view_users"))
+        .crossJoin(
+            F.broadcast(c.agg(F.count("*").cast("bigint").alias("n_click_after")))
+        )
+        .crossJoin(
+            F.broadcast(p.agg(F.count("*").cast("bigint").alias("n_purchase_after")))
+        )
+    )
+
+
+@query(
+    "llmops_embedding_quantize_error",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv,
+             list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                     x -> abs(x))) AS maxabs
+      FROM embeddings
+    ), d AS (
+      SELECT vec_id, label, len(vv) AS dim, maxabs / 127 AS scale,
+             unnest(vv) AS x
+      FROM v WHERE maxabs > 0
+    ), e AS (
+      SELECT vec_id, label, dim,
+             CAST(round(abs(x - round(x / scale) * scale), 9)
+                  AS DECIMAL(18,9)) AS err
+      FROM d
+    ), pv AS (
+      SELECT vec_id, label,
+             CAST(round(CAST(sum(err) AS DOUBLE) / max(dim), 9)
+                  AS DECIMAL(18,9)) AS mean_err,
+             max(err) AS max_err
+      FROM e GROUP BY vec_id, label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           round(CAST(sum(mean_err) AS DOUBLE) / count(*), 9) AS avg_mean_err,
+           round(CAST(max(max_err) AS DOUBLE), 9) AS max_abs_err
+    FROM pv GROUP BY label
+    """,
+)
+def llmops_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization error per label: each vector scales by
+    maxabs/127, rounds every dim to the nearest integer step, and the
+    reconstruction error abs(x − q·scale) is reported as per-vector mean
+    and corpus max — the go/no-go gauge for shipping an ANN index (or a
+    100 TB embedding store) at a quarter of the float32 footprint.
+
+    Spark-first: the scale is an in-row array reduction (no pass over the
+    corpus to fit anything — symmetric per-vector quantization is what
+    makes the decision embarrassingly parallel); per-dim errors round at
+    1e-9 into DECIMAL before every cross-row sum, so the two-level mean
+    is partitioning-independent; max is order-free by nature. The only
+    shuffles are the per-vector and per-label aggregations."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vv")
+    )
+    v = v.withColumn(
+        "maxabs", F.array_max(F.transform("vv", lambda x: F.abs(x)))
+    ).filter(F.col("maxabs") > 0)
+    d = v.select(
+        "vec_id",
+        "label",
+        F.size("vv").alias("dim"),
+        (F.col("maxabs") / 127).alias("scale"),
+        F.explode("vv").alias("x"),
+    )
+    err = F.round(
+        F.abs(F.col("x") - F.round(F.col("x") / F.col("scale"), 0) * F.col("scale")),
+        9,
+    ).cast("decimal(18,9)")
+    pv = (
+        d.select("vec_id", "label", "dim", err.alias("err"))
+        .groupBy("vec_id", "label")
+        .agg(
+            F.round(F.sum("err").cast("double") / F.max("dim"), 9)
+            .cast("decimal(18,9)")
+            .alias("mean_err"),
+            F.max("err").alias("max_err"),
+        )
+    )
+    return pv.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(F.sum("mean_err").cast("double") / F.count("*"), 9).alias(
+            "avg_mean_err"
+        ),
+        F.round(F.max("max_err").cast("double"), 9).alias("max_abs_err"),
+    )
