@@ -102,7 +102,9 @@ def llmops_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5(normalized_text(F.col("text"))).alias("ch")
     )
     pos = F.array(*[F.expr(_bloom_pos("ch", k)) for k in range(_BLOOM_K)])
-    d = d.withColumn("pos", pos)
+    # Three consumers (bitmap build, exact-dup side, probe side) — cut the
+    # normalize+md5 projection once, lazily (see the incremental query).
+    d = d.withColumn("pos", pos).localCheckpoint(eager=False)
     hist = d.filter(F.col("doc_id") % 10 < 7)
     inc = d.filter(F.col("doc_id") % 10 >= 7)
 
@@ -517,6 +519,11 @@ def llmops_bloom_incremental_roundtrip(spark: SparkSession, sf_dir: str) -> Data
         "doc_id", F.md5(normalized_text(F.col("text"))).alias("ch")
     )
     d = d.withColumn("pos", F.array(*[F.expr(_bloom_pos("ch", k)) for k in range(_BLOOM_K)]))
+    # The normalize+md5+position projection feeds FIVE plan branches (two
+    # bitmap builds, two probes, the survivor filter); cut it once so the
+    # regex normalization runs one time, not per branch. Lazy: the first
+    # broadcast-build job materializes it, no dedicated cut job.
+    d = d.localCheckpoint(eager=False)
     day0 = d.filter(F.col("doc_id") % 10 < 6)
     day1 = d.filter((F.col("doc_id") % 10).isin(6, 7))
     day2 = d.filter(F.col("doc_id") % 10 >= 8)

@@ -1181,7 +1181,10 @@ def llmops_dedup_cascade_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side count() round-trips."""
     base = t(spark, sf_dir, "documents").select("doc_id", "text")
 
-    s1 = dedup_exact(base).select("doc_id")
+    # Each wave feeds BOTH the next wave and its own funnel count; cut
+    # each survivor set once (lazy — materialized by the first consumer's
+    # job) so dedup_exact / the prefix agg run once, not once per consumer.
+    s1 = dedup_exact(base).select("doc_id").localCheckpoint(eager=False)
 
     # Same tokenization/normalization helpers as the standalone wave
     # queries (operators.textops) — the cascade's keys must never drift
@@ -1192,6 +1195,7 @@ def llmops_dedup_cascade_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.array_join(F.slice(toks_lower, 1, 8), " ").alias("prefix"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
+        .localCheckpoint(eager=False)
     )
 
     toks_norm = tokens(normalized_text(F.col("text")))
@@ -1207,7 +1211,7 @@ def llmops_dedup_cascade_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sh"),
         )
-    )
+    ).localCheckpoint(eager=False)  # self-joined below: two consumers
     a, b = sh.alias("a"), sh.alias("b")
     inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
     union = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
