@@ -347,18 +347,43 @@ def minhash_candidates(
     # the gathered size, and bounds pair blowup at max_bucket² per bucket —
     # the same posting-list capping production dedup uses for boilerplate.
     pairs = bucket_pairs(buckets, ["band", "bucket"], "_id", max_bucket)
-    # Verify: join pairs to RAW TEXT and shingle only the matched rows.
-    # Joining a pre-shingled corpus instead would re-run the shingling over
-    # every document twice (once per join side) to verify a candidate set
-    # that is orders of magnitude smaller than the corpus.
-    txt = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
+    # Verify: shingle each doc that appears in ≥1 candidate pair ONCE (a
+    # semi-join restricts the corpus to candidate ids), then join the
+    # shingle ARRAYS to the pairs and take exact Jaccard JVM-side. This
+    # beats both prior forms: shingling per PAIR (the jaccard_text pandas
+    # UDF — a doc in k pairs shingled k times, in Python) and joining a
+    # fully pre-shingled corpus (every doc shingled whether or not it has
+    # candidates). `pairs` feeds three consumers (the id semi-join and
+    # both array joins) and `sh` two — lazy checkpoints cut each subtree
+    # to one evaluation; both frames are candidate-bounded, tiny relative
+    # to the corpus at any scale. Null text: word_shingles(null) yields a
+    # null set ⇒ jaccard 0.0 (jaccard_text returned NULL); no candidate
+    # can reach a ≥-threshold filter either way.
+    pairs = pairs.localCheckpoint(eager=False)
+    ids = (
+        pairs.select(F.col("id_a").alias("_id"))
+        .union(pairs.select(F.col("id_b").alias("_id")))
+        .distinct()
+    )
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+        )
+        .join(ids, "_id")
+        .localCheckpoint(eager=False)
+    )
     return (
-        pairs.join(txt.withColumnRenamed("_id", "id_a").withColumnRenamed("_txt", "t_a"), "id_a")
-        .join(txt.withColumnRenamed("_id", "id_b").withColumnRenamed("_txt", "t_b"), "id_b")
+        pairs.join(
+            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a"
+        )
+        .join(
+            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b"
+        )
         .select(
             "id_a",
             "id_b",
-            jaccard_text(F.col("t_a"), F.col("t_b"), shingle_n).alias("jaccard"),
+            jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"),
         )
     )
 
