@@ -74,15 +74,18 @@ def jaccard_text(a: Column, b: Column, shingle_n: int = 3) -> Column:
     word_shingles(b))`` (same normalization, distinct shingles, short-doc
     whole-text shingle, empty-union → 0.0).
 
-    Exists for the verify step above candidate-pair joins. The pure-Column
-    form is a hazard there: a ``.filter(jaccard >= t)`` above the pair join
-    collapses into the join as a CONDITION, so the whole shingle expression
-    is evaluated per probe row in interpreted (non-codegen) mode and then
-    AGAIN in the projection — measured 8× slower on minhash_candidates at
-    sf0.1. A Python UDF cannot appear in a join condition, so Catalyst keeps
-    it (and the threshold filter) above the join, evaluated once per
-    candidate pair. Candidates ≪ corpus, so the Python cost is off the
-    critical path at scale."""
+    Kept as the general pairwise-text verifier (one call, no pre-shingled
+    side needed); the Column-expression hazard it guards against: a
+    ``.filter(jaccard >= t)`` above a pair join whose inputs carry raw
+    text collapses into the join as a CONDITION, re-evaluating the whole
+    shingle expression per probe row in interpreted mode (measured 8×
+    slower on minhash_candidates at sf0.1). A Python UDF cannot appear in
+    a join condition, so Catalyst keeps it above the join.
+    ``minhash_candidates`` now sidesteps the hazard differently — it
+    pre-shingles each CANDIDATE doc once (semi-join restricted) and joins
+    the arrays, so the join-side expressions are cheap array ops; this
+    UDF remains the right tool when no candidate-bounded side exists
+    (tests/test_properties.py pins the two forms equal)."""
     n = shingle_n
 
     @pandas_udf("double")
