@@ -172,9 +172,13 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical batch interval join."""
     from batch_public_spark.streaming import interval_join_pairs
 
+    # ONE stream source self-joined (the type filters split it inside
+    # interval_join_pairs) — two read_events_stream calls would scan the
+    # events files twice per micro-batch for identical rows.
+    events = read_events_stream(spark, sf_dir)
     s = interval_join_pairs(
-        read_events_stream(spark, sf_dir),
-        read_events_stream(spark, sf_dir),
+        events,
+        events,
         left_type="click",
         right_type="view",
         within="1 hour",
