@@ -1033,9 +1033,16 @@ def llmops_term_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_public_spark.operators.graph import pagerank_weighted
 
     d = t(spark, sf_dir, "documents")
-    dt = d.select(
-        "doc_id", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term")
-    ).distinct()
+    dt = (
+        d.select(
+            "doc_id",
+            F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term"),
+        )
+        .distinct()
+        # two consumers (vocabulary pass + the vocab-filtered projection):
+        # cut the corpus explode+distinct once, lazily
+        .localCheckpoint(eager=False)
+    )
     # Top-30 vocabulary by document frequency via TakeOrdered — at 100 TB
     # the term vocabulary is tens of millions of rows; orderBy+limit keeps
     # the selection a per-partition heap instead of a one-partition window.
@@ -1574,9 +1581,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a bounded vocabulary the term-order orientation is already
     bounded. Per-vertex counts are one union + hash aggregate."""
     d = t(spark, sf_dir, "documents")
-    dt = d.select(
-        "doc_id", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term")
-    ).distinct()
+    dt = (
+        d.select(
+            "doc_id",
+            F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term"),
+        )
+        .distinct()
+        # two consumers (vocabulary pass + the vocab-filtered projection):
+        # cut the corpus explode+distinct once, lazily
+        .localCheckpoint(eager=False)
+    )
     vocab = (
         dt.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -1590,6 +1604,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
         .select(F.col("a.term").alias("u"), F.col("b.term").alias("v"))
         .distinct()
+        .localCheckpoint(eager=False)  # three join roles below
     )
     e1 = edges.alias("e1")
     e2 = edges.select(F.col("u").alias("u2"), F.col("v").alias("v2")).alias("e2")

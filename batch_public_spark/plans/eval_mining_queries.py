@@ -171,6 +171,10 @@ def mba_brand_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        # four consumers (order count, singles, both self-join sides) —
+        # cut once, lazily; at scale this materializes the basket table a
+        # production run would persist anyway
+        .localCheckpoint(eager=False)
     )
     n = baskets.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
     singles = baskets.groupBy("p_brand").agg(F.count("*").cast("bigint").alias("n_s"))
@@ -698,9 +702,16 @@ def llmops_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     from batch_public_spark.operators.textops import tokens
 
-    dt = d.select(
-        "doc_id", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term")
-    ).distinct()
+    dt = (
+        d.select(
+            "doc_id",
+            F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term"),
+        )
+        .distinct()
+        # two consumers (vocabulary pass + the vocab-filtered projection):
+        # cut the corpus explode+distinct once, lazily
+        .localCheckpoint(eager=False)
+    )
     df_counts = dt.groupBy("term").agg(F.count("*").cast("bigint").alias("df"))
     vocab = df_counts.orderBy(F.desc("df"), "term").limit(50)
     per_term = W.partitionBy("term").orderBy("doc_id")
@@ -776,9 +787,16 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     from batch_public_spark.operators.textops import tokens
 
-    dt = d.select(
-        "doc_id", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term")
-    ).distinct()
+    dt = (
+        d.select(
+            "doc_id",
+            F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term"),
+        )
+        .distinct()
+        # two consumers (vocabulary pass + the vocab-filtered projection):
+        # cut the corpus explode+distinct once, lazily
+        .localCheckpoint(eager=False)
+    )
     vocab = (
         dt.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -792,6 +810,7 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
         .select(F.col("a.term").alias("u"), F.col("b.term").alias("v"))
         .distinct()
+        .localCheckpoint(eager=False)  # degree pass + three join roles
     )
     deg = (
         edges.select(F.col("u").alias("term"))
