@@ -340,9 +340,15 @@ def llmops_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = d.select(
         "source", F.explode(word_shingles(F.col("text"), 4)).alias("gram")
     ).distinct()
-    by_gram = grams.groupBy("gram").agg(F.array_sort(F.collect_set("source")).alias("srcs"))
-    # Per-source totals derive from by_gram (not a second pass over grams):
-    # the expensive scan→explode→distinct exchange is shared/reused, and
+    by_gram = (
+        grams.groupBy("gram")
+        .agg(F.array_sort(F.collect_set("source")).alias("srcs"))
+        # two consumers (sizes + pairs): cut once, lazily, instead of
+        # betting on runtime exchange reuse to dedupe the corpus shingle
+        # explode under both branches
+        .localCheckpoint(eager=False)
+    )
+    # Per-source totals derive from by_gram (not a second pass over grams);
     # |srcs| sums to exactly the distinct (source, gram) count.
     sizes = (
         by_gram.select(F.explode("srcs").alias("source"))
