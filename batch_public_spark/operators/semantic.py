@@ -74,18 +74,17 @@ def jaccard_text(a: Column, b: Column, shingle_n: int = 3) -> Column:
     word_shingles(b))`` (same normalization, distinct shingles, short-doc
     whole-text shingle, empty-union → 0.0).
 
-    Kept as the general pairwise-text verifier (one call, no pre-shingled
-    side needed); the Column-expression hazard it guards against: a
-    ``.filter(jaccard >= t)`` above a pair join whose inputs carry raw
-    text collapses into the join as a CONDITION, re-evaluating the whole
-    shingle expression per probe row in interpreted mode (measured 8×
-    slower on minhash_candidates at sf0.1). A Python UDF cannot appear in
-    a join condition, so Catalyst keeps it above the join.
-    ``minhash_candidates`` now sidesteps the hazard differently — it
-    pre-shingles each CANDIDATE doc once (semi-join restricted) and joins
-    the arrays, so the join-side expressions are cheap array ops; this
-    UDF remains the right tool when no candidate-bounded side exists
-    (tests/test_properties.py pins the two forms equal)."""
+    Exists for the verify step above candidate-pair joins. The pure-Column
+    form is a hazard there: a ``.filter(jaccard >= t)`` above the pair join
+    collapses into the join as a CONDITION, so the whole shingle expression
+    is evaluated per probe row in interpreted (non-codegen) mode and then
+    AGAIN in the projection — measured 8× slower on minhash_candidates at
+    sf0.1. A Python UDF cannot appear in a join condition, so Catalyst keeps
+    it (and the threshold filter) above the join, evaluated once per
+    candidate pair. Candidates ≪ corpus, so the Python cost is off the
+    critical path at scale. (A semi-join-then-shingle array variant was
+    A/B-measured ~0.5 s slower warm — see minhash_candidates;
+    tests/test_properties.py pins this UDF equal to the Column form.)"""
     n = shingle_n
 
     @pandas_udf("double")
@@ -271,49 +270,32 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Per-doc minhash signature as ONE ``array<long>`` column ``_sig`` —
-    zero-shuffle formulation.
+    zero-shuffle, zero-Python formulation.
 
     Identical hash family and results as :func:`minhash_signature_agg`
     (Kirsch-Mitzenmacher ``h1 + k·h2`` over the same shingle set), but
     instead of explode → groupBy(k mins) — whose shuffle carries every
-    (doc, shingle) hash pair — the per-shingle h1/h2 hashes stay as array
-    columns (JVM xxhash64 inside ``transform``) and the k-way min-reduction
-    runs as an Arrow-batched pandas UDF: one ``(shingles×k)`` numpy
-    broadcast-add + ``min(axis=0)`` per document. No exchange anywhere —
-    the signature is computed entirely map-side, which is the property that
-    matters at corpus scale (measured ~4× faster than the groupBy form at
-    sf0.1, and the groupBy form's shuffle grows with total shingle count
-    while this grows with zero).
+    (doc, shingle) hash pair — the whole reduction is the in-row
+    :func:`minhash_signature` HOF aggregate (one ``zip_with(acc, hashes,
+    least)`` pass over the shingle array). No exchange anywhere, and no
+    Python workers either: an earlier revision ran the k-way min as an
+    Arrow pandas UDF, which benched faster than the groupBy form but paid
+    a Python-worker warm-up per cold executor — the pure-JVM form now
+    measures ~2× faster warm at sf0.1 (0.21 s vs 0.48 s) and removes the
+    worker dependency from the whole minhash path (verified
+    signature-identical on the full fixture, 500/500).
 
     The input is ``spread()`` first: signature compute is pure per-row work,
     so it should run at full cluster width even when the corpus arrives as
     few row groups (no-op on a well-split corpus)."""
     from batch_public_spark.sources.tables import spread
 
-    df = spread(df)
-    k_range = num_hashes
-
-    @pandas_udf("array<long>")
-    def _mins(h1s: pd.Series, h2s: pd.Series) -> pd.Series:
-        ks = np.arange(k_range, dtype=np.int64)
-        out = []
-        for h1, h2 in zip(h1s, h2s):
-            a1 = np.asarray(h1, dtype=np.int64)
-            a2 = np.asarray(h2, dtype=np.int64)
-            if a1.size == 0:
-                out.append(np.full(k_range, _MAX_LONG, dtype=np.int64))
-            else:
-                # (shingles × k) broadcast; values < 64·2^31 — no overflow.
-                out.append((a1[:, None] + ks * a2[:, None]).min(axis=0))
-        return pd.Series(out)
-
-    sh = word_shingles(F.col(text_col), shingle_n)
-    hashed = df.select(
+    return spread(df).select(
         F.col(id_col).alias("_id"),
-        F.transform(sh, lambda s: F.pmod(F.xxhash64(F.lit(0), s), F.lit(_MERSENNE31))).alias("_h1"),
-        F.transform(sh, lambda s: F.pmod(F.xxhash64(F.lit(1), s), F.lit(_MERSENNE31))).alias("_h2"),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
+            "_sig"
+        ),
     )
-    return hashed.select("_id", _mins("_h1", "_h2").alias("_sig"))
 
 
 def minhash_candidates(
@@ -350,43 +332,23 @@ def minhash_candidates(
     # the gathered size, and bounds pair blowup at max_bucket² per bucket —
     # the same posting-list capping production dedup uses for boilerplate.
     pairs = bucket_pairs(buckets, ["band", "bucket"], "_id", max_bucket)
-    # Verify: shingle each doc that appears in ≥1 candidate pair ONCE (a
-    # semi-join restricts the corpus to candidate ids), then join the
-    # shingle ARRAYS to the pairs and take exact Jaccard JVM-side. This
-    # beats both prior forms: shingling per PAIR (the jaccard_text pandas
-    # UDF — a doc in k pairs shingled k times, in Python) and joining a
-    # fully pre-shingled corpus (every doc shingled whether or not it has
-    # candidates). `pairs` feeds three consumers (the id semi-join and
-    # both array joins) and `sh` two — lazy checkpoints cut each subtree
-    # to one evaluation; both frames are candidate-bounded, tiny relative
-    # to the corpus at any scale. Null text: word_shingles(null) yields a
-    # null set ⇒ jaccard 0.0 (jaccard_text returned NULL); no candidate
-    # can reach a ≥-threshold filter either way.
-    pairs = pairs.localCheckpoint(eager=False)
-    ids = (
-        pairs.select(F.col("id_a").alias("_id"))
-        .union(pairs.select(F.col("id_b").alias("_id")))
-        .distinct()
-    )
-    sh = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            word_shingles(F.col(text_col), shingle_n).alias("_sh"),
-        )
-        .join(ids, "_id")
-        .localCheckpoint(eager=False)
-    )
+    # Verify: join pairs to RAW TEXT and shingle only the matched rows in
+    # one Arrow batch (jaccard_text). Two alternatives were measured and
+    # rejected in matched interleaved A/B at sf0.1: pre-shingling the
+    # corpus before the join re-evaluates word_shingles for every corpus
+    # row during the probe (projections don't push through joins), and a
+    # semi-join-then-shingle variant with lazily checkpointed pairs/
+    # shingle frames added two stage barriers + two extra joins that cost
+    # more (~+0.5 s warm) than the per-pair Python shingling they avoid —
+    # candidates ≪ corpus, so the UDF is off the critical path at scale.
+    txt = df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_txt"))
     return (
-        pairs.join(
-            sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("_sh_a")), "id_a"
-        )
-        .join(
-            sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("_sh_b")), "id_b"
-        )
+        pairs.join(txt.withColumnRenamed("_id", "id_a").withColumnRenamed("_txt", "t_a"), "id_a")
+        .join(txt.withColumnRenamed("_id", "id_b").withColumnRenamed("_txt", "t_b"), "id_b")
         .select(
             "id_a",
             "id_b",
-            jaccard(F.col("_sh_a"), F.col("_sh_b")).alias("jaccard"),
+            jaccard_text(F.col("t_a"), F.col("t_b"), shingle_n).alias("jaccard"),
         )
     )
 
