@@ -29,7 +29,6 @@ from batch_public_spark.plans import stats_queries  # noqa: F401
 from batch_public_spark.plans import eval_mining_queries  # noqa: F401  # eval/mining/allocation family
 
 # Names pinned to the front of the registry, in order (see module docstring).
-# Names pinned to the front of the registry, in order (see module docstring).
 # Round 6 rotation (verdict-r5 item #1): CORRECTNESS_r01..r05 union covers
 # 197/261 registered queries with 64 never driver-verified. The 50-entry
 # window below carries the 2 plans rewritten in r5 after their last driver
@@ -121,6 +120,8 @@ _NEXT_WINDOW = [
     "llmops_intradoc_repetition",
     "events_funnel_steps",
     "llmops_embedding_quantize_error",
+    "llmops_importance_resample",
+    "events_bounce_rate_daily",
 ]
 
 

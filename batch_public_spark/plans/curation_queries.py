@@ -776,3 +776,56 @@ def llmops_intradoc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("rep").cast("double") / F.count("*"), 6).alias("avg_repetition"),
         F.round(F.max("rep").cast("double"), 6).alias("max_repetition"),
     )
+
+
+@query(
+    "llmops_importance_resample",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+             sum(n_chars) OVER (PARTITION BY source) AS tot
+      FROM documents
+    )
+    SELECT source,
+           CAST(sum(CASE WHEN (cum * 5) // tot > ((cum - n_chars) * 5) // tot
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(sum(CASE WHEN (cum * 5) // tot > ((cum - n_chars) * 5) // tot
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS selected_chars
+    FROM ranked GROUP BY source
+    """,
+)
+def llmops_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic length-weighted resampling, k=5 per source: walk each
+    source's docs in deterministic md5 order accumulating weight
+    (n_chars) and pick the doc wherever the cumulative weight crosses a
+    multiple of total/5 — probability-proportional-to-size sampling with
+    EXACTLY k picks per group and zero randomness state (the md5 walk is
+    the "random" order; reruns and engines agree bit-for-bit because the
+    crossing test is pure integer arithmetic, no total/5 division ever
+    materializes as a double).
+
+    Spark-first: one window pair per source (running sum + group total
+    share the partition key and one shuffle) + one aggregation on the
+    same key — the same skew-bounded per-group shape as the quota cap
+    and stratified sample. A GLOBAL systematic resample would need an
+    unpartitioned running sum (the plan linter rightly rejects that
+    shape); per-group quotas are both scale-safe and what a mixture
+    pipeline actually wants."""
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+    ranked = d.select(
+        "source",
+        "n_chars",
+        F.sum("n_chars").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("n_chars").over(W.partitionBy("source")).alias("tot"),
+    )
+    crossed = F.expr("(cum * 5) div tot > ((cum - n_chars) * 5) div tot")
+    return ranked.groupBy("source").agg(
+        F.sum(F.when(crossed, 1).otherwise(0)).cast("bigint").alias("n_selected"),
+        F.sum(F.when(crossed, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("selected_chars"),
+    )

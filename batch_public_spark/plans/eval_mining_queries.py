@@ -2521,3 +2521,74 @@ def llmops_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFra
         ),
         F.round(F.max("max_err").cast("double"), 9).alias("max_abs_err"),
     )
+
+
+@query(
+    "events_bounce_rate_daily",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 6 HOURS THEN 1 ELSE 0 END
+               AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    ), sess AS (
+      SELECT user_id, sid, count(*) AS n, min(ts) AS start_ts
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT date_trunc('day', start_ts) AS day,
+           CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+           round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
+             AS bounce_rate
+    FROM sess GROUP BY 1
+    """,
+)
+def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: gap-sessionize each user's stream (6 h idle gap
+    — 58% single-event sessions at sf0.01, a discriminating fixture
+    value) and report, per session-start day, how many sessions ended
+    after a single event — the engagement KPI bolted on top of the same
+    gaps-and-islands core as events_sessionize_gap and the streaming
+    session windows.
+
+    Spark-first: both windows (lag for boundaries, running sum for the
+    island id) ride ONE shuffle partitioned by user_id; the session
+    rollup keys on (user_id, sid) — a prefix of the same partitioning —
+    and only the per-day KPI aggregation reshuffles, on ~|days| rows."""
+    e = t(spark, sf_dir, "events")
+    uw = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(uw).isNull()
+            | (F.col("ts") > F.lag("ts").over(uw) + F.expr("INTERVAL 6 HOURS")),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    s = o.select(
+        "user_id",
+        "ts",
+        F.sum("new_s")
+        .over(W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n"), F.min("ts").alias("start_ts")
+    )
+    bounce = F.col("n") == 1
+    return sess.groupBy(F.date_trunc("day", "start_ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        F.sum(F.when(bounce, 1).otherwise(0)).cast("bigint").alias("n_bounces"),
+        F.round(
+            F.sum(F.when(bounce, 1).otherwise(0)) / F.count("*").cast("double"), 6
+        ).alias("bounce_rate"),
+    )
