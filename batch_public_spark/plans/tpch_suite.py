@@ -531,6 +531,10 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("late"))
+        # feeds the per-order rollup AND the late-pair probe: cut the
+        # lineitem⋈orders aggregate once (lazy — materialized by the
+        # first consumer's job)
+        .localCheckpoint(eager=False)
     )
     per_order = pair.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
