@@ -122,6 +122,7 @@ _NEXT_WINDOW = [
     "llmops_embedding_quantize_error",
     "llmops_importance_resample",
     "events_bounce_rate_daily",
+    "dq_dp_noisy_counts",
 ]
 
 

@@ -1617,3 +1617,67 @@ def events_journey_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("pattern", "n_matched", "n_users", "match_share")
     )
+
+
+def _dp_u(h: str) -> str:
+    """SQL: seeded uniform strictly inside (0, 1) from 24 md5 bits —
+    +0.5 centering keeps both tails away from 0 and 1, so the Laplace
+    inverse-CDF below can never hit ln(0)."""
+    from batch_public_spark.plans.curation_queries import _hex3
+
+    return f"(({_hex3(h, 1)} * 4096 + {_hex3(h, 4)} + 0.5) / 16777216.0)"
+
+
+_DP_DUCK_H = "md5(event_type || ':dp')"
+_DP_SPARK_H = "md5(concat(event_type, ':dp'))"
+_DP_B = 2.0  # Laplace scale b = sensitivity/epsilon = 1/0.5
+
+
+def _dp_noise(h: str) -> str:
+    """SQL: Laplace(b=2) noise via inverse CDF of the seeded uniform:
+    -b * sign(u - 0.5) * ln(1 - 2*abs(u - 0.5))."""
+    u = _dp_u(h)
+    return (
+        f"(-{_DP_B} * sign({u} - 0.5) * ln(1 - 2 * abs({u} - 0.5)))"
+    )
+
+
+@query(
+    "dq_dp_noisy_counts",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_true FROM events
+      GROUP BY event_type
+    )
+    SELECT event_type, n_true,
+           round(n_true + {_dp_noise(_DP_DUCK_H)}, 6) AS noisy_count,
+           round(abs({_dp_noise(_DP_DUCK_H)}), 6) AS noise_abs
+    FROM g
+    """,
+)
+def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differential-privacy-style released counts: per-event-type counts
+    plus Laplace(b = sensitivity/ε = 1/0.5) noise drawn ONCE per released
+    statistic via the inverse CDF of a seeded md5 uniform — the classic
+    Laplace mechanism with the randomness made deterministic so the whole
+    release is replayable and oracle-hashable (a REAL deployment swaps
+    the seeded uniform for a CSPRNG draw; every other part of the plan —
+    per-statistic draws, sensitivity bookkeeping, post-processing
+    rounding — is exactly what it would run). The true count is emitted
+    alongside so the noise magnitude is auditable in tests.
+
+    Spark-first: one map-side-combined count aggregation; the noise is a
+    row-local expression over the 5 released rows — privacy adds ZERO
+    distributed work beyond the aggregate itself, which is the point of
+    the Laplace mechanism at scale. The uniform's 24-bit numerator is
+    integer-exact in both engines; sign/ln/abs are one libm call each
+    (the llmops_weighted_sample -LN discipline), rounded at 1e-6."""
+    e = t(spark, sf_dir, "events")
+    g = e.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n_true"))
+    noise = F.expr(_dp_noise(_DP_SPARK_H))
+    return g.select(
+        "event_type",
+        "n_true",
+        F.round(F.col("n_true") + noise, 6).alias("noisy_count"),
+        F.round(F.abs(noise), 6).alias("noise_abs"),
+    )
