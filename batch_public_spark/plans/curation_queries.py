@@ -802,10 +802,14 @@ def llmops_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     source's docs in deterministic md5 order accumulating weight
     (n_chars) and pick the doc wherever the cumulative weight crosses a
     multiple of total/5 — probability-proportional-to-size sampling with
-    EXACTLY k picks per group and zero randomness state (the md5 walk is
-    the "random" order; reruns and engines agree bit-for-bit because the
-    crossing test is pure integer arithmetic, no total/5 division ever
-    materializes as a double).
+    exactly k picks per group whenever no single doc carries ≥ 1/k of
+    the group's mass (a heavier doc absorbs several strides but is
+    selected once — the without-replacement convention; the property
+    test in tests/test_properties.py pins both the k-stride partition
+    and this cap). Zero randomness state: the md5 walk is the "random"
+    order, and reruns and engines agree bit-for-bit because the
+    crossing test is pure integer arithmetic — no total/5 division ever
+    materializes as a double.
 
     Spark-first: one window pair per source (running sum + group total
     share the partition key and one shuffle) + one aggregation on the

@@ -158,3 +158,112 @@ def test_jaccard_text_equals_column_form(spark, pairs):
             r.col_form,
             r.udf_form,
         )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(min_value=1, max_value=10_000)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_systematic_resample_selects_exactly_k_per_group(spark, rows):
+    """The integer cumulative-weight crossing test behind
+    llmops_importance_resample: across any positive integer weights, the
+    total number of stride boundaries crossed per group is EXACTLY k, and
+    the number of selected docs equals k whenever no single doc carries
+    >= 1/k of the group's mass (a heavier doc absorbs several strides but
+    is selected once — the without-replacement convention; hypothesis
+    found the single-doc group counterexample that motivates the split
+    assertion)."""
+    k = 5
+    df = spark.createDataFrame(
+        [(g, i, w) for i, (g, w) in enumerate(rows)], "g string, id long, w long"
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("g").orderBy(F.md5(F.col("id").cast("string")), "id")
+    ranked = df.select(
+        "g",
+        "w",
+        F.sum("w").over(win.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        F.sum("w").over(W.partitionBy("g")).alias("tot"),
+    )
+    strides = F.expr(f"(cum * {k}) div tot - ((cum - w) * {k}) div tot")
+    got = {
+        r["g"]: (r["n_sel"], r["n_strides"], r["mx"], r["tot"])
+        for r in ranked.groupBy("g")
+        .agg(
+            F.sum(F.when(strides > 0, 1).otherwise(0)).alias("n_sel"),
+            F.sum(strides).alias("n_strides"),
+            F.max("w").alias("mx"),
+            F.max("tot").alias("tot"),
+        )
+        .collect()
+    }
+    for g, (n_sel, n_strides, mx, tot) in got.items():
+        assert n_strides == k, (g, got[g])  # strides always partition into k
+        if mx * k < tot:  # no doc holds >= 1/k of the mass
+            assert n_sel == k, (g, got[g])
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=40))
+def test_intradoc_repetition_ratio_bounded(spark, texts):
+    """1 − distinct/total trigrams stays in [0, 1] for arbitrary text
+    (including whitespace-only and sub-3-token docs, which are excluded
+    by the same len >= 3 predicate the query uses)."""
+    from batch_public_spark.operators.textops import tokens
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "id long, text string")
+    tk = tokens(F.lower(F.col("text")))
+    base = df.select("id", tk.alias("toks")).filter(F.size("toks") >= 3)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("toks", i),
+            F.element_at("toks", i + F.lit(1)),
+            F.element_at("toks", i + F.lit(2)),
+        ),
+    )
+    rows = base.select(
+        (F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams).cast("double")).alias("rep")
+    ).collect()
+    assert all(r.rep is not None and 0.0 <= r.rep <= 1.0 for r in rows)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+            ),
+            min_size=2,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_int8_quantize_error_within_half_step(spark, vecs):
+    """Nearest-step rounding error is bounded by scale/2 per dimension for
+    any finite vector with a nonzero max-abs — the invariant behind
+    llmops_embedding_quantize_error."""
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id long, vv array<double>"
+    )
+    d = (
+        df.withColumn("maxabs", F.array_max(F.transform("vv", F.abs)))
+        .filter(F.col("maxabs") > 0)
+        .select("id", (F.col("maxabs") / 127).alias("scale"), F.explode("vv").alias("x"))
+    )
+    rows = d.select(
+        (
+            F.abs(F.col("x") - F.round(F.col("x") / F.col("scale"), 0) * F.col("scale"))
+            - F.col("scale") / 2
+        ).alias("slack")
+    ).collect()
+    assert all(r.slack <= 1e-12 for r in rows)
