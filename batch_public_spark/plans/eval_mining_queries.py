@@ -1948,8 +1948,8 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cluster_key,
              CAST(count(*) AS BIGINT) AS n_members,
              CAST(min(doc_id) AS BIGINT) AS survivor_doc_id,
-             CAST((min(CAST((100000 - n_chars) AS BIGINT) * 10000000 + doc_id))
-                  % 10000000 AS BIGINT) AS longest_doc_id,
+             CAST((min(CAST((100000 - n_chars) AS BIGINT) * 1099511627776 + doc_id))
+                  % 1099511627776 AS BIGINT) AS longest_doc_id,
              CAST(CASE WHEN count(DISTINCT lang) > 1 THEN 1 ELSE 0 END AS INTEGER)
                AS lang_conflict,
              CAST(max(n_chars) AS BIGINT) AS max_chars
@@ -1972,9 +1972,17 @@ def llmops_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first: one aggregation over the cluster key with map-side
     combine; the argmax-by-length is encoded as a single packed-integer
-    min ((100000−n_chars)·10⁷ + doc_id — monotone in (-n_chars, doc_id),
+    min ((100000−n_chars)·2⁴⁰ + doc_id — monotone in (-n_chars, doc_id),
     exact BIGINT, no engine-specific max_by tie behavior); shuffles
-    carry 16-byte keys and scalars, never text."""
+    carry 16-byte keys and scalars, never text.
+
+    Packing domain (enforced for the fixture by
+    tests/test_eval_mining_invariants.py): 0 ≤ doc_id < 2⁴⁰ (~1.1e12 —
+    ample for a 100 TB corpus) so the id never bleeds into the length
+    component, and 0 ≤ n_chars ≤ 100000 so the length component stays
+    non-negative (DuckDB's ``%`` follows the dividend's sign, so a
+    negative packed value would mis-extract). Corpora beyond either
+    bound need a wider multiplier / offset, not a different algorithm."""
     d = t(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",
@@ -1982,7 +1990,7 @@ def llmops_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.md5(F.substring(F.trim(F.lower(F.col("text"))), 1, 40)).alias("cluster_key"),
     )
-    packed = (F.lit(100000) - F.col("n_chars")).cast("bigint") * 10000000 + F.col(
+    packed = (F.lit(100000) - F.col("n_chars")).cast("bigint") * (1 << 40) + F.col(
         "doc_id"
     )
     return (
@@ -1990,7 +1998,7 @@ def llmops_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_members"),
             F.min("doc_id").cast("bigint").alias("survivor_doc_id"),
-            F.pmod(F.min(packed), F.lit(10000000)).cast("bigint").alias(
+            F.pmod(F.min(packed), F.lit(1 << 40)).cast("bigint").alias(
                 "longest_doc_id"
             ),
             F.when(F.countDistinct("lang") > 1, 1).otherwise(0).cast("int").alias(
@@ -2277,12 +2285,16 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_bootstrap_hash_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-bootstrap confidence interval for mean order
     revenue: 32 resampling replicates where each row's multiplicity in
-    replicate b is a hash of (key, b) mapped to {0,1,2} with mean 1 (the
-    Poisson-bootstrap idea with a two-point weight), CI from the 2nd and
-    31st ordered replicate means (~94% coverage) — resampling-based
-    uncertainty for ANY pipeline statistic without distributional
-    assumptions, and reproducible across runs/engines because the
-    "randomness" is md5.
+    replicate b is a hash of (key, b) mapped to {0→¼, 2→¼, 1→½} — mean 1,
+    variance ½ (a true Poisson(1) bootstrap has variance 1, so replicate
+    means spread ~1/√2 as far and the quoted interval is ~30%
+    NARROWER than a classical bootstrap CI; acceptable for a
+    reproducibility-first monitoring bound, and widening is a constant
+    factor away — multiply the half-width by √2 or move to a wider
+    integer weight support). CI from the 2nd and 31st ordered replicate
+    means — resampling-based uncertainty for ANY pipeline statistic
+    without distributional assumptions, reproducible across runs/engines
+    because the "randomness" is md5.
 
     Spark-first: replicates come from ONE pass — the 32-way expansion is
     an in-row sequence explode feeding a map-side-combinable (b) keyed

@@ -553,3 +553,22 @@ def test_bootstrap_ci_brackets_true_mean(spark):
 
     se = statistics.pstdev(xs) / math.sqrt(len(xs))
     assert row.ci_hi - row.ci_lo < 10 * se
+
+
+def test_survivorship_packing_domain_holds_on_fixture(spark):
+    """llmops_dedup_survivorship packs (100000 - n_chars)·2⁴⁰ + doc_id
+    into one BIGINT; the encoding is only order-correct for
+    0 <= doc_id < 2**40 and 0 <= n_chars <= 100000 (see the query
+    docstring). Pin the fixture inside that domain so silent id/length
+    growth can never turn the packed argmax into a wrong answer."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_DIR, "documents")
+    row = d.agg(
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.min("n_chars").alias("min_ch"),
+        F.max("n_chars").alias("max_ch"),
+    ).first()
+    assert 0 <= row.min_id and row.max_id < (1 << 40)
+    assert 0 <= row.min_ch and row.max_ch <= 100000
