@@ -2255,14 +2255,29 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _boot_w(h: str) -> str:
+    """SQL: bootstrap weight in {0, 2} from a UNIFORM 12-bit md5 slice —
+    mean 1, variance 1 (matching the Poisson(1) bootstrap), the
+    double-or-nothing resampling weight. ascii(first-hex-char) % 4 (the
+    previous derivation) is NOT uniform over the 16 hex symbols
+    (P(w)=4/16, 5/16, 7/16 → E[w]=17/16, Var≈0.56 — understated
+    replicate variance and an inflated mean; r4 advice)."""
+    from batch_public_spark.plans.curation_queries import _hex3
+
+    return f"(CASE WHEN ({_hex3(h)} % 4) < 2 THEN 0 ELSE 2 END)"
+
+
+_BOOT_DUCK_H = "md5(CAST(o.o_orderkey AS VARCHAR) || '-' || CAST(b.b AS VARCHAR))"
+_BOOT_SPARK_H = "md5(concat_ws('-', cast(o_orderkey as string), cast(b as string)))"
+_BOOT_W = _boot_w(_BOOT_DUCK_H)
+
+
 @query(
     "agg_bootstrap_hash_ci",
-    oracle="""
+    oracle=f"""
     WITH reps AS (
       SELECT b.b,
-             CASE ascii(substr(md5(CAST(o.o_orderkey AS VARCHAR) || '-'
-                                  || CAST(b.b AS VARCHAR)), 1, 1)) % 4
-               WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 1 END AS w,
+             {_BOOT_W} AS w,
              CAST(o.o_totalprice AS DECIMAL(18,4)) AS x
       FROM orders o CROSS JOIN (SELECT unnest(generate_series(1, 32)) AS b) b
     ), means AS (
@@ -2285,13 +2300,12 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_bootstrap_hash_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic hash-bootstrap confidence interval for mean order
     revenue: 32 resampling replicates where each row's multiplicity in
-    replicate b is a hash of (key, b) mapped to {0→¼, 2→¼, 1→½} — mean 1,
-    variance ½ (a true Poisson(1) bootstrap has variance 1, so replicate
-    means spread ~1/√2 as far and the quoted interval is ~30%
-    NARROWER than a classical bootstrap CI; acceptable for a
-    reproducibility-first monitoring bound, and widening is a constant
-    factor away — multiply the half-width by √2 or move to a wider
-    integer weight support). CI from the 2nd and 31st ordered replicate
+    replicate b is double-or-nothing — w ∈ {0, 2} with equal probability
+    from a UNIFORM 12-bit md5 slice (mean 1, variance 1, matching the
+    Poisson(1) bootstrap's weight variance; the earlier
+    ascii(hex) % 4 derivation was non-uniform — E[w]=17/16, Var≈0.56 —
+    which both biased the replicate means up and understated their
+    spread, r4 advice). CI from the 2nd and 31st ordered replicate
     means — resampling-based uncertainty for ANY pipeline statistic
     without distributional assumptions, reproducible across runs/engines
     because the "randomness" is md5.
@@ -2311,39 +2325,18 @@ def agg_bootstrap_hash_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stage cannot move the result. (Warm 4.4s -> sub-second at sf0.1.)
     o = spread(t(spark, sf_dir, "orders"))
     # The per-(row, replicate) md5 is the one genuinely heavy expression
-    # (|orders|×32 hashes); project it into a named column once so the
-    # weight CASE branches on the cached byte instead of relying on
-    # common-subexpression elimination to dedupe two hash subtrees.
-    h = F.pmod(
-        F.ascii(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "-",
-                        F.col("o_orderkey").cast("string"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                1,
-            )
-        ),
-        4,
-    )
+    # (|orders|×32 hashes); the weight expression (identical SQL text to
+    # the oracle's, via _boot_w) parses a uniform 12-bit slice of it.
     reps = (
         o.select(
             F.col("o_totalprice").cast("decimal(18,4)").alias("x"),
             F.col("o_orderkey"),
             F.explode(F.sequence(F.lit(1), F.lit(32))).alias("b"),
         )
-        .withColumn("_h", h)
         .select(
             "b",
             "x",
-            F.when(F.col("_h") == 0, 0)
-            .when(F.col("_h") == 1, 2)
-            .otherwise(1)
-            .alias("w"),
+            F.expr(_boot_w(_BOOT_SPARK_H)).alias("w"),
         )
     )
     means = (

@@ -530,10 +530,21 @@ def test_freshness_sla_lag_consistent(spark):
     assert {r.event_type for r in rows} == set(max_by_type)
     freshest = [r for r in rows if r.lag_minutes == 0]
     assert freshest  # at least one stream defines the frontier
+    def _us(dt):
+        # integer epoch-microseconds — the exact arithmetic the query does
+        # (unix_micros div), no float total_seconds() floor ambiguity
+        from datetime import timezone
+
+        return int(dt.replace(tzinfo=timezone.utc).timestamp()) * 1_000_000 + dt.microsecond
+
     for r in rows:
-        lag_min = int((global_max - max_by_type[r.event_type]).total_seconds() // 60)
-        assert r.lag_minutes == lag_min
-        assert r.sla_breach == (1 if lag_min > 120 else 0)
+        lag_us = _us(global_max) - _us(max_by_type[r.event_type])
+        assert r.lag_minutes == lag_us // 60_000_000
+        # breach is defined on MICROSECONDS (lag_us > 2h), not on the
+        # floored minute value — a lag strictly between 120 and 121
+        # minutes breaches while still printing lag_minutes=120 (r4
+        # advice: recompute the expectation from µs, no latent flake)
+        assert r.sla_breach == (1 if lag_us > 2 * 3600 * 1_000_000 else 0)
 
 
 def test_bootstrap_ci_brackets_true_mean(spark):
