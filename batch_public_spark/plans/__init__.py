@@ -123,6 +123,8 @@ _NEXT_WINDOW = [
     "llmops_importance_resample",
     "events_bounce_rate_daily",
     "dq_dp_noisy_counts",
+    "join_asof_direction_battery",
+    "llmops_embedding_centroid_drift",
 ]
 
 

@@ -2597,3 +2597,88 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(bounce, 1).otherwise(0)) / F.count("*").cast("double"), 6
         ).alias("bounce_rate"),
     )
+
+
+@query(
+    "llmops_embedding_centroid_drift",
+    oracle="""
+    WITH v AS (
+      SELECT label,
+             ascii(substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) % 2 AS half,
+             CAST(embedding AS DOUBLE[]) AS vv
+      FROM embeddings
+    ), dims AS (
+      SELECT label, half, pos, round(avg(x), 6) AS m FROM (
+        SELECT label, half, unnest(generate_series(1, len(vv))) AS pos,
+               unnest(vv) AS x
+        FROM v
+      ) GROUP BY label, half, pos
+    ), diff AS (
+      SELECT a.label, a.pos,
+             CAST(round((a.m - b.m) * (a.m - b.m), 12) AS DECIMAL(28,12)) AS d2,
+             CAST(round(abs(a.m - b.m), 6) AS DECIMAL(18,6)) AS ad
+      FROM dims a JOIN dims b ON a.label = b.label AND a.pos = b.pos
+      WHERE a.half = 0 AND b.half = 1
+    ), counts AS (
+      SELECT label,
+             CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM v GROUP BY label
+    )
+    SELECT d.label, c.n_a, c.n_b,
+           round(sqrt(CAST(sum(d.d2) AS DOUBLE)), 6) AS centroid_l2,
+           round(CAST(max(d.ad) AS DOUBLE), 6) AS max_dim_shift
+    FROM diff d JOIN counts c ON d.label = c.label
+    GROUP BY d.label, c.n_a, c.n_b
+    """,
+)
+def llmops_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid drift between two deterministic halves
+    of the corpus (md5 split): L2 distance between the halves' per-label
+    mean vectors plus the worst single-dimension shift — the
+    vector-store drift monitor run before trusting an ANN index built on
+    yesterday's embedding distribution with today's data (a near-zero
+    drift on a random split like this one is the healthy baseline; the
+    same query pointed at two time windows is the production alarm).
+
+    Spark-first: per-(label, half, dim) means via one posexplode +
+    map-side-combined aggregation; the halves join on (label, pos) —
+    k×dim rows — and everything after is decimal-exact (per-dim means
+    rounded at 1e-6, squared diffs at 1e-12 into DECIMAL sums) so the
+    L2 is partitioning-independent. The embedding dim is derived from
+    the vectors in BOTH engines (posexplode / zipped unnest)."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.pmod(F.ascii(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1)), 2).alias(
+            "half"
+        ),
+        F.col("embedding").cast("array<double>").alias("vv"),
+    ).localCheckpoint(eager=False)  # feeds the dim means AND the half counts
+    dims = (
+        v.select("label", "half", F.posexplode("vv").alias("pos0", "x"))
+        .groupBy("label", "half", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .localCheckpoint(eager=False)  # both join sides filter this frame
+    )
+    a = dims.filter(F.col("half") == 0).select("label", "pos", F.col("m").alias("ma"))
+    b = dims.filter(F.col("half") == 1).select("label", "pos", F.col("m").alias("mb"))
+    diff = a.join(b, ["label", "pos"]).select(
+        "label",
+        F.round((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb")), 12)
+        .cast("decimal(28,12)")
+        .alias("d2"),
+        F.round(F.abs(F.col("ma") - F.col("mb")), 6).cast("decimal(18,6)").alias("ad"),
+    )
+    counts = v.groupBy("label").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    return (
+        diff.groupBy("label")
+        .agg(
+            F.round(F.sqrt(F.sum("d2").cast("double")), 6).alias("centroid_l2"),
+            F.round(F.max("ad").cast("double"), 6).alias("max_dim_shift"),
+        )
+        .join(F.broadcast(counts), "label")
+        .select("label", "n_a", "n_b", "centroid_l2", "max_dim_shift")
+    )

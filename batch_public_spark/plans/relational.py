@@ -1389,3 +1389,101 @@ def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHERE k IS NULL) AS n_null_keys
         """
     )
+
+
+@query(
+    "join_asof_direction_battery",
+    oracle="""
+    WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    b AS (
+      SELECT e.event_id, e.user_id, e.ts, c.ts AS prev_ts
+      FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts >= c.ts
+    ), f AS (
+      SELECT e.event_id, c.ts AS next_ts
+      FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND e.ts <= c.ts
+    )
+    SELECT b.event_id, b.user_id,
+           CAST(COALESCE((epoch_us(b.ts) - epoch_us(b.prev_ts)) // 1000000, -1)
+                AS BIGINT) AS prev_gap_s,
+           CAST(COALESCE((epoch_us(f.next_ts) - epoch_us(b.ts)) // 1000000, -1)
+                AS BIGINT) AS next_gap_s,
+           CASE WHEN b.prev_ts IS NULL AND f.next_ts IS NULL THEN 'none'
+                WHEN f.next_ts IS NULL THEN 'prev'
+                WHEN b.prev_ts IS NULL THEN 'next'
+                WHEN epoch_us(b.ts) - epoch_us(b.prev_ts)
+                     <= epoch_us(f.next_ts) - epoch_us(b.ts) THEN 'prev'
+                ELSE 'next' END AS nearest_dir
+    FROM b JOIN f ON b.event_id = f.event_id
+    """,
+)
+def join_asof_direction_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join, all three directions in one battery: for each error
+    event, the last click at-or-before it (backward — the classic as-of),
+    the first click at-or-after it (forward), and which of the two is
+    nearer (tie → backward). Completes the as-of family next to
+    join_asof_last_click, which covers backward-inner only.
+
+    Spark-first: still NOT a pair join — the same union+running-window
+    trick, run once per direction over ONE (user_id)-partitioned sort:
+    backward is ``last(click_ts, ignorenulls)`` over the preceding frame
+    with clicks ordered before errors at equal ts (>= includes ties);
+    forward is ``first(click_ts, ignorenulls)`` over the following frame
+    with the tag order REVERSED so same-ts clicks land inside the
+    following frame (<= includes ties). Both windows share one shuffle;
+    no pair explosion at any scale. LEFT semantics: errors with no click
+    on a side report gap −1 (sentinel instead of NULL — a NULL BIGINT
+    column round-trips as float NaN through the oracle harness's pandas
+    bridge; the oracle's ASOF LEFT JOIN coalesces identically)."""
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.col("ts").alias("ev_ts"),
+        F.lit(0).alias("probe"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("ev_ts"), F.lit(1).alias("probe")
+    )
+    u = clicks.unionByName(errors)
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("ev_ts", "probe")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("ev_ts", F.desc("probe"))
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("probe") == 0, F.col("ev_ts"))
+    prev_ts = F.last(click_ts, ignorenulls=True).over(wb)
+    next_ts = F.first(click_ts, ignorenulls=True).over(wf)
+    us = F.unix_micros
+    tagged = (
+        u.withColumn("prev_ts", prev_ts)
+        .withColumn("next_ts", next_ts)
+        .filter(F.col("probe") == 1)
+    )
+    prev_gap = us(F.col("ev_ts")) - us(F.col("prev_ts"))
+    next_gap = us(F.col("next_ts")) - us(F.col("ev_ts"))
+    return tagged.select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "coalesce((unix_micros(ev_ts) - unix_micros(prev_ts)) div 1000000, -1)"
+        )
+        .cast("bigint")
+        .alias("prev_gap_s"),
+        F.expr(
+            "coalesce((unix_micros(next_ts) - unix_micros(ev_ts)) div 1000000, -1)"
+        )
+        .cast("bigint")
+        .alias("next_gap_s"),
+        F.when(F.col("prev_ts").isNull() & F.col("next_ts").isNull(), "none")
+        .when(F.col("next_ts").isNull(), "prev")
+        .when(F.col("prev_ts").isNull(), "next")
+        .when(prev_gap <= next_gap, "prev")
+        .otherwise("next")
+        .alias("nearest_dir"),
+    )
