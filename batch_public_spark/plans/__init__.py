@@ -125,6 +125,10 @@ _NEXT_WINDOW = [
     "dq_dp_noisy_counts",
     "join_asof_direction_battery",
     "llmops_embedding_centroid_drift",
+    "llmops_dup_cluster_size_dist",
+    "events_interarrival_histogram",
+    "llmops_vocab_coverage_curve",
+    "llmops_char_entropy_quality",
 ]
 
 

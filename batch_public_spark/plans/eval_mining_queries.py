@@ -2682,3 +2682,78 @@ def llmops_embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFra
         .join(F.broadcast(counts), "label")
         .select("label", "n_a", "n_b", "centroid_l2", "max_dim_shift")
     )
+
+
+@query(
+    "events_interarrival_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(lag(ts) OVER
+               (PARTITION BY user_id, event_type ORDER BY ts, event_id)))
+               // 1000000 AS gap_s
+      FROM events
+    ), labeled AS (
+      SELECT event_type,
+             CASE WHEN gap_s < 60 THEN '0_lt_1m'
+                  WHEN gap_s < 300 THEN '1_lt_5m'
+                  WHEN gap_s < 3600 THEN '2_lt_1h'
+                  WHEN gap_s < 21600 THEN '3_lt_6h'
+                  WHEN gap_s < 86400 THEN '4_lt_24h'
+                  ELSE '5_ge_24h' END AS bucket
+      FROM gaps WHERE gap_s IS NOT NULL
+    ), counts AS (
+      SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n
+      FROM labeled GROUP BY 1, 2
+    ), tot AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS t FROM counts GROUP BY 1
+    )
+    SELECT c.event_type, c.bucket, c.n,
+           round(c.n * 1.0 / t.t, 6) AS share
+    FROM counts c JOIN tot t ON c.event_type = t.event_type
+    """,
+)
+def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time distribution per event type: the gap between a
+    user's consecutive events of the same type, bucketed on a fixed time
+    ladder — the first thing capacity planning and anomaly thresholds
+    (rate spike, CUSUM) are calibrated against, and the empirical answer
+    to "is 6 h the right sessionization gap" (see
+    events_bounce_rate_daily).
+
+    Spark-first: one lag window per (user, type) — the same partitioning
+    the sessionizers use — then integer-µs gaps bucketed by a CASE
+    ladder (exact integer boundaries, no float log) and two stacked
+    map-side-combined aggregations; the per-type totals join back onto
+    ~|types|×|buckets| rows. Bucket labels carry a sort prefix so the
+    result reads in time order without relying on engine collation."""
+    e = t(spark, sf_dir, "events")
+    uw = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gap_s = F.expr("(unix_micros(ts) - unix_micros(prev_ts)) div 1000000")
+    labeled = (
+        e.select("event_type", "ts", "event_id", F.lag("ts").over(uw).alias("prev_ts"))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            F.when(gap_s < 60, "0_lt_1m")
+            .when(gap_s < 300, "1_lt_5m")
+            .when(gap_s < 3600, "2_lt_1h")
+            .when(gap_s < 21600, "3_lt_6h")
+            .when(gap_s < 86400, "4_lt_24h")
+            .otherwise("5_ge_24h")
+            .alias("bucket"),
+        )
+    )
+    counts = labeled.groupBy("event_type", "bucket").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    tot = counts.groupBy("event_type").agg(F.sum("n").cast("bigint").alias("t"))
+    return (
+        counts.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            F.round(F.col("n") / F.col("t").cast("double"), 6).alias("share"),
+        )
+    )

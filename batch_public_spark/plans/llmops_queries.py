@@ -1249,3 +1249,56 @@ def llmops_dedup_cascade_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.*")
+
+
+@query(
+    "llmops_dup_cluster_size_dist",
+    oracle="""
+    WITH clusters AS (
+      SELECT md5(substr(trim(lower(text)), 1, 40)) AS ck,
+             CAST(count(*) AS BIGINT) AS sz
+      FROM documents GROUP BY 1
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+    SELECT sz AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sz * count(*) AS BIGINT) AS n_docs,
+           round(sz * count(*) * 1.0 / max(tot.n_docs), 6) AS corpus_share
+    FROM clusters CROSS JOIN tot
+    GROUP BY sz
+    """,
+)
+def llmops_dup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-cluster size distribution: group the corpus by the
+    40-char normalized-prefix blocking key (the survivorship/prefix-dedup
+    blocking) and histogram the cluster sizes — the single chart a dedup
+    run publishes first, because the size distribution decides the
+    strategy (a long tail of pairs → greedy pair dedup suffices; a few
+    giant clusters → connected components + survivorship rules).
+
+    Spark-first: two stacked aggregations (doc→cluster, cluster→size
+    histogram), both map-side combined; the corpus total broadcasts onto
+    the ~|distinct sizes| result rows. Shuffles carry 16-byte keys then
+    single integers — never text."""
+    d = t(spark, sf_dir, "documents")
+    clusters = (
+        d.select(
+            F.md5(F.substring(F.trim(F.lower(F.col("text"))), 1, 40)).alias("ck")
+        )
+        .groupBy("ck")
+        .agg(F.count("*").cast("bigint").alias("sz"))
+    )
+    tot = d.agg(F.count("*").cast("bigint").alias("n_docs_total"))
+    return (
+        clusters.groupBy("sz")
+        .agg(F.count("*").cast("bigint").alias("n_clusters"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("sz").alias("cluster_size"),
+            "n_clusters",
+            (F.col("sz") * F.col("n_clusters")).cast("bigint").alias("n_docs"),
+            F.round(
+                F.col("sz") * F.col("n_clusters") / F.col("n_docs_total").cast("double"),
+                6,
+            ).alias("corpus_share"),
+        )
+    )

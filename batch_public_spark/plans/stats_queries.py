@@ -1681,3 +1681,153 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_true") + noise, 6).alias("noisy_count"),
         F.round(F.abs(noise), 6).alias("noise_abs"),
     )
+
+
+@query(
+    "llmops_vocab_coverage_curve",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x <> '')) AS term
+      FROM documents
+    ), counts AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY term
+    ), ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rk FROM counts
+    ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
+    ks AS (SELECT unnest([50, 200, 1000]) AS k)
+    SELECT ks.k AS vocab_size,
+           CAST(sum(CASE WHEN r.rk <= ks.k THEN r.n ELSE 0 END) AS BIGINT)
+             AS covered_tokens,
+           round(sum(CASE WHEN r.rk <= ks.k THEN r.n ELSE 0 END) * 1.0
+                 / max(tot.t), 6) AS coverage
+    FROM ranked r CROSS JOIN ks CROSS JOIN tot
+    GROUP BY ks.k
+    """,
+)
+def llmops_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the share of the corpus token mass
+    covered by the top-k most frequent terms, for k ∈ {50, 200, 1000} —
+    the planning number behind tokenizer vocabulary sizing and OOV
+    budgets (complements llmops_zipf_slope, which fits the SHAPE of the
+    same distribution, and llmops_oov_rate, which fixes one vocabulary
+    and measures the tail).
+
+    Spark-first: term counts are one explode + map-side-combined count;
+    the k-selection is ``orderBy(n DESC, term).limit(1000)`` — a
+    TakeOrdered reduction, never a rank window over the full vocabulary
+    (tens of millions of terms at 100 TB) — and the three coverage
+    points are conditional sums over the 1000 bounded-rank survivors
+    with the corpus total broadcast on; since max(k) = the limit, the
+    restricted sums equal the oracle's full-vocabulary sums exactly."""
+    d = t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    top = counts.orderBy(F.desc("n"), "term").limit(1000)
+    wr = W.partitionBy(bounded_window_key(F.col("n"))).orderBy(F.desc("n"), "term")
+    ranked = top.select("n", F.row_number().over(wr).alias("rk"))
+    tot = counts.agg(F.sum("n").cast("bigint").alias("t"))
+    sums = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rk") <= k, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{k}")
+            for k in (50, 200, 1000)
+        ]
+    )
+    rows = sums.crossJoin(F.broadcast(tot)).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("vocab_size"),
+                        F.col(f"c{k}").alias("covered_tokens"),
+                        F.round(F.col(f"c{k}") / F.col("t").cast("double"), 6).alias(
+                            "coverage"
+                        ),
+                    )
+                    for k in (50, 200, 1000)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.*")
+
+
+@query(
+    "llmops_char_entropy_quality",
+    oracle="""
+    WITH chars AS (
+      SELECT doc_id, lang, unnest(string_split(lower(text), '')) AS c
+      FROM documents
+    ), freq AS (
+      SELECT doc_id, lang, c, CAST(count(*) AS BIGINT) AS k
+      FROM chars WHERE c <> '' GROUP BY 1, 2, 3
+    ), per_doc AS (
+      SELECT doc_id, lang,
+             CAST(round(
+               (ln(sum(k)) - CAST(sum(CAST(round(k * ln(k), 9)
+                                           AS DECIMAL(18,9))) AS DOUBLE) / sum(k))
+               / ln(2), 6) AS DECIMAL(18,6)) AS h_bits
+      FROM freq GROUP BY doc_id, lang HAVING sum(k) > 0
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(CAST(sum(h_bits) AS DOUBLE) / count(*), 6) AS avg_entropy_bits,
+           round(CAST(min(h_bits) AS DOUBLE), 6) AS min_entropy_bits,
+           round(CAST(max(h_bits) AS DOUBLE), 6) AS max_entropy_bits
+    FROM per_doc GROUP BY lang
+    """,
+)
+def llmops_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level Shannon entropy per document, aggregated per
+    language — the quality signal orthogonal to the length/punct/
+    stopword ratios of llmops_quality_filter: binary-ish or
+    single-character-flood junk scores near 0 bits, encrypted/base64
+    blobs score near log2(alphabet), natural language sits in between
+    (per-language bands; the min per lang is the outlier-review queue).
+
+    Spark-first: explode to (doc, char), ONE map-side-combined count to
+    (doc, char, k) — the per-doc alphabet is dozens of rows, so the
+    shuffle carries |docs|×|alphabet|, far below the raw char stream —
+    then the entropy identity H = (ln n − Σ k·ln k / n)/ln 2 needs only
+    per-doc sums of k and k·ln k: the k·ln k terms round at 1e-9 into
+    DECIMAL before the cross-row sum, so per-doc entropy (and the
+    per-language mean over 1e-6-rounded DECIMALs) is
+    partitioning-independent; ln is one libm call per DISTINCT (doc,
+    char), the llmops_weighted_sample discipline."""
+    d = t(spark, sf_dir, "documents")
+    freq = (
+        d.select("doc_id", "lang", F.explode(F.expr("split(lower(text), '')")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy("doc_id", "lang", "c")
+        .agg(F.count("*").cast("bigint").alias("k"))
+    )
+    kln = F.round(F.col("k") * F.log(F.col("k")), 9).cast("decimal(18,9)")
+    per_doc = (
+        freq.select("doc_id", "lang", "k", kln.alias("kln"))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                (
+                    F.log(F.sum("k").cast("double"))
+                    - F.sum("kln").cast("double") / F.sum("k")
+                )
+                / F.log(F.lit(2.0)),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("h_bits")
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.round(F.sum("h_bits").cast("double") / F.count("*"), 6).alias(
+            "avg_entropy_bits"
+        ),
+        F.round(F.min("h_bits").cast("double"), 6).alias("min_entropy_bits"),
+        F.round(F.max("h_bits").cast("double"), 6).alias("max_entropy_bits"),
+    )
