@@ -1695,7 +1695,7 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), ranked AS (
       SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rk FROM counts
     ), tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM counts),
-    ks AS (SELECT unnest([50, 200, 1000]) AS k)
+    ks AS (SELECT unnest([5, 15, 30]) AS k)
     SELECT ks.k AS vocab_size,
            CAST(sum(CASE WHEN r.rk <= ks.k THEN r.n ELSE 0 END) AS BIGINT)
              AS covered_tokens,
@@ -1707,19 +1707,24 @@ def dq_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llmops_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve: the share of the corpus token mass
-    covered by the top-k most frequent terms, for k ∈ {50, 200, 1000} —
-    the planning number behind tokenizer vocabulary sizing and OOV
-    budgets (complements llmops_zipf_slope, which fits the SHAPE of the
-    same distribution, and llmops_oov_rate, which fixes one vocabulary
-    and measures the tail).
+    covered by the top-k most frequent terms — the planning number
+    behind tokenizer vocabulary sizing and OOV budgets (complements
+    llmops_zipf_slope, which fits the SHAPE of the same distribution,
+    and llmops_oov_rate, which fixes one vocabulary and measures the
+    tail). k ∈ {5, 15, 30} here because the synthetic fixture's entire
+    vocabulary is 31 terms (coverage 0.17/0.51/1.00 at sf0.01 — a real
+    curve; production k's are 10³–10⁵ against the same plan) — the
+    fixture-calibration rule: a k beyond the vocabulary hashes a
+    constant 1.0 and verifies nothing.
 
     Spark-first: term counts are one explode + map-side-combined count;
     the k-selection is ``orderBy(n DESC, term).limit(1000)`` — a
     TakeOrdered reduction, never a rank window over the full vocabulary
     (tens of millions of terms at 100 TB) — and the three coverage
     points are conditional sums over the 1000 bounded-rank survivors
-    with the corpus total broadcast on; since max(k) = the limit, the
-    restricted sums equal the oracle's full-vocabulary sums exactly."""
+    (a production-shaped limit ≥ max(k), so the restricted sums equal
+    the oracle's full-vocabulary sums exactly) with the corpus total
+    broadcast on."""
     d = t(spark, sf_dir, "documents")
     counts = (
         d.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
@@ -1735,7 +1740,7 @@ def llmops_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("rk") <= k, F.col("n")).otherwise(0))
             .cast("bigint")
             .alias(f"c{k}")
-            for k in (50, 200, 1000)
+            for k in (5, 15, 30)
         ]
     )
     rows = sums.crossJoin(F.broadcast(tot)).select(
@@ -1749,7 +1754,7 @@ def llmops_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "coverage"
                         ),
                     )
-                    for k in (50, 200, 1000)
+                    for k in (5, 15, 30)
                 ]
             )
         ).alias("r")
