@@ -240,14 +240,15 @@ def minhash_signature_agg(
     """Per-doc minhash signature as ``num_hashes`` columns ``m0..m{k-1}``
     via explode → hash-aggregate.
 
-    Same hash family as :func:`minhash_signature` (Kirsch-Mitzenmacher
-    ``h1 + k·h2``: two string hashes per shingle, k derived slots) but
-    executed as a native groupBy with k ``min()`` aggregates: whole-stage
-    codegen + map-side partial aggregation, where the higher-order-function
-    form is interpreted per element (~10× slower at corpus scale). Shuffle
-    carries one row of k longs per doc. Prefer
-    :func:`minhash_signatures` (Arrow-vectorized, shuffle-free) in new
-    code; this form is kept for the pure-JVM path."""
+    Same hash family and results as :func:`minhash_signatures`
+    (Kirsch-Mitzenmacher ``h1 + k·h2``: two string hashes per shingle, k
+    derived slots). That function is the preferred form for new code: it
+    is itself pure-JVM (one in-row ``zip_with`` HOF fold per doc, no
+    Arrow/pandas, no shuffle). This explode → groupBy form is retained
+    for consumers that need the signature as k separate columnar slots
+    ``m0..m{k-1}`` (per-hash column pruning, per-slot statistics) rather
+    than one ``array<long>``; its shuffle carries one row of k longs per
+    doc, with map-side partial ``min()`` aggregation."""
     base = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("_s"),
@@ -589,7 +590,12 @@ def cosine(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
     )
-    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+    # Guard on the DERIVED divisor na*nb, not on na>0 AND nb>0: two
+    # tiny-but-positive norms (e.g. 1e-200 each) underflow their product
+    # to exactly 0.0, which would raise DIVIDE_BY_ZERO under ANSI mode
+    # even though both factors pass a > 0 test (same denormal class as
+    # the r6 llmops_embedding_quantize_error finding).
+    return F.when(na * nb > 0, dot / (na * nb)).otherwise(F.lit(0.0))
 
 
 def ann_bruteforce_topk(

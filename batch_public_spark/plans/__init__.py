@@ -29,74 +29,26 @@ from batch_public_spark.plans import stats_queries  # noqa: F401
 from batch_public_spark.plans import eval_mining_queries  # noqa: F401  # eval/mining/allocation family
 
 # Names pinned to the front of the registry, in order (see module docstring).
-# Round 6 rotation (verdict-r5 item #1): CORRECTNESS_r01..r05 union covers
-# 197/261 registered queries with 64 never driver-verified. The 50-entry
-# window below carries the 2 plans rewritten in r5 after their last driver
-# check (llmops_ann_ivf, llmops_kmeans_lloyd — re-attestation) followed by
-# 48 of the 64-query backlog. The 16 that do not fit are declared in
-# _NEXT_WINDOW and MUST lead the r7 rotation; tests/test_registry_rotation.py
+# Round 7 rotation (verdict-r6 items #2/#3): the 31 names carried in r6's
+# _NEXT_WINDOW lead this window (completing 276/276 cumulative driver
+# attestation), followed by the plans whose expressions changed in r7 and
+# therefore need re-attestation under the rotation policy:
+#   - llmops_embedding_quantize_error / events_bounce_rate_daily changed
+#     this round but were already in the 31 (denormal scale guard; (ts,
+#     event_id) running-sum tiebreak);
+#   - agg_skew_kurtosis_exact gained a derived-divisor guard (NULL shape
+#     moments for constant groups);
+#   - the cosine() denormal guard (operators/semantic.py) is inside the
+#     plan expression of every ANN query → re-attest llmops_ann_bruteforce,
+#     llmops_ann_lsh (rows-only), llmops_ann_ivf, llmops_ann_ivf_lloyd_recall,
+#     llmops_hard_negatives;
+#   - the kvscan permissive Arrow fallback changed the custom DataSource →
+#     re-attest source_kvscan_segmented.
+# Remaining slots carry this round's additions. tests/test_registry_rotation.py
 # enforces that every registered query is driver-attested, in this window,
 # or in _NEXT_WINDOW (and that _NEXT_WINDOW fits a single future window).
 _PRIORITY = [
-    # --- changed in r5 after last driver check: re-attest post-rewrite hashes ---
-    "llmops_ann_ivf",
-    "llmops_kmeans_lloyd",
-    # --- never driver-verified (48 of the 64-query backlog) ---
-    "llmops_ann_ivf_lloyd_recall",
-    "llmops_countmin_heavy_hitters",
-    "llmops_dedup_cascade_e2e",
-    "events_ab_uplift",
-    "llmops_simhash_estimator_accuracy",
-    "dq_psi_drift",
-    "llmops_ks_drift",
-    "llmops_chi2_independence",
-    "events_max_concurrency",
-    "events_ewma_daily",
-    "window_rolling_median_daily",
-    "llmops_zipf_slope",
-    "llmops_length_bucket_batching",
-    "llmops_edit_distance_pairs",
-    "llmops_heavy_hitters",
-    "agg_winsorized_stats",
-    "events_lasttouch_attribution",
-    "dq_k_anonymity",
-    "events_interval_coalesce",
-    "mba_brand_pair_lift",
-    "agg_weighted_median",
-    "llmops_largest_remainder_allocation",
-    "llmops_score_auc",
-    "llmops_classifier_prf",
-    "llmops_calibration_ece",
-    "events_seasonal_residual_outliers",
-    "llmops_inverted_index",
-    "graph_clustering_coefficient",
-    "window_pareto_frontier",
-    "events_time_weighted_avg",
-    "agg_skew_kurtosis_exact",
-    "llmops_embedding_dim_stats",
-    "dq_snapshot_diff_classify",
-    "events_gapfill_interpolate",
-    "llmops_impute_battery",
-    "window_rolling_corr",
-    "events_cusum_drift",
-    "agg_theil_decomposition",
-    "llmops_quantile_normalize",
-    "llmops_ngram_novelty",
-    "agg_percentile_disc_battery",
-    "dq_column_profile",
-    "llmops_dedup_survivorship",
-    "llmops_sample_size_planner",
-    "events_markov_stationary",
-    "llmops_shard_file_planner",
-    "dq_freshness_sla",
-    "agg_bootstrap_hash_ci",
-]
-
-# The remainder of the never-driver-verified backlog. These 16 did not fit
-# the r6 window; they are the mandatory head of the r7 _PRIORITY rotation.
-# tests/test_registry_rotation.py fails if a registered query is in none of
-# {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}.
-_NEXT_WINDOW = [
+    # --- the 31 never-driver-verified names pinned by r6's _NEXT_WINDOW ---
     "setop_bag_semantics",
     "agg_multi_distinct",
     "subquery_not_in_null_trap",
@@ -113,15 +65,14 @@ _NEXT_WINDOW = [
     "agg_gini_daily_revenue",
     "llmops_kl_source_divergence",
     "join_salted_hotkey",
-    # --- added in r6 (after this round's window filled) ---
     "llmops_domain_quota_cap",
     "llmops_group_split_leakage_safe",
     "llmops_stratified_sample_exact",
     "llmops_intradoc_repetition",
     "events_funnel_steps",
-    "llmops_embedding_quantize_error",
+    "llmops_embedding_quantize_error",  # also changed r7: scale>0 denormal guard
     "llmops_importance_resample",
-    "events_bounce_rate_daily",
+    "events_bounce_rate_daily",  # also changed r7: (ts, event_id) tiebreak
     "dq_dp_noisy_counts",
     "join_asof_direction_battery",
     "llmops_embedding_centroid_drift",
@@ -129,7 +80,35 @@ _NEXT_WINDOW = [
     "events_interarrival_histogram",
     "llmops_vocab_coverage_curve",
     "llmops_char_entropy_quality",
+    # --- changed in r7 after last driver check: re-attest ---
+    "agg_skew_kurtosis_exact",
+    "llmops_ann_bruteforce",
+    "llmops_ann_lsh",
+    "llmops_ann_ivf",
+    "llmops_ann_ivf_lloyd_recall",
+    "llmops_hard_negatives",
+    "source_kvscan_segmented",
+    # --- added in r7 (12 slots; attested placeholders below are swapped
+    # out one-for-one as r7 queries land — re-attesting them is harmless) ---
+    "window_rolling_corr",
+    "agg_theil_decomposition",
+    "llmops_quantile_normalize",
+    "agg_bootstrap_hash_ci",
+    "llmops_kmeans_lloyd",
+    "llmops_countmin_heavy_hitters",
+    "dq_psi_drift",
+    "llmops_ks_drift",
+    "agg_winsorized_stats",
+    "llmops_dedup_cascade_e2e",
+    "dq_column_profile",
+    "llmops_edit_distance_pairs",
 ]
+
+# Overflow queue for names that do not fit the current 50-entry window;
+# they are the mandatory head of the next round's _PRIORITY rotation.
+# tests/test_registry_rotation.py fails if a registered query is in none of
+# {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}.
+_NEXT_WINDOW: list[str] = []
 
 
 def _reorder() -> None:

@@ -973,17 +973,23 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, n,
            round(s1 * 1.0 / n, 6) AS mean,
            round((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n), 6) AS variance,
-           round(((s3 * 1.0 / n) - 3.0 * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+           round(CASE WHEN ((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                           * sqrt((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n)) > 0
+                 THEN ((s3 * 1.0 / n) - 3.0 * (s1 * 1.0 / n) * (s2 * 1.0 / n)
                   + 2.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s1 * 1.0 / n))
                  / (((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))
-                    * sqrt((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))), 6)
+                    * sqrt((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n)))
+                 END, 6)
              AS skewness,
-           round(((s4 * 1.0 / n) - 4.0 * (s1 * 1.0 / n) * (s3 * 1.0 / n)
+           round(CASE WHEN ((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                           * ((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n)) > 0
+                 THEN ((s4 * 1.0 / n) - 4.0 * (s1 * 1.0 / n) * (s3 * 1.0 / n)
                   + 6.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s2 * 1.0 / n)
                   - 3.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s1 * 1.0 / n)
                     * (s1 * 1.0 / n))
                  / (((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))
-                    * ((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))) - 3.0, 6)
+                    * ((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))) - 3.0
+                 END, 6)
              AS excess_kurtosis
     FROM m
     """,
@@ -1003,7 +1009,13 @@ def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the raw sums with an identical floating expression tree in both
     engines — divisions, multiplications, and IEEE-correctly-rounded
     sqrt (σ³ is var·√var, never pow(·,1.5), whose last ulp is
-    libm-dependent)."""
+    libm-dependent).
+
+    Robustness: skewness/kurtosis are NULL when the DERIVED divisor
+    (var·√var resp. var²) is not > 0 — a constant-valued group has
+    var = 0 and undefined shape moments; without the guard one such
+    group raises DIVIDE_BY_ZERO under ANSI mode and kills the job
+    (same derived-divisor class as llmops_embedding_quantize_error)."""
     q = F.col("l_quantity").cast("bigint")
     m = (
         t(spark, sf_dir, "lineitem")
@@ -1023,13 +1035,15 @@ def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = r2 - mu * mu
     m3 = r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu
     m4 = r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu
+    sigma3 = var * F.sqrt(var)
+    var2 = var * var
     return m.select(
         "l_returnflag",
         "n",
         F.round(mu, 6).alias("mean"),
         F.round(var, 6).alias("variance"),
-        F.round(m3 / (var * F.sqrt(var)), 6).alias("skewness"),
-        F.round(m4 / (var * var) - 3.0, 6).alias("excess_kurtosis"),
+        F.round(F.when(sigma3 > 0, m3 / sigma3), 6).alias("skewness"),
+        F.round(F.when(var2 > 0, m4 / var2 - 3.0), 6).alias("excess_kurtosis"),
     )
 
 
@@ -2454,12 +2468,12 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH v AS (
       SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv,
              list_max(list_transform(CAST(embedding AS DOUBLE[]),
-                                     x -> abs(x))) AS maxabs
+                                     x -> abs(x))) / 127 AS scale
       FROM embeddings
     ), d AS (
-      SELECT vec_id, label, len(vv) AS dim, maxabs / 127 AS scale,
+      SELECT vec_id, label, len(vv) AS dim, scale,
              unnest(vv) AS x
-      FROM v WHERE maxabs > 0
+      FROM v WHERE scale > 0
     ), e AS (
       SELECT vec_id, label, dim,
              CAST(round(abs(x - round(x / scale) * scale), 9)
@@ -2491,18 +2505,25 @@ def llmops_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFra
     makes the decision embarrassingly parallel); per-dim errors round at
     1e-9 into DECIMAL before every cross-row sum, so the two-level mean
     is partitioning-independent; max is order-free by nature. The only
-    shuffles are the per-vector and per-label aggregations."""
+    shuffles are the per-vector and per-label aggregations.
+
+    Robustness: the degenerate-vector guard is on the DERIVED divisor
+    (``scale > 0``), not on ``maxabs > 0`` — for a vector whose largest
+    |x| is subnormal (< 127 × 4.9e-324) the division ``maxabs / 127``
+    underflows to exactly 0.0 even though maxabs passes a ``> 0`` test,
+    and the later ``x / scale`` would raise DIVIDE_BY_ZERO under ANSI
+    mode. One garbage vector in a 100 TB corpus must not kill the job."""
     v = t(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("vv")
     )
     v = v.withColumn(
-        "maxabs", F.array_max(F.transform("vv", lambda x: F.abs(x)))
-    ).filter(F.col("maxabs") > 0)
+        "scale", F.array_max(F.transform("vv", lambda x: F.abs(x))) / 127
+    ).filter(F.col("scale") > 0)
     d = v.select(
         "vec_id",
         "label",
         F.size("vv").alias("dim"),
-        (F.col("maxabs") / 127).alias("scale"),
+        "scale",
         F.explode("vv").alias("x"),
     )
     err = F.round(
@@ -2532,14 +2553,14 @@ def llmops_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFra
     "events_bounce_rate_daily",
     oracle="""
     WITH o AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                   OR ts - lag(ts) OVER w > INTERVAL 6 HOURS THEN 1 ELSE 0 END
                AS new_s
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), s AS (
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS sid
       FROM o
     ), sess AS (
@@ -2565,12 +2586,16 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first: both windows (lag for boundaries, running sum for the
     island id) ride ONE shuffle partitioned by user_id; the session
     rollup keys on (user_id, sid) — a prefix of the same partitioning —
-    and only the per-day KPI aggregation reshuffles, on ~|days| rows."""
+    and only the per-day KPI aggregation reshuffles, on ~|days| rows.
+    Both windows order by (ts, event_id) — same tiebreak as
+    events_sessionize_gap — so the running sum is deterministic even if
+    two events share (user_id, ts)."""
     e = t(spark, sf_dir, "events")
     uw = W.partitionBy("user_id").orderBy("ts", "event_id")
     o = e.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(uw).isNull()
             | (F.col("ts") > F.lag("ts").over(uw) + F.expr("INTERVAL 6 HOURS")),
@@ -2583,7 +2608,7 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         F.sum("new_s")
-        .over(W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0))
+        .over(uw.rowsBetween(W.unboundedPreceding, 0))
         .alias("sid"),
     )
     sess = s.groupBy("user_id", "sid").agg(

@@ -218,10 +218,37 @@ class KVSnapshotReader(DataSourceReader):
             if all(_passes(flt, rec) for flt in self.pushed):
                 batch.append({name: rec.get(name) for name in self.fields})
                 if len(batch) >= self.arrow_batch_size:
-                    yield pa.RecordBatch.from_pylist(batch, schema=arrow_schema)
+                    yield from self._to_arrow(batch, arrow_schema)
                     batch = []
         if batch:
+            yield from self._to_arrow(batch, arrow_schema)
+
+    def _to_arrow(
+        self, batch: List[dict], arrow_schema: "pa.Schema"
+    ) -> Iterator["pa.RecordBatch"]:
+        """Convert a buffered batch to one RecordBatch.
+
+        Permissive mode covers type mismatches too, not just parse errors:
+        a well-formed JSON record whose field type defies the schema (e.g.
+        a string in a BIGINT column) raises ``pa.ArrowInvalid`` /
+        ``pa.ArrowTypeError`` at batch construction — without this fallback
+        one bad record would fail the whole buffered batch of up to
+        ``arrow_batch_size`` otherwise-good rows. On failure we retry
+        per-record and drop only the offenders."""
+        try:
             yield pa.RecordBatch.from_pylist(batch, schema=arrow_schema)
+        except (pa.ArrowInvalid, pa.ArrowTypeError):
+            if not self.permissive:
+                raise
+            good: List[dict] = []
+            for rec in batch:
+                try:
+                    pa.RecordBatch.from_pylist([rec], schema=arrow_schema)
+                    good.append(rec)
+                except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    continue
+            if good:
+                yield pa.RecordBatch.from_pylist(good, schema=arrow_schema)
 
 
 class KVSnapshotWriter(DataSourceArrowWriter):

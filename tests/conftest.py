@@ -63,11 +63,43 @@ def _canon(v):
     return v
 
 
+# Queries allowed to produce an all-constant float column set at the test
+# SF (each with a reason). Everything else must show variation: a fixture
+# whose measures are one repeated value verifies nothing about the plan
+# (the vocab-coverage lesson — three vacuous-result catches by r6).
+VACUOUS_OK: set[str] = set()
+
+
+def _assert_not_vacuous(query_name: str, ddb_df) -> None:
+    """Fixture-calibration gate (verdict-r6 item #7): the oracle result must
+    have >0 rows, and if it has float-typed measure columns and >1 row, at
+    least one of them must take more than one value — otherwise the
+    hash-match is vacuously green and the threshold needs recalibrating."""
+    assert len(ddb_df) > 0, (
+        f"{query_name}: oracle returned 0 rows at this SF — the hash-match "
+        "is vacuous; recalibrate the query's thresholds to the fixture"
+    )
+    if query_name in VACUOUS_OK or len(ddb_df) == 1:
+        return
+    float_cols = [c for c in ddb_df.columns if str(ddb_df[c].dtype).startswith("float")]
+    if not float_cols:
+        return
+    for c in float_cols:
+        if ddb_df[c].nunique(dropna=False) > 1:
+            return
+    raise AssertionError(
+        f"{query_name}: every float measure column {float_cols} is a single "
+        "repeated value across all rows — vacuous fixture calibration; "
+        "adjust thresholds/parameters or add to VACUOUS_OK with a reason"
+    )
+
+
 def assert_parity(spark_df, ddb_rel, query_name: str = "?"):
     """Mimic the driver's correctness gate: sort columns by name, compare
     row multisets exactly."""
     spark_cols = sorted(spark_df.columns)
     ddb_df = ddb_rel.df()
+    _assert_not_vacuous(query_name, ddb_df)
     # Missing values in object/string columns arrive as NaN/NaT — normalize
     # to None so they compare equal to Spark's NULLs. Keep float-column NaNs
     # (genuine NaN values) intact.

@@ -10,7 +10,7 @@ from __future__ import annotations
 from datetime import datetime, timezone
 
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -248,17 +248,21 @@ def test_intradoc_repetition_ratio_bounded(spark, texts):
         max_size=20,
     )
 )
+@example([[0.0, 5e-324]])  # r6 hypothesis shrink: subnormal maxabs, scale underflows to 0.0
 def test_int8_quantize_error_within_half_step(spark, vecs):
     """Nearest-step rounding error is bounded by scale/2 per dimension for
-    any finite vector with a nonzero max-abs — the invariant behind
-    llmops_embedding_quantize_error."""
+    any finite vector with a positive derived scale — the invariant behind
+    llmops_embedding_quantize_error. The guard is on the DERIVED divisor
+    (scale > 0): a subnormal maxabs (e.g. 5e-324, hypothesis-found) passes
+    maxabs > 0 but underflows maxabs/127 to exactly 0.0, which would raise
+    DIVIDE_BY_ZERO under ANSI mode."""
     df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(vecs)], "id long, vv array<double>"
     )
     d = (
-        df.withColumn("maxabs", F.array_max(F.transform("vv", F.abs)))
-        .filter(F.col("maxabs") > 0)
-        .select("id", (F.col("maxabs") / 127).alias("scale"), F.explode("vv").alias("x"))
+        df.withColumn("scale", F.array_max(F.transform("vv", F.abs)) / 127)
+        .filter(F.col("scale") > 0)
+        .select("id", "scale", F.explode("vv").alias("x"))
     )
     rows = d.select(
         (
