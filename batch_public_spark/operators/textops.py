@@ -37,10 +37,15 @@ def token_count_ws(text: Column) -> Column:
 
 
 def token_count_bpe_ish(text: Column) -> Column:
-    """BPE-ish token estimate: word pieces + standalone punctuation, the
-    classic ``\\w+|[^\\w\\s]`` regex count. A cheap, deterministic proxy for
-    tokenizer cost models at corpus scale."""
-    return F.regexp_count(text, F.lit(r"\w+|[^\w\s]")).cast("bigint")
+    """BPE-ish token estimate: subword chunks of at most 4 word characters
+    plus standalone punctuation (``\\w{1,4}|[^\\w\\s]``). A cheap,
+    deterministic proxy for tokenizer cost models at corpus scale — real
+    BPE averages ~4 chars/token on English, and the greedy 4-char chunking
+    reproduces the property that long words cost multiple tokens (the
+    whole point of a fertility metric; the earlier ``\\w+`` form counted
+    exactly one token per word and was indistinguishable from whitespace
+    tokenization on punctuation-free corpora — a vacuous ratio)."""
+    return F.regexp_count(text, F.lit(r"\w{1,4}|[^\w\s]")).cast("bigint")
 
 
 # Explicit ASCII punctuation class — deliberately NOT \p{Punct}: Java and

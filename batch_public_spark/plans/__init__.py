@@ -88,20 +88,23 @@ _PRIORITY = [
     "llmops_ann_ivf_lloyd_recall",
     "llmops_hard_negatives",
     "source_kvscan_segmented",
-    # --- added in r7 (12 slots; attested placeholders below are swapped
+    # --- recalibrated in r7 (vacuous-fixture audit): plans whose fixture
+    # output was constant or empty, so their hash-matches verified nothing;
+    # each changed in both engines → re-attest ---
+    "join_anti_customers_without_orders",
+    "llmops_token_count_compare",
+    "llmops_text_metrics",
+    "llmops_tokenizer_fertility",
+    "llmops_sentence_stats",
+    "llmops_oov_rate",
+    "llmops_temperature_mix",
+    "graph_clustering_coefficient",
+    # --- added in r7 (4 slots; attested placeholders below are swapped
     # out one-for-one as r7 queries land — re-attesting them is harmless) ---
-    "window_rolling_corr",
-    "agg_theil_decomposition",
-    "llmops_quantile_normalize",
-    "agg_bootstrap_hash_ci",
-    "llmops_kmeans_lloyd",
-    "llmops_countmin_heavy_hitters",
-    "dq_psi_drift",
-    "llmops_ks_drift",
-    "agg_winsorized_stats",
-    "llmops_dedup_cascade_e2e",
-    "dq_column_profile",
-    "llmops_edit_distance_pairs",
+    "udtf_corruption_spans",
+    "llmops_rater_agreement_kappa",
+    "dq_mannwhitney_length_drift",
+    "llmops_pair_sim_histogram",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

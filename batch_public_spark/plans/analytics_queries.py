@@ -216,7 +216,7 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT source,
              length(list_filter(string_split_regex(trim(text), '\s+'),
                                 s -> length(s) > 0)) AS ws,
-             length(regexp_extract_all(text, '\w+|[^\w\s]')) AS bpe
+             length(regexp_extract_all(text, '\w{1,4}|[^\w\s]')) AS bpe
       FROM documents
     )
     SELECT source,
@@ -227,10 +227,13 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llmops_token_count_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer cost model: whitespace vs BPE-ish (``\\w+|[^\\w\\s]``)
-    token counts per source — the ratio is what a training-data budget
-    planner multiplies corpus sizes by. Pure JVM column expressions; the
-    regex classes are deliberately ASCII so Java and RE2 agree."""
+    """Tokenizer cost model: whitespace vs BPE-ish (4-char subword chunks,
+    ``\\w{1,4}|[^\\w\\s]``) token counts per source — the ratio is what a
+    training-data budget planner multiplies corpus sizes by. Pure JVM
+    column expressions; the regex classes are deliberately ASCII so Java
+    and RE2 agree. The subword chunking makes the ratio discriminating on
+    punctuation-free corpora (the plain word-count form equals whitespace
+    tokenization there — r7 vacuous-fixture audit)."""
     d = t(spark, sf_dir, "documents")
     per = d.select(
         "source",
@@ -269,8 +272,12 @@ def llmops_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH per_doc AS (
       SELECT source,
-             length(list_filter(string_split_regex(text, '[.!?]+'),
-                                s -> length(trim(s)) > 0)) AS n_sent
+             greatest(
+               length(list_filter(string_split_regex(text, '[.!?]+'),
+                                  s -> length(trim(s)) > 0)),
+               CAST(ceil(length(list_filter(string_split_regex(trim(text), '\s+'),
+                                            s -> length(s) > 0)) / 12.0) AS BIGINT)
+             ) AS n_sent
       FROM documents
     )
     SELECT source,
@@ -281,15 +288,20 @@ def llmops_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llmops_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sentence segmentation stats per source (terminal-punctuation split,
-    empty fragments dropped) — chunking/packing design input. Column
-    expressions only; exact-int sums divided as doubles per the registry
-    ratio discipline."""
+    """Segmentation stats per source for chunking/packing design: a doc's
+    segment count is the larger of its terminal-punctuation sentence count
+    and ceil(words / 12) — the 12-word tiling floor is what a packer
+    actually uses on text with no sentence punctuation (transcripts, logs,
+    and this fixture, where a pure [.!?] split yields exactly one
+    "sentence" per doc and a constant metric — r7 vacuous-fixture audit).
+    Column expressions only; exact-int sums divided as doubles per the
+    registry ratio discipline."""
     d = t(spark, sf_dir, "documents")
-    n_sent = F.size(
+    n_punct = F.size(
         F.filter(F.split(F.col("text"), r"[.!?]+"), lambda s: F.length(F.trim(s)) > 0)
     )
-    per = d.select("source", n_sent.alias("n_sent"))
+    n_tiles = F.ceil(token_count_ws(F.col("text")) / 12.0).cast("bigint")
+    per = d.select("source", F.greatest(n_punct.cast("bigint"), n_tiles).alias("n_sent"))
     return per.groupBy("source").agg(
         F.sum("n_sent").alias("total_sentences"),
         F.round(F.sum("n_sent").cast("double") / F.count("*"), 6).alias("avg_sentences"),
@@ -1497,11 +1509,11 @@ def llmops_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llmops_temperature_mix",
     oracle="""
-    WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source),
+    WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
     tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM s),
-    w AS (SELECT source, n, pow(n / tot.total, 0.7) AS pw FROM s CROSS JOIN tot),
+    w AS (SELECT lang, n, pow(n / tot.total, 0.7) AS pw FROM s CROSS JOIN tot),
     z AS (SELECT sum(pw) AS zsum FROM w)
-    SELECT source, n,
+    SELECT lang, n,
            round(pw / z.zsum, 6) AS mix_weight,
            round(pw / z.zsum * 100000 / n, 6) AS dup_factor
     FROM w CROSS JOIN z
@@ -1509,17 +1521,20 @@ def llmops_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llmops_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-based domain mixing (the multilingual/multi-domain
-    sampling scheme of XLM-R / LLaMA data recipes): per-source sampling
+    sampling scheme of XLM-R / LLaMA data recipes): per-LANGUAGE sampling
     weight p_i^α / Σ p_j^α at α = 0.7, plus the duplication factor each
-    source needs to fill a 100k-example budget — upweights the tail
-    without letting the head dominate.
+    language needs to fill a 100k-example budget — upweights the tail
+    without letting the head dominate. Keyed on lang, the one skewed
+    grouping in the fixture (en dominates ~3×): the per-source variant
+    produced identical weights for 20 equal-sized sources, so the α
+    exponent verified nothing (r7 vacuous-fixture audit).
 
-    Scale shape: two scalar aggregates over a per-source count table
-    (|sources| rows — trivially broadcast); the heavy join this feeds at
+    Scale shape: two scalar aggregates over a per-language count table
+    (|langs| rows — trivially broadcast); the heavy join this feeds at
     100 TB is the weighted sampler (llmops_weighted_sample), which
     consumes these weights as a broadcast map."""
     d = t(spark, sf_dir, "documents")
-    s = d.groupBy("source").agg(F.count("*").alias("n"))
+    s = d.groupBy("lang").agg(F.count("*").alias("n"))
     tot = s.agg(F.sum("n").cast("double").alias("total"))
     w = s.crossJoin(F.broadcast(tot)).withColumn(
         "pw", F.pow(F.col("n") / F.col("total"), 0.7)
@@ -1528,7 +1543,7 @@ def llmops_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         w.crossJoin(F.broadcast(z))
         .select(
-            "source",
+            "lang",
             "n",
             F.round(F.col("pw") / F.col("zsum"), 6).alias("mix_weight"),
             F.round(F.col("pw") / F.col("zsum") * 100000 / F.col("n"), 6).alias("dup_factor"),
@@ -2063,7 +2078,7 @@ def llmops_span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), vocab AS (
       SELECT term FROM (
         SELECT term, ROW_NUMBER() OVER (ORDER BY count(*) DESC, term) AS r
-        FROM tok GROUP BY term) WHERE r <= 40
+        FROM tok GROUP BY term) WHERE r <= 20
     )
     SELECT tok.source,
            CAST(count(*) AS BIGINT) AS n_tokens,
@@ -2075,8 +2090,11 @@ def llmops_span_corruption_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llmops_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer-vocabulary coverage audit: with a top-40-frequency
-    vocabulary, the out-of-vocabulary token rate per source — the metric
+    """Tokenizer-vocabulary coverage audit: with a top-20-frequency
+    vocabulary (fixture-calibrated: the corpus vocabulary is ~31 terms,
+    so a top-40 vocab covers everything and the OOV rate is identically
+    zero — r7 vacuous-fixture audit), the out-of-vocabulary token rate
+    per source — the metric
     that decides whether a tokenizer trained on the head domains is
     acceptable for the tail ones (high per-source OOV → fertility blowup
     → wasted context window).
@@ -2094,7 +2112,7 @@ def llmops_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.groupBy("term")
         .agg(F.count("*").alias("c"))
         .orderBy(F.desc("c"), "term")
-        .limit(40)
+        .limit(20)
         .select("term", F.lit(1).alias("in_vocab"))
     )
     probed = tok.join(F.broadcast(vocab), "term", "left")
@@ -2455,9 +2473,9 @@ def llmops_minhash_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataF
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(length(list_filter(string_split_regex(trim(text), '\\s+'),
                                        x -> length(x) > 0))) AS BIGINT) AS ws_tokens,
-           CAST(sum(length(regexp_extract_all(text, '[0-9A-Za-z_]+|[^0-9A-Za-z_\\s]')))
+           CAST(sum(length(regexp_extract_all(text, '[0-9A-Za-z_]{1,4}|[^0-9A-Za-z_\\s]')))
                 AS BIGINT) AS bpe_tokens,
-           round(CAST(sum(length(regexp_extract_all(text, '[0-9A-Za-z_]+|[^0-9A-Za-z_\\s]')))
+           round(CAST(sum(length(regexp_extract_all(text, '[0-9A-Za-z_]{1,4}|[^0-9A-Za-z_\\s]')))
                       AS DOUBLE)
                  / sum(length(list_filter(string_split_regex(trim(text), '\\s+'),
                                           x -> length(x) > 0))), 6) AS fertility
@@ -2465,10 +2483,13 @@ def llmops_minhash_estimator_accuracy(spark: SparkSession, sf_dir: str) -> DataF
     """,
 )
 def llmops_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer fertility per language: BPE-ish tokens per whitespace
-    word — the multilingual-tokenizer health metric (fertility ≫ 1 for a
-    language means its text costs disproportionate context window, the
-    standard argument for vocabulary rebalancing).
+    """Tokenizer fertility per language: BPE-ish tokens (4-char subword
+    chunks) per whitespace word — the multilingual-tokenizer health metric
+    (fertility ≫ 1 for a language means its text costs disproportionate
+    context window, the standard argument for vocabulary rebalancing).
+    The chunked form keeps the ratio discriminating on punctuation-free
+    corpora, where whole-word BPE-ish counting collapses to 1.0 everywhere
+    (r7 vacuous-fixture audit).
 
     Pure column expressions over one scan (regexp_count vs split-size),
     one tiny aggregation on lang. The \\w-class is spelled as an explicit
@@ -2477,7 +2498,7 @@ def llmops_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     ws = token_count_ws(F.col("text"))
     bpe = F.regexp_count(
-        F.col("text"), F.lit(r"[0-9A-Za-z_]+|[^0-9A-Za-z_\s]")
+        F.col("text"), F.lit(r"[0-9A-Za-z_]{1,4}|[^0-9A-Za-z_\s]")
     ).cast("bigint")
     return d.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),

@@ -745,8 +745,11 @@ def llmops_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM dt GROUP BY term) WHERE r <= 30
     ), dv AS (SELECT dt.doc_id, dt.term FROM dt JOIN vocab USING (term)),
     edges AS (
-      SELECT DISTINCT a.term AS u, b.term AS v
-      FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term
+      SELECT u, v FROM (
+        SELECT a.term AS u, b.term AS v, count(*) AS w
+        FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.term < b.term
+        GROUP BY 1, 2
+      ) ORDER BY w DESC, u, v LIMIT 200
     ), deg AS (
       SELECT term, CAST(count(*) AS BIGINT) AS degree FROM (
         SELECT u AS term FROM edges UNION ALL SELECT v FROM edges)
@@ -773,17 +776,25 @@ def llmops_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per vertex: 2·T(v) / (deg(v)·(deg(v)−1))
-    on the same top-30 term co-occurrence graph as graph_triangle_count —
-    the "how clique-like is this term's neighborhood" readout that
-    separates hub terms (low clustering, bridge many topics) from
-    community terms (high clustering). Completes the graph family:
-    components, PageRank, triangles, and now the triangle-to-wedge ratio.
+    on the BACKBONE of the top-30 term co-occurrence graph — the 200
+    strongest co-occurrence edges by shared-document count (deterministic
+    (w DESC, u, v) order). The readout separates hub terms (low
+    clustering, bridge many topics) from community terms (high
+    clustering). Backboning is the standard prefilter for co-occurrence
+    graphs and is what makes the metric non-degenerate here: the
+    unweighted graph over a 31-term vocabulary is the complete K30, where
+    every coefficient is identically 1.0 (r7 vacuous-fixture audit).
+    Completes the graph family: components, PageRank, triangles, and now
+    the triangle-to-wedge ratio.
 
-    Spark-first: same ordered-edge wedge-closure join as the triangle
-    query (each triangle counted once), degrees from one union + hash
-    aggregate, and the final combine is a broadcast left join on the
-    bounded vocabulary — isolated-triangle-free vertices keep a 0 row, so
-    the output covers every vertex, not just triangle members."""
+    Spark-first: edge weights come from the same hash aggregation that
+    deduped edges before; the top-200 selection is a TakeOrdered limit
+    (never a one-partition global window); then the ordered-edge
+    wedge-closure join as the triangle query (each triangle counted
+    once), degrees from one union + hash aggregate, and the final combine
+    is a broadcast left join on the bounded vocabulary —
+    triangle-free vertices keep a 0 row, so the output covers every
+    backbone vertex, not just triangle members."""
     d = t(spark, sf_dir, "documents")
     from batch_public_spark.operators.textops import tokens
 
@@ -808,8 +819,11 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = dv.alias("a"), dv.alias("b")
     edges = (
         a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.term") < F.col("b.term")))
-        .select(F.col("a.term").alias("u"), F.col("b.term").alias("v"))
-        .distinct()
+        .groupBy(F.col("a.term").alias("u"), F.col("b.term").alias("v"))
+        .agg(F.count("*").alias("w"))
+        .orderBy(F.desc("w"), "u", "v")
+        .limit(200)
+        .select("u", "v")
         .localCheckpoint(eager=False)  # degree pass + three join roles
     )
     deg = (
@@ -2781,4 +2795,97 @@ def events_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
             "n",
             F.round(F.col("n") / F.col("t").cast("double"), 6).alias("share"),
         )
+    )
+
+
+@query(
+    "llmops_rater_agreement_kappa",
+    oracle=r"""
+    WITH m AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                             x -> length(x) > 0)) AS n_tok,
+             len(list_filter(list_filter(string_split_regex(trim(text), '\s+'),
+                                         x -> length(x) > 0),
+                 x -> lower(x) IN ('the','a','an','of','to','and','in','is','it','for')))
+               AS n_sw
+      FROM documents
+    ), r AS (
+      SELECT lang,
+             CASE WHEN n_tok >= 53 THEN 1 ELSE 0 END AS a,
+             CASE WHEN n_sw * 50 >= n_tok * 3 THEN 1 ELSE 0 END AS b
+      FROM m
+    ), c AS (
+      SELECT lang,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(a * b) AS BIGINT) AS n11,
+             CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+             CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+             CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      FROM r GROUP BY lang
+    )
+    SELECT lang, n,
+           round((n11 + n00) * 1.0 / n, 6) AS po,
+           round(((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                 + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n), 6) AS pe,
+           round(CASE WHEN 1.0 - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                              + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)) > 0
+                 THEN ((n11 + n00) * 1.0 / n
+                       - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                          + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)))
+                      / (1.0 - (((n11 + n10) * 1.0 / n) * ((n11 + n01) * 1.0 / n)
+                                + ((n01 + n00) * 1.0 / n) * ((n10 + n00) * 1.0 / n)))
+                 END, 6) AS kappa
+    FROM c
+    """,
+)
+def llmops_rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two automatic quality raters, per language:
+    rater A gates on document length (n_tok >= 53, the fixture median),
+    rater B on stopword ratio (>= 0.06, compared as the integer
+    cross-multiplication n_sw·50 >= n_tok·3 so the boundary is exact in
+    both engines) — the chance-corrected agreement statistic that tells a
+    curation team whether two quality filters are interchangeable (kappa
+    near 1), complementary (near 0), or contradictory (negative). The
+    fixture thresholds sit at the medians so both marginals are ~50/50 —
+    maximally discriminating for the chance-correction arithmetic.
+
+    Spark-first: one scan projecting two integer gate columns, one
+    aggregation to the per-lang 2×2 confusion counts (n11/n10/n01/n00 as
+    exact BIGINT), and the po/pe/kappa floats derive from those counts
+    with an identical expression tree in both engines, rounded at 6.
+    Kappa is NULL when 1 − pe underflows to non-positive (one rater
+    constant within a language) — the derived-divisor guard discipline."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda x: F.length(x) > 0
+    )
+    stop = ("the", "a", "an", "of", "to", "and", "in", "is", "it", "for")
+    n_tok = F.size(toks)
+    n_sw = F.size(F.filter(toks, lambda x: F.lower(x).isin(*stop)))
+    r = d.select(
+        "lang",
+        F.when(n_tok >= 53, 1).otherwise(0).alias("a"),
+        F.when(n_sw * 50 >= n_tok * 3, 1).otherwise(0).alias("b"),
+    )
+    c = r.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("a") * F.col("b")).cast("bigint").alias("n11"),
+        F.sum(F.col("a") * (1 - F.col("b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("a")) * F.col("b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("a")) * (1 - F.col("b"))).cast("bigint").alias("n00"),
+    )
+    n = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")) * 1.0 / n
+    pa1 = (F.col("n11") + F.col("n10")) * 1.0 / n
+    pb1 = (F.col("n11") + F.col("n01")) * 1.0 / n
+    pa0 = (F.col("n01") + F.col("n00")) * 1.0 / n
+    pb0 = (F.col("n10") + F.col("n00")) * 1.0 / n
+    pe = pa1 * pb1 + pa0 * pb0
+    return c.select(
+        "lang",
+        "n",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round(F.when(1.0 - pe > 0, (po - pe) / (1.0 - pe)), 6).alias("kappa"),
     )

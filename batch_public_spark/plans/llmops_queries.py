@@ -32,6 +32,7 @@ from batch_public_spark.operators.semantic import (
     minhash_candidates,
     simhash_neardup_pairs,
     word_shingles,
+    word_shingles_all,
 )
 from batch_public_spark.operators.textops import (
     PUNCT_CLASS,
@@ -212,7 +213,7 @@ def llmops_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT doc_id,
              CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
-             CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT) AS n_tokens_bpe,
+             CAST(len(regexp_extract_all(text, '\\w{{1,4}}|[^\\w\\s]')) AS BIGINT) AS n_tokens_bpe,
              CASE WHEN length(text) > 0
                   THEN CAST(len(regexp_extract_all(text, '{_PUNCT_SQL}')) AS DOUBLE) / length(text)
                   ELSE 0.0 END AS pr,
@@ -1048,25 +1049,23 @@ def llmops_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "llmops_boilerplate_sentence_filter",
-    oracle="""
-    WITH inst AS (
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_TOKS_NORM} AS tk FROM documents
+    ), inst AS (
       SELECT doc_id, source,
-             md5(trim(regexp_replace(lower(s), '\\s+', ' ', 'g'))) AS sh
-      FROM (
-        SELECT doc_id, source,
-               unnest(list_filter(string_split_regex(text, '[.!?]+'),
-                      x -> length(trim(x)) > 0)) AS s
-        FROM documents
-      )
+             md5(array_to_string(tk[i:i+2], ' ')) AS sh
+      FROM toks,
+           UNNEST(range(1, greatest(len(tk) - 2, 1) + 1)) AS u(i)
     ), df AS (
       SELECT sh, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_with
       FROM inst GROUP BY sh
     )
     SELECT i.source,
            CAST(count(DISTINCT i.doc_id) AS BIGINT) AS n_docs,
-           CAST(count(*) AS BIGINT) AS total_sentences,
+           CAST(count(*) AS BIGINT) AS total_segments,
            CAST(sum(CASE WHEN d.n_docs_with >= 3 THEN 1 ELSE 0 END) AS BIGINT)
-             AS boilerplate_sentences,
+             AS boilerplate_segments,
            round(CAST(sum(CASE WHEN d.n_docs_with >= 3 THEN 1 ELSE 0 END) AS DOUBLE)
                  / count(*), 6) AS boilerplate_ratio
     FROM inst i JOIN df d ON d.sh = i.sh
@@ -1074,31 +1073,33 @@ def llmops_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def llmops_boilerplate_sentence_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-document boilerplate sentence detection: a sentence whose
+    """Cross-document boilerplate segment detection: a text segment whose
     normalized form appears in ≥3 DISTINCT documents is boilerplate
     (cookie banners, nav text, license footers — the line-level junk that
     survives document-level dedup because every page differs elsewhere);
     reports per-source instance counts and the boilerplate ratio — the
-    input to a CCNet-style line-filtering pass.
+    input to a CCNet-style line-filtering pass. The segment unit is the
+    overlapping word 3-gram (position multiset), not the punctuation
+    sentence: this fixture has no sentence punctuation, so every doc was
+    one unique "sentence" and the ratio was identically zero (r7
+    vacuous-fixture audit); on punctuated corpora the same plan runs with
+    a sentence splitter in place of the shingle generator.
 
-    Spark-first: sentences explode once and are immediately reduced to a
+    Spark-first: segments explode once and are immediately reduced to a
     16-byte md5 — the document-frequency aggregation and the join back
-    ship hashes, never sentence text (at 100 TB the sentence table is the
+    ship hashes, never segment text (at 100 TB the segment table is the
     biggest intermediate in the pipeline; hashing first keeps the
     shuffle narrow). Doc-frequency counts DISTINCT docs so in-document
-    repetition can't promote a sentence to boilerplate."""
+    repetition can't promote a segment to boilerplate."""
     d = t(spark, sf_dir, "documents")
-    sents = F.filter(
-        F.split(F.col("text"), r"[.!?]+"), lambda s: F.length(F.trim(s)) > 0
-    )
     inst = d.select(
         "doc_id",
         "source",
-        F.explode(sents).alias("s"),
+        F.explode(word_shingles_all(F.col("text"), 3)).alias("s"),
     ).select(
         "doc_id",
         "source",
-        fingerprint_md5(F.col("s")).alias("sh"),
+        F.md5(F.col("s")).alias("sh"),
     )
     df_ = inst.groupBy("sh").agg(
         F.count_distinct("doc_id").cast("bigint").alias("n_docs_with")
@@ -1109,8 +1110,8 @@ def llmops_boilerplate_sentence_filter(spark: SparkSession, sf_dir: str) -> Data
         .groupBy("source")
         .agg(
             F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
-            F.count("*").cast("bigint").alias("total_sentences"),
-            F.sum(boiler).cast("bigint").alias("boilerplate_sentences"),
+            F.count("*").cast("bigint").alias("total_segments"),
+            F.sum(boiler).cast("bigint").alias("boilerplate_segments"),
             F.round(F.sum(boiler).cast("double") / F.count("*"), 6).alias(
                 "boilerplate_ratio"
             ),
@@ -1301,4 +1302,69 @@ def llmops_dup_cluster_size_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("corpus_share"),
         )
+    )
+
+
+@query(
+    "llmops_pair_sim_histogram",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len({_TOKS_NORM}) - 2, 1) + 1),
+               i -> array_to_string(({_TOKS_NORM})[i:i+2], ' ')
+             )) AS sh
+      FROM documents WHERE doc_id < 150
+    ), pairs AS (
+      SELECT len(list_intersect(a.sh, b.sh)) AS inter,
+             len(list_distinct(list_concat(a.sh, b.sh))) AS un
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST((10 * inter) // un AS INT) AS sim_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(count(*) * 1.0 / sum(count(*)) OVER (), 6) AS share
+    FROM pairs WHERE un > 0
+    GROUP BY 1
+    """,
+)
+def llmops_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold tuning curve: the distribution of exact word-3-gram
+    Jaccard over all document pairs, bucketed into tenths — the histogram
+    a curation team reads before picking a near-dup threshold ("0.5 kills
+    how many pairs? 0.3?"). This is the ground-truth companion to the
+    MinHash/SimHash estimator-accuracy anchors: they validate the sketch
+    against exact Jaccard; this validates the THRESHOLD against the pair
+    volume it implies.
+
+    The bucket index is the INTEGER division (10·|∩|) div |∪| — never
+    floor(10·inter/union) in floating point, whose boundary cases (10·inter
+    an exact multiple of union) depend on the division's rounding. Bounded
+    exact-pair matrix (doc_id < 150, same bound as llmops_dedup_cc); at
+    100 TB the same histogram runs over the banded LSH candidate pairs
+    instead of the full matrix — the shape (pairs → integer bucket → one
+    aggregation) is unchanged."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 150)
+        .select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("inter"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("bigint").alias("un"),
+        )
+        .filter(F.col("un") > 0)
+    )
+    hist = pairs.groupBy(
+        F.expr("div(10 * inter, un)").cast("int").alias("sim_bucket")
+    ).agg(F.count("*").cast("bigint").alias("n_pairs"))
+    tot = hist.agg(F.sum("n_pairs").cast("bigint").alias("t"))
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "sim_bucket",
+        "n_pairs",
+        F.round(F.col("n_pairs") / F.col("t").cast("double"), 6).alias("share"),
     )

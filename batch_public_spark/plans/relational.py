@@ -394,14 +394,20 @@ def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFra
     "join_anti_customers_without_orders",
     oracle="""
     SELECT c_custkey, c_name FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
 )
 def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI join (NOT EXISTS) — the watermark filter F3 is this in
-    spirit (SURVEY §2b)."""
+    spirit (SURVEY §2b). The probe side is restricted to URGENT orders:
+    in this fixture every customer has at least one order, so the
+    unrestricted anti-join returns 0 rows at every SF and its hash-match
+    verifies nothing (the r7 vacuous-fixture audit); against the URGENT
+    subset a meaningful share of customers survives the anti-join."""
     c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 

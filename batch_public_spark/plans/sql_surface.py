@@ -447,3 +447,66 @@ def udtf_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.* FROM _udtf_docs d, LATERAL top_bigrams(d.doc_id, d.text) s"
     )
+
+
+@query(
+    "udtf_corruption_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+                         x -> length(x) > 0) AS tk
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           CAST((p - 5) / 20 AS INT) AS span_id,
+           CAST(p AS INT) AS start_tok,
+           CAST(least(3, len(tk) - p) AS INT) AS span_len,
+           array_to_string(tk[p + 1 : p + least(3, len(tk) - p)], ' ') AS span_text
+    FROM toks, UNNEST(range(5, len(tk), 20)) AS u(p)
+    """,
+)
+def udtf_corruption_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption span generator as a Python UDTF: for each
+    document, yield the deterministic corruption spans (a 3-token span
+    every 20 tokens starting at token 5 — ~15% noise density, mean span
+    3, the T5 defaults with the random placement replaced by a fixed
+    stride so the oracle can reproduce it). One row in, 0..n span rows
+    out — the table-function shape that neither a scalar UDF (1:1) nor a
+    grouped map (whole-partition) expresses; the second UDTF exemplar
+    beside udtf_top_bigrams, this one from the eval/curation family
+    (verdict-r6 item #6).
+
+    Scale note: row-local (no cross-row state) so it pipelines inside the
+    scan stage with zero shuffle; output is bounded at words/20 rows per
+    doc. ``useArrow=True`` keeps the transport Arrow-batched
+    (ArrowEvalPythonUDTF — plans.lint flags the row-at-a-time path)."""
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    @udtf(
+        returnType="doc_id bigint, span_id int, start_tok int, span_len int, span_text string",
+        useArrow=True,
+    )
+    class CorruptionSpans:
+        def eval(self, doc_id, text):  # noqa: ANN001
+            import re
+
+            toks = [
+                w
+                for w in re.sub(r"\s+", " ", (text or "").lower(), flags=re.ASCII)
+                .strip()
+                .split(" ")
+                if w
+            ]
+            n = len(toks)
+            for span_id, p in enumerate(range(5, n, 20)):
+                ln = min(3, n - p)
+                yield doc_id, span_id, p, ln, " ".join(toks[p : p + ln])
+
+    spark.udtf.register("corruption_spans", CorruptionSpans)
+    t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150).createOrReplaceTempView(
+        "_udtf_span_docs"
+    )
+    return spark.sql(
+        "SELECT s.* FROM _udtf_span_docs d, LATERAL corruption_spans(d.doc_id, d.text) s"
+    )

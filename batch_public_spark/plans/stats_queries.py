@@ -1836,3 +1836,95 @@ def llmops_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("h_bits").cast("double"), 6).alias("min_entropy_bits"),
         F.round(F.max("h_bits").cast("double"), 6).alias("max_entropy_bits"),
     )
+
+
+@query(
+    "dq_mannwhitney_length_drift",
+    oracle="""
+    WITH grid AS (
+      SELECT n_chars AS v, CAST(count(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY 1
+    ), ranked AS (
+      SELECT v, cnt,
+             coalesce(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (cnt + 1) / 2.0 AS avg_rank
+      FROM grid
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n,
+             CAST(sum(cnt * cnt * cnt - cnt) AS BIGINT) AS tie_t
+      FROM grid
+    ), per AS (
+      SELECT d.source,
+             CAST(count(*) AS BIGINT) AS n1,
+             sum(r.avg_rank) AS r1
+      FROM documents d JOIN ranked r ON r.v = d.n_chars
+      GROUP BY d.source
+    )
+    SELECT p.source, p.n1,
+           round(p.r1 - p.n1 * (p.n1 + 1) / 2.0, 1) AS u_stat,
+           round((p.r1 - p.n1 * (p.n1 + 1) / 2.0
+                  - p.n1 * (t.n - p.n1) / 2.0)
+                 / sqrt(p.n1 * 1.0 * (t.n - p.n1) / 12.0
+                        * ((t.n + 1) - t.tie_t * 1.0 / (t.n * (t.n - 1.0)))), 6)
+             AS z_score
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def dq_mannwhitney_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) drift gate: for each source, test whether
+    its document-length distribution differs from the rest of the corpus —
+    the nonparametric two-sample test that complements KS (llmops_ks_drift
+    reads the max CDF gap; the rank-sum z-score reads the location shift,
+    is robust to outliers, and needs no binning). The tie-corrected normal
+    approximation is the textbook form: U = R1 − n1(n1+1)/2, z =
+    (U − n1·n2/2) / sqrt(n1·n2/12 · ((n+1) − ΣT(t³−t)/(n(n−1)))).
+
+    Spark-first: ranks never touch a per-row global window — average ranks
+    come from cumulative counts over the distinct-length GRID (the
+    llmops_quantile_normalize idiom; |grid| is bounded by the length
+    domain), broadcast-joined back onto the corpus, and every per-source
+    term reduces in one hash aggregation. Average ranks are exact
+    multiples of 0.5, so the rank sums are order-independent in doubles;
+    the one float expression (z) is an identical tree in both engines."""
+    d = t(spark, sf_dir, "documents")
+    grid = d.groupBy(F.col("n_chars").alias("v")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    gw = W.partitionBy(bounded_window_key(F.col("v"))).orderBy("v")
+    ranked = grid.select(
+        "v",
+        (
+            F.coalesce(
+                F.sum("cnt").over(gw.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+            )
+            + (F.col("cnt") + 1) / 2.0
+        ).alias("avg_rank"),
+    )
+    tot = grid.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.col("cnt") * F.col("cnt") * F.col("cnt") - F.col("cnt"))
+        .cast("bigint")
+        .alias("tie_t"),
+    )
+    per = (
+        d.join(F.broadcast(ranked), d.n_chars == ranked.v)
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n1"),
+            F.sum("avg_rank").alias("r1"),
+        )
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n1").cast("double")
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    sigma = F.sqrt(
+        n1 * (n - n1) / 12.0
+        * ((n + 1) - F.col("tie_t") * 1.0 / (n * (n - 1.0)))
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n1",
+        F.round(u, 1).alias("u_stat"),
+        F.round((u - n1 * (n - n1) / 2.0) / sigma, 6).alias("z_score"),
+    )

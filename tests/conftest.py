@@ -63,11 +63,18 @@ def _canon(v):
     return v
 
 
-# Queries allowed to produce an all-constant float column set at the test
-# SF (each with a reason). Everything else must show variation: a fixture
+# Queries allowed to produce empty or all-constant results at the TEST SF
+# (each with a reason). Everything else must show variation: a fixture
 # whose measures are one repeated value verifies nothing about the plan
-# (the vocab-coverage lesson — three vacuous-result catches by r6).
-VACUOUS_OK: set[str] = set()
+# (the vocab-coverage lesson — three vacuous-result catches by r6, eight
+# more plus two zero-row plans caught when this gate landed in r7).
+VACUOUS_OK: set[str] = {
+    # TPC-H spec shapes — parameters fixed by the spec, not calibratable.
+    # Both are non-vacuous at sf0.01, the driver's correctness SF (q20:
+    # 4 rows; q8: mkt_share varies); only the sf0.001 smoke SF degenerates.
+    "q20_part_volume_suppliers",
+    "q8_market_share",
+}
 
 
 def _assert_not_vacuous(query_name: str, ddb_df) -> None:
@@ -75,11 +82,13 @@ def _assert_not_vacuous(query_name: str, ddb_df) -> None:
     have >0 rows, and if it has float-typed measure columns and >1 row, at
     least one of them must take more than one value — otherwise the
     hash-match is vacuously green and the threshold needs recalibrating."""
+    if query_name in VACUOUS_OK:
+        return
     assert len(ddb_df) > 0, (
         f"{query_name}: oracle returned 0 rows at this SF — the hash-match "
         "is vacuous; recalibrate the query's thresholds to the fixture"
     )
-    if query_name in VACUOUS_OK or len(ddb_df) == 1:
+    if len(ddb_df) == 1:
         return
     float_cols = [c for c in ddb_df.columns if str(ddb_df[c].dtype).startswith("float")]
     if not float_cols:
