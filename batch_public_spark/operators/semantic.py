@@ -590,12 +590,16 @@ def cosine(a: Column, b: Column) -> Column:
             lambda acc, v: acc + v,
         )
     )
-    # Guard on the DERIVED divisor na*nb, not on na>0 AND nb>0: two
-    # tiny-but-positive norms (e.g. 1e-200 each) underflow their product
-    # to exactly 0.0, which would raise DIVIDE_BY_ZERO under ANSI mode
-    # even though both factors pass a > 0 test (same denormal class as
-    # the r6 llmops_embedding_quantize_error finding).
-    return F.when(na * nb > 0, dot / (na * nb)).otherwise(F.lit(0.0))
+    # Divide SEQUENTIALLY (dot / na / nb) under an na>0 AND nb>0 guard:
+    # each division then has a non-underflowing positive divisor, so two
+    # tiny-but-positive norms (e.g. identical 1e-200 vectors) yield the
+    # true cosine (1.0) instead of either raising DIVIDE_BY_ZERO under
+    # ANSI mode (the r6 na*nb-denominator form: the product underflows to
+    # exactly 0.0) or silently reporting 0.0 for a well-defined pair (the
+    # r7-flagged na*nb>0 guard). Denormal-norm vectors are the only case
+    # where the result differs from dot/(na*nb), and there it's the
+    # correct one.
+    return F.when((na > 0) & (nb > 0), dot / na / nb).otherwise(F.lit(0.0))
 
 
 def ann_bruteforce_topk(

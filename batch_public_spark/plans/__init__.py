@@ -29,82 +29,69 @@ from batch_public_spark.plans import stats_queries  # noqa: F401
 from batch_public_spark.plans import eval_mining_queries  # noqa: F401  # eval/mining/allocation family
 
 # Names pinned to the front of the registry, in order (see module docstring).
-# Round 7 rotation (verdict-r6 items #2/#3): the 31 names carried in r6's
-# _NEXT_WINDOW lead this window (completing 276/276 cumulative driver
-# attestation), followed by the plans whose expressions changed in r7 and
-# therefore need re-attestation under the rotation policy:
-#   - llmops_embedding_quantize_error / events_bounce_rate_daily changed
-#     this round but were already in the 31 (denormal scale guard; (ts,
-#     event_id) running-sum tiebreak);
-#   - agg_skew_kurtosis_exact gained a derived-divisor guard (NULL shape
-#     moments for constant groups);
-#   - the cosine() denormal guard (operators/semantic.py) is inside the
-#     plan expression of every ANN query → re-attest llmops_ann_bruteforce,
-#     llmops_ann_lsh (rows-only), llmops_ann_ivf, llmops_ann_ivf_lloyd_recall,
-#     llmops_hard_negatives;
-#   - the kvscan permissive Arrow fallback changed the custom DataSource →
-#     re-attest source_kvscan_segmented.
-# Remaining slots carry this round's additions. tests/test_registry_rotation.py
-# enforces that every registered query is driver-attested, in this window,
-# or in _NEXT_WINDOW (and that _NEXT_WINDOW fits a single future window).
+# tests/test_registry_rotation.py enforces that every registered query is
+# driver-attested, in this window, or in _NEXT_WINDOW (and that
+# _NEXT_WINDOW fits a single future window).
 _PRIORITY = [
-    # --- the 31 never-driver-verified names pinned by r6's _NEXT_WINDOW ---
-    "setop_bag_semantics",
-    "agg_multi_distinct",
-    "subquery_not_in_null_trap",
-    "source_jsonl_roundtrip",
-    "date_interval_battery",
-    "window_order_streaks",
-    "dq_schema_contract_check",
-    "events_dow_hour_profile",
-    "llmops_boilerplate_sentence_filter",
-    "events_journey_pattern_match",
-    "llmops_dataset_mixture_epochs",
-    "events_time_to_convert",
-    "dq_benford_first_digit",
-    "agg_gini_daily_revenue",
-    "llmops_kl_source_divergence",
-    "join_salted_hotkey",
-    "llmops_domain_quota_cap",
-    "llmops_group_split_leakage_safe",
-    "llmops_stratified_sample_exact",
-    "llmops_intradoc_repetition",
-    "events_funnel_steps",
-    "llmops_embedding_quantize_error",  # also changed r7: scale>0 denormal guard
-    "llmops_importance_resample",
-    "events_bounce_rate_daily",  # also changed r7: (ts, event_id) tiebreak
-    "dq_dp_noisy_counts",
-    "join_asof_direction_battery",
-    "llmops_embedding_centroid_drift",
-    "llmops_dup_cluster_size_dist",
-    "events_interarrival_histogram",
-    "llmops_vocab_coverage_curve",
-    "llmops_char_entropy_quality",
-    # --- changed in r7 after last driver check: re-attest ---
-    "agg_skew_kurtosis_exact",
+    # Round 8 rotation. The cumulative driver-attested union reached
+    # 280/280 in r7, so this window carries only (a) plans changed in r8
+    # (re-attest per the rotation policy) and (b) r8 additions, appended
+    # as they land.
+    # --- changed in r8 (r7 ADVICE fixes) after last driver check ---
+    "dq_mannwhitney_length_drift",  # sigma>0 / n>1 derived-divisor guard
+    "agg_skew_kurtosis_exact",  # oracle: nested guard, sqrt only on var>0
+    "udtf_corruption_spans",  # explicit [ \t\n\r\f] whitespace class, both engines
+    "source_kvscan_segmented",  # permissive-mode drop counters + warning
+    # cosine() now divides sequentially (dot/na/nb) — inside every ANN plan:
     "llmops_ann_bruteforce",
     "llmops_ann_lsh",
     "llmops_ann_ivf",
     "llmops_ann_ivf_lloyd_recall",
     "llmops_hard_negatives",
-    "source_kvscan_segmented",
-    # --- recalibrated in r7 (vacuous-fixture audit): plans whose fixture
-    # output was constant or empty, so their hash-matches verified nothing;
-    # each changed in both engines → re-attest ---
-    "join_anti_customers_without_orders",
-    "llmops_token_count_compare",
-    "llmops_text_metrics",
-    "llmops_tokenizer_fertility",
-    "llmops_sentence_stats",
-    "llmops_oov_rate",
-    "llmops_temperature_mix",
-    "graph_clustering_coefficient",
-    # --- added in r7 (4 slots; attested placeholders below are swapped
-    # out one-for-one as r7 queries land — re-attesting them is harmless) ---
-    "udtf_corruption_spans",
-    "llmops_rater_agreement_kappa",
-    "dq_mannwhitney_length_drift",
-    "llmops_pair_sim_histogram",
+    # --- added in r8 (placeholders below swap out one-for-one as r8
+    # queries land; placeholders are the stalest-attested names, all r1,
+    # so re-attesting them is harmless and refreshes the oldest evidence) ---
+    "agg_approx_distinct",
+    "agg_corr_quantity_price",
+    "agg_distinct_parts",
+    "agg_percentiles_lineitem",
+    "agg_salted_hotkey_counts",
+    "agg_stats_orders",
+    "array_funcs_documents",
+    "case_when_segmentation",
+    "cube_status_priority",
+    "date_funcs_orders",
+    "distinct_segments",
+    "explode_word_counts",
+    "grouping_sets_geo",
+    "histogram_totalprice",
+    "join_asof_last_click",
+    "join_broadcast_geo",
+    "join_cross_region_segment",
+    "join_full_outer_daily_priority",
+    "join_left_order_counts",
+    "join_range_late_shipments",
+    "join_semi_customers_with_orders",
+    "join_theta_acctbal",
+    "json_funcs_events",
+    "math_funcs_lineitem",
+    "pipeline_dedup_first_wins",
+    "pipeline_json_repair",
+    "pipeline_text_extract",
+    "pipeline_ts_normalize",
+    "pivot_flag_status",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "rollup_flag_status",
+    "sample_deterministic_hash",
+    "setop_except_nations",
+    "setop_intersect_nations",
+    "setop_union_nations",
+    "string_funcs_part",
+    "subquery_exists_correlated",
+    "subquery_having_big_orders",
+    "subquery_scalar_small_qty",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

@@ -987,12 +987,15 @@ def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, n,
            round(s1 * 1.0 / n, 6) AS mean,
            round((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n), 6) AS variance,
-           round(CASE WHEN ((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))
-                           * sqrt((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n)) > 0
-                 THEN ((s3 * 1.0 / n) - 3.0 * (s1 * 1.0 / n) * (s2 * 1.0 / n)
-                  + 2.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s1 * 1.0 / n))
-                 / (((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))
-                    * sqrt((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n)))
+           round(CASE WHEN (s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n) > 0
+                 THEN CASE WHEN ((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                                * sqrt((s2 * 1.0 / n)
+                                       - (s1 * 1.0 / n) * (s1 * 1.0 / n)) > 0
+                      THEN ((s3 * 1.0 / n) - 3.0 * (s1 * 1.0 / n) * (s2 * 1.0 / n)
+                       + 2.0 * (s1 * 1.0 / n) * (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                      / (((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                         * sqrt((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n)))
+                      END
                  END, 6)
              AS skewness,
            round(CASE WHEN ((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))

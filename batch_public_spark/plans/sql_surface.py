@@ -449,12 +449,33 @@ def udtf_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _span_tokens(text: str | None) -> list[str]:
+    """Engine-pinned tokenizer for udtf_corruption_spans.
+
+    The whitespace class is EXPLICIT (``[ \\t\\n\\r\\f]``) in both engines
+    because the generic ``\\s`` diverges: Python's ``re.ASCII \\s`` matches
+    ``\\v`` where RE2's (DuckDB) does not, and ``str.strip()`` strips
+    Unicode whitespace (NBSP) where DuckDB ``trim()`` strips only spaces —
+    so ``strip(" ")`` here. Parity on exotic whitespace is a construction,
+    not a fixture accident (r7 ADVICE; pinned by
+    tests/test_properties.py::test_span_tokens_duckdb_parity)."""
+    import re  # noqa: PLC0415 — worker-side import
+
+    return [
+        w
+        for w in re.sub(r"[ \t\n\r\f]+", " ", (text or "").lower())
+        .strip(" ")
+        .split(" ")
+        if w
+    ]
+
+
 @query(
     "udtf_corruption_spans",
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             list_filter(string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' '),
+             list_filter(string_split_regex(trim(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g'), ' '), ' '),
                          x -> length(x) > 0) AS tk
       FROM documents WHERE doc_id < 150
     )
@@ -489,15 +510,7 @@ def udtf_corruption_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     class CorruptionSpans:
         def eval(self, doc_id, text):  # noqa: ANN001
-            import re
-
-            toks = [
-                w
-                for w in re.sub(r"\s+", " ", (text or "").lower(), flags=re.ASCII)
-                .strip()
-                .split(" ")
-                if w
-            ]
+            toks = _span_tokens(text)
             n = len(toks)
             for span_id, p in enumerate(range(5, n, 20)):
                 ln = min(3, n - p)

@@ -1863,11 +1863,16 @@ def llmops_char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.source, p.n1,
            round(p.r1 - p.n1 * (p.n1 + 1) / 2.0, 1) AS u_stat,
-           round((p.r1 - p.n1 * (p.n1 + 1) / 2.0
-                  - p.n1 * (t.n - p.n1) / 2.0)
-                 / sqrt(p.n1 * 1.0 * (t.n - p.n1) / 12.0
-                        * ((t.n + 1) - t.tie_t * 1.0 / (t.n * (t.n - 1.0)))), 6)
-             AS z_score
+           CASE WHEN t.n > 1 THEN
+             CASE WHEN p.n1 * 1.0 * (t.n - p.n1) / 12.0
+                       * ((t.n + 1) - t.tie_t * 1.0 / (t.n * (t.n - 1.0))) > 0
+               THEN round((p.r1 - p.n1 * (p.n1 + 1) / 2.0
+                           - p.n1 * (t.n - p.n1) / 2.0)
+                          / sqrt(p.n1 * 1.0 * (t.n - p.n1) / 12.0
+                                 * ((t.n + 1)
+                                    - t.tie_t * 1.0 / (t.n * (t.n - 1.0)))), 6)
+             END
+           END AS z_score
     FROM per p CROSS JOIN tot t
     """,
 )
@@ -1918,13 +1923,21 @@ def dq_mannwhitney_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("double")
     n1 = F.col("n1").cast("double")
     u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
-    sigma = F.sqrt(
-        n1 * (n - n1) / 12.0
-        * ((n + 1) - F.col("tie_t") * 1.0 / (n * (n - 1.0)))
+    # Derived-divisor guard (r7 ADVICE): sigma degenerates to 0 when one
+    # source holds the whole corpus (n1 = n), when ties zero the variance
+    # (all lengths equal), or at n = 1 (n(n-1) = 0 inside the tie term —
+    # guarded first so the division never runs under ANSI mode). NULL
+    # z-score on every degenerate path; CaseWhen evaluates lazily so the
+    # divisions only execute on the defined branch, mirroring the nested
+    # CASE in the DuckDB oracle.
+    var = F.when(
+        n > 1.0,
+        n1 * (n - n1) / 12.0 * ((n + 1) - F.col("tie_t") * 1.0 / (n * (n - 1.0))),
     )
+    z = F.when(var > 0.0, F.round((u - n1 * (n - n1) / 2.0) / F.sqrt(var), 6))
     return per.crossJoin(F.broadcast(tot)).select(
         "source",
         "n1",
         F.round(u, 1).alias("u_stat"),
-        F.round((u - n1 * (n - n1) / 2.0) / sigma, 6).alias("z_score"),
+        z.alias("z_score"),
     )

@@ -40,6 +40,7 @@ changes.
 from __future__ import annotations
 
 import json
+import logging
 import os
 import uuid
 from dataclasses import dataclass
@@ -160,8 +161,21 @@ def _passes(flt: Filter, rec: dict) -> bool:
     raise AssertionError(f"unsupported filter leaked through pushFilters: {flt}")
 
 
+_LOG = logging.getLogger(__name__)
+
+
 class KVSnapshotReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
+        # Permissive-mode drop accounting (r7 ADVICE): data loss must be
+        # observable. Counters accumulate per task and are flushed as ONE
+        # warning line per partition at end-of-read — Spark's PERMISSIVE
+        # JSON mode surfaces offenders via _corrupt_record; a custom scalar
+        # source can't add a column the user didn't declare, so the
+        # executor log line (count + first offending sample, truncated) is
+        # the diagnosable channel.
+        self.dropped_parse = 0
+        self.dropped_type = 0
+        self._first_dropped: str | None = None
         self.path = options.get("path")
         if not self.path:
             raise ValueError("kvsnapshot requires option 'path'")
@@ -213,6 +227,14 @@ class KVSnapshotReader(DataSourceReader):
                     raise ValueError("record is not a JSON object")
             except ValueError:
                 if self.permissive:
+                    self.dropped_parse += 1
+                    if self._first_dropped is None:
+                        sample = raw[:200]
+                        self._first_dropped = (
+                            sample.decode("utf-8", "replace")
+                            if isinstance(sample, bytes)
+                            else sample
+                        )
                     continue
                 raise
             if all(_passes(flt, rec) for flt in self.pushed):
@@ -222,6 +244,19 @@ class KVSnapshotReader(DataSourceReader):
                     batch = []
         if batch:
             yield from self._to_arrow(batch, arrow_schema)
+        if self.dropped_parse or self.dropped_type:
+            _LOG.warning(
+                "kvsnapshot permissive mode dropped %d record(s) in %s "
+                "[bytes %d-%d]: %d malformed JSON, %d schema-type mismatch; "
+                "first offender: %r",
+                self.dropped_parse + self.dropped_type,
+                partition.path,
+                partition.start,
+                partition.end,
+                self.dropped_parse,
+                self.dropped_type,
+                self._first_dropped,
+            )
 
     def _to_arrow(
         self, batch: List[dict], arrow_schema: "pa.Schema"
@@ -246,6 +281,9 @@ class KVSnapshotReader(DataSourceReader):
                     pa.RecordBatch.from_pylist([rec], schema=arrow_schema)
                     good.append(rec)
                 except (pa.ArrowInvalid, pa.ArrowTypeError):
+                    self.dropped_type += 1
+                    if self._first_dropped is None:
+                        self._first_dropped = repr(rec)[:200]
                     continue
             if good:
                 yield pa.RecordBatch.from_pylist(good, schema=arrow_schema)

@@ -119,6 +119,33 @@ def test_permissive_mode_skips_malformed_strict_raises(tmp_path):
     )
     rows = _rows(perm, perm.partitions()[0])
     assert [r[0] for r in rows] == [1, 2]
+    # Drop accounting (r7 ADVICE): permissive-mode data loss is counted,
+    # not silent — 2 malformed lines, first offender sampled.
+    assert perm.dropped_parse == 2 and perm.dropped_type == 0
+    assert perm._first_dropped is not None and "NOT JSON" in perm._first_dropped
+
+
+def test_permissive_type_mismatch_counted_and_logged(tmp_path, caplog):
+    import logging
+
+    p = tmp_path / "typed.jsonl"
+    with open(p, "w") as f:
+        f.write('{"event_id": 1, "ts_us": 5, "event_type": "x", "value": 1.0}\n')
+        f.write(
+            '{"event_id": "oops", "ts_us": 6, "event_type": "y", "value": 2.0}\n'
+        )
+        f.write('{"event_id": 3, "ts_us": 7, "event_type": "z", "value": 3.0}\n')
+    perm = KVSnapshotReader(
+        _schema(), {"path": str(p), "segments": "1", "mode": "permissive"}
+    )
+    with caplog.at_level(logging.WARNING, "batch_public_spark.sources.kvscan"):
+        rows = _rows(perm, perm.partitions()[0])
+    assert [r[0] for r in rows] == [1, 3]
+    assert perm.dropped_type == 1 and perm.dropped_parse == 0
+    assert any(
+        "dropped 1 record" in m and "schema-type mismatch" in m
+        for m in caplog.messages
+    )
 
 
 def test_empty_snapshot_reads_empty(tmp_path):

@@ -271,3 +271,37 @@ def test_int8_quantize_error_within_half_step(spark, vecs):
         ).alias("slack")
     ).collect()
     assert all(r.slack <= 1e-12 for r in rows)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(alphabet=" \t\n\r\f\v  abcXYZ0.,-", max_size=60),
+        min_size=1,
+        max_size=20,
+    )
+)
+@example(["a\vb", " c ", "x\fy\tz", "", "  lead trail  "])
+def test_span_tokens_duckdb_parity(texts):
+    """The udtf_corruption_spans tokenizer must agree with its DuckDB
+    oracle fragment on EXOTIC whitespace, not just the ASCII fixture:
+    Python's re.ASCII \\s matches \\v where RE2's does not, and
+    str.strip() strips NBSP where DuckDB trim() does not — both engines
+    now pin the explicit class [ \\t\\n\\r\\f] and space-only strip
+    (r7 ADVICE)."""
+    import duckdb
+
+    from batch_public_spark.plans.sql_surface import _span_tokens
+
+    con = duckdb.connect()
+    try:
+        for txt in texts:
+            [(got,)] = con.execute(
+                "SELECT list_filter(string_split_regex("
+                "trim(regexp_replace(lower(?), '[ \\t\\n\\r\\f]+', ' ', 'g'),"
+                " ' '), ' '), x -> length(x) > 0)",
+                [txt],
+            ).fetchall()
+            assert got == _span_tokens(txt), repr(txt)
+    finally:
+        con.close()
