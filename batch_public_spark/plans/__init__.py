@@ -48,18 +48,21 @@ _PRIORITY = [
     "llmops_ann_ivf",
     "llmops_ann_ivf_lloyd_recall",
     "llmops_hard_negatives",
-    # --- added in r8 (placeholders below swap out one-for-one as r8
-    # queries land; placeholders are the stalest-attested names, all r1,
-    # so re-attesting them is harmless and refreshes the oldest evidence) ---
-    "agg_approx_distinct",
-    "agg_corr_quantity_price",
-    "agg_distinct_parts",
-    "agg_percentiles_lineitem",
-    "agg_salted_hotkey_counts",
-    "agg_stats_orders",
-    "array_funcs_documents",
-    "case_when_segmentation",
-    "cube_status_priority",
+    # llmops_boilerplate_sentence_filter: one-exchange rewrite (two-level
+    # agg + sh-window replaces the df join; xxhash64 segment keys)
+    "llmops_boilerplate_sentence_filter",
+    # --- added in r8 ---
+    "dq_cramers_v",
+    "dq_js_divergence",
+    "llmops_mojibake_detect",
+    "llmops_readability_score",
+    "llmops_containment_neardup",
+    "llmops_chunk_boundary_dup",
+    "llmops_pq_codebook",
+    "llmops_jl_projection_distortion",
+    # --- placeholders (stalest-attested names, all r1; swapped out
+    # one-for-one as r8 queries land — re-attesting them is harmless and
+    # refreshes the oldest evidence) ---
     "date_funcs_orders",
     "distinct_segments",
     "explode_word_counts",

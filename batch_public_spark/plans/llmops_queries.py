@@ -1085,12 +1085,20 @@ def llmops_boilerplate_sentence_filter(spark: SparkSession, sf_dir: str) -> Data
     vacuous-fixture audit); on punctuated corpora the same plan runs with
     a sentence splitter in place of the shingle generator.
 
-    Spark-first: segments explode once and are immediately reduced to a
-    16-byte md5 — the document-frequency aggregation and the join back
-    ship hashes, never segment text (at 100 TB the segment table is the
-    biggest intermediate in the pipeline; hashing first keeps the
-    shuffle narrow). Doc-frequency counts DISTINCT docs so in-document
-    repetition can't promote a segment to boilerplate."""
+    Spark-first: segments explode once and are immediately reduced to an
+    8-byte xxhash64 — everything downstream ships hashes, never segment text
+    (at 100 TB the segment table is the biggest intermediate in the
+    pipeline; hashing first keeps the shuffle narrow). The instance table
+    is shuffled ONCE: one hash aggregation collapses it to
+    (sh, source, doc_id) instance counts (map-side combinable — the
+    in-document repetitions fold before the exchange), a second collapses
+    to per-(sh, source) rows, and the cross-source document frequency is
+    a SUM window partitioned by sh over that already-tiny table — no
+    join of the doc-frequency side back onto the full instance table
+    (the r7 shape shuffled the big explode output twice and joined it;
+    one exchange + a bounded window replaces both). A document carries
+    exactly one source, so summing per-source distinct-doc counts over
+    sh IS count(DISTINCT doc_id) per sh."""
     d = t(spark, sf_dir, "documents")
     inst = d.select(
         "doc_id",
@@ -1099,23 +1107,48 @@ def llmops_boilerplate_sentence_filter(spark: SparkSession, sf_dir: str) -> Data
     ).select(
         "doc_id",
         "source",
-        F.md5(F.col("s")).alias("sh"),
+        # The segment key only needs to be injective-in-practice (it is a
+        # grouping key; no hash value is ever reported), so the 8-byte
+        # JVM xxhash64 beats md5's 32-char hex both in hash CPU and in
+        # shuffle width — the oracle groups by md5, an equivalent
+        # partition of the same instances.
+        F.xxhash64(F.col("s")).alias("sh"),
     )
-    df_ = inst.groupBy("sh").agg(
-        F.count_distinct("doc_id").cast("bigint").alias("n_docs_with")
+    per_doc = inst.groupBy("sh", "source", "doc_id").agg(
+        F.count("*").cast("bigint").alias("cnt")
     )
-    boiler = F.when(F.col("n_docs_with") >= 3, 1).otherwise(0)
-    return (
-        inst.join(df_, "sh")
-        .groupBy("source")
-        .agg(
-            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
-            F.count("*").cast("bigint").alias("total_segments"),
-            F.sum(boiler).cast("bigint").alias("boilerplate_segments"),
-            F.round(F.sum(boiler).cast("double") / F.count("*"), 6).alias(
-                "boilerplate_ratio"
-            ),
+    per_src = per_doc.groupBy("sh", "source").agg(
+        F.count("*").cast("bigint").alias("docs_in_source"),
+        F.sum("cnt").cast("bigint").alias("inst_cnt"),
+    )
+    flagged = per_src.withColumn(
+        "n_docs_with",
+        F.sum("docs_in_source").over(W.partitionBy("sh")),
+    )
+    boiler_cnt = F.when(F.col("n_docs_with") >= 3, F.col("inst_cnt")).otherwise(
+        F.lit(0)
+    )
+    # n_docs counts documents with ≥1 segment (docs shorter than the
+    # shingle width vanish at the explode, same as the r7 join form) —
+    # computed as a map-side flag sum on the raw table, not by re-reducing
+    # the exploded instance subtree a second time.
+    n_docs = d.groupBy("source").agg(
+        F.sum(
+            F.when(F.size(word_shingles_all(F.col("text"), 3)) > 0, 1).otherwise(0)
         )
+        .cast("bigint")
+        .alias("n_docs")
+    )
+    agg = flagged.groupBy("source").agg(
+        F.sum("inst_cnt").cast("bigint").alias("total_segments"),
+        F.sum(boiler_cnt).cast("bigint").alias("boilerplate_segments"),
+        F.round(
+            F.sum(boiler_cnt).cast("double") / F.sum("inst_cnt"), 6
+        ).alias("boilerplate_ratio"),
+    )
+    return n_docs.join(agg, "source").select(
+        "source", "n_docs", "total_segments", "boilerplate_segments",
+        "boilerplate_ratio",
     )
 
 
@@ -1367,4 +1400,442 @@ def llmops_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sim_bucket",
         "n_pairs",
         F.round(F.col("n_pairs") / F.col("t").cast("double"), 6).alias("share"),
+    )
+
+
+_SH3 = (
+    "list_distinct(list_transform("
+    f"range(1, greatest(len({_TOKS_NORM}) - 2, 1) + 1), "
+    f"i -> array_to_string(({_TOKS_NORM})[i:i+2], ' ')))"
+)
+
+
+@query(
+    "llmops_containment_neardup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SH3} AS sh FROM documents
+    ), inst AS (
+      SELECT doc_id, unnest(sh) AS s FROM d
+    ), rare AS (
+      SELECT s FROM inst GROUP BY s
+      HAVING CAST(count(*) AS BIGINT) <= 50
+    ), ri AS (
+      SELECT i.doc_id, i.s FROM inst i JOIN rare r ON r.s = i.s
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM ri GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS ix
+      FROM ri a JOIN ri b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, i.ix,
+           round(i.ix * 1.0 / sa.sz, 6) AS cont_a,
+           round(i.ix * 1.0 / sb.sz, 6) AS cont_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.ix * 2 >= least(sa.sz, sb.sz)
+    """,
+)
+def llmops_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection by rare-shingle containment
+    (|A∩B| / |A|): Jaccard misses subset duplication — a short doc quoted
+    wholesale inside a long one scores J ≈ |A|/|B| ≈ 0 but containment
+    1.0 — and containment is the standard quote/inclusion dedup measure.
+    Emits every pair whose smaller side is ≥ half contained.
+
+    Spark-first, and EXACT without all-pairs: candidates come from a
+    self-equi-join on shared shingles (a pair with zero shared shingles
+    has containment 0 and can never pass a positive threshold, so the
+    shingle join finds every qualifying pair by construction — this is
+    the at-scale shape, not a fixture shortcut). Shingles with document
+    frequency > 50 are dropped in BOTH engines first — the hot-bucket cap
+    that keeps a boilerplate 3-gram from quadratic pair blowup at 100 TB
+    (same bound class as the MinHash bucket caps, semantic.py); the
+    measure is honestly "rare-shingle containment", mirrored exactly in
+    the oracle. The intersection reduces per pair BEFORE sizes broadcast
+    back on, so the shuffle carries (id_a, id_b, count) only."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    )
+    rare = d.groupBy("s").agg(F.count("*").cast("bigint").alias("df")).filter(
+        F.col("df") <= 50
+    )
+    ri = d.join(rare.select("s"), "s")
+    sizes = ri.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
+    a = ri.select(F.col("doc_id").alias("id_a"), "s")
+    b = ri.select(F.col("doc_id").alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").cast("bigint").alias("ix"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .filter(F.col("ix") * 2 >= F.least("sz_a", "sz_b"))
+        .select(
+            "id_a",
+            "id_b",
+            "ix",
+            F.round(F.col("ix") * 1.0 / F.col("sz_a"), 6).alias("cont_a"),
+            F.round(F.col("ix") * 1.0 / F.col("sz_b"), 6).alias("cont_b"),
+        )
+    )
+
+
+@query(
+    "llmops_chunk_boundary_dup",
+    oracle="""
+    WITH chunks AS (
+      SELECT doc_id, source, k,
+             substr(text, CAST(k * 150 + 1 AS INT), 200) AS chunk
+      FROM documents,
+           UNNEST(range(0, CAST(greatest(ceil((length(text) - 50) / 150.0), 1) AS BIGINT))) AS u(k)
+    ), keyed AS (
+      SELECT doc_id, source, k,
+             length(chunk) AS clen,
+             substr(chunk, 1, 50) AS head50,
+             CASE WHEN length(chunk) >= 50
+                  THEN substr(chunk, length(chunk) - 49, 50) END AS tail50
+      FROM chunks WHERE length(chunk) > 0
+    ), dups AS (
+      SELECT a.source,
+             CASE WHEN a.doc_id = b.doc_id THEN 1 ELSE 0 END AS same_doc
+      FROM keyed a JOIN keyed b
+        ON a.tail50 = b.head50
+       AND NOT (a.doc_id = b.doc_id AND a.k = b.k)
+      WHERE a.tail50 IS NOT NULL
+    )
+    SELECT c.source,
+           CAST(count(DISTINCT c.doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(coalesce(sum(0), 0)
+                + (SELECT coalesce(CAST(sum(same_doc) AS BIGINT), 0)
+                   FROM dups d WHERE d.source = c.source) AS BIGINT)
+             AS intra_doc_boundary_dups,
+           CAST((SELECT coalesce(CAST(sum(1 - same_doc) AS BIGINT), 0)
+                 FROM dups d WHERE d.source = c.source) AS BIGINT)
+             AS cross_doc_boundary_dups
+    FROM keyed c GROUP BY c.source
+    """,
+)
+def llmops_chunk_boundary_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlap-aware chunk dedup audit: documents are windowed into
+    200-char chunks at stride 150 (the standard overlapping-chunk shape
+    RAG/pretraining pipelines emit), and the query detects BOUNDARY
+    duplicates — a chunk whose trailing 50 chars equal another chunk's
+    leading 50. By construction every adjacent in-doc pair shares exactly
+    the 50-char overlap, so the detector must recover n_chunks − 1 per
+    multi-chunk doc (a built-in ground truth that makes the attestation
+    non-vacuous), while cross-doc hits reveal genuine boilerplate spans that
+    survive document-level dedup. Training on raw overlapping chunks
+    double-feeds every overlap; this audit quantifies exactly how much.
+
+    Spark-first: chunking is a sequence+explode inside the scan stage (no
+    shuffle); the dup check is an equi-join on the 50-char boundary key
+    — at 100 TB the key would be xxhash64(tail50) so the shuffle ships
+    8-byte keys, exactly like the boilerplate filter; here the raw key
+    keeps the oracle engine-identical. Self-pairs (same doc AND same
+    chunk index) are excluded; A→B and B→A are counted as directed
+    boundary events, matching the SQL."""
+    d = t(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - F.lit(50)) / F.lit(150.0)), F.lit(1)
+    ).cast("bigint")
+    chunks = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("k"),
+        "text",
+    ).select(
+        "doc_id",
+        "source",
+        "k",
+        F.expr("substring(text, CAST(k * 150 + 1 AS INT), 200)").alias("chunk"),
+    )
+    keyed = chunks.filter(F.length("chunk") > 0).select(
+        "doc_id",
+        "source",
+        "k",
+        F.substring("chunk", 1, 50).alias("head50"),
+        F.when(
+            F.length("chunk") >= 50,
+            F.expr("substring(chunk, length(chunk) - 49, 50)"),
+        ).alias("tail50"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("a_doc"),
+        F.col("source").alias("a_src"),
+        F.col("k").alias("a_k"),
+        "tail50",
+    ).filter(F.col("tail50").isNotNull())
+    b = keyed.select(
+        F.col("doc_id").alias("b_doc"),
+        F.col("k").alias("b_k"),
+        F.col("head50").alias("tail50"),
+    )
+    dups = (
+        a.join(b, "tail50")
+        .filter(~((F.col("a_doc") == F.col("b_doc")) & (F.col("a_k") == F.col("b_k"))))
+        .select(
+            F.col("a_src").alias("source"),
+            F.when(F.col("a_doc") == F.col("b_doc"), 1).otherwise(0).alias("same_doc"),
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("same_doc").cast("bigint").alias("intra_doc_boundary_dups"),
+            F.sum(1 - F.col("same_doc")).cast("bigint").alias(
+                "cross_doc_boundary_dups"
+            ),
+        )
+    )
+    base = keyed.groupBy("source").agg(
+        F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+    )
+    return base.join(dups, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_chunks",
+        F.coalesce("intra_doc_boundary_dups", F.lit(0)).cast("bigint").alias(
+            "intra_doc_boundary_dups"
+        ),
+        F.coalesce("cross_doc_boundary_dups", F.lit(0)).cast("bigint").alias(
+            "cross_doc_boundary_dups"
+        ),
+    )
+
+
+@query(
+    "llmops_pq_codebook",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ), dims AS (
+      SELECT vec_id, CAST(i // 16 AS BIGINT) AS sub,
+             CAST(i % 16 AS BIGINT) AS pos, q
+      FROM base
+    ), cw AS (
+      SELECT vec_id AS cw_id, sub, pos, q AS qc FROM dims WHERE vec_id < 4
+    ), dist AS (
+      SELECT d.vec_id, d.sub, c.cw_id,
+             CAST(sum((d.q - c.qc) * (d.q - c.qc)) AS BIGINT) AS dist
+      FROM dims d JOIN cw c ON c.sub = d.sub AND c.pos = d.pos
+      GROUP BY 1, 2, 3
+    ), assign AS (
+      SELECT vec_id, sub, cw_id, dist,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY dist, cw_id) AS rk
+      FROM dist
+    )
+    SELECT sub, cw_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           round(sum(dist) * 1.0 / (count(*) * 16)
+                 / 1048576.0 / 1048576.0, 6) AS mse_per_dim
+    FROM assign WHERE rk = 1
+    GROUP BY sub, cw_id
+    """,
+)
+def llmops_pq_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook assignment — the memory side of the
+    ANN family: each 64-d vector splits into M=4 contiguous 16-d
+    subvectors, each subvector snaps to its nearest of K=4 codewords
+    (here: the subvectors of vec_id 0-3, a deterministic seed codebook;
+    production runs Lloyd per subspace exactly like ann_ivf's
+    ``lloyd_iters`` path), and the vector is stored as M codeword ids —
+    64 floats become 4 bytes. Reports per-(subspace, codeword) occupancy
+    and reconstruction MSE per dimension — the tuning dashboard for
+    picking M/K.
+
+    Spark-first and engine-exact: dimensions are quantized to BIGINT
+    (floor(x·2²⁰) — the llmops_embedding_dim_stats discipline), so every
+    distance is an exact integer sum, the argmin needs no float
+    tolerance, and ties break on codeword id. The K×M codeword table is
+    BROADCAST (it is the model — at 100 TB with K=256 it is still < 1 MB);
+    distances reduce per (vector, subspace, codeword) in one hash agg, and
+    the argmin is a row_number window over a high-cardinality
+    (vector, subspace) key — no global sort anywhere. The only float is
+    the final reported MSE."""
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        (F.col("i") / F.lit(16)).cast("bigint").alias("sub"),
+        F.pmod("i", F.lit(16)).cast("bigint").alias("pos"),
+        F.floor(F.col("x").cast("double") * 1048576).cast("bigint").alias("q"),
+    )
+    cw = dims.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cw_id"), "sub", "pos", F.col("q").alias("qc")
+    )
+    dist = (
+        dims.join(F.broadcast(cw), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "cw_id")
+        .agg(
+            F.sum((F.col("q") - F.col("qc")) * (F.col("q") - F.col("qc")))
+            .cast("bigint")
+            .alias("dist")
+        )
+    )
+    rk = F.row_number().over(
+        W.partitionBy("vec_id", "sub").orderBy("dist", "cw_id")
+    )
+    return (
+        dist.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .groupBy("sub", "cw_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_assigned"),
+            F.round(
+                F.sum("dist") * 1.0 / (F.count("*") * 16) / 1048576.0 / 1048576.0,
+                6,
+            ).alias("mse_per_dim"),
+        )
+    )
+
+
+@query(
+    "llmops_jl_projection_distortion",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+      WHERE vec_id < 30
+    ), signs AS (
+      SELECT j, i,
+             CASE WHEN ascii(substr(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) % 2 = 0
+                  THEN 1 ELSE -1 END AS s
+      FROM UNNEST(range(1, 9)) AS a(j), UNNEST(range(1, 65)) AS b(i)
+    ), proj AS (
+      SELECT b.vec_id, s.j, CAST(sum(s.s * b.q) AS BIGINT) AS y
+      FROM base b JOIN signs s ON s.i = b.i
+      GROUP BY 1, 2
+    ), num AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(sum((a.y - b.y) * (a.y - b.y)) AS BIGINT) AS num
+      FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ), den AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             CAST(sum((a.q - b.q) * (a.q - b.q)) AS BIGINT) AS den
+      FROM base a JOIN base b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    ), ratios AS (
+      SELECT n.id_a, n.id_b,
+             CAST(round(n.num * 1.0 / (8.0 * d.den), 10) AS DECIMAL(24,10)) AS r
+      FROM num n JOIN den d ON d.id_a = n.id_a AND d.id_b = n.id_b
+      WHERE d.den > 0
+    )
+    SELECT CAST(floor(r * 4) AS BIGINT) AS ratio_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(round(round(sum(r), 10) / count(*), 6) AS DOUBLE) AS avg_ratio
+    FROM ratios GROUP BY 1
+    """,
+)
+def llmops_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sketch audit: project 64-d embeddings to
+    k=8 dims with a deterministic ±1 matrix (sign = parity of the first
+    md5 hex digit of "j:i" — reproducible everywhere, no RNG state), then
+    measure, for every vector pair in a probe subset, the squared-distance
+    distortion ratio ‖ya−yb‖²/(k·‖xa−xb‖²) — expectation 1 under the JL
+    lemma. The histogram of ratio quartile-buckets plus per-bucket mean is
+    the go/no-go gate for replacing full-dimension distance work (dedup
+    blocking, coarse ANN routing) with the 8× cheaper sketch.
+
+    Spark-first and engine-exact: dims quantize to BIGINT (floor(x·2²⁰)),
+    so projections (±1 dot products) and both squared distances are exact
+    integer arithmetic — engine-order-proof by construction; the one float
+    (the ratio) is rounded to 10dp and summed as DECIMAL. The 8×64 sign
+    matrix is a BROADCAST build-side; the probe pair set is bounded
+    (vec_id < 30 → 435 pairs) — the production path samples pairs, never
+    all-pairs. Zero-distance pairs (identical vectors) are excluded by the
+    den > 0 derived-divisor guard."""
+    e = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 30)
+    base = e.select("vec_id", F.posexplode("embedding").alias("i0", "x")).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        F.floor(F.col("x").cast("double") * 1048576).cast("bigint").alias("q"),
+    )
+    spark_range = spark.range(1, 9).select(F.col("id").alias("j"))
+    dims_range = spark.range(1, 65).select(F.col("id").alias("i"))
+    signs = spark_range.crossJoin(dims_range).select(
+        "j",
+        "i",
+        F.when(
+            F.ascii(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("j").cast("string"),
+                            F.col("i").cast("string"),
+                        )
+                    ),
+                    1,
+                    1,
+                )
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    proj = (
+        base.join(F.broadcast(signs), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("q")).cast("bigint").alias("y"))
+    )
+    pa = proj.select(F.col("vec_id").alias("id_a"), "j", F.col("y").alias("ya"))
+    pb = proj.select(F.col("vec_id").alias("id_b"), "j", F.col("y").alias("yb"))
+    num = (
+        pa.join(pb, "j")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("ya") - F.col("yb")) * (F.col("ya") - F.col("yb")))
+            .cast("bigint")
+            .alias("num")
+        )
+    )
+    ba = base.select(F.col("vec_id").alias("id_a"), "i", F.col("q").alias("qa"))
+    bb = base.select(F.col("vec_id").alias("id_b"), "i", F.col("q").alias("qb"))
+    den = (
+        ba.join(bb, "i")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("qa") - F.col("qb")) * (F.col("qa") - F.col("qb")))
+            .cast("bigint")
+            .alias("den")
+        )
+    )
+    ratios = (
+        num.join(den, ["id_a", "id_b"])
+        .filter(F.col("den") > 0)
+        .select(
+            F.round(F.col("num") * 1.0 / (8.0 * F.col("den")), 10)
+            .cast("decimal(24,10)")
+            .alias("r")
+        )
+    )
+    return ratios.groupBy(
+        F.floor(F.col("r") * 4).cast("bigint").alias("ratio_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (F.round(F.sum("r"), 10) / F.count("*")).cast("double").alias("_a"),
+    ).select(
+        "ratio_bucket",
+        "n_pairs",
+        F.round("_a", 6).alias("avg_ratio"),
     )

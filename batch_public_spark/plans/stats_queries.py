@@ -1941,3 +1941,177 @@ def dq_mannwhitney_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(u, 1).alias("u_stat"),
         z.alias("z_score"),
     )
+
+
+@query(
+    "dq_cramers_v",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, isodow(ts) AS dow, CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2
+    ), rows_ AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rl FROM cells GROUP BY 1),
+    cols_ AS (SELECT dow, CAST(sum(o) AS BIGINT) AS cl FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+    grid AS (
+      SELECT r.event_type, c.dow, r.rl, c.cl, coalesce(x.o, 0) AS o
+      FROM rows_ r CROSS JOIN cols_ c
+      LEFT JOIN cells x ON x.event_type = r.event_type AND x.dow = c.dow
+    ), terms AS (
+      SELECT CAST(round(
+               (o - CAST(rl AS DOUBLE) * cl / n.n)
+               * (o - CAST(rl AS DOUBLE) * cl / n.n)
+               / (CAST(rl AS DOUBLE) * cl / n.n), 10) AS DECIMAL(24,10)) AS term
+      FROM grid CROSS JOIN n
+    ), chi AS (
+      SELECT CAST(round(sum(term), 10) AS DOUBLE) AS chi2,
+             (SELECT count(*) FROM rows_) AS r,
+             (SELECT count(*) FROM cols_) AS c,
+             (SELECT n FROM n) AS n
+      FROM terms
+    )
+    SELECT CAST(round(chi2, 6) AS DOUBLE) AS chi2,
+           CAST(r AS BIGINT) AS n_rows,
+           CAST(c AS BIGINT) AS n_cols,
+           n,
+           CASE WHEN least(r - 1, c - 1) > 0 AND n > 0
+                THEN round(sqrt(chi2 / (n * least(r - 1, c - 1))), 6)
+           END AS cramers_v
+    FROM chi
+    """,
+)
+def dq_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event_type × day-of-week contingency:
+    chi-square answers "is activity mix independent of weekday?" but its
+    magnitude grows with N, so at 100 TB every cell is "significant" — V =
+    sqrt(chi²/(N·min(r−1,c−1))) is the N-invariant [0,1] association
+    strength a monitoring gate can threshold (the companion to
+    llmops_chi2_independence, which emits the raw statistic for p-value
+    lookup).
+
+    Spark-first: one grouped count builds the cells; marginals re-aggregate
+    the cells; the dense r×c grid restores observed-zero cells. Per-cell
+    terms are computed in double (identical IEEE sequence both engines),
+    rounded to 10dp, summed as DECIMAL (order-invariant), and V derives
+    from that already-pinned chi² — so the sqrt sees bit-identical input.
+    The derived divisor n·min(r−1,c−1) is guarded (> 0): a single-row or
+    single-column table has undefined V, not a DIVIDE_BY_ZERO crash."""
+    d = t(spark, sf_dir, "events")
+    cells = d.select(
+        "event_type", F.dayofweek(F.date_sub("ts", 1)).alias("dow")
+    ).groupBy("event_type", "dow").agg(F.count("*").cast("bigint").alias("o"))
+    rows_ = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("rl"))
+    cols_ = cells.groupBy("dow").agg(F.sum("o").cast("bigint").alias("cl"))
+    n = cells.agg(F.sum("o").cast("bigint").alias("n"))
+    grid = (
+        rows_.crossJoin(F.broadcast(cols_))
+        .join(cells, ["event_type", "dow"], "left")
+        .select("rl", "cl", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    e = F.col("rl").cast("double") * F.col("cl") / F.col("n")
+    term = F.round((F.col("o") - e) * (F.col("o") - e) / e, 10).cast(
+        "decimal(24,10)"
+    )
+    chi = (
+        grid.crossJoin(F.broadcast(n))
+        .agg(F.round(F.sum(term), 10).cast("double").alias("chi2"))
+        .crossJoin(F.broadcast(rows_.agg(F.count("*").alias("r"))))
+        .crossJoin(F.broadcast(cols_.agg(F.count("*").alias("c"))))
+        .crossJoin(F.broadcast(n))
+    )
+    dof = F.least(F.col("r") - 1, F.col("c") - 1)
+    return chi.select(
+        F.round("chi2", 6).cast("double").alias("chi2"),
+        F.col("r").cast("bigint").alias("n_rows"),
+        F.col("c").cast("bigint").alias("n_cols"),
+        "n",
+        F.when(
+            (dof > 0) & (F.col("n") > 0),
+            F.round(F.sqrt(F.col("chi2") / (F.col("n") * dof)), 6),
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "dq_js_divergence",
+    oracle="""
+    WITH b AS (
+      -- floor(), not CAST: DuckDB CAST(double AS BIGINT) rounds-to-nearest
+      -- where Spark's cast truncates
+      SELECT source, CAST(floor(n_chars / 50) AS BIGINT) AS bin
+      FROM documents
+    ), cells AS (
+      SELECT source, bin, CAST(count(*) AS BIGINT) AS c
+      FROM b GROUP BY 1, 2
+    ), bins AS (SELECT bin, CAST(sum(c) AS BIGINT) AS g FROM cells GROUP BY 1),
+    srcs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n1 FROM cells GROUP BY 1),
+    n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells),
+    grid AS (
+      SELECT s.source, s.n1, bn.bin, bn.g, coalesce(c.c, 0) AS c, n.n
+      FROM srcs s CROSS JOIN bins bn CROSS JOIN n
+      LEFT JOIN cells c ON c.source = s.source AND c.bin = bn.bin
+    ), terms AS (
+      SELECT source,
+             CAST(round(
+               CASE WHEN c * 1.0 / n1 > 0
+                    THEN 0.5 * (c * 1.0 / n1)
+                         * ln((c * 1.0 / n1)
+                              / (((c * 1.0 / n1)
+                                  + ((g - c) * 1.0 / (n - n1))) / 2))
+                    ELSE 0 END
+               + CASE WHEN (g - c) * 1.0 / (n - n1) > 0
+                      THEN 0.5 * ((g - c) * 1.0 / (n - n1))
+                           * ln(((g - c) * 1.0 / (n - n1))
+                                / (((c * 1.0 / n1)
+                                    + ((g - c) * 1.0 / (n - n1))) / 2))
+                      ELSE 0 END, 10) AS DECIMAL(24,10)) AS term
+      FROM grid WHERE n > n1
+    )
+    SELECT source, CAST(round(sum(term), 6) AS DOUBLE) AS js_divergence
+    FROM terms GROUP BY source
+    """,
+)
+def dq_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between each source's document-length
+    distribution (50-char bins) and the REST of the corpus — the bounded
+    [0, ln 2], symmetric drift number that complements KL
+    (llmops_kl_source_divergence): KL explodes when a source has mass in
+    bins the reference lacks; JS stays finite, so one threshold works
+    across sources of any size, and it needs no smoothing constant.
+
+    Spark-first: one grouped count builds (source, bin) cells; the global
+    per-bin counts re-aggregate the cells; the dense sources×bins grid
+    restores zero cells (P-zero bins still carry Q-side mass — ½q·ln 2).
+    The rest-of-corpus distribution is derived by SUBTRACTION (g − c over
+    n − n1) from the same exact integers — no second scan, no self-join.
+    Each bin's term is an identical IEEE double expression in both
+    engines, rounded to 10dp and summed as DECIMAL so accumulation order
+    can't move the hash. Sources covering the whole corpus (n = n1, Q
+    undefined) are excluded by construction rather than dividing by
+    zero."""
+    d = t(spark, sf_dir, "documents")
+    cells = d.select(
+        "source", (F.col("n_chars") / F.lit(50)).cast("bigint").alias("bin")
+    ).groupBy("source", "bin").agg(F.count("*").cast("bigint").alias("c"))
+    bins = cells.groupBy("bin").agg(F.sum("c").cast("bigint").alias("g"))
+    srcs = cells.groupBy("source").agg(F.sum("c").cast("bigint").alias("n1"))
+    n = cells.agg(F.sum("c").cast("bigint").alias("n"))
+    grid = (
+        srcs.crossJoin(F.broadcast(bins))
+        .crossJoin(F.broadcast(n))
+        .join(cells, ["source", "bin"], "left")
+        .select(
+            "source", "n1", "g", F.coalesce("c", F.lit(0)).alias("c"), "n"
+        )
+        .filter(F.col("n") > F.col("n1"))
+    )
+    p = F.col("c") * 1.0 / F.col("n1")
+    q = (F.col("g") - F.col("c")) * 1.0 / (F.col("n") - F.col("n1"))
+    m = (p + q) / 2
+    term = F.round(
+        F.when(p > 0, 0.5 * p * F.log(p / m)).otherwise(F.lit(0.0))
+        + F.when(q > 0, 0.5 * q * F.log(q / m)).otherwise(F.lit(0.0)),
+        10,
+    ).cast("decimal(24,10)")
+    return grid.groupBy("source").agg(
+        F.round(F.sum(term), 6).cast("double").alias("js_divergence")
+    )
