@@ -60,12 +60,12 @@ _PRIORITY = [
     "llmops_chunk_boundary_dup",
     "llmops_pq_codebook",
     "llmops_jl_projection_distortion",
+    "graph_kcore_peel",
+    "stream_stream_leftouter",
+    "stream_chained_agg",
     # --- placeholders (stalest-attested names, all r1; swapped out
     # one-for-one as r8 queries land — re-attesting them is harmless and
     # refreshes the oldest evidence) ---
-    "date_funcs_orders",
-    "distinct_segments",
-    "explode_word_counts",
     "grouping_sets_geo",
     "histogram_totalprice",
     "join_asof_last_click",

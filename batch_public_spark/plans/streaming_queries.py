@@ -185,3 +185,141 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark="1 day",
     )
     return run_available_now(s, output_mode="append", shuffle_partitions=8)
+
+
+@query(
+    "stream_stream_leftouter",
+    oracle="""
+    WITH wm AS (
+      -- the final global watermark: MIN over both branches' watermark
+      -- nodes, each = ms-truncated max event time of ITS branch − delay
+      SELECT least(
+        (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'click'),
+        (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'view')
+      ) - 3600000 AS w_ms
+    )
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT a.user_id, a.event_id AS click_id, CAST(-1 AS BIGINT) AS view_id
+    FROM events a, wm
+    WHERE a.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.user_id = a.user_id AND b.event_type = 'view'
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+      AND epoch_us(a.ts) + 3600000000 < wm.w_ms * 1000
+    """,
+)
+def stream_stream_leftouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM LEFT OUTER interval join (click → view within 1 h per
+    user): clicks that found a view emit pairs on arrival like the inner
+    join; clicks that never will emit (click, NULL) — but only at state
+    eviction, once the global watermark proves no future view can match.
+    This is the semantics gap the outer variant adds over
+    stream_stream_join: the null-extended result is WATERMARK-DRIVEN, not
+    data-driven, so the oracle must model the watermark, not just the
+    join.
+
+    The oracle reproduces Spark's exact emission rule (pinned empirically,
+    off-by-zero at sf0.01: 30 matched + 1974 null rows): the final global
+    watermark is the MIN over the two watermark nodes — each branch
+    tracks the ms-truncated max event time of ITS OWN filtered stream
+    minus the 1 h delay (clicks and views stop at different times, so
+    this differs from max(ts) − delay by 19 min at sf0.01) — and an
+    unmatched click emits iff click.ts + 1 h < that watermark, strict.
+    Trailing unmatched clicks inside the horizon are withheld on a finite
+    stream: deterministic, and exactly what a production restart would
+    emit first.
+
+    Scale: identical state bound to the inner variant (the interval
+    condition lets both buffers evict at the watermark); the outer rows
+    add no state, only an emit-on-evict flag per buffered left row."""
+    from batch_public_spark.streaming import interval_join_pairs
+
+    events = read_events_stream(spark, sf_dir)
+    s = interval_join_pairs(
+        events,
+        events,
+        left_type="click",
+        right_type="view",
+        within="1 hour",
+        watermark="1 hour",
+        how="left_outer",
+    )
+    out = run_available_now(s, output_mode="append", shuffle_partitions=8)
+    # NULL-extended ids encode as -1: a nullable BIGINT column round-trips
+    # through the driver's pandas compare as float NaN (hash poison);
+    # -1 is outside the event_id domain and stays integer in both engines.
+    return out.select(
+        "user_id",
+        "click_id",
+        F.coalesce("view_id", F.lit(-1)).cast("bigint").alias("view_id"),
+    )
+
+
+@query(
+    "stream_chained_agg",
+    oracle="""
+    WITH wm AS (SELECT epoch_ms(max(ts)) - 3600000 AS w_ms FROM events),
+    hourly AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), daily AS (
+      SELECT date_trunc('day', h) AS d, event_type,
+             CAST(max(n) AS BIGINT) AS max_hourly,
+             CAST(count(*) AS BIGINT) AS n_hours,
+             CAST(sum(n) AS BIGINT) AS n_events
+      FROM hourly GROUP BY 1, 2
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, event_type,
+           max_hourly, n_hours, n_events
+    FROM daily, wm
+    WHERE epoch_ms(d + INTERVAL 1 DAY) <= wm.w_ms
+    """,
+)
+def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED streaming aggregations — two stateful operators in one
+    query (Spark 3.4+ surface): hourly tumbling counts per event_type
+    feed a second streaming aggregation that rolls them up to per-day
+    peak-hour / hours-seen / total. This is the streaming form of the
+    hierarchical rollup every metrics pipeline runs (1 m → 1 h → 1 d);
+    before multi-stateful-operator support it required two queries and
+    an intermediate sink.
+
+    Chaining forces APPEND mode (complete is not supported upstream of a
+    second stateful operator), so unlike the complete-mode stream_*
+    windowed aggs the tail is watermark-withheld: an hour finalizes when
+    the watermark (ms-truncated max ts − 1 h) passes its end, a day
+    finalizes when it passes the day's end — at sf0.01 exactly the last
+    in-progress day is withheld (29 × 5 rows emit). The oracle models the
+    cutoff explicitly: days with day_end ≤ final watermark. Hours with
+    zero events produce no row, so n_hours counts OBSERVED hours —
+    identical in the batch rollup.
+
+    Scale: state is one row per open (hour, type) plus one per open
+    (day, type) — bounded by the watermark horizon, independent of
+    throughput; both aggs are map-side combinable."""
+    events = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    hourly = events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    daily = hourly.groupBy(
+        F.window(F.col("w"), "1 day").alias("d"), "event_type"
+    ).agg(
+        F.max("n").cast("bigint").alias("max_hourly"),
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    out = daily.select(
+        F.date_format(F.col("d.start"), "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "max_hourly",
+        "n_hours",
+        "n_events",
+    )
+    return run_available_now(out, output_mode="append", shuffle_partitions=8)

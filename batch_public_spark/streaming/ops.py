@@ -183,8 +183,9 @@ def interval_join_pairs(
     right_type: str = "view",
     within: str = "1 hour",
     watermark: str = "1 day",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-STREAM inner join: (left_type, right_type) event pairs for
+    """Stream-STREAM join: (left_type, right_type) event pairs for
     the same user with right.ts in [left.ts, left.ts + within].
 
     Both sides carry watermarks and the join condition carries the time
@@ -193,6 +194,15 @@ def interval_join_pairs(
     within, so state is O(events within the band), not O(history). An
     inner stream-stream join emits pairs in append mode as soon as both
     sides arrive; there is no held-back tail on a finite stream.
+
+    ``how="left_outer"`` additionally emits (left, NULL) for unmatched
+    left rows — but only at STATE EVICTION: a null-extended row appears
+    once no future right row can match, i.e. once the global watermark
+    (the MIN over both branches' per-column watermarks, each
+    ms-truncated max event time − delay) passes left.ts + within. On a
+    finite stream the trailing lefts inside that horizon are withheld —
+    deterministic, and mirrored by the batch oracle's watermark cutoff
+    (plans/streaming_queries.py::stream_stream_leftouter).
 
     At 100 TB the state bound is the whole story — without the interval
     condition Spark must buffer both streams forever (it rejects the
@@ -220,6 +230,7 @@ def interval_join_pairs(
         (F.col("left_user") == F.col("right_user"))
         & (F.col("right_ts") >= F.col("left_ts"))
         & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}")),
+        how,
     ).select(
         F.col("left_user").alias("user_id"),
         F.col("left_id").alias("click_id"),
