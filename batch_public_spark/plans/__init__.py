@@ -63,12 +63,12 @@ _PRIORITY = [
     "graph_kcore_peel",
     "stream_stream_leftouter",
     "stream_chained_agg",
+    "dq_autocorr_lag",
+    "agg_grouping_id_battery",
+    "llmops_ann_pq_adc",
     # --- placeholders (stalest-attested names, all r1; swapped out
     # one-for-one as r8 queries land — re-attesting them is harmless and
     # refreshes the oldest evidence) ---
-    "grouping_sets_geo",
-    "histogram_totalprice",
-    "join_asof_last_click",
     "join_broadcast_geo",
     "join_cross_region_segment",
     "join_full_outer_daily_priority",

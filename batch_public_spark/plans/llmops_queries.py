@@ -1839,3 +1839,122 @@ def llmops_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFra
         "n_pairs",
         F.round("_a", 6).alias("avg_ratio"),
     )
+
+
+@query(
+    "llmops_ann_pq_adc",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, i - 1 AS i,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS q
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+    ), dims AS (
+      SELECT vec_id, CAST(i // 16 AS BIGINT) AS sub,
+             CAST(i % 16 AS BIGINT) AS pos, q
+      FROM base
+    ), cw AS (
+      SELECT vec_id AS cw_id, sub, pos, q AS qc FROM dims WHERE vec_id < 4
+    ), dbdist AS (
+      SELECT d.vec_id, d.sub, c.cw_id,
+             CAST(sum((d.q - c.qc) * (d.q - c.qc)) AS BIGINT) AS dist
+      FROM dims d JOIN cw c ON c.sub = d.sub AND c.pos = d.pos
+      WHERE d.vec_id >= 8
+      GROUP BY 1, 2, 3
+    ), assign AS (
+      SELECT vec_id, sub, cw_id FROM (
+        SELECT vec_id, sub, cw_id,
+               row_number() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist, cw_id) AS rk
+        FROM dbdist) WHERE rk = 1
+    ), lut AS (
+      SELECT d.vec_id AS query_id, d.sub, c.cw_id,
+             CAST(sum((d.q - c.qc) * (d.q - c.qc)) AS BIGINT) AS dist
+      FROM dims d JOIN cw c ON c.sub = d.sub AND c.pos = d.pos
+      WHERE d.vec_id BETWEEN 4 AND 7
+      GROUP BY 1, 2, 3
+    ), adc AS (
+      SELECT l.query_id, a.vec_id AS neighbor_id,
+             CAST(sum(l.dist) AS BIGINT) AS adc_dist
+      FROM assign a JOIN lut l ON l.sub = a.sub AND l.cw_id = a.cw_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, adc_dist, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT query_id, neighbor_id, adc_dist,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc_dist, neighbor_id) AS rk
+      FROM adc) WHERE rk <= 5
+    """,
+)
+def llmops_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ's search half — Asymmetric Distance Computation: database
+    vectors are stored only as their per-subspace codeword ids
+    (llmops_pq_codebook's output, 4 bytes a vector), and a query scores a
+    candidate WITHOUT decompressing it: precompute the query's exact
+    distance to every codeword per subspace (the LUT — M×K integers), then
+    a candidate's approximate distance is M table lookups summed. This is
+    how billion-vector search engines burn through shortlists; paired
+    with the IVF routing (llmops_ann_ivf) it completes the IVF-PQ
+    pipeline.
+
+    Spark-first and engine-exact: quantized BIGINT dimensions make
+    codeword assignment, LUT entries, and ADC sums exact integers (ties
+    break on ids — no float tolerance anywhere). The LUT is tiny by
+    construction (queries × M × K rows) and BROADCASTS onto the assignment
+    table, so scoring all candidates is one broadcast-hash-join + hash
+    aggregation — no shuffle of the database side beyond its one grouped
+    assignment; top-k is a per-query window, never a global sort."""
+    e = t(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "vec_id", F.posexplode("embedding").alias("i", "x")
+    ).select(
+        "vec_id",
+        (F.col("i") / F.lit(16)).cast("bigint").alias("sub"),
+        F.pmod("i", F.lit(16)).cast("bigint").alias("pos"),
+        F.floor(F.col("x").cast("double") * 1048576).cast("bigint").alias("q"),
+    )
+    cw = dims.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cw_id"), "sub", "pos", F.col("q").alias("qc")
+    )
+    sq = F.sum((F.col("q") - F.col("qc")) * (F.col("q") - F.col("qc"))).cast(
+        "bigint"
+    )
+    dbdist = (
+        dims.filter(F.col("vec_id") >= 8)
+        .join(F.broadcast(cw), ["sub", "pos"])
+        .groupBy("vec_id", "sub", "cw_id")
+        .agg(sq.alias("dist"))
+    )
+    assign = (
+        dbdist.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("vec_id", "sub").orderBy("dist", "cw_id")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "sub", "cw_id")
+    )
+    lut = (
+        dims.filter((F.col("vec_id") >= 4) & (F.col("vec_id") <= 7))
+        .join(F.broadcast(cw), ["sub", "pos"])
+        .groupBy(
+            F.col("vec_id").alias("query_id"), "sub", "cw_id"
+        )
+        .agg(sq.alias("dist"))
+    )
+    adc = (
+        assign.join(F.broadcast(lut), ["sub", "cw_id"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dist").cast("bigint").alias("adc_dist"))
+    )
+    return (
+        adc.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+            ),
+        )
+        .filter(F.col("rk") <= 5)
+        .select("query_id", "neighbor_id", "adc_dist", F.col("rk").cast("bigint").alias("rk"))
+    )

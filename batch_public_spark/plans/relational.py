@@ -1493,3 +1493,45 @@ def join_asof_direction_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("next")
         .alias("nearest_dir"),
     )
+
+
+@query(
+    "agg_grouping_id_battery",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def agg_grouping_id_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() flag surface over a 4-way GROUPING SETS lattice: the
+    flags are what make multi-level aggregates machine-consumable — a
+    NULL status cell is ambiguous (real NULL vs rolled-up) until
+    GROUPING() disambiguates, and every BI/OLAP layer reading a
+    cube/rollup output keys on them. Exposed as per-column 0/1 flags
+    rather than a packed GROUPING_ID so the oracle is engine-neutral
+    (bit order in the packed id is not standardized across engines).
+
+    Spark-first: one shuffle computes all four lattice levels (Catalyst
+    expands grouping sets into a single Expand + hash aggregate, not four
+    scans); measures follow the registry DECIMAL discipline."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+        """
+    )

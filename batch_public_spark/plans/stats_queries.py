@@ -2115,3 +2115,81 @@ def dq_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.groupBy("source").agg(
         F.round(F.sum(term), 6).cast("double").alias("js_divergence")
     )
+
+
+@query(
+    "dq_autocorr_lag",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, n AS x,
+             lag(n) OVER (PARTITION BY event_type ORDER BY d) AS y
+      FROM daily
+    ), pairs AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS np,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM lagged WHERE y IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, np AS n_pairs,
+           CASE WHEN (np * sxx - sx * sx) > 0 AND (np * syy - sy * sy) > 0
+                THEN round((np * sxy - sx * sy)
+                           / sqrt((np * sxx - sx * sx) * 1.0)
+                           / sqrt((np * syy - sy * sy) * 1.0), 6)
+           END AS lag1_autocorr
+    FROM pairs
+    """,
+)
+def dq_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily event volume per type — the
+    seasonality/momentum gate that complements the level monitors (EWMA,
+    CUSUM, spike detection): near-zero means volume is memoryless noise,
+    strongly positive means trending load (autoscaling and
+    drift-attribution care), strongly negative means oscillation (a
+    retry storm or a batch/interactive alternation). One number per
+    event_type, windowless to threshold.
+
+    Spark-first: daily counts are one grouped aggregation; the lag pairs
+    come from a lag() window over the tiny per-type daily series
+    (|days| rows per partition, bounded); every correlation component
+    (Σx, Σy, Σxy, Σx², Σy²) is an EXACT BIGINT, so the only float is the
+    final Pearson expression — one identical IEEE tree in both engines,
+    with the two sqrt factors divided SEQUENTIALLY so neither product can
+    underflow, and NULL when either variance term degenerates (constant
+    series — the derived-divisor guard class)."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    w = W.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        F.col("n").alias("x"),
+        F.lag("n").over(w).alias("y"),
+    ).filter(F.col("y").isNotNull())
+    pairs = lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("np"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    vx = F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("np") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return pairs.select(
+        "event_type",
+        F.col("np").alias("n_pairs"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            F.round(num / F.sqrt(vx * 1.0) / F.sqrt(vy * 1.0), 6),
+        ).alias("lag1_autocorr"),
+    )
