@@ -1457,13 +1457,20 @@ def llmops_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure is honestly "rare-shingle containment", mirrored exactly in
     the oracle. The intersection reduces per pair BEFORE sizes broadcast
     back on, so the shuffle carries (id_a, id_b, count) only."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s")
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s"))
+        # two consumers (df aggregation + the rare-filtered projection):
+        # cut the explode once, lazily (the graph.py discipline)
+        .localCheckpoint(eager=False)
     )
     rare = d.groupBy("s").agg(F.count("*").cast("bigint").alias("df")).filter(
         F.col("df") <= 50
     )
-    ri = d.join(rare.select("s"), "s")
+    # rare is a bounded shingle-vocabulary table → broadcast the filter so
+    # the instance table never shuffles for it; ri then fans into THREE
+    # consumers (sizes + both self-join roles) → checkpoint it too.
+    ri = d.join(F.broadcast(rare.select("s")), "s").localCheckpoint(eager=False)
     sizes = ri.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("sz"))
     a = ri.select(F.col("doc_id").alias("id_a"), "s")
     b = ri.select(F.col("doc_id").alias("id_b"), "s")
