@@ -66,6 +66,14 @@ _PRIORITY = [
     "dq_autocorr_lag",
     "agg_grouping_id_battery",
     "llmops_ann_pq_adc",
+    "graph_bfs_distance",
+    "graph_label_propagation",
+    "sql_listagg_group_by_all",
+    "window_ignore_nulls_battery",
+    "scalar_try_arithmetic_battery",
+    "llmops_semdedup_clusters",
+    "llmops_curriculum_phases",
+    "llmops_lsh_param_planner",
     # --- placeholders (stalest-attested names, all r1; swapped out
     # one-for-one as r8 queries land — re-attesting them is harmless and
     # refreshes the oldest evidence) ---
@@ -87,14 +95,6 @@ _PRIORITY = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "rollup_flag_status",
-    "sample_deterministic_hash",
-    "setop_except_nations",
-    "setop_intersect_nations",
-    "setop_union_nations",
-    "string_funcs_part",
-    "subquery_exists_correlated",
-    "subquery_having_big_orders",
-    "subquery_scalar_small_qty",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

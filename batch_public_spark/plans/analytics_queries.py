@@ -3532,3 +3532,219 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+@query(
+    "graph_bfs_distance",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT user_id AS u, CAST(floor(epoch(ts) / 60) AS BIGINT) AS b,
+             event_type AS et
+      FROM events
+    ), edges0 AS (
+      SELECT a.u AS x, b.u AS y
+      FROM pres a JOIN pres b ON a.b = b.b AND a.et = b.et AND a.u < b.u
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT x, y FROM edges0 UNION ALL SELECT y, x FROM edges0
+    ),
+    f0 AS (SELECT min(x) AS u FROM edges0 HAVING count(*) > 0),
+    f1 AS (
+      SELECT DISTINCT e.y AS u FROM edges e JOIN f0 ON e.x = f0.u
+      WHERE e.y NOT IN (SELECT u FROM f0)
+    ),
+    f2 AS (
+      SELECT DISTINCT e.y AS u FROM edges e JOIN f1 ON e.x = f1.u
+      WHERE e.y NOT IN (SELECT u FROM f0) AND e.y NOT IN (SELECT u FROM f1)
+    ),
+    f3 AS (
+      SELECT DISTINCT e.y AS u FROM edges e JOIN f2 ON e.x = f2.u
+      WHERE e.y NOT IN (SELECT u FROM f0) AND e.y NOT IN (SELECT u FROM f1)
+        AND e.y NOT IN (SELECT u FROM f2)
+    ),
+    nodes AS (SELECT DISTINCT x AS u FROM edges)
+    SELECT * FROM (
+      SELECT CAST(0 AS BIGINT) AS dist, CAST(count(*) AS BIGINT) AS n_users FROM f0
+      UNION ALL SELECT 1, count(*) FROM f1
+      UNION ALL SELECT 2, count(*) FROM f2
+      UNION ALL SELECT 3, count(*) FROM f3
+      UNION ALL
+      SELECT -1, (SELECT count(*) FROM nodes)
+                 - (SELECT count(*) FROM f0) - (SELECT count(*) FROM f1)
+                 - (SELECT count(*) FROM f2) - (SELECT count(*) FROM f3)
+    )
+    """,
+)
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first search (3 synchronized frontier expansions)
+    from a deterministic landmark on the TYPED co-presence graph — users
+    active in the same minute bucket AND the same event type are linked
+    (the typed constraint sparsifies the graph to avg degree ~3 at
+    sf0.01, so distances are genuinely multi-hop: 1/6/12/35 reached at
+    depths 0-3, 87 unreached, dist = -1). Landmark-BFS is the distance
+    primitive under friend-of-friend features, influence radius, and
+    landmark-based shortest-path sketches (Das Sarma et al.); three
+    rounds are declared, not convergence — a production run loops the
+    same per-round plan until the frontier empties.
+
+    Spark-first: each round is one equi-join of the directed edge list
+    against the (tiny, broadcast) frontier, a DISTINCT, and a broadcast
+    anti-join against the visited set; frontier and visited are lazily
+    checkpointed so round N+1 never replays round N's lineage (the
+    iterative-graph discipline of graph.py / graph_kcore_peel). The edge
+    list shuffles ONCE to build; rounds shuffle only frontier-sized
+    sets. The fifth graph operator: CC and PageRank propagate values,
+    k-core iterates a degree constraint, BFS iterates set expansion."""
+    ev = t(spark, sf_dir, "events")
+    pres = ev.select(
+        F.col("user_id").alias("u"),
+        F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("b"),
+        F.col("event_type").alias("et"),
+    ).distinct()
+    a = pres.select(F.col("u").alias("x"), "b", "et")
+    b_ = pres.select(F.col("u").alias("y"), "b", "et")
+    e0 = (
+        a.join(b_, ["b", "et"])
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = e0.unionAll(e0.select(F.col("y").alias("x"), F.col("x").alias("y"))).localCheckpoint(
+        eager=False
+    )
+    # 1-row landmark, no collect; the isNotNull filter drops the row (and
+    # the whole BFS degenerates to zero counts) when the graph is empty —
+    # the sf0.001 smoke fixture has no typed co-presence edges at all.
+    frontier = e0.agg(F.min("x").alias("u")).filter(F.col("u").isNotNull())
+    visited = frontier.localCheckpoint(eager=False)
+    rows = [
+        frontier.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(0).cast("bigint").alias("dist"), "n_users"
+        )
+    ]
+    for d in (1, 2, 3):
+        nxt = (
+            edges.join(F.broadcast(frontier.select(F.col("u").alias("x"))), "x")
+            .select(F.col("y").alias("u"))
+            .distinct()
+            .join(F.broadcast(visited), "u", "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=False)
+        frontier = nxt
+        rows.append(
+            nxt.agg(F.count("*").cast("bigint").alias("n_users")).select(
+                F.lit(d).cast("bigint").alias("dist"), "n_users"
+            )
+        )
+    nodes = edges.select(F.col("x").alias("u")).distinct()
+    unreached = (
+        nodes.join(F.broadcast(visited), "u", "left_anti")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .select(F.lit(-1).cast("bigint").alias("dist"), "n_users")
+    )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.unionAll(unreached)
+
+
+@query(
+    "graph_label_propagation",
+    oracle="""
+    WITH pres AS (
+      SELECT DISTINCT user_id AS u, CAST(floor(epoch(ts) / 60) AS BIGINT) AS b,
+             event_type AS et
+      FROM events
+    ), edges0 AS (
+      SELECT a.u AS x, b.u AS y
+      FROM pres a JOIN pres b ON a.b = b.b AND a.et = b.et AND a.u < b.u
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT x, y FROM edges0 UNION ALL SELECT y, x FROM edges0
+    ),
+    l0 AS (SELECT DISTINCT x AS u, x AS lab FROM edges),
+    n1 AS (
+      SELECT e.x AS u, l.lab, CAST(count(*) AS BIGINT) AS c
+      FROM edges e JOIN l0 l ON e.y = l.u GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT u, min((100000 - c) * 1000000000 + lab) % 1000000000 AS lab
+      FROM n1 GROUP BY u
+    ),
+    n2 AS (
+      SELECT e.x AS u, l.lab, CAST(count(*) AS BIGINT) AS c
+      FROM edges e JOIN l1 l ON e.y = l.u GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT u, min((100000 - c) * 1000000000 + lab) % 1000000000 AS lab
+      FROM n2 GROUP BY u
+    )
+    SELECT CAST(sz AS BIGINT) AS community_size,
+           CAST(count(*) AS BIGINT) AS n_communities
+    FROM (SELECT lab, count(*) AS sz FROM l2 GROUP BY lab)
+    GROUP BY sz
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection (2 synchronized rounds,
+    deterministic tie-break) on the typed co-presence graph: every node
+    starts in its own community, then repeatedly adopts the most frequent
+    label among its neighbors — the classic near-linear community
+    algorithm (Raghavan et al. 2007). Vanilla LPA is nondeterministic
+    (random visit order, random tie-break); this variant is synchronous
+    and breaks count-ties toward the SMALLEST label via the
+    packed-integer argmin idiom ((100000 - c) * 1e9 + lab, minimized —
+    the dedup-survivorship discipline: no engine-specific max_by tie
+    behavior), so both engines compute the identical fixpoint prefix.
+    Fixture-calibrated: 141 nodes → 78 communities after round 1 → 52
+    after round 2, with a genuine size spread (19×1 ... 1×12). Output is
+    the community-size histogram — the chart that says whether the graph
+    has real cluster structure before anyone pays for Louvain.
+
+    Spark-first: each round is one edge⋈label equi-join (labels shuffle
+    on u, the same key the groupBy immediately reuses) + one grouped
+    min; label tables are lazily checkpointed per round so lineage never
+    replays (graph.py discipline). Packing bounds: c < 1e5 neighbors,
+    lab < 1e9 user ids — the packed key fits BIGINT with 4 orders of
+    margin."""
+    ev = t(spark, sf_dir, "events")
+    pres = ev.select(
+        F.col("user_id").alias("u"),
+        F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("b"),
+        F.col("event_type").alias("et"),
+    ).distinct()
+    a = pres.select(F.col("u").alias("x"), "b", "et")
+    b_ = pres.select(F.col("u").alias("y"), "b", "et")
+    e0 = (
+        a.join(b_, ["b", "et"])
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = e0.unionAll(e0.select(F.col("y").alias("x"), F.col("x").alias("y"))).localCheckpoint(
+        eager=False
+    )
+    labels = edges.select(F.col("x").alias("u")).distinct().select("u", F.col("u").alias("lab"))
+    for _ in range(2):
+        n = (
+            edges.join(labels.select(F.col("u").alias("y"), "lab"), "y")
+            .groupBy(F.col("x").alias("u"), "lab")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        labels = (
+            n.groupBy("u")
+            .agg(
+                (
+                    F.min((F.lit(100000) - F.col("c")) * F.lit(1000000000) + F.col("lab"))
+                    % F.lit(1000000000)
+                ).alias("lab")
+            )
+            .localCheckpoint(eager=False)
+        )
+    sizes = labels.groupBy("lab").agg(F.count("*").cast("bigint").alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("community_size")).agg(
+        F.count("*").cast("bigint").alias("n_communities")
+    )

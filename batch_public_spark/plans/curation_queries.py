@@ -833,3 +833,91 @@ def llmops_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("selected_chars"),
     )
+
+
+@query(
+    "llmops_curriculum_phases",
+    oracle="""
+    WITH lens AS (
+      SELECT doc_id,
+             length(list_filter(string_split_regex(trim(text), '\\s+'),
+                    x -> x <> '')) AS tok
+      FROM documents
+    ),
+    grid AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM lens GROUP BY tok
+    ),
+    cum AS (
+      SELECT tok, cnt,
+             CAST(coalesce(sum(cnt) OVER (ORDER BY tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS cum_prev,
+             (SELECT CAST(sum(cnt) AS BIGINT) FROM grid) AS n
+      FROM grid
+    ),
+    phased AS (
+      SELECT tok,
+             CASE WHEN 3 * cum_prev < n THEN 1
+                  WHEN 3 * cum_prev < 2 * n THEN 2 ELSE 3 END AS phase
+      FROM cum
+    )
+    SELECT CAST(p.phase AS BIGINT) AS phase,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(l.tok) AS BIGINT) AS total_tokens,
+           CAST(min(l.tok) AS BIGINT) AS min_tokens,
+           CAST(max(l.tok) AS BIGINT) AS max_tokens
+    FROM lens l JOIN phased p ON p.tok = l.tok
+    GROUP BY p.phase
+    """,
+)
+def llmops_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum phase assignment: order the corpus by whitespace
+    token count and cut it into three equal-count phases (short → long —
+    the classic curriculum-learning schedule of Bengio et al. 2009, where
+    training sees easy/short documents first). The cut is NOT an ntile
+    window over the corpus: phase boundaries come from the bounded
+    token-count grid (88 distinct lengths at sf0.01) via an exclusive
+    cumulative sum and integer cross-multiplication (3·cum_prev vs n), so
+    every document with the same length lands in the same phase
+    deterministically and the corpus-sized table never sorts globally.
+    Output: per-phase doc count, token mass, and length band — the table
+    a training scheduler consumes.
+
+    Spark-first: one scan computes lengths; the grid (≤ distinct-lengths
+    rows) aggregates, windows under bounded_window_key, and broadcasts
+    back onto the corpus — one shuffle for the grid agg, a broadcast
+    join for assignment, one shuffle for the phase rollup."""
+    from batch_public_spark.operators.textops import token_count_ws
+    from batch_public_spark.plans.lint import bounded_window_key
+
+    lens = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count_ws(F.col("text")).alias("tok")
+    )
+    grid = lens.groupBy("tok").agg(F.count("*").cast("bigint").alias("cnt"))
+    wg = (
+        W.partitionBy(bounded_window_key(F.col("tok")))
+        .orderBy("tok")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cum = grid.select(
+        "tok",
+        F.coalesce(F.sum("cnt").over(wg), F.lit(0)).cast("bigint").alias("cum_prev"),
+    ).crossJoin(F.broadcast(grid.agg(F.sum("cnt").cast("bigint").alias("n"))))
+    phased = cum.select(
+        "tok",
+        F.when(3 * F.col("cum_prev") < F.col("n"), 1)
+        .when(3 * F.col("cum_prev") < 2 * F.col("n"), 2)
+        .otherwise(3)
+        .cast("bigint")
+        .alias("phase"),
+    )
+    return (
+        lens.join(F.broadcast(phased), "tok")
+        .groupBy("phase")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("total_tokens"),
+            F.min("tok").cast("bigint").alias("min_tokens"),
+            F.max("tok").cast("bigint").alias("max_tokens"),
+        )
+    )

@@ -1965,3 +1965,204 @@ def llmops_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("query_id", "neighbor_id", "adc_dist", F.col("rk").cast("bigint").alias("rk"))
     )
+
+
+@query(
+    "llmops_semdedup_clusters",
+    oracle="""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < 4),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]), c.cv), 6)
+                        DESC, c.cid) AS rn
+      FROM embeddings v CROSS JOIN c
+    ),
+    asn AS (SELECT vec_id, cid FROM scored WHERE rn = 1),
+    pairs AS (
+      SELECT x.cid,
+             ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                          CAST(ey.embedding AS DOUBLE[])), 6) AS s,
+             y.vec_id AS ib
+      FROM asn x JOIN asn y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      JOIN embeddings ex ON ex.vec_id = x.vec_id
+      JOIN embeddings ey ON ey.vec_id = y.vec_id
+    ),
+    sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS cluster_size FROM asn GROUP BY cid)
+    SELECT sz.cid AS cluster_id, sz.cluster_size,
+           CAST(coalesce(count(*) FILTER (p.s >= 0.4), 0) AS BIGINT) AS n_dup_pairs,
+           CAST(coalesce(count(DISTINCT CASE WHEN p.s >= 0.4 THEN p.ib END), 0) AS BIGINT)
+             AS n_dropped,
+           sz.cluster_size
+             - CAST(coalesce(count(DISTINCT CASE WHEN p.s >= 0.4 THEN p.ib END), 0) AS BIGINT)
+             AS n_kept
+    FROM sz LEFT JOIN pairs p ON p.cid = sz.cid
+    GROUP BY sz.cid, sz.cluster_size
+    """,
+)
+def llmops_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space, then near-duplicate pairs are sought ONLY within a
+    cluster — the pruning that turns O(n²) semantic dedup into
+    O(Σ cluster²) with cluster sizes bounded by k ∝ n. Here k = 4 seed
+    centroids (the vectors with vec_id < 4 — deterministic, no trained
+    state; production swaps in kmeans_lloyd centroids, same plan),
+    assignment is argmax ROUNDED cosine with a centroid-id tie-break
+    (both engines order on the identical rounded double, so an ulp of
+    engine drift in the raw cosine cannot flip an assignment), and the
+    survivor rule is SemDeDup's: within a cluster, every pair at
+    sim ≥ τ drops the larger vec_id, keep = size − |distinct dropped|.
+    τ = 0.4 per the fixture-calibration rule (production 0.8 yields zero
+    pairs on this synthetic fixture; 0.4 → 6/6/10/3 dup pairs across
+    the four clusters at sf0.01, so the hash attests the full
+    assign→pair→survivor path). Output: per-cluster size / dup pairs /
+    dropped / kept.
+
+    Spark-first: the 4-row centroid table broadcasts into the
+    assignment join (zero exchange for the corpus); the within-cluster
+    pair join is an equi-join ON cluster id — never a cross join — and
+    ships only (cid, vec_id); raw vectors rejoin by id afterward (the
+    candidates ≪ corpus discipline of semantic.py). One shuffle on cid
+    for the pair join, one for the final rollup."""
+    emb = t(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cv")
+    )
+    from batch_public_spark.operators.semantic import cosine
+
+    scored = emb.select("vec_id", "embedding").crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cid",
+        F.round(cosine(F.col("embedding"), F.col("cv")), 6).alias("sim"),
+    )
+    wv = W.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+    asn = (
+        scored.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    x = asn.select("cid", F.col("vec_id").alias("ia"))
+    y = asn.select("cid", F.col("vec_id").alias("ib"))
+    ex = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("ea"))
+    ey = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("eb"))
+    pairs = (
+        x.join(y, "cid")
+        .filter(F.col("ia") < F.col("ib"))
+        .join(ex, "ia")
+        .join(ey, "ib")
+        .select("cid", "ib", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("s"))
+    )
+    sz = asn.groupBy("cid").agg(F.count("*").cast("bigint").alias("cluster_size"))
+    agg = (
+        sz.join(pairs, "cid", "left")
+        .groupBy("cid", "cluster_size")
+        .agg(
+            F.coalesce(F.count_if(F.col("s") >= 0.4), F.lit(0)).cast("bigint").alias("n_dup_pairs"),
+            F.coalesce(
+                F.count_distinct(F.when(F.col("s") >= 0.4, F.col("ib"))), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+    )
+    return agg.select(
+        F.col("cid").alias("cluster_id"),
+        "cluster_size",
+        "n_dup_pairs",
+        "n_dropped",
+        (F.col("cluster_size") - F.col("n_dropped")).cast("bigint").alias("n_kept"),
+    )
+
+
+@query(
+    "llmops_lsh_param_planner",
+    oracle="""
+    WITH g AS (
+      SELECT b, r, CAST(s AS DOUBLE) AS s
+      FROM (VALUES (4, 16), (8, 8), (16, 4), (32, 2)) bw(b, r)
+      CROSS JOIN (VALUES (0.3), (0.5), (0.7), (0.8), (0.9), (0.95)) sv(s)
+    ),
+    p1 AS (SELECT b, r, s, s * s AS s2 FROM g),
+    p2 AS (SELECT *, s2 * s2 AS s4 FROM p1),
+    p3 AS (SELECT *, s4 * s4 AS s8 FROM p2),
+    p4 AS (SELECT *, s8 * s8 AS s16 FROM p3),
+    e AS (SELECT b, r, s,
+                 CASE r WHEN 2 THEN s2 WHEN 4 THEN s4 WHEN 8 THEN s8
+                        ELSE s16 END AS sr
+          FROM p4),
+    f AS (SELECT b, r, s, 1.0 - sr AS q1 FROM e),
+    q2_ AS (SELECT *, q1 * q1 AS q2 FROM f),
+    q4_ AS (SELECT *, q2 * q2 AS q4 FROM q2_),
+    q8_ AS (SELECT *, q4 * q4 AS q8 FROM q4_),
+    q16_ AS (SELECT *, q8 * q8 AS q16 FROM q8_),
+    q32_ AS (SELECT *, q16 * q16 AS q32 FROM q16_),
+    probs AS (
+      SELECT b, r, s,
+             1.0 - CASE b WHEN 4 THEN q4 WHEN 8 THEN q8 WHEN 16 THEN q16
+                          ELSE q32 END AS p
+      FROM q32_
+    )
+    SELECT CAST(b AS BIGINT) AS n_bands, CAST(r AS BIGINT) AS rows_per_band,
+           s AS jaccard_s, ROUND(p, 6) AS p_candidate,
+           min(CASE WHEN p >= 0.5 THEN s END)
+             OVER (PARTITION BY b) AS s_at_half
+    FROM probs
+    """,
+)
+def llmops_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH parameter planner: the S-curve P(candidate | s) =
+    1 − (1 − s^r)^b over the (bands b, rows-per-band r) grid with
+    b·r = 64 signature slots, evaluated at representative Jaccard levels
+    — the table you read BEFORE running llmops_minhash_dedup to pick
+    (b, r) for a target similarity threshold (Leskovec/Rajaraman/Ullman
+    ch. 3). ``s_at_half`` marks the grid's crossover similarity (first s
+    with P ≥ 0.5) per banding — the operating threshold estimate
+    (1/b)^(1/r) without a fractional pow() call.
+
+    Determinism: both exponents are powers of two, so s^r and (1−s^r)^b
+    are evaluated by REPEATED SQUARING — a fixed tree of IEEE double
+    multiplications both engines execute bit-identically — never pow(),
+    whose last ulp differs between libm and the JVM (the EWMA-weights
+    discipline of stats_queries). Data-free VALUES×VALUES grid
+    (broadcast cross join, zero scans; sf_dir accepted and unused);
+    the window partitions on the bounded band grid."""
+    bw = spark.createDataFrame([(4, 16), (8, 8), (16, 4), (32, 2)], ["b", "r"])
+    sv = spark.createDataFrame(
+        [(0.3,), (0.5,), (0.7,), (0.8,), (0.9,), (0.95,)], ["s"]
+    )
+    g = bw.crossJoin(F.broadcast(sv))
+    s = F.col("s")
+    s2 = s * s
+    s4 = s2 * s2
+    s8 = s4 * s4
+    s16 = s8 * s8
+    sr = (
+        F.when(F.col("r") == 2, s2)
+        .when(F.col("r") == 4, s4)
+        .when(F.col("r") == 8, s8)
+        .otherwise(s16)
+    )
+    e = g.select("b", "r", "s", (F.lit(1.0) - sr).alias("q1"))
+    q1 = F.col("q1")
+    q2 = q1 * q1
+    q4 = q2 * q2
+    q8 = q4 * q4
+    q16 = q8 * q8
+    q32 = q16 * q16
+    qb = (
+        F.when(F.col("b") == 4, q4)
+        .when(F.col("b") == 8, q8)
+        .when(F.col("b") == 16, q16)
+        .otherwise(q32)
+    )
+    probs = e.select("b", "r", "s", (F.lit(1.0) - qb).alias("p"))
+    wb = W.partitionBy("b")
+    return probs.select(
+        F.col("b").cast("bigint").alias("n_bands"),
+        F.col("r").cast("bigint").alias("rows_per_band"),
+        F.col("s").alias("jaccard_s"),
+        F.round("p", 6).alias("p_candidate"),
+        F.min(F.when(F.col("p") >= 0.5, F.col("s"))).over(wb).alias("s_at_half"),
+    )

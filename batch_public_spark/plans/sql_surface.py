@@ -523,3 +523,140 @@ def udtf_corruption_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.* FROM _udtf_span_docs d, LATERAL corruption_spans(d.doc_id, d.text) s"
     )
+
+
+@query(
+    "sql_listagg_group_by_all",
+    oracle="""
+    SELECT o_orderstatus AS status, year(o_orderdate) AS yr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           string_agg(DISTINCT substring(o_orderpriority, 1, 1), ''
+                      ORDER BY substring(o_orderpriority, 1, 1)) AS prio_initials
+    FROM orders
+    GROUP BY ALL
+    """,
+)
+def sql_listagg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL surface: ``listagg(DISTINCT ...) WITHIN GROUP (ORDER
+    BY ...)`` (ANSI ordered string aggregation — agg_string_concat covers
+    the pre-4.0 collect_list/array_sort workaround; this is the native
+    form) plus ``GROUP BY ALL`` resolving the grouping keys from the
+    select list. DuckDB spells the same pair string_agg(DISTINCT ... ORDER
+    BY ...) / GROUP BY ALL. The aggregated set is bounded (5 priority
+    initials) so the concatenated string never grows with the data —
+    the listagg-at-scale contract."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("sqlsurf_la_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, year(o_orderdate) AS yr,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               listagg(DISTINCT substring(o_orderpriority, 1, 1), '')
+                 WITHIN GROUP (ORDER BY substring(o_orderpriority, 1, 1)) AS prio_initials
+        FROM sqlsurf_la_orders
+        GROUP BY ALL
+        """
+    )
+
+
+@query(
+    "window_ignore_nulls_battery",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase'
+                  THEN CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) END AS pv
+      FROM events WHERE user_id % 10 = 0
+    )
+    SELECT event_id, user_id,
+           coalesce(lag(pv IGNORE NULLS)  OVER w, -1.0) AS prev_purchase,
+           coalesce(lead(pv IGNORE NULLS) OVER w, -1.0) AS next_purchase,
+           coalesce(first_value(pv IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS first_so_far,
+           coalesce(nth_value(pv, 2 IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0) AS second_so_far
+    FROM e
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_ignore_nulls_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS across the four window value functions that accept it
+    (lag / lead / first_value / nth_value) — "carry the last purchase
+    amount across intervening non-purchase events" is the idiomatic use,
+    and the LOCF family (events_gapfill_locf) only exercises first/last.
+    Spark spells the modifier after the call (``lag(pv) IGNORE NULLS``),
+    DuckDB inside the argument list (``lag(pv IGNORE NULLS)``) — same
+    semantics, pinned against each other here. Frames are explicit ROWS
+    and the ordering carries the unique event_id tie-break (total order
+    ⇒ identical results under any parallelism); the sparse column goes
+    through the DECIMAL(18,4) cast so both engines window over the
+    identical double, and no-prior-value gaps coalesce to a -1.0 sentinel
+    (values are strictly positive) because the parity harness cannot
+    tell an oracle NULL double from NaN. One user_id exchange serves all
+    four windows."""
+    ev = t(spark, sf_dir, "events")
+    ev.filter(F.col("user_id") % 10 == 0).createOrReplaceTempView("sqlsurf_ign_events")
+    return spark.sql(
+        """
+        WITH e AS (
+          SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'purchase'
+                      THEN CAST(CAST(value AS DECIMAL(18,4)) AS DOUBLE) END AS pv
+          FROM sqlsurf_ign_events
+        )
+        SELECT event_id, user_id,
+               coalesce(lag(pv)  IGNORE NULLS OVER w, -1.0D) AS prev_purchase,
+               coalesce(lead(pv) IGNORE NULLS OVER w, -1.0D) AS next_purchase,
+               coalesce(first_value(pv) IGNORE NULLS OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0D) AS first_so_far,
+               coalesce(nth_value(pv, 2) IGNORE NULLS OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1.0D) AS second_so_far
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """
+    )
+
+
+@query(
+    "scalar_try_arithmetic_battery",
+    oracle="""
+    SELECT CAST(l_linenumber AS BIGINT) AS lineno,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (l_quantity <> 1) AS BIGINT) AS n_mul_overflow,
+           CAST(count(*) FILTER (l_quantity = 25) AS BIGINT) AS n_div_zero,
+           CAST(count(*) FILTER (l_linenumber >= 7) AS BIGINT) AS n_add_overflow,
+           CAST(count(*) FILTER (l_linenumber > 3) AS BIGINT) AS n_elem_oob,
+           CASE WHEN count(*) FILTER (l_orderkey % 9973 = 0) >= 2 THEN NULL
+                ELSE count(*) FILTER (l_orderkey % 9973 = 0) * 4611686018427387904
+           END AS guarded_sum
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def scalar_try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The try_* error-safe arithmetic family (Spark's answer to "one
+    garbage row kills the 100 TB job under ANSI mode"): try_multiply /
+    try_divide / try_add / try_element_at at row scope and try_sum at
+    aggregate scope, each engineered onto a deterministic overflow /
+    div-zero / out-of-bounds edge so the NULL-not-error contract is what
+    the hash checks. DuckDB has no try_* (it errors on BIGINT overflow),
+    so the oracle states the expected OUTCOME in exact arithmetic:
+    predicate counts for the row-scope ops and a HUGEINT-free guarded
+    CASE for the aggregate (≥2 addends of 2^62 overflow BIGINT ⇒ NULL;
+    the 0/1-addend groups keep exact values — fixture-calibrated to a
+    genuine 0/1/≥2 mix across linenumber groups at sf0.01).
+    scalar_try_cast_battery covers casts; this covers arithmetic."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy(F.col("l_linenumber").cast("bigint").alias("lineno")).agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count_if(F.expr("try_multiply(CAST(l_quantity AS BIGINT), 9223372036854775807L)").isNull()).cast("bigint").alias("n_mul_overflow"),
+        F.count_if(F.expr("try_divide(l_extendedprice, CAST(l_quantity AS BIGINT) - 25)").isNull()).cast("bigint").alias("n_div_zero"),
+        F.count_if(F.expr("try_add(9223372036854775801L, CAST(l_linenumber AS BIGINT))").isNull()).cast("bigint").alias("n_add_overflow"),
+        F.count_if(F.expr("try_element_at(array(11, 12, 13), l_linenumber)").isNull()).cast("bigint").alias("n_elem_oob"),
+        F.expr(
+            "try_sum(CASE WHEN l_orderkey % 9973 = 0 THEN 4611686018427387904L ELSE 0L END)"
+        ).alias("guarded_sum"),
+    )

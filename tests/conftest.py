@@ -74,6 +74,13 @@ VACUOUS_OK: set[str] = {
     # 4 rows; q8: mkt_share varies); only the sf0.001 smoke SF degenerates.
     "q20_part_volume_suppliers",
     "q8_market_share",
+    # The typed co-presence graph (same minute + same event_type) has zero
+    # edges at the sf0.001 smoke SF (15 users over sparse minutes), so LPA
+    # emits no communities and BFS emits all-zero counts there. Both are
+    # genuinely multi-valued at sf0.01, the driver's correctness SF
+    # (LPA: 9 histogram rows; BFS: 1/6/12/35 reached + 87 unreached).
+    "graph_label_propagation",
+    "graph_bfs_distance",
 }
 
 
