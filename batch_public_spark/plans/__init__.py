@@ -74,6 +74,7 @@ _PRIORITY = [
     "llmops_semdedup_clusters",
     "llmops_curriculum_phases",
     "llmops_lsh_param_planner",
+    "stream_stream_fullouter",
     # --- placeholders (stalest-attested names, all r1; swapped out
     # one-for-one as r8 queries land — re-attesting them is harmless and
     # refreshes the oldest evidence) ---
@@ -94,7 +95,6 @@ _PRIORITY = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "rollup_flag_status",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

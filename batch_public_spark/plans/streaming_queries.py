@@ -323,3 +323,77 @@ def stream_chained_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
     )
     return run_available_now(out, output_mode="append", shuffle_partitions=8)
+
+
+@query(
+    "stream_stream_fullouter",
+    oracle="""
+    WITH wm AS (
+      SELECT least(
+        (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'click'),
+        (SELECT epoch_ms(max(ts)) FROM events WHERE event_type = 'view')
+      ) - 3600000 AS w_ms
+    )
+    SELECT a.user_id, a.event_id AS click_id, b.event_id AS view_id
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'view'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT a.user_id, a.event_id AS click_id, CAST(-1 AS BIGINT) AS view_id
+    FROM events a, wm
+    WHERE a.event_type = 'click'
+      AND NOT EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.user_id = a.user_id AND b.event_type = 'view'
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+      AND epoch_us(a.ts) + 3600000000 < wm.w_ms * 1000
+    UNION ALL
+    SELECT b.user_id, CAST(-1 AS BIGINT) AS click_id, b.event_id AS view_id
+    FROM events b, wm
+    WHERE b.event_type = 'view'
+      AND NOT EXISTS (
+        SELECT 1 FROM events a
+        WHERE a.user_id = b.user_id AND a.event_type = 'click'
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+      AND epoch_us(b.ts) < wm.w_ms * 1000
+    """,
+)
+def stream_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM FULL OUTER interval join — the third join type in
+    the family (inner: stream_stream_join; left: stream_stream_leftouter).
+    Both null-extension rules are watermark-driven and ASYMMETRIC, which
+    is exactly what the oracle pins: an unmatched CLICK can still match
+    future views until the watermark passes click.ts + 1 h (its band
+    extends forward), so it emits iff click.ts + 1 h < wm — but an
+    unmatched VIEW only matches clicks with click.ts ∈ [view.ts − 1 h,
+    view.ts], all at or before its own timestamp, so it evicts (and
+    emits) as soon as the watermark passes view.ts itself, strict. Both
+    cutoffs verified off-by-zero at sf0.01 (30 matched + 1974 null-view
+    + 1946 null-click) and sf0.001. The global watermark is the MIN over
+    the two branch watermark nodes, each the ms-truncated max event time
+    of its own filtered stream minus the 1 h delay.
+
+    Scale: the same interval-bounded state as the inner join on both
+    buffers; outer emission adds no state, only an emit-on-evict flag
+    per buffered row on each side. NULL-extended ids encode as -1
+    (outside the event_id domain) so the nullable BIGINT never becomes
+    pandas NaN in the driver compare."""
+    from batch_public_spark.streaming import interval_join_pairs
+
+    events = read_events_stream(spark, sf_dir)
+    s = interval_join_pairs(
+        events,
+        events,
+        left_type="click",
+        right_type="view",
+        within="1 hour",
+        watermark="1 hour",
+        how="full_outer",
+    )
+    out = run_available_now(s, output_mode="append", shuffle_partitions=8)
+    return out.select(
+        "user_id",
+        F.coalesce("click_id", F.lit(-1)).cast("bigint").alias("click_id"),
+        F.coalesce("view_id", F.lit(-1)).cast("bigint").alias("view_id"),
+    )

@@ -225,14 +225,22 @@ def interval_join_pairs(
         )
         .withWatermark("right_ts", watermark)
     )
-    return lt.join(
+    joined = lt.join(
         rt,
         (F.col("left_user") == F.col("right_user"))
         & (F.col("right_ts") >= F.col("left_ts"))
         & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}")),
         how,
-    ).select(
-        F.col("left_user").alias("user_id"),
+    )
+    # Under full_outer the left_user is NULL on right-only rows (and vice
+    # versa) — the user key must coalesce across sides.
+    user = (
+        F.coalesce(F.col("left_user"), F.col("right_user"))
+        if how in ("full_outer", "full", "outer")
+        else F.col("left_user")
+    )
+    return joined.select(
+        user.alias("user_id"),
         F.col("left_id").alias("click_id"),
         F.col("right_id").alias("view_id"),
     )
