@@ -75,6 +75,8 @@ _PRIORITY = [
     "llmops_curriculum_phases",
     "llmops_lsh_param_planner",
     "stream_stream_fullouter",
+    "events_survival_curve",
+    "events_session_window_builtin",
     # --- placeholders (stalest-attested names, all r1; swapped out
     # one-for-one as r8 queries land — re-attesting them is harmless and
     # refreshes the oldest evidence) ---
@@ -93,8 +95,6 @@ _PRIORITY = [
     "pipeline_ts_normalize",
     "pivot_flag_status",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_region_revenue",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

@@ -20,6 +20,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from batch_public_spark.operators.textops import token_count_bpe_ish, token_count_ws, tokens
+from batch_public_spark.plans.lint import bounded_window_key
 from batch_public_spark.plans.registry import query
 from batch_public_spark.sources.tables import load_table as t
 
@@ -3747,4 +3748,172 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = labels.groupBy("lab").agg(F.count("*").cast("bigint").alias("sz"))
     return sizes.groupBy(F.col("sz").alias("community_size")).agg(
         F.count("*").cast("bigint").alias("n_communities")
+    )
+
+
+@query(
+    "events_survival_curve",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, event_type,
+             date_trunc('day', min(ts)) AS f, date_trunc('day', max(ts)) AS l
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (
+      SELECT unnest(generate_series((SELECT min(f) FROM span),
+                                    (SELECT max(l) FROM span),
+                                    INTERVAL 1 DAY)) AS d
+    ),
+    base AS (
+      SELECT d,
+             (SELECT CAST(count(*) AS BIGINT) FROM span
+               WHERE f <= d AND l >= d) AS at_risk,
+             (SELECT CAST(count(*) AS BIGINT) FROM span WHERE l = d) AS churned
+      FROM days
+    ),
+    terms AS (
+      SELECT d, at_risk, churned,
+             CASE WHEN churned < at_risk
+                  THEN ROUND(ln((at_risk - churned) * 1.0 / at_risk), 10)
+             END AS lt
+      FROM base
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, at_risk, churned,
+           ROUND(churned * 1.0 / at_risk, 6) AS hazard,
+           CASE WHEN churned = at_risk THEN -999999.0
+                ELSE ROUND(coalesce(sum(lt) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 6)
+           END AS log_survival
+    FROM terms
+    """,
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier-style survival/churn curve over per-(user, event_type)
+    activity streams: a stream is "at risk" on every day of its observed
+    [first, last] span and "churns" on its last-activity day; hazard(d) =
+    churned/at_risk and the survival estimate accumulates as
+    Σ ln(1 − hazard) — reported as log-survival, with the ln terms
+    rounded to 10 decimals before the decimal-safe cumulative sum (the
+    KL/entropy discipline: never exponentiate back, exp()'s last ulp is
+    engine-specific). A day that churns its entire risk set terminates
+    the curve (−999999 sentinel — survival is exactly 0 and the log
+    diverges); by the span construction that is the grid's last day.
+    Per-(user, type) streams rather than users make the fixture curve
+    non-vacuous: 14 of 30 days carry churn, hazard spans 0.002 → 1.0.
+
+    Spark-first: the at-risk count is NOT a per-day correlated count —
+    it is an interval sweep: +1 at span start, −1 the day after span
+    end, grouped per day and cumulated over the bounded calendar grid
+    (the events_max_concurrency discipline), so the heavy table is
+    touched once and every window runs on the ≤|days| grid under
+    bounded_window_key."""
+    ev = t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id", "event_type").agg(
+        F.date_trunc("day", F.min("ts")).alias("f"),
+        F.date_trunc("day", F.max("ts")).alias("l"),
+    )
+    bounds = span.agg(
+        F.min("f").alias("lo"), F.max("l").alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    deltas = (
+        span.select(F.col("f").alias("d"), F.lit(1).alias("delta"))
+        .unionAll(
+            span.select(
+                (F.col("l") + F.expr("INTERVAL 1 DAY")).alias("d"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("d")
+        .agg(F.sum("delta").alias("net"))
+    )
+    churns = span.groupBy(F.col("l").alias("d")).agg(
+        F.count("*").cast("bigint").alias("churned")
+    )
+    wd = (
+        W.partitionBy(bounded_window_key(F.unix_timestamp("d").cast("bigint")))
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = (
+        days.join(deltas, "d", "left")
+        .join(churns, "d", "left")
+        .select(
+            "d",
+            F.sum(F.coalesce(F.col("net"), F.lit(0))).over(wd).cast("bigint").alias("at_risk"),
+            F.coalesce(F.col("churned"), F.lit(0)).cast("bigint").alias("churned"),
+        )
+    )
+    terms = base.withColumn(
+        "lt",
+        F.when(
+            F.col("churned") < F.col("at_risk"),
+            F.round(
+                F.log((F.col("at_risk") - F.col("churned")) * F.lit(1.0) / F.col("at_risk")),
+                10,
+            ),
+        ),
+    )
+    return terms.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "at_risk",
+        "churned",
+        F.round(F.col("churned") * F.lit(1.0) / F.col("at_risk"), 6).alias("hazard"),
+        F.when(F.col("churned") == F.col("at_risk"), F.lit(-999999.0))
+        .otherwise(F.round(F.coalesce(F.sum("lt").over(wd), F.lit(0.0)), 6))
+        .alias("log_survival"),
+    )
+
+
+@query(
+    "events_session_window_builtin",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 21600000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM o
+    )
+    SELECT user_id,
+           CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(max(ts)) + 21600000000 AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sid
+    """,
+)
+def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's BUILT-IN ``session_window`` in a BATCH aggregation (6 h
+    inactivity gap) — the API-surface twin of events_sessionize_gap,
+    which hand-rolls the same semantics from lag + running-sum windows.
+    The oracle replays the built-in's exact merge rule: a session's
+    window is [first event, last event + gap) with the end EXCLUSIVE, so
+    an event arriving exactly gap after its predecessor starts a NEW
+    session (the island break is ``diff >= gap``, not ``>``, which is
+    the off-by-one this parity pin exists to catch), and the emitted end
+    is last-event + gap. Timestamps return as integer epoch-µs — never
+    raw timestamps (registry discipline).
+
+    Spark-first: one shuffle on the (session_window, user_id) grouping;
+    at scale this is the same single-exchange plan as the hand-rolled
+    variant, but the merge happens inside the aggregation operator
+    instead of two stacked windows. 5725 sessions over 10 k events at
+    sf0.01 — genuinely multi-event sessions."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "6 hours").alias("w"), "user_id")
+        .agg(F.count("*").cast("bigint").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).cast("bigint").alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).cast("bigint").alias("session_end_us"),
+            "n_events",
+        )
     )
