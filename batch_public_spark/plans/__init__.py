@@ -77,6 +77,8 @@ _PRIORITY = [
     "stream_stream_fullouter",
     "events_survival_curve",
     "events_session_window_builtin",
+    "dq_welch_ttest_drift",
+    "graph_link_prediction",
     # --- placeholders (stalest-attested names, all r1; swapped out
     # one-for-one as r8 queries land — re-attesting them is harmless and
     # refreshes the oldest evidence) ---
@@ -93,8 +95,6 @@ _PRIORITY = [
     "pipeline_json_repair",
     "pipeline_text_extract",
     "pipeline_ts_normalize",
-    "pivot_flag_status",
-    "q1_pricing_summary",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

@@ -2193,3 +2193,125 @@ def dq_autocorr_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(num / F.sqrt(vx * 1.0) / F.sqrt(vy * 1.0), 6),
         ).alias("lag1_autocorr"),
     )
+
+
+@query(
+    "dq_welch_ttest_drift",
+    oracle="""
+    WITH per AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n1,
+             CAST(sum(n_chars) AS BIGINT) AS s1,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS q1
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n1) AS BIGINT) AS n,
+             CAST(sum(s1) AS BIGINT) AS s,
+             CAST(sum(q1) AS BIGINT) AS q
+      FROM per
+    ), m AS (
+      SELECT p.source, p.n1, t.n - p.n1 AS n2,
+             p.s1 * 1.0 / p.n1 AS m1,
+             (t.s - p.s1) * 1.0 / (t.n - p.n1) AS m2,
+             (p.q1 - p.s1 * 1.0 * p.s1 / p.n1) / (p.n1 - 1) AS v1,
+             ((t.q - p.q1) - (t.s - p.s1) * 1.0 * (t.s - p.s1) / (t.n - p.n1))
+               / ((t.n - p.n1) - 1) AS v2
+      FROM per p CROSS JOIN tot t
+    ), se AS (
+      SELECT source, n1, n2, m1, m2, v1, v2,
+             v1 / n1 + v2 / n2 AS se2
+      FROM m
+    )
+    SELECT source, n1,
+           round(m1 - m2, 6) AS mean_gap,
+           CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 0
+                THEN round((m1 - m2) / sqrt(se2), 6) END AS t_stat,
+           CASE WHEN n1 > 1 AND n2 > 1 AND se2 > 0
+                THEN round(se2 * se2
+                           / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                              + (v2 / n2) * (v2 / n2) / (n2 - 1)), 6)
+           END AS df_welch
+    FROM se
+    """,
+)
+def dq_welch_ttest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test drift gate: for each source, test
+    whether its mean document length differs from the rest of the corpus.
+    The parametric member of the drift battery — KS reads the max CDF gap,
+    Mann-Whitney the rank-location shift, Welch the mean shift with a
+    variance-weighted standard error and the Welch-Satterthwaite effective
+    degrees of freedom: t = (m1-m2)/sqrt(v1/n1 + v2/n2), df =
+    se2^2 / ((v1/n1)^2/(n1-1) + (v2/n2)^2/(n2-1)). Unlike Student's
+    pooled-variance t, it stays calibrated when one source is both small
+    and noisy — exactly the "new crawl snapshot" case the gate exists for.
+
+    Parity discipline: both engines aggregate the exact integer sums
+    (sum v, sum v^2 as BIGINT — no engine-specific Welford/naive variance
+    path), then evaluate the IDENTICAL double expression tree, so the
+    rounded statistics are bit-equal. The complement's moments come from
+    the global totals minus the group's (one scan, no self-join). Degenerate
+    groups (n<2 on either side, zero pooled spread) yield NULL via the
+    se2 > 0 guard — the derived-divisor discipline from the r7 sweep.
+
+    Spark-first: one shuffle on source; the totals row is a broadcast
+    cross join (single row). 100 TB posture: per-source stats are a
+    map-side partial aggregation, the test itself runs on a |sources|-row
+    table."""
+    docs = t(spark, sf_dir, "documents")
+    per = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n1"),
+        F.sum("n_chars").cast("bigint").alias("s1"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("q1"),
+    )
+    tot = per.agg(
+        F.sum("n1").cast("bigint").alias("n"),
+        F.sum("s1").cast("bigint").alias("s"),
+        F.sum("q1").cast("bigint").alias("q"),
+    )
+    m = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        (F.col("s1") * F.lit(1.0) / F.col("n1")).alias("m1"),
+        ((F.col("s") - F.col("s1")) * F.lit(1.0) / (F.col("n") - F.col("n1"))).alias("m2"),
+        (
+            (F.col("q1") - F.col("s1") * F.lit(1.0) * F.col("s1") / F.col("n1"))
+            / (F.col("n1") - F.lit(1))
+        ).alias("v1"),
+        (
+            (
+                (F.col("q") - F.col("q1"))
+                - (F.col("s") - F.col("s1"))
+                * F.lit(1.0)
+                * (F.col("s") - F.col("s1"))
+                / (F.col("n") - F.col("n1"))
+            )
+            / ((F.col("n") - F.col("n1")) - F.lit(1))
+        ).alias("v2"),
+    )
+    se = m.withColumn("se2", F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+    ok = (F.col("n1") > 1) & (F.col("n2") > 1) & (F.col("se2") > 0)
+    return se.select(
+        "source",
+        "n1",
+        F.round(F.col("m1") - F.col("m2"), 6).alias("mean_gap"),
+        F.when(ok, F.round((F.col("m1") - F.col("m2")) / F.sqrt("se2"), 6)).alias(
+            "t_stat"
+        ),
+        F.when(
+            ok,
+            F.round(
+                F.col("se2")
+                * F.col("se2")
+                / (
+                    (F.col("v1") / F.col("n1"))
+                    * (F.col("v1") / F.col("n1"))
+                    / (F.col("n1") - F.lit(1))
+                    + (F.col("v2") / F.col("n2"))
+                    * (F.col("v2") / F.col("n2"))
+                    / (F.col("n2") - F.lit(1))
+                ),
+                6,
+            ),
+        ).alias("df_welch"),
+    )
