@@ -79,6 +79,8 @@ _PRIORITY = [
     "events_session_window_builtin",
     "dq_welch_ttest_drift",
     "graph_link_prediction",
+    "hof_array_battery",
+    "map_funcs_battery",
     # --- placeholders (stalest-attested names, all r1; swapped out
     # one-for-one as r8 queries land — re-attesting them is harmless and
     # refreshes the oldest evidence) ---
@@ -93,8 +95,6 @@ _PRIORITY = [
     "math_funcs_lineitem",
     "pipeline_dedup_first_wins",
     "pipeline_json_repair",
-    "pipeline_text_extract",
-    "pipeline_ts_normalize",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

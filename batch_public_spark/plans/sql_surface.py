@@ -660,3 +660,186 @@ def scalar_try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame
             "try_sum(CASE WHEN l_orderkey % 9973 = 0 THEN 4611686018427387904L ELSE 0L END)"
         ).alias("guarded_sum"),
     )
+
+
+@query(
+    "hof_array_battery",
+    oracle="""
+    WITH per AS (
+      SELECT l_orderkey AS o_orderkey,
+             list(CAST(l_quantity AS BIGINT) ORDER BY l_linenumber) AS qs,
+             list(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+                  ORDER BY l_linenumber) AS cs
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderkey,
+           CAST(len(qs) AS BIGINT) AS n_items,
+           CAST(len(list_filter(qs, x -> x < 10)) AS BIGINT) AS n_small,
+           len(list_filter(qs, x -> x >= 45)) > 0 AS any_jumbo,
+           len(list_filter(qs, x -> NOT (x < 45))) = 0 AS all_regular,
+           CAST(list_sum(list_transform(list_zip(qs, cs), p -> p[1] * p[2]))
+                AS BIGINT) AS dot_cents,
+           CAST(len(list_intersect(qs, range(1, 11))) AS BIGINT) AS n_single_digit
+    FROM per
+    """,
+)
+def hof_array_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array function battery — the five HOFs NOT yet pinned
+    by array_funcs_documents/array_sequence_fold (transform/aggregate):
+    ``filter`` (count of small lots), ``exists`` (any jumbo lot),
+    ``forall`` (all lots regular), ``zip_with`` (quantity·price dot
+    product), and ``array_intersect`` against a ``sequence`` literal
+    (distinct single-digit quantities). Per-order line arrays are built
+    deterministically — collect structs keyed by l_linenumber, array_sort,
+    project — so both engines fold the same element order; DuckDB spells
+    exists/forall as emptiness of the complementary ``list_filter`` and
+    zip_with as ``list_transform(list_zip(...))``. The intersect is
+    emitted as a SIZE (Spark preserves first-array order, DuckDB doesn't —
+    the set cardinality is the engine-neutral fact).
+
+    Parity discipline: quantities are integral values cast to BIGINT and
+    prices go through EXPLICITLY ROUNDED cents (round(x*100, 0) before the
+    BIGINT cast — Spark truncates a raw double→bigint cast where DuckDB
+    rounds it, a 1-cent trap), so every battery column is integer/boolean
+    arithmetic — no float drift surface at all.
+
+    Spark-first: one shuffle (the groupBy building the arrays); every HOF
+    runs inside whole-stage codegen on the grouped row — this is the
+    replacement for per-row Python loops over attribute lists, and the
+    same in-row fold family the MinHash signatures use."""
+    li = t(spark, sf_dir, "lineitem")
+    sorted_lines = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").alias("ln"),
+                F.col("l_quantity").cast("bigint").alias("q"),
+                F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("c"),
+            )
+        )
+    )
+    per = (
+        li.groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(sorted_lines.alias("lines"))
+        .select(
+            "o_orderkey",
+            F.transform(F.col("lines"), lambda s: s.q).alias("qs"),
+            F.transform(F.col("lines"), lambda s: s.c).alias("cs"),
+        )
+    )
+    return per.select(
+        "o_orderkey",
+        F.size("qs").cast("bigint").alias("n_items"),
+        F.size(F.filter("qs", lambda x: x < 10)).cast("bigint").alias("n_small"),
+        F.exists("qs", lambda x: x >= 45).alias("any_jumbo"),
+        F.forall("qs", lambda x: x < 45).alias("all_regular"),
+        F.aggregate(
+            F.zip_with("qs", "cs", lambda a, b: a * b),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("dot_cents"),
+        F.size(F.array_intersect("qs", F.sequence(F.lit(1).cast("bigint"), F.lit(10).cast("bigint"))))
+        .cast("bigint")
+        .alias("n_single_digit"),
+    )
+
+
+@query(
+    "map_funcs_battery",
+    oracle="""
+    WITH cell AS (
+      SELECT o_orderpriority AS prio, o_orderstatus AS st,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT prio, st, n, cents,
+             cents * 1.0 / n AS avg_cents,
+             CAST(sum(n) OVER (PARTITION BY prio) AS BIGINT) AS n_prio
+      FROM cell
+    )
+    SELECT prio, 'st_' || st AS status_key, n,
+           round(avg_cents, 6) AS avg_cents,
+           round(n * 1.0 / n_prio, 6) AS share
+    FROM tot
+    WHERE avg_cents >= 25000000.0
+    """,
+)
+def map_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order function battery — the MapType HOFs not pinned by
+    scalar_map_access (construction/access/cardinality): per priority, two
+    maps status→count and status→cents are built with ``map_from_entries``
+    over SORTED entry arrays, merged with ``map_zip_with`` into
+    status→(n, avg_cents), thinned with ``map_filter`` (keep statuses whose
+    average order exceeds $250k — fixture-calibrated to split the 15 cells
+    roughly in half at every SF), re-keyed with ``transform_keys``
+    ('st_' prefix), enriched with ``transform_values`` (share of the
+    priority's total, whose denominator is an ``aggregate`` fold over
+    ``map_values``), and finally EXPLODED back to rows — so the oracle is
+    the plain relational equivalent and the hash attests the whole map
+    pipeline's semantics, not a map-literal's print format.
+
+    Parity discipline: counts and cents are exact BIGINTs (round(×100)
+    before the cast); avg = cents·1.0/n is the identical double expression
+    in the filter predicate and the output, so the >= threshold can't
+    disagree between engines; rounding to 6 happens only at emission.
+
+    Spark-first: two shuffles (cell aggregation, then per-priority map
+    build — the second is 15 rows); every map op is JVM codegen on a
+    5-row table. The shape is the per-entity property-bag pipeline used
+    for feature maps at ingest."""
+    o = t(spark, sf_dir, "orders")
+    cell = o.groupBy(
+        F.col("o_orderpriority").alias("prio"), F.col("o_orderstatus").alias("st")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    maps = cell.groupBy("prio").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("st", "n")))
+        ).alias("m_n"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("st", "cents")))
+        ).alias("m_c"),
+    )
+    zipped = maps.select(
+        "prio",
+        F.map_zip_with(
+            "m_n",
+            "m_c",
+            lambda k, n, c: F.struct(
+                n.alias("n"), (c * F.lit(1.0) / n).alias("avg_cents")
+            ),
+        ).alias("m"),
+    )
+    with_tot = zipped.withColumn(
+        "n_prio",
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("bigint"), lambda acc, v: acc + v.n
+        ),
+    )
+    shaped = with_tot.select(
+        "prio",
+        F.transform_values(
+            F.transform_keys(
+                F.map_filter("m", lambda k, v: v.avg_cents >= 25000000.0),
+                lambda k, v: F.concat(F.lit("st_"), k),
+            ),
+            lambda k, v: F.struct(
+                v.n.alias("n"),
+                F.round(v.avg_cents, 6).alias("avg_cents"),
+                F.round(v.n * F.lit(1.0) / F.col("n_prio"), 6).alias("share"),
+            ),
+        ).alias("m"),
+    )
+    ex = shaped.select("prio", F.explode("m").alias("status_key", "v"))
+    return ex.select(
+        "prio",
+        "status_key",
+        F.col("v.n").alias("n"),
+        F.col("v.avg_cents").alias("avg_cents"),
+        F.col("v.share").alias("share"),
+    )
