@@ -81,6 +81,8 @@ _PRIORITY = [
     "graph_link_prediction",
     "hof_array_battery",
     "map_funcs_battery",
+    "scalar_xml_roundtrip",
+    "llmops_preference_pairs",
     # --- placeholders (stalest-attested names, all r1; swapped out
     # one-for-one as r8 queries land — re-attesting them is harmless and
     # refreshes the oldest evidence) ---
@@ -93,8 +95,6 @@ _PRIORITY = [
     "join_theta_acctbal",
     "json_funcs_events",
     "math_funcs_lineitem",
-    "pipeline_dedup_first_wins",
-    "pipeline_json_repair",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

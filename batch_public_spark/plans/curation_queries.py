@@ -921,3 +921,97 @@ def llmops_curriculum_phases(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("tok").cast("bigint").alias("max_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Preference-pair construction (RLHF / DPO dataset building)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llmops_preference_pairs",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS_NORM} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, source,
+             CAST(COALESCE(list_sum(list_transform(toks, t -> {_tok_weight('t')})), 0)
+                  AS BIGINT) AS reward
+      FROM d
+    ), best AS (
+      SELECT source, doc_id, reward,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY reward DESC, doc_id) AS i,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM s
+    ), worst AS (
+      SELECT source, doc_id, reward,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY reward ASC, doc_id DESC) AS i
+      FROM s
+    )
+    SELECT b.source, CAST(b.i AS BIGINT) AS pair_rank,
+           b.doc_id AS chosen_id, w.doc_id AS rejected_id,
+           b.reward AS chosen_reward, w.reward AS rejected_reward,
+           b.reward - w.reward AS margin
+    FROM best b JOIN worst w ON w.source = b.source AND w.i = b.i
+    WHERE b.i * 2 <= b.n AND b.reward > w.reward
+    """,
+)
+def llmops_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair construction for RLHF/DPO training sets: within each
+    source ("prompt group"), rank documents by a reward and pair the i-th
+    best with the i-th worst (rank-symmetric matching — the widest-margin
+    pairing that uses each document at most once), dropping pairs whose
+    margin isn't strictly positive. The reward reuses the hashed-features
+    linear score from llmops_quality_classifier (exact integer token-weight
+    sum — a stand-in for a trained reward model with the same plan shape),
+    so chosen/rejected/margin are all BIGINT-exact and the hash attests the
+    pairing logic, not float luck.
+
+    Determinism: the two rankings are exact reverses of each other —
+    (reward DESC, doc_id ASC) vs (reward ASC, doc_id DESC) — so
+    worst_i = best_(n+1-i) and i ≤ n/2 guarantees the two sides of a
+    pair are distinct documents even through reward ties.
+
+    Spark-first: tokenize + in-row fold rides the scan (zero exchange for
+    the reward), then one shuffle on source for the two windows and a
+    self-join on (source, rank) that co-partitions with them — three
+    stages total, no driver-side pairing. At 100 TB the group key is the
+    real prompt id and the same plan holds; the window is bounded by
+    group size, not corpus size."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(normalized_text(F.col("text")))
+    )
+    reward = F.expr(
+        f"aggregate(transform(toks, t -> cast({_tok_weight('t')} as bigint)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    s = d.select("doc_id", "source", reward.alias("reward"))
+    wb = W.partitionBy("source").orderBy(F.desc("reward"), "doc_id")
+    ww = W.partitionBy("source").orderBy("reward", F.desc("doc_id"))
+    best = s.select(
+        "source",
+        F.col("doc_id").alias("chosen_id"),
+        F.col("reward").alias("chosen_reward"),
+        F.row_number().over(wb).alias("i"),
+        F.count("*").over(W.partitionBy("source")).cast("bigint").alias("n"),
+    )
+    worst = s.select(
+        "source",
+        F.col("doc_id").alias("rejected_id"),
+        F.col("reward").alias("rejected_reward"),
+        F.row_number().over(ww).alias("i"),
+    )
+    return (
+        best.join(worst, ["source", "i"])
+        .filter((F.col("i") * 2 <= F.col("n")) & (F.col("chosen_reward") > F.col("rejected_reward")))
+        .select(
+            "source",
+            F.col("i").cast("bigint").alias("pair_rank"),
+            "chosen_id",
+            "rejected_id",
+            "chosen_reward",
+            "rejected_reward",
+            (F.col("chosen_reward") - F.col("rejected_reward")).alias("margin"),
+        )
+    )

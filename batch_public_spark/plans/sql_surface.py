@@ -843,3 +843,64 @@ def map_funcs_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v.avg_cents").alias("avg_cents"),
         F.col("v.share").alias("share"),
     )
+
+
+@query(
+    "scalar_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS rt_prio,
+           o_orderpriority || ' &<>"| ' || o_orderstatus AS rt_hostile,
+           o_totalprice AS rt_price,
+           o_orderpriority AS xp_prio,
+           o_orderkey AS xp_key
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 XML function surface: serialize a struct with ``to_xml``,
+    parse it back with ``from_xml``, and extract fields from the raw XML
+    string with ``xpath_string``/``xpath_long`` — emitted as the PARSED
+    values, so the DuckDB oracle is the identity projection and the hash
+    attests lossless roundtripping. The hostile column concatenates
+    '&<>"|' between two real fields to force entity escaping
+    (&amp;/&lt;) through the serializer and back; the double column
+    attests numeric print/parse fidelity (Java's shortest-roundtrip
+    double printing). DuckDB has no XML functions, which is exactly why
+    the oracle is the identity — the XML layer must be a no-op.
+
+    Spark-first: pure scalar pipeline, zero shuffles, whole-stage codegen
+    with the XML serializer/parser inline; the shape of a
+    legacy-feed-ingest hop (XML interchange at the edge, columnar
+    inside)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    hostile = F.concat(
+        F.col("o_orderpriority"), F.lit(' &<>"| '), F.col("o_orderstatus")
+    )
+    xml = o.select(
+        "o_orderkey",
+        F.to_xml(
+            F.struct(
+                F.col("o_orderkey").alias("k"),
+                F.col("o_orderpriority").alias("prio"),
+                hostile.alias("hostile"),
+                F.col("o_totalprice").alias("price"),
+            )
+        ).alias("xml"),
+    )
+    parsed = xml.select(
+        "o_orderkey",
+        F.from_xml(
+            "xml", "k BIGINT, prio STRING, hostile STRING, price DOUBLE"
+        ).alias("p"),
+        F.xpath_string("xml", F.lit("/ROW/prio")).alias("xp_prio"),
+        F.xpath_long("xml", F.lit("/ROW/k")).alias("xp_key"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("p.prio").alias("rt_prio"),
+        F.col("p.hostile").alias("rt_hostile"),
+        F.col("p.price").alias("rt_price"),
+        "xp_prio",
+        "xp_key",
+    )
