@@ -83,6 +83,8 @@ _PRIORITY = [
     "map_funcs_battery",
     "scalar_xml_roundtrip",
     "llmops_preference_pairs",
+    "events_holt_linear",
+    "agg_ols_two_feature",
     # --- placeholders (stalest-attested names, all r1; swapped out
     # one-for-one as r8 queries land — re-attesting them is harmless and
     # refreshes the oldest evidence) ---
@@ -93,8 +95,6 @@ _PRIORITY = [
     "join_range_late_shipments",
     "join_semi_customers_with_orders",
     "join_theta_acctbal",
-    "json_funcs_events",
-    "math_funcs_lineitem",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

@@ -4064,3 +4064,93 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("adamic_adar"), "x", "y").limit(25)
+
+
+@query(
+    "events_holt_linear",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT day, y,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ), hw(i, day, y, l, b) AS (
+      SELECT i, day, y, y * 1.0e0, 0.0e0 FROM idx WHERE i = 1
+      UNION ALL
+      SELECT d.i, d.day, d.y,
+             0.3e0 * d.y + 0.7e0 * (h.l + h.b),
+             0.2e0 * ((0.3e0 * d.y + 0.7e0 * (h.l + h.b)) - h.l) + 0.8e0 * h.b
+      FROM hw h JOIN idx d ON d.i = h.i + 1
+    )
+    SELECT day, y, round(l, 6) AS level, round(b, 6) AS trend,
+           round(l + b, 6) AS forecast_next
+    FROM hw
+    """,
+)
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing over the daily
+    event-count series — the trend-aware member of the smoothing family
+    (events_ewma_daily is the level-only single-exponential):
+    l_t = α·y_t + (1−α)(l_{t−1}+b_{t−1}), b_t = β(l_t−l_{t−1}) + (1−β)b_{t−1}
+    with α=0.3, β=0.2, l_1=y_1, b_1=0, emitting level, trend, and the
+    one-step forecast l+b per day. Unlike the EWMA query's closed-form
+    weight expansion, the trend recursion has no such form — it is a
+    genuine ordered FOLD, which Spark runs as a higher-order ``aggregate``
+    over the date-sorted array and DuckDB as a recursive CTE stepping
+    i → i+1: the same sequence of IEEE double operations in both engines
+    (constants spelled as identical literals, never pow()), so the rounded
+    outputs are bit-equal with no decimal crutch. Literal trap: DuckDB
+    parses a bare ``0.3`` as DECIMAL(2,1) — which silently ran the whole
+    recursion in one-decimal decimal arithmetic — while Spark SQL parses
+    it as DOUBLE; the oracle spells every constant ``0.3e0`` (scientific
+    notation forces DOUBLE in DuckDB) to keep both engines in binary
+    floating point.
+
+    Spark-first: one shuffle builds the |days|-bounded daily grid; the
+    fold then runs in-row on a single array (the calendar is bounded —
+    the MinHash-signature fold discipline). The per-step state is
+    appended to an array accumulator so every day's (level, trend) is
+    emitted, then posexploded back to rows. At 100 TB the daily grid is
+    still tiny; the heavy table is touched exactly once."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    # Fold: acc is array<struct<l,b>>; first element seeds (y, 0.0), later
+    # steps read the previous state with element_at(acc, -1). The new level
+    # expression is repeated inside the trend update (same IEEE ops as the
+    # oracle's textual recomputation).
+    folded = series.select(
+        "s",
+        F.expr(
+            """
+            aggregate(
+              s,
+              cast(array() as array<struct<l: double, b: double>>),
+              (acc, e) -> CASE WHEN size(acc) = 0
+                THEN array(struct(e.y * 1.0 AS l, 0.0 AS b))
+                ELSE array_append(acc, struct(
+                  0.3 * e.y + 0.7 * (element_at(acc, -1).l + element_at(acc, -1).b) AS l,
+                  0.2 * ((0.3 * e.y + 0.7 * (element_at(acc, -1).l + element_at(acc, -1).b))
+                         - element_at(acc, -1).l)
+                    + 0.8 * element_at(acc, -1).b AS b))
+              END)
+            """
+        ).alias("hw"),
+    )
+    ex = folded.select(
+        F.posexplode(F.arrays_zip("s", "hw")).alias("i", "z")
+    )
+    return ex.select(
+        F.col("z.s.day").alias("day"),
+        F.col("z.s.y").alias("y"),
+        F.round(F.col("z.hw.l"), 6).alias("level"),
+        F.round(F.col("z.hw.b"), 6).alias("trend"),
+        F.round(F.col("z.hw.l") + F.col("z.hw.b"), 6).alias("forecast_next"),
+    )

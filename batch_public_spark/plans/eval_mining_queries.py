@@ -3074,3 +3074,118 @@ def llmops_readability_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "syl_per_word",
         F.round("_avg_raw", 6).alias("avg_flesch"),
     )
+
+
+@query(
+    "agg_ols_two_feature",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS flag,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx1,
+             CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS sx2,
+             CAST(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx1x1,
+             CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)
+                      * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS sx2x2,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_discount * 100, 0) AS BIGINT)) AS BIGINT) AS sx1x2,
+             CAST(sum(CAST(l_quantity AS BIGINT)
+                      * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sx1y,
+             CAST(sum(CAST(round(l_discount * 100, 0) AS BIGINT)
+                      * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT) AS sx2y
+      FROM lineitem GROUP BY 1
+    ), m AS (
+      SELECT flag, n, sx1, sx2, sy,
+             n * 1.0 * sx1x1 - sx1 * 1.0 * sx1 AS m11,
+             n * 1.0 * sx1x2 - sx1 * 1.0 * sx2 AS m12,
+             n * 1.0 * sx2x2 - sx2 * 1.0 * sx2 AS m22,
+             n * 1.0 * sx1y - sx1 * 1.0 * sy AS v1,
+             n * 1.0 * sx2y - sx2 * 1.0 * sy AS v2
+      FROM s
+    ), sol AS (
+      SELECT flag, n, sx1, sx2, sy,
+             m11 * m22 - m12 * m12 AS det, m11, m12, m22, v1, v2
+      FROM m
+    )
+    SELECT flag, n,
+           CASE WHEN det > 0
+                THEN round((m22 * v1 - m12 * v2) / det, 6) END AS b_qty,
+           CASE WHEN det > 0
+                THEN round((m11 * v2 - m12 * v1) / det, 6) END AS b_disc,
+           CASE WHEN det > 0
+                THEN round((sy - (m22 * v1 - m12 * v2) / det * sx1
+                               - (m11 * v2 - m12 * v1) / det * sx2) * 1.0 / n, 6)
+           END AS intercept_cents
+    FROM sol
+    """,
+)
+def agg_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-feature ordinary least squares by closed-form normal equations,
+    per returnflag group: fit price_cents ~ b_qty·quantity +
+    b_disc·discount_pct + intercept. The multivariate extension of
+    agg_regr_price_qty (Spark's regr_* builtins stop at one regressor):
+    with centered cross-moment matrix M = n·Sxx − Sx·Sxᵀ and V = n·Sxy −
+    Sx·Sy, the 2×2 system solves by Cramer's rule — b = (M22·V1 −
+    M12·V2)/det, det = M11·M22 − M12², singular (collinear) groups yield
+    NULL via the det > 0 guard (det ≥ 0 by Cauchy-Schwarz).
+
+    Parity discipline: all nine sufficient statistics are EXACT integer
+    sums (quantity integral, discount and price through rounded
+    percent/cents), aggregated as BIGINT in both engines; the moment
+    matrix then evaluates the identical double expression tree (n·Sxy
+    exceeds 2^53 at sf0.1 — the double rounding is identical IEEE ops in
+    both engines, which is the parity contract; the STATISTICAL precision
+    loss is the textbook one-pass-normal-equations tradeoff, noted here
+    deliberately: at 100 TB you'd keep these sums as DECIMAL(38,0) and
+    convert once, same plan).
+
+    Spark-first: one map-side partial aggregation — the whole regression
+    is 9 sums + driver-free scalar algebra on a |groups|-row table; no
+    second pass, no gradient iterations, no collect."""
+    li = t(spark, sf_dir, "lineitem")
+    x1 = F.col("l_quantity").cast("bigint")
+    x2 = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    y = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    s = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x1).cast("bigint").alias("sx1"),
+        F.sum(x2).cast("bigint").alias("sx2"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x1 * x1).cast("bigint").alias("sx1x1"),
+        F.sum(x2 * x2).cast("bigint").alias("sx2x2"),
+        F.sum(x1 * x2).cast("bigint").alias("sx1x2"),
+        F.sum(x1 * y).cast("bigint").alias("sx1y"),
+        F.sum(x2 * y).cast("bigint").alias("sx2y"),
+    )
+    one = F.lit(1.0)
+    m = s.select(
+        "flag",
+        "n",
+        "sx1",
+        "sx2",
+        "sy",
+        (F.col("n") * one * F.col("sx1x1") - F.col("sx1") * one * F.col("sx1")).alias("m11"),
+        (F.col("n") * one * F.col("sx1x2") - F.col("sx1") * one * F.col("sx2")).alias("m12"),
+        (F.col("n") * one * F.col("sx2x2") - F.col("sx2") * one * F.col("sx2")).alias("m22"),
+        (F.col("n") * one * F.col("sx1y") - F.col("sx1") * one * F.col("sy")).alias("v1"),
+        (F.col("n") * one * F.col("sx2y") - F.col("sx2") * one * F.col("sy")).alias("v2"),
+    )
+    sol = m.withColumn("det", F.col("m11") * F.col("m22") - F.col("m12") * F.col("m12"))
+    b1 = (F.col("m22") * F.col("v1") - F.col("m12") * F.col("v2")) / F.col("det")
+    b2 = (F.col("m11") * F.col("v2") - F.col("m12") * F.col("v1")) / F.col("det")
+    ok = F.col("det") > 0
+    return sol.select(
+        "flag",
+        "n",
+        F.when(ok, F.round(b1, 6)).alias("b_qty"),
+        F.when(ok, F.round(b2, 6)).alias("b_disc"),
+        F.when(
+            ok,
+            F.round(
+                (F.col("sy") - b1 * F.col("sx1") - b2 * F.col("sx2")) * one / F.col("n"),
+                6,
+            ),
+        ).alias("intercept_cents"),
+    )
