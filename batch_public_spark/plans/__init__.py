@@ -85,6 +85,8 @@ _PRIORITY = [
     "llmops_preference_pairs",
     "events_holt_linear",
     "agg_ols_two_feature",
+    "agg_theil_sen_slope",
+    "events_burstiness",
     # --- placeholders (stalest-attested names, all r1; swapped out
     # one-for-one as r8 queries land — re-attesting them is harmless and
     # refreshes the oldest evidence) ---
@@ -93,8 +95,6 @@ _PRIORITY = [
     "join_full_outer_daily_priority",
     "join_left_order_counts",
     "join_range_late_shipments",
-    "join_semi_customers_with_orders",
-    "join_theta_acctbal",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

@@ -4154,3 +4154,90 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("z.hw.b"), 6).alias("trend"),
         F.round(F.col("z.hw.l") + F.col("z.hw.b"), 6).alias("forecast_next"),
     )
+
+
+@query(
+    "events_burstiness",
+    oracle="""
+    WITH o AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_s
+      FROM events
+    ), s AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(gap_s) AS BIGINT) AS sg,
+             CAST(sum(gap_s * gap_s) AS BIGINT) AS qg
+      FROM o WHERE gap_s IS NOT NULL GROUP BY event_type
+    ), m AS (
+      SELECT event_type, n,
+             sg * 1.0 / n AS mu,
+             CASE WHEN n > 1 THEN (qg - sg * 1.0 * sg / n) / (n - 1) END AS var
+      FROM s
+    )
+    SELECT event_type, n AS n_gaps,
+           round(mu, 6) AS mean_gap_s,
+           CASE WHEN var > 0 AND mu > 0
+                THEN round(sqrt(var) / mu, 6) END AS cv,
+           CASE WHEN var > 0 AND sqrt(var) + mu > 0
+                THEN round((sqrt(var) - mu) / (sqrt(var) + mu), 6) END AS burstiness
+    FROM m
+    """,
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness profile of each event type's arrival process: from the
+    inter-arrival gaps (seconds, per-type ordered by ts with event_id
+    tie-break), emit the coefficient of variation σ/μ and the
+    Goh-Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1) — B≈0 is
+    Poisson, B→1 is bursty, B→−1 a metronome. The single-number
+    complement to events_interarrival_histogram (the full distribution)
+    and dq_autocorr_lag (memory): burstiness reads the marginal's shape.
+
+    Parity discipline: gaps are exact integer seconds (floored epoch),
+    their sum and sum-of-squares exact BIGINTs, and μ/σ the identical
+    double expression tree in both engines; the σ>0, μ>0 and σ+μ>0
+    guards follow the derived-divisor sweep (an event type with one
+    event, or all gaps equal, yields NULL not an ANSI error).
+
+    Spark-first: one shuffle on event_type for the lag window, then a
+    map-side aggregation to five rows — the window partitions by the
+    grouping key, so no global sort exists anywhere. At 100 TB the
+    per-type ordering is the same single exchange; skew in one hot type
+    is the known cost and the histogram query's per-day sharding note
+    applies."""
+    ev = t(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    wlag = W.partitionBy("event_type").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", (sec - F.lag(sec).over(wlag)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    s = o.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("gap_s").cast("bigint").alias("sg"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("qg"),
+    )
+    m = s.select(
+        "event_type",
+        "n",
+        (F.col("sg") * F.lit(1.0) / F.col("n")).alias("mu"),
+        F.when(
+            F.col("n") > 1,
+            (F.col("qg") - F.col("sg") * F.lit(1.0) * F.col("sg") / F.col("n"))
+            / (F.col("n") - 1),
+        ).alias("var"),
+    )
+    sd = F.sqrt("var")
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_gaps"),
+        F.round("mu", 6).alias("mean_gap_s"),
+        F.when((F.col("var") > 0) & (F.col("mu") > 0), F.round(sd / F.col("mu"), 6)).alias(
+            "cv"
+        ),
+        F.when(
+            (F.col("var") > 0) & (sd + F.col("mu") > 0),
+            F.round((sd - F.col("mu")) / (sd + F.col("mu")), 6),
+        ).alias("burstiness"),
+    )

@@ -3189,3 +3189,98 @@ def agg_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("intercept_cents"),
     )
+
+
+@query(
+    "agg_theil_sen_slope",
+    oracle="""
+    WITH monthly AS (
+      SELECT o_orderpriority AS prio,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ), slopes AS (
+      SELECT a.prio,
+             (b.cents - a.cents) * 1.0 / (b.m - a.m) AS slope
+      FROM monthly a JOIN monthly b ON a.prio = b.prio AND a.m < b.m
+    ), fit AS (
+      SELECT prio, CAST(count(*) AS BIGINT) AS n_pairs,
+             median(slope) AS slope
+      FROM slopes GROUP BY prio
+    )
+    SELECT f.prio, f.n_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM monthly m
+             WHERE m.prio = f.prio) AS n_months,
+           round(f.slope, 6) AS sen_slope,
+           round(median(mo.cents - f.slope * mo.m), 6) AS sen_intercept
+    FROM fit f JOIN monthly mo ON mo.prio = f.prio
+    GROUP BY f.prio, f.n_pairs, f.slope
+    """,
+)
+def agg_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend estimator per order priority: the slope is
+    the MEDIAN of all pairwise slopes of the monthly-revenue series and
+    the intercept the median residual under that slope — the classic
+    29.3%-breakdown-point alternative to OLS (agg_ols_two_feature) whose
+    fit one wild month cannot move. The pairwise step is quadratic ONLY
+    in the month-grid size (80 months → 3 160 pairs per group at every
+    SF — grid-bounded, the events_max_concurrency discipline), never in
+    row count.
+
+    Parity discipline: monthly revenue is exact BIGINT cents and the
+    month key an exact integer index (year·12+month), so every pairwise
+    slope is the identical double division in both engines; the medians
+    interpolate identical multisets. Both median arguments route through
+    the same rounded-at-emission-only rule.
+
+    Spark-first: one shuffle for the monthly rollup; the pair join and
+    both medians run on the tiny grid. The heavy scan is touched once;
+    at 100 TB the grid is still 80×5 rows."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = monthly.select("prio", F.col("m").alias("m1"), F.col("cents").alias("c1"))
+    b = monthly.select("prio", F.col("m").alias("m2"), F.col("cents").alias("c2"))
+    slopes = (
+        a.join(b, "prio")
+        .filter(F.col("m1") < F.col("m2"))
+        .select(
+            "prio",
+            ((F.col("c2") - F.col("c1")) * F.lit(1.0) / (F.col("m2") - F.col("m1"))).alias(
+                "slope"
+            ),
+        )
+    )
+    fit = slopes.groupBy("prio").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.median("slope").alias("slope"),
+    )
+    months = monthly.groupBy("prio").agg(
+        F.count("*").cast("bigint").alias("n_months")
+    )
+    return (
+        monthly.join(F.broadcast(fit), "prio")
+        .groupBy("prio", "n_pairs", "slope")
+        .agg(
+            F.round(
+                F.median(F.col("cents") - F.col("slope") * F.col("m")), 6
+            ).alias("sen_intercept")
+        )
+        .join(F.broadcast(months), "prio")
+        .select(
+            "prio",
+            "n_pairs",
+            "n_months",
+            F.round("slope", 6).alias("sen_slope"),
+            "sen_intercept",
+        )
+    )
