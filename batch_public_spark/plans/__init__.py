@@ -87,14 +87,14 @@ _PRIORITY = [
     "agg_ols_two_feature",
     "agg_theil_sen_slope",
     "events_burstiness",
+    "source_binaryfile_ingest",
+    "dq_fk_orphan_audit",
+    "llmops_code_detect",
     # --- placeholders (stalest-attested names, all r1; swapped out
     # one-for-one as r8 queries land — re-attesting them is harmless and
     # refreshes the oldest evidence) ---
     "join_broadcast_geo",
     "join_cross_region_segment",
-    "join_full_outer_daily_priority",
-    "join_left_order_counts",
-    "join_range_late_shipments",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

@@ -4241,3 +4241,179 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((sd - F.col("mu")) / (sd + F.col("mu")), 6),
         ).alias("burstiness"),
     )
+
+
+@query(
+    "source_binaryfile_ingest",
+    oracle="""
+    SELECT source,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(sum(length(text) + 1) AS BIGINT) AS n_bytes,
+           md5(string_agg(text, chr(10) ORDER BY doc_id) || chr(10))
+             AS content_md5
+    FROM documents GROUP BY source
+    """,
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` datasource pin — the opaque-bytes ingest path every
+    multimodal pipeline starts from (images/audio arrive as files, not
+    rows): documents are exported one text file per source (the writer
+    side: repartition by the partition column + sortWithinPartitions so
+    each partition directory gets exactly ONE deterministically-ordered
+    file), then re-ingested with ``spark.read.format("binaryFile")``,
+    which yields (path, modificationTime, length, content BINARY) plus
+    the discovered ``source`` partition column. Emitted facts — file
+    count, byte count, md5 of raw bytes per source — are recomputed by
+    the oracle from the rows that were exported (each line is text+'\\n',
+    ASCII fixture, so bytes = chars+1 and the file digest equals the md5
+    of the newline-joined doc_id-ordered text) — the hash attests both
+    the writer's layout determinism and the binary reader's fidelity.
+
+    Spark-first: the export is one shuffle (repartition on the partition
+    key); the binaryFile scan parallelizes per file and prunes on the
+    partition column like any file source. 100 TB note: binaryFile keeps
+    whole files as single row values — the real multimodal reader feeds
+    content into mapInPandas decoders (operators/multimodal.py) and caps
+    file size (spark.sql.sources.binaryFile.maxLength guards the 2 GiB
+    row limit)."""
+    out_dir = _scratch_dir(spark, sf_dir, "binaryfile_ingest")
+    d = t(spark, sf_dir, "documents").select("source", "doc_id", "text")
+    (
+        d.repartition("source")
+        .sortWithinPartitions("source", "doc_id")
+        .select("source", "text")
+        .write.mode("overwrite")
+        .partitionBy("source")
+        .text(out_dir)
+    )
+    back = spark.read.format("binaryFile").load(out_dir)
+    return back.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("length").cast("bigint").alias("n_bytes"),
+        # one file per source by construction: max == the only digest
+        F.max(F.md5("content")).alias("content_md5"),
+    )
+
+
+@query(
+    "dq_fk_orphan_audit",
+    oracle="""
+    WITH ev AS (
+      SELECT CASE WHEN event_id % 97 = 0 THEN user_id + 1000000
+                  ELSE user_id END AS user_id
+      FROM events
+    ), ord AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 101 = 0 THEN o_custkey + 1000000
+                  ELSE o_custkey END AS o_custkey
+      FROM orders
+    ),
+    r1 AS (
+      SELECT 'events.user_id -> customer.c_custkey' AS rule,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_orphan_rows,
+             CAST(count(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                      THEN e.user_id END) AS BIGINT)
+               AS n_orphan_keys
+      FROM ev e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    ),
+    r2 AS (
+      SELECT 'orders.o_custkey -> customer.c_custkey',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN c.c_custkey IS NULL
+                                      THEN o.o_custkey END) AS BIGINT)
+      FROM ord o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    r3 AS (
+      SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+             CAST(count(*) AS BIGINT),
+             CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                                      THEN l.l_orderkey END) AS BIGINT)
+      FROM lineitem l LEFT JOIN ord o ON o.o_orderkey = l.l_orderkey
+    ),
+    u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+    SELECT rule, n_rows, n_orphan_rows, n_orphan_keys,
+           round(n_orphan_rows * 1.0 / n_rows, 6) AS orphan_rate
+    FROM u
+    """,
+)
+def dq_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table referential-integrity audit — the multi-table member of
+    the DQ gate family (dq_orders_constraints checks single-table rules):
+    for each declared FK relationship, count child rows whose key has no
+    parent, the distinct orphan keys, and the orphan rate. The clean
+    fixture has zero orphans everywhere, so the audit corrupts two child
+    keys IN-QUERY with deterministic modular rules (every 97th event,
+    every 101st order → +1 000 000) — the mojibake-detector pattern:
+    ground truth is built in and the hash attests the anti-join logic,
+    not three zeros. The third rule (lineitem → orders, with orders'
+    INJECTED key view as parent) stays genuinely clean, pinning the
+    no-false-positive side.
+
+    Spark-first: each rule is one left join + conditional aggregation
+    over the child table (the orphan count and orphan-key count come
+    from the same pass — no separate anti-join scan); parent key sides
+    are dimension-sized and broadcast under AQE. At 100 TB each audit is
+    one shuffle-or-broadcast join, and rules run independently —
+    embarrassingly parallel across relationship declarations."""
+    ev = t(spark, sf_dir, "events").select(
+        F.when(F.col("event_id") % 97 == 0, F.col("user_id") + 1000000)
+        .otherwise(F.col("user_id"))
+        .alias("user_id")
+    )
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 101 == 0, F.col("o_custkey") + 1000000)
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    def rule(child, key, parent, pkey, label):
+        joined = child.join(parent, child[key] == parent[pkey], "left")
+        orphan = parent[pkey].isNull()
+        return joined.agg(
+            F.lit(label).alias("rule"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.when(orphan, 1).otherwise(0)).cast("bigint").alias("n_orphan_rows"),
+            F.count_distinct(F.when(orphan, child[key])).cast("bigint").alias(
+                "n_orphan_keys"
+            ),
+        )
+
+    u = (
+        rule(ev, "user_id", cust, "c_custkey", "events.user_id -> customer.c_custkey")
+        .unionAll(
+            rule(
+                orders,
+                "o_custkey",
+                cust,
+                "c_custkey",
+                "orders.o_custkey -> customer.c_custkey",
+            )
+        )
+        .unionAll(
+            rule(
+                li,
+                "l_orderkey",
+                orders.select("o_orderkey"),
+                "o_orderkey",
+                "lineitem.l_orderkey -> orders.o_orderkey",
+            )
+        )
+    )
+    return u.select(
+        "rule",
+        "n_rows",
+        "n_orphan_rows",
+        "n_orphan_keys",
+        F.round(F.col("n_orphan_rows") * F.lit(1.0) / F.col("n_rows"), 6).alias(
+            "orphan_rate"
+        ),
+    )

@@ -2315,3 +2315,83 @@ def dq_welch_ttest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("df_welch"),
     )
+
+
+@query(
+    "llmops_code_detect",
+    oracle="""
+    WITH marked AS (
+      SELECT doc_id, source,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+               IN ('0', '1', '2') AS injected,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                       IN ('0', '1', '2')
+                  THEN '{ ' || replace(text, ' ', '; ') || ' };'
+                  ELSE text END AS body
+      FROM documents
+    ), feat AS (
+      SELECT doc_id, source, injected,
+             CAST(length(body) AS BIGINT) AS n_chars,
+             CAST((length(body) - length(replace(body, ';', '')))
+                + (length(body) - length(replace(body, '{', '')))
+                + (length(body) - length(replace(body, '}', '')))
+                AS BIGINT) AS n_special
+      FROM marked
+    )
+    SELECT doc_id, source, injected, n_chars, n_special,
+           round(n_special * 1.0 / n_chars, 6) AS special_ratio,
+           n_special * 20 >= n_chars AS is_code
+    FROM feat
+    """,
+)
+def llmops_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detector — the corpus-partitioning filter every mixed
+    web crawl runs before routing documents to code or text pipelines:
+    score each document by its special-character density (';', '{', '}')
+    and flag is_code when ≥ 1/20 of characters are code punctuation. The
+    prose fixture contains none, so a deterministic md5-keyed 3/16 subset
+    of documents is code-ified IN-QUERY (semicolon-joined tokens inside a
+    brace block — the mojibake-detector pattern: ground truth travels
+    with the query, the hash attests the detector's counts and decision
+    boundary on both populations, and the md5 keying decorrelates the
+    injection from doc_id's round-robin source assignment, so every
+    source carries both classes). The decision is integer-exact
+    (n_special·20 ≥ n_chars — no float at the boundary, the
+    quality-classifier discipline).
+
+    Spark-first: pure scalar pipeline riding the scan — replace/length
+    arithmetic inside whole-stage codegen, zero shuffles, zero UDFs. At
+    100 TB this is a free rider on the first read of the corpus."""
+    d = t(spark, sf_dir, "documents")
+    injected = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1", "2"
+    )
+    body = F.when(
+        injected,
+        F.concat(F.lit("{ "), F.regexp_replace("text", " ", "; "), F.lit(" };")),
+    ).otherwise(F.col("text"))
+    marked = d.select(
+        "doc_id", "source", injected.alias("injected"), body.alias("body")
+    )
+
+    def n_occ(ch):
+        return F.length("body") - F.length(F.regexp_replace("body", "\\" + ch, ""))
+
+    feat = marked.select(
+        "doc_id",
+        "source",
+        "injected",
+        F.length("body").cast("bigint").alias("n_chars"),
+        (n_occ(";") + n_occ("{") + n_occ("}")).cast("bigint").alias("n_special"),
+    )
+    return feat.select(
+        "doc_id",
+        "source",
+        "injected",
+        "n_chars",
+        "n_special",
+        F.round(F.col("n_special") * F.lit(1.0) / F.col("n_chars"), 6).alias(
+            "special_ratio"
+        ),
+        (F.col("n_special") * 20 >= F.col("n_chars")).alias("is_code"),
+    )
