@@ -1,0 +1,127 @@
+"""Mathematical invariants for the r8 third-batch operators — properties
+the DuckDB parity hash can't express (it pins equality, not meaning):
+sign couplings, algebraic identities, bound checks, and construction
+guarantees that must hold at EVERY scale factor, not just the attested
+fixture.
+"""
+
+from __future__ import annotations
+
+import math
+
+from batch_public_spark.plans import QUERIES
+from tests.conftest import SF_DIR
+
+
+def _rows(spark, name):
+    return QUERIES[name].fn(spark, SF_DIR).collect()
+
+
+def test_welch_t_sign_tracks_mean_gap(spark):
+    for r in _rows(spark, "dq_welch_ttest_drift"):
+        if r.t_stat is not None and r.mean_gap != 0:
+            assert (r.t_stat > 0) == (r.mean_gap > 0), r
+        if r.df_welch is not None:
+            # Welch-Satterthwaite df is at most the pooled df.
+            assert 0 < r.df_welch, r
+
+
+def test_theil_sen_pair_count_is_grid_choose_2(spark):
+    for r in _rows(spark, "agg_theil_sen_slope"):
+        assert r.n_pairs == r.n_months * (r.n_months - 1) // 2, r
+
+
+def test_link_prediction_scores_are_bounded_and_open(spark):
+    rows = _rows(spark, "graph_link_prediction")
+    assert rows, "top-k must be non-empty"
+    for r in rows:
+        assert r.common_neighbors >= 1, r
+        assert 0 < r.jaccard <= 1, r
+        # each AA term is at most 1/ln 2 (witness degree >= 2)
+        assert 0 < r.adamic_adar <= r.common_neighbors / math.log(2) + 1e-9, r
+        assert r.x < r.y, r
+
+
+def test_holt_forecast_is_level_plus_trend(spark):
+    for r in _rows(spark, "events_holt_linear"):
+        assert abs(r.forecast_next - (r.level + r.trend)) < 2e-6, r
+
+
+def test_burstiness_identity_and_bounds(spark):
+    for r in _rows(spark, "events_burstiness"):
+        if r.burstiness is None:
+            continue
+        assert -1 < r.burstiness < 1, r
+        assert r.cv is not None and r.cv > 0, r
+        # B = (sigma-mu)/(sigma+mu) == (cv-1)/(cv+1)
+        ident = (r.cv - 1) / (r.cv + 1)
+        assert abs(r.burstiness - ident) < 1e-5, r
+
+
+def test_preference_pairs_are_disjoint_and_positive_margin(spark):
+    rows = _rows(spark, "llmops_preference_pairs")
+    assert rows, "fixture must produce pairs"
+    used: dict[str, set] = {}
+    for r in rows:
+        assert r.chosen_reward > r.rejected_reward, r
+        assert r.margin == r.chosen_reward - r.rejected_reward, r
+        s = used.setdefault(r.source, set())
+        assert r.chosen_id not in s and r.rejected_id not in s, (
+            f"doc reused within source {r.source}"
+        )
+        s.update({r.chosen_id, r.rejected_id})
+
+
+def test_code_detector_separates_both_classes_exactly(spark):
+    rows = _rows(spark, "llmops_code_detect")
+    inj = [r for r in rows if r.injected]
+    clean = [r for r in rows if not r.injected]
+    assert inj and clean, "md5 keying must produce both classes"
+    for r in inj:
+        assert r.is_code, f"injected doc {r.doc_id} not flagged"
+    for r in clean:
+        assert not r.is_code, f"clean doc {r.doc_id} falsely flagged"
+
+
+def test_fk_audit_matches_independent_ground_truth(spark, ddb):
+    rows = {r.rule: r for r in _rows(spark, "dq_fk_orphan_audit")}
+    ev = ddb.sql(
+        "SELECT count(*) FROM events WHERE event_id % 97 = 0"
+    ).fetchone()[0]
+    ords = ddb.sql(
+        "SELECT count(*) FROM orders WHERE o_orderkey % 101 = 0"
+    ).fetchone()[0]
+    assert rows["events.user_id -> customer.c_custkey"].n_orphan_rows == ev
+    assert rows["orders.o_custkey -> customer.c_custkey"].n_orphan_rows == ords
+    # lineitem -> orders is genuinely clean (keys were bumped on the
+    # custkey side only)
+    assert rows["lineitem.l_orderkey -> orders.o_orderkey"].n_orphan_rows == 0
+
+
+def test_ols_matches_numpy_lstsq(spark, ddb):
+    """The closed-form normal-equation solve must agree with an
+    independent least-squares implementation on the same rows."""
+    import numpy as np
+
+    got = {r.flag: r for r in _rows(spark, "agg_ols_two_feature")}
+    pdf = ddb.sql(
+        """
+        SELECT l_returnflag AS flag,
+               CAST(l_quantity AS BIGINT) AS x1,
+               CAST(round(l_discount * 100, 0) AS BIGINT) AS x2,
+               CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        FROM lineitem
+        """
+    ).df()
+    for flag, g in pdf.groupby("flag"):
+        a = np.column_stack(
+            [g.x1.to_numpy(float), g.x2.to_numpy(float), np.ones(len(g))]
+        )
+        coef, *_ = np.linalg.lstsq(a, g.y.to_numpy(float), rcond=None)
+        r = got[flag]
+        assert r.b_qty is not None, r
+        assert abs(r.b_qty - coef[0]) < max(1e-3, 1e-6 * abs(coef[0])), (flag, r, coef)
+        assert abs(r.b_disc - coef[1]) < max(1e-3, 1e-6 * abs(coef[1])), (flag, r, coef)
+        assert abs(r.intercept_cents - coef[2]) < max(
+            1e-2, 1e-6 * abs(coef[2])
+        ), (flag, r, coef)
