@@ -101,7 +101,13 @@ _PRIORITY = [
 # they are the mandatory head of the next round's _PRIORITY rotation.
 # tests/test_registry_rotation.py fails if a registered query is in none of
 # {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}.
-_NEXT_WINDOW: list[str] = []
+_NEXT_WINDOW: list[str] = [
+    # r8 additions that did not fit the 50-entry r8 window — mandatory
+    # head of the r9 rotation.
+    "sql_pivot_unpivot_roundtrip",
+    "scalar_csv_funcs",
+    "llmops_uncertainty_sample",
+]
 
 
 def _reorder() -> None:

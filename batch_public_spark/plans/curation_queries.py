@@ -1015,3 +1015,49 @@ def llmops_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("chosen_reward") - F.col("rejected_reward")).alias("margin"),
         )
     )
+
+
+@query(
+    "llmops_uncertainty_sample",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS_NORM} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, source,
+             CAST(COALESCE(list_sum(list_transform(toks, t -> {_tok_weight('t')})), 0)
+                  AS BIGINT) AS w_sum
+      FROM d
+    )
+    SELECT doc_id, source, w_sum, abs(w_sum) AS margin
+    FROM s ORDER BY abs(w_sum), doc_id LIMIT 25
+    """,
+)
+def llmops_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty (margin) sampling for active learning: select the 25
+    documents whose classifier score sits closest to the decision
+    boundary — the rows a human labeler (or a teacher model) should see
+    next, because they move the decision boundary most per label. The
+    classifier is the hashed-features linear score shared with
+    llmops_quality_classifier / llmops_preference_pairs; the margin is
+    the exact integer |w_sum| (pre-sigmoid distance — sigmoid is
+    monotone, so ranking by |w_sum| IS ranking by |p − 0.5| without ever
+    computing a float), and the cut is deterministic under the
+    (margin, doc_id) total order — expressed as orderBy+limit, never a
+    global row_number window (the linter's unpartitioned-window rule).
+
+    Spark-first: score rides the scan in-row; the top-25 is a
+    TakeOrderedAndProject (per-partition heap + driver merge of 25-row
+    heads — no global sort materializes). At 100 TB this is the
+    standard label-budget allocator: one scan, k rows out."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(normalized_text(F.col("text")))
+    )
+    reward = F.expr(
+        f"aggregate(transform(toks, t -> cast({_tok_weight('t')} as bigint)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    s = d.select("doc_id", "source", reward.alias("w_sum")).withColumn(
+        "margin", F.abs("w_sum")
+    )
+    return s.orderBy("margin", "doc_id").limit(25).select(
+        "doc_id", "source", "w_sum", "margin"
+    )

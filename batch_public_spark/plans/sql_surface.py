@@ -904,3 +904,93 @@ def scalar_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "xp_prio",
         "xp_key",
     )
+
+
+@query(
+    "sql_pivot_unpivot_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus AS status,
+           CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(15,4))), 2) AS DOUBLE)
+             AS total_qty
+    FROM lineitem GROUP BY 1, 2
+    """,
+)
+def sql_pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT → UNPIVOT inverse pin: pivot line quantities to a
+    status-per-column layout, then ``unpivot`` (ids/values/variable/value
+    — the Spark-4 DataFrame melt API) back to long form. The oracle is
+    the plain two-key GROUP BY the roundtrip must reproduce, so the hash
+    attests that unpivot(pivot(x)) = x including the NULL-cell rule
+    (unpivot drops NULL cells by default — absent (flag, status) combos
+    must not resurface as NULL rows; the fixture's F/O/R × F/O grid is
+    partially sparse, making that rule load-bearing).
+
+    Spark-first: the pivot is one shuffle with a FIXED value list (no
+    extra distinct-discovery pass); unpivot is a zero-shuffle generator
+    expression. The roundtrip shape is the report-matrix-to-lake-table
+    normalization hop."""
+    wide = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.round(F.sum(F.col("l_quantity").cast("decimal(15,4)")), 2))
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["F", "O"],
+        variableColumnName="status",
+        valueColumnName="total_qty_dec",
+    ).select(
+        "l_returnflag",
+        "status",
+        F.col("total_qty_dec").cast("double").alias("total_qty"),
+    )
+
+
+@query(
+    "scalar_csv_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority AS rt_prio,
+           o_orderstatus AS rt_status,
+           o_totalprice AS rt_price,
+           o_orderpriority || '|' || o_orderstatus AS joined
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_csv_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar CSV function surface (``to_csv``/``from_csv`` — the in-row
+    siblings of the file-level CSV source already pinned by
+    source_csv_roundtrip): serialize a struct to one CSV line, parse it
+    back with an explicit schema, and emit the parsed values — the DuckDB
+    oracle is the identity projection, so the hash attests lossless
+    field-level roundtripping including the quoting of the comma-bearing
+    priority values ('1-URGENT' has no comma, but the pipe-joined check
+    column pins column order survived). The double column attests numeric
+    print/parse fidelity just like scalar_xml_roundtrip.
+
+    Spark-first: zero shuffles, whole-stage codegen; the per-row CSV hop
+    is the Kafka-payload / request-line shape (pipeline/formatter.py
+    builds JSONL the same way)."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    line = F.to_csv(
+        F.struct(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderpriority").alias("prio"),
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_totalprice").alias("price"),
+        )
+    )
+    parsed = o.select(
+        "o_orderkey",
+        F.from_csv(
+            line, "k BIGINT, prio STRING, st STRING, price DOUBLE"
+        ).alias("p"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.col("p.prio").alias("rt_prio"),
+        F.col("p.st").alias("rt_status"),
+        F.col("p.price").alias("rt_price"),
+        F.concat(F.col("p.prio"), F.lit("|"), F.col("p.st")).alias("joined"),
+    )
