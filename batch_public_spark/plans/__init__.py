@@ -107,6 +107,7 @@ _NEXT_WINDOW: list[str] = [
     "sql_pivot_unpivot_roundtrip",
     "scalar_csv_funcs",
     "llmops_uncertainty_sample",
+    "llmops_hybrid_rrf_fusion",
 ]
 
 

@@ -4417,3 +4417,155 @@ def dq_fk_orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "orphan_rate"
         ),
     )
+
+
+@query(
+    "llmops_hybrid_rrf_fusion",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lower(tk.tok) AS term
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                              s -> length(s) > 0)) AS tk(tok)
+    ), tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2),
+    dlen AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     sum(dl) / count(*) AS avgdl,
+                     CAST(sum(dl) AS DOUBLE) AS total_toks
+              FROM dlen),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df,
+                     CAST(sum(tf) AS DOUBLE) AS cf
+              FROM tf GROUP BY term),
+    q AS (SELECT term, df, cf FROM dfreq ORDER BY df DESC, term LIMIT 3),
+    bm25 AS (
+      SELECT tf.doc_id,
+             round(sum(ln((stats.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dlen.dl / stats.avgdl))), 6)
+               AS s
+      FROM tf JOIN q USING (term)
+      JOIN dlen USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id),
+    ql AS (
+      SELECT d.doc_id,
+             round(sum(ln((COALESCE(tf.tf, 0.0) + 100.0 * (q.cf / stats.total_toks))
+                          / (d.dl + 100.0))), 6) AS s
+      FROM dlen d CROSS JOIN q
+      LEFT JOIN tf ON tf.doc_id = d.doc_id AND tf.term = q.term
+      CROSS JOIN stats
+      GROUP BY d.doc_id),
+    ra AS (SELECT doc_id, s,
+                  ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+           FROM bm25 QUALIFY r <= 20),
+    rb AS (SELECT doc_id, s,
+                  ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS r
+           FROM ql QUALIFY r <= 20),
+    fused AS (
+      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             CAST(COALESCE(ra.r, -1) AS BIGINT) AS rank_bm25,
+             CAST(COALESCE(rb.r, -1) AS BIGINT) AS rank_ql,
+             round(COALESCE(1.0 / (60 + ra.r), 0.0)
+                   + COALESCE(1.0 / (60 + rb.r), 0.0), 6) AS rrf
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    )
+    SELECT doc_id, rank_bm25, rank_ql, rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def llmops_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion: run TWO lexical rankers
+    over the same 3-term query — BM25 (k1=1.2, b=0.75) and a
+    Dirichlet-smoothed query-likelihood language model (μ=100, the
+    textbook second ranker whose length normalization disagrees with
+    BM25's, so the fusion is non-degenerate) — take each ranker's top-20,
+    and fuse with RRF(d) = Σ_r 1/(60 + rank_r(d)), the score-free fusion
+    used to combine lexical and vector legs in production RAG stacks
+    (rank-based, so incomparable score scales can't dominate). Docs on
+    one list only keep their single term; missing ranks emit the −1
+    sentinel per registry discipline.
+
+    Parity discipline: ranks are assigned over ROUNDED scores with doc_id
+    tie-breaks (the bm25_topk rule), and the RRF constants are integer /
+    double literals — 1/(60+r) is exact-input division in both engines.
+
+    Spark-first: both rankers share ONE tokenized scan's tf/dlen/stats
+    subtrees (localCheckpoint pins the reuse); the query side is 3 rows
+    and the corpus stats 1 row, both broadcast; each top-20 is
+    TakeOrdered; the fusion is a 20×20 full outer join. At 100 TB the
+    only heavy ops are the postings probes — the QL leg's LEFT join keeps
+    absent (doc, term) pairs at tf=0 without densifying the matrix (the
+    smoothing term is per-query-term, added via the 3-row broadcast)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term")
+    )
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dlen = (
+        tok.groupBy("doc_id")
+        .agg(F.count("*").cast("double").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
+    stats = dlen.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+        F.sum("dl").cast("double").alias("total_toks"),
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("df"),
+        F.sum("tf").cast("double").alias("cf"),
+    )
+    q = dfreq.orderBy(F.desc("df"), "term").limit(3)
+    bm25_contrib = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * (F.col("tf") * 2.2)
+        / (
+            F.col("tf")
+            + 1.2 * (F.lit(1.0) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    bm25 = (
+        tf.join(F.broadcast(q), "term")
+        .join(dlen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", bm25_contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("s"))
+    )
+    ql_contrib = F.log(
+        (F.coalesce(F.col("tf"), F.lit(0.0)) + F.lit(100.0) * (F.col("cf") / F.col("total_toks")))
+        / (F.col("dl") + F.lit(100.0))
+    )
+    ql = (
+        dlen.crossJoin(F.broadcast(q))
+        .join(tf, ["doc_id", "term"], "left")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", ql_contrib.alias("c"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("c"), 6).alias("s"))
+    )
+    wconst = W.partitionBy(F.col("doc_id") * 0)
+
+    def topr(df):
+        top = df.orderBy(F.desc("s"), "doc_id").limit(20)
+        return top.withColumn(
+            "r",
+            F.row_number().over(wconst.orderBy(F.desc("s"), "doc_id")).cast("bigint"),
+        )
+
+    ra = topr(bm25).select(F.col("doc_id").alias("da"), F.col("r").alias("rank_a"))
+    rb = topr(ql).select(F.col("doc_id").alias("db"), F.col("r").alias("rank_b"))
+    fused = ra.join(rb, ra.da == rb.db, "full_outer").select(
+        F.coalesce(ra.da, rb.db).alias("doc_id"),
+        F.coalesce(F.col("rank_a"), F.lit(-1)).cast("bigint").alias("rank_bm25"),
+        F.coalesce(F.col("rank_b"), F.lit(-1)).cast("bigint").alias("rank_ql"),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_b")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
