@@ -108,6 +108,7 @@ _NEXT_WINDOW: list[str] = [
     "scalar_csv_funcs",
     "llmops_uncertainty_sample",
     "llmops_hybrid_rrf_fusion",
+    "llmops_matryoshka_recall",
 ]
 
 

@@ -2166,3 +2166,76 @@ def llmops_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("p", 6).alias("p_candidate"),
         F.min(F.when(F.col("p") >= 0.5, F.col("s"))).over(wb).alias("s_at_half"),
     )
+
+
+@query(
+    "llmops_matryoshka_recall",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    full_s AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, CAST(v.embedding AS DOUBLE[])), 6) AS sim
+      FROM embeddings v CROSS JOIN q WHERE v.vec_id != q.query_id),
+    trunc_s AS (
+      SELECT q.query_id, v.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv[1:16],
+                   CAST(v.embedding AS DOUBLE[])[1:16]), 6) AS sim
+      FROM embeddings v CROSS JOIN q WHERE v.vec_id != q.query_id),
+    full_k AS (SELECT query_id, neighbor_id FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS r
+      FROM full_s) WHERE r <= 10),
+    trunc_k AS (SELECT query_id, neighbor_id FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS r
+      FROM trunc_s) WHERE r <= 10)
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           ROUND(count(t.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM full_k f LEFT JOIN trunc_k t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def llmops_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall audit: how much of each query's exact
+    top-10 (full 64-dim cosine) survives when retrieval runs on only the
+    FIRST 16 dimensions — the evaluation behind MRL-style embeddings,
+    where a prefix of the vector is served for cheap first-stage
+    retrieval and the full vector only reranks. recall@10 per query is
+    the fraction of true neighbors the truncated index would return;
+    production uses this curve to pick the serving prefix length (here
+    one point of it, 16/64, fixture-calibrated to land strictly between
+    0 and 1 so the hash attests a real gap, not a degenerate 1.0).
+
+    Parity discipline: both rankings order by ROUNDED cosine with
+    neighbor_id tie-breaks (the ann_bruteforce rule); the overlap count
+    and recall are then integer-exact.
+
+    Spark-first: both legs reuse the brute-force operator — queries
+    broadcast, corpus streams map-side, per-query top-k under a
+    query-partitioned window; the overlap is a 50-row join. The
+    truncated leg slices in-row (F.slice), which at 100 TB is the
+    entire point: 4× fewer multiply-adds on the scan with no second
+    embedding table."""
+    from batch_public_spark.operators.semantic import ann_bruteforce_topk
+
+    vecs = t(spark, sf_dir, "embeddings")
+    q = vecs.filter(F.col("vec_id") < 5)
+    tr = lambda df: df.select(  # noqa: E731
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    full_k = ann_bruteforce_topk(vecs, q, k=10).select("query_id", "neighbor_id")
+    trunc_k = ann_bruteforce_topk(tr(vecs), tr(q), k=10).select(
+        F.col("query_id").alias("tq"), F.col("neighbor_id").alias("tn")
+    )
+    j = full_k.join(
+        trunc_k,
+        (F.col("tq") == F.col("query_id")) & (F.col("tn") == F.col("neighbor_id")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("tn").cast("bigint").alias("n_overlap"),
+        F.round(F.count("tn") / F.lit(10.0), 6).alias("recall_at_10"),
+    )
