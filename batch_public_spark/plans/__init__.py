@@ -109,6 +109,8 @@ _NEXT_WINDOW: list[str] = [
     "llmops_uncertainty_sample",
     "llmops_hybrid_rrf_fusion",
     "llmops_matryoshka_recall",
+    "scalar_url_funcs",
+    "udaf_trimmed_mean_price",
 ]
 
 

@@ -23,6 +23,8 @@ value cardinality and marked with the non-foldable
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -3283,4 +3285,84 @@ def agg_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("slope", 6).alias("sen_slope"),
             "sen_intercept",
         )
+    )
+
+
+@query(
+    "udaf_trimmed_mean_price",
+    oracle="""
+    WITH v AS (
+      SELECT o_orderpriority AS prio,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice, o_orderkey) AS r,
+             CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n
+      FROM orders
+    )
+    SELECT prio,
+           CAST(max(n) AS BIGINT) AS n_orders,
+           CAST(max(n) - 2 * (max(n) // 10) AS BIGINT) AS n_kept,
+           round(sum(CASE WHEN r > n // 10 AND r <= n - n // 10
+                          THEN cents END) * 1.0
+                 / (max(n) - 2 * (max(n) // 10)), 6) AS trimmed_mean_cents
+    FROM v GROUP BY prio
+    """,
+)
+def udaf_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% trimmed mean as a pandas GROUPED_AGG UDAF — the second
+    Arrow-batched UDAF exemplar beside udaf_grouped_median_quantity,
+    chosen because trimming (drop the ⌊n/10⌋ smallest and largest, mean
+    the rest) is NOT a Spark builtin, so the UDAF earns its place rather
+    than shadowing an existing aggregate. The kernel sorts cents inside
+    the Arrow batch and means an exact integer slice; the oracle ranks
+    with a window and averages the same slice — equal values are
+    interchangeable under trimming, so the value-order tie-break can't
+    change the sum.
+
+    Parity discipline: prices go through rounded cents (BIGINT), the
+    kept-count arithmetic is pure integer, and the single division is the
+    identical double expression. The UDAF returns the exact integer SUM
+    of the kept slice (numpy int64), with count arithmetic and the final
+    division done JVM-side — no float crosses the Arrow boundary.
+
+    Spark-first: GROUPED_AGG ships each group's column as ONE Arrow
+    array — no per-row Python. At 100 TB a 10%-trim of a giant group
+    wants the two-pass quantile prefilter instead; this exemplar pins the
+    Arrow UDAF contract on grouped-fits-in-memory data (the
+    groupwise-zscore note in analytics_queries applies verbatim)."""
+    from pyspark.sql.functions import pandas_udf
+
+    # pandas must be importable at MODULE level: with postponed annotations
+    # the GROUPED_AGG signature (pd.Series -> int) is eval'd against module
+    # globals, and an unresolvable hint degrades to an unsupported string.
+    @pandas_udf("long")
+    def trimmed_sum(cents: pd.Series) -> int:
+        s = cents.sort_values(ignore_index=True)
+        k = len(s) // 10
+        kept = s.iloc[k : len(s) - k] if k else s
+        return int(kept.sum())
+
+    # GROUPED_AGG UDFs can't mix with JVM aggregates in one agg
+    # (INVALID_PANDAS_UDF_PLACEMENT) — count is a pandas UDAF too, as in
+    # udaf_grouped_median_quantity.
+    @pandas_udf("long")
+    def cnt(cents: pd.Series) -> int:
+        return int(len(cents))
+
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("cents"),
+    )
+    g = o.groupBy("prio").agg(
+        cnt("cents").alias("n_orders"),
+        trimmed_sum("cents").alias("kept_sum"),
+    )
+    n_kept = F.col("n_orders") - 2 * F.expr("n_orders DIV 10")
+    return g.select(
+        "prio",
+        "n_orders",
+        n_kept.cast("bigint").alias("n_kept"),
+        F.round(F.col("kept_sum") * F.lit(1.0) / n_kept, 6).alias(
+            "trimmed_mean_cents"
+        ),
     )

@@ -994,3 +994,47 @@ def scalar_csv_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p.price").alias("rt_price"),
         F.concat(F.col("p.prio"), F.lit("|"), F.col("p.st")).alias("joined"),
     )
+
+
+@query(
+    "scalar_url_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           'shop.example.com' AS host,
+           '/orders/' || CAST(o_orderkey AS VARCHAR) AS path,
+           'prio=' || replace(o_orderpriority, ' ', '%20') AS query_str,
+           o_orderpriority AS rt_prio
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL scalar-function surface: build a URL from row data, tear it
+    apart with ``parse_url`` (HOST/PATH/QUERY parts), and pin the
+    ``url_encode``/``url_decode`` roundtrip on the space-bearing priority
+    values ('4-NOT SPECIFIED' forces %20 escaping). DuckDB has no URL
+    parser, so — like scalar_xml_roundtrip — the oracle reconstructs each
+    extracted part from the same row values with plain string ops, making
+    the hash attest that parse(build(x)) returns the components and that
+    decode(encode(x)) is the identity. (url_encode emits '+' for space in
+    form-encoding style; the built URL uses the encoded form so parse_url
+    sees a valid query string, and the oracle mirrors with %20 after the
+    explicit '+'→'%20' normalization both engines apply identically.)
+
+    Spark-first: zero shuffles, codegen'd string expressions riding the
+    scan — the llmops_url_canonicalize sibling for the URL FUNCTION
+    family rather than the canonicalization pipeline."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    enc = F.replace(F.url_encode(F.col("o_orderpriority")), F.lit("+"), F.lit("%20"))
+    url = F.concat(
+        F.lit("https://shop.example.com/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?prio="),
+        enc,
+    )
+    return o.select(
+        "o_orderkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query_str"),
+        F.url_decode(F.parse_url(url, F.lit("QUERY"), F.lit("prio"))).alias("rt_prio"),
+    )
