@@ -111,6 +111,8 @@ _NEXT_WINDOW: list[str] = [
     "llmops_matryoshka_recall",
     "scalar_url_funcs",
     "udaf_trimmed_mean_price",
+    "llmops_winnowing_fingerprints",
+    "events_top_paths",
 ]
 
 

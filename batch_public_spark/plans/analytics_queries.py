@@ -4569,3 +4569,58 @@ def llmops_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), "doc_id").limit(10)
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type AS a,
+             lead(event_type, 1) OVER w AS b,
+             lead(event_type, 2) OVER w AS c
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT a || '>' || b || '>' || c AS path,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM o WHERE b IS NOT NULL AND c IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_occurrences DESC, path
+    LIMIT 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: the ten most frequent 3-step event paths
+    (overlapping trigrams of each user's time-ordered stream), with both
+    occurrence and distinct-user support. The n-gram generalization of
+    events_transition_matrix (1-step Markov) — path mining reads the
+    SEQUENCE structure a first-order transition matrix provably cannot
+    (it factorizes; trigram counts don't), and is the standard feed for
+    Sankey funnels and next-step models.
+
+    Spark-first: one shuffle on user_id drives both lead() windows (same
+    spec, one exchange + sort), the trigram cut rides the projection, and
+    the path rollup reuses nothing heavier than a hash aggregate on the
+    |event_types|³-bounded key space; top-10 is TakeOrdered. At 100 TB
+    the per-user ordering is the one real cost and it's the same
+    exchange every sessionization query already pays."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id",
+        F.col("event_type").alias("a"),
+        F.lead("event_type", 1).over(w).alias("b"),
+        F.lead("event_type", 2).over(w).alias("c"),
+    ).filter(F.col("b").isNotNull() & F.col("c").isNotNull())
+    return (
+        o.groupBy(
+            F.concat_ws(">", "a", "b", "c").alias("path")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_occurrences"),
+            F.count_distinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_occurrences"), "path")
+        .limit(10)
+    )

@@ -2239,3 +2239,101 @@ def llmops_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("tn").cast("bigint").alias("n_overlap"),
         F.round(F.count("tn") / F.lit(10.0), 6).alias("recall_at_10"),
     )
+
+
+def _hex4(h: str, start: int = 1) -> str:
+    """SQL: parse 4 hex chars of string expression ``h`` at ``start`` →
+    int in [0, 65536), by the same portable ascii arithmetic as
+    curation_queries._hex3 (conv()/from_hex are not cross-engine)."""
+
+    def _v(c: str) -> str:
+        return f"(CASE WHEN ascii({c}) <= 57 THEN ascii({c}) - 48 ELSE ascii({c}) - 87 END)"
+
+    a = _v(f"substr({h}, {start}, 1)")
+    b = _v(f"substr({h}, {start + 1}, 1)")
+    c = _v(f"substr({h}, {start + 2}, 1)")
+    d = _v(f"substr({h}, {start + 3}, 1)")
+    return f"({a} * 4096 + {b} * 256 + {c} * 16 + {d})"
+
+
+_WINNOW_K = 8   # k-gram length (chars)
+_WINNOW_W = 16  # winnowing window (grams)
+_GRAM_HASH = _hex4("md5(substring(text, CAST(i AS INT), 8))")
+
+
+@query(
+    "llmops_winnowing_fingerprints",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(length(text) - 6, 1) + 1),
+                            i -> {_hex4("md5(substring(text, CAST(i AS INT), 8))")})
+               AS hs
+      FROM documents
+    ), w AS (
+      SELECT doc_id, hs,
+             CAST(len(hs) AS BIGINT) AS n_grams,
+             CAST(greatest(len(hs) - 15, 1) AS BIGINT) AS n_windows
+      FROM g
+    )
+    SELECT doc_id, n_grams, n_windows,
+           CAST(len(list_distinct(list_transform(
+                  range(1, CAST(n_windows AS INT) + 1),
+                  j -> list_min(hs[CAST(j AS INT):CAST(j AS INT) + 15]))))
+                AS BIGINT) AS n_selected,
+           round(len(list_distinct(list_transform(
+                  range(1, CAST(n_windows AS INT) + 1),
+                  j -> list_min(hs[CAST(j AS INT):CAST(j AS INT) + 15]))))
+                 * 1.0 / n_windows, 6) AS density
+    FROM w
+    """,
+)
+def llmops_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS selection rule): hash
+    every 8-char gram, slide a 16-gram window, and keep each window's
+    MINIMUM hash — the local-minimum rule that guarantees any shared
+    substring of ≥ w+k−1 chars contributes at least one shared
+    fingerprint, with expected density 2/(w+1) ≈ 0.118. The third
+    fingerprint-selection scheme beside 0-mod-p sampling
+    (llmops_fingerprint_modp_pairs) and MinHash: 0-mod-p has no
+    positional guarantee, winnowing does — and unlike the GLOBAL minima
+    that family's docstring warns about, per-window minima cannot
+    degenerate into everyone's-a-candidate on low-entropy text. Emitted
+    per doc: gram/window counts, distinct selected fingerprints, and the
+    realized density (fixture lands near the 0.118 theory value, which
+    the oracle hash pins).
+
+    Parity discipline: the gram hash is 4 md5 hex chars parsed by
+    portable ascii arithmetic (conv()/from_hex differ across engines);
+    selection and counts are pure integer array ops; density is one
+    exact-input division rounded at emission.
+
+    Spark-first: zero shuffles — hashes, window minima, and dedup are
+    in-row HOF transforms riding the scan (the MinHash-signature fold
+    discipline); ~n array cells per doc, w comparisons each. At 100 TB
+    the posting/bucket-join step of the modp family reuses these
+    fingerprints unchanged."""
+    d = t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(1, greatest(length(text) - 6, 1)), "
+            f"i -> {_GRAM_HASH})"
+        ).alias("hs"),
+    )
+    w = g.select(
+        "doc_id",
+        F.size("hs").cast("bigint").alias("n_grams"),
+        F.greatest(F.size("hs") - F.lit(15), F.lit(1)).cast("bigint").alias("n_windows"),
+        F.expr(
+            "array_distinct(transform(sequence(1, greatest(size(hs) - 15, 1)), "
+            "j -> array_min(slice(hs, CAST(j AS INT), 16))))"
+        ).alias("sel"),
+    )
+    return w.select(
+        "doc_id",
+        "n_grams",
+        "n_windows",
+        F.size("sel").cast("bigint").alias("n_selected"),
+        F.round(F.size("sel") * F.lit(1.0) / F.col("n_windows"), 6).alias("density"),
+    )
