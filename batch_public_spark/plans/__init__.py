@@ -113,6 +113,8 @@ _NEXT_WINDOW: list[str] = [
     "udaf_trimmed_mean_price",
     "llmops_winnowing_fingerprints",
     "events_top_paths",
+    "llmops_binary_embedding_recall",
+    "events_forecast_backtest",
 ]
 
 

@@ -4624,3 +4624,125 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), "path")
         .limit(10)
     )
+
+
+@query(
+    "events_forecast_backtest",
+    oracle="""
+    WITH RECURSIVE daily AS (
+      SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), idx AS (
+      SELECT day, y,
+             CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+      FROM daily
+    ), hw(i, y, l, b) AS (
+      SELECT i, y, y * 1.0e0, 0.0e0 FROM idx WHERE i = 1
+      UNION ALL
+      SELECT d.i, d.y,
+             0.3e0 * d.y + 0.7e0 * (h.l + h.b),
+             0.2e0 * ((0.3e0 * d.y + 0.7e0 * (h.l + h.b)) - h.l) + 0.8e0 * h.b
+      FROM hw h JOIN idx d ON d.i = h.i + 1
+    ), pred AS (
+      SELECT h.i, n.y AS actual, h.l + h.b AS fc
+      FROM hw h JOIN idx n ON n.i = h.i + 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_forecasts,
+           round(sum(CAST(round(abs(actual - fc), 10) AS DECIMAL(28, 10)))
+                 * 1.0e0 / count(*), 6) AS mae,
+           round(sum(CAST(round(abs(actual - fc) / actual, 10)
+                          AS DECIMAL(28, 10))) * 100.0e0 / count(*), 6)
+             AS mape_pct,
+           round(sqrt(sum(CAST(round((actual - fc) * (actual - fc), 10)
+                               AS DECIMAL(28, 10))) * 1.0e0 / count(*)), 6)
+             AS rmse
+    FROM pred
+    """,
+)
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-step-ahead backtest of the Holt linear-trend forecaster
+    (events_holt_linear): for every day d, compare the forecast issued at
+    d (level+trend) against day d+1's ACTUAL count, and roll up MAE,
+    MAPE, and RMSE — the evaluation loop that turns a smoother into a
+    forecasting model you can compare against seasonal-naive or EWMA
+    before trusting its capacity plans. Day counts are never zero on the
+    fixture grid, so MAPE's division is guarded by construction (the day
+    exists because it had events).
+
+    Parity discipline: the recursion is the identical IEEE fold pinned by
+    events_holt_linear (e0 literals in the oracle); each per-day error
+    term is rounded to 10 decimals and accumulated as DECIMAL(28,10) —
+    exact, order-independent — before the single rounded emission (the
+    KL/entropy discipline), because unlike the fold itself the SUM of
+    errors has no defined order.
+
+    Spark-first: same single-shuffle daily grid; the backtest join is
+    arrays_zip against the grid shifted by one — in-row, no second
+    exchange."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day")
+    ).agg(F.count("*").cast("bigint").alias("y"))
+    series = daily.agg(
+        F.array_sort(F.collect_list(F.struct("day", "y"))).alias("s")
+    )
+    folded = series.select(
+        "s",
+        F.expr(
+            """
+            aggregate(
+              s,
+              cast(array() as array<struct<l: double, b: double>>),
+              (acc, e) -> CASE WHEN size(acc) = 0
+                THEN array(struct(e.y * 1.0 AS l, 0.0 AS b))
+                ELSE array_append(acc, struct(
+                  0.3 * e.y + 0.7 * (element_at(acc, -1).l + element_at(acc, -1).b) AS l,
+                  0.2 * ((0.3 * e.y + 0.7 * (element_at(acc, -1).l + element_at(acc, -1).b))
+                         - element_at(acc, -1).l)
+                    + 0.8 * element_at(acc, -1).b AS b))
+              END)
+            """
+        ).alias("hw"),
+    )
+    # forecast at index i (1-based) predicts actual at i+1
+    pred = folded.select(
+        F.explode(
+            F.expr(
+                """
+                transform(sequence(1, size(s) - 1), i -> struct(
+                  CAST(element_at(s, CAST(i AS INT) + 1).y AS DOUBLE) AS actual,
+                  element_at(hw, CAST(i AS INT)).l
+                    + element_at(hw, CAST(i AS INT)).b AS fc))
+                """
+            )
+        ).alias("p")
+    ).select(F.col("p.actual").alias("actual"), F.col("p.fc").alias("fc"))
+    abs_err = F.abs(F.col("actual") - F.col("fc"))
+    return pred.agg(
+        F.count("*").cast("bigint").alias("n_forecasts"),
+        F.round(
+            F.sum(F.round(abs_err, 10).cast("decimal(28,10)")) * F.lit(1.0)
+            / F.count("*"),
+            6,
+        ).alias("mae"),
+        F.round(
+            F.sum(F.round(abs_err / F.col("actual"), 10).cast("decimal(28,10)"))
+            * F.lit(100.0)
+            / F.count("*"),
+            6,
+        ).alias("mape_pct"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        (F.col("actual") - F.col("fc")) * (F.col("actual") - F.col("fc")),
+                        10,
+                    ).cast("decimal(28,10)")
+                )
+                * F.lit(1.0)
+                / F.count("*")
+            ),
+            6,
+        ).alias("rmse"),
+    )

@@ -2337,3 +2337,109 @@ def llmops_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame
         F.size("sel").cast("bigint").alias("n_selected"),
         F.round(F.size("sel") * F.lit(1.0) / F.col("n_windows"), 6).alias("density"),
     )
+
+
+@query(
+    "llmops_binary_embedding_recall",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+      FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, v AS qv, bits AS qb FROM b WHERE vec_id < 5),
+    full_s AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(q.qv, b.v), 6) AS sim
+      FROM b CROSS JOIN q WHERE b.vec_id != q.query_id),
+    ham_s AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id,
+             CAST(list_sum(list_transform(list_zip(q.qb, b.bits),
+                    p -> CASE WHEN p[1] != p[2] THEN 1 ELSE 0 END)) AS BIGINT)
+               AS hamming
+      FROM b CROSS JOIN q WHERE b.vec_id != q.query_id),
+    full_k AS (SELECT query_id, neighbor_id FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS r
+      FROM full_s) WHERE r <= 10),
+    ham_k AS (SELECT query_id, neighbor_id, hamming FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY hamming ASC, neighbor_id) AS r
+      FROM ham_s) WHERE r <= 10)
+    SELECT f.query_id,
+           CAST(count(h.neighbor_id) AS BIGINT) AS n_overlap,
+           ROUND(count(h.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM full_k f LEFT JOIN ham_k h
+      ON h.query_id = f.query_id AND h.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+)
+def llmops_binary_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding retrieval audit: quantize every vector to its sign
+    bits (1 bit/dim — a 32× memory cut against float32), retrieve by
+    HAMMING distance, and measure recall@10 against exact full-precision
+    cosine — the bit-quantization twin of llmops_matryoshka_recall
+    (dimension truncation) and the third point on the
+    compression-vs-recall surface after PQ (llmops_ann_pq_adc). Sign
+    binarization approximates angular similarity (Goemans-Williamson:
+    P[bit mismatch] = θ/π), so Hamming order ≈ cosine order, and the
+    audit quantifies the "≈" on real data.
+
+    Parity discipline: sign bits are integer-exact from identical
+    doubles (x ≥ 0), Hamming is an integer zip-sum, the exact leg orders
+    by ROUNDED cosine with id tie-breaks, and recall is exact-input
+    division — no float accumulates anywhere except the already-pinned
+    cosine.
+
+    Spark-first: the corpus binarizes in-row on the scan; both legs are
+    the brute-force broadcast shape (queries tiny, corpus never
+    shuffles). At 100 TB the bits pack into 64-bit words and Hamming
+    becomes popcount(xor) per word — same plan, denser arrays; the
+    audit's recall number is what justifies that rollout."""
+    vecs = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END)"
+        ).alias("bits"),
+    )
+    from batch_public_spark.operators.semantic import ann_bruteforce_topk
+
+    q = vecs.filter(F.col("vec_id") < 5)
+    full_k = ann_bruteforce_topk(
+        vecs.select("vec_id", F.col("v").alias("embedding")),
+        q.select("vec_id", F.col("v").alias("embedding")),
+        k=10,
+    ).select("query_id", "neighbor_id")
+    qb = q.select(F.col("vec_id").alias("query_id"), F.col("bits").alias("qb"))
+    ham = (
+        vecs.select(F.col("vec_id").alias("neighbor_id"), "bits")
+        .crossJoin(F.broadcast(qb))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.expr(
+                "cast(aggregate(zip_with(qb, bits, (a, b) -> "
+                "CASE WHEN a != b THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x) "
+                "as bigint)"
+            ).alias("hamming"),
+        )
+    )
+    wh = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    ham_k = (
+        ham.withColumn("r", F.row_number().over(wh))
+        .filter(F.col("r") <= 10)
+        .select(F.col("query_id").alias("hq"), F.col("neighbor_id").alias("hn"))
+    )
+    j = full_k.join(
+        ham_k,
+        (F.col("hq") == F.col("query_id")) & (F.col("hn") == F.col("neighbor_id")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("hn").cast("bigint").alias("n_overlap"),
+        F.round(F.count("hn") / F.lit(10.0), 6).alias("recall_at_10"),
+    )
