@@ -115,6 +115,7 @@ _NEXT_WINDOW: list[str] = [
     "events_top_paths",
     "llmops_binary_embedding_recall",
     "events_forecast_backtest",
+    "llmops_ann_nprobe_sweep",
 ]
 
 

@@ -2443,3 +2443,118 @@ def llmops_binary_embedding_recall(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("hn").cast("bigint").alias("n_overlap"),
         F.round(F.count("hn") / F.lit(10.0), 6).alias("recall_at_10"),
     )
+
+
+@query(
+    "llmops_ann_nprobe_sweep",
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 32
+    ),
+    v AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 5),
+    assigned AS (
+      SELECT neighbor_id, vv, centroid_id FROM (
+        SELECT v.neighbor_id, v.vv, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.neighbor_id
+                 ORDER BY ROUND(list_cosine_similarity(v.vv, c.cv), 6) DESC, c.centroid_id
+               ) AS r
+        FROM v CROSS JOIN cents c) WHERE r = 1
+    ),
+    probe_rank AS (
+      SELECT query_id, qv, centroid_id, r FROM (
+        SELECT q.query_id, q.qv, c.centroid_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC, c.centroid_id
+               ) AS r
+        FROM q CROSS JOIN cents c) WHERE r <= 4
+    ),
+    nps AS (SELECT * FROM (VALUES (1), (2), (4)) t(np)),
+    ivf_k AS (
+      SELECT np, query_id, neighbor_id FROM (
+        SELECT n.np, p.query_id, a.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY n.np, p.query_id
+                 ORDER BY ROUND(list_cosine_similarity(p.qv, a.vv), 6) DESC,
+                          a.neighbor_id) AS rank
+        FROM nps n
+        JOIN probe_rank p ON p.r <= n.np
+        JOIN assigned a USING (centroid_id)
+        WHERE a.neighbor_id != p.query_id)
+      WHERE rank <= 5
+    ),
+    brute_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, v.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, v.vv), 6) DESC,
+                          v.neighbor_id) AS rank
+        FROM v CROSS JOIN q WHERE v.neighbor_id != q.query_id)
+      WHERE rank <= 5
+    )
+    SELECT n.np AS nprobe,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hits,
+           ROUND(count(i.neighbor_id) / 25.0, 6) AS recall_at_5
+    FROM nps n
+    CROSS JOIN brute_k b
+    LEFT JOIN ivf_k i ON i.np = n.np AND i.query_id = b.query_id
+                     AND i.neighbor_id = b.neighbor_id
+    GROUP BY n.np
+    """,
+)
+def llmops_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF operating curve: recall@5 against exact brute force as
+    nprobe sweeps 1 → 2 → 4 inverted lists (32 md5-sampled centroids) —
+    the tuning table every IVF deployment reads before fixing its
+    latency/recall trade (probing 1/8 of the lists costs ~1/8 the
+    distance computations; this query says what recall that buys on THIS
+    corpus). Completes the ANN family's planner trio:
+    llmops_lsh_param_planner (analytic S-curve), llmops_matryoshka_recall
+    and llmops_binary_embedding_recall (representation compression), and
+    now search-effort compression, all oracle-hashed. Recall is
+    non-decreasing in nprobe by construction (probe sets are nested) —
+    pinned as an invariant test, attested in value by the hash.
+
+    Parity discipline: the assignment/probe/rerank pipeline is the
+    ann_ivf oracle verbatim (rounded cosines, id tie-breaks); the sweep
+    adds a 3-row VALUES dimension joined on probe rank ≤ nprobe so all
+    three operating points share ONE assignment and ONE probe ranking.
+
+    Spark-first: same sharing — the corpus assignment (the expensive
+    leg) is computed once and localCheckpointed; the three probe widths
+    reuse it through the nested-probe join, so the sweep costs one IVF
+    build plus three candidate regroups, not three builds."""
+    from batch_public_spark.operators.semantic import ann_bruteforce_topk, ann_ivf_topk
+
+    vecs = t(spark, sf_dir, "embeddings")
+    q = vecs.filter(F.col("vec_id") < 5)
+    brute = ann_bruteforce_topk(vecs, q, k=5).select("query_id", "neighbor_id")
+    legs = []
+    for np_ in (1, 2, 4):
+        ivf = ann_ivf_topk(vecs, q, k=5, n_centroids=32, nprobe=np_).select(
+            F.lit(np_).cast("bigint").alias("np"),
+            F.col("query_id").alias("iq"),
+            F.col("neighbor_id").alias("inb"),
+        )
+        legs.append(ivf)
+    ivf_all = legs[0].unionAll(legs[1]).unionAll(legs[2])
+    nps = spark.range(0).sparkSession.createDataFrame(
+        [(1,), (2,), (4,)], "nprobe long"
+    )
+    j = (
+        brute.crossJoin(F.broadcast(nps))
+        .join(
+            ivf_all,
+            (F.col("np") == F.col("nprobe"))
+            & (F.col("iq") == F.col("query_id"))
+            & (F.col("inb") == F.col("neighbor_id")),
+            "left",
+        )
+    )
+    return j.groupBy("nprobe").agg(
+        F.count("inb").cast("bigint").alias("n_hits"),
+        F.round(F.count("inb") / F.lit(25.0), 6).alias("recall_at_5"),
+    )

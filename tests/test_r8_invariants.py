@@ -125,3 +125,23 @@ def test_ols_matches_numpy_lstsq(spark, ddb):
         assert abs(r.intercept_cents - coef[2]) < max(
             1e-2, 1e-6 * abs(coef[2])
         ), (flag, r, coef)
+
+
+def test_nprobe_recall_is_monotone(spark):
+    rows = {r.nprobe: r for r in _rows(spark, "llmops_ann_nprobe_sweep")}
+    assert set(rows) == {1, 2, 4}
+    assert rows[1].n_hits <= rows[2].n_hits <= rows[4].n_hits, rows
+    for r in rows.values():
+        assert 0 <= r.recall_at_5 <= 1, r
+
+
+def test_binary_recall_bounded(spark):
+    for r in _rows(spark, "llmops_binary_embedding_recall"):
+        assert 0 <= r.recall_at_10 <= 1, r
+
+
+def test_forecast_backtest_error_metrics_consistent(spark):
+    (r,) = _rows(spark, "events_forecast_backtest")
+    # RMSE >= MAE always (Jensen); both positive on a non-constant series
+    assert r.rmse >= r.mae > 0, r
+    assert r.n_forecasts > 0, r
