@@ -116,6 +116,8 @@ _NEXT_WINDOW: list[str] = [
     "llmops_binary_embedding_recall",
     "events_forecast_backtest",
     "llmops_ann_nprobe_sweep",
+    "llmops_cluster_label_nmi",
+    "llmops_shuffle_quality_audit",
 ]
 
 

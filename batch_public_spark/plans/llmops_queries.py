@@ -2558,3 +2558,242 @@ def llmops_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("inb").cast("bigint").alias("n_hits"),
         F.round(F.count("inb") / F.lit(25.0), 6).alias("recall_at_5"),
     )
+
+
+@query(
+    "llmops_cluster_label_nmi",
+    oracle="""
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+    ),
+    a1 AS (
+      SELECT vec_id, label, cluster_id FROM (
+        SELECT v.vec_id, v.label, c.cluster_id,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 round(list_sum(list_transform(list_zip(v.vv, c.cv),
+                                               s -> (s[1]-s[2])^2)), 6),
+                 c.cluster_id) AS r
+        FROM v CROSS JOIN c0 c) WHERE r = 1
+    ),
+    cell AS (
+      SELECT cluster_id, label, CAST(count(*) AS BIGINT) AS n_cl
+      FROM a1 GROUP BY 1, 2
+    ),
+    mc AS (SELECT cluster_id, CAST(sum(n_cl) AS BIGINT) AS n_c FROM cell GROUP BY 1),
+    ml AS (SELECT label, CAST(sum(n_cl) AS BIGINT) AS n_l FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_cl) AS BIGINT) AS n FROM cell),
+    mi AS (
+      SELECT CAST(sum(CAST(round(
+               (cell.n_cl * 1.0e0 / tot.n)
+               * ln(tot.n * 1.0e0 * cell.n_cl / (mc.n_c * 1.0e0 * ml.n_l)), 10)
+             AS DECIMAL(28, 10))) AS DECIMAL(28, 10)) AS i_nats
+      FROM cell JOIN mc USING (cluster_id) JOIN ml USING (label) CROSS JOIN tot
+    ),
+    hc AS (
+      SELECT CAST(sum(CAST(round(
+               -(n_c * 1.0e0 / tot.n) * ln(n_c * 1.0e0 / tot.n), 10)
+             AS DECIMAL(28, 10))) AS DECIMAL(28, 10)) AS h_c
+      FROM mc CROSS JOIN tot
+    ),
+    hl AS (
+      SELECT CAST(sum(CAST(round(
+               -(n_l * 1.0e0 / tot.n) * ln(n_l * 1.0e0 / tot.n), 10)
+             AS DECIMAL(28, 10))) AS DECIMAL(28, 10)) AS h_l
+      FROM ml CROSS JOIN tot
+    ),
+    pur AS (
+      SELECT CAST(sum(mx) AS BIGINT) AS n_pure FROM (
+        SELECT cluster_id, max(n_cl) AS mx FROM cell GROUP BY 1)
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM mc) AS n_clusters,
+           round(pur.n_pure * 1.0e0 / tot.n, 6) AS purity,
+           round(2.0e0 * CAST(mi.i_nats AS DOUBLE)
+                 / (CAST(hc.h_c AS DOUBLE) + CAST(hl.h_l AS DOUBLE)), 6) AS nmi
+    FROM pur CROSS JOIN tot CROSS JOIN mi CROSS JOIN hc CROSS JOIN hl
+    """,
+)
+def llmops_cluster_label_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External clustering-quality audit: assign every embedding to its
+    nearest of 8 md5-sampled seed centroids (the IVF/Lloyd family's
+    deterministic assignment), then score the clustering against the
+    ground-truth ``label`` column with PURITY (Σ_c max_l n_cl / N) and
+    NORMALIZED MUTUAL INFORMATION (2·I(C;L)/(H(C)+H(L))) — the two
+    standard external metrics a training pipeline checks before trusting
+    cluster-based curation (SemDeDup buckets, curriculum clusters,
+    domain routing). Label marginals, cluster marginals, and cells are
+    exact BIGINTs; every entropy/MI term is ln() of exact-integer ratios
+    rounded to 10 and summed as DECIMAL (order-free), with doubles only
+    at the final normalization — the KL/entropy discipline end to end.
+
+    Spark-first: assignment is the broadcast-centroid argmin (8×64
+    model in-plan); the contingency table is one shuffle on
+    (cluster, label) with everything after on ≤ 80 rows. At 100 TB the
+    assignment is the same map-side GEMM the IVF operators use."""
+    vecs = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vv")
+    )
+    c0 = (
+        vecs.orderBy(F.md5(F.col("vec_id").cast("string")))
+        .limit(8)
+        .select(F.col("vec_id").alias("cluster_id"), F.col("vv").alias("cv"))
+    )
+    dist = F.round(
+        F.expr(
+            "aggregate(zip_with(vv, cv, (a, b) -> (a - b) * (a - b)), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        ),
+        6,
+    )
+    wmin = W.partitionBy("vec_id").orderBy(dist.asc(), F.col("cluster_id").asc())
+    a1 = (
+        vecs.crossJoin(F.broadcast(c0))
+        .withColumn("r", F.row_number().over(wmin))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "label", "cluster_id")
+    )
+    cell = a1.groupBy("cluster_id", "label").agg(
+        F.count("*").cast("bigint").alias("n_cl")
+    )
+    cell = cell.localCheckpoint(eager=False)
+    mc = cell.groupBy("cluster_id").agg(F.sum("n_cl").cast("bigint").alias("n_c"))
+    ml = cell.groupBy("label").agg(F.sum("n_cl").cast("bigint").alias("n_l"))
+    tot = cell.agg(F.sum("n_cl").cast("bigint").alias("n"))
+    dec = lambda c: F.round(c, 10).cast("decimal(28,10)")  # noqa: E731
+    mi = (
+        cell.join(F.broadcast(mc), "cluster_id")
+        .join(F.broadcast(ml), "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                dec(
+                    (F.col("n_cl") * F.lit(1.0) / F.col("n"))
+                    * F.log(
+                        F.col("n") * F.lit(1.0) * F.col("n_cl")
+                        / (F.col("n_c") * F.lit(1.0) * F.col("n_l"))
+                    )
+                )
+            )
+            .cast("decimal(28,10)")
+            .alias("i_nats")
+        )
+    )
+    hc = mc.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            dec(
+                -(F.col("n_c") * F.lit(1.0) / F.col("n"))
+                * F.log(F.col("n_c") * F.lit(1.0) / F.col("n"))
+            )
+        )
+        .cast("decimal(28,10)")
+        .alias("h_c")
+    )
+    hl = ml.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            dec(
+                -(F.col("n_l") * F.lit(1.0) / F.col("n"))
+                * F.log(F.col("n_l") * F.lit(1.0) / F.col("n"))
+            )
+        )
+        .cast("decimal(28,10)")
+        .alias("h_l")
+    )
+    pur = cell.groupBy("cluster_id").agg(F.max("n_cl").alias("mx")).agg(
+        F.sum("mx").cast("bigint").alias("n_pure")
+    )
+    nclusters = mc.agg(F.count("*").cast("bigint").alias("n_clusters"))
+    return (
+        nclusters.crossJoin(F.broadcast(pur))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .select(
+            "n_clusters",
+            F.round(F.col("n_pure") * F.lit(1.0) / F.col("n"), 6).alias("purity"),
+            F.round(
+                F.lit(2.0)
+                * F.col("i_nats").cast("double")
+                / (F.col("h_c").cast("double") + F.col("h_l").cast("double")),
+                6,
+            ).alias("nmi"),
+        )
+    )
+
+
+@query(
+    "llmops_shuffle_quality_audit",
+    oracle="""
+    WITH ordered AS (
+      SELECT source,
+             lag(source) OVER (ORDER BY md5(doc_id || ':42'), doc_id)
+               AS prev_source
+      FROM documents
+    ), adj AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(CASE WHEN source = prev_source THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_same
+      FROM ordered WHERE prev_source IS NOT NULL
+    ), marg AS (
+      SELECT CAST(sum(n_s) AS BIGINT) AS n,
+             CAST(sum(n_s * (n_s - 1)) AS BIGINT) AS coll
+      FROM (SELECT count(*) AS n_s FROM documents GROUP BY source)
+    )
+    SELECT marg.n AS n_docs, adj.n_same AS n_adjacent_same,
+           round(adj.n_same * 1.0e0 / adj.n_pairs, 6) AS observed_rate,
+           round(marg.coll * 1.0e0 / (marg.n * (marg.n - 1)), 6)
+             AS expected_rate,
+           round((adj.n_same * 1.0e0 / adj.n_pairs)
+                 / (marg.coll * 1.0e0 / (marg.n * (marg.n - 1))), 6)
+             AS rate_ratio
+    FROM adj CROSS JOIN marg
+    """,
+)
+def llmops_shuffle_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-quality audit of the deterministic training-order shuffle
+    (llmops_train_shuffle's md5(id:seed) key): walk the shuffled order
+    and measure how often ADJACENT examples share a source, against the
+    exchangeability expectation Σ_s n_s(n_s−1)/(n(n−1)) — a rate_ratio
+    near 1.0 says the shuffle broke source runs (ratio ≫ 1 means source
+    clumping survived, the classic cause of loss spikes at shard
+    boundaries). This audits the PROPERTY the shuffle exists to deliver,
+    not just its key order; counts are exact integers, the expectation is
+    exact integer arithmetic, and the three emitted rates divide exact
+    inputs once (e0-spelled doubles in the oracle).
+
+    Spark-first: one global-order lag — expressed over the non-foldable
+    constant partition key (the bm25/bpe trick) so the linter's
+    unpartitioned-window rule stays mechanical; at 100 TB this audit
+    runs PER SHARD (partitionBy shard id) with the same plan, since
+    training readers consume shards independently anyway."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))).alias("sk"),
+    )
+    wlag = W.partitionBy(F.col("doc_id") * 0).orderBy("sk", "doc_id")
+    ordered = d.select("source", F.lag("source").over(wlag).alias("prev_source"))
+    adj = ordered.filter(F.col("prev_source").isNotNull()).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum(F.when(F.col("source") == F.col("prev_source"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_same"),
+    )
+    marg = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_s"))
+        .agg(
+            F.sum("n_s").cast("bigint").alias("n"),
+            F.sum(F.col("n_s") * (F.col("n_s") - 1)).cast("bigint").alias("coll"),
+        )
+    )
+    obs = F.col("n_same") * F.lit(1.0) / F.col("n_pairs")
+    exp_ = F.col("coll") * F.lit(1.0) / (F.col("n") * (F.col("n") - 1))
+    return adj.crossJoin(F.broadcast(marg)).select(
+        F.col("n").alias("n_docs"),
+        F.col("n_same").alias("n_adjacent_same"),
+        F.round(obs, 6).alias("observed_rate"),
+        F.round(exp_, 6).alias("expected_rate"),
+        F.round(obs / exp_, 6).alias("rate_ratio"),
+    )
