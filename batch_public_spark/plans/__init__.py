@@ -118,6 +118,7 @@ _NEXT_WINDOW: list[str] = [
     "llmops_ann_nprobe_sweep",
     "llmops_cluster_label_nmi",
     "llmops_shuffle_quality_audit",
+    "llmops_kcenter_seeding",
 ]
 
 

@@ -2797,3 +2797,130 @@ def llmops_shuffle_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp_, 6).alias("expected_rate"),
         F.round(obs / exp_, 6).alias("rate_ratio"),
     )
+
+
+@query(
+    "llmops_kcenter_seeding",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    c1 AS (
+      SELECT vec_id, vv FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1
+    ),
+    d1 AS (
+      SELECT v.vec_id, v.vv,
+             round(list_sum(list_transform(list_zip(v.vv, c.vv),
+                                           s -> (s[1]-s[2])^2)), 6) AS dmin
+      FROM v CROSS JOIN c1 c WHERE v.vec_id != c.vec_id
+    ),
+    c2 AS (SELECT vec_id, vv, dmin FROM d1 ORDER BY dmin DESC, vec_id LIMIT 1),
+    d2 AS (
+      SELECT d.vec_id, d.vv,
+             least(d.dmin,
+                   round(list_sum(list_transform(list_zip(d.vv, c.vv),
+                                                 s -> (s[1]-s[2])^2)), 6)) AS dmin
+      FROM d1 d CROSS JOIN c2 c WHERE d.vec_id != c.vec_id
+    ),
+    c3 AS (SELECT vec_id, vv, dmin FROM d2 ORDER BY dmin DESC, vec_id LIMIT 1),
+    d3 AS (
+      SELECT d.vec_id,
+             least(d.dmin,
+                   round(list_sum(list_transform(list_zip(d.vv, c.vv),
+                                                 s -> (s[1]-s[2])^2)), 6)) AS dmin
+      FROM d2 d CROSS JOIN c3 c WHERE d.vec_id != c.vec_id
+    ),
+    c4 AS (SELECT vec_id, dmin FROM d3 ORDER BY dmin DESC, vec_id LIMIT 1)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS seed_rank, vec_id, -1.0e0 AS coverage_radius_sq
+      FROM c1
+      UNION ALL SELECT 2, vec_id, dmin FROM c2
+      UNION ALL SELECT 3, vec_id, dmin FROM c3
+      UNION ALL SELECT 4, vec_id, dmin FROM c4)
+    """,
+)
+def llmops_kcenter_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Farthest-point (Gonzalez k-center) seeding, 4 centers: start from
+    the md5-minimal vector, then repeatedly pick the point FARTHEST from
+    its nearest already-chosen center — the deterministic seeding that
+    2-approximates the k-center objective and is the standard
+    alternative to k-means++ when runs must be reproducible (D² sampling
+    needs randomness; farthest-point doesn't). Emitted per step: the
+    chosen id and the coverage radius (its min squared distance to the
+    prior seeds — non-increasing by construction, pinned as an
+    invariant), the curve a curation pipeline reads to choose k for
+    SemDeDup buckets or curriculum clusters. Completes the seeding
+    story: md5 sampling (ann_ivf) → k-center (here) → Lloyd refinement
+    (llmops_kmeans_lloyd).
+
+    Parity discipline: every distance is the same rounded zip-fold L2²
+    the Lloyd family pins; argmax steps order by (rounded dist DESC,
+    vec_id) so ties cannot diverge; the running min composes previously
+    ROUNDED values only (least of rounded = rounded), never re-deriving.
+
+    Spark-first: each of the 3 refinement rounds is one broadcast
+    (single-row center) cross, a running-min projection, and a
+    TakeOrdered(1); the distance table threads through localCheckpoint
+    so round N+1 never recomputes round N — the iterative-graph
+    discipline. At 100 TB this is k passes over the corpus, each
+    map-side — exactly how distributed k-center seeding runs."""
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vv")
+    )
+    dist_to = lambda cvv: F.round(  # noqa: E731
+        F.expr(
+            f"aggregate(zip_with(vv, {cvv}, (a, b) -> (a - b) * (a - b)), "
+            "cast(0.0 as double), (acc, x) -> acc + x)"
+        ),
+        6,
+    )
+    c1 = (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(1)
+        .select(F.col("vec_id").alias("cid"), F.col("vv").alias("cvv"))
+        .localCheckpoint(eager=False)
+    )
+    d = (
+        v.crossJoin(F.broadcast(c1))
+        .filter(F.col("vec_id") != F.col("cid"))
+        .select("vec_id", "vv", dist_to("cvv").alias("dmin"))
+        .localCheckpoint(eager=False)
+    )
+    rows = [
+        c1.select(
+            F.lit(1).cast("bigint").alias("seed_rank"),
+            F.col("cid").alias("vec_id"),
+            F.lit(-1.0).alias("coverage_radius_sq"),
+        )
+    ]
+    for rank in (2, 3, 4):
+        c = (
+            d.orderBy(F.desc("dmin"), "vec_id")
+            .limit(1)
+            .select(
+                F.col("vec_id").alias("cid"),
+                F.col("vv").alias("cvv"),
+                F.col("dmin").alias("cdmin"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        rows.append(
+            c.select(
+                F.lit(rank).cast("bigint").alias("seed_rank"),
+                F.col("cid").alias("vec_id"),
+                F.col("cdmin").alias("coverage_radius_sq"),
+            )
+        )
+        if rank < 4:
+            d = (
+                d.crossJoin(F.broadcast(c))
+                .filter(F.col("vec_id") != F.col("cid"))
+                .select(
+                    "vec_id",
+                    "vv",
+                    F.least(F.col("dmin"), dist_to("cvv")).alias("dmin"),
+                )
+                .localCheckpoint(eager=False)
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -145,3 +145,11 @@ def test_forecast_backtest_error_metrics_consistent(spark):
     # RMSE >= MAE always (Jensen); both positive on a non-constant series
     assert r.rmse >= r.mae > 0, r
     assert r.n_forecasts > 0, r
+
+
+def test_kcenter_radius_is_nonincreasing(spark):
+    rows = sorted(_rows(spark, "llmops_kcenter_seeding"), key=lambda r: r.seed_rank)
+    assert [r.seed_rank for r in rows] == [1, 2, 3, 4]
+    assert len({r.vec_id for r in rows}) == 4, "seeds must be distinct"
+    radii = [r.coverage_radius_sq for r in rows[1:]]
+    assert all(a >= b > 0 for a, b in zip(radii, radii[1:])), radii
