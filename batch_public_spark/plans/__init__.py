@@ -119,6 +119,7 @@ _NEXT_WINDOW: list[str] = [
     "llmops_cluster_label_nmi",
     "llmops_shuffle_quality_audit",
     "llmops_kcenter_seeding",
+    "events_cohort_ltv_matrix",
 ]
 
 

@@ -4746,3 +4746,97 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rmse"),
     )
+
+
+@query(
+    "events_cohort_ltv_matrix",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort
+      FROM events GROUP BY user_id
+    ), cell AS (
+      SELECT f.cohort,
+             CAST((CAST(date_trunc('week', e.ts) AS DATE)
+                   - CAST(f.cohort AS DATE)) // 7 AS BIGINT) AS week_offset,
+             CAST(sum(CAST(round(e."value" * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events e JOIN firstw f USING (user_id)
+      WHERE e.event_type = 'purchase'
+      GROUP BY 1, 2
+    ), sized AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+      FROM firstw GROUP BY 1
+    )
+    SELECT strftime(c.cohort, '%Y-%m-%d') AS cohort_week,
+           c.week_offset,
+           c.cents AS revenue_cents,
+           CAST(sum(c.cents) OVER (PARTITION BY c.cohort ORDER BY c.week_offset
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_revenue_cents,
+           round(sum(c.cents) OVER (PARTITION BY c.cohort ORDER BY c.week_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 * 1.0e0 / s.cohort_users, 6) AS cum_ltv_cents_per_user
+    FROM cell c JOIN sized s USING (cohort)
+    """,
+)
+def events_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort LTV triangle — the revenue-weighted twin of
+    events_cohort_retention_matrix: per (first-activity cohort, week
+    offset) cell, purchase revenue, its running total down the cohort
+    row, and cumulative LTV per cohort user — the curve growth teams
+    integrate against acquisition cost. Retention says WHO came back;
+    this says what coming back was WORTH.
+
+    Parity discipline: revenue goes through rounded cents (BIGINT) at
+    the row level, cumulates exactly (integer window sum over the
+    bounded |weeks|² matrix), and divides once by the exact cohort-user
+    count (e0-spelled in the oracle); ISO Monday week truncation both
+    engines.
+
+    Spark-first: same two-exchange shape as the retention matrix (cohort
+    min-agg, activity equi-join reusing the user_id partitioning), then
+    windows over the tiny matrix under bounded_window_key. At 100 TB the
+    only heavy op is the user_id join every cohort query already pays."""
+    e = t(spark, sf_dir, "events")
+    firstw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    cell = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firstw, "user_id")
+        .groupBy(
+            "cohort",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort").cast("date"),
+                )
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents")
+        )
+    )
+    sized = firstw.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("cohort_users")
+    )
+    wrun = (
+        W.partitionBy("cohort")
+        .orderBy("week_offset")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = cell.join(F.broadcast(sized), "cohort").select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "revenue_cents",
+        F.sum("revenue_cents").over(wrun).cast("bigint").alias("cum_revenue_cents"),
+        F.round(
+            F.sum("revenue_cents").over(wrun) * F.lit(1.0) / F.col("cohort_users"), 6
+        ).alias("cum_ltv_cents_per_user"),
+    )
+    return out
