@@ -120,6 +120,8 @@ _NEXT_WINDOW: list[str] = [
     "llmops_shuffle_quality_audit",
     "llmops_kcenter_seeding",
     "events_cohort_ltv_matrix",
+    "scalar_rounding_battery",
+    "source_schema_evolution_merge",
 ]
 
 

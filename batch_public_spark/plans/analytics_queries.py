@@ -4840,3 +4840,56 @@ def events_cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cum_ltv_cents_per_user"),
     )
     return out
+
+
+@query(
+    "source_schema_evolution_merge",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_orderstatus, NULL AS o_clerk_shift
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus,
+             CAST(o_orderkey % 3 AS BIGINT) AS o_clerk_shift
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(o_clerk_shift) AS BIGINT) AS n_with_new_col,
+           CAST(coalesce(sum(o_clerk_shift), 0) AS BIGINT) AS shift_sum
+    FROM unioned GROUP BY o_orderstatus
+    """,
+)
+def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema-evolution pin (``mergeSchema``): an old batch is
+    written with (key, status) and a newer batch with an ADDED column
+    (key, status, clerk_shift) into the same dataset directory; reading
+    with ``mergeSchema=true`` must union the footers into the superset
+    schema and surface the old batch's missing column as NULLs — the
+    exact situation every long-lived lake table hits the day a producer
+    adds a field. The aggregate pins all three behaviors: row count
+    (neither batch lost), non-null count of the evolved column (exactly
+    the new batch), and its checksum (values decode, not just nulls).
+
+    Spark-first: the two writes are ordinary parquet appends into
+    subdirectories; schema merge is a footer-only operation at planning
+    time (with ``mergeSchema`` costing one extra footer pass — the
+    scale note: on 100 TB datasets set the merged schema on the TABLE
+    definition instead, which is why this stays an explicit per-read
+    opt-in). The read itself stays fully parallel with pushdown intact."""
+    out_dir = _scratch_dir(spark, sf_dir, "schema_evolution")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    old = o.filter(F.col("o_orderkey") % 2 == 0)
+    new = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_clerk_shift", (F.col("o_orderkey") % 3).cast("bigint")
+    )
+    old.write.mode("overwrite").parquet(out_dir + "/batch=old")
+    new.write.mode("overwrite").parquet(out_dir + "/batch=new")
+    back = spark.read.option("mergeSchema", True).parquet(out_dir)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.count("o_clerk_shift").cast("bigint").alias("n_with_new_col"),
+        F.coalesce(F.sum("o_clerk_shift"), F.lit(0)).cast("bigint").alias("shift_sum"),
+    )

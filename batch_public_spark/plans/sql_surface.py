@@ -1038,3 +1038,67 @@ def scalar_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(url, F.lit("QUERY")).alias("query_str"),
         F.url_decode(F.parse_url(url, F.lit("QUERY"), F.lit("prio"))).alias("rt_prio"),
     )
+
+
+@query(
+    "scalar_rounding_battery",
+    oracle="""
+    WITH x AS (
+      SELECT o_orderkey,
+             (o_orderkey % 100) + 0.5e0 AS pos_tie,
+             -((o_orderkey % 100) + 0.5e0) AS neg_tie,
+             (o_orderkey % 100) + 0.25e0 AS pos_off
+      FROM orders WHERE o_orderkey <= 2000
+    )
+    SELECT o_orderkey,
+           round(pos_tie, 0) AS half_up_pos,
+           round(neg_tie, 0) AS half_up_neg,
+           CASE WHEN CAST(floor(pos_tie) AS BIGINT) % 2 = 0
+                THEN floor(pos_tie) ELSE ceil(pos_tie) END AS banker_pos,
+           (CASE WHEN CAST(ceil(neg_tie) AS BIGINT) % 2 = 0
+                 THEN ceil(neg_tie) ELSE floor(neg_tie) END) + 0.0e0
+             AS banker_neg,
+           round(pos_off, 0) AS off_tie,
+           floor(neg_tie) AS floor_neg,
+           ceil(neg_tie) + 0.0e0 AS ceil_neg,
+           trunc(neg_tie) + 0.0e0 AS trunc_neg
+    FROM x
+    """,
+)
+def scalar_rounding_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounding-semantics battery on EXACT .5 ties (k + 0.5 is exactly
+    representable in binary, so every row genuinely sits on the tie):
+    ``round`` (HALF_UP — away from zero on both signs, in BOTH engines,
+    which is the premise the registry's entire rounded-cents discipline
+    stands on) versus ``bround`` (HALF_EVEN, banker's — the IEEE-754 and
+    finance default Spark exposes but DuckDB lacks, so the oracle spells
+    the nearest-even rule arithmetically: even floor keeps floor, odd
+    floor goes to ceil, mirrored for negatives), plus floor/ceil/trunc on
+    negatives, where trunc-toward-zero ≠ floor. Half the fixture rows
+    have even integer parts, so HALF_UP and HALF_EVEN genuinely disagree
+    row-by-row — the hash pins the difference, not just each function.
+
+    Spark-first: zero shuffles, pure codegen'd scalar expressions. This
+    battery is the registry's own foundation test: if either engine's
+    tie behavior drifted, every rounded-cents oracle would be the next
+    casualty. (Third negative-zero trap for the collection: DuckDB's
+    ceil/trunc of −0.5 preserve IEEE −0.0 while Spark's integer-typed
+    ceil cannot represent it — the oracle adds +0.0e0, which maps −0.0
+    to +0.0 and changes nothing else.)"""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    pos_tie = (F.col("o_orderkey") % 100) + F.lit(0.5)
+    neg_tie = -pos_tie
+    pos_off = (F.col("o_orderkey") % 100) + F.lit(0.25)
+    return o.select(
+        "o_orderkey",
+        F.round(pos_tie, 0).alias("half_up_pos"),
+        F.round(neg_tie, 0).alias("half_up_neg"),
+        F.bround(pos_tie, 0).alias("banker_pos"),
+        F.bround(neg_tie, 0).alias("banker_neg"),
+        F.round(pos_off, 0).alias("off_tie"),
+        F.floor(neg_tie).cast("double").alias("floor_neg"),
+        F.ceil(neg_tie).cast("double").alias("ceil_neg"),
+        # Spark's trunc() is date-only; a bigint cast truncates toward zero,
+        # which is exactly DuckDB's numeric trunc() semantics.
+        neg_tie.cast("bigint").cast("double").alias("trunc_neg"),
+    )
