@@ -4102,12 +4102,15 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the date-sorted array and DuckDB as a recursive CTE stepping
     i → i+1: the same sequence of IEEE double operations in both engines
     (constants spelled as identical literals, never pow()), so the rounded
-    outputs are bit-equal with no decimal crutch. Literal trap: DuckDB
-    parses a bare ``0.3`` as DECIMAL(2,1) — which silently ran the whole
-    recursion in one-decimal decimal arithmetic — while Spark SQL parses
-    it as DOUBLE; the oracle spells every constant ``0.3e0`` (scientific
-    notation forces DOUBLE in DuckDB) to keep both engines in binary
-    floating point.
+    outputs are bit-equal with no decimal crutch. Literal trap, BOTH
+    engines: a bare ``0.3`` inside SQL text parses as DECIMAL — DuckDB's
+    recursive CTE silently ran in one-decimal decimal arithmetic, and
+    Spark's F.expr fold mixed decimal-exact first terms into the double
+    state (caught by the bit-equality hypothesis property, not the
+    round-6 hash). The oracle spells constants ``0.3e0`` and the Spark
+    fold ``0.3D`` so both engines run pure binary doubles — pinned
+    bit-exact against a pure-Python reference in
+    tests/test_r8_properties.py.
 
     Spark-first: one shuffle builds the |days|-bounded daily grid; the
     fold then runs in-row on a single array (the calendar is bounded —
@@ -4134,12 +4137,12 @@ def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
               s,
               cast(array() as array<struct<l: double, b: double>>),
               (acc, e) -> CASE WHEN size(acc) = 0
-                THEN array(struct(e.y * 1.0 AS l, 0.0 AS b))
+                THEN array(struct(e.y * 1.0D AS l, 0.0D AS b))
                 ELSE array_append(acc, struct(
-                  0.3 * e.y + 0.7 * (element_at(acc, -1).l + element_at(acc, -1).b) AS l,
-                  0.2 * ((0.3 * e.y + 0.7 * (element_at(acc, -1).l + element_at(acc, -1).b))
+                  0.3D * e.y + 0.7D * (element_at(acc, -1).l + element_at(acc, -1).b) AS l,
+                  0.2D * ((0.3D * e.y + 0.7D * (element_at(acc, -1).l + element_at(acc, -1).b))
                          - element_at(acc, -1).l)
-                    + 0.8 * element_at(acc, -1).b AS b))
+                    + 0.8D * element_at(acc, -1).b AS b))
               END)
             """
         ).alias("hw"),
@@ -4695,12 +4698,12 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
               s,
               cast(array() as array<struct<l: double, b: double>>),
               (acc, e) -> CASE WHEN size(acc) = 0
-                THEN array(struct(e.y * 1.0 AS l, 0.0 AS b))
+                THEN array(struct(e.y * 1.0D AS l, 0.0D AS b))
                 ELSE array_append(acc, struct(
-                  0.3 * e.y + 0.7 * (element_at(acc, -1).l + element_at(acc, -1).b) AS l,
-                  0.2 * ((0.3 * e.y + 0.7 * (element_at(acc, -1).l + element_at(acc, -1).b))
+                  0.3D * e.y + 0.7D * (element_at(acc, -1).l + element_at(acc, -1).b) AS l,
+                  0.2D * ((0.3D * e.y + 0.7D * (element_at(acc, -1).l + element_at(acc, -1).b))
                          - element_at(acc, -1).l)
-                    + 0.8 * element_at(acc, -1).b AS b))
+                    + 0.8D * element_at(acc, -1).b AS b))
               END)
             """
         ).alias("hw"),
