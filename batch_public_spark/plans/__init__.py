@@ -122,6 +122,7 @@ _NEXT_WINDOW: list[str] = [
     "events_cohort_ltv_matrix",
     "scalar_rounding_battery",
     "source_schema_evolution_merge",
+    "llmops_spec_decode_acceptance",
 ]
 
 

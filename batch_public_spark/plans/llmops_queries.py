@@ -2924,3 +2924,94 @@ def llmops_kcenter_seeding(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+@query(
+    "llmops_spec_decode_acceptance",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    trans AS (
+      SELECT doc_id, source,
+             lower(toks[CAST(i AS INT)]) AS prev,
+             lower(toks[CAST(i AS INT) + 1]) AS actual
+      FROM d, UNNEST(range(1, len(toks))) AS t(i)
+    ), big AS (
+      SELECT prev, actual AS nxt, CAST(count(*) AS BIGINT) AS n
+      FROM trans GROUP BY 1, 2
+    ), draft AS (
+      SELECT prev, nxt AS draft_tok FROM (
+        SELECT prev, nxt,
+               row_number() OVER (PARTITION BY prev ORDER BY n DESC, nxt) AS r
+        FROM big) WHERE r = 1
+    )
+    SELECT t.source,
+           CAST(count(*) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN t.actual = d.draft_tok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_accepted,
+           round(sum(CASE WHEN t.actual = d.draft_tok THEN 1 ELSE 0 END)
+                 * 1.0e0 / count(*), 6) AS acceptance_rate
+    FROM trans t JOIN draft d ON d.prev = t.prev
+    GROUP BY t.source
+    """,
+)
+def llmops_spec_decode_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Speculative-decoding draft acceptance, simulated on corpus text: a
+    1-gram-context draft model (each token's single most frequent
+    successor, corpus-wide, ties to the lexicographically smallest) plays
+    the draft model; the corpus itself plays the target. Per source:
+    what fraction of actual next-tokens the draft would have guessed —
+    the acceptance-rate number that decides whether speculative decoding
+    pays for a given corpus/draft pair BEFORE anyone provisions draft
+    replicas (expected speedup ≈ 1/(1−rate·(1−c)) in the standard
+    model). The bigram sibling llmops_bigram_logprob_score scores
+    LIKELIHOOD; this scores ARGMAX AGREEMENT, which is what acceptance
+    sampling actually tests.
+
+    Parity discipline: counts are exact; the draft argmax orders by
+    (count DESC, token) so ties can't diverge; the single rate division
+    is e0-spelled in the oracle.
+
+    Spark-first: one exploded-token pass feeds both the transition
+    stream (lead over doc-partitioned position windows) and the bigram
+    counts; the draft table is vocabulary-sized and broadcasts into the
+    acceptance join. At 100 TB the draft table is the only state — the
+    same broadcast-model shape as the IVF centroids."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.transform(tokens(F.col("text")), F.lower)).alias("pos", "tok"),
+    )
+    wlead = W.partitionBy("doc_id").orderBy("pos")
+    trans = tok.select(
+        "doc_id",
+        "source",
+        F.col("tok").alias("prev"),
+        F.lead("tok").over(wlead).alias("actual"),
+    ).filter(F.col("actual").isNotNull())
+    trans = trans.localCheckpoint(eager=False)
+    big = trans.groupBy("prev", F.col("actual").alias("nxt")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    wmax = W.partitionBy("prev").orderBy(F.desc("n"), "nxt")
+    draft = (
+        big.withColumn("r", F.row_number().over(wmax))
+        .filter(F.col("r") == 1)
+        .select("prev", F.col("nxt").alias("draft_tok"))
+    )
+    return (
+        trans.join(F.broadcast(draft), "prev")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_transitions"),
+            F.sum(F.when(F.col("actual") == F.col("draft_tok"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_accepted"),
+            F.round(
+                F.sum(F.when(F.col("actual") == F.col("draft_tok"), 1).otherwise(0))
+                * F.lit(1.0)
+                / F.count("*"),
+                6,
+            ).alias("acceptance_rate"),
+        )
+    )
