@@ -123,6 +123,8 @@ _NEXT_WINDOW: list[str] = [
     "scalar_rounding_battery",
     "source_schema_evolution_merge",
     "llmops_spec_decode_acceptance",
+    "llmops_rerank_cascade_recall",
+    "join_dynamic_partition_pruning",
 ]
 
 

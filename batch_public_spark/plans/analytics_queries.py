@@ -4896,3 +4896,56 @@ def source_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("o_clerk_shift").cast("bigint").alias("n_with_new_col"),
         F.coalesce(F.sum("o_clerk_shift"), F.lit(0)).cast("bigint").alias("shift_sum"),
     )
+
+
+@query(
+    "join_dynamic_partition_pruning",
+    oracle="""
+    WITH dim AS (
+      SELECT * FROM (VALUES ('1-URGENT', 10), ('2-HIGH', 5)) d(prio, weight)
+      WHERE weight > 0
+    )
+    SELECT f.o_orderpriority AS prio,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(f.o_totalprice * 100, 0) AS BIGINT) * d.weight)
+                AS BIGINT) AS weighted_cents
+    FROM orders f JOIN dim d ON d.prio = f.o_orderpriority
+    GROUP BY f.o_orderpriority
+    """,
+)
+def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning pin: the fact table is (re)written
+    PARTITIONED BY the join key, the dimension side is a 2-row inline
+    relation carrying a runtime filter the optimizer cannot see
+    statically through the join — so Catalyst must inject a dynamic
+    pruning subquery that reuses the dimension's broadcast to skip 3 of
+    the 5 priority partitions AT RUNTIME. The oracle computes the same
+    weighted aggregate relationally; the PLAN property (a
+    ``dynamicpruning`` expression on the scan) is asserted separately in
+    tests/test_plan_shapes.py, because the hash can only attest the
+    numbers, and DPP is precisely an optimization the numbers can't see.
+
+    Spark-first/100 TB: DPP is THE mechanism that makes star-schema
+    joins over partitioned lakes affordable — without it this scan reads
+    every partition of the fact table. The companion
+    source_partitioned_pruning pins STATIC pruning (literal predicates);
+    this pins the runtime variant."""
+    out_dir = _scratch_dir(spark, sf_dir, "dpp_fact")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out_dir)
+    fact = spark.read.parquet(out_dir)
+    # DPP requires a FILTER on the pruning side (the planner inserts the
+    # pruning subquery only under a selective dim predicate); weight > 0
+    # is semantically a no-op but syntactically load-bearing.
+    dim = spark.createDataFrame(
+        [("1-URGENT", 10), ("2-HIGH", 5)], "prio string, weight bigint"
+    ).filter(F.col("weight") > 0)
+    j = fact.join(F.broadcast(dim), fact.o_orderpriority == dim.prio)
+    return j.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint") * F.col("weight"))
+        .cast("bigint")
+        .alias("weighted_cents"),
+    )

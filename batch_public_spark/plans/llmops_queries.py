@@ -3015,3 +3015,130 @@ def llmops_spec_decode_acceptance(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("acceptance_rate"),
         )
     )
+
+
+@query(
+    "llmops_rerank_cascade_recall",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS v,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END) AS bits
+      FROM embeddings
+    ), q AS (SELECT vec_id AS query_id, v AS qv, bits AS qb FROM b WHERE vec_id < 5),
+    ham_s AS (
+      SELECT q.query_id, b.vec_id AS neighbor_id, q.qv, b.v,
+             CAST(list_sum(list_transform(list_zip(q.qb, b.bits),
+                    p -> CASE WHEN p[1] != p[2] THEN 1 ELSE 0 END)) AS BIGINT)
+               AS hamming
+      FROM b CROSS JOIN q WHERE b.vec_id != q.query_id),
+    shortlist AS (
+      SELECT query_id, neighbor_id, qv, v FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming ASC, neighbor_id) AS r
+        FROM ham_s) WHERE r <= 50),
+    reranked AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY ROUND(list_cosine_similarity(qv, v), 6) DESC,
+                          neighbor_id) AS r
+        FROM shortlist) WHERE r <= 10),
+    exact_k AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY ROUND(list_cosine_similarity(q.qv, b.v), 6) DESC,
+                          b.vec_id) AS r
+        FROM b CROSS JOIN q WHERE b.vec_id != q.query_id) WHERE r <= 10)
+    SELECT e.query_id,
+           CAST(count(rr.neighbor_id) AS BIGINT) AS n_overlap,
+           ROUND(count(rr.neighbor_id) / 10.0, 6) AS recall_at_10
+    FROM exact_k e LEFT JOIN reranked rr
+      ON rr.query_id = e.query_id AND rr.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def llmops_rerank_cascade_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval cascade audit — the production pattern the
+    single-representation audits motivate: a CHEAP first stage (1-bit
+    sign Hamming) shortlists 50 candidates, an exact full-precision
+    cosine RERANK picks the final 10, and recall@10 is measured against
+    exact brute force. Read alongside llmops_binary_embedding_recall
+    (raw Hamming@10): the cascade recovers most of the quantization loss
+    while still paying full-precision distance on only 50/|corpus|
+    candidates — the number that justifies the two-stage architecture at
+    serving time. Shares its parity discipline with the other recall
+    audits (integer Hamming, rounded-cosine rank, id tie-breaks,
+    exact-input division).
+
+    Spark-first: one binarized scan feeds the shortlist (queries
+    broadcast, corpus map-side); the rerank touches only 5×50 rows; the
+    exact leg is the audited baseline, not a serving cost. At 100 TB
+    stage one is popcount(xor) over packed words and stage two stays
+    5×50 regardless of corpus size — that asymmetry is the entire
+    point."""
+    from batch_public_spark.operators.semantic import ann_bruteforce_topk
+
+    vecs = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("v"),
+        F.expr(
+            "transform(cast(embedding as array<double>), "
+            "x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END)"
+        ).alias("bits"),
+    )
+    q = vecs.filter(F.col("vec_id") < 5)
+    qside = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bits").alias("qb"),
+    )
+    ham = (
+        vecs.select(F.col("vec_id").alias("neighbor_id"), "v", "bits")
+        .crossJoin(F.broadcast(qside))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "qv",
+            "v",
+            F.expr(
+                "cast(aggregate(zip_with(qb, bits, (a, b) -> "
+                "CASE WHEN a != b THEN 1 ELSE 0 END), 0, (acc, x) -> acc + x) "
+                "as bigint)"
+            ).alias("hamming"),
+        )
+    )
+    wham = W.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    shortlist = (
+        ham.withColumn("r", F.row_number().over(wham))
+        .filter(F.col("r") <= 50)
+        .drop("r", "hamming")
+    )
+    from batch_public_spark.operators.semantic import cosine
+
+    wcos = W.partitionBy("query_id").orderBy(
+        F.desc("sim"), F.col("neighbor_id").asc()
+    )
+    reranked = (
+        shortlist.withColumn("sim", F.round(cosine(F.col("qv"), F.col("v")), 6))
+        .withColumn("r", F.row_number().over(wcos))
+        .filter(F.col("r") <= 10)
+        .select(F.col("query_id").alias("rq"), F.col("neighbor_id").alias("rn"))
+    )
+    exact_k = ann_bruteforce_topk(
+        vecs.select("vec_id", F.col("v").alias("embedding")),
+        q.select("vec_id", F.col("v").alias("embedding")),
+        k=10,
+    ).select("query_id", "neighbor_id")
+    j = exact_k.join(
+        reranked,
+        (F.col("rq") == F.col("query_id")) & (F.col("rn") == F.col("neighbor_id")),
+        "left",
+    )
+    return j.groupBy("query_id").agg(
+        F.count("rn").cast("bigint").alias("n_overlap"),
+        F.round(F.count("rn") / F.lit(10.0), 6).alias("recall_at_10"),
+    )

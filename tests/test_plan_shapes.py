@@ -473,3 +473,14 @@ def test_window_value_battery_single_exchange(spark):
     (priority; price, key) exchange."""
     p = plan(spark, "window_value_functions_battery")
     assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+
+
+def test_dynamic_partition_pruning_fires(spark):
+    """join_dynamic_partition_pruning exists to pin DPP; the result hash
+    can't see the optimization, so assert the pruning subquery is in the
+    plan (a dynamicpruning expression on the partitioned fact scan)."""
+    from batch_public_spark.plans import QUERIES
+
+    df = QUERIES["join_dynamic_partition_pruning"].fn(spark, SF_DIR)
+    txt = df._jdf.queryExecution().toString().lower()
+    assert "dynamicpruning" in txt, "DPP subquery missing from the plan"
