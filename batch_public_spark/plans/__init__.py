@@ -125,6 +125,7 @@ _NEXT_WINDOW: list[str] = [
     "llmops_spec_decode_acceptance",
     "llmops_rerank_cascade_recall",
     "join_dynamic_partition_pruning",
+    "llmops_maxsim_multivector",
 ]
 
 

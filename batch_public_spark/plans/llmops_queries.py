@@ -3142,3 +3142,98 @@ def llmops_rerank_cascade_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("rn").cast("bigint").alias("n_overlap"),
         F.round(F.count("rn") / F.lit(10.0), 6).alias("recall_at_10"),
     )
+
+
+@query(
+    "llmops_maxsim_multivector",
+    oracle="""
+    WITH sub AS (
+      SELECT vec_id, t.i AS part,
+             CAST(embedding AS DOUBLE[])[(CAST(t.i AS INT) - 1) * 16 + 1
+                                         :CAST(t.i AS INT) * 16] AS sv
+      FROM embeddings, UNNEST(range(1, 5)) AS t(i)
+    ),
+    q AS (SELECT vec_id AS query_id, part AS qpart, sv AS qv
+          FROM sub WHERE vec_id < 5),
+    d AS (SELECT vec_id AS doc_id, part AS dpart, sv AS dv FROM sub),
+    pair AS (
+      SELECT q.query_id, d.doc_id, q.qpart,
+             max(ROUND(list_cosine_similarity(q.qv, d.dv), 6)) AS best
+      FROM q CROSS JOIN d
+      WHERE d.doc_id != q.query_id
+      GROUP BY q.query_id, d.doc_id, q.qpart
+    ),
+    scored AS (
+      SELECT query_id, doc_id,
+             round(CAST(sum(CAST(best AS DECIMAL(18, 6))) AS DOUBLE), 6)
+               AS maxsim
+      FROM pair GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id AS neighbor_id, maxsim,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY maxsim DESC, doc_id) AS rank
+      FROM scored) WHERE rank <= 5
+    """,
+)
+def llmops_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction multi-vector retrieval (ColBERT-style MaxSim):
+    each embedding is split into 4 sixteen-dim "token vectors"
+    (positional slices standing in for per-token encoder outputs — the
+    plan is identical for real ones); the query-document score is
+    Σ over query parts of the MAX cosine against any document part —
+    the late-interaction operator single-vector retrieval can't express
+    (a query facet matches its best-aligned document facet
+    independently). Top-5 per query under the rounded-score/id total
+    order. Fourth retrieval scoring family after cosine, Hamming, and
+    PQ-ADC.
+
+    Parity discipline: every pairwise cosine is rounded to 6 BEFORE the
+    max (max of rounded = deterministic), and the 4 per-part maxima sum
+    as DECIMAL(18,6) — exact, order-free — before one rounded emission.
+
+    Spark-first: the sub-vector explode is in-row (posexplode over
+    slices, 4× row fan-out of the corpus, 16-dim payloads — SMALLER
+    bytes than the original row); queries broadcast; the MaxSim
+    reduction is two hash aggregations on (query, doc[, part]). At
+    100 TB the standard serving shape applies: a single-vector ANN
+    prefilter shortlists, MaxSim reranks — exactly the cascade
+    llmops_rerank_cascade_recall audits."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sub = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("v", 1 + 16 * i, 16) for i in range(4)])
+        ).alias("part", "sv"),
+    )
+    q = sub.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("part").alias("qpart"),
+        F.col("sv").alias("qv"),
+    )
+    d = sub.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("sv").alias("dv"),
+    )
+    from batch_public_spark.operators.semantic import cosine
+
+    pair = (
+        d.crossJoin(F.broadcast(q))
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id", "qpart")
+        .agg(F.max(F.round(cosine(F.col("qv"), F.col("dv")), 6)).alias("best"))
+    )
+    scored = pair.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.col("best").cast("decimal(18,6)")).cast("double"), 6
+        ).alias("maxsim")
+    )
+    wr = W.partitionBy("query_id").orderBy(F.desc("maxsim"), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", F.col("doc_id").alias("neighbor_id"), "maxsim", "rank")
+    )
