@@ -126,6 +126,7 @@ _NEXT_WINDOW: list[str] = [
     "llmops_rerank_cascade_recall",
     "join_dynamic_partition_pruning",
     "llmops_maxsim_multivector",
+    "llmops_mmr_diversified_topk",
 ]
 
 

@@ -3237,3 +3237,124 @@ def llmops_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", F.col("doc_id").alias("neighbor_id"), "maxsim", "rank")
     )
+
+
+@query(
+    "llmops_mmr_diversified_topk",
+    oracle="""
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vv FROM embeddings),
+    qv AS (SELECT vv AS q FROM v WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, vv,
+             ROUND(list_cosine_similarity(vv, (SELECT q FROM qv)), 6) AS rel
+      FROM v WHERE vec_id != 0
+      ORDER BY rel DESC, vec_id LIMIT 10
+    ),
+    s1 AS (SELECT vec_id, vv, rel FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+    m2 AS (
+      SELECT c.vec_id, c.vv, c.rel,
+             round(0.7e0 * c.rel - 0.3e0
+                   * ROUND(list_cosine_similarity(c.vv, s.vv), 6), 6) AS mmr
+      FROM cand c CROSS JOIN s1 s WHERE c.vec_id != s.vec_id
+    ),
+    s2 AS (SELECT vec_id, vv, rel, mmr FROM m2 ORDER BY mmr DESC, vec_id LIMIT 1),
+    m3 AS (
+      SELECT c.vec_id, c.rel,
+             round(0.7e0 * c.rel - 0.3e0
+                   * greatest(ROUND(list_cosine_similarity(c.vv, s1.vv), 6),
+                              ROUND(list_cosine_similarity(c.vv, s2.vv), 6)),
+                   6) AS mmr
+      FROM cand c CROSS JOIN s1 CROSS JOIN s2
+      WHERE c.vec_id != s1.vec_id AND c.vec_id != s2.vec_id
+    ),
+    s3 AS (SELECT vec_id, rel, mmr FROM m3 ORDER BY mmr DESC, vec_id LIMIT 1)
+    SELECT * FROM (
+      SELECT CAST(1 AS BIGINT) AS pick, vec_id, rel, rel AS mmr_score FROM s1
+      UNION ALL SELECT 2, vec_id, rel, mmr FROM s2
+      UNION ALL SELECT 3, vec_id, rel, mmr FROM s3)
+    """,
+)
+def llmops_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (MMR) diversified re-ranking: from the
+    query's top-10 cosine candidates, greedily pick 3 results maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked (λ = 0.7) — the
+    diversification operator that keeps a RAG context window or search
+    page from filling with near-duplicates of one good hit. The fifth
+    retrieval operator family: scoring (cosine/Hamming/PQ/MaxSim) ranks,
+    MMR SELECTS under a submodular-style penalty; the greedy unroll is
+    the k-center pattern (each pick is a TakeOrdered(1) over the
+    bounded candidate pool, penalty = running max over picks).
+
+    Parity discipline: relevance and every pairwise penalty cosine are
+    rounded to 6 before use, the MMR combination is e0/D-free identical
+    double arithmetic on rounded inputs, each argmax carries the id
+    tie-break, and the first pick is pure relevance by definition
+    (emitted with mmr_score = rel).
+
+    Spark-first: the candidate pool is a broadcastable top-k, so each
+    greedy round is driver-free plan composition over ≤10 rows; at
+    100 TB MMR always runs AFTER a first-stage retriever (the rerank
+    cascade's shape), so the pool stays k-sized regardless of corpus."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vv")
+    )
+    from batch_public_spark.operators.semantic import cosine
+
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("vv").alias("q"))
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", "vv", F.round(cosine(F.col("vv"), F.col("q")), 6).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(10)
+        .localCheckpoint(eager=False)
+    )
+    s1 = cand.orderBy(F.desc("rel"), "vec_id").limit(1).localCheckpoint(eager=False)
+    pen1 = F.round(cosine(F.col("vv"), F.col("s1v")), 6)
+    m2 = (
+        cand.crossJoin(
+            F.broadcast(s1.select(F.col("vec_id").alias("s1id"), F.col("vv").alias("s1v")))
+        )
+        .filter(F.col("vec_id") != F.col("s1id"))
+        .select(
+            "vec_id",
+            "vv",
+            "rel",
+            F.round(F.lit(0.7) * F.col("rel") - F.lit(0.3) * pen1, 6).alias("mmr"),
+        )
+    )
+    s2 = m2.orderBy(F.desc("mmr"), "vec_id").limit(1).localCheckpoint(eager=False)
+    pen2 = F.greatest(
+        F.round(cosine(F.col("vv"), F.col("s1v")), 6),
+        F.round(cosine(F.col("vv"), F.col("s2v")), 6),
+    )
+    m3 = (
+        cand.crossJoin(
+            F.broadcast(s1.select(F.col("vec_id").alias("s1id"), F.col("vv").alias("s1v")))
+        )
+        .crossJoin(
+            F.broadcast(s2.select(F.col("vec_id").alias("s2id"), F.col("vv").alias("s2v")))
+        )
+        .filter((F.col("vec_id") != F.col("s1id")) & (F.col("vec_id") != F.col("s2id")))
+        .select(
+            "vec_id",
+            "rel",
+            F.round(F.lit(0.7) * F.col("rel") - F.lit(0.3) * pen2, 6).alias("mmr"),
+        )
+    )
+    s3 = m3.orderBy(F.desc("mmr"), "vec_id").limit(1)
+    out = (
+        s1.select(
+            F.lit(1).cast("bigint").alias("pick"),
+            "vec_id",
+            "rel",
+            F.col("rel").alias("mmr_score"),
+        )
+        .unionAll(
+            s2.select(F.lit(2).cast("bigint").alias("pick"), "vec_id", "rel", F.col("mmr").alias("mmr_score"))
+        )
+        .unionAll(
+            s3.select(F.lit(3).cast("bigint").alias("pick"), "vec_id", "rel", F.col("mmr").alias("mmr_score"))
+        )
+    )
+    return out
