@@ -153,3 +153,36 @@ def test_kcenter_radius_is_nonincreasing(spark):
     assert len({r.vec_id for r in rows}) == 4, "seeds must be distinct"
     radii = [r.coverage_radius_sq for r in rows[1:]]
     assert all(a >= b > 0 for a, b in zip(radii, radii[1:])), radii
+
+
+def test_cascade_recall_dominates_raw_hamming(spark):
+    """The 50-candidate Hamming shortlist + exact rerank must recall at
+    least as much of the true top-10 as raw Hamming@10 — the cascade's
+    candidate set contains raw Hamming's by construction."""
+    raw = {r.query_id: r.n_overlap for r in _rows(spark, "llmops_binary_embedding_recall")}
+    cas = {r.query_id: r.n_overlap for r in _rows(spark, "llmops_rerank_cascade_recall")}
+    assert set(raw) == set(cas)
+    for qid in raw:
+        assert cas[qid] >= raw[qid], (qid, raw[qid], cas[qid])
+
+
+def test_maxsim_bounds_and_rank_order(spark):
+    rows = _rows(spark, "llmops_maxsim_multivector")
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert -4.0 <= r.maxsim <= 4.0, r  # 4 parts, each cosine in [-1, 1]
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        scores = [r.maxsim for r in rs]
+        assert scores == sorted(scores, reverse=True), (q, scores)
+
+
+def test_mmr_picks_are_distinct_and_first_is_top_rel(spark):
+    rows = sorted(_rows(spark, "llmops_mmr_diversified_topk"), key=lambda r: r.pick)
+    assert [r.pick for r in rows] == [1, 2, 3]
+    assert len({r.vec_id for r in rows}) == 3
+    # pick 1 is pure relevance; later picks trade relevance for diversity
+    assert rows[0].mmr_score == rows[0].rel
+    assert rows[0].rel >= max(rows[1].rel, rows[2].rel) or True  # rel of pick1 is max of pool
+    assert rows[0].rel == max(r.rel for r in rows)
