@@ -127,6 +127,7 @@ _NEXT_WINDOW: list[str] = [
     "join_dynamic_partition_pruning",
     "llmops_maxsim_multivector",
     "llmops_mmr_diversified_topk",
+    "llmops_bpe_apply_merges",
 ]
 
 

@@ -4949,3 +4949,132 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("weighted_cents"),
     )
+
+
+@query(
+    "llmops_bpe_apply_merges",
+    oracle=r"""
+    WITH toks AS (
+      SELECT source, lower(tk.tok) AS tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                              s -> length(s) > 0)) AS tk(tok)
+    ), pairs AS (
+      SELECT substr(tok, i, 2) AS pair
+      FROM toks CROSS JOIN generate_series(1, 30) g(i)
+      WHERE length(tok) >= 2 AND i <= length(tok) - 1 AND i <= 30
+    ), merges AS (
+      SELECT max(CASE WHEN rank = 1 THEN pair END) AS m1,
+             max(CASE WHEN rank = 2 THEN pair END) AS m2,
+             max(CASE WHEN rank = 3 THEN pair END) AS m3
+      FROM (
+        SELECT pair, ROW_NUMBER() OVER (ORDER BY count(*) DESC, pair) AS rank
+        FROM pairs GROUP BY pair) WHERE rank <= 3
+    ), applied AS (
+      SELECT t.source, t.tok,
+             trim(replace(replace(replace(
+               ' ' || trim(regexp_replace(t.tok, '(.)', '\1 ', 'g')) || ' ',
+               ' ' || substr(m.m1, 1, 1) || ' ' || substr(m.m1, 2, 1) || ' ',
+               ' ' || m.m1 || ' '),
+               ' ' || substr(m.m2, 1, 1) || ' ' || substr(m.m2, 2, 1) || ' ',
+               ' ' || m.m2 || ' '),
+               ' ' || substr(m.m3, 1, 1) || ' ' || substr(m.m3, 2, 1) || ' ',
+               ' ' || m.m3 || ' ')) AS sym
+      FROM toks t CROSS JOIN merges m
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(length(tok)) AS BIGINT) AS symbols_before,
+           CAST(sum(length(sym) - length(replace(sym, ' ', '')) + 1)
+                AS BIGINT) AS symbols_after,
+           round(sum(length(sym) - length(replace(sym, ' ', '')) + 1)
+                 * 1.0e0 / sum(length(tok)), 6) AS compression
+    FROM applied GROUP BY source
+    """,
+)
+def llmops_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE step two — APPLY the learned merges: take the corpus's top-3
+    character-pair merges (the exact ranking llmops_bpe_first_merges
+    learns), rewrite every token's spaced-symbol sequence with each merge
+    in rank order, and report per-source symbol compression — the
+    encode-side half of BPE that turns merge tables into token counts
+    (a real trainer loops learn→apply; each loop is these two plans).
+    Boundary safety is the load-bearing detail: symbols are
+    space-delimited and each merge pattern matches WITH its surrounding
+    spaces, so a pattern can never match across a previously-merged
+    unit's boundary ('b c' cannot fire inside 'ab c'), and both engines'
+    left-to-right non-overlapping replace() reproduces BPE's greedy
+    single-pass convention ('a a a' → 'aa a', not 'a aa').
+
+    Parity discipline: the merge table pivots to one broadcast row under
+    the rounded-count/pair total order; symbol counts are exact integer
+    space arithmetic; one e0-spelled division at emission.
+
+    Spark-first: learning is the bpe_first_merges plan (map-side pair
+    counts, TakeOrdered 3); application is a scalar rewrite riding the
+    token explosion with the 1-row merge table cross-joined as a
+    broadcast model — the IVF-centroid shape again. At 100 TB a real
+    vocab is ~50k merges applied in a Pandas UDF with a trie; the
+    3-merge unroll pins the semantics that UDF must reproduce."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("tok")
+    )
+    pairs = (
+        toks.filter(F.length("tok") >= 2)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.least(F.length("tok") - 1, F.lit(30)))
+            ).alias("i"),
+            "tok",
+        )
+        .select(F.expr("substr(tok, i, 2)").alias("pair"))
+    )
+    top3 = (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(3)
+    )
+    w = W.partitionBy(_const_partition("pair")).orderBy(F.desc("n"), "pair")
+    merges = (
+        top3.withColumn("rank", F.row_number().over(w))
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("rank") == 1, F.col("pair"))).alias("m1"),
+            F.max(F.when(F.col("rank") == 2, F.col("pair"))).alias("m2"),
+            F.max(F.when(F.col("rank") == 3, F.col("pair"))).alias("m3"),
+        )
+    )
+
+    def apply_merge(col, m):
+        pat = F.concat(
+            F.lit(" "), F.substring(m, 1, 1), F.lit(" "), F.substring(m, 2, 1), F.lit(" ")
+        )
+        rep = F.concat(F.lit(" "), m, F.lit(" "))
+        return F.replace(col, pat, rep)
+
+    spaced = F.concat(
+        F.lit(" "),
+        F.trim(F.regexp_replace(F.col("tok"), "(.)", "$1 ")),
+        F.lit(" "),
+    )
+    applied = toks.crossJoin(F.broadcast(merges)).select(
+        "source",
+        "tok",
+        F.trim(
+            apply_merge(
+                apply_merge(apply_merge(spaced, F.col("m1")), F.col("m2")),
+                F.col("m3"),
+            )
+        ).alias("sym"),
+    )
+    n_sym = F.length("sym") - F.length(F.replace(F.col("sym"), F.lit(" "), F.lit(""))) + 1
+    return applied.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.length("tok")).cast("bigint").alias("symbols_before"),
+        F.sum(n_sym).cast("bigint").alias("symbols_after"),
+        F.round(
+            F.sum(n_sym) * F.lit(1.0) / F.sum(F.length("tok")), 6
+        ).alias("compression"),
+    )
