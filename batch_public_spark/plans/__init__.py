@@ -128,6 +128,7 @@ _NEXT_WINDOW: list[str] = [
     "llmops_maxsim_multivector",
     "llmops_mmr_diversified_topk",
     "llmops_bpe_apply_merges",
+    "llmops_entropy_rate_bigram",
 ]
 
 

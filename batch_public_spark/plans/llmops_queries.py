@@ -3358,3 +3358,102 @@ def llmops_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "llmops_entropy_rate_bigram",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    trans AS (
+      SELECT source,
+             lower(toks[CAST(i AS INT)]) AS prev,
+             lower(toks[CAST(i AS INT) + 1]) AS nxt
+      FROM d, UNNEST(range(1, len(toks))) AS t(i)
+    ), cell AS (
+      SELECT source, prev, nxt, CAST(count(*) AS BIGINT) AS n
+      FROM trans GROUP BY 1, 2, 3
+    ), marg AS (
+      SELECT source, prev, CAST(sum(n) AS BIGINT) AS n_prev
+      FROM cell GROUP BY 1, 2
+    ), tot AS (
+      SELECT source, CAST(sum(n) AS BIGINT) AS n_total FROM cell GROUP BY 1
+    )
+    SELECT c.source, t.n_total AS n_transitions,
+           round(CAST(sum(CAST(round(
+                   -(c.n * 1.0e0 / t.n_total)
+                   * ln(c.n * 1.0e0 / m.n_prev), 10)
+                 AS DECIMAL(28, 10))) AS DOUBLE), 6) AS h_cond_nats,
+           round(CAST(sum(CAST(round(
+                   -(c.n * 1.0e0 / t.n_total)
+                   * ln(c.n * 1.0e0 / t.n_total), 10)
+                 AS DECIMAL(28, 10))) AS DOUBLE), 6) AS h_joint_nats
+    FROM cell c
+    JOIN marg m ON m.source = c.source AND m.prev = c.prev
+    JOIN tot t ON t.source = c.source
+    GROUP BY c.source, t.n_total
+    """,
+)
+def llmops_entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram entropy rate per source: the conditional entropy
+    H(next | prev) = −Σ p(prev,next)·ln p(next|prev) of each source's
+    token stream, alongside the joint bigram entropy — the
+    information-theoretic predictability gate that complements
+    llmops_char_entropy_quality (marginal, characters) and
+    llmops_spec_decode_acceptance (argmax agreement): low H(next|prev)
+    means a small draft model will predict the stream well, high means
+    the source is draft-hostile; the gap H_joint − H_cond is the prev
+    marginal's entropy by the chain rule (invariant-tested). Template/
+    boilerplate-heavy sources show up as conditional-entropy outliers
+    long before a human reads them.
+
+    Parity discipline: cells, margins, and totals are exact BIGINTs;
+    every −p·ln term is ln() of exact-integer ratios rounded to 10 and
+    summed as DECIMAL (order-free), doubles only at emission — the
+    KL/entropy discipline verbatim.
+
+    Spark-first: one in-row transition explode (the spec_decode shape),
+    one shuffle to (source, prev, next) cells, then all entropy algebra
+    on the cell table whose size is bounded by observed-bigram
+    cardinality, not corpus length."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.posexplode(F.transform(tokens(F.col("text")), F.lower)).alias("pos", "tok"),
+        "doc_id",
+    )
+    wlead = W.partitionBy("doc_id").orderBy("pos")
+    trans = tok.select(
+        "source",
+        F.col("tok").alias("prev"),
+        F.lead("tok").over(wlead).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cell = trans.groupBy("source", "prev", "nxt").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    cell = cell.localCheckpoint(eager=False)
+    marg = cell.groupBy("source", "prev").agg(
+        F.sum("n").cast("bigint").alias("n_prev")
+    )
+    tot = cell.groupBy("source").agg(F.sum("n").cast("bigint").alias("n_total"))
+    dec = lambda c: F.round(c, 10).cast("decimal(28,10)")  # noqa: E731
+    j = cell.join(marg, ["source", "prev"]).join(F.broadcast(tot), "source")
+    return j.groupBy("source", F.col("n_total").alias("n_transitions")).agg(
+        F.round(
+            F.sum(
+                dec(
+                    -(F.col("n") * F.lit(1.0) / F.col("n_total"))
+                    * F.log(F.col("n") * F.lit(1.0) / F.col("n_prev"))
+                )
+            ).cast("double"),
+            6,
+        ).alias("h_cond_nats"),
+        F.round(
+            F.sum(
+                dec(
+                    -(F.col("n") * F.lit(1.0) / F.col("n_total"))
+                    * F.log(F.col("n") * F.lit(1.0) / F.col("n_total"))
+                )
+            ).cast("double"),
+            6,
+        ).alias("h_joint_nats"),
+    )

@@ -186,3 +186,30 @@ def test_mmr_picks_are_distinct_and_first_is_top_rel(spark):
     assert rows[0].mmr_score == rows[0].rel
     assert rows[0].rel >= max(rows[1].rel, rows[2].rel) or True  # rel of pick1 is max of pool
     assert rows[0].rel == max(r.rel for r in rows)
+
+
+def test_entropy_chain_rule_and_bounds(spark, ddb):
+    """H_joint - H_cond = H(prev marginal) by the chain rule; both
+    entropies non-negative and H_cond <= H_joint."""
+    rows = _rows(spark, "llmops_entropy_rate_bigram")
+    assert rows
+    for r in rows:
+        assert 0 <= r.h_cond_nats <= r.h_joint_nats + 1e-9, r
+        # chain rule: recompute H(prev) independently in DuckDB
+        hprev = ddb.sql(f"""
+          WITH d AS (SELECT doc_id, source,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> length(x) > 0) AS toks
+                 FROM documents WHERE source = '{r.source}'),
+          trans AS (SELECT lower(toks[CAST(i AS INT)]) AS prev
+                    FROM d, UNNEST(range(1, len(toks))) AS t(i)),
+          m AS (SELECT prev, count(*) AS n FROM trans GROUP BY 1),
+          tot AS (SELECT sum(n) AS nt FROM m)
+          SELECT sum(-(n * 1.0e0 / tot.nt) * ln(n * 1.0e0 / tot.nt))
+          FROM m CROSS JOIN tot GROUP BY tot.nt
+        """).fetchone()[0]
+        assert abs((r.h_joint_nats - r.h_cond_nats) - hprev) < 1e-4, (
+            r.source,
+            r.h_joint_nats - r.h_cond_nats,
+            hprev,
+        )
