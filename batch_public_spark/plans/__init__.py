@@ -129,6 +129,7 @@ _NEXT_WINDOW: list[str] = [
     "llmops_mmr_diversified_topk",
     "llmops_bpe_apply_merges",
     "llmops_entropy_rate_bigram",
+    "llmops_watermark_detect",
 ]
 
 

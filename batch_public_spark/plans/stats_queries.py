@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from batch_public_spark.operators.textops import token_count_ws, tokens
 from batch_public_spark.plans.lint import bounded_window_key
+from batch_public_spark.plans.llmops_queries import _TOKS
 from batch_public_spark.plans.registry import query
 from batch_public_spark.sources.tables import load_table as t
 
@@ -2394,4 +2395,80 @@ def llmops_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "special_ratio"
         ),
         (F.col("n_special") * 20 >= F.col("n_chars")).alias("is_code"),
+    )
+
+
+@query(
+    "llmops_watermark_detect",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    per AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(list_sum(list_transform(toks,
+                    x -> CASE WHEN substring(md5('g:' || lower(x)), 1, 1)
+                                   IN ('0','1','2','3','4','5','6','7')
+                              THEN 1 ELSE 0 END)), 0) AS BIGINT) AS n_green
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens, n_green,
+           CASE WHEN n_tokens > 0
+                THEN round((n_green - 0.5e0 * n_tokens)
+                           / sqrt(n_tokens * 0.25e0), 6) END AS z_score,
+           CASE WHEN n_tokens > 0
+                THEN (n_green - 0.5e0 * n_tokens)
+                     / sqrt(n_tokens * 0.25e0) > 4.0e0
+                ELSE FALSE END AS watermark_detected
+    FROM per
+    """,
+)
+def llmops_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical text-watermark detector (Kirchenbauer-style green-list
+    test): a generation-time watermark biases sampling toward a
+    pseudorandom "green" half of the vocabulary, so detection is a
+    one-proportion z-test — count tokens whose seeded hash lands green
+    (γ = 0.5 via the md5 first hex nibble), z = (n_green − γn)/√(nγ(1−γ)),
+    flag z > 4 (the paper's operating point, ~3e-5 false-positive rate).
+    The corpus is human text, so the z-scores should sit in a unit
+    normal band and NO document should trip the flag — this pins the
+    detector's null behavior (its false-positive side), the half a data
+    pipeline actually exercises when screening pretraining data for
+    synthetic contamination; the alternative side is pure arithmetic on
+    n_green. Provenance sibling of llmops_mojibake_detect (encoding
+    damage) and llmops_code_detect (modality routing).
+
+    Parity discipline: green membership is an exact md5-nibble rule,
+    counts are BIGINT, and the z expression is identical e0-spelled
+    double arithmetic with the n > 0 guard; the >4 decision compares the
+    UNROUNDED z in both engines (a boundary-rounding flip is impossible
+    at the fixture's |z| ≤ ~3).
+
+    Spark-first: one in-row HOF fold riding the scan, zero shuffles —
+    the hashed-features quality-classifier shape with a different
+    per-token predicate."""
+    d = t(spark, sf_dir, "documents").withColumn("toks", tokens(F.col("text")))
+    green = F.expr(
+        "cast(aggregate(transform(toks, x -> CASE WHEN "
+        "substring(md5(concat('g:', lower(x))), 1, 1) IN "
+        "('0','1','2','3','4','5','6','7') THEN 1 ELSE 0 END), 0, "
+        "(acc, v) -> acc + v) as bigint)"
+    )
+    per = d.select(
+        "doc_id",
+        "source",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        green.alias("n_green"),
+    )
+    z = (F.col("n_green") - F.lit(0.5) * F.col("n_tokens")) / F.sqrt(
+        F.col("n_tokens") * F.lit(0.25)
+    )
+    return per.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "n_green",
+        F.when(F.col("n_tokens") > 0, F.round(z, 6)).alias("z_score"),
+        F.when(F.col("n_tokens") > 0, z > F.lit(4.0))
+        .otherwise(F.lit(False))
+        .alias("watermark_detected"),
     )
