@@ -130,6 +130,7 @@ _NEXT_WINDOW: list[str] = [
     "llmops_bpe_apply_merges",
     "llmops_entropy_rate_bigram",
     "llmops_watermark_detect",
+    "events_rate_limit_sim",
 ]
 
 

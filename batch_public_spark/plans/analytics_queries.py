@@ -5078,3 +5078,110 @@ def llmops_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(n_sym) * F.lit(1.0) / F.sum(F.length("tok")), 6
         ).alias("compression"),
     )
+
+
+@query(
+    "events_rate_limit_sim",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS i,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    ), sim(user_id, i, tokens, rejected) AS (
+      SELECT user_id, i, 2.0e0 - 1.0e0, CAST(0 AS BIGINT)
+      FROM ev WHERE i = 1
+      UNION ALL
+      SELECT e.user_id, e.i,
+             CASE WHEN least(2.0e0, s.tokens + e.gap_s / 7200.0e0) >= 1.0e0
+                  THEN least(2.0e0, s.tokens + e.gap_s / 7200.0e0) - 1.0e0
+                  ELSE least(2.0e0, s.tokens + e.gap_s / 7200.0e0) END,
+             s.rejected
+               + CASE WHEN least(2.0e0, s.tokens + e.gap_s / 7200.0e0) >= 1.0e0
+                      THEN 0 ELSE 1 END
+      FROM sim s JOIN ev e ON e.user_id = s.user_id AND e.i = s.i + 1
+    ), final AS (
+      SELECT user_id, max_by(rejected, i) AS n_rejected,
+             CAST(max(i) AS BIGINT) AS n_events
+      FROM sim GROUP BY user_id
+    )
+    SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket,
+           CAST(sum(n_events) AS BIGINT) AS n_events,
+           CAST(sum(n_rejected) AS BIGINT) AS n_rejected,
+           round(sum(n_rejected) * 1.0e0 / sum(n_events), 6) AS reject_rate
+    FROM final GROUP BY 1
+    """,
+)
+def events_rate_limit_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-bucket rate-limiter replay: simulate a 2-token bucket
+    refilling at 1 token / 2 h against every user's actual event
+    stream and count the requests the limiter would have rejected —
+    the capacity-planning question ("what would this limit have done to
+    LAST month's traffic?") answered offline before any limiter ships.
+    Admission is stateful and order-dependent, so this is a genuine
+    ordered fold per user: tokens' = min(cap, tokens + gap/refill),
+    admit iff tokens' ≥ 1 (cap 2, refill 7200 s — fixture-calibrated so
+    bursty users genuinely collide at BOTH smoke SFs). Results roll up to user-id-mod-10 buckets
+    (per-user rows would be |users|-sized; the deciles carry the SLA
+    answer). Bucket reject rates span 0.9-1.9% at sf0.01 (0-3.2% at sf0.001),
+    so the hash attests real contention, not an all-zeros limiter.
+
+    Parity discipline: gaps are exact integer seconds; the bucket state
+    advances through identical e0/D-spelled double arithmetic in
+    Spark's per-user array fold and DuckDB's SET-WISE recursive CTE
+    (each recursion step advances every user's stream one event — the
+    per-user join keys make one CTE drive all streams); counts are
+    BIGINT throughout.
+
+    Spark-first: one shuffle on user_id builds the ordered gap arrays;
+    the fold rides in-row (the Holt discipline, per-user); the decile
+    rollup is map-side. At 100 TB this is the same one-exchange shape
+    as every sessionization query."""
+    ev = t(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    wlag = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id", "ts", "event_id", (sec - F.lag(sec).over(wlag)).alias("gap_s")
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        # gap list in stream order: first element is NULL (no predecessor),
+        # replaced by 0 — the seed consumes the first token unconditionally.
+        F.expr(
+            """
+            aggregate(
+              transform(array_sort(collect_list(struct(ts, event_id,
+                                                       coalesce(gap_s, -1L) as g))),
+                        s -> s.g),
+              named_struct('tokens', cast(-1.0 as double),
+                           'rejected', cast(0 as bigint),
+                           'started', false),
+              (acc, g) -> CASE
+                WHEN NOT acc.started THEN
+                  named_struct('tokens', 2.0D - 1.0D,
+                               'rejected', cast(0 as bigint), 'started', true)
+                ELSE named_struct(
+                  'tokens',
+                  CASE WHEN least(2.0D, acc.tokens + g / 7200.0D) >= 1.0D
+                       THEN least(2.0D, acc.tokens + g / 7200.0D) - 1.0D
+                       ELSE least(2.0D, acc.tokens + g / 7200.0D) END,
+                  'rejected',
+                  acc.rejected + CASE WHEN least(2.0D, acc.tokens + g / 7200.0D) >= 1.0D
+                                      THEN 0L ELSE 1L END,
+                  'started', true)
+              END).rejected
+            """
+        ).alias("n_rejected"),
+    )
+    return per_user.groupBy(
+        (F.col("user_id") % 10).cast("bigint").alias("user_bucket")
+    ).agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.sum("n_rejected").cast("bigint").alias("n_rejected"),
+        F.round(
+            F.sum("n_rejected") * F.lit(1.0) / F.sum("n_events"), 6
+        ).alias("reject_rate"),
+    )
