@@ -131,6 +131,8 @@ _NEXT_WINDOW: list[str] = [
     "llmops_entropy_rate_bigram",
     "llmops_watermark_detect",
     "events_rate_limit_sim",
+    "dq_effective_sample_size",
+    "llmops_best_of_n_curve",
 ]
 
 

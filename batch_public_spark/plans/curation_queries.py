@@ -1061,3 +1061,113 @@ def llmops_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.orderBy("margin", "doc_id").limit(25).select(
         "doc_id", "source", "w_sum", "margin"
     )
+
+
+@query(
+    "llmops_best_of_n_curve",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS_NORM} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, source,
+             CAST(COALESCE(list_sum(list_transform(toks, t -> {_tok_weight('t')})), 0)
+                  AS BIGINT) AS reward
+      FROM d
+    ), ranked AS (
+      SELECT source, reward,
+             CAST(row_number() OVER (PARTITION BY source
+                                     ORDER BY reward, doc_id) AS BIGINT) AS i,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nn
+      FROM s
+    ), grid AS (SELECT * FROM (VALUES (1), (2), (4), (8)) t(n)),
+    terms AS (
+      SELECT r.source, g.n, r.reward,
+             CASE
+               WHEN r.i < g.n THEN 0.0e0
+               WHEN g.n = 1 THEN 1.0e0 / r.nn
+               WHEN g.n = 2 THEN (2.0e0 / r.nn) * (r.i - 1.0e0) / (r.nn - 1.0e0)
+               WHEN g.n = 4 THEN (4.0e0 / r.nn)
+                    * (r.i - 1.0e0) / (r.nn - 1.0e0)
+                    * (r.i - 2.0e0) / (r.nn - 2.0e0)
+                    * (r.i - 3.0e0) / (r.nn - 3.0e0)
+               ELSE (8.0e0 / r.nn)
+                    * (r.i - 1.0e0) / (r.nn - 1.0e0)
+                    * (r.i - 2.0e0) / (r.nn - 2.0e0)
+                    * (r.i - 3.0e0) / (r.nn - 3.0e0)
+                    * (r.i - 4.0e0) / (r.nn - 4.0e0)
+                    * (r.i - 5.0e0) / (r.nn - 5.0e0)
+                    * (r.i - 6.0e0) / (r.nn - 6.0e0)
+                    * (r.i - 7.0e0) / (r.nn - 7.0e0)
+             END AS p_max
+      FROM ranked r CROSS JOIN grid g
+    )
+    SELECT source, CAST(n AS BIGINT) AS n_samples,
+           round(CAST(sum(CAST(round(reward * p_max, 10)
+                               AS DECIMAL(28, 10))) AS DOUBLE), 6)
+             AS expected_best_reward
+    FROM terms GROUP BY source, n
+    """,
+)
+def llmops_best_of_n_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n scaling curve, computed EXACTLY from order statistics:
+    for each source ("prompt"), the expected maximum reward of a uniform
+    random n-subset of its documents ("samples"), for n ∈ {1, 2, 4, 8} —
+    the curve that decides whether best-of-n selection is worth n× the
+    inference cost before anyone runs a sampler. No Monte Carlo anywhere:
+    P(max is the i-th smallest of N) = C(i−1, n−1)/C(N, n) =
+    (n/N)·Π_{j=1}^{n−1}(i−j)/(N−j), spelled as explicit per-n factor
+    chains (≤7 double ratios — no factorials, no overflow, no pow()),
+    and E[max] = Σ rᵢ·pᵢ with each term decimal-summed. n = 1 reproduces
+    the group mean by construction, and the curve is non-decreasing in n
+    (both invariant-tested). Ties are handled by the fixed
+    (reward, doc_id) total order — the max VALUE is unaffected by which
+    tied item ranks higher. Reward is the shared hashed-features integer
+    score (quality_classifier / preference_pairs / uncertainty_sample).
+
+    Spark-first: one in-row fold for rewards, one shuffle for the
+    per-source ranking window, a 4-row broadcast grid, and the curve
+    aggregates on |sources|×4 cells."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(normalized_text(F.col("text")))
+    )
+    reward = F.expr(
+        f"aggregate(transform(toks, t -> cast({_tok_weight('t')} as bigint)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    s = d.select("doc_id", "source", reward.alias("reward"))
+    wr = W.partitionBy("source").orderBy("reward", "doc_id")
+    ranked = s.select(
+        "source",
+        "reward",
+        F.row_number().over(wr).cast("bigint").alias("i"),
+        F.count("*").over(W.partitionBy("source")).cast("bigint").alias("nn"),
+    )
+    grid = F.broadcast(
+        ranked.sparkSession.createDataFrame([(1,), (2,), (4,), (8,)], "n long")
+    )
+
+    def chain(n):
+        expr = F.lit(float(n)) / F.col("nn")
+        for j in range(1, n):
+            expr = expr * (F.col("i") - F.lit(float(j))) / (
+                F.col("nn") - F.lit(float(j))
+            )
+        return expr
+
+    p_max = (
+        F.when(F.col("i") < F.col("n"), F.lit(0.0))
+        .when(F.col("n") == 1, chain(1))
+        .when(F.col("n") == 2, chain(2))
+        .when(F.col("n") == 4, chain(4))
+        .otherwise(chain(8))
+    )
+    terms = ranked.crossJoin(grid).select(
+        "source",
+        "n",
+        (F.col("reward") * p_max).alias("term"),
+    )
+    return terms.groupBy("source", F.col("n").alias("n_samples")).agg(
+        F.round(
+            F.sum(F.round(F.col("term"), 10).cast("decimal(28,10)")).cast("double"),
+            6,
+        ).alias("expected_best_reward")
+    )

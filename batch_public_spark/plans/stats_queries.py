@@ -2472,3 +2472,53 @@ def llmops_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
         .alias("watermark_detected"),
     )
+
+
+@query(
+    "dq_effective_sample_size",
+    oracle="""
+    WITH s AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(n_chars) AS BIGINT) AS sw,
+             CAST(sum(n_chars * n_chars) AS BIGINT) AS sw2
+      FROM documents GROUP BY source
+    )
+    SELECT source, n,
+           round(sw * 1.0e0 * sw / sw2, 6) AS ess,
+           round((sw * 1.0e0 * sw / sw2) / n, 6) AS ess_ratio
+    FROM s
+    """,
+)
+def dq_effective_sample_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kish effective sample size of each source under length weighting:
+    ESS = (Σw)²/Σw² — how many EQUAL-weight documents the weighted set is
+    statistically worth. The gate every importance-weighted pipeline
+    (llmops_importance_resample's PPS picks, temperature mixing's
+    upsampling) must watch: ess_ratio → 1 means weights are uniform,
+    → 1/n means one heavy document carries the whole source and every
+    downstream estimate rides its variance. Weights are n_chars (the
+    resampler's weights), so this audits that query's actual operating
+    regime.
+
+    Parity discipline: Σw and Σw² are exact BIGINTs (n_chars ≤ ~600, so
+    Σw² fits comfortably); the two emissions divide exact inputs with
+    e0-spelled doubles. Σw² > 0 whenever the source has a document (the
+    fixture has no empty texts; an all-empty source would need the
+    derived-divisor guard — noted, not needed).
+
+    Spark-first: one map-side partial aggregation; the statistic runs on
+    |sources| rows."""
+    d = t(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sw"),
+        F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint").alias("sw2"),
+    )
+    ess = F.col("sw") * F.lit(1.0) * F.col("sw") / F.col("sw2")
+    return s.select(
+        "source",
+        "n",
+        F.round(ess, 6).alias("ess"),
+        F.round(ess / F.col("n"), 6).alias("ess_ratio"),
+    )
