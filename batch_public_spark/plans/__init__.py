@@ -133,6 +133,7 @@ _NEXT_WINDOW: list[str] = [
     "events_rate_limit_sim",
     "dq_effective_sample_size",
     "llmops_best_of_n_curve",
+    "pipeline_cost_accounting",
 ]
 
 
