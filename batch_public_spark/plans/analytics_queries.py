@@ -26,6 +26,35 @@ from batch_public_spark.sources.tables import load_table as t
 
 SESSION_GAP_US = 600 * 1_000_000  # 10 minutes
 
+# Per-minute-bucket participant cap for the co-presence graph family
+# (graph_kcore_peel / graph_bfs_distance / graph_label_propagation /
+# graph_link_prediction). The bucket self-join emits m²/2 pairs per
+# bucket, so one hot minute (launch spike, bot storm) with m active users
+# is a quadratic task-killer on a single key at scale; capping each bucket
+# to a deterministic top-k by user id bounds every bucket at CAP²/2 pairs
+# regardless of skew. The cap is mirrored verbatim in every oracle
+# (row_number() OVER (PARTITION BY <bucket key> ORDER BY u) <= 256) so the
+# driver hash attests the CAPPED measure, not an uncapped ideal. Fixture
+# buckets sit far below the cap (sf0.1 max = 12 participants), so fixture
+# results are unchanged; the BINDING case is pinned by
+# tests/test_r9_invariants.py, which plants a synthetic hot bucket above
+# the cap and checks Spark against DuckDB on the capped edge list.
+PRESENCE_BUCKET_CAP = 256
+
+
+def _capped_presence(pres: DataFrame, *keys: str) -> DataFrame:
+    """Deterministic per-bucket participant cap for co-presence graphs:
+    keep the first PRESENCE_BUCKET_CAP users (ordered by user id) within
+    every bucket key group. One partitioned row_number whose exchange is
+    on the same bucket key the self-join shuffles on anyway, so the cap
+    adds no extra shuffle — the join reuses the window's partitioning."""
+    w = W.partitionBy(*keys).orderBy("u")
+    return (
+        pres.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PRESENCE_BUCKET_CAP)
+        .drop("rn")
+    )
+
 
 _SCRATCH_DIRS: set = set()
 
@@ -3430,9 +3459,14 @@ def window_order_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_kcore_peel",
     oracle="""
-    WITH pres AS (
+    WITH pres0 AS (
       SELECT DISTINCT user_id AS u, CAST(floor(epoch(ts) / 60) AS BIGINT) AS b
       FROM events
+    ), pres AS (
+      SELECT u, b FROM (
+        SELECT u, b, row_number() OVER (PARTITION BY b ORDER BY u) AS rn
+        FROM pres0
+      ) WHERE rn <= 256
     ), edges0 AS (
       SELECT a.u AS x, b.u AS y
       FROM pres a JOIN pres b ON a.b = b.b AND a.u < b.u
@@ -3488,18 +3522,24 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     round.
 
     Spark-first: the co-presence edge list reduces (DISTINCT on the
-    bounded (user, minute) grid, then one grouped self-equi-join on the
-    bucket — never user×user); each peel round is one degree aggregation
+    bounded (user, minute) grid, then a per-bucket participant cap —
+    row_number ≤ PRESENCE_BUCKET_CAP, mirrored in the oracle — then one
+    grouped self-equi-join on the bucket: never user×user, and no single
+    hot minute can emit more than CAP²/2 pairs); each peel round is one
+    degree aggregation
     plus two semi-joins, and every round's edge set is lazily
     checkpointed before fanning into the next round's three consumers
     (degree count, both semi-join probes) so round N+1 never recomputes
     round N — the iterative-graph discipline from operators/graph.py
     (verdict-r6: single lazy-checkpointed edge materialization)."""
     ev = t(spark, sf_dir, "events")
-    pres = ev.select(
-        F.col("user_id").alias("u"),
-        F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("b"),
-    ).distinct()
+    pres = _capped_presence(
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("b"),
+        ).distinct(),
+        "b",
+    )
     a = pres.select(F.col("u").alias("x"), "b")
     b_ = pres.select(F.col("u").alias("y"), "b")
     edges = (
@@ -3538,10 +3578,15 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_bfs_distance",
     oracle="""
-    WITH pres AS (
+    WITH pres0 AS (
       SELECT DISTINCT user_id AS u, CAST(floor(epoch(ts) / 60) AS BIGINT) AS b,
              event_type AS et
       FROM events
+    ), pres AS (
+      SELECT u, b, et FROM (
+        SELECT u, b, et, row_number() OVER (PARTITION BY b, et ORDER BY u) AS rn
+        FROM pres0
+      ) WHERE rn <= 256
     ), edges0 AS (
       SELECT a.u AS x, b.u AS y
       FROM pres a JOIN pres b ON a.b = b.b AND a.et = b.et AND a.u < b.u
@@ -3588,7 +3633,11 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds are declared, not convergence — a production run loops the
     same per-round plan until the frontier empties.
 
-    Spark-first: each round is one equi-join of the directed edge list
+    Spark-first: edge construction caps each (minute, event_type) bucket
+    at PRESENCE_BUCKET_CAP deterministic participants (mirrored in the
+    oracle; non-binding at fixture SF — see _capped_presence), so no hot
+    bucket can emit a quadratic pair blowup. Each round is one equi-join
+    of the directed edge list
     against the (tiny, broadcast) frontier, a DISTINCT, and a broadcast
     anti-join against the visited set; frontier and visited are lazily
     checkpointed so round N+1 never replays round N's lineage (the
@@ -3597,11 +3646,15 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets. The fifth graph operator: CC and PageRank propagate values,
     k-core iterates a degree constraint, BFS iterates set expansion."""
     ev = t(spark, sf_dir, "events")
-    pres = ev.select(
-        F.col("user_id").alias("u"),
-        F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("b"),
-        F.col("event_type").alias("et"),
-    ).distinct()
+    pres = _capped_presence(
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("b"),
+            F.col("event_type").alias("et"),
+        ).distinct(),
+        "b",
+        "et",
+    )
     a = pres.select(F.col("u").alias("x"), "b", "et")
     b_ = pres.select(F.col("u").alias("y"), "b", "et")
     e0 = (
@@ -3654,10 +3707,15 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "graph_label_propagation",
     oracle="""
-    WITH pres AS (
+    WITH pres0 AS (
       SELECT DISTINCT user_id AS u, CAST(floor(epoch(ts) / 60) AS BIGINT) AS b,
              event_type AS et
       FROM events
+    ), pres AS (
+      SELECT u, b, et FROM (
+        SELECT u, b, et, row_number() OVER (PARTITION BY b, et ORDER BY u) AS rn
+        FROM pres0
+      ) WHERE rn <= 256
     ), edges0 AS (
       SELECT a.u AS x, b.u AS y
       FROM pres a JOIN pres b ON a.b = b.b AND a.et = b.et AND a.u < b.u
@@ -3704,18 +3762,25 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the community-size histogram — the chart that says whether the graph
     has real cluster structure before anyone pays for Louvain.
 
-    Spark-first: each round is one edge⋈label equi-join (labels shuffle
+    Spark-first: edge construction caps each (minute, event_type) bucket
+    at PRESENCE_BUCKET_CAP deterministic participants (mirrored in the
+    oracle; non-binding at fixture SF — see _capped_presence). Each round
+    is one edge⋈label equi-join (labels shuffle
     on u, the same key the groupBy immediately reuses) + one grouped
     min; label tables are lazily checkpointed per round so lineage never
     replays (graph.py discipline). Packing bounds: c < 1e5 neighbors,
     lab < 1e9 user ids — the packed key fits BIGINT with 4 orders of
     margin."""
     ev = t(spark, sf_dir, "events")
-    pres = ev.select(
-        F.col("user_id").alias("u"),
-        F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("b"),
-        F.col("event_type").alias("et"),
-    ).distinct()
+    pres = _capped_presence(
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("b"),
+            F.col("event_type").alias("et"),
+        ).distinct(),
+        "b",
+        "et",
+    )
     a = pres.select(F.col("u").alias("x"), "b", "et")
     b_ = pres.select(F.col("u").alias("y"), "b", "et")
     e0 = (
@@ -3922,9 +3987,14 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "graph_link_prediction",
     oracle="""
-    WITH pres AS (
+    WITH pres0 AS (
       SELECT DISTINCT user_id AS u, CAST(floor(epoch(ts) / 60) AS BIGINT) AS b
       FROM events
+    ), pres AS (
+      SELECT u, b FROM (
+        SELECT u, b, row_number() OVER (PARTITION BY b ORDER BY u) AS rn
+        FROM pres0
+      ) WHERE rn <= 256
     ), edges0 AS (
       SELECT a.u AS x, b.u AS y
       FROM pres a JOIN pres b ON a.b = b.b AND a.u < b.u
@@ -3933,9 +4003,11 @@ def events_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame
       SELECT x AS w, y AS v FROM edges0 UNION ALL SELECT y, x FROM edges0
     ), deg AS (
       SELECT w AS u, CAST(count(*) AS BIGINT) AS d FROM adj GROUP BY 1
+    ), adjw AS (
+      SELECT a.w, a.v FROM adj a JOIN deg d ON d.u = a.w WHERE d.d <= 1000
     ), wedge AS (
       SELECT a.v AS x, b.v AS y, a.w
-      FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v
+      FROM adjw a JOIN adjw b ON a.w = b.w AND a.v < b.v
     ), cand AS (
       SELECT w.x, w.y,
              CAST(count(*) AS BIGINT) AS common_neighbors,
@@ -3980,18 +4052,26 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     KL/entropy discipline) — then cast back and rounded to 6; the top-25
     cut is made deterministic by the (adamic_adar DESC, x, y) total order.
 
-    Spark-first: wedge enumeration is the one quadratic step — Σ deg²
-    pairs (16.4 M at sf0.1, max degree 222). It shuffles on the witness w
-    (never user×user); at 100 TB the standard production cap drops
-    super-hub witnesses first (deg(w) > ~10³), which Adamic-Adar already
-    discounts to < 1/ln(10³) ≈ 0.14 signal each — the same hot-key cap
-    discipline as the MinHash bucket gather. The existing-edge exclusion
+    Spark-first: edge construction caps each minute bucket at
+    PRESENCE_BUCKET_CAP deterministic participants (mirrored in the
+    oracle — no hot minute can emit more than CAP²/2 pairs), and wedge
+    enumeration — the one quadratic step, Σ deg² pairs (16.4 M at sf0.1,
+    max degree 222) — shuffles on the witness w (never user×user) AND
+    drops super-hub witnesses (deg(w) > 10³, mirrored in the oracle's
+    adjw CTE), which Adamic-Adar already discounts to < 1/ln(10³) ≈ 0.14
+    signal each — the same hot-key cap discipline as the MinHash bucket
+    gather, now in the plan rather than the comments. Neither cap binds
+    at fixture SF (max bucket 12, max degree 222); the binding case is
+    pinned in tests/test_r9_invariants.py. The existing-edge exclusion
     is one anti-join on the pair key."""
     ev = t(spark, sf_dir, "events")
-    pres = ev.select(
-        F.col("user_id").alias("u"),
-        F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("b"),
-    ).distinct()
+    pres = _capped_presence(
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("b"),
+        ).distinct(),
+        "b",
+    )
     a = pres.select(F.col("u").alias("x"), "b")
     b_ = pres.select(F.col("u").alias("y"), "b")
     edges0 = (
@@ -4014,17 +4094,25 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # table broadcasts, so the 16M-row wedge stream never joins anything
     # bigger than a broadcast and is reduced to candidate pairs by the
     # groupBy before the (broadcast) anti-join prunes closed pairs.
-    adjd = adj.join(
-        F.broadcast(deg.select(F.col("u").alias("w"), "d")), "w"
-    ).select(
-        "w",
-        "v",
-        # d = 1 nodes can't witness a wedge (they have one neighbor), but the
-        # term is now evaluated on every adjacency row, so guard ln(1) = 0.
-        F.when(
-            F.col("d") > 1,
-            F.round(F.lit(1.0) / F.log(F.col("d")), 10).cast("decimal(28,10)"),
-        ).alias("term"),
+    adjd = (
+        adj.join(F.broadcast(deg.select(F.col("u").alias("w"), "d")), "w")
+        # Super-hub witness cap (mirrored in the oracle's adjw CTE): a
+        # witness with degree d emits d²/2 wedges, so one 10⁶-degree hub
+        # is a 10¹²-pair task. Adamic-Adar discounts such witnesses to
+        # < 1/ln(10³) ≈ 0.14 signal each anyway — dropping them bounds the
+        # wedge stage at 10⁶ pairs per witness and barely moves the score.
+        # Jaccard/common_neighbors denominators keep the TRUE degree.
+        .filter(F.col("d") <= 1000)
+        .select(
+            "w",
+            "v",
+            # d = 1 nodes can't witness a wedge (they have one neighbor), but
+            # the term is evaluated on every adjacency row, so guard ln(1)=0.
+            F.when(
+                F.col("d") > 1,
+                F.round(F.lit(1.0) / F.log(F.col("d")), 10).cast("decimal(28,10)"),
+            ).alias("term"),
+        )
     )
     # The wedge join's output is deg²-amplified (16.4 M rows from 220 k
     # inputs at sf0.1): AQE sizes the exchange by join INPUT bytes and
@@ -5083,7 +5171,7 @@ def llmops_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "events_rate_limit_sim",
     oracle="""
-    WITH RECURSIVE ev AS (
+    WITH RECURSIVE ev0 AS (
       SELECT user_id,
              CAST(row_number() OVER (PARTITION BY user_id
                                      ORDER BY ts, event_id) AS BIGINT) AS i,
@@ -5091,6 +5179,8 @@ def llmops_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                - lag(CAST(floor(epoch(ts)) AS BIGINT))
                  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
       FROM events
+    ), ev AS (
+      SELECT * FROM ev0 WHERE i <= 100000
     ), sim(user_id, i, tokens, rejected) AS (
       SELECT user_id, i, 2.0e0 - 1.0e0, CAST(0 AS BIGINT)
       FROM ev WHERE i = 1
@@ -5139,13 +5229,21 @@ def events_rate_limit_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first: one shuffle on user_id builds the ordered gap arrays;
     the fold rides in-row (the Holt discipline, per-user); the decile
     rollup is map-side. At 100 TB this is the same one-exchange shape
-    as every sessionization query."""
+    as every sessionization query. Unlike the Holt folds (whose array is
+    the CALENDAR-bounded daily grid), the per-user array here is bounded
+    only by that user's traffic, so the plan caps each key at its first
+    100 000 events — row_number in the SAME window the lag already pays
+    for (no extra exchange), mirrored in the oracle's ev CTE — so one
+    pathological user_id (a bot hammering the API) holds at most ~800 KB
+    in its task's row instead of its entire history. Non-binding at
+    fixture SF (max 99 events/user at sf0.1); the binding case is pinned
+    by tests/test_r9_invariants.py with a synthetic hot key."""
     ev = t(spark, sf_dir, "events")
     sec = F.floor(F.unix_timestamp("ts")).cast("bigint")
     wlag = W.partitionBy("user_id").orderBy("ts", "event_id")
     gaps = ev.select(
         "user_id", "ts", "event_id", (sec - F.lag(sec).over(wlag)).alias("gap_s")
-    )
+    ).withColumn("rn", F.row_number().over(wlag)).filter(F.col("rn") <= 100_000).drop("rn")
     per_user = gaps.groupBy("user_id").agg(
         F.count("*").cast("bigint").alias("n_events"),
         # gap list in stream order: first element is NULL (no predecessor),

@@ -215,6 +215,13 @@ class KVSnapshotReader(DataSourceReader):
         """
         if not partition.path:
             return
+        # Per-partition counters: one deserialized reader instance may
+        # serve several partitions, so reset at entry or the flushed
+        # warning would report CUMULATIVE drops labeled with the last
+        # partition's byte range.
+        self.dropped_parse = 0
+        self.dropped_type = 0
+        self._first_dropped = None
         arrow_schema = to_arrow_schema(self.spark_schema)
         batch: List[dict] = []
         for raw in _read_lines(partition):

@@ -207,6 +207,24 @@ def interval_join_pairs(
     At 100 TB the state bound is the whole story — without the interval
     condition Spark must buffer both streams forever (it rejects the
     plan for append mode without a watermark+range)."""
+    # Normalize `how` up front: Spark itself accepts aliases ("fullouter",
+    # "full", "outer", ...), so an unnormalized string would silently pick
+    # the wrong user-key branch below — e.g. how="fullouter" would join
+    # full-outer but skip the coalesce, yielding NULL user_id on
+    # right-only rows. Whitelist the supported shapes and refuse the rest
+    # (right_outer would need a mirrored coalesce nobody exercises).
+    norm = how.lower().replace("_", "")
+    if norm == "inner":
+        how = "inner"
+    elif norm in ("leftouter", "left"):
+        how = "left_outer"
+    elif norm in ("fullouter", "full", "outer"):
+        how = "full_outer"
+    else:
+        raise ValueError(
+            f"interval_join_pairs: unsupported how={how!r}; "
+            "use inner, left_outer, or full_outer"
+        )
     lt = (
         left.filter(F.col("event_type") == left_type)
         .select(
@@ -233,10 +251,11 @@ def interval_join_pairs(
         how,
     )
     # Under full_outer the left_user is NULL on right-only rows (and vice
-    # versa) — the user key must coalesce across sides.
+    # versa) — the user key must coalesce across sides. `how` is
+    # normalized above, so the literal compare is exhaustive.
     user = (
         F.coalesce(F.col("left_user"), F.col("right_user"))
-        if how in ("full_outer", "full", "outer")
+        if how == "full_outer"
         else F.col("left_user")
     )
     return joined.select(

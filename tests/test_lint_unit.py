@@ -54,3 +54,51 @@ def test_expression_partition_key_counts():
 def test_frame_only_spec_has_no_keys():
     args = "specifiedwindowframe(RowFrame, unboundedpreceding$(), unboundedfollowing$())"
     assert _window_partition_keys(args) == []
+
+
+# --- uncapped-bucket-self-join (r9) -----------------------------------
+
+_BUCKET_PROJECT = (
+    "Project [user_id#5L AS u#50L, FLOOR((cast(unix_timestamp(ts#3) as double)"
+    " / 60.0)) AS b#51L]"
+)
+_CAP_WINDOW = (
+    "Window [row_number() windowspecdefinition(b#51L, u#50L ASC NULLS FIRST, "
+    "specifiedwindowframe(RowFrame, unboundedpreceding$(), currentrow$())) "
+    "AS rn#60]"
+)
+_SELF_JOIN = "SortMergeJoin [b#51L], [b#151L], Inner"
+
+
+def test_uncapped_bucket_self_join_flagged():
+    from batch_public_spark.plans.lint import _self_join_bucket_findings
+
+    plan = "\n".join([_BUCKET_PROJECT, _SELF_JOIN])
+    kinds = [f.kind for f in _self_join_bucket_findings(plan)]
+    assert kinds == ["uncapped-bucket-self-join"]
+
+
+def test_row_number_cap_suppresses_finding():
+    from batch_public_spark.plans.lint import _self_join_bucket_findings
+
+    plan = "\n".join([_BUCKET_PROJECT, _CAP_WINDOW, _SELF_JOIN])
+    assert _self_join_bucket_findings(plan) == []
+
+
+def test_non_self_join_on_bucket_not_flagged():
+    # Different key names on the two sides (a bucket joined against a
+    # pre-aggregated dimension) is not the self-join shape.
+    from batch_public_spark.plans.lint import _self_join_bucket_findings
+
+    plan = "\n".join(
+        [_BUCKET_PROJECT, "SortMergeJoin [b#51L], [bucket_id#9L], Inner"]
+    )
+    assert _self_join_bucket_findings(plan) == []
+
+
+def test_self_join_on_natural_key_not_flagged():
+    # Same-named keys but NOT bucket-derived (plain column) — out of scope.
+    from batch_public_spark.plans.lint import _self_join_bucket_findings
+
+    plan = "SortMergeJoin [user_id#5L], [user_id#105L], Inner"
+    assert _self_join_bucket_findings(plan) == []

@@ -24,6 +24,11 @@ ALLOWLIST: set[tuple[str, str]] = {
     # replacement (approx-percentile bucket thresholds, cf. cust_rfm's
     # integer-rank quartiles); marking it "bounded" would be dishonest.
     ("window_ntile_quartiles", "unpartitioned-window"),
+    # The digit key IS floor-derived and same-named on both sides, but both
+    # join inputs are per-digit AGGREGATES (≤ 9 rows each: observed counts
+    # vs the 9-row Benford expectation dim) — keys are unique per side, so
+    # the join emits ≤ 9 rows; there is no m²-per-key amplification to cap.
+    ("dq_benford_first_digit", "uncapped-bucket-self-join"),
 }
 
 

@@ -484,3 +484,54 @@ def test_dynamic_partition_pruning_fires(spark):
     df = QUERIES["join_dynamic_partition_pruning"].fn(spark, SF_DIR)
     txt = df._jdf.queryExecution().toString().lower()
     assert "dynamicpruning" in txt, "DPP subquery missing from the plan"
+
+
+# --- retrieval-stack shapes (r9, verdict item #5): the docstrings claim
+# broadcast-query / no-corpus-shuffle shapes; pin them so an edit can't
+# silently regress the 100 TB geometry while the sf hash stays green. ---
+
+
+def test_pq_adc_lut_broadcasts_and_no_corpus_smj(spark):
+    """llmops_ann_pq_adc: the M×K lookup table must BROADCAST onto the
+    code assignments; the database side never sort-merge-joins."""
+    p = plan(spark, "llmops_ann_pq_adc")
+    assert re.search(r"\(\d+\) BroadcastHashJoin", p), p
+    assert "SortMergeJoin" not in p, p
+
+
+def test_maxsim_queries_broadcast_and_explode_is_in_row(spark):
+    """llmops_maxsim_multivector: the query parts reach the corpus as a
+    broadcast (nested-loop on the != predicate), sub-vectors fan out via
+    in-row Generate — the corpus is never shuffled for scoring."""
+    p = plan(spark, "llmops_maxsim_multivector")
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    assert re.search(r"\(\d+\) Generate", p), p
+
+
+def test_rerank_cascade_queries_broadcast_no_corpus_smj(spark):
+    """llmops_rerank_cascade_recall: both corpus scans (shortlist leg,
+    exact leg) take the 5-query side as a BROADCAST nested-loop; the only
+    sort-merge join allowed is the final recall audit over the two
+    k-bounded top-10 lists (≤50 rows a side at any corpus size)."""
+    p = plan(spark, "llmops_rerank_cascade_recall")
+    assert len(re.findall(r"\(\d+\) BroadcastNestedLoopJoin", p)) >= 2, p
+    assert len(re.findall(r"\(\d+\) SortMergeJoin", p)) <= 1, p
+
+
+def test_rrf_fusion_both_rankers_take_ordered(spark):
+    """llmops_hybrid_rrf_fusion: each ranker's top-20 must be TakeOrdered
+    (per-partition heap), and the postings probes broadcast the 3-term
+    query side — the corpus tf table never sort-merge-joins."""
+    p = plan(spark, "llmops_hybrid_rrf_fusion")
+    assert len(re.findall(r"\(\d+\) TakeOrderedAndProject", p)) >= 2, p
+    assert re.search(r"\(\d+\) BroadcastHashJoin", p), p
+
+
+def test_mmr_pool_and_picks_are_take_ordered(spark):
+    """llmops_mmr_diversified_topk: the candidate pool and every greedy
+    pick must be TakeOrdered over the bounded pool — no global Sort, no
+    cartesian of the corpus."""
+    p = plan(spark, "llmops_mmr_diversified_topk")
+    assert re.search(r"TakeOrderedAndProject", p), p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p

@@ -184,7 +184,6 @@ def test_mmr_picks_are_distinct_and_first_is_top_rel(spark):
     assert len({r.vec_id for r in rows}) == 3
     # pick 1 is pure relevance; later picks trade relevance for diversity
     assert rows[0].mmr_score == rows[0].rel
-    assert rows[0].rel >= max(rows[1].rel, rows[2].rel) or True  # rel of pick1 is max of pool
     assert rows[0].rel == max(r.rel for r in rows)
 
 
