@@ -33,77 +33,11 @@ from batch_public_spark.plans import eval_mining_queries  # noqa: F401  # eval/m
 # driver-attested, in this window, or in _NEXT_WINDOW (and that
 # _NEXT_WINDOW fits a single future window).
 _PRIORITY = [
-    # Round 8 rotation. The cumulative driver-attested union reached
-    # 280/280 in r7, so this window carries only (a) plans changed in r8
-    # (re-attest per the rotation policy) and (b) r8 additions, appended
-    # as they land.
-    # --- changed in r8 (r7 ADVICE fixes) after last driver check ---
-    "dq_mannwhitney_length_drift",  # sigma>0 / n>1 derived-divisor guard
-    "agg_skew_kurtosis_exact",  # oracle: nested guard, sqrt only on var>0
-    "udtf_corruption_spans",  # explicit [ \t\n\r\f] whitespace class, both engines
-    "source_kvscan_segmented",  # permissive-mode drop counters + warning
-    # cosine() now divides sequentially (dot/na/nb) — inside every ANN plan:
-    "llmops_ann_bruteforce",
-    "llmops_ann_lsh",
-    "llmops_ann_ivf",
-    "llmops_ann_ivf_lloyd_recall",
-    "llmops_hard_negatives",
-    # llmops_boilerplate_sentence_filter: one-exchange rewrite (two-level
-    # agg + sh-window replaces the df join; xxhash64 segment keys)
-    "llmops_boilerplate_sentence_filter",
-    # --- added in r8 ---
-    "dq_cramers_v",
-    "dq_js_divergence",
-    "llmops_mojibake_detect",
-    "llmops_readability_score",
-    "llmops_containment_neardup",
-    "llmops_chunk_boundary_dup",
-    "llmops_pq_codebook",
-    "llmops_jl_projection_distortion",
-    "graph_kcore_peel",
-    "stream_stream_leftouter",
-    "stream_chained_agg",
-    "dq_autocorr_lag",
-    "agg_grouping_id_battery",
-    "llmops_ann_pq_adc",
-    "graph_bfs_distance",
-    "graph_label_propagation",
-    "sql_listagg_group_by_all",
-    "window_ignore_nulls_battery",
-    "scalar_try_arithmetic_battery",
-    "llmops_semdedup_clusters",
-    "llmops_curriculum_phases",
-    "llmops_lsh_param_planner",
-    "stream_stream_fullouter",
-    "events_survival_curve",
-    "events_session_window_builtin",
-    "dq_welch_ttest_drift",
-    "graph_link_prediction",
-    "hof_array_battery",
-    "map_funcs_battery",
-    "scalar_xml_roundtrip",
-    "llmops_preference_pairs",
-    "events_holt_linear",
-    "agg_ols_two_feature",
-    "agg_theil_sen_slope",
-    "events_burstiness",
-    "source_binaryfile_ingest",
-    "dq_fk_orphan_audit",
-    "llmops_code_detect",
-    # --- placeholders (stalest-attested names, all r1; swapped out
-    # one-for-one as r8 queries land — re-attesting them is harmless and
-    # refreshes the oldest evidence) ---
-    "join_broadcast_geo",
-    "join_cross_region_segment",
-]
-
-# Overflow queue for names that do not fit the current 50-entry window;
-# they are the mandatory head of the next round's _PRIORITY rotation.
-# tests/test_registry_rotation.py fails if a registered query is in none of
-# {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}.
-_NEXT_WINDOW: list[str] = [
-    # r8 additions that did not fit the 50-entry r8 window — mandatory
-    # head of the r9 rotation.
+    # Round 9 rotation. r8 attested 49 hash + 1 rows-only, cumulative
+    # union 318/348 with the 30 r8-overflow names below queued first —
+    # attesting them closes the backlog at 348/348 before this round's
+    # changes and additions take the remaining slots.
+    # --- r8 overflow (_NEXT_WINDOW of r8, mandatory head) ---
     "sql_pivot_unpivot_roundtrip",
     "scalar_csv_funcs",
     "llmops_uncertainty_sample",
@@ -130,11 +64,47 @@ _NEXT_WINDOW: list[str] = [
     "llmops_bpe_apply_merges",
     "llmops_entropy_rate_bigram",
     "llmops_watermark_detect",
-    "events_rate_limit_sim",
+    "events_rate_limit_sim",  # also changed in r9: per-user 100k event cap
     "dq_effective_sample_size",
     "llmops_best_of_n_curve",
     "pipeline_cost_accounting",
+    # --- changed in r9 (re-attest per rotation policy): the co-presence
+    # graph family gained the per-bucket participant cap (row_number <=
+    # 256, mirrored in the oracles) and link_prediction the deg<=1000
+    # witness cap — hashes unchanged at fixture SF (caps bind only on
+    # synthetic hot keys, tests/test_r9_invariants.py), but the plans
+    # changed, so the driver re-attests them. ---
+    "graph_kcore_peel",
+    "graph_bfs_distance",
+    "graph_label_propagation",
+    "graph_link_prediction",
+    # --- added in r9 ---
+    "events_markov_transitions",
+    "events_cusum_changepoint",
+    "events_seasonal_mase",
+    "llmops_gopher_reject_rates",
+    "llmops_domain_reweight",
+    "llmops_knn_graph_audit",
+    "llmops_response_length_bias",
+    "dq_arrival_gap_audit",
+    "source_csv_malformed_permissive",
+    "graph_modularity_score",
+    "stream_stream_leftsemi",
+    # --- placeholders (stalest-attested names, all r1; re-attesting
+    # refreshes the oldest evidence and keeps the window exactly 50) ---
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "topk_orders_global",
+    "events_sessionize_gap",
+    "llmops_dedup_exact",
 ]
+
+# Overflow queue for names that do not fit the current 50-entry window;
+# they are the mandatory head of the next round's _PRIORITY rotation.
+# tests/test_registry_rotation.py fails if a registered query is in none of
+# {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}. Empty this round:
+# every registered query is either driver-attested or in the window.
+_NEXT_WINDOW: list[str] = []
 
 
 def _reorder() -> None:

@@ -5283,3 +5283,510 @@ def events_rate_limit_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_rejected") * F.lit(1.0) / F.sum("n_events"), 6
         ).alias("reject_rate"),
     )
+
+
+@query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), trans AS (
+      SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+    ), grid AS (
+      SELECT a.event_type AS prev, b.event_type AS cur
+      FROM (SELECT DISTINCT event_type FROM events) a,
+           (SELECT DISTINCT event_type FROM events) b
+    ), tot AS (
+      SELECT prev, CAST(sum(n) AS BIGINT) AS row_n FROM trans GROUP BY prev
+    )
+    SELECT g.prev, g.cur,
+           coalesce(t.n, 0) AS n_trans,
+           round((coalesce(t.n, 0) + 1) * 1.0e0
+                 / (coalesce(o.row_n, 0) + 5), 6) AS p_smoothed
+    FROM grid g
+    LEFT JOIN trans t ON t.prev = g.prev AND t.cur = g.cur
+    LEFT JOIN tot o ON o.prev = g.prev
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event-type
+    sequences with add-one (Laplace) smoothing — the behavioral model
+    under next-action prediction, session-anomaly scoring (bot flows
+    transition differently than humans), and funnel leak analysis. The
+    full |types|² grid is emitted (including never-seen transitions at
+    their smoothed floor) so downstream log-likelihood scoring never hits
+    a missing cell.
+
+    Parity discipline: transition counts are exact BIGINTs; the smoothed
+    probability divides exact integers ((n+1)/(row_total+|types|)) as
+    doubles, rounded to 6 — no accumulated float state anywhere.
+
+    Spark-first: ONE shuffle on user_id orders each user's stream for the
+    lag; the count is a hash aggregate on (prev, cur) — 25 cells at any
+    scale; the smoothing grid is a broadcast cross of the 5-row distinct
+    type lists. At 100 TB this is sessionization-shaped: the heavy
+    exchange is the per-user ordering the window already needs."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"), F.lag("event_type").over(w).alias("prev")
+    )
+    trans = (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    types = ev.select(F.col("event_type").alias("t")).distinct()
+    grid = types.select(F.col("t").alias("prev")).crossJoin(
+        F.broadcast(types.select(F.col("t").alias("cur")))
+    )
+    tot = trans.groupBy("prev").agg(F.sum("n").cast("bigint").alias("row_n"))
+    return (
+        grid.join(F.broadcast(trans), ["prev", "cur"], "left")
+        .join(F.broadcast(tot), ["prev"], "left")
+        .select(
+            "prev",
+            "cur",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_trans"),
+            F.round(
+                (F.coalesce("n", F.lit(0)) + 1)
+                * F.lit(1.0)
+                / (F.coalesce("row_n", F.lit(0)) + 5),
+                6,
+            ).alias("p_smoothed"),
+        )
+    )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), moments AS (
+      SELECT CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sx2,
+             CAST(count(*) AS BIGINT) AS nd
+      FROM daily
+    ), z AS (
+      SELECT d, x,
+             CAST(round(
+               (x - sx * 1.0e0 / nd)
+               / sqrt((sx2 - sx * 1.0e0 / nd * sx) * 1.0e0 / (nd - 1))
+               - 0.5e0, 6) AS DECIMAL(18, 6)) AS y
+      FROM daily, moments
+    ), c AS (
+      SELECT d, x, y,
+             CAST(sum(y) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28, 6)) AS cy
+      FROM z
+    ), s0 AS (
+      SELECT d, x, cy,
+             CAST(min(cy) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(28, 6)) AS mn
+      FROM c
+    ), s AS (
+      -- CASE, not least(): DuckDB's least() over decimals returns DOUBLE
+      SELECT d, x,
+             cy - CASE WHEN mn < CAST(0 AS DECIMAL(28, 6)) THEN mn
+                       ELSE CAST(0 AS DECIMAL(28, 6)) END AS stat
+      FROM s0
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, x AS n_events,
+           CAST(stat AS DOUBLE) AS cusum_stat,
+           stat > 1.5 AS alarm
+    FROM s
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM level-shift detector on daily event volume (Page
+    1954): standardize each day against the series moments, subtract the
+    drift allowance k = 0.5σ, and track S_t = max(0, S_{t-1} + z_t − k) —
+    alarm when S_t exceeds h = 1.5. CUSUM accumulates small persistent
+    shifts that per-day z-score monitors (dq_volume_anomaly's family)
+    never see; it is the standard "slow leak" pager rule. Fixture
+    calibration: the statistic spans 0-1.63 at sf0.01 (1 alarm day) and
+    0-2.14 at sf0.001 (alarms at both smoke SFs — non-vacuous); h = 1.5
+    is deliberately tight at smoke SF — production runs h ≈ 4-5σ.
+
+    Parity discipline: the classic recursive max(0, ...) fold is
+    re-expressed CLOSED-FORM as C_t − min(0, min_{j≤t} C_j) over the
+    cumulative sum C of (z−k) — window functions only, no recursion, no
+    fold (the identity holds exactly for one-sided CUSUM). Moments come
+    from exact integer sums spelled identically in both engines; z−k is
+    rounded to 6 then accumulated as DECIMAL — exact, order-fixed — so
+    the running min/distance are bit-identical.
+
+    Spark-first: daily grid is map-side combinable; the two ordered
+    windows run over |days| rows on ONE deliberate partition (calendar-
+    bounded, the Holt discipline — bounded_window_key documents it)."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    m = daily.agg(
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.count("*").cast("bigint").alias("nd"),
+    )
+    z = daily.crossJoin(F.broadcast(m)).select(
+        "d",
+        "x",
+        F.round(
+            (F.col("x") - F.col("sx") * F.lit(1.0) / F.col("nd"))
+            / F.sqrt(
+                (F.col("sx2") - F.col("sx") * F.lit(1.0) / F.col("nd") * F.col("sx"))
+                * F.lit(1.0)
+                / (F.col("nd") - 1)
+            )
+            - F.lit(0.5),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("y"),
+    )
+    wc = W.partitionBy(bounded_window_key(F.col("x"))).orderBy("d").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    c = z.select(
+        "d", "x", F.sum("y").over(wc).cast("decimal(28,6)").alias("cy")
+    )
+    floor_ = F.least(F.lit(0).cast("decimal(28,6)"), F.min("cy").over(wc))
+    stat = F.col("cy") - floor_
+    return c.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.col("x").alias("n_events"),
+        stat.cast("double").alias("cusum_stat"),
+        (stat > F.lit(1.5)).alias("alarm"),
+    )
+
+
+@query(
+    "events_seasonal_mase",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2
+    ), lagged AS (
+      SELECT event_type, d, x,
+             lag(x, 1) OVER (PARTITION BY event_type ORDER BY d) AS x1,
+             lag(x, 7) OVER (PARTITION BY event_type ORDER BY d) AS x7
+      FROM daily
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_days,
+           round(sum(abs(x - x1)) FILTER (WHERE x1 IS NOT NULL) * 1.0e0
+                 / count(*) FILTER (WHERE x1 IS NOT NULL), 6) AS mae_naive,
+           round(sum(abs(x - x7)) FILTER (WHERE x7 IS NOT NULL) * 1.0e0
+                 / count(*) FILTER (WHERE x7 IS NOT NULL), 6) AS mae_snaive,
+           round((sum(abs(x - x7)) FILTER (WHERE x7 IS NOT NULL) * 1.0e0
+                  / count(*) FILTER (WHERE x7 IS NOT NULL))
+                 / (sum(abs(x - x1)) FILTER (WHERE x1 IS NOT NULL) * 1.0e0
+                    / count(*) FILTER (WHERE x1 IS NOT NULL)), 6) AS mase_ratio
+    FROM lagged GROUP BY event_type
+    """,
+)
+def events_seasonal_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast skill per event type: MAE of the weekly
+    seasonal-naive forecast (x̂_t = x_{t−7}) against MAE of the plain
+    naive walk (x̂_t = x_{t−1}) — their ratio is the in-sample MASE
+    denominator test (Hyndman & Koehler 2006): below 1 means weekly
+    seasonality carries real signal and a seasonal model is worth its
+    complexity; at/above 1 the series is better treated as a random walk.
+    This is the model-selection gate run BEFORE fitting anything — the
+    events_holt/forecast_backtest family decides HOW to smooth, this
+    decides WHETHER the seasonal term earns its keep.
+
+    Parity discipline: daily counts and absolute differences are exact
+    integers; each MAE divides exact integer sums once, rounded to 6; the
+    ratio divides the two already-exact component fractions (1-2 ulp).
+    Filters (x1/x7 IS NOT NULL) make the denominators explicit — no
+    silent null-dropping asymmetry between engines.
+
+    Spark-first: the daily grid is map-side combinable; both lags share
+    ONE window exchange on event_type; the final rollup is 5 rows."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.count("*").cast("bigint").alias("x")
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 7).over(w).alias("x7"),
+    )
+    mae1 = F.sum(F.abs(F.col("x") - F.col("x1"))) * F.lit(1.0) / F.count("x1")
+    mae7 = F.sum(F.abs(F.col("x") - F.col("x7"))) * F.lit(1.0) / F.count("x7")
+    return lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.round(mae1, 6).alias("mae_naive"),
+        F.round(mae7, 6).alias("mae_snaive"),
+        F.round(mae7 / mae1, 6).alias("mase_ratio"),
+    )
+
+
+@query(
+    "source_csv_malformed_permissive",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderstatus AS status,
+             CAST(o_totalprice AS DECIMAL(15, 4)) AS price
+      FROM orders WHERE o_orderkey % 97 != 0
+    )
+    SELECT status, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(price), 2) AS DOUBLE) AS sum_price
+    FROM g GROUP BY status
+    UNION ALL
+    SELECT '_corrupt' AS status,
+           CAST((SELECT count(*) FROM orders WHERE o_orderkey % 97 = 0)
+                AS BIGINT) AS n,
+           CAST(0 AS DOUBLE) AS sum_price
+    """,
+)
+def source_csv_malformed_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-tolerant CSV source (the JSONL permissive contract,
+    S3/pipeline/parser.py:35's tolerance, extended to the second
+    row-oriented lake format): deterministically corrupt every 97th
+    order's price field to a non-numeric token, write the lines as raw
+    text, read them back with an explicit schema in PERMISSIVE mode with
+    ``columnNameOfCorruptRecord``, and prove the quarantine split is
+    EXACT — good rows aggregate to the oracle's (clean-subset) numbers,
+    corrupt rows are counted, nothing is silently dropped or double
+    counted. This is the semantics a 100 TB CSV ingest must guarantee
+    before anyone trusts its row counts.
+
+    Parity discipline: prices round-trip as DECIMAL(15,4) strings (no
+    float re-parse drift); the corrupt marker row carries exact integers.
+
+    Scale notes: explicit schema (inferSchema costs a full extra pass),
+    mode=PERMISSIVE isolates bad FIELDS per row instead of killing the
+    task (DROPMALFORMED would silently shrink counts — the audit row
+    here is the difference between tolerant and lossy); text write/read
+    is per-partition parallel."""
+    out_dir = _scratch_dir(spark, sf_dir, "csv_malformed")
+    o = t(spark, sf_dir, "orders")
+    lines = o.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey").cast("string"),
+            F.col("o_orderstatus"),
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("N/A")).otherwise(
+                F.col("o_totalprice").cast("decimal(15,4)").cast("string")
+            ),
+        ).alias("value")
+    )
+    lines.write.mode("overwrite").text(out_dir)
+    back = (
+        spark.read.option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema(
+            "o_orderkey long, o_orderstatus string, "
+            "o_totalprice decimal(15,4), _bad string"
+        )
+        .csv(out_dir)
+    )
+    # Lazy checkpoint: (a) the split below consumes the parse twice — cut
+    # the scan once; (b) Spark refuses plans whose referenced columns are
+    # ONLY the internal corrupt-record column (the `bad` branch), and a
+    # checkpoint is the documented way to materialize the parsed rows
+    # before filtering on _bad alone.
+    back = back.localCheckpoint(eager=False)
+    good = back.filter(F.col("_bad").isNull()).groupBy(
+        F.col("o_orderstatus").alias("status")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).cast("double").alias("sum_price"),
+    )
+    bad = back.filter(F.col("_bad").isNotNull()).agg(
+        F.count("*").cast("bigint").alias("n")
+    ).select(
+        F.lit("_corrupt").alias("status"), "n", F.lit(0.0).alias("sum_price")
+    )
+    return good.unionAll(bad)
+
+
+@query(
+    "graph_modularity_score",
+    oracle="""
+    WITH pres0 AS (
+      SELECT DISTINCT user_id AS u, CAST(floor(epoch(ts) / 60) AS BIGINT) AS b,
+             event_type AS et
+      FROM events
+    ), pres AS (
+      SELECT u, b, et FROM (
+        SELECT u, b, et, row_number() OVER (PARTITION BY b, et ORDER BY u) AS rn
+        FROM pres0
+      ) WHERE rn <= 256
+    ), edges0 AS (
+      SELECT a.u AS x, b.u AS y
+      FROM pres a JOIN pres b ON a.b = b.b AND a.et = b.et AND a.u < b.u
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT x, y FROM edges0 UNION ALL SELECT y, x FROM edges0
+    ),
+    l0 AS (SELECT DISTINCT x AS u, x AS lab FROM edges),
+    n1 AS (
+      SELECT e.x AS u, l.lab, CAST(count(*) AS BIGINT) AS c
+      FROM edges e JOIN l0 l ON e.y = l.u GROUP BY 1, 2
+    ),
+    l1 AS (
+      SELECT u, min((100000 - c) * 1000000000 + lab) % 1000000000 AS lab
+      FROM n1 GROUP BY u
+    ),
+    n2 AS (
+      SELECT e.x AS u, l.lab, CAST(count(*) AS BIGINT) AS c
+      FROM edges e JOIN l1 l ON e.y = l.u GROUP BY 1, 2
+    ),
+    l2 AS (
+      SELECT u, min((100000 - c) * 1000000000 + lab) % 1000000000 AS lab
+      FROM n2 GROUP BY u
+    ),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM edges0),
+    intra AS (
+      SELECT lx.lab, CAST(count(*) AS BIGINT) AS lc
+      FROM edges0 e
+      JOIN l2 lx ON lx.u = e.x
+      JOIN l2 ly ON ly.u = e.y
+      WHERE lx.lab = ly.lab
+      GROUP BY lx.lab
+    ),
+    deg AS (
+      SELECT x AS u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1
+    ),
+    dc AS (
+      SELECT l.lab, CAST(sum(d.d) AS BIGINT) AS dc
+      FROM l2 l JOIN deg d ON d.u = l.u GROUP BY l.lab
+    ),
+    terms AS (
+      SELECT CAST(round(
+               coalesce(i.lc, 0) * 1.0e0 / m.m
+               - (c.dc * 1.0e0 / (2 * m.m)) * (c.dc * 1.0e0 / (2 * m.m)),
+               10) AS DECIMAL(28, 10)) AS term
+      FROM dc c LEFT JOIN intra i ON i.lab = c.lab, m
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM dc) AS n_communities,
+           (SELECT m FROM m) AS n_edges,
+           round(CAST(coalesce((SELECT sum(term) FROM terms),
+                               CAST(0 AS DECIMAL(28, 10))) AS DOUBLE), 6)
+             AS modularity
+    """,
+)
+def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation communities on the typed
+    co-presence graph: Q = Σ_c [L_c/m − (d_c/2m)²] — the standard "is this
+    partition better than chance" score (Newman & Girvan 2004), the
+    number that decides whether graph_label_propagation's output is worth
+    acting on (Q ≈ 0: the partition is no better than chance; Q ≳ 0.3:
+    real structure). The fixture VERDICT is the interesting part: the
+    2-round synchronous min-tie-break LPA prefix scores Q ≈ −0.016 at
+    sf0.01 — synchronous LPA OSCILLATES on the near-clique typed
+    co-presence graph (each clique's members keep adopting each other's
+    minima), so its round-2 labels are genuinely not assortative yet, and
+    the gate says exactly that: do NOT act on this partition, run more
+    rounds or switch tie-breaking. A quality gate that can fail its own
+    detector is the whole reason to compute one. Eighth graph operator:
+    detection (LPA) and its quality gate both run engine-checked.
+
+    Construction is the LPA query verbatim (capped presence per
+    _capped_presence, 2 synchronized rounds, packed-integer argmin
+    tie-break) so the score grades exactly the partition the detector
+    emits. Parity discipline: L_c, d_c, m are exact BIGINTs; each
+    community's term is one float expression on exact inputs rounded to
+    10 and summed as DECIMAL (order-free — the KL/entropy discipline);
+    one rounded emission.
+
+    Spark-first: labels broadcast back onto the edge list (|nodes| rows
+    vs |edges|); intra-edge counting and degree mass are hash aggregates
+    on the community key; everything after the (shared, lazily
+    checkpointed) edge build is bounded by |nodes|."""
+    ev = t(spark, sf_dir, "events")
+    pres = _capped_presence(
+        ev.select(
+            F.col("user_id").alias("u"),
+            F.floor(F.unix_timestamp("ts") / 60).cast("bigint").alias("b"),
+            F.col("event_type").alias("et"),
+        ).distinct(),
+        "b",
+        "et",
+    )
+    a = pres.select(F.col("u").alias("x"), "b", "et")
+    b_ = pres.select(F.col("u").alias("y"), "b", "et")
+    e0 = (
+        a.join(b_, ["b", "et"])
+        .filter(F.col("x") < F.col("y"))
+        .select("x", "y")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    edges = e0.unionAll(e0.select(F.col("y").alias("x"), F.col("x").alias("y"))).localCheckpoint(
+        eager=False
+    )
+    labels = edges.select(F.col("x").alias("u")).distinct().select("u", F.col("u").alias("lab"))
+    for _ in range(2):
+        n = (
+            edges.join(labels.select(F.col("u").alias("y"), "lab"), "y")
+            .groupBy(F.col("x").alias("u"), "lab")
+            .agg(F.count("*").cast("bigint").alias("c"))
+        )
+        labels = (
+            n.groupBy("u")
+            .agg(
+                (
+                    F.min((F.lit(100000) - F.col("c")) * F.lit(1000000000) + F.col("lab"))
+                    % F.lit(1000000000)
+                ).alias("lab")
+            )
+            .localCheckpoint(eager=False)
+        )
+    m = e0.agg(F.count("*").cast("bigint").alias("m"))
+    lx = labels.select(F.col("u").alias("x"), F.col("lab").alias("labx"))
+    ly = labels.select(F.col("u").alias("y"), F.col("lab").alias("laby"))
+    intra = (
+        e0.join(F.broadcast(lx), "x")
+        .join(F.broadcast(ly), "y")
+        .filter(F.col("labx") == F.col("laby"))
+        .groupBy(F.col("labx").alias("lab"))
+        .agg(F.count("*").cast("bigint").alias("lc"))
+    )
+    deg = edges.groupBy(F.col("x").alias("u")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    dc = (
+        labels.join(deg, "u")
+        .groupBy("lab")
+        .agg(F.sum("d").cast("bigint").alias("dc"))
+    )
+    half = F.col("dc") * F.lit(1.0) / (F.lit(2) * F.col("m"))
+    terms = (
+        dc.join(F.broadcast(intra), "lab", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.round(
+                F.coalesce("lc", F.lit(0)) * F.lit(1.0) / F.col("m") - half * half,
+                10,
+            )
+            .cast("decimal(28,10)")
+            .alias("term")
+        )
+    )
+    return (
+        dc.agg(F.count("*").cast("bigint").alias("n_communities"))
+        .crossJoin(m.select(F.col("m").alias("n_edges")))
+        .crossJoin(
+            terms.agg(
+                F.round(
+                    F.coalesce(F.sum("term"), F.lit(0).cast("decimal(28,10)"))
+                    .cast("double"),
+                    6,
+                ).alias("modularity")
+            )
+        )
+    )

@@ -1171,3 +1171,138 @@ def llmops_best_of_n_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("expected_best_reward")
     )
+
+
+@query(
+    "llmops_response_length_bias",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, {_TOKS_NORM} AS toks FROM documents),
+    s AS (
+      SELECT doc_id, source,
+             CAST(COALESCE(list_sum(list_transform(toks, t -> {_tok_weight('t')})), 0)
+                  AS BIGINT) AS reward,
+             CAST(len(toks) AS BIGINT) AS n_toks
+      FROM d
+    ), best AS (
+      SELECT source, doc_id, reward, n_toks,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY reward DESC, doc_id) AS i,
+             CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+      FROM s
+    ), worst AS (
+      SELECT source, doc_id, reward, n_toks,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY reward ASC, doc_id DESC) AS i
+      FROM s
+    ), pairs AS (
+      SELECT b.reward - w.reward AS margin,
+             b.n_toks - w.n_toks AS len_delta
+      FROM best b JOIN worst w ON w.source = b.source AND w.i = b.i
+      WHERE b.i * 2 <= b.n AND b.reward > w.reward
+    ), sums AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(margin) AS BIGINT) AS sx,
+             CAST(sum(len_delta) AS BIGINT) AS sy,
+             CAST(sum(margin * margin) AS BIGINT) AS sxx,
+             CAST(sum(len_delta * len_delta) AS BIGINT) AS syy,
+             CAST(sum(margin * len_delta) AS BIGINT) AS sxy,
+             CAST(count(*) FILTER (WHERE len_delta > 0) AS BIGINT) AS n_longer
+      FROM pairs
+    )
+    SELECT n AS n_pairs, n_longer AS n_chosen_longer,
+           round(n_longer * 1.0e0 / n, 6) AS frac_chosen_longer,
+           round((n * sxy - sx * sy) * 1.0e0
+                 / (sqrt((n * sxx - sx * sx) * 1.0e0)
+                    * sqrt((n * syy - sy * sy) * 1.0e0)), 6)
+             AS corr_margin_len_delta
+    FROM sums
+    """,
+)
+def llmops_response_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bias audit over the DPO/RLHF preference pairs (the exact
+    pairing llmops_preference_pairs constructs): the fraction of pairs
+    whose CHOSEN side is simply longer, and the Pearson correlation
+    between preference margin and token-length delta. Reward models
+    notoriously leak a length prior (verbosity wins even when quality
+    ties — the bias every RLHF post-mortem checks first); a
+    frac_chosen_longer near 1 or a strong positive correlation says the
+    "preference" signal is substantially just length, and downstream DPO
+    will train a rambler. This is the dataset-side audit run before any
+    gradient step.
+
+    Parity discipline: margins and length deltas are exact BIGINTs from
+    the shared integer reward; the correlation is computed from six
+    exact integer sums via the textbook closed form, spelled identically
+    in both engines — ONE rounded division pair at emission (the OLS
+    discipline from agg_ols_two_feature). Single-row output; both
+    measures sit strictly inside (0, 1) at sf0.01 (frac ≈ 0.53, corr ≈
+    0.008 — the synthetic reward is length-neutral, which is exactly
+    what the audit should report) — non-vacuous.
+
+    Spark-first: identical three-stage shape as the pair builder (in-row
+    reward fold, one shuffle on source for the two rank windows, a
+    co-partitioned rank self-join), then one global integer-moment
+    aggregation — the audit costs one extra reduce over the pairs."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(normalized_text(F.col("text")))
+    )
+    reward = F.expr(
+        f"aggregate(transform(toks, t -> cast({_tok_weight('t')} as bigint)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    s = d.select(
+        "doc_id",
+        "source",
+        reward.alias("reward"),
+        F.size("toks").cast("bigint").alias("n_toks"),
+    )
+    wb = W.partitionBy("source").orderBy(F.desc("reward"), "doc_id")
+    ww = W.partitionBy("source").orderBy("reward", F.desc("doc_id"))
+    best = s.select(
+        "source",
+        F.col("reward").alias("rb"),
+        F.col("n_toks").alias("lb"),
+        F.row_number().over(wb).alias("i"),
+        F.count("*").over(W.partitionBy("source")).cast("bigint").alias("n"),
+    )
+    worst = s.select(
+        "source",
+        F.col("reward").alias("rw"),
+        F.col("n_toks").alias("lw"),
+        F.row_number().over(ww).alias("i"),
+    )
+    pairs = (
+        best.join(worst, ["source", "i"])
+        .filter((F.col("i") * 2 <= F.col("n")) & (F.col("rb") > F.col("rw")))
+        .select(
+            (F.col("rb") - F.col("rw")).alias("margin"),
+            (F.col("lb") - F.col("lw")).alias("len_delta"),
+        )
+    )
+    sums = pairs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("margin").cast("bigint").alias("sx"),
+        F.sum("len_delta").cast("bigint").alias("sy"),
+        F.sum(F.col("margin") * F.col("margin")).cast("bigint").alias("sxx"),
+        F.sum(F.col("len_delta") * F.col("len_delta")).cast("bigint").alias("syy"),
+        F.sum(F.col("margin") * F.col("len_delta")).cast("bigint").alias("sxy"),
+        F.sum(F.when(F.col("len_delta") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_longer"),
+    )
+    return sums.select(
+        F.col("n").alias("n_pairs"),
+        F.col("n_longer").alias("n_chosen_longer"),
+        F.round(F.col("n_longer") * F.lit(1.0) / F.col("n"), 6).alias(
+            "frac_chosen_longer"
+        ),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * F.lit(1.0)
+            / (
+                F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.lit(1.0))
+                * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")) * F.lit(1.0))
+            ),
+            6,
+        ).alias("corr_margin_len_delta"),
+    )

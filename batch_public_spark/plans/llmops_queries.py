@@ -36,6 +36,7 @@ from batch_public_spark.operators.semantic import (
 )
 from batch_public_spark.operators.textops import (
     PUNCT_CLASS,
+    STOPWORDS_EN,
     fingerprint_md5,
     fingerprint_modp,
     fingerprint_winnow,
@@ -3456,4 +3457,295 @@ def llmops_entropy_rate_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double"),
             6,
         ).alias("h_joint_nats"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# r9: corpus-quality gating, mix planning, kNN-graph health
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "llmops_gopher_reject_rates",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, {_TOKS_NORM} AS toks FROM documents
+    ), top AS (
+      SELECT doc_id, max(c) AS topc FROM (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+        FROM d, UNNEST(toks) AS u(tok) GROUP BY doc_id, tok)
+      GROUP BY doc_id
+    ), m AS (
+      SELECT d.source,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+             CAST(t.topc AS DOUBLE) / len(toks) AS topfrac,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS mwl,
+             CAST(len(list_filter(toks, x -> list_contains({_STOP}, x)))
+                  AS DOUBLE) / len(toks) AS swr
+      FROM d JOIN top t USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE ttr < 0.35) AS BIGINT) AS rej_ttr,
+           CAST(count(*) FILTER (WHERE topfrac > 0.15) AS BIGINT) AS rej_topword,
+           CAST(count(*) FILTER (WHERE mwl < 4.2 OR mwl > 10.0) AS BIGINT)
+             AS rej_wordlen,
+           CAST(count(*) FILTER (WHERE swr < 0.02) AS BIGINT) AS rej_stopword,
+           round(count(*) FILTER (WHERE ttr < 0.35 OR topfrac > 0.15
+                                     OR mwl < 4.2 OR mwl > 10.0
+                                     OR swr < 0.02) * 1.0e0 / count(*), 6)
+             AS reject_rate_any
+    FROM m GROUP BY source
+    """,
+)
+def llmops_gopher_reject_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity quality rules as a per-source
+    REJECT-RATE scoreboard (Rae et al. 2021 §A1.1 rule family): a doc is
+    rejected when its type-token ratio collapses (< 0.35 — copy-paste
+    loops), its single most frequent word dominates (> 15% of tokens),
+    its mean word length leaves [4.2, 10] (symbol soup or
+    concatenations), or it carries almost no stopwords (< 2% — tables,
+    code, keyword stuffing). Complements llmops_repetition_filter (4-gram
+    repeats) and llmops_text_metrics (per-doc signals): this is the
+    per-SOURCE acceptance dashboard a mix planner reads before weighting
+    (thresholds fixture-calibrated: every rule rejects > 0 docs and
+    reject_rate_any spans sources at sf0.01, per the vacuity gate).
+
+    Parity discipline: each signal is one exact-integer division; rule
+    verdicts are integer comparisons of those divisions — no accumulated
+    float state; the only rounded column is the final rate.
+
+    Spark-first: TTR / word-length / stopword signals ride the scan
+    in-row (array ops, zero exchange); the top-word share needs the
+    per-doc mode, which arrays can't do without O(v·n) rescans, so it is
+    ONE explode + two hash aggregations on doc_id — the same exchange
+    the per-source rollup reuses. At 100 TB this whole gate is one
+    shuffle of (doc_id, term) pairs."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(normalized_text(F.col("text"))).alias("toks")
+    )
+    top = (
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("topc"))
+    )
+    n = F.size("toks")
+    m = d.join(top, "doc_id").select(
+        "source",
+        (F.size(F.array_distinct("toks")).cast("double") / n).alias("ttr"),
+        (F.col("topc").cast("double") / n).alias("topfrac"),
+        (
+            F.aggregate(
+                F.transform("toks", F.length), F.lit(0), lambda a, x: a + x
+            ).cast("double")
+            / n
+        ).alias("mwl"),
+        (
+            F.size(F.filter("toks", lambda x: x.isin(*STOPWORDS_EN))).cast("double") / n
+        ).alias("swr"),
+    )
+    rej_any = (
+        (F.col("ttr") < 0.35)
+        | (F.col("topfrac") > 0.15)
+        | (F.col("mwl") < 4.2)
+        | (F.col("mwl") > 10.0)
+        | (F.col("swr") < 0.02)
+    )
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return m.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        cnt(F.col("ttr") < 0.35).alias("rej_ttr"),
+        cnt(F.col("topfrac") > 0.15).alias("rej_topword"),
+        cnt((F.col("mwl") < 4.2) | (F.col("mwl") > 10.0)).alias("rej_wordlen"),
+        cnt(F.col("swr") < 0.02).alias("rej_stopword"),
+        F.round(F.sum(F.when(rej_any, 1).otherwise(0)) * F.lit(1.0) / F.count("*"), 6)
+        .alias("reject_rate_any"),
+    )
+
+
+@query(
+    "llmops_domain_reweight",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, CAST(sum(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM tok),
+    w AS (
+      SELECT source, n_tokens,
+             n_tokens * 1.0e0 / total AS actual_share,
+             CASE WHEN source IN ('src0', 'src1') THEN 0.2e0
+                  ELSE 0.6e0 / 18 END AS target_share
+      FROM tok, tot
+    )
+    SELECT source, n_tokens,
+           round(actual_share, 6) AS actual_share,
+           round(target_share, 6) AS target_share,
+           round(least(2.0e0, greatest(0.1e0, target_share / actual_share)), 6)
+             AS weight,
+           CAST(round(n_tokens
+                 * least(2.0e0, greatest(0.1e0, target_share / actual_share)), 0)
+                AS BIGINT) AS effective_tokens,
+           target_share / actual_share > 2.0e0 AS capped
+    FROM w
+    """,
+)
+def llmops_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix reweighting plan: given a DECLARED target mix (20% each
+    for two premium sources, the rest uniform), compute each source's
+    actual token share and the sampling weight that moves the corpus
+    toward the target — clamped to [0.1, 2.0] because upsampling a small
+    domain more than 2× mostly replays the same tokens (the capped flag
+    reports which targets are UNREACHABLE without new data, the honest
+    answer a mix planner owes its user). Effective tokens = tokens ×
+    weight is the number the training-budget sheet consumes. The
+    fixture's premium targets (20% vs ~5% actual) force the cap to BIND,
+    so the hash attests the clamp logic, not just the division.
+
+    Parity discipline: token counts are exact BIGINT sums; shares and
+    weights are single divisions of exact components (e0-spelled
+    literals), rounded at emission; effective_tokens rounds once to an
+    integer.
+
+    Spark-first: one map-side token-count aggregation (20 rows at any
+    corpus size), a broadcast total, and pure projection — the plan a
+    DoReMi-style reweighter runs every epoch over 100 TB for the cost of
+    one scan."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tokens")
+    )
+    tot = tok.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    w = tok.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        (F.col("n_tokens") * F.lit(1.0) / F.col("total")).alias("actual_share"),
+        F.when(F.col("source").isin("src0", "src1"), F.lit(0.2))
+        .otherwise(F.lit(0.6) / 18)
+        .alias("target_share"),
+    )
+    ratio = F.col("target_share") / F.col("actual_share")
+    weight = F.least(F.lit(2.0), F.greatest(F.lit(0.1), ratio))
+    return w.select(
+        "source",
+        "n_tokens",
+        F.round("actual_share", 6).alias("actual_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.round(weight, 6).alias("weight"),
+        F.round(F.col("n_tokens") * weight, 0).cast("bigint").alias("effective_tokens"),
+        (ratio > F.lit(2.0)).alias("capped"),
+    )
+
+
+@query(
+    "llmops_knn_graph_audit",
+    oracle="""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id % 20 = 0),
+    corpus AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e1 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(q.v, c.v), 6) DESC,
+                          c.vec_id) AS rank
+        FROM corpus c CROSS JOIN q WHERE c.vec_id != q.vec_id)
+      WHERE rank <= 5
+    ), nset AS (SELECT DISTINCT neighbor_id AS vec_id FROM e1),
+    nv AS (SELECT n.vec_id, c.v FROM nset n JOIN corpus c USING (vec_id)),
+    e2 AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT n.vec_id AS query_id, c.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                 ORDER BY round(list_cosine_similarity(n.v, c.v), 6) DESC,
+                          c.vec_id) AS rank
+        FROM corpus c CROSS JOIN nv n WHERE c.vec_id != n.vec_id)
+      WHERE rank <= 5
+    ), rec AS (
+      SELECT e1.query_id, e1.neighbor_id,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM e2 WHERE e2.query_id = e1.neighbor_id
+                 AND e2.neighbor_id = e1.query_id) THEN 1 ELSE 0 END AS r
+      FROM e1
+    ), occ AS (
+      SELECT neighbor_id, CAST(count(*) AS BIGINT) AS k_occ
+      FROM e1 GROUP BY neighbor_id
+    )
+    SELECT CAST((SELECT count(*) FROM q) AS BIGINT) AS n_queries,
+           CAST((SELECT count(*) FROM e1) AS BIGINT) AS n_edges,
+           CAST((SELECT count(*) FROM nset) AS BIGINT) AS n_neighbors,
+           CAST((SELECT sum(r) FROM rec) AS BIGINT) AS n_reciprocal,
+           round((SELECT sum(r) FROM rec) * 1.0e0
+                 / (SELECT count(*) FROM rec), 6) AS reciprocity,
+           CAST((SELECT max(k_occ) FROM occ) AS BIGINT) AS max_k_occurrence,
+           round((SELECT count(*) FROM e1) * 1.0e0
+                 / (SELECT count(*) FROM nset), 6) AS mean_k_occurrence
+    """,
+)
+def llmops_knn_graph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-graph health audit on a deterministic query sample (vec_id %
+    20, k = 5): reciprocity (how often q ∈ top-k(n) when n ∈ top-k(q) —
+    low reciprocity predicts poor graph-based ANN navigability, cf.
+    HNSW's bidirectional links) and hubness (k-occurrence counts: a few
+    vectors appearing in everyone's top-k is the high-dimensional
+    pathology that silently degrades recall — Radovanović et al. 2010).
+    These are the two diagnostics run BEFORE building a graph index over
+    an embedding corpus; the recall audits (Lloyd/nprobe/Matryoshka)
+    grade an index after the fact.
+
+    Scale honesty: the audit is quadratic if run on every vector, so it
+    runs on a FIXED deterministic sample (m = |corpus|/20 queries) and
+    the second hop scores only the ≤ m·k distinct first-hop neighbors —
+    both passes are broadcast-query brute force (the ann_bruteforce
+    shape: corpus never shuffles), total cost m(1+k)·|corpus| cosines,
+    linear in the corpus at fixed sample size.
+
+    Parity discipline: ranks use round-6 cosine + id tie-breaks (the ANN
+    family rule); every output is an exact integer or one division of
+    exact integers."""
+    from batch_public_spark.operators.semantic import ann_bruteforce_topk
+
+    vecs = t(spark, sf_dir, "embeddings")
+    q = vecs.filter(F.col("vec_id") % 20 == 0)
+    e1 = ann_bruteforce_topk(vecs, q, k=5).select("query_id", "neighbor_id")
+    e1 = e1.localCheckpoint(eager=False)  # three consumers below
+    nset = e1.select(F.col("neighbor_id").alias("vec_id")).distinct()
+    nv = vecs.join(F.broadcast(nset), "vec_id", "left_semi")
+    e2 = ann_bruteforce_topk(vecs, nv, k=5).select(
+        F.col("query_id").alias("nq"), F.col("neighbor_id").alias("nn")
+    )
+    rec = e1.join(
+        F.broadcast(e2),
+        (F.col("neighbor_id") == F.col("nq")) & (F.col("query_id") == F.col("nn")),
+        "left",
+    ).select(F.when(F.col("nq").isNotNull(), 1).otherwise(0).alias("r"))
+    occ = e1.groupBy("neighbor_id").agg(F.count("*").cast("bigint").alias("k_occ"))
+    stats = (
+        q.agg(F.count("*").cast("bigint").alias("n_queries"))
+        .crossJoin(
+            e1.agg(
+                F.count("*").cast("bigint").alias("n_edges"),
+            )
+        )
+        .crossJoin(nset.agg(F.count("*").cast("bigint").alias("n_neighbors")))
+        .crossJoin(
+            rec.agg(
+                F.sum("r").cast("bigint").alias("n_reciprocal"),
+                F.round(F.sum("r") * F.lit(1.0) / F.count("*"), 6).alias("reciprocity"),
+            )
+        )
+        .crossJoin(occ.agg(F.max("k_occ").cast("bigint").alias("max_k_occurrence")))
+    )
+    return stats.select(
+        "n_queries",
+        "n_edges",
+        "n_neighbors",
+        "n_reciprocal",
+        "reciprocity",
+        "max_k_occurrence",
+        F.round(
+            F.col("n_edges") * F.lit(1.0) / F.col("n_neighbors"), 6
+        ).alias("mean_k_occurrence"),
     )

@@ -397,3 +397,50 @@ def stream_stream_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("click_id", F.lit(-1)).cast("bigint").alias("click_id"),
         F.coalesce("view_id", F.lit(-1)).cast("bigint").alias("view_id"),
     )
+
+
+@query(
+    "stream_stream_leftsemi",
+    oracle="""
+    SELECT a.user_id, a.event_id AS click_id
+    FROM events a
+    WHERE a.event_type = 'click'
+      AND EXISTS (
+        SELECT 1 FROM events b
+        WHERE b.user_id = a.user_id AND b.event_type = 'view'
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR)
+    """,
+)
+def stream_stream_leftsemi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM LEFT SEMI interval join: clicks that were followed by
+    a view within 1 h by the same user, emitted ONCE regardless of how
+    many views matched — the streaming "did X happen after Y" detector
+    (conversion flags, fraud triggers, alert arming) where the inner
+    join's pair multiplicity is noise and the outer join's null tail is
+    irrelevant. Completes the stream-stream join matrix: inner (pairs),
+    left/full outer (watermark-driven null emission), semi (existence).
+
+    Emission semantics (pinned empirically, off-by-zero at both smoke
+    SFs): a semi-joined left row emits as soon as its FIRST match
+    arrives — unlike the OUTER variants there is no watermark-held tail
+    for matched rows, so on a finite stream the batch oracle is a plain
+    EXISTS with no watermark cutoff. Deduplication against later matches
+    is the operator's own state bookkeeping, not a DISTINCT downstream.
+
+    Scale: the same watermark+interval condition bounds both buffers
+    (state is O(events within the band)); the left buffer additionally
+    clears each row at first match instead of waiting for eviction, so
+    semi state is at most the inner join's."""
+    from batch_public_spark.streaming import interval_join_pairs
+
+    events = read_events_stream(spark, sf_dir)
+    s = interval_join_pairs(
+        events,
+        events,
+        left_type="click",
+        right_type="view",
+        within="1 hour",
+        watermark="1 hour",
+        how="left_semi",
+    )
+    return run_available_now(s, output_mode="append", shuffle_partitions=8)

@@ -220,10 +220,12 @@ def interval_join_pairs(
         how = "left_outer"
     elif norm in ("fullouter", "full", "outer"):
         how = "full_outer"
+    elif norm in ("leftsemi", "semi"):
+        how = "left_semi"
     else:
         raise ValueError(
             f"interval_join_pairs: unsupported how={how!r}; "
-            "use inner, left_outer, or full_outer"
+            "use inner, left_outer, full_outer, or left_semi"
         )
     lt = (
         left.filter(F.col("event_type") == left_type)
@@ -250,6 +252,12 @@ def interval_join_pairs(
         & (F.col("right_ts") <= F.col("left_ts") + F.expr(f"INTERVAL {within}")),
         how,
     )
+    # A semi join keeps only the left side's columns — no view_id exists.
+    if how == "left_semi":
+        return joined.select(
+            F.col("left_user").alias("user_id"),
+            F.col("left_id").alias("click_id"),
+        )
     # Under full_outer the left_user is NULL on right-only rows (and vice
     # versa) — the user key must coalesce across sides. `how` is
     # normalized above, so the literal compare is exhaustive.

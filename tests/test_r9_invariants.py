@@ -219,3 +219,94 @@ def test_rate_limit_per_user_cap_binds(spark, hot_user_dir):
     # after the 2-token burst is rejected
     assert rows[7].n_rejected >= 99_000
     assert "i <= 100000" in QUERIES["events_rate_limit_sim"].oracle
+
+
+# --- invariants for the r9 additions (properties the parity hash can't
+# express: identities, bounds, stochasticity) ---
+
+
+def _rows(spark, name):
+    from tests.conftest import SF_DIR
+
+    return QUERIES[name].fn(spark, SF_DIR).collect()
+
+
+def test_markov_rows_are_stochastic(spark):
+    """Smoothed probabilities in each prev-row sum to 1 (within rounding)
+    and every cell is strictly positive (Laplace floor)."""
+    rows = _rows(spark, "events_markov_transitions")
+    assert len(rows) == 25
+    by_prev: dict = {}
+    for r in rows:
+        assert r.p_smoothed > 0, r
+        by_prev.setdefault(r.prev, []).append(r.p_smoothed)
+    for prev, ps in by_prev.items():
+        assert abs(sum(ps) - 1.0) < 5e-6, (prev, sum(ps))
+
+
+def test_cusum_is_nonnegative_and_alarm_consistent(spark):
+    rows = _rows(spark, "events_cusum_changepoint")
+    assert rows
+    for r in rows:
+        assert r.cusum_stat >= 0, r
+        assert r.alarm == (r.cusum_stat > 1.5), r
+
+
+def test_mase_components_positive_and_ratio_consistent(spark):
+    for r in _rows(spark, "events_seasonal_mase"):
+        assert r.mae_naive > 0 and r.mae_snaive > 0, r
+        assert abs(r.mase_ratio - r.mae_snaive / r.mae_naive) < 1e-5, r
+
+
+def test_gopher_reject_counts_bounded_by_docs(spark):
+    rows = _rows(spark, "llmops_gopher_reject_rates")
+    assert rows
+    for r in rows:
+        for c in ("rej_ttr", "rej_topword", "rej_wordlen", "rej_stopword"):
+            assert 0 <= getattr(r, c) <= r.n_docs, r
+        assert 0 <= r.reject_rate_any <= 1, r
+        # any-rate can't be below the largest single rule's rate
+        assert r.reject_rate_any * r.n_docs + 1e-6 >= max(
+            r.rej_ttr, r.rej_topword, r.rej_wordlen, r.rej_stopword
+        ), r
+
+
+def test_domain_reweight_weights_clamped_and_consistent(spark):
+    rows = _rows(spark, "llmops_domain_reweight")
+    assert rows
+    for r in rows:
+        assert 0.1 <= r.weight <= 2.0, r
+        if r.capped:
+            assert r.weight == 2.0, r
+        assert abs(r.effective_tokens - r.n_tokens * r.weight) <= 0.5 + 1e-6 * r.n_tokens, r
+    # shares are a distribution
+    assert abs(sum(r.actual_share for r in rows) - 1.0) < 5e-5
+
+
+def test_knn_audit_counts_consistent(spark):
+    (r,) = _rows(spark, "llmops_knn_graph_audit")
+    assert r.n_edges == r.n_queries * 5
+    assert r.n_neighbors <= r.n_edges
+    assert 0 <= r.n_reciprocal <= r.n_edges
+    assert abs(r.mean_k_occurrence - r.n_edges / r.n_neighbors) < 1e-5
+    assert r.max_k_occurrence >= 1
+
+
+def test_modularity_bounds(spark):
+    (r,) = _rows(spark, "graph_modularity_score")
+    # Newman modularity is bounded in [-1/2, 1)
+    assert -0.5 <= r.modularity < 1.0, r
+
+
+def test_length_bias_measures_bounded(spark):
+    (r,) = _rows(spark, "llmops_response_length_bias")
+    assert 0 <= r.frac_chosen_longer <= 1
+    assert -1 <= r.corr_margin_len_delta <= 1
+    assert r.n_chosen_longer <= r.n_pairs
+
+
+def test_arrival_gap_rates_consistent(spark):
+    for r in _rows(spark, "dq_arrival_gap_audit"):
+        assert r.max_gap_s >= r.mean_gap_s, r
+        assert 0 <= r.stall_rate <= 1, r
+        assert r.n_gaps_gt_1h <= r.n_gaps, r
