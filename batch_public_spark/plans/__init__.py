@@ -90,13 +90,13 @@ _PRIORITY = [
     "source_csv_malformed_permissive",
     "graph_modularity_score",
     "stream_stream_leftsemi",
+    "events_user_lifecycle_states",
+    "agg_ratio_delta_method_ci",
     # --- placeholders (stalest-attested names, all r1; re-attesting
     # refreshes the oldest evidence and keeps the window exactly 50) ---
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "topk_orders_global",
-    "events_sessionize_gap",
-    "llmops_dedup_exact",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

@@ -5790,3 +5790,136 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "events_user_lifecycle_states",
+    oracle="""
+    WITH wk AS (
+      SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '2024-01-01',
+                            CAST(date_trunc('day', ts) AS DATE))
+                  AS BIGINT) AS w
+      FROM events
+    ), spine AS (
+      SELECT unnest(generate_series(mn, mx)) AS w
+      FROM (SELECT min(w) AS mn, max(w) AS mx FROM wk)
+    ), seq AS (
+      SELECT user_id, w,
+             lag(w) OVER (PARTITION BY user_id ORDER BY w) AS prev_w,
+             lead(w) OVER (PARTITION BY user_id ORDER BY w) AS next_w
+      FROM wk
+    ), states AS (
+      SELECT w,
+             CAST(count(*) FILTER (WHERE prev_w IS NULL) AS BIGINT) AS n_new,
+             CAST(count(*) FILTER (WHERE prev_w = w - 1) AS BIGINT) AS n_retained,
+             CAST(count(*) FILTER (WHERE prev_w IS NOT NULL AND prev_w < w - 1)
+                  AS BIGINT) AS n_resurrected
+      FROM seq GROUP BY w
+    ), churn AS (
+      SELECT w + 1 AS w, CAST(count(*) AS BIGINT) AS n_churned
+      FROM seq, (SELECT max(w) AS mx FROM wk) m
+      WHERE (next_w IS NULL AND w < m.mx) OR next_w > w + 1
+      GROUP BY w + 1
+    )
+    SELECT s.w AS day_index,
+           strftime(DATE '2024-01-01' + to_days(CAST(s.w AS INTEGER)),
+                    '%Y-%m-%d') AS day,
+           coalesce(t.n_new, 0) AS n_new,
+           coalesce(t.n_retained, 0) AS n_retained,
+           coalesce(t.n_resurrected, 0) AS n_resurrected,
+           coalesce(c.n_churned, 0) AS n_churned,
+           coalesce(t.n_new, 0) + coalesce(t.n_retained, 0)
+             + coalesce(t.n_resurrected, 0) AS n_active
+    FROM spine s
+    LEFT JOIN states t ON t.w = s.w
+    LEFT JOIN churn c ON c.w = s.w
+    """,
+)
+def events_user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (the new/retained/resurrected/churned
+    ledger every growth team runs): classify each user's active day by
+    its predecessor — first-ever day ⇒ NEW, consecutive ⇒ RETAINED, gap
+    ⇒ RESURRECTED — and charge a CHURN to the day after an activity gap
+    opens (right-censored honestly: users whose last active day is the
+    corpus's final day are not yet churnable). The identity
+    active = new + retained + resurrected holds by construction and is
+    emitted so downstream dashboards can assert it. Completes the
+    retention family: cohort_ltv_matrix prices cohorts, this states the
+    daily flow balance. Grain is DAILY because it is the grain at which
+    the fixture genuinely churns (weekly, all 150 users are always-on —
+    vacuous): at sf0.01 a mid-window day runs ~110-130 retained, 10-20
+    resurrected, 15-20 churned, with new users exhausting after the
+    opening days — every state column varies.
+
+    Parity discipline: days are exact integers anchored at 2024-01-01;
+    every output is an exact BIGINT count on the full day spine (zero
+    rows coalesced, so silent missing days can't fake health).
+
+    Spark-first: one distinct on the bounded (user, day) grid, ONE
+    shuffle on user_id for both lag and lead, two hash aggregates on the
+    day key, and a broadcast join onto the |days|-row spine. The
+    sessionization exchange shape, at daily grain."""
+    ev = t(spark, sf_dir, "events")
+    wcol = F.datediff(
+        F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+    ).cast("bigint")
+    wk = ev.select("user_id", wcol.alias("w")).distinct().localCheckpoint(eager=False)
+    bounds = wk.agg(
+        F.min("w").alias("mn"), F.max("w").alias("mx")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("w")
+    )
+    uw = W.partitionBy("user_id").orderBy("w")
+    seq = wk.select(
+        "w",
+        F.lag("w").over(uw).alias("prev_w"),
+        F.lead("w").over(uw).alias("next_w"),
+    ).localCheckpoint(eager=False)
+    states = seq.groupBy("w").agg(
+        F.sum(F.when(F.col("prev_w").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(F.when(F.col("prev_w") == F.col("w") - 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_w").isNotNull() & (F.col("prev_w") < F.col("w") - 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    churn = (
+        seq.crossJoin(F.broadcast(bounds.select(F.col("mx"))))
+        .filter(
+            (F.col("next_w").isNull() & (F.col("w") < F.col("mx")))
+            | (F.col("next_w") > F.col("w") + 1)
+        )
+        .groupBy((F.col("w") + 1).alias("w"))
+        .agg(F.count("*").cast("bigint").alias("n_churned"))
+    )
+    out = (
+        spine.join(F.broadcast(states), "w", "left")
+        .join(F.broadcast(churn), "w", "left")
+        .select(
+            F.col("w").alias("day_index"),
+            F.date_format(
+                F.date_add(F.lit("2024-01-01").cast("date"), F.col("w").cast("int")),
+                "yyyy-MM-dd",
+            ).alias("day"),
+            F.coalesce("n_new", F.lit(0)).cast("bigint").alias("n_new"),
+            F.coalesce("n_retained", F.lit(0)).cast("bigint").alias("n_retained"),
+            F.coalesce("n_resurrected", F.lit(0)).cast("bigint").alias("n_resurrected"),
+            F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
+        )
+        .withColumn(
+            "n_active",
+            (F.col("n_new") + F.col("n_retained") + F.col("n_resurrected")).cast(
+                "bigint"
+            ),
+        )
+    )
+    return out

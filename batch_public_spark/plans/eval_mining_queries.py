@@ -3366,3 +3366,97 @@ def udaf_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "trimmed_mean_cents"
         ),
     )
+
+
+@query(
+    "agg_ratio_delta_method_ci",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_orderpriority AS priority, o_custkey,
+             CAST(sum(CAST(o_totalprice * 100 AS DECIMAL(18, 0))) AS BIGINT)
+               AS x_cents,
+             CAST(count(*) AS BIGINT) AS y_orders
+      FROM orders GROUP BY 1, 2
+    ), moments AS (
+      SELECT priority,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x_cents) AS BIGINT) AS sx,
+             CAST(sum(y_orders) AS BIGINT) AS sy,
+             CAST(sum(x_cents * x_cents) AS BIGINT) AS sxx,
+             CAST(sum(y_orders * y_orders) AS BIGINT) AS syy,
+             CAST(sum(x_cents * y_orders) AS BIGINT) AS sxy
+      FROM per_cust GROUP BY priority
+    ), est AS (
+      SELECT priority, n, sx, sy,
+             sx * 1.0e0 / sy AS r,
+             ((sxx - sx * 1.0e0 / n * sx) / (n - 1)
+              - 2 * (sx * 1.0e0 / sy)
+                  * ((sxy - sx * 1.0e0 / n * sy) / (n - 1))
+              + (sx * 1.0e0 / sy) * (sx * 1.0e0 / sy)
+                  * ((syy - sy * 1.0e0 / n * sy) / (n - 1)))
+             / (n * (sy * 1.0e0 / n) * (sy * 1.0e0 / n)) AS var_r
+      FROM moments
+    )
+    SELECT priority, n AS n_customers,
+           round(r, 6) AS ratio_cents_per_order,
+           round(sqrt(var_r), 6) AS se,
+           round(r - 1.96e0 * sqrt(var_r), 6) AS ci_lo,
+           round(r + 1.96e0 * sqrt(var_r), 6) AS ci_hi
+    FROM est
+    """,
+)
+def agg_ratio_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue cents
+    per order, clustered by customer) per order priority — the
+    experimentation primitive behind every revenue-per-X readout: the
+    naive per-order variance is wrong because orders cluster within
+    customers, so the unit of analysis is the customer and the ratio of
+    means R = Σx/Σy gets its variance from the delta method,
+    Var(R) ≈ (s_x² − 2R·s_xy + R²·s_y²) / (n·ȳ²) (Deng et al. 2017's
+    ratio-metric formula). The stats family so far tests differences
+    (Welch, Mann-Whitney) — this is the interval for the ratio
+    estimators those tests guard.
+
+    Parity discipline: per-customer revenue goes to exact integer cents
+    (decimal multiply before the cast — the cents discipline);
+    all five moment sums are exact BIGINTs; variance/SE/CI are one
+    shared-spelling float expression on those exact sums, rounded at
+    emission (the OLS normal-equations discipline).
+
+    Spark-first: per-customer rollup is ONE map-side-combinable shuffle
+    on (priority, custkey); the moment aggregation is 5 rows; nothing
+    downstream touches the fact table again. At 100 TB this is the
+    standard two-level clustered-metric plan."""
+    o = t(spark, sf_dir, "orders")
+    per = o.groupBy(
+        F.col("o_orderpriority").alias("priority"), "o_custkey"
+    ).agg(
+        F.sum((F.col("o_totalprice") * 100).cast("decimal(18,0)"))
+        .cast("bigint")
+        .alias("x_cents"),
+        F.count("*").cast("bigint").alias("y_orders"),
+    )
+    m = per.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x_cents").cast("bigint").alias("sx"),
+        F.sum("y_orders").cast("bigint").alias("sy"),
+        F.sum(F.col("x_cents") * F.col("x_cents")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y_orders") * F.col("y_orders")).cast("bigint").alias("syy"),
+        F.sum(F.col("x_cents") * F.col("y_orders")).cast("bigint").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    r = sx * F.lit(1.0) / sy
+    sxx_c = (F.col("sxx") - sx * F.lit(1.0) / n * sx) / (n - 1)
+    sxy_c = (F.col("sxy") - sx * F.lit(1.0) / n * sy) / (n - 1)
+    syy_c = (F.col("syy") - sy * F.lit(1.0) / n * sy) / (n - 1)
+    var_r = (sxx_c - F.lit(2) * r * sxy_c + r * r * syy_c) / (
+        n * (sy * F.lit(1.0) / n) * (sy * F.lit(1.0) / n)
+    )
+    return m.select(
+        "priority",
+        n.alias("n_customers"),
+        F.round(r, 6).alias("ratio_cents_per_order"),
+        F.round(F.sqrt(var_r), 6).alias("se"),
+        F.round(r - F.lit(1.96) * F.sqrt(var_r), 6).alias("ci_lo"),
+        F.round(r + F.lit(1.96) * F.sqrt(var_r), 6).alias("ci_hi"),
+    )

@@ -310,3 +310,26 @@ def test_arrival_gap_rates_consistent(spark):
         assert r.max_gap_s >= r.mean_gap_s, r
         assert 0 <= r.stall_rate <= 1, r
         assert r.n_gaps_gt_1h <= r.n_gaps, r
+
+
+def test_lifecycle_identity_and_flow_balance(spark):
+    rows = sorted(_rows(spark, "events_user_lifecycle_states"), key=lambda r: r.day_index)
+    assert rows
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected, r
+    # flow balance: active_t = active_{t-1} + new_t + resurrected_t - churned_t
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_active == prev.n_active + cur.n_new + cur.n_resurrected - cur.n_churned, (
+            prev,
+            cur,
+        )
+    # daily grain must exercise every state somewhere in the window
+    assert sum(r.n_resurrected for r in rows) > 0
+    assert sum(r.n_churned for r in rows) > 0
+
+
+def test_ratio_ci_brackets_point_estimate(spark):
+    for r in _rows(spark, "agg_ratio_delta_method_ci"):
+        assert r.se > 0, r
+        assert r.ci_lo < r.ratio_cents_per_order < r.ci_hi, r
+        assert abs((r.ci_hi - r.ci_lo) - 2 * 1.96 * r.se) < 2e-5, r
