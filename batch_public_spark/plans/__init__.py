@@ -80,7 +80,6 @@ _PRIORITY = [
     "graph_link_prediction",
     # --- added in r9 ---
     "events_markov_transitions",
-    "events_cusum_changepoint",
     "events_seasonal_mase",
     "llmops_gopher_reject_rates",
     "llmops_domain_reweight",
@@ -97,6 +96,7 @@ _PRIORITY = [
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "topk_orders_global",
+    "events_sessionize_gap",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

@@ -5319,7 +5319,10 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     transition differently than humans), and funnel leak analysis. The
     full |types|² grid is emitted (including never-seen transitions at
     their smoothed floor) so downstream log-likelihood scoring never hits
-    a missing cell.
+    a missing cell. Complements events_markov_stationary (which consumes
+    the raw matrix internally and emits only its fixed point) and
+    events_top_paths (raw trigram mining): this emits the smoothed MODEL
+    itself — the artifact a scorer loads.
 
     Parity discipline: transition counts are exact BIGINTs; the smoothed
     probability divides exact integers ((n+1)/(row_total+|types|)) as
@@ -5359,111 +5362,6 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("p_smoothed"),
         )
-    )
-
-
-@query(
-    "events_cusum_changepoint",
-    oracle="""
-    WITH daily AS (
-      SELECT date_trunc('day', ts) AS d, CAST(count(*) AS BIGINT) AS x
-      FROM events GROUP BY 1
-    ), moments AS (
-      SELECT CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sx2,
-             CAST(count(*) AS BIGINT) AS nd
-      FROM daily
-    ), z AS (
-      SELECT d, x,
-             CAST(round(
-               (x - sx * 1.0e0 / nd)
-               / sqrt((sx2 - sx * 1.0e0 / nd * sx) * 1.0e0 / (nd - 1))
-               - 0.5e0, 6) AS DECIMAL(18, 6)) AS y
-      FROM daily, moments
-    ), c AS (
-      SELECT d, x, y,
-             CAST(sum(y) OVER (ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DECIMAL(28, 6)) AS cy
-      FROM z
-    ), s0 AS (
-      SELECT d, x, cy,
-             CAST(min(cy) OVER (ORDER BY d
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS DECIMAL(28, 6)) AS mn
-      FROM c
-    ), s AS (
-      -- CASE, not least(): DuckDB's least() over decimals returns DOUBLE
-      SELECT d, x,
-             cy - CASE WHEN mn < CAST(0 AS DECIMAL(28, 6)) THEN mn
-                       ELSE CAST(0 AS DECIMAL(28, 6)) END AS stat
-      FROM s0
-    )
-    SELECT strftime(d, '%Y-%m-%d') AS day, x AS n_events,
-           CAST(stat AS DOUBLE) AS cusum_stat,
-           stat > 1.5 AS alarm
-    FROM s
-    """,
-)
-def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One-sided CUSUM level-shift detector on daily event volume (Page
-    1954): standardize each day against the series moments, subtract the
-    drift allowance k = 0.5σ, and track S_t = max(0, S_{t-1} + z_t − k) —
-    alarm when S_t exceeds h = 1.5. CUSUM accumulates small persistent
-    shifts that per-day z-score monitors (dq_volume_anomaly's family)
-    never see; it is the standard "slow leak" pager rule. Fixture
-    calibration: the statistic spans 0-1.63 at sf0.01 (1 alarm day) and
-    0-2.14 at sf0.001 (alarms at both smoke SFs — non-vacuous); h = 1.5
-    is deliberately tight at smoke SF — production runs h ≈ 4-5σ.
-
-    Parity discipline: the classic recursive max(0, ...) fold is
-    re-expressed CLOSED-FORM as C_t − min(0, min_{j≤t} C_j) over the
-    cumulative sum C of (z−k) — window functions only, no recursion, no
-    fold (the identity holds exactly for one-sided CUSUM). Moments come
-    from exact integer sums spelled identically in both engines; z−k is
-    rounded to 6 then accumulated as DECIMAL — exact, order-fixed — so
-    the running min/distance are bit-identical.
-
-    Spark-first: daily grid is map-side combinable; the two ordered
-    windows run over |days| rows on ONE deliberate partition (calendar-
-    bounded, the Holt discipline — bounded_window_key documents it)."""
-    ev = t(spark, sf_dir, "events")
-    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
-        F.count("*").cast("bigint").alias("x")
-    )
-    m = daily.agg(
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
-        F.count("*").cast("bigint").alias("nd"),
-    )
-    z = daily.crossJoin(F.broadcast(m)).select(
-        "d",
-        "x",
-        F.round(
-            (F.col("x") - F.col("sx") * F.lit(1.0) / F.col("nd"))
-            / F.sqrt(
-                (F.col("sx2") - F.col("sx") * F.lit(1.0) / F.col("nd") * F.col("sx"))
-                * F.lit(1.0)
-                / (F.col("nd") - 1)
-            )
-            - F.lit(0.5),
-            6,
-        )
-        .cast("decimal(18,6)")
-        .alias("y"),
-    )
-    wc = W.partitionBy(bounded_window_key(F.col("x"))).orderBy("d").rowsBetween(
-        W.unboundedPreceding, W.currentRow
-    )
-    c = z.select(
-        "d", "x", F.sum("y").over(wc).cast("decimal(28,6)").alias("cy")
-    )
-    floor_ = F.least(F.lit(0).cast("decimal(28,6)"), F.min("cy").over(wc))
-    stat = F.col("cy") - floor_
-    return c.select(
-        F.date_format("d", "yyyy-MM-dd").alias("day"),
-        F.col("x").alias("n_events"),
-        stat.cast("double").alias("cusum_stat"),
-        (stat > F.lit(1.5)).alias("alarm"),
     )
 
 

@@ -3414,8 +3414,10 @@ def agg_ratio_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     means R = Σx/Σy gets its variance from the delta method,
     Var(R) ≈ (s_x² − 2R·s_xy + R²·s_y²) / (n·ȳ²) (Deng et al. 2017's
     ratio-metric formula). The stats family so far tests differences
-    (Welch, Mann-Whitney) — this is the interval for the ratio
-    estimators those tests guard.
+    (Welch, Mann-Whitney) and resamples generic statistics
+    (agg_bootstrap_hash_ci) — this is the closed-form interval for the
+    clustered ratio estimator, the one metric shape the bootstrap's
+    per-row replicates get WRONG unless they resample whole customers.
 
     Parity discipline: per-customer revenue goes to exact integer cents
     (decimal multiply before the cast — the cents discipline);

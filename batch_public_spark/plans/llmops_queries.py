@@ -3600,7 +3600,11 @@ def llmops_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain more than 2× mostly replays the same tokens (the capped flag
     reports which targets are UNREACHABLE without new data, the honest
     answer a mix planner owes its user). Effective tokens = tokens ×
-    weight is the number the training-budget sheet consumes. The
+    weight is the number the training-budget sheet consumes. Completes
+    the mixing family: llmops_temperature_mix SMOOTHS the natural
+    distribution (share^0.7, no target), llmops_dataset_mixture_epochs
+    converts weights to per-source epochs — this one hits a DECLARED
+    target and reports where it can't. The
     fixture's premium targets (20% vs ~5% actual) force the cap to BIND,
     so the hash attests the clamp logic, not just the division.
 

@@ -244,14 +244,6 @@ def test_markov_rows_are_stochastic(spark):
         assert abs(sum(ps) - 1.0) < 5e-6, (prev, sum(ps))
 
 
-def test_cusum_is_nonnegative_and_alarm_consistent(spark):
-    rows = _rows(spark, "events_cusum_changepoint")
-    assert rows
-    for r in rows:
-        assert r.cusum_stat >= 0, r
-        assert r.alarm == (r.cusum_stat > 1.5), r
-
-
 def test_mase_components_positive_and_ratio_consistent(spark):
     for r in _rows(spark, "events_seasonal_mase"):
         assert r.mae_naive > 0 and r.mae_snaive > 0, r
