@@ -535,3 +535,33 @@ def test_mmr_pool_and_picks_are_take_ordered(spark):
     p = plan(spark, "llmops_mmr_diversified_topk")
     assert re.search(r"TakeOrderedAndProject", p), p
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_arrival_gap_single_exchange(spark):
+    """dq_arrival_gap_audit: the lag window and the per-feed aggregate
+    share ONE exchange on event_type."""
+    p = plan(spark, "dq_arrival_gap_audit")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+
+
+def test_ratio_ci_two_level_agg_no_joins(spark):
+    """agg_ratio_delta_method_ci: per-customer rollup then 5-row moment
+    aggregation — exactly two exchanges, zero joins, one fact scan."""
+    p = plan(spark, "agg_ratio_delta_method_ci")
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
+    assert "Join" not in p, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+
+
+def test_lifecycle_fact_scanned_once_per_branch_no_smj(spark):
+    """events_user_lifecycle_states: spine/states/churn attach via
+    broadcast; the (user, day) grid never sort-merge-joins."""
+    p = plan(spark, "events_user_lifecycle_states")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_gopher_topword_is_the_only_doc_exchange_chain(spark):
+    """llmops_gopher_reject_rates: in-row signals ride the scan; the plan
+    may not contain a sort-merge join of the corpus against itself."""
+    p = plan(spark, "llmops_gopher_reject_rates")
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
