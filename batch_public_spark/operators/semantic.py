@@ -619,17 +619,50 @@ def ann_bruteforce_topk(
     which AQE keeps partition-balanced on query_id. Similarity is rounded
     before ranking so ordering is reproducible across engines.
     """
+    # Precompute each side's norm ONCE PER ROW (below the join) instead of
+    # re-folding it per pair inside cosine(): the |Q|×|corpus| pair stream
+    # then pays one zip_with dot fold instead of three array folds — ~2-3×
+    # less per-pair compute, and the broadcast side carries its norms into
+    # the hash relation for free. sqrt(Σx²) projected here is bit-identical
+    # to cosine()'s inline na/nb (same input, same ops), and the division
+    # keeps cosine()'s sequential dot/na/nb order and positive-norm guard,
+    # so every rounded sim matches the unfused form exactly.
+    def _norm(col: str):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0),
+                lambda acc, v_: acc + v_,
+            )
+        )
+
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        _norm(vec_col).alias("_qn"),
     )
-    v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vv"))
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vv"),
+        _norm(vec_col).alias("_vn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("_qv"), F.col("_vv"), lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda acc, v_: acc + v_,
+    )
+    sim = F.when(
+        (F.col("_qn") > 0) & (F.col("_vn") > 0), dot / F.col("_qn") / F.col("_vn")
+    ).otherwise(F.lit(0.0))
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_vv")), round_sim).alias("sim"),
+            F.round(sim, round_sim).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")

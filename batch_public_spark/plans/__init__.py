@@ -102,9 +102,15 @@ _PRIORITY = [
 # Overflow queue for names that do not fit the current 50-entry window;
 # they are the mandatory head of the next round's _PRIORITY rotation.
 # tests/test_registry_rotation.py fails if a registered query is in none of
-# {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}. Empty this round:
-# every registered query is either driver-attested or in the window.
-_NEXT_WINDOW: list[str] = []
+# {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}.
+_NEXT_WINDOW: list[str] = [
+    # r9 late change: ann_bruteforce_topk fused per-row norm precomputation
+    # (semantic.py — bit-identical sims, ~2-3x less per-pair compute). Five
+    # consumers already sit in the r9 window; these two are r8-attested
+    # with changed plans, so they head the r10 rotation for re-attestation.
+    "llmops_ann_bruteforce",
+    "llmops_ann_ivf_lloyd_recall",
+]
 
 
 def _reorder() -> None:
