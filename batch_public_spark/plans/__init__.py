@@ -93,10 +93,10 @@ _PRIORITY = [
     "agg_ratio_delta_method_ci",
     # --- placeholders (stalest-attested names, all r1; re-attesting
     # refreshes the oldest evidence and keeps the window exactly 50) ---
+    "llmops_multimodal_format_sniff",
     "q1_pricing_summary",
     "q6_forecast_revenue",
     "topk_orders_global",
-    "events_sessionize_gap",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

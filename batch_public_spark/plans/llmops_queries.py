@@ -3753,3 +3753,122 @@ def llmops_knn_graph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_edges") * F.lit(1.0) / F.col("n_neighbors"), 6
         ).alias("mean_k_occurrence"),
     )
+
+
+@query(
+    "llmops_multimodal_format_sniff",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                             WHEN 2 THEN 'gif' WHEN 3 THEN 'wav'
+                             WHEN 4 THEN 'pdf' ELSE 'unknown' END AS fmt,
+             CASE doc_id % 6 WHEN 0 THEN 8 WHEN 1 THEN 3 WHEN 2 THEN 6
+                             WHEN 3 THEN 12 WHEN 4 THEN 5 ELSE 0 END AS hlen
+      FROM documents
+    )
+    SELECT fmt AS format,
+           CAST(count(*) AS BIGINT) AS n_blobs,
+           CAST(sum(length(text) + hlen) AS BIGINT) AS total_bytes,
+           CAST(0 AS BIGINT) AS n_sniff_mismatch,
+           md5(string_agg(text, chr(10) ORDER BY doc_id)) AS payload_md5
+    FROM d GROUP BY fmt
+    """,
+)
+def llmops_multimodal_format_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte container-format detection on opaque binary blobs — the
+    first stage of every multimodal ingest (files arrive with lying or
+    missing extensions; the bytes don't lie): blobs are synthesized
+    in-query by prefixing each document's UTF-8 payload with a REAL
+    container signature chosen by doc key (PNG \\x89PNG\\r\\n\\x1a\\n,
+    JPEG \\xFF\\xD8\\xFF, GIF89a, RIFF....WAVE, %PDF-, or none), then a
+    sniffer that sees ONLY the blob classifies by prefix bytes and strips
+    the header. The oracle replays the construction rule, so the hash
+    attests that sniff(blob) inverts the constructor EXACTLY — format
+    counts, byte accounting (payload + header length), a zero mismatch
+    column, and an order-pinned md5 of the recovered payloads (header
+    strip must be byte-exact, not just classify-exact). Unlike the
+    decode/resize family (codec-gated), sniffing needs no codec and runs
+    on the full 100 TB ingest as pure JVM byte ops.
+
+    Spark-first: construction and sniffing are per-row binary expressions
+    riding one scan (substring on BinaryType stays JVM-side); the rollup
+    is one hash aggregation on the 6-value format key; the payload digest
+    uses the binaryfile_ingest ordered-fold discipline (array_sort of
+    (doc_id, payload) structs — deterministic without a sort exchange)."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    headers = {
+        0: b"\x89PNG\r\n\x1a\n",
+        1: b"\xff\xd8\xff",
+        2: b"GIF89a",
+        3: b"RIFF\x00\x00\x00\x00WAVE",
+        4: b"%PDF-",
+    }
+    hdr = F.when(F.col("doc_id") % 6 == 0, F.lit(headers[0]))
+    for k in (1, 2, 3, 4):
+        hdr = hdr.when(F.col("doc_id") % 6 == k, F.lit(headers[k]))
+    hdr = hdr.otherwise(F.lit(b""))
+    blobs = d.select(
+        "doc_id",
+        F.concat(hdr, F.encode("text", "UTF-8")).alias("blob"),
+    )
+    # The sniffer: prefix-match on the blob ALONE (no construction columns
+    # in scope — substring on BinaryType returns binary, compared against
+    # binary literals).
+    fmt = (
+        F.when(F.expr("substring(blob, 1, 8)") == F.lit(headers[0]), F.lit("png"))
+        .when(F.expr("substring(blob, 1, 3)") == F.lit(headers[1]), F.lit("jpeg"))
+        .when(F.expr("substring(blob, 1, 6)") == F.lit(headers[2]), F.lit("gif"))
+        .when(
+            (F.expr("substring(blob, 1, 4)") == F.lit(b"RIFF"))
+            & (F.expr("substring(blob, 9, 4)") == F.lit(b"WAVE")),
+            F.lit("wav"),
+        )
+        .when(F.expr("substring(blob, 1, 5)") == F.lit(headers[4]), F.lit("pdf"))
+        .otherwise(F.lit("unknown"))
+    )
+    hlen = (
+        F.when(F.col("format") == "png", 8)
+        .when(F.col("format") == "jpeg", 3)
+        .when(F.col("format") == "gif", 6)
+        .when(F.col("format") == "wav", 12)
+        .when(F.col("format") == "pdf", 5)
+        .otherwise(0)
+    )
+    sniffed = (
+        blobs.select("doc_id", "blob", fmt.alias("format"))
+        .withColumn("hlen", hlen)
+        .withColumn(
+            "payload",
+            F.decode(F.expr("substring(blob, hlen + 1, 2147483647)"), "UTF-8"),
+        )
+    )
+    # independent replay of the construction rule — the mismatch column
+    # must be all-zero if the sniffer truly inverts the constructor
+    expected = (
+        F.when(F.col("doc_id") % 6 == 0, "png")
+        .when(F.col("doc_id") % 6 == 1, "jpeg")
+        .when(F.col("doc_id") % 6 == 2, "gif")
+        .when(F.col("doc_id") % 6 == 3, "wav")
+        .when(F.col("doc_id") % 6 == 4, "pdf")
+        .otherwise("unknown")
+    )
+    return sniffed.groupBy("format").agg(
+        F.count("*").cast("bigint").alias("n_blobs"),
+        F.sum(F.length("blob")).cast("bigint").alias("total_bytes"),
+        F.sum(F.when(F.col("format") != expected, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_sniff_mismatch"),
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    "\n",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("doc_id", "payload"))),
+                        lambda s: s.payload,
+                    ),
+                ),
+                "UTF-8",
+            )
+        ).alias("payload_md5"),
+    )
