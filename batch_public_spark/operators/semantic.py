@@ -602,6 +602,34 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot / na / nb).otherwise(F.lit(0.0))
 
 
+def row_norm(col: Column) -> Column:
+    """``sqrt(Σx²)`` as a per-row projection — the SAME expression
+    cosine() evaluates inline for each operand, factored out so pair
+    streams (candidate ranking, brute-force scoring) can compute each
+    side's norm once per ROW instead of once per PAIR. Bit-identical to
+    the inline form: same input, same transform/fold/sqrt ops."""
+    return F.sqrt(
+        F.aggregate(
+            F.transform(col, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def fused_cosine(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine() with the norms supplied from row_norm() projections: one
+    zip_with dot fold per pair, the SEQUENTIAL dot/na/nb division and
+    positive-norm guard kept verbatim — returns bit-identical values to
+    ``cosine(a, b)`` whenever na/nb came from row_norm(a)/row_norm(b)."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when((na > 0) & (nb > 0), dot / na / nb).otherwise(F.lit(0.0))
+
+
 def ann_bruteforce_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -623,39 +651,19 @@ def ann_bruteforce_topk(
     # re-folding it per pair inside cosine(): the |Q|×|corpus| pair stream
     # then pays one zip_with dot fold instead of three array folds — ~2-3×
     # less per-pair compute, and the broadcast side carries its norms into
-    # the hash relation for free. sqrt(Σx²) projected here is bit-identical
-    # to cosine()'s inline na/nb (same input, same ops), and the division
-    # keeps cosine()'s sequential dot/na/nb order and positive-norm guard,
-    # so every rounded sim matches the unfused form exactly.
-    def _norm(col: str):
-        return F.sqrt(
-            F.aggregate(
-                F.transform(F.col(col), lambda x: x.cast("double") * x.cast("double")),
-                F.lit(0.0),
-                lambda acc, v_: acc + v_,
-            )
-        )
-
+    # the hash relation for free (row_norm/fused_cosine are bit-identical
+    # to the unfused cosine() — see their docstrings).
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("_qv"),
-        _norm(vec_col).alias("_qn"),
+        row_norm(F.col(vec_col)).alias("_qn"),
     )
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("_vv"),
-        _norm(vec_col).alias("_vn"),
+        row_norm(F.col(vec_col)).alias("_vn"),
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("_qv"), F.col("_vv"), lambda x, y: x.cast("double") * y.cast("double")
-        ),
-        F.lit(0.0),
-        lambda acc, v_: acc + v_,
-    )
-    sim = F.when(
-        (F.col("_qn") > 0) & (F.col("_vn") > 0), dot / F.col("_qn") / F.col("_vn")
-    ).otherwise(F.lit(0.0))
+    sim = fused_cosine(F.col("_qv"), F.col("_vv"), F.col("_qn"), F.col("_vn"))
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -767,15 +775,28 @@ def ann_lsh_topk(
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
-    vv = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vv"))
+    # Norms ride the (once-per-row) vector projections so the candidate
+    # stream pays only the dot fold — see row_norm/fused_cosine.
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        row_norm(F.col(vec_col)).alias("_qn"),
+    )
+    vv = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_vv"),
+        row_norm(F.col(vec_col)).alias("_vn"),
+    )
     cand = (
         pair_ids.join(F.broadcast(qv), "query_id")
         .join(vv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_vv")), round_sim).alias("sim"),
+            F.round(
+                fused_cosine(F.col("_qv"), F.col("_vv"), F.col("_qn"), F.col("_vn")),
+                round_sim,
+            ).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
@@ -917,12 +938,22 @@ def ann_ivf_topk(
     )
 
     cand = (
-        assigned.join(F.broadcast(probes), "centroid_id")
+        # corpus norm computed once per assigned row (post-map projection),
+        # probe norm once per (query, probe) row — the candidate stream
+        # pays only the dot fold (row_norm/fused_cosine, bit-identical).
+        assigned.withColumn("_vn", row_norm(F.col("_vv")))
+        .join(
+            F.broadcast(probes.withColumn("_qn", row_norm(F.col("_qv")))),
+            "centroid_id",
+        )
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_vv")), round_sim).alias("sim"),
+            F.round(
+                fused_cosine(F.col("_qv"), F.col("_vv"), F.col("_qn"), F.col("_vn")),
+                round_sim,
+            ).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")

@@ -110,6 +110,9 @@ _NEXT_WINDOW: list[str] = [
     # with changed plans, so they head the r10 rotation for re-attestation.
     "llmops_ann_bruteforce",
     "llmops_ann_ivf_lloyd_recall",
+    # same fusion applied to the LSH / IVF candidate-ranking stages:
+    "llmops_ann_lsh",
+    "llmops_ann_ivf",
 ]
 
 
