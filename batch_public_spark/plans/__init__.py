@@ -113,6 +113,7 @@ _NEXT_WINDOW: list[str] = [
     # same fusion applied to the LSH / IVF candidate-ranking stages:
     "llmops_ann_lsh",
     "llmops_ann_ivf",
+    "llmops_hard_negatives",
 ]
 
 

@@ -981,18 +981,22 @@ def llmops_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     most similar vectors with a DIFFERENT label — maximally confusing
     negatives. Same broadcast-query / corpus-stays-put shape as
     ann_bruteforce with the label anti-filter pushed below the ranking."""
-    from batch_public_spark.operators.semantic import cosine
+    from batch_public_spark.operators.semantic import fused_cosine, row_norm
 
     e = t(spark, sf_dir, "embeddings")
+    # norms once per row (row_norm/fused_cosine — bit-identical to the
+    # unfused cosine; the pair stream pays only the dot fold)
     q = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("embedding").alias("qv"),
+        row_norm(F.col("embedding")).alias("qn"),
     )
     v = e.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("nlabel"),
         F.col("embedding").alias("vv"),
+        row_norm(F.col("embedding")).alias("vn"),
     )
     scored = (
         v.crossJoin(F.broadcast(q))
@@ -1004,7 +1008,9 @@ def llmops_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             F.col("nlabel").cast("int").alias("neg_label"),
-            F.round(cosine(F.col("qv"), F.col("vv")), 6).alias("sim"),
+            F.round(
+                fused_cosine(F.col("qv"), F.col("vv"), F.col("qn"), F.col("vn")), 6
+            ).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
