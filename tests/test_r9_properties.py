@@ -174,3 +174,54 @@ def test_lifecycle_states_match_python_replay(spark, active):
     got = {d: v for d, v in got.items() if any(v)}
     want = {d: v for d, v in want.items() if any(v)}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(
+                st.floats(
+                    min_value=-1e3,
+                    max_value=1e3,
+                    allow_nan=False,
+                    allow_infinity=False,
+                )
+                | st.sampled_from([0.0, 1e-200, -1e-200]),
+                min_size=4,
+                max_size=4,
+            ),
+            st.lists(
+                st.floats(
+                    min_value=-1e3,
+                    max_value=1e3,
+                    allow_nan=False,
+                    allow_infinity=False,
+                )
+                | st.sampled_from([0.0, 1e-200, -1e-200]),
+                min_size=4,
+                max_size=4,
+            ),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_fused_cosine_bit_identical_to_cosine(spark, pairs):
+    """row_norm + fused_cosine must equal cosine() BIT-FOR-BIT on every
+    input, including zero vectors (guard path) and denormal norms (the
+    r7 sequential-division case) — the claim the ANN norm-fusion commits
+    rest on, pinned mechanically."""
+    from batch_public_spark.operators.semantic import cosine, fused_cosine, row_norm
+
+    df = spark.createDataFrame(pairs, "a array<double>, b array<double>")
+    out = df.select(
+        cosine(F.col("a"), F.col("b")).alias("plain"),
+        fused_cosine(
+            F.col("a"), F.col("b"), row_norm(F.col("a")), row_norm(F.col("b"))
+        ).alias("fused"),
+    ).collect()
+    import struct
+
+    for r in out:
+        assert struct.pack("d", r.plain) == struct.pack("d", r.fused), r

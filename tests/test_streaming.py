@@ -280,3 +280,26 @@ def test_foreach_batch_ledger_sink(spark, tmp_path):
     proj2 = _stream(spark, src, max_files=1).select("event_id", "user_id")
     run_foreach_batch(proj2, sink, checkpoint_dir=str(tmp_path / "ck"))
     assert ledger.all() == before
+
+
+def test_interval_join_how_normalization_and_rejects(spark):
+    """`how` aliases normalize (fullouter takes the coalesce branch so
+    right-only rows keep a user key); junk values raise instead of
+    silently mis-keying (r8 ADVICE item)."""
+    import pytest as _pytest
+
+    from batch_public_spark.streaming import interval_join_pairs
+    from batch_public_spark.streaming.ops import read_events_stream
+    from tests.conftest import SF_DIR
+
+    events = read_events_stream(spark, SF_DIR)
+    # alias forms build the same plan shape as the canonical spelling
+    for alias in ("fullouter", "full", "outer", "FULL_OUTER"):
+        s = interval_join_pairs(events, events, how=alias)
+        assert set(s.columns) == {"user_id", "click_id", "view_id"}
+    semi = interval_join_pairs(events, events, how="leftsemi")
+    assert set(semi.columns) == {"user_id", "click_id"}
+    with _pytest.raises(ValueError, match="unsupported how"):
+        interval_join_pairs(events, events, how="right_outer")
+    with _pytest.raises(ValueError, match="unsupported how"):
+        interval_join_pairs(events, events, how="cross")
