@@ -3210,22 +3210,32 @@ def llmops_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.slice("v", 1 + 16 * i, 16) for i in range(4)])
         ).alias("part", "sv"),
     )
+    from batch_public_spark.operators.semantic import fused_cosine, row_norm
+
+    # per-(vec, part) norms ride the sub-vector projection once — the
+    # pair stream pays only the dot fold (bit-identical; see row_norm)
     q = sub.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("part").alias("qpart"),
         F.col("sv").alias("qv"),
+        row_norm(F.col("sv")).alias("qn"),
     )
     d = sub.select(
         F.col("vec_id").alias("doc_id"),
         F.col("sv").alias("dv"),
+        row_norm(F.col("sv")).alias("dn"),
     )
-    from batch_public_spark.operators.semantic import cosine
-
     pair = (
         d.crossJoin(F.broadcast(q))
         .filter(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id", "qpart")
-        .agg(F.max(F.round(cosine(F.col("qv"), F.col("dv")), 6)).alias("best"))
+        .agg(
+            F.max(
+                F.round(
+                    fused_cosine(F.col("qv"), F.col("dv"), F.col("qn"), F.col("dn")), 6
+                )
+            ).alias("best")
+        )
     )
     scored = pair.groupBy("query_id", "doc_id").agg(
         F.round(
