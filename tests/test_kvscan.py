@@ -373,3 +373,41 @@ def test_stream_reader_offsets_replayable():
     # nothing new → empty batch, offset unchanged
     rows2, end2 = r.read(end)
     assert list(rows2) == [] and end2 == end
+
+
+def test_permissive_counters_reset_per_partition(tmp_path, caplog):
+    """r8 ADVICE: one deserialized reader instance can serve several
+    partitions — drop counters must reset at read() entry so each
+    partition's warning reports ITS drops, not a running total."""
+    import logging
+
+    p = tmp_path / "dirty2.jsonl"
+    lines = [
+        '{"event_id": 1, "ts_us": 5, "event_type": "x", "value": 1.0}\n',
+        "BROKEN ONE\n",
+        '{"event_id": 2, "ts_us": 6, "event_type": "y", "value": 2.0}\n',
+        "BROKEN TWO\n",
+    ]
+    with open(p, "w") as f:
+        f.writelines(lines)
+    size = p.stat().st_size
+    half = len(lines[0]) + len(lines[1])  # split exactly between rows 2 and 3
+    perm = KVSnapshotReader(
+        _schema(), {"path": str(p), "segments": "2", "mode": "permissive"}
+    )
+    parts = [
+        RangePartition(str(p), 0, half),
+        RangePartition(str(p), half, size),
+    ]
+    with caplog.at_level(logging.WARNING):
+        assert [r[0] for r in _rows(perm, parts[0])] == [1]
+        first_counts = (perm.dropped_parse, perm.dropped_type)
+        assert [r[0] for r in _rows(perm, parts[1])] == [2]
+        second_counts = (perm.dropped_parse, perm.dropped_type)
+    # each partition saw exactly ONE malformed line — no accumulation
+    assert first_counts == (1, 0)
+    assert second_counts == (1, 0)
+    assert perm._first_dropped is not None and "BROKEN TWO" in perm._first_dropped
+    warnings = [r.getMessage() for r in caplog.records if "dropped" in str(r.msg)]
+    assert len(warnings) == 2
+    assert all("dropped 1 record" in w for w in warnings), warnings
