@@ -114,6 +114,8 @@ _NEXT_WINDOW: list[str] = [
     "llmops_ann_lsh",
     "llmops_ann_ivf",
     "llmops_hard_negatives",
+    # r9 late addition (window already full):
+    "llmops_minhash_incremental_dedup",
 ]
 
 
