@@ -116,6 +116,15 @@ _NEXT_WINDOW: list[str] = [
     "llmops_hard_negatives",
     # r9 late addition (window already full):
     "llmops_minhash_incremental_dedup",
+    # r9 recalibration: EXCEPT rebased from nationkey (vacuously empty at
+    # sf>=0.01) to balance cents — changed plan, re-attest.
+    "setop_except_nations",
+    # r9 discipline fix: day keys now emitted as formatted strings (DuckDB
+    # day-grain date_trunc yields DATE vs Spark TIMESTAMP; the pandas-based
+    # comparator masked it, the native-value comparator caught it) —
+    # changed outputs, re-attest.
+    "events_bounce_rate_daily",
+    "stream_tumbling_counts",
 ]
 
 

@@ -2586,7 +2586,7 @@ def llmops_embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFra
       SELECT user_id, sid, count(*) AS n, min(ts) AS start_ts
       FROM s GROUP BY user_id, sid
     )
-    SELECT date_trunc('day', start_ts) AS day,
+    SELECT strftime(date_trunc('day', start_ts), '%Y-%m-%d') AS day,
            CAST(count(*) AS BIGINT) AS n_sessions,
            CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
            round(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / count(*), 6)
@@ -2634,7 +2634,9 @@ def events_bounce_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.min("ts").alias("start_ts")
     )
     bounce = F.col("n") == 1
-    return sess.groupBy(F.date_trunc("day", "start_ts").alias("day")).agg(
+    return sess.groupBy(
+        F.date_format(F.date_trunc("day", "start_ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
         F.count("*").cast("bigint").alias("n_sessions"),
         F.sum(F.when(bounce, 1).otherwise(0)).cast("bigint").alias("n_bounces"),
         F.round(

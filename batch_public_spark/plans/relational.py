@@ -743,15 +743,28 @@ def setop_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "setop_except_nations",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT CAST(round(c_acctbal * 100, 0) AS BIGINT) AS bal_cents FROM customer
     EXCEPT
-    SELECT s_nationkey FROM supplier
+    SELECT CAST(round(s_acctbal * 100, 0) AS BIGINT) FROM supplier
     """,
 )
 def setop_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT (distinct) — nations with customers but no suppliers."""
-    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
-    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    """EXCEPT (distinct) — customer balance points (exact cents) never
+    seen among suppliers. Originally keyed on nationkey, but every
+    nation has both customers and suppliers from sf0.01 up, so that
+    spelling hash-matched on ZERO rows at the driver's correctness SF —
+    a vacuous attestation the r9 fixture-calibration sweep caught
+    (the sf0.001 suite kept it green at 15 rows, masking it). The cents
+    key keeps the operator identical (EXCEPT distinct through a hash
+    anti-semantics set op) and is non-empty at every SF
+    (150 / 1 499 / 14 896 rows at sf0.001/0.01/0.1). Round-before-cast
+    per the double→bigint parity trap."""
+    c = t(spark, sf_dir, "customer").select(
+        F.round(F.col("c_acctbal") * 100, 0).cast("bigint").alias("bal_cents")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.round(F.col("s_acctbal") * 100, 0).cast("bigint").alias("bal_cents")
+    )
     return c.subtract(s)
 
 

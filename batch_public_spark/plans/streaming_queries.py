@@ -36,15 +36,23 @@ _VAL = 'CAST(ROUND(SUM(CAST("value" AS DECIMAL(18,4))), 2) AS DOUBLE)'
 @query(
     "stream_tumbling_counts",
     oracle=f"""
-    SELECT date_trunc('day', ts) AS window_start, event_type,
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS window_start,
+           event_type,
            COUNT(*) AS n_events, {_VAL} AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked tumbling-window aggregation, executed as a real stream."""
+    """Watermarked tumbling-window aggregation, executed as a real stream.
+    Window starts are emitted as formatted date strings (the registry's
+    never-return-raw-timestamps rule: DuckDB's day-grain date_trunc yields
+    DATE while Spark's window.start is TIMESTAMP — the r9 native-value
+    comparator caught the pandas-masked type drift)."""
     s = tumbling_counts(read_events_stream(spark, sf_dir), window="1 day", watermark="1 day")
-    return run_available_now(s, output_mode="complete", shuffle_partitions=8)
+    out = run_available_now(s, output_mode="complete", shuffle_partitions=8)
+    return out.withColumn(
+        "window_start", F.date_format("window_start", "yyyy-MM-dd")
+    )
 
 
 @query(

@@ -116,12 +116,6 @@ def assert_parity(spark_df, ddb_rel, query_name: str = "?"):
     spark_cols = sorted(spark_df.columns)
     ddb_df = ddb_rel.df()
     _assert_not_vacuous(query_name, ddb_df)
-    # Missing values in object/string columns arrive as NaN/NaT — normalize
-    # to None so they compare equal to Spark's NULLs. Keep float-column NaNs
-    # (genuine NaN values) intact.
-    for c in ddb_df.columns:
-        if ddb_df[c].dtype == object:
-            ddb_df[c] = ddb_df[c].where(ddb_df[c].notna(), None)
     ddb_cols = sorted(ddb_df.columns)
     assert spark_cols == ddb_cols, f"{query_name}: columns {spark_cols} != {ddb_cols}"
 
@@ -129,8 +123,16 @@ def assert_parity(spark_df, ddb_rel, query_name: str = "?"):
         (tuple(_canon(row[c]) for c in spark_cols) for row in spark_df.collect()),
         key=repr,
     )
+    # Compare NATIVE DuckDB values (fetchall), not the pandas frame: pandas
+    # coerces a nullable BIGINT column to float64 (NULL → NaN, 2^62 → a
+    # float), which both mangles int-vs-float reprs and turns NULLs into
+    # "NaN" — a harness artifact the r9 full-registry sweep hit on
+    # scalar_try_arithmetic_battery's guarded_sum at sf0.01. fetchall
+    # yields python ints / Decimals / datetimes / None exactly as DuckDB
+    # computed them (the relation re-executes; it is lazy).
+    order = [list(ddb_df.columns).index(c) for c in ddb_cols]
     d_rows = sorted(
-        (tuple(_canon(v) for v in row) for row in ddb_df[ddb_cols].itertuples(index=False)),
+        (tuple(_canon(row[i]) for i in order) for row in ddb_rel.fetchall()),
         key=repr,
     )
     assert len(s_rows) == len(d_rows), (
