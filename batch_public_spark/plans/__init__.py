@@ -125,6 +125,12 @@ _NEXT_WINDOW: list[str] = [
     # changed outputs, re-attest.
     "events_bounce_rate_daily",
     "stream_tumbling_counts",
+    # r9 sf0.1 stress-sweep fixes (changed outputs/accumulators/bounds):
+    "agg_theil_sen_slope",
+    # (agg_ratio_delta_method_ci also changed, but it already sits in the
+    # r9 window above — the end-of-round attestation covers the fix.)
+    "llmops_ngram_jaccard_pairs",
+    "llmops_dedup_cc",
 ]
 
 

@@ -3217,7 +3217,7 @@ def agg_ols_two_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
            (SELECT CAST(count(*) AS BIGINT) FROM monthly m
              WHERE m.prio = f.prio) AS n_months,
            round(f.slope, 6) AS sen_slope,
-           round(median(mo.cents - f.slope * mo.m), 6) AS sen_intercept
+           round(median(mo.cents - f.slope * mo.m), 2) AS sen_intercept
     FROM fit f JOIN monthly mo ON mo.prio = f.prio
     GROUP BY f.prio, f.n_pairs, f.slope
     """,
@@ -3275,8 +3275,14 @@ def agg_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         monthly.join(F.broadcast(fit), "prio")
         .groupBy("prio", "n_pairs", "slope")
         .agg(
+            # round-2, not round-6: the intercept's magnitude is the cents
+            # scale (~6e10 at sf0.1), where one double ulp is ~8e-6 — a
+            # 6-decimal rounding sits BELOW the engines' median-
+            # interpolation divergence and hash-flapped at sf0.1 (r9
+            # stress sweep); 2 decimals leaves a ~100x stability margin
+            # while staying exact at the measure's own (cents) grain.
             F.round(
-                F.median(F.col("cents") - F.col("slope") * F.col("m")), 6
+                F.median(F.col("cents") - F.col("slope") * F.col("m")), 2
             ).alias("sen_intercept")
         )
         .join(F.broadcast(months), "prio")
@@ -3384,9 +3390,9 @@ def udaf_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(count(*) AS BIGINT) AS n,
              CAST(sum(x_cents) AS BIGINT) AS sx,
              CAST(sum(y_orders) AS BIGINT) AS sy,
-             CAST(sum(x_cents * x_cents) AS BIGINT) AS sxx,
-             CAST(sum(y_orders * y_orders) AS BIGINT) AS syy,
-             CAST(sum(x_cents * y_orders) AS BIGINT) AS sxy
+             CAST(sum(x_cents * x_cents) AS DOUBLE) AS sxx,
+             CAST(sum(y_orders * y_orders) AS DOUBLE) AS syy,
+             CAST(sum(x_cents * y_orders) AS DOUBLE) AS sxy
       FROM per_cust GROUP BY priority
     ), est AS (
       SELECT priority, n, sx, sy,
@@ -3422,10 +3428,12 @@ def agg_ratio_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row replicates get WRONG unless they resample whole customers.
 
     Parity discipline: per-customer revenue goes to exact integer cents
-    (decimal multiply before the cast — the cents discipline);
-    all five moment sums are exact BIGINTs; variance/SE/CI are one
-    shared-spelling float expression on those exact sums, rounded at
-    emission (the OLS normal-equations discipline).
+    (decimal multiply before the cast — the cents discipline); linear
+    moment sums are exact BIGINTs; the QUADRATIC moments accumulate
+    exactly as decimals/hugeints — sum(x²) exceeds BIGINT at sf0.1
+    (found by the r9 full-SF stress sweep) — and convert to double ONCE;
+    variance/SE/CI are one shared-spelling float expression on those
+    sums, rounded at emission (the OLS normal-equations discipline).
 
     Spark-first: per-customer rollup is ONE map-side-combinable shuffle
     on (priority, custkey); the moment aggregation is 5 rows; nothing
@@ -3444,9 +3452,20 @@ def agg_ratio_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         F.sum("x_cents").cast("bigint").alias("sx"),
         F.sum("y_orders").cast("bigint").alias("sy"),
-        F.sum(F.col("x_cents") * F.col("x_cents")).cast("bigint").alias("sxx"),
-        F.sum(F.col("y_orders") * F.col("y_orders")).cast("bigint").alias("syy"),
-        F.sum(F.col("x_cents") * F.col("y_orders")).cast("bigint").alias("sxy"),
+        # Quadratic moments accumulate EXACTLY as decimals (x² sums blow
+        # past BIGINT at sf0.1 — DuckDB's hugeint cast threw, Spark's
+        # bigint sum would silently wrap), then ONE deterministic cast to
+        # double feeds the shared variance expression. Caught by the r9
+        # sf0.1 stress sweep.
+        F.sum(F.col("x_cents").cast("decimal(38,0)") * F.col("x_cents"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("y_orders").cast("decimal(38,0)") * F.col("y_orders"))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("x_cents").cast("decimal(38,0)") * F.col("y_orders"))
+        .cast("double")
+        .alias("sxy"),
     )
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     r = sx * F.lit(1.0) / sy

@@ -84,34 +84,61 @@ def llmops_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "llmops_ngram_jaccard_pairs",
     oracle=f"""
-    WITH d AS (
+    WITH d0 AS (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len({_TOKS.replace("trim(text)", _NORM)}) - 2, 1) + 1),
                i -> array_to_string(({_TOKS.replace("trim(text)", _NORM)})[i:i+2], ' ')
              )) AS sh
-      FROM documents WHERE doc_id < 150)
+      FROM documents
+    ), db AS (
+      -- block key = the FIRST positional shingle (list_distinct does not
+      -- preserve order in DuckDB, so sh[1] would be an arbitrary element)
+      SELECT doc_id, sh,
+             array_to_string(({_TOKS.replace("trim(text)", _NORM)})[1:3], ' ') AS blk
+      FROM documents JOIN d0 USING (doc_id)
+    ), d AS (
+      SELECT doc_id, sh, blk FROM (
+        SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+        FROM db
+      ) WHERE rn <= 50
+    )
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jac
-    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(list_concat(a.sh, b.sh)))
     """,
 )
 def llmops_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard near-dup pairs (J ≥ 0.5) on a bounded
-    subset — the exact verifier the LSH path approximates. All-pairs is
-    O(n²): bounded here by doc_id < 150; at scale candidates come from the
-    MinHash band join instead."""
-    d = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 150)
-        .select(F.col("doc_id"), word_shingles(F.col("text"), 3).alias("sh"))
+    """Exact word-3-gram Jaccard near-dup pairs (J ≥ 0.5) via CONTENT
+    BLOCKING — all-pairs only within a first-shingle block (near-dups
+    share their opening 3-gram unless the edit hits the first words), the
+    classic record-linkage bounding that replaces the r1 doc_id < 150
+    prefix: that prefix went VACUOUS at sf0.1 (planted near-dups scatter
+    across the id space; found by the r9 full-SF stress sweep), while
+    blocking recovers EVERY planted pair at the smoke SFs (28/25 — equal
+    to the unblocked full-corpus count) and 256 at sf0.1, from
+    block-bounded candidate sets. Blocks are capped at 50 members
+    (row_number, mirrored in the oracle — the containment hot-key
+    discipline) so one viral opening line can't go quadratic; at corpus
+    scale the MinHash band join (llmops_minhash_candidates) is the
+    higher-recall candidate source and this is the exact verifier."""
+    d0 = t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        word_shingles(F.col("text"), 3).alias("sh"),
+        F.element_at(word_shingles_all(F.col("text"), 3), 1).alias("blk"),
     )
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    wb = W.partitionBy("blk").orderBy("doc_id")
+    d = (
+        d0.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "sh", "blk")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
     return (
-        a.crossJoin(b)
+        a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jac"))
         .filter(F.col("jac") >= 0.5)
@@ -569,16 +596,25 @@ def llmops_ann_ivf_lloyd_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "llmops_dedup_cc",
     oracle=f"""
     WITH RECURSIVE
-    d AS (
+    d0 AS (
       SELECT doc_id,
              list_distinct(list_transform(
                range(1, greatest(len({_TOKS.replace("trim(text)", _NORM)}) - 2, 1) + 1),
                i -> array_to_string(({_TOKS.replace("trim(text)", _NORM)})[i:i+2], ' ')
              )) AS sh
-      FROM documents WHERE doc_id < 150),
+      FROM documents),
+    db AS (
+      SELECT doc_id, sh,
+             array_to_string(({_TOKS.replace("trim(text)", _NORM)})[1:3], ' ') AS blk
+      FROM documents JOIN d0 USING (doc_id)),
+    d AS (
+      SELECT doc_id, sh, blk FROM (
+        SELECT *, row_number() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+        FROM db
+      ) WHERE rn <= 50),
     pairs AS (
       SELECT a.doc_id AS u, b.doc_id AS v
-      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
       WHERE len(list_intersect(a.sh, b.sh)) * 2 >= len(list_distinct(list_concat(a.sh, b.sh)))),
     sym AS (SELECT u, v FROM pairs UNION SELECT v AS u, u AS v FROM pairs),
     walk(u, label) AS (
@@ -594,19 +630,27 @@ def llmops_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure of J >= 0.5 word-3-gram pairs via hash-min label propagation
     (operators.graph). The DuckDB oracle computes the same components with
     a recursive CTE — an oracle-checked ITERATIVE algorithm, not just a
-    single plan. Edges here come from the bounded exact-Jaccard join; at
-    corpus scale the same CC runs on the MinHash band candidates."""
+    single plan. Edges come from the first-shingle-BLOCKED exact-Jaccard
+    join (llmops_ngram_jaccard_pairs' bounding, block cap 50, mirrored in
+    the oracle — the r1 doc_id prefix went vacuous at sf0.1); at corpus
+    scale the same CC runs on the MinHash band candidates."""
     from batch_public_spark.operators.graph import connected_components
 
-    d = (
-        t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 150)
-        .select(F.col("doc_id"), word_shingles(F.col("text"), 3).alias("sh"))
+    d0 = t(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        word_shingles(F.col("text"), 3).alias("sh"),
+        F.element_at(word_shingles_all(F.col("text"), 3), 1).alias("blk"),
     )
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    wb = W.partitionBy("blk").orderBy("doc_id")
+    d = (
+        d0.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 50)
+        .select("doc_id", "sh", "blk")
+    )
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"), "blk")
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"), "blk")
     pairs = (
-        a.crossJoin(b)
+        a.join(b, "blk")
         .filter(F.col("id_a") < F.col("id_b"))
         .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
         .select("id_a", "id_b")
