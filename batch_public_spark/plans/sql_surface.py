@@ -647,7 +647,10 @@ def scalar_try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame
     predicate counts for the row-scope ops and a HUGEINT-free guarded
     CASE for the aggregate (≥2 addends of 2^62 overflow BIGINT ⇒ NULL;
     the 0/1-addend groups keep exact values — fixture-calibrated to a
-    genuine 0/1/≥2 mix across linenumber groups at sf0.01).
+    genuine 0/1/≥2 mix across linenumber groups at sf0.01, the driver's
+    correctness SF; above it (sf0.1+) every group has ≥2 multiples of
+    9973 and the column degenerates to all-NULL — an accepted SF-specific
+    calibration, noted by the r9 full-SF stress sweep).
     scalar_try_cast_battery covers casts; this covers arithmetic."""
     li = t(spark, sf_dir, "lineitem")
     return li.groupBy(F.col("l_linenumber").cast("bigint").alias("lineno")).agg(

@@ -701,7 +701,11 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     jobs over the same scan; at cluster scale the scan is the cost and
     both sides prune to two columns). Threshold compare stays decimal ×
     decimal — exact in both engines, no float boundary flakes. The 1-row
-    total broadcasts.
+    total broadcasts. SF note (r9 stress sweep): the spec's fixed share
+    fraction leaves qualifying parts only up to ~sf0.01 — at sf0.1 the
+    value distribution flattens and the result is legitimately empty
+    (TPC-H scales the fraction by 1/SF for exactly this reason; the
+    fixture pins the sf0.01 behavior the driver attests).
     """
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
