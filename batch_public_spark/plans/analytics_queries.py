@@ -3684,11 +3684,15 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ]
     for d in (1, 2, 3):
+        # frontier broadcast is bounded (3-hop frontier of one landmark);
+        # visited is cumulative — node-population-scale at 100 TB, so NO
+        # broadcast hint: the anti-join shuffles (or AQE broadcasts it
+        # when it is actually small), never the driver (r9-verdict fix).
         nxt = (
             edges.join(F.broadcast(frontier.select(F.col("u").alias("x"))), "x")
             .select(F.col("y").alias("u"))
             .distinct()
-            .join(F.broadcast(visited), "u", "left_anti")
+            .join(visited, "u", "left_anti")
             .localCheckpoint(eager=False)
         )
         visited = visited.unionAll(nxt).localCheckpoint(eager=False)
@@ -3700,7 +3704,7 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     nodes = edges.select(F.col("x").alias("u")).distinct()
     unreached = (
-        nodes.join(F.broadcast(visited), "u", "left_anti")
+        nodes.join(visited, "u", "left_anti")
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .select(F.lit(-1).cast("bigint").alias("dist"), "n_users")
     )
@@ -5653,9 +5657,14 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = e0.agg(F.count("*").cast("bigint").alias("m"))
     lx = labels.select(F.col("u").alias("x"), F.col("lab").alias("labx"))
     ly = labels.select(F.col("u").alias("y"), F.col("lab").alias("laby"))
+    # Label maps are node-population-scale (O(|V|)) — NO broadcast hint:
+    # the LPA rounds above already do the scale-safe shuffle join for the
+    # same frames; AQE broadcasts them when they are actually small
+    # (r9-verdict fix: an explicit hint here is a >8 GB-broadcast /
+    # driver-OOM at 10^8+ distinct users).
     intra = (
-        e0.join(F.broadcast(lx), "x")
-        .join(F.broadcast(ly), "y")
+        e0.join(lx, "x")
+        .join(ly, "y")
         .filter(F.col("labx") == F.col("laby"))
         .groupBy(F.col("labx").alias("lab"))
         .agg(F.count("*").cast("bigint").alias("lc"))
@@ -5670,7 +5679,9 @@ def graph_modularity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     half = F.col("dc") * F.lit(1.0) / (F.lit(2) * F.col("m"))
     terms = (
-        dc.join(F.broadcast(intra), "lab", "left")
+        # intra is community-keyed — also O(|V|) worst case (singleton
+        # communities), so no hint here either; m is 1 row, hint kept.
+        dc.join(intra, "lab", "left")
         .crossJoin(F.broadcast(m))
         .select(
             F.round(
