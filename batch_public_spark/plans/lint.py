@@ -25,7 +25,22 @@ for the three antipatterns that are invisible at test scale and fatal at
   m²/2 pairs for a bucket with m rows — invisible at test scale, a
   quadratic single-task killer on one hot key at 100 TB (the
   co-presence-graph antipattern r8's verdict flagged; the fix template
-  is analytics_queries._capped_presence).
+  is analytics_queries._capped_presence). Known blind spot: the shape is
+  detected by SHARED KEY NAME, so a true bucket self-join whose
+  re-aliased side RENAMES the key escapes detection (and, conversely,
+  two different tables sharing a column name can be flagged — handled
+  via the gate's allowlist). Reviewers adding a renamed-key self-join
+  must not assume this finding covers it.
+* **unbounded-broadcast** — an EXPLICIT ``F.broadcast()`` hint whose
+  hinted side is a keyed aggregate/distinct over a fact-table relation
+  with no limit / row_number cap in its subtree (read from the optimized
+  LOGICAL plan, where hints survive as ``…Hint=(strategy=broadcast)``):
+  the forced frame scales with the key population and exceeds the 8 GB
+  broadcast ceiling (or OOMs the driver) at target scale, while a
+  planner/AQE-chosen broadcast simply reverts to a shuffle join when
+  big. Scalar aggregates (1 row) and capped builds pass; justified
+  low-cardinality keys go on the gate's allowlist (the r9-verdict
+  graph-family antipattern).
 
 Used by tests/test_plan_lint.py as a registry-wide gate with an explicit,
 justified allowlist; importable for ad-hoc use::
@@ -184,6 +199,233 @@ def _row_number_capped_names(plan: str) -> set[str]:
     return capped
 
 
+# One distinctive column per SF-scaling fact table: a logical ``Relation``
+# line lists the file's FULL schema (column pruning happens in a Project
+# above it), so these identify the underlying table even through renames.
+_FACT_RELATION_MARKERS = {
+    "lineitem": "l_linenumber#",
+    "orders": "o_orderpriority#",
+    "events": "event_type#",
+    "documents": "doc_id#",
+    "embeddings": "vec_id#",
+}
+
+def _content_col(line: str) -> int:
+    """Column where the node text begins (tree prefix is ' ', ':', '+', '-')."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+# Raw columns whose distinct population scales with the data (row ids,
+# entity ids): a frame keyed by — or scanning — one of these grows with
+# the corpus. Enum-like columns (event_type, priorities, buckets, bins)
+# deliberately are NOT here: frames keyed by them are domain-bounded.
+_POPULATION_ID_RE = None  # built lazily (module avoids importing re at top)
+
+
+def _population_id_re():
+    global _POPULATION_ID_RE
+    if _POPULATION_ID_RE is None:
+        import re
+
+        _POPULATION_ID_RE = re.compile(
+            r"\b(user_id|doc_id|vec_id|event_id|o_orderkey|o_custkey|"
+            r"c_custkey|l_orderkey|l_partkey|l_suppkey|p_partkey|s_suppkey)#"
+        )
+    return _POPULATION_ID_RE
+
+
+def _strip_windowspecs(expr: str) -> str:
+    """Remove ``windowspecdefinition(…)`` argument lists: a window's
+    PARTITION key (often a population id) does not shape the VALUES the
+    window function emits — ``lag(event_type) OVER (PARTITION BY
+    user_id)`` is event_type-domain, not user-domain."""
+    out = []
+    i = 0
+    while True:
+        j = expr.find("windowspecdefinition(", i)
+        if j < 0:
+            out.append(expr[i:])
+            return "".join(out)
+        out.append(expr[i : j + len("windowspecdefinition")])
+        depth = 0
+        k = j + len("windowspecdefinition")
+        while k < len(expr):
+            if expr[k] == "(":
+                depth += 1
+            elif expr[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        out.append("()")
+        i = k + 1
+
+
+def _resolves_to_population_id(sub: str, expr: str, depth: int = 0) -> bool:
+    """True if ``expr`` mentions a population-id column, directly or via
+    alias definitions (`… AS name#id`) found in the rendered subtree."""
+    import re
+
+    expr = _strip_windowspecs(expr)
+    if _population_id_re().search(expr):
+        return True
+    if depth >= 8:
+        return False
+    for m in re.finditer(r"[A-Za-z_][A-Za-z0-9_]*#\d+", expr):
+        p = sub.find(f" AS {m.group(0)}")
+        if p >= 0 and _resolves_to_population_id(
+            sub, _defining_arg(sub, p), depth + 1
+        ):
+            return True
+    return False
+
+
+def _child_indices(lines: list[str], i: int, end: int) -> list[int]:
+    col = _content_col(lines[i])
+    kids: list[int] = []
+    for j in range(i + 1, end):
+        c = _content_col(lines[j])
+        if c <= col:
+            break
+        if c == col + 3:
+            kids.append(j)
+    return kids
+
+
+def _subtree_population_scale(lines: list[str], i: int, end: int, sub: str) -> bool:
+    """Conservative static cardinality walk over a rendered logical
+    subtree: does this node's OUTPUT row count scale with the key
+    population? Limits and scalar aggregates bound; a keyed aggregate /
+    dropDuplicates is judged by whether its keys resolve to a
+    population-id column (keys on enum/bucket domains are domain-bounded);
+    a raw fact relation is population-scale; semi joins are bounded if
+    either input is (an equality probe against a capped set); anti joins
+    follow their left input; everything else passes through its
+    children."""
+    import re
+
+    col = _content_col(lines[i])
+    body = lines[i][col:]
+    if body.startswith(("GlobalLimit", "LocalLimit")):
+        return False
+    if body.startswith("Filter "):
+        # A literal upper bound / equality / IN-list on a population id is
+        # a FIXED-COUNT selection (the ANN family's `vec_id < 5` query
+        # samples and `vec_id < 4` centroid seeds). A modulo fraction
+        # (`(vec_id % 20) = 0`) does NOT match — the attr must compare to
+        # the literal directly — and stays population-scale by design.
+        for fm in re.finditer(
+            r"([A-Za-z_][A-Za-z0-9_]*#\d+L?)\s*(?:<=? \d|= \d|IN \(\d)", body
+        ):
+            if _resolves_to_population_id(sub, fm.group(1)):
+                return False
+    m = re.match(r"Aggregate \[(.*?)\], \[", body)
+    if m is None and body.startswith("Deduplicate ["):
+        m = re.match(r"Deduplicate \[(.*?)\]", body)
+    if m is None:
+        # A distinct whose grouping and output lists coincide can print as
+        # ONE bracket group of bare attributes ("Aggregate [k#1L]") —
+        # keyed. With functions/aliases in the group (or no group at all:
+        # a fully-pruned count prints as bare "Aggregate") it is a scalar.
+        m1 = re.match(r"Aggregate \[([^\]]*)\]\s*$", body)
+        if m1 and " AS " not in m1.group(1) and "(" not in m1.group(1):
+            m = m1
+    if m is not None:
+        # Output cardinality = min(#distinct keys, input rows): population
+        # only when the keys are id-domain AND the input itself is
+        # population-scale (an id-keyed aggregate over a capped input —
+        # e.g. the distinct codewords of two literal-bounded sides — is
+        # bounded by the input).
+        if not any(
+            _resolves_to_population_id(sub, k)
+            for k in _split_top_level(m.group(1))
+        ):
+            return False
+        kids = _child_indices(lines, i, end)
+        ends = [*kids[1:], end]
+        return any(
+            _subtree_population_scale(lines, k, e, sub)
+            for k, e in zip(kids, ends)
+        )
+    if body.startswith("Aggregate"):  # scalar aggregate → 1 row
+        return False
+    if body.startswith("Relation "):
+        return any(mk in body for mk in _FACT_RELATION_MARKERS.values())
+    kids = _child_indices(lines, i, end)
+    if not kids:
+        return False
+    ends = [*kids[1:], end]
+    walks = [
+        _subtree_population_scale(lines, k, e, sub) for k, e in zip(kids, ends)
+    ]
+    if body.startswith("Join LeftSemi"):
+        return all(walks)
+    if body.startswith("Join LeftAnti"):
+        return walks[0]
+    return any(walks)
+
+
+def _unbounded_broadcast_findings(logical_plan: str) -> list[Finding]:
+    """Flag an EXPLICIT ``F.broadcast()`` hint (``…Hint=(strategy=
+    broadcast)`` on a logical Join) whose hinted side is population-scale
+    per ``_subtree_population_scale``: the forced-broadcast frame grows
+    with the data (distinct users / docs / vectors / orders) and blows the
+    8 GB broadcast ceiling or the driver exactly at target scale — the
+    r9-verdict graph_modularity / BFS-visited antipattern. Only HINTED
+    joins trip this: a planner/AQE-chosen broadcast is statistics-based
+    and simply reverts to a shuffle join when the frame is big, so it is
+    scale-safe by construction. Known over-approximation: an id-keyed
+    aggregate over an input that is itself capped (e.g. the distinct
+    neighbors of a LIMIT-k sample) is statically indistinguishable from an
+    uncapped one — such justified-bounded broadcasts go on the gate's
+    allowlist with the bound stated. Known blind spot: frames keyed by
+    unbounded TEXT-derived domains (terms, shingles) don't resolve to an
+    id column and escape; the hot-path text operators all shuffle instead
+    of broadcasting, so the residual risk is accepted."""
+    lines = logical_plan.splitlines()
+    findings: list[Finding] = []
+    for i, line in enumerate(lines):
+        col = _content_col(line)
+        body = line[col:]
+        if not body.startswith("Join "):
+            continue
+        hinted = [
+            side
+            for side, marker in (
+                (0, "leftHint=(strategy=broadcast"),
+                (1, "rightHint=(strategy=broadcast"),
+            )
+            if marker in body
+        ]
+        if not hinted:
+            continue
+        kids = _child_indices(lines, i, len(lines))
+        # subtree end of the join node itself
+        jend = len(lines)
+        for j in range(i + 1, len(lines)):
+            if lines[j].strip() and _content_col(lines[j]) <= col:
+                jend = j
+                break
+        kid_ends = [*kids[1:], jend]
+        for side in hinted:
+            if side >= len(kids):
+                continue
+            k, e = kids[side], kid_ends[side]
+            sub = "\n".join(lines[k:e])
+            if _subtree_population_scale(lines, k, e, sub):
+                findings.append(
+                    Finding(
+                        "unbounded-broadcast",
+                        "explicit broadcast hint on a population-scale frame "
+                        f"(root: {lines[k][_content_col(lines[k]):][:80]})",
+                    )
+                )
+    return findings
+
+
 def _self_join_bucket_findings(plan: str) -> list[Finding]:
     import re
 
@@ -235,4 +477,10 @@ def lint_plan(df: DataFrame) -> list[Finding]:
         if stripped.startswith("BatchEvalPython"):
             findings.append(Finding("row-python-udf", stripped[:120]))
     findings.extend(_self_join_bucket_findings(plan))
+    # Hint analysis reads the OPTIMIZED LOGICAL plan: explicit broadcast
+    # hints survive there as Join …Hint=(strategy=broadcast) annotations,
+    # whereas the physical plan cannot distinguish a forced broadcast from
+    # a statistics-chosen (scale-safe) one.
+    logical = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    findings.extend(_unbounded_broadcast_findings(logical))
     return findings

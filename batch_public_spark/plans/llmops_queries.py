@@ -1500,8 +1500,10 @@ def llmops_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     that keeps a boilerplate 3-gram from quadratic pair blowup at 100 TB
     (same bound class as the MinHash bucket caps, semantic.py); the
     measure is honestly "rare-shingle containment", mirrored exactly in
-    the oracle. The intersection reduces per pair BEFORE sizes broadcast
-    back on, so the shuffle carries (id_a, id_b, count) only."""
+    the oracle. The intersection reduces per pair BEFORE sizes join back
+    on (unhinted — sizes is per-doc, population-scale; AQE broadcasts it
+    only when actually small), so the shuffle carries (id_a, id_b, count)
+    only."""
     d = (
         t(spark, sf_dir, "documents")
         .select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s"))
@@ -1528,8 +1530,11 @@ def llmops_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        # sizes is per-doc (population-scale) — no broadcast hint; the
+        # candidate-pair side is already reduced to (id_a, id_b, ix), so
+        # AQE broadcasts whichever side is actually small at runtime
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .filter(F.col("ix") * 2 >= F.least("sz_a", "sz_b"))
         .select(
             "id_a",

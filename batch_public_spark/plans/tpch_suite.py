@@ -794,9 +794,9 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleared of division: qty < sum/(5·cnt) ⇔ 5·qty·cnt < sum — every
     operand stays decimal/int so both engines compare exactly (AVG would
     go double in DuckDB and float-flake the boundary). Per-part stats
-    (≤|part| rows) broadcast back onto the brand-filtered lines; the
-    single-row result divides the exact decimal sum by 7 in double only
-    at the very end.
+    (≤|part| rows — population-scale, so no broadcast hint; AQE decides)
+    join back onto the brand-filtered lines; the single-row result
+    divides the exact decimal sum by 7 in double only at the very end.
     """
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
@@ -807,7 +807,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("qty").alias("sum_qty"), F.count("*").alias("cnt")
     )
     return (
-        lines.join(F.broadcast(stats), "l_partkey")
+        # per-part stats scale with |part| — no broadcast hint (AQE
+        # broadcasts when the brand-filtered frame is actually small;
+        # the r10 unbounded-broadcast lint enforces this shape)
+        lines.join(stats, "l_partkey")
         .filter(F.col("qty") * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
         .agg(
             F.round(F.sum("price").cast("double") / F.lit(7.0), 2)

@@ -102,3 +102,161 @@ def test_self_join_on_natural_key_not_flagged():
 
     plan = "SortMergeJoin [user_id#5L], [user_id#105L], Inner"
     assert _self_join_bucket_findings(plan) == []
+
+
+# --- unbounded-broadcast (r10): explicit hints in the LOGICAL plan -----
+
+_REL_EVENTS = (
+    "Relation [event_id#1L,user_id#5L,ts#3,event_type#4,value#6] parquet"
+)
+_REL_NATION = "Relation [n_nationkey#2L,n_name#7,n_regionkey#8L] parquet"
+
+
+def _join_plan(hint: str, right_sub: list[str]) -> str:
+    lines = [
+        f"Join Inner, (x#9L = u#50L){hint}",
+        ":- Filter isnotnull(x#9L)",
+        ":  +- " + _REL_EVENTS,
+    ]
+    lines += right_sub
+    return "\n".join(lines)
+
+
+def test_hinted_id_keyed_distinct_flagged():
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    plan = _join_plan(
+        ", rightHint=(strategy=broadcast)",
+        [
+            "+- Aggregate [u#50L], [u#50L]",
+            "   +- Project [user_id#5L AS u#50L]",  # alias chain to an id
+            "      +- " + _REL_EVENTS,
+        ],
+    )
+    kinds = [f.kind for f in _unbounded_broadcast_findings(plan)]
+    assert kinds == ["unbounded-broadcast"]
+
+
+def test_hinted_raw_fact_relation_flagged():
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    plan = _join_plan(
+        ", rightHint=(strategy=broadcast)",
+        ["+- Project [user_id#105L]", "   +- " + _REL_EVENTS],
+    )
+    kinds = [f.kind for f in _unbounded_broadcast_findings(plan)]
+    assert kinds == ["unbounded-broadcast"]
+
+
+def test_enum_keyed_aggregate_not_flagged():
+    # Keys on a domain-bounded column (event_type) — frame is bounded by
+    # the key domain no matter the corpus size.
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    plan = _join_plan(
+        ", rightHint=(strategy=broadcast)",
+        [
+            "+- Aggregate [t#60], [t#60]",
+            "   +- Project [event_type#4 AS t#60]",
+            "      +- " + _REL_EVENTS,
+        ],
+    )
+    assert _unbounded_broadcast_findings(plan) == []
+
+
+def test_unhinted_join_not_flagged():
+    # Planner/AQE-chosen broadcasts carry no hint annotation — scale-safe.
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    plan = _join_plan(
+        "", ["+- Project [user_id#105L]", "   +- " + _REL_EVENTS]
+    )
+    assert _unbounded_broadcast_findings(plan) == []
+
+
+def test_scalar_aggregate_hint_not_flagged():
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    plan = _join_plan(
+        ", rightHint=(strategy=broadcast)",
+        ["+- Aggregate [count(1) AS n#12L]", "   +- " + _REL_EVENTS],
+    )
+    assert _unbounded_broadcast_findings(plan) == []
+
+
+def test_dim_table_hint_not_flagged():
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    plan = _join_plan(
+        ", rightHint=(strategy=broadcast)",
+        ["+- Aggregate [n_name#7], [n_name#7]", "   +- " + _REL_NATION],
+    )
+    assert _unbounded_broadcast_findings(plan) == []
+
+
+def test_capped_hint_not_flagged():
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    for bound in ("GlobalLimit 100", "LocalLimit 100"):
+        plan = _join_plan(
+            ", rightHint=(strategy=broadcast)",
+            [
+                f"+- {bound}",
+                "   +- Project [user_id#105L]",
+                "      +- " + _REL_EVENTS,
+            ],
+        )
+        assert _unbounded_broadcast_findings(plan) == [], bound
+
+
+def test_semi_join_against_capped_set_not_flagged():
+    # embeddings ⋉ (hash-rank LIMIT 100) — the fixed-count sample idiom:
+    # the semi join is an equality probe against a capped set → bounded.
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    plan = _join_plan(
+        ", rightHint=(strategy=broadcast)",
+        [
+            "+- Join LeftSemi, (user_id#105L = s#9L)",
+            "   :- " + _REL_EVENTS,
+            "   +- GlobalLimit 100",
+            "      +- Project [user_id#205L AS s#9L]",
+            "         +- " + _REL_EVENTS,
+        ],
+    )
+    assert _unbounded_broadcast_findings(plan) == []
+
+
+def test_anti_join_follows_left_input():
+    # population-left ANTI bounded-right is still population-scale.
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    plan = _join_plan(
+        ", rightHint=(strategy=broadcast)",
+        [
+            "+- Join LeftAnti, (user_id#105L = s#9L)",
+            "   :- " + _REL_EVENTS,
+            "   +- GlobalLimit 100",
+            "      +- Project [user_id#205L AS s#9L]",
+            "         +- " + _REL_EVENTS,
+        ],
+    )
+    kinds = [f.kind for f in _unbounded_broadcast_findings(plan)]
+    assert kinds == ["unbounded-broadcast"]
+
+
+def test_left_hint_inspects_left_child():
+    # The hint names the LEFT side; the population frame on the RIGHT
+    # must not be attributed to it.
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    plan = "\n".join(
+        [
+            "Join Inner, (x#9L = u#50L), leftHint=(strategy=broadcast)",
+            ":- Aggregate [count(1) AS n#12L]",
+            ":  +- " + _REL_EVENTS,
+            "+- Project [user_id#105L]",
+            "   +- " + _REL_EVENTS,
+        ]
+    )
+    assert _unbounded_broadcast_findings(plan) == []

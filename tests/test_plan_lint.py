@@ -29,6 +29,20 @@ ALLOWLIST: set[tuple[str, str]] = {
     # vs the 9-row Benford expectation dim) — keys are unique per side, so
     # the join emits ≤ 9 rows; there is no m²-per-key amplification to cap.
     ("dq_benford_first_digit", "uncapped-bucket-self-join"),
+    # --- unbounded-broadcast (r10): justified-bounded hinted frames the
+    # static cardinality walk cannot prove. Each bound is structural and
+    # documented in the query's docstring. ---
+    # Back-edge frame e2 ≤ K·k² = 2 500 rows: its input is the ≤ K·k = 500
+    # distinct first-hop neighbors of the GlobalLimit-100 hash-rank query
+    # sample, bounded through a rank-cap window the walk can't credit.
+    ("llmops_knn_graph_audit", "unbounded-broadcast"),
+    # Lloyd centroid frames are exactly k = 32 rows: cluster_id's domain
+    # is the literal-bounded seed set (vec_id < 32) on the OTHER side of
+    # the argmin assignment join — alias resolution sees an id-typed key,
+    # not the bounded domain it ranges over. Same for the query×centroid
+    # probe frames (LIMIT-bounded queries × k centroids).
+    ("llmops_ann_ivf_lloyd_recall", "unbounded-broadcast"),
+    ("llmops_kmeans_lloyd", "unbounded-broadcast"),
 }
 
 
