@@ -629,11 +629,12 @@ def window_ignore_nulls_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) FILTER (l_quantity = 25) AS BIGINT) AS n_div_zero,
            CAST(count(*) FILTER (l_linenumber >= 7) AS BIGINT) AS n_add_overflow,
            CAST(count(*) FILTER (l_linenumber > 3) AS BIGINT) AS n_elem_oob,
-           CASE WHEN count(*) FILTER (l_orderkey % 9973 = 0) >= 2 THEN NULL
-                ELSE count(*) FILTER (l_orderkey % 9973 = 0) * 4611686018427387904
+           CASE WHEN count(*) FILTER (l_orderkey % m.m = 0) >= 2 THEN NULL
+                ELSE count(*) FILTER (l_orderkey % m.m = 0) * 4611686018427387904
            END AS guarded_sum
     FROM lineitem
-    GROUP BY 1
+    CROSS JOIN (SELECT CAST(count(*) // 7 AS BIGINT) AS m FROM lineitem) m
+    GROUP BY 1, m.m
     """,
 )
 def scalar_try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,13 +647,18 @@ def scalar_try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame
     so the oracle states the expected OUTCOME in exact arithmetic:
     predicate counts for the row-scope ops and a HUGEINT-free guarded
     CASE for the aggregate (≥2 addends of 2^62 overflow BIGINT ⇒ NULL;
-    the 0/1-addend groups keep exact values — fixture-calibrated to a
-    genuine 0/1/≥2 mix across linenumber groups at sf0.01, the driver's
-    correctness SF; above it (sf0.1+) every group has ≥2 multiples of
-    9973 and the column degenerates to all-NULL — an accepted SF-specific
-    calibration, noted by the r9 full-SF stress sweep).
+    the 0/1-addend groups keep exact values). SF-proportional modulus
+    (r9 stress sweep → r10 fix): the addend trigger divides l_orderkey
+    by M = |lineitem| div 7, DERIVED FROM THE DATA in both engines, so
+    the expected multiples per linenumber group stay ≈ 1 at every SF —
+    measured 0/1/≥2 group mixes of (2,3,2)/(1,4,2)/(1,4,2) at
+    sf0.001/0.01/0.1, i.e. the NULL-overflow branch, the exact-value
+    branch, and the zero branch all genuinely bind at every fixture SF
+    (the fixed 9973 modulus degenerated to all-NULL above sf0.01).
     scalar_try_cast_battery covers casts; this covers arithmetic."""
     li = t(spark, sf_dir, "lineitem")
+    mval = li.agg(F.expr("count(1) div 7").cast("bigint").alias("_m"))
+    li = li.join(F.broadcast(mval))
     return li.groupBy(F.col("l_linenumber").cast("bigint").alias("lineno")).agg(
         F.count("*").cast("bigint").alias("n_rows"),
         F.count_if(F.expr("try_multiply(CAST(l_quantity AS BIGINT), 9223372036854775807L)").isNull()).cast("bigint").alias("n_mul_overflow"),
@@ -660,7 +666,7 @@ def scalar_try_arithmetic_battery(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count_if(F.expr("try_add(9223372036854775801L, CAST(l_linenumber AS BIGINT))").isNull()).cast("bigint").alias("n_add_overflow"),
         F.count_if(F.expr("try_element_at(array(11, 12, 13), l_linenumber)").isNull()).cast("bigint").alias("n_elem_oob"),
         F.expr(
-            "try_sum(CASE WHEN l_orderkey % 9973 = 0 THEN 4611686018427387904L ELSE 0L END)"
+            "try_sum(CASE WHEN l_orderkey % _m = 0 THEN 4611686018427387904L ELSE 0L END)"
         ).alias("guarded_sum"),
     )
 

@@ -687,7 +687,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey, CAST(ROUND(SUM(val), 2) AS DOUBLE) AS part_value
     FROM filtered
     GROUP BY l_partkey
-    HAVING SUM(val) > (SELECT SUM(val) * CAST(0.001 AS DECIMAL(6,4)) FROM filtered)
+    HAVING SUM(val) * (SELECT CAST(count(*) AS BIGINT) * 10 FROM supplier)
+           > (SELECT SUM(val) FROM filtered)
     """,
 )
 def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -699,13 +700,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     (share of the nation total) is kept. The nation-filtered fact scan is
     aggregated ONCE per grouping (Spark evaluates the two aggs as two
     jobs over the same scan; at cluster scale the scan is the cost and
-    both sides prune to two columns). Threshold compare stays decimal ×
-    decimal — exact in both engines, no float boundary flakes. The 1-row
-    total broadcasts. SF note (r9 stress sweep): the spec's fixed share
-    fraction leaves qualifying parts only up to ~sf0.01 — at sf0.1 the
-    value distribution flattens and the result is legitimately empty
-    (TPC-H scales the fraction by 1/SF for exactly this reason; the
-    fixture pins the sf0.01 behavior the driver attests).
+    both sides prune to two columns). SF-proportional threshold (r9
+    stress sweep → r10 fix): TPC-H's spec scales the share fraction as
+    0.0001/SF precisely because a fixed fraction goes vacuous as the
+    value distribution flattens; with |supplier| = 10000·SF the
+    SF-proportional fraction 0.1/|supplier| is derived FROM THE DATA in
+    both engines — algebraically cleared of division (sum·|supplier|·10
+    > total, every operand decimal/int, exact in both engines, no float
+    boundary flakes), identical to the previously-attested 0.001 at
+    sf0.01, and non-vacuous at every fixture SF (16/363/3232 qualifying
+    parts). The 1-row total and supplier count broadcast.
     """
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
@@ -716,12 +720,16 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", dec("l_extendedprice").alias("val"))
     )
     per_part = filtered.groupBy("l_partkey").agg(F.sum("val").alias("_sum_val"))
-    total = filtered.agg(
-        (F.sum("val") * F.lit(0.001).cast(D6)).alias("_threshold")
+    # decimal(12,0): sum(decimal(15,4)) → decimal(25,4); 25+12+1 = 38
+    # keeps the product inside DecimalType's exact range.
+    ns10 = t(spark, sf_dir, "supplier").agg(
+        (F.count("*") * 10).cast("decimal(12,0)").alias("_ns10")
     )
+    total = filtered.agg(F.sum("val").alias("_total"))
     return (
         per_part.join(F.broadcast(total))
-        .filter(F.col("_sum_val") > F.col("_threshold"))
+        .join(F.broadcast(ns10))
+        .filter(F.col("_sum_val") * F.col("_ns10") > F.col("_total"))
         .select(
             "l_partkey",
             F.round(F.col("_sum_val"), 2).cast("double").alias("part_value"),
