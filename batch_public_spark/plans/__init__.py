@@ -33,105 +33,84 @@ from batch_public_spark.plans import eval_mining_queries  # noqa: F401  # eval/m
 # driver-attested, in this window, or in _NEXT_WINDOW (and that
 # _NEXT_WINDOW fits a single future window).
 _PRIORITY = [
-    # Round 9 rotation. r8 attested 49 hash + 1 rows-only, cumulative
-    # union 318/348 with the 30 r8-overflow names below queued first —
-    # attesting them closes the backlog at 348/348 before this round's
-    # changes and additions take the remaining slots.
-    # --- r8 overflow (_NEXT_WINDOW of r8, mandatory head) ---
-    "sql_pivot_unpivot_roundtrip",
-    "scalar_csv_funcs",
-    "llmops_uncertainty_sample",
-    "llmops_hybrid_rrf_fusion",
-    "llmops_matryoshka_recall",
-    "scalar_url_funcs",
-    "udaf_trimmed_mean_price",
-    "llmops_winnowing_fingerprints",
-    "events_top_paths",
-    "llmops_binary_embedding_recall",
-    "events_forecast_backtest",
-    "llmops_ann_nprobe_sweep",
-    "llmops_cluster_label_nmi",
-    "llmops_shuffle_quality_audit",
-    "llmops_kcenter_seeding",
-    "events_cohort_ltv_matrix",
-    "scalar_rounding_battery",
-    "source_schema_evolution_merge",
-    "llmops_spec_decode_acceptance",
-    "llmops_rerank_cascade_recall",
-    "join_dynamic_partition_pruning",
-    "llmops_maxsim_multivector",
-    "llmops_mmr_diversified_topk",
-    "llmops_bpe_apply_merges",
-    "llmops_entropy_rate_bigram",
-    "llmops_watermark_detect",
-    "events_rate_limit_sim",  # also changed in r9: per-user 100k event cap
-    "dq_effective_sample_size",
-    "llmops_best_of_n_curve",
-    "pipeline_cost_accounting",
-    # --- changed in r9 (re-attest per rotation policy): the co-presence
-    # graph family gained the per-bucket participant cap (row_number <=
-    # 256, mirrored in the oracles) and link_prediction the deg<=1000
-    # witness cap — hashes unchanged at fixture SF (caps bind only on
-    # synthetic hot keys, tests/test_r9_invariants.py), but the plans
-    # changed, so the driver re-attests them. ---
-    "graph_kcore_peel",
-    "graph_bfs_distance",
-    "graph_label_propagation",
-    "graph_link_prediction",
-    # --- added in r9 ---
-    "events_markov_transitions",
-    "events_seasonal_mase",
-    "llmops_gopher_reject_rates",
-    "llmops_domain_reweight",
+    # Round 10 rotation. r9 attested its full 50-entry window hash-green
+    # (cumulative union 361/362). The window leads with r9's 12-name
+    # _NEXT_WINDOW (mandatory head — attesting them reaches 362/362
+    # before this round's changes), then every query whose plan, oracle,
+    # or calibration changed in r10, then the r10 additions, then stale
+    # r1-attested names to refresh the oldest evidence and keep the
+    # window exactly 50.
+    # --- r9 overflow (_NEXT_WINDOW of r9, mandatory head) ---
+    "llmops_ann_bruteforce",
+    "llmops_ann_ivf_lloyd_recall",
+    "llmops_ann_lsh",
+    "llmops_ann_ivf",
+    "llmops_hard_negatives",
+    "llmops_minhash_incremental_dedup",
+    "setop_except_nations",
+    "events_bounce_rate_daily",
+    "stream_tumbling_counts",
+    "agg_theil_sen_slope",
+    "llmops_ngram_jaccard_pairs",
+    "llmops_dedup_cc",
+    # --- changed in r10 (re-attest per rotation policy) ---
+    # fixed-count hash-rank sample (results changed):
     "llmops_knn_graph_audit",
-    "llmops_response_length_bias",
-    "dq_arrival_gap_audit",
-    "source_csv_malformed_permissive",
+    # O(|V|) broadcast hints dropped (plan-only; hashes unchanged):
     "graph_modularity_score",
-    "stream_stream_leftsemi",
-    "events_user_lifecycle_states",
-    "agg_ratio_delta_method_ci",
-    # --- placeholders (stalest-attested names, all r1; re-attesting
-    # refreshes the oldest evidence and keeps the window exactly 50) ---
+    "graph_bfs_distance",
+    "q17_small_quantity_revenue",
+    "llmops_containment_neardup",
+    # SF-proportional data-derived calibrations (q11 hash unchanged at
+    # sf0.01; try battery's guarded_sum changed with the new modulus):
+    "q11_important_stock",
+    "scalar_try_arithmetic_battery",
+    # oracle byte-accounting fix (ADVICE r9; hash unchanged on the
+    # ASCII fixture):
     "llmops_multimodal_format_sniff",
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "topk_orders_global",
+    # smoothing constants now derived from data cardinality in both
+    # engines (ADVICE r9; hashes unchanged at fixture cardinalities):
+    "events_markov_transitions",
+    "llmops_domain_reweight",
+    # --- added in r10 ---
+    "llmops_minhash_index_roundtrip",
+    # --- placeholders (stalest-attested names, all r1; re-attesting
+    # refreshes the oldest evidence and keeps the window exactly 50;
+    # r10 additions displace from the BOTTOM of this list) ---
+    "agg_approx_distinct",
+    "agg_corr_quantity_price",
+    "agg_distinct_parts",
+    "agg_percentiles_lineitem",
+    "agg_salted_hotkey_counts",
+    "agg_stats_orders",
+    "array_funcs_documents",
+    "case_when_segmentation",
+    "cube_status_priority",
+    "date_funcs_orders",
+    "distinct_segments",
+    "explode_word_counts",
+    "grouping_sets_geo",
+    "histogram_totalprice",
+    "join_asof_last_click",
+    "join_full_outer_daily_priority",
+    "join_left_order_counts",
+    "join_range_late_shipments",
+    "join_semi_customers_with_orders",
+    "join_theta_acctbal",
+    "json_funcs_events",
+    "math_funcs_lineitem",
+    "pipeline_dedup_first_wins",
+    "pipeline_json_repair",
+    "pipeline_text_extract",
+    "pipeline_ts_normalize",
+    "pivot_flag_status",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;
 # they are the mandatory head of the next round's _PRIORITY rotation.
 # tests/test_registry_rotation.py fails if a registered query is in none of
 # {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}.
-_NEXT_WINDOW: list[str] = [
-    # r9 late change: ann_bruteforce_topk fused per-row norm precomputation
-    # (semantic.py — bit-identical sims, ~2-3x less per-pair compute). Five
-    # consumers already sit in the r9 window; these two are r8-attested
-    # with changed plans, so they head the r10 rotation for re-attestation.
-    "llmops_ann_bruteforce",
-    "llmops_ann_ivf_lloyd_recall",
-    # same fusion applied to the LSH / IVF candidate-ranking stages:
-    "llmops_ann_lsh",
-    "llmops_ann_ivf",
-    "llmops_hard_negatives",
-    # r9 late addition (window already full):
-    "llmops_minhash_incremental_dedup",
-    # r9 recalibration: EXCEPT rebased from nationkey (vacuously empty at
-    # sf>=0.01) to balance cents — changed plan, re-attest.
-    "setop_except_nations",
-    # r9 discipline fix: day keys now emitted as formatted strings (DuckDB
-    # day-grain date_trunc yields DATE vs Spark TIMESTAMP; the pandas-based
-    # comparator masked it, the native-value comparator caught it) —
-    # changed outputs, re-attest.
-    "events_bounce_rate_daily",
-    "stream_tumbling_counts",
-    # r9 sf0.1 stress-sweep fixes (changed outputs/accumulators/bounds):
-    "agg_theil_sen_slope",
-    # (agg_ratio_delta_method_ci also changed, but it already sits in the
-    # r9 window above — the end-of-round attestation covers the fix.)
-    "llmops_ngram_jaccard_pairs",
-    "llmops_dedup_cc",
-]
+_NEXT_WINDOW: list[str] = []
 
 
 def _reorder() -> None:

@@ -5316,7 +5316,9 @@ def events_rate_limit_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT g.prev, g.cur,
            coalesce(t.n, 0) AS n_trans,
            round((coalesce(t.n, 0) + 1) * 1.0e0
-                 / (coalesce(o.row_n, 0) + 5), 6) AS p_smoothed
+                 / (coalesce(o.row_n, 0)
+                    + (SELECT count(DISTINCT event_type) FROM events)),
+                 6) AS p_smoothed
     FROM grid g
     LEFT JOIN trans t ON t.prev = g.prev AND t.cur = g.cur
     LEFT JOIN tot o ON o.prev = g.prev
@@ -5358,9 +5360,14 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(types.select(F.col("t").alias("cur")))
     )
     tot = trans.groupBy("prev").agg(F.sum("n").cast("bigint").alias("row_n"))
+    # Laplace denominator |types| DERIVED from the data (r9 ADVICE fix):
+    # a hardcoded literal silently stops rows summing to 1 if the
+    # fixture's type cardinality ever changes while the hash stays green.
+    ntypes = types.agg(F.count("*").cast("bigint").alias("_k"))
     return (
         grid.join(F.broadcast(trans), ["prev", "cur"], "left")
         .join(F.broadcast(tot), ["prev"], "left")
+        .join(F.broadcast(ntypes))
         .select(
             "prev",
             "cur",
@@ -5368,7 +5375,7 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (F.coalesce("n", F.lit(0)) + 1)
                 * F.lit(1.0)
-                / (F.coalesce("row_n", F.lit(0)) + 5),
+                / (F.coalesce("row_n", F.lit(0)) + F.col("_k")),
                 6,
             ).alias("p_smoothed"),
         )

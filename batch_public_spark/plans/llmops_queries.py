@@ -3635,8 +3635,13 @@ def llmops_gopher_reject_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     w AS (
       SELECT source, n_tokens,
              n_tokens * 1.0e0 / total AS actual_share,
+             -- residual share split over the DERIVED non-premium source
+             -- count (r9 ADVICE fix: a hardcoded /18 silently stops
+             -- targets summing to 1 if the fixture's source cardinality
+             -- changes while the hash stays green)
              CASE WHEN source IN ('src0', 'src1') THEN 0.2e0
-                  ELSE 0.6e0 / 18 END AS target_share
+                  ELSE 0.6e0 / ((SELECT count(*) FROM tok) - 2) END
+               AS target_share
       FROM tok, tot
     )
     SELECT source, n_tokens,
@@ -3680,13 +3685,18 @@ def llmops_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.groupBy("source").agg(
         F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tokens")
     )
-    tot = tok.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    tot = tok.agg(
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        # non-premium source count derived from the data, mirroring the
+        # oracle (r9 ADVICE fix — see the oracle comment)
+        (F.count("*") - 2).cast("bigint").alias("_n_rest"),
+    )
     w = tok.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
         (F.col("n_tokens") * F.lit(1.0) / F.col("total")).alias("actual_share"),
         F.when(F.col("source").isin("src0", "src1"), F.lit(0.2))
-        .otherwise(F.lit(0.6) / 18)
+        .otherwise(F.lit(0.6) / F.col("_n_rest"))
         .alias("target_share"),
     )
     ratio = F.col("target_share") / F.col("actual_share")
@@ -3850,7 +3860,11 @@ def llmops_knn_graph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT fmt AS format,
            CAST(count(*) AS BIGINT) AS n_blobs,
-           CAST(sum(length(text) + hlen) AS BIGINT) AS total_bytes,
+           -- strlen = BYTES (r9 ADVICE fix): Spark sums length(blob) in
+           -- bytes; DuckDB's length() counts characters, equal only on
+           -- an all-ASCII fixture. strlen keeps the hash meaningful if
+           -- the fixture ever grows non-ASCII payloads.
+           CAST(sum(strlen(text) + hlen) AS BIGINT) AS total_bytes,
            CAST(0 AS BIGINT) AS n_sniff_mismatch,
            md5(string_agg(text, chr(10) ORDER BY doc_id)) AS payload_md5
     FROM d GROUP BY fmt
@@ -3967,9 +3981,10 @@ _INC_SIGS = ", ".join(
 _INC_BANDS = ", ".join(f"md5(h{2 * b} || h{2 * b + 1}) AS bh{b}" for b in range(4))
 
 
-@query(
-    "llmops_minhash_incremental_dedup",
-    oracle=f"""
+# Shared by the two incremental-dedup shapes (in-job index vs persisted
+# bucketed index): identical semantics, different physical paths — the
+# estimator-twin discipline applied to storage layout.
+_INC_ORACLE = f"""
     WITH sh AS (
       SELECT doc_id, {_GRAMS3} AS s FROM documents
     ), sig AS (SELECT doc_id, s, {_INC_SIGS} FROM sh),
@@ -4004,8 +4019,10 @@ _INC_BANDS = ", ".join(f"md5(h{2 * b} || h{2 * b + 1}) AS bh{b}" for b in range(
     FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
     LEFT JOIN ver v ON v.new_id = d.doc_id
     GROUP BY d.doc_id
-    """,
-)
+    """
+
+
+@query("llmops_minhash_incremental_dedup", oracle=_INC_ORACLE)
 def llmops_minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL MinHash-LSH dedup — the production shape the batch
     family (llmops_minhash_candidates/dedup) runs day over day: yesterday's
@@ -4033,8 +4050,10 @@ def llmops_minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     Spark-first: signatures and band keys are in-row array expressions
     riding each side's scan; the probe is ONE equi-join on (band, bucket)
     — index side shuffled once when the index is built (here: same job;
-    in production: already on disk, bucket-partitioned, so the probe
-    co-locates); verification touches only candidate pairs."""
+    llmops_minhash_index_roundtrip PROVES the production variant: index
+    persisted bucketed on the band key, probe co-locating with no
+    exchange on the index side); verification touches only candidate
+    pairs."""
     from batch_public_spark.operators.semantic import word_shingles
 
     d = t(spark, sf_dir, "documents")
@@ -4064,6 +4083,100 @@ def llmops_minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     )
     cand = (
         inc.join(idx, ["band", "bh"])
+        .select("new_id", "old_id", "si", "so")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("si", "so"))
+    union = F.size(F.array_union("si", "so"))
+    ver = cand.select(
+        "new_id",
+        F.when(inter * 2 >= union, 1).otherwise(0).alias("dup"),
+        F.round(inter * F.lit(1.0) / union, 6).alias("j"),
+    )
+    arrivals = d.filter(F.col("doc_id") % 2 == 1).select(
+        F.col("doc_id").alias("new_id")
+    )
+    return arrivals.join(ver, "new_id", "left").groupBy("new_id").agg(
+        F.count("j").cast("bigint").alias("n_candidates"),
+        F.coalesce(F.sum("dup"), F.lit(0)).cast("bigint").alias("n_dups"),
+        F.coalesce(F.max("j"), F.lit(0.0)).alias("best_jaccard"),
+        (F.coalesce(F.sum("dup"), F.lit(0)) > 0).alias("is_dup"),
+    )
+
+
+@query("llmops_minhash_index_roundtrip", oracle=_INC_ORACLE)
+def llmops_minhash_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-INDEX variant of llmops_minhash_incremental_dedup —
+    the write→read round-trip that proves the production claim instead of
+    asserting it (the llmops_bloom_incremental_roundtrip discipline):
+    job 1 bands yesterday's corpus (even doc ids), caps each (band,
+    bucket) at 50 entries, and WRITES the index as a parquet table
+    BUCKETED (and sorted) on the band key (sources/bucketing.py — the
+    persisted layout a daily dedup pipeline maintains); job 2 reads the
+    index back through the catalog, bands today's arrivals (odd ids)
+    in-row, and probes with ONE equi-join on the band key in which the
+    INDEX SIDE NEEDS NO EXCHANGE — the bucketed layout IS its shuffle, so
+    at 100 TB the daily probe moves only the arrivals
+    (tests/test_r10_invariants.py::
+    test_minhash_index_probe_has_no_index_side_exchange pins the plan
+    under disabled broadcast). Semantics are IDENTICAL to the in-job
+    variant — same oracle, same hash — so the round-trip also attests
+    bucketed-write fidelity on an array<string> payload column.
+
+    The band key is the injective string band || ':' || bucket-hash
+    (bucketBy wants one column; band ∈ 0..3 and bh is md5 hex, so the
+    concatenation collides never). Non-vacuity is the twin's: 250
+    arrivals at sf0.01 → 14 banded candidates, 12 verify ≥ 0.5, 2
+    rejected — every output column multi-valued."""
+    import os
+
+    from batch_public_spark.operators.semantic import word_shingles
+    from batch_public_spark.plans.analytics_queries import _scratch_dir
+    from batch_public_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    d = t(spark, sf_dir, "documents")
+    sh = d.select("doc_id", word_shingles(F.col("text"), 3).alias("s"))
+
+    def sig(i: int):
+        return F.array_min(
+            F.transform(F.col("s"), lambda x: F.md5(F.concat(F.lit(f"{i}:"), x)))
+        )
+
+    banded = sh.select(
+        "doc_id",
+        "s",
+        F.posexplode(
+            F.array(*[F.md5(F.concat(sig(2 * b), sig(2 * b + 1))) for b in range(4)])
+        ).alias("band", "bh"),
+    ).select(
+        "doc_id",
+        "s",
+        "band",
+        "bh",
+        F.concat_ws(":", F.col("band").cast("string"), "bh").alias("bkey"),
+    )
+
+    # --- job 1: build + persist the bucketed band index ---
+    wcap = W.partitionBy("band", "bh").orderBy("doc_id")
+    idx = (
+        banded.filter(F.col("doc_id") % 2 == 0)
+        .withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= 50)
+        .select("bkey", F.col("doc_id").alias("old_id"), F.col("s").alias("so"))
+    )
+    root = _scratch_dir(spark, sf_dir, "mh_index")
+    tag = os.path.basename(root).replace(".", "_")
+    tbl = f"bps_mh_band_index_{tag}"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    write_bucketed(idx, tbl, key="bkey", buckets=8, path=os.path.join(root, "idx"))
+
+    # --- job 2: probe-only pass over the arrivals ---
+    idx_r = read_bucketed(spark, tbl)
+    inc = banded.filter(F.col("doc_id") % 2 == 1).select(
+        "bkey", F.col("doc_id").alias("new_id"), F.col("s").alias("si")
+    )
+    cand = (
+        inc.join(idx_r, "bkey")
         .select("new_id", "old_id", "si", "so")
         .distinct()
     )

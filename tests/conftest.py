@@ -84,11 +84,16 @@ VACUOUS_OK: set[str] = {
 }
 
 
-def _assert_not_vacuous(query_name: str, ddb_df) -> None:
+def _assert_not_vacuous(query_name: str, ddb_df, float_cols=None) -> None:
     """Fixture-calibration gate (verdict-r6 item #7): the oracle result must
     have >0 rows, and if it has float-typed measure columns and >1 row, at
     least one of them must take more than one value — otherwise the
-    hash-match is vacuously green and the threshold needs recalibrating."""
+    hash-match is vacuously green and the threshold needs recalibrating.
+
+    ``float_cols``: the caller passes the DuckDB-typed float columns when
+    it has them (r9 ADVICE fix: pandas coerces a nullable BIGINT to
+    float64, so dtype-sniffing the frame would vacuity-check an
+    int-for-parity column); falls back to pandas dtypes otherwise."""
     if query_name in VACUOUS_OK:
         return
     assert len(ddb_df) > 0, (
@@ -97,7 +102,10 @@ def _assert_not_vacuous(query_name: str, ddb_df) -> None:
     )
     if len(ddb_df) == 1:
         return
-    float_cols = [c for c in ddb_df.columns if str(ddb_df[c].dtype).startswith("float")]
+    if float_cols is None:
+        float_cols = [
+            c for c in ddb_df.columns if str(ddb_df[c].dtype).startswith("float")
+        ]
     if not float_cols:
         return
     for c in float_cols:
@@ -115,9 +123,25 @@ def assert_parity(spark_df, ddb_rel, query_name: str = "?"):
     row multisets exactly."""
     spark_cols = sorted(spark_df.columns)
     ddb_df = ddb_rel.df()
-    _assert_not_vacuous(query_name, ddb_df)
+    # float-typed per DuckDB's OWN result types, not pandas dtypes (a
+    # nullable BIGINT pandas-coerces to float64 and would be
+    # vacuity-checked as a measure while parity treats it as int)
+    ddb_float_cols = [
+        c
+        for c, ty in zip(ddb_rel.columns, ddb_rel.types)
+        if str(ty) in ("FLOAT", "DOUBLE")
+    ]
+    _assert_not_vacuous(query_name, ddb_df, ddb_float_cols)
     ddb_cols = sorted(ddb_df.columns)
     assert spark_cols == ddb_cols, f"{query_name}: columns {spark_cols} != {ddb_cols}"
+    # duplicate result-column names would resolve to the FIRST position
+    # twice in the index map below — refuse them outright (r9 ADVICE fix)
+    assert len(set(ddb_rel.columns)) == len(ddb_rel.columns), (
+        f"{query_name}: duplicate oracle result columns {ddb_rel.columns}"
+    )
+    assert len(set(spark_df.columns)) == len(spark_df.columns), (
+        f"{query_name}: duplicate Spark result columns {spark_df.columns}"
+    )
 
     s_rows = sorted(
         (tuple(_canon(row[c]) for c in spark_cols) for row in spark_df.collect()),

@@ -1,0 +1,75 @@
+"""Plan-shape pins for the r10 scale fixes.
+
+The r9 verdict's two scale demands were plan-shape, not value, defects —
+a corpus-fraction sample (quadratic at 100×) and forced population-scale
+broadcasts — so their fixes are pinned at the PLAN level here, where a
+regression shows up even while every value still hashes green:
+
+* the kNN-audit query sample is a fixed COUNT (TakeOrdered top-K), not a
+  corpus fraction, and the result's n_queries equals that constant;
+* the persisted MinHash band index is probed with NO exchange on the
+  index side — the bucketed layout is its shuffle;
+* the graph family carries no unbounded-broadcast lint finding (the
+  registry-wide sweep in test_plan_lint covers all queries; the explicit
+  re-assertion here documents the three r9-flagged names).
+"""
+
+from __future__ import annotations
+
+import re
+
+from batch_public_spark.plans import QUERIES
+from batch_public_spark.plans.lint import lint_plan
+from tests.conftest import SF_DIR
+
+
+def _executed(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF_DIR)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_knn_audit_sample_is_fixed_count(spark):
+    """The query sample must be a constant-size TakeOrdered top-K (cost
+    linear in the corpus at fixed K), and the audit must report exactly
+    K queries — min(K, corpus) with K=100 < 500 fixture vectors."""
+    p = _executed(spark, "llmops_knn_graph_audit")
+    # formatted explain separates the node from its arguments
+    assert "TakeOrderedAndProject" in p, p[:2000]
+    assert re.search(r"Arguments: 100, \[hr", p), p[:2000]
+    (r,) = QUERIES["llmops_knn_graph_audit"].fn(spark, SF_DIR).collect()
+    assert r.n_queries == 100, r
+
+
+def test_minhash_index_probe_has_no_index_side_exchange(spark):
+    """With broadcast disabled (forcing the at-scale SMJ path), the probe
+    join must read the persisted band index bucket-aligned: exactly ONE
+    side (the arrivals) exchanges on the band key — the index side's
+    bucketed layout IS its shuffle."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p = _executed(spark, "llmops_minhash_index_roundtrip")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p, p[:2000]
+    assert "SelectedBucketsCount" in p or "Bucketed: true" in p, p[:2000]
+    # one bkey exchange (probe side); a second would mean the index
+    # re-shuffled and the persisted bucketing bought nothing
+    assert len(re.findall(r"hashpartitioning\(bkey", p)) == 1, p
+
+
+def test_graph_family_has_no_unbounded_broadcast(spark):
+    """The r9-flagged names must stay clean of the r10 lint finding after
+    their hints were dropped (the registry-wide gate also covers this;
+    the named re-assertion is the verdict's 'done' criterion)."""
+    for name in (
+        "graph_modularity_score",
+        "graph_bfs_distance",
+        "q17_small_quantity_revenue",
+        "llmops_containment_neardup",
+    ):
+        df = QUERIES[name].fn(spark, SF_DIR)
+        kinds = [f.kind for f in lint_plan(df)]
+        assert "unbounded-broadcast" not in kinds, (name, kinds)
