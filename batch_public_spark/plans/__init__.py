@@ -74,6 +74,10 @@ _PRIORITY = [
     "llmops_domain_reweight",
     # --- added in r10 ---
     "llmops_minhash_index_roundtrip",
+    "sql_scripting_battery",
+    "sql_named_parameters",
+    "llmops_url_canonical_dedup",
+    "dq_quarantine_bitmap",
     # --- placeholders (stalest-attested names, all r1; re-attesting
     # refreshes the oldest evidence and keeps the window exactly 50;
     # r10 additions displace from the BOTTOM of this list) ---
@@ -100,10 +104,6 @@ _PRIORITY = [
     "json_funcs_events",
     "math_funcs_lineitem",
     "pipeline_dedup_first_wins",
-    "pipeline_json_repair",
-    "pipeline_text_extract",
-    "pipeline_ts_normalize",
-    "pivot_flag_status",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

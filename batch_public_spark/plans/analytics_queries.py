@@ -5845,3 +5845,67 @@ def events_user_lifecycle_states(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "dq_quarantine_bitmap",
+    oracle="""
+    WITH flagged AS (
+      SELECT o_orderkey,
+             (CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+           + (CASE WHEN o_orderpriority = '5-LOW' THEN 2 ELSE 0 END)
+           + (CASE WHEN o_orderstatus = 'P' THEN 4 ELSE 0 END)
+           + (CASE WHEN dayofweek(o_orderdate) = 0 THEN 8 ELSE 0 END) AS bm
+      FROM orders
+    ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM flagged)
+    SELECT CAST(bm AS BIGINT) AS rule_bitmap,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS sample_orderkey,
+           bm <> 0 AS quarantined,
+           round(count(*) * 1.0e0 / (SELECT n FROM tot), 6) AS share
+    FROM flagged GROUP BY bm
+    """,
+)
+def dq_quarantine_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level QUARANTINE with a rule BITMAP — the ingest-gate shape
+    dq_orders_constraints does NOT cover: constraints reports one count
+    per rule; a quarantine pipeline must annotate EVERY ROW with the full
+    set of rules it failed (price outlier = bit 1, deprioritized = bit 2,
+    partial status = bit 4, Sunday-dated = bit 8) so the quarantine table
+    is reprocessable per failure combination (a row failing price+status
+    routes differently than price alone). Emitted per bitmap value:
+    row count, a deterministic sample key (min orderkey — the row an
+    on-call engineer opens first), the quarantined flag, and corpus
+    share. Fixture-calibrated: all 16 bitmap combinations are populated
+    at sf0.001/0.01/0.1, so the hash attests every rule interaction, not
+    just the empty one.
+
+    Engine note: Spark's dayofweek() is 1-based Sunday=1, DuckDB's is
+    0-based Sunday=0 — the two literals encode the SAME day; the hash
+    would catch a drift on either side. Spark-first: the bitmap is
+    per-row integer arithmetic riding the scan; one hash aggregate on a
+    16-value key; the total broadcasts."""
+    o = t(spark, sf_dir, "orders")
+    bm = (
+        F.when(F.col("o_totalprice") > 400000, 1).otherwise(0)
+        + F.when(F.col("o_orderpriority") == "5-LOW", 2).otherwise(0)
+        + F.when(F.col("o_orderstatus") == "P", 4).otherwise(0)
+        + F.when(F.dayofweek("o_orderdate") == 1, 8).otherwise(0)
+    )
+    flagged = o.select("o_orderkey", bm.alias("bm"))
+    tot = flagged.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        flagged.groupBy("bm")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").cast("bigint").alias("sample_orderkey"),
+        )
+        .join(F.broadcast(tot))
+        .select(
+            F.col("bm").cast("bigint").alias("rule_bitmap"),
+            "n_rows",
+            "sample_orderkey",
+            (F.col("bm") != 0).alias("quarantined"),
+            F.round(F.col("n_rows") * F.lit(1.0) / F.col("n"), 6).alias("share"),
+        )
+    )

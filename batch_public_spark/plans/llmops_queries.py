@@ -4196,3 +4196,117 @@ def llmops_minhash_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         F.coalesce(F.max("j"), F.lit(0.0)).alias("best_jaccard"),
         (F.coalesce(F.sum("dup"), F.lit(0)) > 0).alias("is_dup"),
     )
+
+
+# URL canonicalization chain, DuckDB dialect (RE2, \1 backrefs, explicit
+# 'g' flag). Kept in lockstep with the Spark chain in
+# llmops_url_canonical_dedup below — same five rules, same order.
+_URL_CANON_DDB = (
+    "regexp_replace("                                      # 5. trailing slash
+    "regexp_replace("                                      # 4. utm params
+    "regexp_replace("                                      # 3. default port
+    "concat(lower(regexp_extract(u0, '^([^/]*//[^/]*)', 1)),"  # 2. lower scheme+host
+    "       regexp_replace(u0, '^[^/]*//[^/]*', ''))"
+    ", '^(https?://[^/:]+):80(/.*)?$', '\\1\\2')"
+    ", '[?&]utm_[^&]*', '', 'g')"
+    ", '([^/])/$', '\\1')"
+)
+
+
+@query(
+    "llmops_url_canonical_dedup",
+    oracle=f"""
+    WITH synth AS (
+      SELECT doc_id,
+             doc_id // 5 AS base,
+             'www.example' || (doc_id // 5) % 20 || '.com' AS host,
+             '/Articles/item' || doc_id // 5 AS path,
+             doc_id % 5 AS v
+      FROM documents
+    ), raw AS (
+      SELECT doc_id,
+             CASE v
+               WHEN 0 THEN 'http://' || host || path
+               WHEN 1 THEN 'HTTP://' || upper(host) || path
+               WHEN 2 THEN 'http://' || host || ':80' || path
+                           || '?utm_source=feed&utm_campaign=x'
+               WHEN 3 THEN 'http://' || host || path || '/#section2'
+               ELSE 'http://' || host || path || '?ref=home&utm_medium=email'
+             END AS url
+      FROM synth
+    ), canon AS (
+      SELECT doc_id, url,
+             (SELECT {_URL_CANON_DDB} FROM (SELECT regexp_replace(url, '#.*$', '') AS u0))
+               AS curl
+      FROM raw
+    )
+    SELECT curl AS canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS canonical_doc,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_raw_variants
+    FROM canon GROUP BY curl
+    """,
+)
+def llmops_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST dedup pass of every web
+    crawl pipeline (the same page arrives as http://Host/x, host:80/x,
+    x/?utm_campaign=…, x/#fragment — exact-hash dedup sees five
+    documents, canonical-URL dedup sees one): URLs are synthesized
+    in-query with five real-world variant classes per base page (scheme/
+    host case, default :80 port, utm_* tracking params — alone AND mixed
+    after a real param that must SURVIVE, fragment + trailing slash),
+    then canonicalized by the standard five-rule chain (strip fragment →
+    lowercase scheme+host only, path case preserved → strip default port
+    → strip utm_* params → strip trailing slash) and grouped: every base
+    must collapse to exactly ONE canonical URL with n_docs = 5 distinct
+    raw variants, survivorship = min doc_id. The DuckDB oracle replays
+    construction AND canonicalization rule-for-rule (RE2/\\1 dialect vs
+    Java/$1 — the hash attests the two regex engines agree on the whole
+    chain), so a canonicalizer that over-strips (breaking ?ref=home) or
+    under-strips (keeping &utm_medium) hash-mismatches.
+
+    Spark-first: construction and the five-rule chain are per-row string
+    expressions riding one scan; the rollup is one hash aggregate on the
+    canonical key — at 100 TB this is the cheap pre-pass that typically
+    removes 30-40% of a crawl before MinHash ever runs (cf. the
+    URL-dedup stage in CommonCrawl-derived corpus pipelines)."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    base = (F.col("doc_id") / 5).cast("bigint")
+    host = F.concat(F.lit("www.example"), (base % 20).cast("string"), F.lit(".com"))
+    path = F.concat(F.lit("/Articles/item"), base.cast("string"))
+    v = F.col("doc_id") % 5
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://"), host, path))
+        .when(v == 1, F.concat(F.lit("HTTP://"), F.upper(host), path))
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("http://"), host, F.lit(":80"), path,
+                F.lit("?utm_source=feed&utm_campaign=x"),
+            ),
+        )
+        .when(v == 3, F.concat(F.lit("http://"), host, path, F.lit("/#section2")))
+        .otherwise(
+            F.concat(F.lit("http://"), host, path, F.lit("?ref=home&utm_medium=email"))
+        )
+    )
+    raw = d.select("doc_id", url.alias("url"))
+    u0 = F.regexp_replace("url", "#.*$", "")                      # 1. fragment
+    lowered = F.concat(                                           # 2. scheme+host
+        F.lower(F.regexp_extract(u0, "^([^/]*//[^/]*)", 1)),
+        F.regexp_replace(u0, "^[^/]*//[^/]*", ""),
+    )
+    no_port = F.regexp_replace(                                   # 3. default port
+        lowered, "^(https?://[^/:]+):80(/.*)?$", "$1$2"
+    )
+    no_utm = F.regexp_replace(no_port, "[?&]utm_[^&]*", "")       # 4. trackers
+    curl = F.regexp_replace(no_utm, "([^/])/$", "$1")             # 5. trailing /
+    return (
+        raw.select("doc_id", "url", curl.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
+        )
+    )

@@ -1111,3 +1111,104 @@ def scalar_rounding_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         # which is exactly DuckDB's numeric trunc() semantics.
         neg_tie.cast("bigint").cast("double").alias("trunc_neg"),
     )
+
+
+@query(
+    "sql_scripting_battery",
+    oracle="""
+    SELECT CAST(7 AS BIGINT) AS n_iterations,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                          * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+                AS DOUBLE) AS total_revenue,
+           'nonempty' AS branch_taken
+    FROM lineitem WHERE l_linenumber BETWEEN 1 AND 7
+    """,
+)
+def sql_scripting_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL SCRIPTING (BEGIN…END with DECLARE / WHILE / SET / IF —
+    the procedural control-flow surface that replaces driver-side Python
+    loops for multi-statement SQL jobs): a WHILE loop iterates the seven
+    lineitem line numbers, each pass accumulating that slice's row count
+    (BIGINT) and discounted revenue (DECIMAL — exact, so the loop's
+    accumulation order cannot drift from the oracle's one-shot sum), and
+    an IF/ELSE branch stamps the emptiness flag; the script's final
+    SELECT is the query result. The oracle states the closed form: the
+    loop over disjoint slices must equal the single filtered aggregate.
+
+    Scale note: each iteration is an independent filtered aggregate over
+    the same scan (7 scans at fixture scale — the surface under test is
+    the script engine, not scan reuse; a production script would stage
+    the grouped aggregate once and loop over its 7 rows). Variables hold
+    only scalars; nothing collects to the Python driver."""
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("sqlsurf_script_li")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE i INT DEFAULT 1;
+          DECLARE n_lines BIGINT DEFAULT 0;
+          DECLARE rev DECIMAL(38,4) DEFAULT 0;
+          DECLARE branch STRING DEFAULT 'empty';
+          WHILE i <= 7 DO
+            SET n_lines = n_lines + (
+              SELECT count(*) FROM sqlsurf_script_li WHERE l_linenumber = i);
+            SET rev = rev + (
+              SELECT coalesce(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                                  * (1 - CAST(l_discount AS DECIMAL(18,4)))),
+                              CAST(0 AS DECIMAL(38,4)))
+              FROM sqlsurf_script_li WHERE l_linenumber = i);
+            SET i = i + 1;
+          END WHILE;
+          IF n_lines > 0 THEN
+            SET branch = 'nonempty';
+          ELSE
+            SET branch = 'empty';
+          END IF;
+          SELECT CAST(7 AS BIGINT) AS n_iterations,
+                 n_lines,
+                 CAST(round(rev, 2) AS DOUBLE) AS total_revenue,
+                 branch AS branch_taken;
+        END
+        """
+    )
+
+
+@query(
+    "sql_named_parameters",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_totalprice > 150000 AND o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL with NAMED MARKERS plus the IDENTIFIER clause —
+    the injection-safe templating surface (values bind as literals, the
+    table name binds as an identifier, so neither ever concatenates into
+    the query text): one statement binds the table via IDENTIFIER(:tbl)
+    and two typed value parameters (:minp numeric, :status string). The
+    oracle inlines the same constants; the hash attests the bound plan is
+    exactly the literal plan — parameter binding must not defeat filter
+    pushdown or change coercion.
+
+    Scale note: at 100 TB this is how a scheduled report template runs
+    against rotating table names/dates without a SQL-injection surface
+    or a replan-per-string cache miss."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("sqlsurf_param_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority AS priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+                 AS total_price
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :minp AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "sqlsurf_param_orders", "minp": 150000, "status": "F"},
+    )
