@@ -78,6 +78,10 @@ _PRIORITY = [
     "sql_named_parameters",
     "llmops_url_canonical_dedup",
     "dq_quarantine_bitmap",
+    "sql_pipe_syntax_battery",
+    "scalar_collation_battery",
+    "agg_listagg_within_group",
+    "agg_approx_top_k_accuracy",
     # --- placeholders (stalest-attested names, all r1; re-attesting
     # refreshes the oldest evidence and keeps the window exactly 50;
     # r10 additions displace from the BOTTOM of this list) ---
@@ -100,10 +104,6 @@ _PRIORITY = [
     "join_left_order_counts",
     "join_range_late_shipments",
     "join_semi_customers_with_orders",
-    "join_theta_acctbal",
-    "json_funcs_events",
-    "math_funcs_lineitem",
-    "pipeline_dedup_first_wins",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

@@ -1212,3 +1212,148 @@ def sql_named_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "sqlsurf_param_orders", "minp": 150000, "status": "F"},
     )
+
+
+@query(
+    "sql_pipe_syntax_battery",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+             AS gross
+    FROM lineitem
+    WHERE l_quantity < 25
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_pipe_syntax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4's ``|>`` operator chain — the linear
+    FROM-first dialect that reads in execution order): FROM |> WHERE |>
+    EXTEND (computed column) |> AGGREGATE … GROUP BY |> SELECT |> ORDER
+    BY, exercising one stage of each kind. The oracle is the identical
+    classical SELECT, so the hash attests the pipe planner lowers to
+    exactly the traditional plan (same filter pushdown, same aggregate) —
+    syntax coverage with a semantics check, not a parser smoke test."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("sqlsurf_pipe_li")
+    return spark.sql(
+        """
+        FROM sqlsurf_pipe_li
+        |> WHERE l_quantity < 25
+        |> EXTEND CAST(l_extendedprice AS DECIMAL(18,4)) AS price_d
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_lines,
+                     CAST(round(sum(price_d), 2) AS DOUBLE) AS gross
+           GROUP BY l_returnflag
+        |> SELECT l_returnflag, n_lines, gross
+        |> ORDER BY l_returnflag
+        """
+    )
+
+
+@query(
+    "scalar_collation_battery",
+    oracle="""
+    WITH mixed AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+                  ELSE o_orderpriority END AS prio_mixed
+      FROM orders
+    )
+    SELECT lower(prio_mixed) AS prio_ci,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(count(DISTINCT prio_mixed) AS BIGINT) AS n_raw_spellings
+    FROM mixed GROUP BY lower(prio_mixed)
+    """,
+)
+def scalar_collation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLATION surface (Spark 4 collated strings): a mixed-case
+    priority column (upper-cased on even keys) is grouped under
+    UTF8_LCASE collation — the engine-level case-insensitive comparison
+    that replaces sprinkling lower() through every predicate at 100 TB
+    (collation-aware grouping hashes the collation key once; an
+    expression-wrapped key re-computes per reference and defeats
+    column-level statistics). The grouped representative is
+    nondeterministic under a case-insensitive collation, so the emitted
+    key is lower()ed; n_raw_spellings = 2 per group proves the collated
+    GROUP BY really merged distinct binary spellings (DuckDB oracle
+    replays with lower() semantics)."""
+    o = t(spark, sf_dir, "orders")
+    mixed = o.select(
+        F.when(F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("prio_mixed")
+    )
+    ci = F.collate(F.col("prio_mixed"), "UTF8_LCASE")
+    return (
+        mixed.groupBy(ci.alias("prio_key"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.countDistinct(F.collate(F.col("prio_mixed"), "UTF8_BINARY"))
+            .cast("bigint")
+            .alias("n_raw_spellings"),
+        )
+        .select(
+            F.lower(F.collate(F.col("prio_key"), "UTF8_BINARY")).alias("prio_ci"),
+            "n_orders",
+            "n_raw_spellings",
+        )
+    )
+
+
+@query(
+    "agg_listagg_within_group",
+    oracle="""
+    SELECT r.r_name,
+           string_agg(n.n_name, '|' ORDER BY n.n_name DESC) AS nations_desc
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def agg_listagg_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``LISTAGG … WITHIN GROUP (ORDER BY …)`` (Spark 4.1) — the
+    standard ordered string aggregation, complementing the
+    collect→array_sort→join idiom agg_string_concat pins: the ordering is
+    declared IN the aggregate (descending here, to prove the clause is
+    honored rather than coinciding with natural order), so the engine
+    sorts inside the agg instead of the query staging it."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    joined = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    joined.createOrReplaceTempView("sqlsurf_listagg_rn")
+    return spark.sql(
+        """
+        SELECT r_name,
+               listagg(n_name, '|') WITHIN GROUP (ORDER BY n_name DESC)
+                 AS nations_desc
+        FROM sqlsurf_listagg_rn
+        GROUP BY r_name
+        """
+    )
+
+
+@query(
+    "agg_approx_top_k_accuracy",
+    oracle="""
+    SELECT event_type AS item,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_approx_top_k_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_top_k`` heavy-hitter sketch (Spark 4.1) in its EXACT
+    regime: with k = the full 5-value event_type domain and the default
+    10 000 tracked items, the sketch's counts are exact by construction,
+    so the DuckDB exact group-count oracle hashes the sketch output
+    one-to-one — the same exact-regime attestation pattern as
+    agg_approx_distinct_accuracy (whose HLL twin carries the error-bound
+    test for the approximate regime). At 100 TB the sketch replaces the
+    full groupBy when the key domain explodes (URLs, tokens): it
+    aggregates partially map-side at fixed memory. The sketch's struct
+    array is exploded and re-emitted as (item, count) rows so ordering
+    never enters the hash."""
+    ev = t(spark, sf_dir, "events")
+    sk = ev.agg(F.expr("approx_top_k(event_type, 5)").alias("tk"))
+    return sk.select(F.explode("tk").alias("e")).select(
+        F.col("e.item").alias("item"),
+        F.col("e.count").cast("bigint").alias("n"),
+    )
