@@ -147,3 +147,32 @@ def sanitize_tag(col: Column, max_len: int = 32) -> Column:
     """Filename-tag sanitization (reference P8, jsonl_formatter.py:63):
     non ``[A-Za-z0-9_-]`` → ``-``, THEN truncate to 32."""
     return F.substring(F.regexp_replace(col, r"[^A-Za-z0-9_-]", "-"), 1, max_len)
+
+
+def canonical_url(col: Column) -> Column:
+    """Canonical form of a URL for crawl-dedup keying — the standard
+    five-rule chain, applied in order:
+
+    1. strip the fragment (``#…``);
+    2. lowercase the scheme and host ONLY (path/query case is
+       significant and preserved);
+    3. strip an explicit default port (``:80``);
+    4. strip ``utm_*`` tracking parameters (other query params survive;
+       assumes trackers follow any real params or stand alone — the
+       layout ad links actually use);
+    5. strip a single trailing slash on a non-root path.
+
+    Everything is built-in regexp/string expressions (JVM-side, rides the
+    scan). The exact chain is replayed in DuckDB's RE2 dialect by the
+    ``llmops_url_canonical_dedup`` oracle, so the two regex engines'
+    agreement on it is driver-hash-attested; edge behavior (https,
+    non-default ports, no-path URLs) is pinned in tests/test_functions.py.
+    """
+    u0 = F.regexp_replace(col, "#.*$", "")
+    lowered = F.concat(
+        F.lower(F.regexp_extract(u0, "^([^/]*//[^/]*)", 1)),
+        F.regexp_replace(u0, "^[^/]*//[^/]*", ""),
+    )
+    no_port = F.regexp_replace(lowered, "^(https?://[^/:]+):80(/.*)?$", "$1$2")
+    no_utm = F.regexp_replace(no_port, "[?&]utm_[^&]*", "")
+    return F.regexp_replace(no_utm, "([^/])/$", "$1")

@@ -4290,17 +4290,10 @@ def llmops_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("http://"), host, path, F.lit("?ref=home&utm_medium=email"))
         )
     )
+    from batch_public_spark.functions.text import canonical_url
+
     raw = d.select("doc_id", url.alias("url"))
-    u0 = F.regexp_replace("url", "#.*$", "")                      # 1. fragment
-    lowered = F.concat(                                           # 2. scheme+host
-        F.lower(F.regexp_extract(u0, "^([^/]*//[^/]*)", 1)),
-        F.regexp_replace(u0, "^[^/]*//[^/]*", ""),
-    )
-    no_port = F.regexp_replace(                                   # 3. default port
-        lowered, "^(https?://[^/:]+):80(/.*)?$", "$1$2"
-    )
-    no_utm = F.regexp_replace(no_port, "[?&]utm_[^&]*", "")       # 4. trackers
-    curl = F.regexp_replace(no_utm, "([^/])/$", "$1")             # 5. trailing /
+    curl = canonical_url(F.col("url"))
     return (
         raw.select("doc_id", "url", curl.alias("canonical_url"))
         .groupBy("canonical_url")

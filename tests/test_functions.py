@@ -171,3 +171,32 @@ def test_loosen_json_native_matches_python(spark, raw):
     assert via_udf == expected
     # and the repaired text must be valid JSON
     json.loads(native)
+
+
+def test_canonical_url_edges(spark):
+    from batch_public_spark.functions.text import canonical_url
+
+    cases = {
+        # host lowercased, PATH CASE PRESERVED
+        "HTTP://WWW.Ex.COM/Articles/Item7": "http://www.ex.com/Articles/Item7",
+        # default port stripped; non-default preserved
+        "http://ex.com:80/a": "http://ex.com/a",
+        "http://ex.com:8080/a": "http://ex.com:8080/a",
+        # https untouched by the :80 rule
+        "https://ex.com/a": "https://ex.com/a",
+        # fragment stripped, then trailing slash stripped
+        "http://ex.com/a/#sec": "http://ex.com/a",
+        # utm-only query vanishes entirely (no dangling '?')
+        "http://ex.com/a?utm_source=x&utm_medium=y": "http://ex.com/a",
+        # real param SURVIVES a trailing tracker
+        "http://ex.com/a?ref=home&utm_medium=y": "http://ex.com/a?ref=home",
+        # root slash collapses to bare host (host-only canonical)
+        "http://ex.com/": "http://ex.com",
+    }
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(k,) for k in cases], ["u"]).select(
+        "u", canonical_url(F.col("u")).alias("c")
+    )
+    got = {r.u: r.c for r in df.collect()}
+    assert got == cases
