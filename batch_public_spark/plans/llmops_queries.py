@@ -4257,13 +4257,16 @@ def llmops_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     after a real param that must SURVIVE, fragment + trailing slash),
     then canonicalized by the standard five-rule chain (strip fragment →
     lowercase scheme+host only, path case preserved → strip default port
-    → strip utm_* params → strip trailing slash) and grouped: every base
-    must collapse to exactly ONE canonical URL with n_docs = 5 distinct
-    raw variants, survivorship = min doc_id. The DuckDB oracle replays
+    → strip utm_* params → strip trailing slash) and grouped: per base,
+    the four cosmetic variants collapse to ONE canonical URL (n_docs = 4)
+    while the ?ref=home variant canonicalizes to its OWN entry (n_docs =
+    1) — a real query param is a different resource, and an over-stripper
+    that wrongly merged it would show n_docs = 5 and hash-mismatch.
+    Survivorship = min doc_id per canonical. The DuckDB oracle replays
     construction AND canonicalization rule-for-rule (RE2/\\1 dialect vs
     Java/$1 — the hash attests the two regex engines agree on the whole
-    chain), so a canonicalizer that over-strips (breaking ?ref=home) or
-    under-strips (keeping &utm_medium) hash-mismatches.
+    chain), so over-stripping (merging ?ref=home) and under-stripping
+    (keeping &utm_medium) both hash-mismatch.
 
     Spark-first: construction and the five-rule chain are per-row string
     expressions riding one scan; the rollup is one hash aggregate on the

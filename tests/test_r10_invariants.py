@@ -73,3 +73,54 @@ def test_graph_family_has_no_unbounded_broadcast(spark):
         df = QUERIES[name].fn(spark, SF_DIR)
         kinds = [f.kind for f in lint_plan(df)]
         assert "unbounded-broadcast" not in kinds, (name, kinds)
+
+
+def test_quarantine_bitmap_partitions_the_table(spark):
+    """The bitmap groups must partition orders exactly: counts sum to
+    |orders|, shares sum to 1, every bitmap value is a valid 4-rule
+    combination, and the sample key belongs to its group's count."""
+    rows = QUERIES["dq_quarantine_bitmap"].fn(spark, SF_DIR).collect()
+    total = sum(r.n_rows for r in rows)
+    from batch_public_spark.sources.tables import load_table
+
+    assert total == load_table(spark, SF_DIR, "orders").count()
+    assert abs(sum(r.share for r in rows) - 1.0) < 5e-5
+    for r in rows:
+        assert 0 <= r.rule_bitmap <= 15, r
+        assert r.quarantined == (r.rule_bitmap != 0), r
+        assert r.n_rows >= 1, r
+
+
+def test_minhash_roundtrip_equals_in_job_twin(spark):
+    """The persisted-index probe must be semantically IDENTICAL to the
+    in-job incremental variant — same candidates, same verdicts, row for
+    row (the two queries share one oracle; this pins the equivalence
+    engine-side without DuckDB in the loop)."""
+    a = QUERIES["llmops_minhash_incremental_dedup"].fn(spark, SF_DIR)
+    b = QUERIES["llmops_minhash_index_roundtrip"].fn(spark, SF_DIR)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+
+
+def test_url_canonical_collapses_cosmetic_variants_only(spark):
+    """Per base page: the four COSMETIC variants (case, :80, utm-only,
+    fragment+slash) collapse to one canonical (n_docs = 4, min-doc
+    survivorship), while the ?ref=home variant keeps its own canonical
+    (n_docs = 1) — a real query param is a different resource. An
+    over-stripping canonicalizer would merge them (n_docs = 5) and an
+    under-stripping one would split the cosmetic group."""
+    rows = QUERIES["llmops_url_canonical_dedup"].fn(spark, SF_DIR).collect()
+    merged = [r for r in rows if "?" not in r.canonical_url]
+    kept = [r for r in rows if "?" in r.canonical_url]
+    assert merged and kept and len(merged) == len(kept)
+    for r in merged:
+        assert r.n_docs == 4 and r.n_raw_variants == 4, r
+        assert r.canonical_doc % 5 == 0, r  # min of {5b, …, 5b+3}
+        assert "/Articles/" in r.canonical_url, r  # path case preserved
+        assert not r.canonical_url.endswith("/"), r
+    for r in kept:
+        assert r.n_docs == 1, r
+        assert r.canonical_url.endswith("?ref=home"), r
+        assert "utm_" not in r.canonical_url, r
+        assert r.canonical_doc % 5 == 4, r  # the v4 variant
