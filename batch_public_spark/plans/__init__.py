@@ -82,6 +82,8 @@ _PRIORITY = [
     "scalar_collation_battery",
     "agg_listagg_within_group",
     "agg_approx_top_k_accuracy",
+    "llmops_repeated_span_extract",
+    "events_session_anomaly_score",
     # --- placeholders (stalest-attested names, all r1; re-attesting
     # refreshes the oldest evidence and keeps the window exactly 50;
     # r10 additions displace from the BOTTOM of this list) ---
@@ -102,8 +104,6 @@ _PRIORITY = [
     "join_asof_last_click",
     "join_full_outer_daily_priority",
     "join_left_order_counts",
-    "join_range_late_shipments",
-    "join_semi_customers_with_orders",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

@@ -5909,3 +5909,96 @@ def dq_quarantine_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_rows") * F.lit(1.0) / F.col("n"), 6).alias("share"),
         )
     )
+
+
+@query(
+    "events_session_anomaly_score",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ), trans AS (
+      SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE prev IS NOT NULL GROUP BY prev, cur
+    ), tot AS (
+      SELECT prev, CAST(sum(n) AS BIGINT) AS row_n FROM trans GROUP BY prev
+    ), k AS (SELECT count(DISTINCT event_type) AS k FROM events),
+    model AS (
+      SELECT t.prev, t.cur,
+             CAST(round(-ln((t.n + 1) * 1.0e0 / (o.row_n + (SELECT k FROM k))),
+                        10) AS DECIMAL(28,10)) AS nll
+      FROM trans t JOIN tot o ON o.prev = t.prev
+    ), scored AS (
+      SELECT s.user_id, m.nll
+      FROM seq s JOIN model m ON m.prev = s.prev AND m.cur = s.cur
+      WHERE s.prev IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_trans,
+           round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+    FROM scored GROUP BY user_id
+    HAVING count(*) >= 5
+    ORDER BY avg_nll DESC, user_id
+    LIMIT 20
+    """,
+)
+def events_session_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session anomaly scoring UNDER the Markov model — the consumer of
+    events_markov_transitions' artifact (that query emits the smoothed
+    model; this one LOADS it and scores every user's event stream by
+    mean negative log-likelihood of their transitions, the standard
+    bot/abuse surface: flows that transition unlike the population score
+    high). Top-20 most anomalous users with ≥ 5 transitions (stability
+    floor), fully tie-broken (score desc, user_id).
+
+    Parity discipline: the model's −ln p terms are computed once per
+    (prev, cur) cell from exact integer counts, rounded to 10 and summed
+    per user as DECIMAL (order-free — the KL/entropy discipline); one
+    double division and round-6 at emission; smoothing denominator
+    derived from the data (the markov-query rule).
+
+    Spark-first: the per-user lag is the same single user-keyed exchange
+    the model build already pays (one window, reused by both branches);
+    the 25-cell model broadcasts onto the transition stream; the top-20
+    is a TakeOrdered, never a global sort. At 100 TB: score 10^9 user
+    streams for one shuffle plus a 25-row broadcast."""
+    ev = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    seq = seq.localCheckpoint(eager=False)  # model build + scoring share it
+    trans = seq.groupBy("prev", "cur").agg(F.count("*").cast("bigint").alias("n"))
+    tot = trans.groupBy("prev").agg(F.sum("n").cast("bigint").alias("row_n"))
+    k = ev.select("event_type").distinct().agg(
+        F.count("*").cast("bigint").alias("_k")
+    )
+    model = (
+        trans.join(tot, "prev")
+        .join(F.broadcast(k))
+        .select(
+            "prev",
+            "cur",
+            F.round(
+                -F.log((F.col("n") + 1) * F.lit(1.0) / (F.col("row_n") + F.col("_k"))),
+                10,
+            )
+            .cast("decimal(28,10)")
+            .alias("nll"),
+        )
+    )
+    return (
+        seq.join(F.broadcast(model), ["prev", "cur"])
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_trans"),
+            F.round(F.sum("nll").cast("double") / F.count("*"), 6).alias("avg_nll"),
+        )
+        .filter(F.col("n_trans") >= 5)
+        .orderBy(F.desc("avg_nll"), "user_id")
+        .limit(20)
+    )

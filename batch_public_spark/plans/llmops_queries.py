@@ -4306,3 +4306,102 @@ def llmops_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("url").cast("bigint").alias("n_raw_variants"),
         )
     )
+
+
+@query(
+    "llmops_repeated_span_extract",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_NORM} AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(i)
+      WHERE len(tk) >= 3
+    ), rare AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) <= 20
+    ), ri AS (SELECT sh.* FROM sh JOIN rare USING (s)),
+    seeds AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM ri a JOIN ri b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT id_a, id_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                     ORDER BY pa) AS grp
+      FROM seeds
+    ), runs AS (
+      SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS nsh
+      FROM isl GROUP BY id_a, id_b, diag, grp
+    )
+    SELECT id_a, id_b,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(nsh) + 2 AS BIGINT) AS longest_span_tokens,
+           CAST(sum(nsh + 2) AS BIGINT) AS shared_span_tokens
+    FROM runs WHERE nsh >= 2
+    GROUP BY id_a, id_b
+    """,
+)
+def llmops_repeated_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document REPEATED-SPAN extraction — the exact-substring
+    dedup shape of Lee et al. 2021 ("Deduplicating Training Data Makes
+    Language Models Better"): not "are these docs similar" (Jaccard/
+    containment) but "WHICH maximal token spans are shared verbatim",
+    the unit a span-level deduper actually removes. Seed-and-extend,
+    expressed relationally: positional 3-gram shingles (ALL occurrences,
+    not the distinct set) self-join on rare shingles (df ≤ 20 — the
+    hot-shingle cap class), and each seed lands on a DIAGONAL
+    (pos_a − pos_b); consecutive seed positions on one diagonal are
+    exactly the aligned extensions, so maximal shared runs fall out of
+    the gaps-and-islands trick (pos − row_number per (pair, diagonal))
+    with NO iterative extension loop. Emitted per pair: span count,
+    longest span (run + 2 tokens), total shared span tokens — the
+    numbers a span-dedup planner thresholds on.
+
+    Fixture-calibrated: 402 multi-shingle runs across pairs at sf0.01,
+    longest span 93 tokens (97 at sf0.1) — genuinely long verbatim
+    overlaps exist, so longest/total are multi-valued everywhere. Docs
+    under 3 tokens are excluded on both sides (a span needs a shingle).
+    Rare-seed holes (a df > 20 shingle inside a true span) split runs on
+    both engines identically — the measure is honestly "rare-seeded
+    maximal runs", mirrored exactly in the oracle.
+
+    Spark-first: one scan explodes positional shingles; the df cap
+    bounds every join bucket at ≤ 20 occurrences (≤ 190 pairs/shingle at
+    any corpus size); the islands window partitions by (pair, diagonal)
+    — thousands of small partitions, no global sort; two hash
+    aggregates finish. At 100 TB this replaces the suffix-array pass
+    with shuffle-bounded relational ops."""
+    from batch_public_spark.operators.semantic import word_shingles_all
+    from batch_public_spark.operators.textops import tokens
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        d.filter(F.size(tokens(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(word_shingles_all(F.col("text"), 3)).alias("pos", "s"),
+        )
+        # three consumers (df counts + both self-join roles): cut once
+        .localCheckpoint(eager=False)
+    )
+    rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= 20)
+    ri = sh.join(rare.select("s"), "s")
+    a = ri.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "s")
+    b = ri.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "s")
+    seeds = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = W.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    isl = seeds.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    runs = (
+        isl.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(F.count("*").cast("bigint").alias("nsh"))
+        .filter(F.col("nsh") >= 2)
+    )
+    return runs.groupBy("id_a", "id_b").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        (F.max("nsh") + 2).cast("bigint").alias("longest_span_tokens"),
+        F.sum(F.col("nsh") + 2).cast("bigint").alias("shared_span_tokens"),
+    )
