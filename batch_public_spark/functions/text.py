@@ -156,11 +156,15 @@ def canonical_url(col: Column) -> Column:
     1. strip the fragment (``#…``);
     2. lowercase the scheme and host ONLY (path/query case is
        significant and preserved);
-    3. strip an explicit default port (``:80``);
+    3. strip an explicit SCHEME-DEFAULT port — ``:80`` for http,
+       ``:443`` for https (a non-default port is a different resource
+       and survives: ``https://h:80/…`` keeps its port);
     4. strip ``utm_*`` tracking parameters (other query params survive;
        assumes trackers follow any real params or stand alone — the
        layout ad links actually use);
-    5. strip a single trailing slash on a non-root path.
+    5. strip a single trailing slash (note: a bare root path collapses
+       to the host-only form — ``http://h/`` ≡ ``http://h``, the
+       chain's canonical host spelling).
 
     Everything is built-in regexp/string expressions (JVM-side, rides the
     scan). The exact chain is replayed in DuckDB's RE2 dialect by the
@@ -173,6 +177,11 @@ def canonical_url(col: Column) -> Column:
         F.lower(F.regexp_extract(u0, "^([^/]*//[^/]*)", 1)),
         F.regexp_replace(u0, "^[^/]*//[^/]*", ""),
     )
-    no_port = F.regexp_replace(lowered, "^(https?://[^/:]+):80(/.*)?$", "$1$2")
+    no_port = F.regexp_replace(
+        lowered, "^(http://[^/:]+):80(([/?]).*)?$", "$1$2"
+    )
+    no_port = F.regexp_replace(
+        no_port, "^(https://[^/:]+):443(([/?]).*)?$", "$1$2"
+    )
     no_utm = F.regexp_replace(no_port, "[?&]utm_[^&]*", "")
     return F.regexp_replace(no_utm, "([^/])/$", "$1")

@@ -5363,7 +5363,9 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Laplace denominator |types| DERIVED from the data (r9 ADVICE fix):
     # a hardcoded literal silently stops rows summing to 1 if the
     # fixture's type cardinality ever changes while the hash stays green.
-    ntypes = types.agg(F.count("*").cast("bigint").alias("_k"))
+    # count_distinct (not distinct().count()) so a NULL event_type is
+    # excluded exactly as the oracle's COUNT(DISTINCT …) excludes it.
+    ntypes = ev.agg(F.count_distinct("event_type").cast("bigint").alias("_k"))
     return (
         grid.join(F.broadcast(trans), ["prev", "cur"], "left")
         .join(F.broadcast(tot), ["prev"], "left")
@@ -5974,9 +5976,9 @@ def events_session_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     seq = seq.localCheckpoint(eager=False)  # model build + scoring share it
     trans = seq.groupBy("prev", "cur").agg(F.count("*").cast("bigint").alias("n"))
     tot = trans.groupBy("prev").agg(F.sum("n").cast("bigint").alias("row_n"))
-    k = ev.select("event_type").distinct().agg(
-        F.count("*").cast("bigint").alias("_k")
-    )
+    # count_distinct mirrors COUNT(DISTINCT …): a NULL event_type must
+    # not inflate the smoothing denominator on one side only.
+    k = ev.agg(F.count_distinct("event_type").cast("bigint").alias("_k"))
     model = (
         trans.join(tot, "prev")
         .join(F.broadcast(k))

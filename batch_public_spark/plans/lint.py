@@ -218,23 +218,16 @@ def _content_col(line: str) -> int:
     return i
 
 
+import re as _re
+
 # Raw columns whose distinct population scales with the data (row ids,
 # entity ids): a frame keyed by — or scanning — one of these grows with
 # the corpus. Enum-like columns (event_type, priorities, buckets, bins)
 # deliberately are NOT here: frames keyed by them are domain-bounded.
-_POPULATION_ID_RE = None  # built lazily (module avoids importing re at top)
-
-
-def _population_id_re():
-    global _POPULATION_ID_RE
-    if _POPULATION_ID_RE is None:
-        import re
-
-        _POPULATION_ID_RE = re.compile(
-            r"\b(user_id|doc_id|vec_id|event_id|o_orderkey|o_custkey|"
-            r"c_custkey|l_orderkey|l_partkey|l_suppkey|p_partkey|s_suppkey)#"
-        )
-    return _POPULATION_ID_RE
+_POPULATION_ID_RE = _re.compile(
+    r"\b(user_id|doc_id|vec_id|event_id|o_orderkey|o_custkey|"
+    r"c_custkey|l_orderkey|l_partkey|l_suppkey|p_partkey|s_suppkey)#"
+)
 
 
 def _strip_windowspecs(expr: str) -> str:
@@ -270,7 +263,7 @@ def _resolves_to_population_id(sub: str, expr: str, depth: int = 0) -> bool:
     import re
 
     expr = _strip_windowspecs(expr)
-    if _population_id_re().search(expr):
+    if _POPULATION_ID_RE.search(expr):
         return True
     if depth >= 8:
         return False

@@ -4054,6 +4054,21 @@ def llmops_minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     persisted bucketed on the band key, probe co-locating with no
     exchange on the index side); verification touches only candidate
     pairs."""
+    d, idx, inc = _inc_banded_frames(spark, sf_dir)
+    cand = (
+        inc.join(idx, ["band", "bh"])
+        .select("new_id", "old_id", "si", "so")
+        .distinct()
+    )
+    return _inc_verdict_rollup(d, cand)
+
+
+def _inc_banded_frames(spark: SparkSession, sf_dir: str):
+    """Shared signature/banding construction for the two incremental-
+    dedup shapes (in-job vs persisted-bucketed index) — ONE definition so
+    the twins cannot drift (they share an oracle, and
+    tests/test_r10_invariants.py pins row-for-row equality): returns
+    (documents, capped index frame keyed (band, bh), arrivals frame)."""
     from batch_public_spark.operators.semantic import word_shingles
 
     d = t(spark, sf_dir, "documents")
@@ -4081,11 +4096,12 @@ def llmops_minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     inc = banded.filter(F.col("doc_id") % 2 == 1).select(
         F.col("doc_id").alias("new_id"), F.col("s").alias("si"), "band", "bh"
     )
-    cand = (
-        inc.join(idx, ["band", "bh"])
-        .select("new_id", "old_id", "si", "so")
-        .distinct()
-    )
+    return d, idx, inc
+
+
+def _inc_verdict_rollup(d: DataFrame, cand: DataFrame) -> DataFrame:
+    """Shared exact-verify + per-arrival rollup for the incremental-dedup
+    twins (see _inc_banded_frames)."""
     inter = F.size(F.array_intersect("si", "so"))
     union = F.size(F.array_union("si", "so"))
     ver = cand.select(
@@ -4130,72 +4146,34 @@ def llmops_minhash_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
     rejected — every output column multi-valued."""
     import os
 
-    from batch_public_spark.operators.semantic import word_shingles
     from batch_public_spark.plans.analytics_queries import _scratch_dir
     from batch_public_spark.sources.bucketing import read_bucketed, write_bucketed
 
-    d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", word_shingles(F.col("text"), 3).alias("s"))
-
-    def sig(i: int):
-        return F.array_min(
-            F.transform(F.col("s"), lambda x: F.md5(F.concat(F.lit(f"{i}:"), x)))
-        )
-
-    banded = sh.select(
-        "doc_id",
-        "s",
-        F.posexplode(
-            F.array(*[F.md5(F.concat(sig(2 * b), sig(2 * b + 1))) for b in range(4)])
-        ).alias("band", "bh"),
-    ).select(
-        "doc_id",
-        "s",
-        "band",
-        "bh",
-        F.concat_ws(":", F.col("band").cast("string"), "bh").alias("bkey"),
-    )
+    d, idx, inc = _inc_banded_frames(spark, sf_dir)
+    bkey = F.concat_ws(":", F.col("band").cast("string"), "bh").alias("bkey")
 
     # --- job 1: build + persist the bucketed band index ---
-    wcap = W.partitionBy("band", "bh").orderBy("doc_id")
-    idx = (
-        banded.filter(F.col("doc_id") % 2 == 0)
-        .withColumn("rn", F.row_number().over(wcap))
-        .filter(F.col("rn") <= 50)
-        .select("bkey", F.col("doc_id").alias("old_id"), F.col("s").alias("so"))
-    )
     root = _scratch_dir(spark, sf_dir, "mh_index")
     tag = os.path.basename(root).replace(".", "_")
     tbl = f"bps_mh_band_index_{tag}"
     spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-    write_bucketed(idx, tbl, key="bkey", buckets=8, path=os.path.join(root, "idx"))
+    write_bucketed(
+        idx.select(bkey, "old_id", "so"),
+        tbl,
+        key="bkey",
+        buckets=8,
+        path=os.path.join(root, "idx"),
+    )
 
     # --- job 2: probe-only pass over the arrivals ---
     idx_r = read_bucketed(spark, tbl)
-    inc = banded.filter(F.col("doc_id") % 2 == 1).select(
-        "bkey", F.col("doc_id").alias("new_id"), F.col("s").alias("si")
-    )
     cand = (
-        inc.join(idx_r, "bkey")
+        inc.select(bkey, "new_id", "si")
+        .join(idx_r, "bkey")
         .select("new_id", "old_id", "si", "so")
         .distinct()
     )
-    inter = F.size(F.array_intersect("si", "so"))
-    union = F.size(F.array_union("si", "so"))
-    ver = cand.select(
-        "new_id",
-        F.when(inter * 2 >= union, 1).otherwise(0).alias("dup"),
-        F.round(inter * F.lit(1.0) / union, 6).alias("j"),
-    )
-    arrivals = d.filter(F.col("doc_id") % 2 == 1).select(
-        F.col("doc_id").alias("new_id")
-    )
-    return arrivals.join(ver, "new_id", "left").groupBy("new_id").agg(
-        F.count("j").cast("bigint").alias("n_candidates"),
-        F.coalesce(F.sum("dup"), F.lit(0)).cast("bigint").alias("n_dups"),
-        F.coalesce(F.max("j"), F.lit(0.0)).alias("best_jaccard"),
-        (F.coalesce(F.sum("dup"), F.lit(0)) > 0).alias("is_dup"),
-    )
+    return _inc_verdict_rollup(d, cand)
 
 
 # URL canonicalization chain, DuckDB dialect (RE2, \1 backrefs, explicit
@@ -4204,10 +4182,12 @@ def llmops_minhash_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 _URL_CANON_DDB = (
     "regexp_replace("                                      # 5. trailing slash
     "regexp_replace("                                      # 4. utm params
-    "regexp_replace("                                      # 3. default port
+    "regexp_replace("                                      # 3b. https default port
+    "regexp_replace("                                      # 3a. http default port
     "concat(lower(regexp_extract(u0, '^([^/]*//[^/]*)', 1)),"  # 2. lower scheme+host
     "       regexp_replace(u0, '^[^/]*//[^/]*', ''))"
-    ", '^(https?://[^/:]+):80(/.*)?$', '\\1\\2')"
+    ", '^(http://[^/:]+):80(([/?]).*)?$', '\\1\\2')"
+    ", '^(https://[^/:]+):443(([/?]).*)?$', '\\1\\2')"
     ", '[?&]utm_[^&]*', '', 'g')"
     ", '([^/])/$', '\\1')"
 )

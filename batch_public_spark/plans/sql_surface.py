@@ -1262,7 +1262,7 @@ def sql_pipe_syntax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH mixed AS (
       SELECT o_orderkey,
-             CASE WHEN o_orderkey % 2 = 0 THEN upper(o_orderpriority)
+             CASE WHEN o_orderkey % 2 = 0 THEN lower(o_orderpriority)
                   ELSE o_orderpriority END AS prio_mixed
       FROM orders
     )
@@ -1274,7 +1274,9 @@ def sql_pipe_syntax_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_collation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COLLATION surface (Spark 4 collated strings): a mixed-case
-    priority column (upper-cased on even keys) is grouped under
+    priority column (LOWER-cased on even keys — the fixture's raw values
+    are already uppercase, so upper() would be an identity and the merge
+    vacuous) is grouped under
     UTF8_LCASE collation — the engine-level case-insensitive comparison
     that replaces sprinkling lower() through every predicate at 100 TB
     (collation-aware grouping hashes the collation key once; an
@@ -1286,7 +1288,7 @@ def scalar_collation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays with lower() semantics)."""
     o = t(spark, sf_dir, "orders")
     mixed = o.select(
-        F.when(F.col("o_orderkey") % 2 == 0, F.upper("o_orderpriority"))
+        F.when(F.col("o_orderkey") % 2 == 0, F.lower("o_orderpriority"))
         .otherwise(F.col("o_orderpriority"))
         .alias("prio_mixed")
     )

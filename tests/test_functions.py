@@ -179,10 +179,13 @@ def test_canonical_url_edges(spark):
     cases = {
         # host lowercased, PATH CASE PRESERVED
         "HTTP://WWW.Ex.COM/Articles/Item7": "http://www.ex.com/Articles/Item7",
-        # default port stripped; non-default preserved
+        # scheme-DEFAULT port stripped; anything else preserved
         "http://ex.com:80/a": "http://ex.com/a",
+        "http://ex.com:80?x=1": "http://ex.com?x=1",  # query-no-path form
         "http://ex.com:8080/a": "http://ex.com:8080/a",
-        # https untouched by the :80 rule
+        "https://ex.com:443/a": "https://ex.com/a",
+        # :80 is NOT the https default — a different resource, preserved
+        "https://ex.com:80/a": "https://ex.com:80/a",
         "https://ex.com/a": "https://ex.com/a",
         # fragment stripped, then trailing slash stripped
         "http://ex.com/a/#sec": "http://ex.com/a",

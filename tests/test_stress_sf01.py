@@ -60,14 +60,17 @@ def test_stress_parity_sf01(spark, ddb_stress, name):
     spec = QUERIES[name]
     sdf = spec.fn(spark, STRESS_SF_DIR)
     rel = ddb_stress.sql(spec.oracle)
-    if name in STRESS_VACUOUS_OK:
+    # temporarily allow the stress exemptions WITHOUT mutating the
+    # shared set's pre-existing members (a name in both sets must stay in
+    # VACUOUS_OK after this test for later same-process asserts)
+    added = name in STRESS_VACUOUS_OK and name not in VACUOUS_OK
+    if added:
         VACUOUS_OK.add(name)
-        try:
-            assert_parity(sdf, rel, name)
-        finally:
-            VACUOUS_OK.discard(name)
-    else:
+    try:
         assert_parity(sdf, rel, name)
+    finally:
+        if added:
+            VACUOUS_OK.discard(name)
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
