@@ -84,6 +84,7 @@ _PRIORITY = [
     "agg_approx_top_k_accuracy",
     "llmops_repeated_span_extract",
     "events_session_anomaly_score",
+    "sql_udf_battery",
     # --- placeholders (stalest-attested names, all r1; re-attesting
     # refreshes the oldest evidence and keeps the window exactly 50;
     # r10 additions displace from the BOTTOM of this list) ---
@@ -103,7 +104,6 @@ _PRIORITY = [
     "histogram_totalprice",
     "join_asof_last_click",
     "join_full_outer_daily_priority",
-    "join_left_order_counts",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;

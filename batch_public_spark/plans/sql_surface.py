@@ -1366,3 +1366,61 @@ def agg_approx_top_k_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.item").alias("item"),
         F.col("e.count").cast("bigint").alias("n"),
     )
+
+
+@query(
+    "sql_udf_battery",
+    oracle="""
+    SELECT s.lineno,
+           CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
+           CAST(round(coalesce(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                                   * (1 - CAST(l.l_discount AS DECIMAL(18,4)))),
+                               0), 2) AS DOUBLE) AS revenue
+    FROM (SELECT CAST(unnest(range(1, 8)) AS INT) AS lineno) s
+    LEFT JOIN lineitem l ON l.l_linenumber = s.lineno
+    GROUP BY s.lineno
+    """,
+)
+def sql_udf_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-DEFINED functions (Spark 4 ``CREATE FUNCTION … RETURN`` — UDFs
+    whose body is SQL, so they inline into Catalyst and stay inside
+    whole-stage codegen, unlike Python UDFs): a SCALAR SQL function
+    (exact-decimal discounted revenue) used inside an aggregate, and a
+    TABLE-VALUED SQL function (a 1..n spine) used as a FROM-clause
+    relation on the left of an outer join — both declaration forms, both
+    consumed by one query. The oracle inlines the bodies; the hash
+    attests that function resolution is pure macro expansion (same
+    decimal types, same rows — including spine rows with no matches).
+
+    Scale note: because the scalar body inlines, the aggregate runs as
+    ordinary codegen'd decimal arithmetic on the scan — the 100 TB-safe
+    way to share business formulas across queries (vs. a Python UDF's
+    per-row serialization)."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("sqlsurf_udf_li")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION bps_disc_rev(
+            p DECIMAL(18,4), d DECIMAL(18,4)) RETURNS DECIMAL(38,8)
+        RETURN p * (1 - d)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION bps_lineno_spine(n INT)
+        RETURNS TABLE(lineno INT)
+        RETURN SELECT explode(sequence(1, n))
+        """
+    )
+    return spark.sql(
+        """
+        SELECT s.lineno,
+               CAST(count(l.l_orderkey) AS BIGINT) AS n_lines,
+               CAST(round(coalesce(sum(bps_disc_rev(
+                        CAST(l.l_extendedprice AS DECIMAL(18,4)),
+                        CAST(l.l_discount AS DECIMAL(18,4)))), 0), 2)
+                    AS DOUBLE) AS revenue
+        FROM bps_lineno_spine(7) s
+        LEFT JOIN sqlsurf_udf_li l ON l.l_linenumber = s.lineno
+        GROUP BY s.lineno
+        """
+    )
