@@ -77,13 +77,17 @@ def validate(
     *,
     unique: Optional[list[str]] = None,
     references: Optional[list[tuple[str, DataFrame, str]]] = None,
-    broadcast_parents: bool = True,
+    broadcast_parents: bool = False,
 ) -> DataFrame:
     """Run every constraint; return (rule, n_violations), one row per rule.
 
     ``unique``: column names each checked for key uniqueness (duplicate
     rows counted as extras beyond the first). ``references``: list of
     (child_col, parent_df, parent_col) referential checks.
+    ``broadcast_parents`` defaults to False: a parent dim's distinct-key
+    frame is O(|dim|) and dims generally scale with the corpus (the r10
+    verdict's unbounded-broadcast class), so the anti-join is AQE-decided
+    unless the caller KNOWS the parent is fixed-size.
     """
     parts: list[DataFrame] = []
     if row_rules:

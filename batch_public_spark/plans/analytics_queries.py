@@ -1196,9 +1196,11 @@ def join_orders_within_week(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dq_orders_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate over orders (operators.quality.validate): three
     row-level rules in ONE aggregation pass, key uniqueness as a keyed
-    pre-aggregate, referential integrity as a broadcast anti-join against
-    the customer dim — the dbt-tests/Deequ surface a lake gates every
-    ingest on, at its scale-correct plan shape."""
+    pre-aggregate, referential integrity as an anti-join against the
+    customer dim's distinct keys (un-hinted — customer is SF-scaled, so
+    the O(|dim|) key frame is AQE-decided, not force-broadcast) — the
+    dbt-tests/Deequ surface a lake gates every ingest on, at its
+    scale-correct plan shape."""
     from batch_public_spark.operators.quality import (
         RowRule,
         accepted_values,
@@ -3155,11 +3157,13 @@ def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     what is hashed is the claim that salting never changes results.
 
     Spark-first: the 8× replication applies to the SMALL side only
-    (|dim|·8 rows — still broadcastable here; for shuffle joins it
-    merely widens the build side), via an in-row explode of a literal
-    salt array; the fact side computes its salt with pure integer
-    arithmetic (no rand() — deterministic under retries). The join is a
-    plain equi-join on (key, salt) that Catalyst plans like any other."""
+    (|supplier|·8 rows), via an in-row explode of a literal salt array;
+    the fact side computes its salt with pure integer arithmetic (no
+    rand() — deterministic under retries). The join is a plain equi-join
+    on (key, salt) that Catalyst plans like any other — and carries NO
+    broadcast hint: supplier is SF-scaled, so the salted frame is too;
+    AQE broadcasts it when it fits, and when it doesn't the (key, salt)
+    shuffle is exactly what the salting bought (8-way hot-key spread)."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n_salt = 8
@@ -3174,7 +3178,7 @@ def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_orderkey") % n_salt).cast("int").alias("salt"),
     )
     joined = li_salted.join(
-        F.broadcast(s_salted),
+        s_salted,
         (li_salted.l_suppkey == s_salted.s_suppkey)
         & (li_salted.salt == s_salted.salt),
     )
@@ -4100,12 +4104,16 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     # Attach the witness degree (hence its Adamic-Adar term) to the
-    # adjacency BEFORE the quadratic self-join — the |nodes|-row degree
-    # table broadcasts, so the 16M-row wedge stream never joins anything
-    # bigger than a broadcast and is reduced to candidate pairs by the
-    # groupBy before the (broadcast) anti-join prunes closed pairs.
+    # adjacency BEFORE the quadratic self-join, so the 16M-row wedge
+    # stream is reduced to candidate pairs by the groupBy before the
+    # anti-join prunes closed pairs. The degree table is one row per
+    # distinct node — O(|V|), population-scale — so it carries NO
+    # broadcast hint (r10 verdict #1: at 10⁸–10⁹ users a forced |V|-row
+    # broadcast is a driver OOM); AQE broadcasts it at any SF where it
+    # actually fits, and otherwise this join shuffles on `w`, the same
+    # key the wedge stage repartitions on below.
     adjd = (
-        adj.join(F.broadcast(deg.select(F.col("u").alias("w"), "d")), "w")
+        adj.join(deg.select(F.col("u").alias("w"), "d"), "w")
         # Super-hub witness cap (mirrored in the oracle's adjw CTE): a
         # witness with degree d emits d²/2 wedges, so one 10⁶-degree hub
         # is a 10¹²-pair task. Adamic-Adar discounts such witnesses to
@@ -4141,13 +4149,10 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(edges0, ["x", "y"], "left_anti")
     )
+    # Same O(|V|) frame: un-hinted (AQE-decided) on both endpoint joins.
     scored = (
-        cand.join(
-            F.broadcast(deg.select(F.col("u").alias("x"), F.col("d").alias("dx"))), "x"
-        )
-        .join(
-            F.broadcast(deg.select(F.col("u").alias("y"), F.col("d").alias("dy"))), "y"
-        )
+        cand.join(deg.select(F.col("u").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("u").alias("y"), F.col("d").alias("dy")), "y")
         .select(
             "x",
             "y",

@@ -208,6 +208,14 @@ _FACT_RELATION_MARKERS = {
     "events": "event_type#",
     "documents": "doc_id#",
     "embeddings": "vec_id#",
+    # SF-scaled TPC-H "dimensions" (r10 verdict #2): customer/part/supplier
+    # grow linearly with scale factor (~10¹⁰ rows at TPC-H 100 TB) — only
+    # nation/region are genuinely fixed-size. A hinted broadcast of a raw
+    # or merely-filtered c/s/p frame is the same class of defect as a raw
+    # fact broadcast.
+    "customer": "c_mktsegment#",
+    "supplier": "s_acctbal#",
+    "part": "p_brand#",
 }
 
 def _content_col(line: str) -> int:
@@ -255,6 +263,54 @@ def _strip_windowspecs(expr: str) -> str:
             k += 1
         out.append("()")
         i = k + 1
+
+
+def _strip_outer_parens(expr: str) -> str:
+    expr = expr.strip()
+    while expr.startswith("(") and expr.endswith(")"):
+        depth = 0
+        for i, c in enumerate(expr):
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0 and i != len(expr) - 1:
+                    return expr  # the opening paren closes early — not outer
+        expr = expr[1:-1].strip()
+    return expr
+
+
+def _split_on_top_level(expr: str, sep: str) -> list[str]:
+    """Split ``expr`` on a `` SEP `` keyword at paren depth 0."""
+    out, depth, start, i = [], 0, 0, 0
+    token = f" {sep} "
+    while i < len(expr):
+        c = expr[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and expr.startswith(token, i):
+            out.append(expr[start:i])
+            i += len(token)
+            start = i
+            continue
+        i += 1
+    out.append(expr[start:])
+    return [p.strip() for p in out if p.strip()]
+
+
+def _top_level_conjuncts(cond: str) -> list[str]:
+    """AND-conjuncts of a rendered filter condition, outer parens peeled
+    per conjunct so `(a AND (b OR c))` yields ['a', 'b OR c']."""
+    return [
+        _strip_outer_parens(p)
+        for p in _split_on_top_level(_strip_outer_parens(cond), "AND")
+    ]
+
+
+def _contains_top_level_disjunction(conjunct: str) -> bool:
+    return len(_split_on_top_level(conjunct, "OR")) > 1
 
 
 def _resolves_to_population_id(sub: str, expr: str, depth: int = 0) -> bool:
@@ -310,11 +366,21 @@ def _subtree_population_scale(lines: list[str], i: int, end: int, sub: str) -> b
         # samples and `vec_id < 4` centroid seeds). A modulo fraction
         # (`(vec_id % 20) = 0`) does NOT match — the attr must compare to
         # the literal directly — and stays population-scale by design.
-        for fm in re.finditer(
-            r"([A-Za-z_][A-Za-z0-9_]*#\d+L?)\s*(?:<=? \d|= \d|IN \(\d)", body
-        ):
-            if _resolves_to_population_id(sub, fm.group(1)):
-                return False
+        # The comparison must also be a TOP-LEVEL CONJUNCT of the filter
+        # condition (r10 ADVICE): inside an OR/NOT branch it selects
+        # nothing on its own (`vec_id = 5 OR isnotnull(x)` is still
+        # population-scale), so split on top-level AND before matching.
+        for conjunct in _top_level_conjuncts(body[len("Filter ") :]):
+            if _contains_top_level_disjunction(conjunct) or conjunct.startswith(
+                "NOT "
+            ):
+                continue
+            for fm in re.finditer(
+                r"([A-Za-z_][A-Za-z0-9_]*#\d+L?)\s*(?:<=? \d|= \d|IN \(\d)",
+                conjunct,
+            ):
+                if _resolves_to_population_id(sub, fm.group(1)):
+                    return False
     m = re.match(r"Aggregate \[(.*?)\], \[", body)
     if m is None and body.startswith("Deduplicate ["):
         m = re.match(r"Deduplicate \[(.*?)\]", body)
@@ -347,6 +413,13 @@ def _subtree_population_scale(lines: list[str], i: int, end: int, sub: str) -> b
         return False
     if body.startswith("Relation "):
         return any(mk in body for mk in _FACT_RELATION_MARKERS.values())
+    if body.startswith(("LogicalRDD", "ExistingRDD")):
+        # A localCheckpoint()/RDD-backed frame is a lineage-less leaf: the
+        # walk cannot see what produced it, so an explicit broadcast hint
+        # over one is population-scale-unless-allowlisted. This closes the
+        # r10 blind spot where graph_link_prediction's checkpointed O(|V|)
+        # degree table rendered as a bare LogicalRDD and slipped the gate.
+        return True
     kids = _child_indices(lines, i, end)
     if not kids:
         return False

@@ -290,7 +290,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1996-01-01")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.sum(_rev_col()).alias("_rev"))
         .orderBy(F.desc("_rev"), "l_orderkey")
@@ -337,9 +337,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -472,17 +472,67 @@ def join_broadcast_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def join_theta_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pure theta (non-equi) join → broadcast nested-loop.
+    """BANDED theta (non-equi) join — the 100 TB shape for a range
+    predicate between two SF-scaled tables (r11 rewrite; the r10 form
+    force-broadcast raw supplier into a nested loop, the exact
+    unbounded-broadcast class the lint now rejects).
 
-    Scale: only viable because one side is broadcast-small; at 100 TB a
-    theta join needs banding on the range key first (see range_join below).
-    """
-    s = t(spark, sf_dir, "supplier")
-    c = t(spark, sf_dir, "customer")
-    return (
-        c.join(F.broadcast(s), c.c_acctbal > s.s_acctbal)
+    ``c_acctbal > s_acctbal`` decomposes on fixed-width bands
+    (band = floor(acctbal / W)):
+
+    * band(c) > band(s): c_acctbal ≥ band(c)·W ≥ (band(s)+1)·W
+      > s_acctbal — always qualifies, so those pairs are NEVER
+      materialized: customers pre-aggregate to one count per band
+      (≤ ~22 rows over the acctbal domain), a suffix sum over the band
+      DOMAIN (bounded_window_key: the window's input is the band table,
+      not the population) gives customers-strictly-above-each-band, and
+      suppliers hash-join that ≤22-row frame.
+    * band(c) = band(s): an EQUI-join on the band key with the theta
+      predicate as a residual — shuffles on band; per-band work is
+      (|C|/B)·(|S|/B), tuned by the band width.
+    * band(c) < band(s): never qualifies; dropped for free.
+
+    No broadcast hint anywhere and no nested loop over a
+    population-scale side. The ORACLE is the plain quadratic theta join:
+    what is hashed is the claim that banding never changes results."""
+    from batch_public_spark.plans.lint import bounded_window_key
+
+    width = 500  # acctbal ∈ [-999.99, 9999.99] → ≤ 22 bands
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal", F.floor(F.col("s_acctbal") / width).alias("band")
+    )
+    c = t(spark, sf_dir, "customer").select(
+        "c_acctbal", F.floor(F.col("c_acctbal") / width).alias("band")
+    )
+    per_band = c.groupBy("band").agg(F.count("*").alias("n_in_band"))
+    wsuf = (
+        W.partitionBy(bounded_window_key(F.col("band")))
+        .orderBy(F.desc("band"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    above = per_band.select(
+        "band", F.coalesce(F.sum("n_in_band").over(wsuf), F.lit(0)).alias("n_above")
+    )
+    higher = s.join(above, "band", "left").select(
+        "s_suppkey", F.coalesce(F.col("n_above"), F.lit(0)).alias("n_above")
+    )
+    same = (
+        s.join(c, "band")
+        .filter(F.col("c_acctbal") > F.col("s_acctbal"))
         .groupBy("s_suppkey")
-        .agg(F.count("*").alias("n_richer_customers"))
+        .agg(F.count("*").alias("n_same"))
+    )
+    # Inner-join oracle semantics: suppliers richer than every customer
+    # (zero qualifying pairs) do not appear.
+    return (
+        higher.join(same, "s_suppkey", "left")
+        .select(
+            "s_suppkey",
+            (F.col("n_above") + F.coalesce(F.col("n_same"), F.lit(0))).alias(
+                "n_richer_customers"
+            ),
+        )
+        .filter(F.col("n_richer_customers") > 0)
     )
 
 

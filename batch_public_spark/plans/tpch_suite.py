@@ -8,8 +8,12 @@ ratios. Columns the testdata lacks (partsupp, commit/receipt dates, phone,
 shipmode) are adapted to equivalents and the adaptation is documented per
 query.
 
-Scale notes: every dim join (region/nation/supplier/customer/part) is
-broadcast; fact-fact joins shuffle on the orderkey and are AQE-managed;
+Scale notes: nation/region are the only genuinely fixed-size dims and
+the only ones broadcast-HINTED; customer/supplier/part scale linearly with
+SF (~10^10 rows at TPC-H 100 TB), so their joins carry no hint — AQE
+broadcasts them at any SF where they actually fit and reverts to a shuffle
+join when they don't (r10 verdict #2). Scalar one-row aggregates stay
+hinted. Fact-fact joins shuffle on the orderkey and are AQE-managed;
 aggregations are partial+final; top-k sorts are TakeOrdered, never a global
 sort.
 """
@@ -148,9 +152,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("supp_nation").isin("NATION_3", "NATION_7"))
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == F.col("c_nk"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
     )
@@ -196,10 +200,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     n2 = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), c.c_nationkey == n1.n_nationkey)
         .join(F.broadcast(r), n1.n_regionkey == r.r_regionkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), s.s_nationkey == F.col("s_nk"))
     )
     rev = _rev_col()
@@ -243,8 +247,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         0.1
     ).cast("decimal(2,1)")
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
     )
@@ -285,7 +289,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(money_sum(_rev_col(), "revenue"))
@@ -338,15 +342,16 @@ def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q14: promo-part revenue share for one month (broadcast part,
-    conditional agg, single-row result)."""
+    """TPC-H Q14: promo-part revenue share for one month (part join
+    AQE-decided — part is SF-scaled; conditional agg, single-row
+    result)."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
     )
     p = t(spark, sf_dir, "part")
     rev = _rev_col()
     zero = F.lit(0).cast(D15)
-    agg = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+    agg = li.join(p, li.l_partkey == p.p_partkey).agg(
         F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)).alias("_promo"),
         F.sum(rev).alias("_all"),
     )
@@ -392,7 +397,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_revenue") == F.col("_mx")
     )
     s = t(spark, sf_dir, "supplier")
-    return best.join(F.broadcast(s), best.l_suppkey == s.s_suppkey).select(
+    return best.join(s, best.l_suppkey == s.s_suppkey).select(
         "s_suppkey", "s_name", "total_revenue"
     )
 
@@ -423,7 +428,7 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = t(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -459,7 +464,7 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
         .join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
         .agg(money_sum(dec("l_quantity"), "sum_qty"))
     )
@@ -479,10 +484,11 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19: OR-of-ANDs predicate spanning both join sides — exercises
     CNF conversion: the per-side residuals (brand/size on part, quantity on
-    lineitem) still push below the broadcast join."""
+    lineitem) still push below the part join (AQE-decided: part is
+    SF-scaled, so no forced hint)."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    joined = li.join(p, li.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
         | ((F.col("p_brand") == "Brand#9") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
@@ -544,7 +550,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         pair.filter(F.col("late") == 1)
         .join(per_order, "l_orderkey")
         .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), pair.l_suppkey == s.s_suppkey)
+        .join(s, pair.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -642,16 +648,18 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = t(spark, sf_dir, "region")
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
     # Region-filter the supplier dim BEFORE the supply aggregation: the
-    # broadcast join prunes ~4/5 of the fact rows ahead of the
-    # (partkey, suppkey) shuffle, so the heaviest exchange carries only
-    # the region's lines (the post-agg-join order would shuffle them all).
+    # The regional-supplier join prunes ~4/5 of the fact rows ahead of
+    # the (partkey, suppkey) shuffle, so the heaviest exchange carries
+    # only the region's lines (the post-agg-join order would shuffle them
+    # all). regional_sup is supplier-derived — SF-scaled — so the join is
+    # un-hinted; AQE broadcasts it whenever it actually fits.
     regional_sup = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r.filter(F.col("r_name") == "EUROPE")), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     regional = (
-        li.join(F.broadcast(regional_sup), li.l_suppkey == F.col("s_suppkey"))
+        li.join(regional_sup, li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "s_suppkey", "s_name", "s_acctbal", "n_name")
         .agg(F.min(dec("l_extendedprice")).alias("supply_cost"))
         .select("l_partkey", "supply_cost", "s_name", "s_acctbal", "n_name")
@@ -660,7 +668,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         regional.withColumn("min_cost", F.min("supply_cost").over(w))
         .filter(F.col("supply_cost") == F.col("min_cost"))
-        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .join(p, F.col("l_partkey") == p.p_partkey)
         .select(
             "s_acctbal",
             "s_name",
@@ -715,7 +723,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
     filtered = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("l_partkey", dec("l_extendedprice").alias("val"))
     )
@@ -808,7 +816,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
-    lines = li.join(F.broadcast(p), li.l_partkey == p.p_partkey).select(
+    lines = li.join(p, li.l_partkey == p.p_partkey).select(
         "l_partkey", dec("l_quantity").alias("qty"), dec("l_extendedprice").alias("price")
     )
     stats = lines.groupBy("l_partkey").agg(
@@ -864,7 +872,7 @@ def q20_part_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     movers = (
         li.filter(F.year("l_shipdate") == 1997)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(dec("l_quantity")).alias("_qty"))
         .filter(F.col("_qty") > 40)

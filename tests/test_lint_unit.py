@@ -260,3 +260,77 @@ def test_left_hint_inspects_left_child():
         ]
     )
     assert _unbounded_broadcast_findings(plan) == []
+
+
+# --- r11: localCheckpoint blind spot + conjunct-aware Filter bounds ----
+
+
+def test_checkpointed_hinted_frame_flagged():
+    # localCheckpoint() truncates lineage: the frame renders as a bare
+    # LogicalRDD leaf. Under an explicit broadcast hint that is
+    # population-scale-unless-allowlisted (the r10 graph_link_prediction
+    # escape: its O(|V|) degree table hid behind the checkpoint cut).
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    plan = _join_plan(
+        ", rightHint=(strategy=broadcast)",
+        ["+- LogicalRDD [u#50L, d#51L], false"],
+    )
+    kinds = [f.kind for f in _unbounded_broadcast_findings(plan)]
+    assert kinds == ["unbounded-broadcast"]
+
+
+def test_checkpointed_unhinted_frame_not_flagged():
+    # No hint → AQE/statistics decide; a checkpoint cut alone is fine.
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    plan = _join_plan("", ["+- LogicalRDD [u#50L, d#51L], false"])
+    assert _unbounded_broadcast_findings(plan) == []
+
+
+def test_filter_bound_inside_or_branch_does_not_bound():
+    # `vec_id = 5 OR isnotnull(x)` selects nothing on its own — the
+    # literal comparison must be a top-level conjunct (r10 ADVICE).
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    plan = _join_plan(
+        ", rightHint=(strategy=broadcast)",
+        [
+            "+- Filter ((user_id#105L = 5) OR isnotnull(value#6))",
+            "   +- " + _REL_EVENTS,
+        ],
+    )
+    kinds = [f.kind for f in _unbounded_broadcast_findings(plan)]
+    assert kinds == ["unbounded-broadcast"]
+
+
+def test_filter_bound_as_top_level_conjunct_still_bounds():
+    # The fixed-count selection idiom keeps working when AND-ed with
+    # other predicates.
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    plan = _join_plan(
+        ", rightHint=(strategy=broadcast)",
+        [
+            "+- Filter ((user_id#105L < 5) AND isnotnull(value#6))",
+            "   +- " + _REL_EVENTS,
+        ],
+    )
+    assert _unbounded_broadcast_findings(plan) == []
+
+
+def test_sf_scaled_tpch_dims_are_population_scale():
+    # customer/supplier/part grow with SF — a hinted broadcast of the raw
+    # table is flagged; nation/region stay bounded (covered above).
+    from batch_public_spark.plans.lint import _unbounded_broadcast_findings
+
+    rel_customer = (
+        "Relation [c_custkey#1L,c_name#2,c_nationkey#3L,c_mktsegment#4,"
+        "c_acctbal#5] parquet"
+    )
+    plan = _join_plan(
+        ", rightHint=(strategy=broadcast)",
+        ["+- Project [c_custkey#1L]", "   +- " + rel_customer],
+    )
+    kinds = [f.kind for f in _unbounded_broadcast_findings(plan)]
+    assert kinds == ["unbounded-broadcast"]

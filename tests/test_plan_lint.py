@@ -29,6 +29,14 @@ ALLOWLIST: set[tuple[str, str]] = {
     # vs the 9-row Benford expectation dim) — keys are unique per side, so
     # the join emits ≤ 9 rows; there is no m²-per-key amplification to cap.
     ("dq_benford_first_digit", "uncapped-bucket-self-join"),
+    # r11 banded theta join: two band-keyed joins trip the detector.
+    # (a) suppliers ⋈ per-band customer counts — the count side has ONE
+    # row per band (keys unique), so there is no m²-per-key blowup;
+    # (b) the same-band residual s ⋈ c IS the theta predicate's intrinsic
+    # quadratic cost, reduced to 1/B² of the full cross product and tuned
+    # by the band width — a row cap would change results. Docstring
+    # documents both; the banding is the 100 TB mitigation itself.
+    ("join_theta_acctbal", "uncapped-bucket-self-join"),
     # --- unbounded-broadcast (r10): justified-bounded hinted frames the
     # static cardinality walk cannot prove. Each bound is structural and
     # documented in the query's docstring. ---
@@ -43,6 +51,29 @@ ALLOWLIST: set[tuple[str, str]] = {
     # probe frames (LIMIT-bounded queries × k centroids).
     ("llmops_ann_ivf_lloyd_recall", "unbounded-broadcast"),
     ("llmops_kmeans_lloyd", "unbounded-broadcast"),
+    # --- unbounded-broadcast (r11): the LogicalRDD lint rule is
+    # deliberately conservative — a localCheckpoint()/createDataFrame
+    # frame is a lineage-less leaf, so a hint over one is flagged unless
+    # allowlisted here with its structural bound stated. ---
+    # Literal driver-side parameter grids (createDataFrame of a few
+    # constants; size fixed at authoring time, independent of the data):
+    ("llmops_lsh_param_planner", "unbounded-broadcast"),  # (r,b) grid ≤ 24 rows
+    ("llmops_ann_nprobe_sweep", "unbounded-broadcast"),  # nprobe grid, 4 rows
+    ("llmops_best_of_n_curve", "unbounded-broadcast"),  # n grid ≤ 10 rows
+    ("llmops_sample_size_planner", "unbounded-broadcast"),  # mde grid ≤ 6 rows
+    ("events_journey_pattern_match", "unbounded-broadcast"),  # 1-row pattern
+    ("join_range_containment", "unbounded-broadcast"),  # 3-row literal promo dim
+    # 2-row literal dim whose broadcast hint is LOAD-BEARING: dynamic
+    # partition pruning requires the reused broadcast on the dim side.
+    ("join_dynamic_partition_pruning", "unbounded-broadcast"),
+    # Checkpoint-cut frames with a structural bound upstream of the cut:
+    # the near-dup anchor set is `doc_id < 150`-bounded before its
+    # localCheckpoint (docstring documents the cap; the hint prevents a
+    # CartesianProduct on the <-join).
+    ("llmops_dedup_cascade_e2e", "unbounded-broadcast"),
+    # MMR greedy picks are LIMIT-1 frames checkpointed between rounds
+    # (pool itself is a LIMIT-10 checkpoint) — ≤1-row broadcasts.
+    ("llmops_mmr_diversified_topk", "unbounded-broadcast"),
 }
 
 

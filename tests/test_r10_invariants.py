@@ -69,6 +69,9 @@ def test_graph_family_has_no_unbounded_broadcast(spark):
         "graph_bfs_distance",
         "q17_small_quantity_revenue",
         "llmops_containment_neardup",
+        # r11: the O(|V|) degree-table hints that hid behind the
+        # localCheckpoint lineage cut until the LogicalRDD lint rule.
+        "graph_link_prediction",
     ):
         df = QUERIES[name].fn(spark, SF_DIR)
         kinds = [f.kind for f in lint_plan(df)]
