@@ -159,12 +159,19 @@ def canonical_url(col: Column) -> Column:
     3. strip an explicit SCHEME-DEFAULT port — ``:80`` for http,
        ``:443`` for https (a non-default port is a different resource
        and survives: ``https://h:80/…`` keeps its port);
-    4. strip ``utm_*`` tracking parameters (other query params survive;
-       assumes trackers follow any real params or stand alone — the
-       layout ad links actually use);
+    4. strip ``utm_*`` tracking parameters wherever they sit (leading,
+       trailing, or alone); when a LEADING tracker carried the ``?``,
+       the orphaned ``&`` on the first surviving param is normalized
+       back to ``?`` so ``?utm_a=1&ref=2`` merges with its ``?ref=2``
+       twin (r10 ADVICE);
     5. strip a single trailing slash (note: a bare root path collapses
        to the host-only form — ``http://h/`` ≡ ``http://h``, the
        chain's canonical host spelling).
+
+    The authority match stops at ``?`` and ``#`` (r10 ADVICE): on a
+    no-path URL like ``http://Host?Token=AbC`` only the scheme+host are
+    lowercased — query case stays significant exactly as on path'd
+    forms.
 
     Everything is built-in regexp/string expressions (JVM-side, rides the
     scan). The exact chain is replayed in DuckDB's RE2 dialect by the
@@ -174,8 +181,8 @@ def canonical_url(col: Column) -> Column:
     """
     u0 = F.regexp_replace(col, "#.*$", "")
     lowered = F.concat(
-        F.lower(F.regexp_extract(u0, "^([^/]*//[^/]*)", 1)),
-        F.regexp_replace(u0, "^[^/]*//[^/]*", ""),
+        F.lower(F.regexp_extract(u0, "^([^/?#]*//[^/?#]*)", 1)),
+        F.regexp_replace(u0, "^[^/?#]*//[^/?#]*", ""),
     )
     no_port = F.regexp_replace(
         lowered, "^(http://[^/:]+):80(([/?]).*)?$", "$1$2"
@@ -184,4 +191,7 @@ def canonical_url(col: Column) -> Column:
         no_port, "^(https://[^/:]+):443(([/?]).*)?$", "$1$2"
     )
     no_utm = F.regexp_replace(no_port, "[?&]utm_[^&]*", "")
-    return F.regexp_replace(no_utm, "([^/])/$", "$1")
+    # A stripped LEADING tracker leaves `&first_real_param` with no `?`:
+    # restore the `?` on the first separator iff none survived.
+    requeried = F.regexp_replace(no_utm, "^([^?&]*)&", "$1?")
+    return F.regexp_replace(requeried, "([^/])/$", "$1")

@@ -4181,14 +4181,16 @@ def llmops_minhash_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
 # llmops_url_canonical_dedup below — same five rules, same order.
 _URL_CANON_DDB = (
     "regexp_replace("                                      # 5. trailing slash
-    "regexp_replace("                                      # 4. utm params
+    "regexp_replace("                                      # 4b. re-? a leading &
+    "regexp_replace("                                      # 4a. utm params
     "regexp_replace("                                      # 3b. https default port
     "regexp_replace("                                      # 3a. http default port
-    "concat(lower(regexp_extract(u0, '^([^/]*//[^/]*)', 1)),"  # 2. lower scheme+host
-    "       regexp_replace(u0, '^[^/]*//[^/]*', ''))"
+    "concat(lower(regexp_extract(u0, '^([^/?#]*//[^/?#]*)', 1)),"  # 2. lower scheme+host
+    "       regexp_replace(u0, '^[^/?#]*//[^/?#]*', ''))"
     ", '^(http://[^/:]+):80(([/?]).*)?$', '\\1\\2')"
     ", '^(https://[^/:]+):443(([/?]).*)?$', '\\1\\2')"
     ", '[?&]utm_[^&]*', '', 'g')"
+    ", '^([^?&]*)&', '\\1?')"
     ", '([^/])/$', '\\1')"
 )
 
@@ -4198,10 +4200,10 @@ _URL_CANON_DDB = (
     oracle=f"""
     WITH synth AS (
       SELECT doc_id,
-             doc_id // 5 AS base,
-             'www.example' || (doc_id // 5) % 20 || '.com' AS host,
-             '/Articles/item' || doc_id // 5 AS path,
-             doc_id % 5 AS v
+             doc_id // 6 AS base,
+             'www.example' || (doc_id // 6) % 20 || '.com' AS host,
+             '/Articles/item' || doc_id // 6 AS path,
+             doc_id % 6 AS v
       FROM documents
     ), raw AS (
       SELECT doc_id,
@@ -4211,7 +4213,8 @@ _URL_CANON_DDB = (
                WHEN 2 THEN 'http://' || host || ':80' || path
                            || '?utm_source=feed&utm_campaign=x'
                WHEN 3 THEN 'http://' || host || path || '/#section2'
-               ELSE 'http://' || host || path || '?ref=home&utm_medium=email'
+               WHEN 4 THEN 'http://' || host || path || '?ref=home&utm_medium=email'
+               ELSE 'HTTP://' || upper(host) || '?utm_source=feed&Ref=CaSe'
              END AS url
       FROM synth
     ), canon AS (
@@ -4232,16 +4235,23 @@ def llmops_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl pipeline (the same page arrives as http://Host/x, host:80/x,
     x/?utm_campaign=…, x/#fragment — exact-hash dedup sees five
     documents, canonical-URL dedup sees one): URLs are synthesized
-    in-query with five real-world variant classes per base page (scheme/
-    host case, default :80 port, utm_* tracking params — alone AND mixed
-    after a real param that must SURVIVE, fragment + trailing slash),
-    then canonicalized by the standard five-rule chain (strip fragment →
-    lowercase scheme+host only, path case preserved → strip default port
-    → strip utm_* params → strip trailing slash) and grouped: per base,
-    the four cosmetic variants collapse to ONE canonical URL (n_docs = 4)
-    while the ?ref=home variant canonicalizes to its OWN entry (n_docs =
-    1) — a real query param is a different resource, and an over-stripper
-    that wrongly merged it would show n_docs = 5 and hash-mismatch.
+    in-query with six real-world variant classes per base page (scheme/
+    host case, default :80 port, utm_* tracking params — alone, mixed
+    AFTER a real param that must SURVIVE, and LEADING so the orphaned
+    `&` must be re-`?`-ed, fragment + trailing slash, plus a no-path
+    uppercase-query form whose query case must be preserved — the two
+    r10-ADVICE edge fixes, driver-attested here), then canonicalized by
+    the standard five-rule chain (strip fragment → lowercase scheme+host
+    only, path/query case preserved → strip default port → strip utm_*
+    params, re-`?` a leading `&` → strip trailing slash) and grouped:
+    per base, the four cosmetic variants collapse to ONE canonical URL
+    (n_docs = 4); the ?ref=home variant canonicalizes to its OWN entry
+    (n_docs = 1) — a real query param is a different resource, and an
+    over-stripper that wrongly merged it would show n_docs = 5 and
+    hash-mismatch; the no-path `?utm_…&Ref=CaSe` variant collapses
+    ACROSS bases to one host-keyed entry `http://hostN?Ref=CaSe` (an
+    authority regex that swallowed the query would lowercase `Ref=CaSe`
+    and hash-mismatch; an un-re-`?`-ed strip would leave `&Ref=CaSe`).
     Survivorship = min doc_id per canonical. The DuckDB oracle replays
     construction AND canonicalization rule-for-rule (RE2/\\1 dialect vs
     Java/$1 — the hash attests the two regex engines agree on the whole
@@ -4254,10 +4264,10 @@ def llmops_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     removes 30-40% of a crawl before MinHash ever runs (cf. the
     URL-dedup stage in CommonCrawl-derived corpus pipelines)."""
     d = t(spark, sf_dir, "documents").select("doc_id")
-    base = (F.col("doc_id") / 5).cast("bigint")
+    base = (F.col("doc_id") / 6).cast("bigint")
     host = F.concat(F.lit("www.example"), (base % 20).cast("string"), F.lit(".com"))
     path = F.concat(F.lit("/Articles/item"), base.cast("string"))
-    v = F.col("doc_id") % 5
+    v = F.col("doc_id") % 6
     url = (
         F.when(v == 0, F.concat(F.lit("http://"), host, path))
         .when(v == 1, F.concat(F.lit("HTTP://"), F.upper(host), path))
@@ -4269,8 +4279,12 @@ def llmops_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .when(v == 3, F.concat(F.lit("http://"), host, path, F.lit("/#section2")))
+        .when(
+            v == 4,
+            F.concat(F.lit("http://"), host, path, F.lit("?ref=home&utm_medium=email")),
+        )
         .otherwise(
-            F.concat(F.lit("http://"), host, path, F.lit("?ref=home&utm_medium=email"))
+            F.concat(F.lit("HTTP://"), F.upper(host), F.lit("?utm_source=feed&Ref=CaSe"))
         )
     )
     from batch_public_spark.functions.text import canonical_url

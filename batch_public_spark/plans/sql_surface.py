@@ -1141,10 +1141,19 @@ def sql_scripting_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     the loop's multi-assignment SETs read the 7-row staged view, so the
     procedural surface costs 7 trivial lookups, not 7 rescans — the
     shape a production script must use at 100 TB. Variables hold only
-    scalars; nothing collects to the Python driver."""
+    scalars; nothing collects to the Python driver.
+
+    Session hygiene (r10 ADVICE): the scripting conf is restored to its
+    prior value in a finally, and the staged view is UNCACHEd after the
+    script runs — plan construction leaves no session state behind (the
+    script's SETs execute eagerly inside spark.sql(), and the returned
+    final SELECT reads only bound scalar variables, so dropping the
+    cache cannot change the result)."""
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
     spark.conf.set("spark.sql.scripting.enabled", "true")
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("sqlsurf_script_li")
-    return spark.sql(
+    try:
+        out = spark.sql(
         """
         BEGIN
           DECLARE i INT DEFAULT 1;
@@ -1178,7 +1187,14 @@ def sql_scripting_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
                  branch AS branch_taken;
         END
         """
-    )
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
+        spark.sql("UNCACHE TABLE IF EXISTS sqlsurf_script_g")
+    return out
 
 
 @query(

@@ -126,10 +126,13 @@ def assert_parity(spark_df, ddb_rel, query_name: str = "?"):
     # float-typed per DuckDB's OWN result types, not pandas dtypes (a
     # nullable BIGINT pandas-coerces to float64 and would be
     # vacuity-checked as a measure while parity treats it as int)
+    # DECIMAL included (r10 ADVICE): a DECIMAL-typed oracle measure is as
+    # thresholdable as a DOUBLE one and must not silently skip the
+    # vacuity gate.
     ddb_float_cols = [
         c
         for c, ty in zip(ddb_rel.columns, ddb_rel.types)
-        if str(ty) in ("FLOAT", "DOUBLE")
+        if str(ty) in ("FLOAT", "DOUBLE") or str(ty).startswith("DECIMAL")
     ]
     _assert_not_vacuous(query_name, ddb_df, ddb_float_cols)
     ddb_cols = sorted(ddb_df.columns)

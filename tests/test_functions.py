@@ -195,6 +195,13 @@ def test_canonical_url_edges(spark):
         "http://ex.com/a?ref=home&utm_medium=y": "http://ex.com/a?ref=home",
         # root slash collapses to bare host (host-only canonical)
         "http://ex.com/": "http://ex.com",
+        # r11 (r10 ADVICE): no-path URL with case-significant query —
+        # the authority match stops at '?', query case preserved
+        "http://Host.EX.com?Token=AbC": "http://host.ex.com?Token=AbC",
+        # r11 (r10 ADVICE): LEADING tracker carried the '?' — the
+        # orphaned '&' on the survivor is normalized back to '?'
+        "http://ex.com/a?utm_a=1&ref=2": "http://ex.com/a?ref=2",
+        "http://ex.com/a?utm_a=1&utm_b=2&ref=2&x=3": "http://ex.com/a?ref=2&x=3",
     }
     import pyspark.sql.functions as F
 
