@@ -4063,12 +4063,12 @@ def llmops_minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFr
     return _inc_verdict_rollup(d, cand)
 
 
-def _inc_banded_frames(spark: SparkSession, sf_dir: str):
-    """Shared signature/banding construction for the two incremental-
-    dedup shapes (in-job vs persisted-bucketed index) — ONE definition so
-    the twins cannot drift (they share an oracle, and
-    tests/test_r10_invariants.py pins row-for-row equality): returns
-    (documents, capped index frame keyed (band, bh), arrivals frame)."""
+def _banded_docs(spark: SparkSession, sf_dir: str):
+    """Signature + banding over ALL documents — the single construction
+    shared by every incremental-dedup shape (in-job twin, persisted
+    round-trip, r11 merge lifecycle) so the layouts can never drift:
+    returns (documents, banded frame with one (band, bh) row per doc per
+    band, b=4 r=2 over the md5 8-permutation estimator)."""
     from batch_public_spark.operators.semantic import word_shingles
 
     d = t(spark, sf_dir, "documents")
@@ -4086,6 +4086,16 @@ def _inc_banded_frames(spark: SparkSession, sf_dir: str):
             F.array(*[F.md5(F.concat(sig(2 * b), sig(2 * b + 1))) for b in range(4)])
         ).alias("band", "bh"),
     )
+    return d, banded
+
+
+def _inc_banded_frames(spark: SparkSession, sf_dir: str):
+    """Shared signature/banding construction for the two incremental-
+    dedup shapes (in-job vs persisted-bucketed index) — ONE definition so
+    the twins cannot drift (they share an oracle, and
+    tests/test_r10_invariants.py pins row-for-row equality): returns
+    (documents, capped index frame keyed (band, bh), arrivals frame)."""
+    d, banded = _banded_docs(spark, sf_dir)
     wcap = W.partitionBy("band", "bh").orderBy("doc_id")
     idx = (
         banded.filter(F.col("doc_id") % 2 == 0)
@@ -4174,6 +4184,156 @@ def llmops_minhash_index_roundtrip(spark: SparkSession, sf_dir: str) -> DataFram
         .distinct()
     )
     return _inc_verdict_rollup(d, cand)
+
+
+_MERGE_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, {_GRAMS3} AS s FROM documents
+    ), sig AS (SELECT doc_id, s, {_INC_SIGS} FROM sh),
+    band AS (SELECT doc_id, s, {_INC_BANDS} FROM sig),
+    bk AS (
+      SELECT doc_id, s, b.band, CASE b.band WHEN 0 THEN bh0 WHEN 1 THEN bh1
+                                            WHEN 2 THEN bh2 ELSE bh3 END AS bh
+      FROM band, (VALUES (0), (1), (2), (3)) AS b(band)
+    ), idx1 AS (
+      SELECT doc_id, s, band, bh FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+        FROM bk WHERE doc_id % 3 = 0
+      ) WHERE rn <= 50
+    ), merged AS (
+      SELECT doc_id, s, band, bh FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, bh
+                                     ORDER BY doc_id % 3, doc_id) AS rn
+        FROM (SELECT doc_id, s, band, bh FROM idx1
+              UNION ALL
+              SELECT doc_id, s, band, bh FROM bk WHERE doc_id % 3 = 1)
+      ) WHERE rn <= 50
+    ), inc AS (SELECT doc_id, s, band, bh FROM bk WHERE doc_id % 3 = 2),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS new_id, o.doc_id AS old_id, i.s AS si, o.s AS so
+      FROM inc i JOIN merged o ON i.band = o.band AND i.bh = o.bh
+    ), ver AS (
+      SELECT new_id,
+             CASE WHEN len(list_intersect(si, so)) * 2
+                       >= len(list_distinct(list_concat(si, so)))
+                  THEN 1 ELSE 0 END AS dup,
+             round(len(list_intersect(si, so)) * 1.0e0
+                   / len(list_distinct(list_concat(si, so))), 6) AS j,
+             CASE WHEN old_id % 3 = 1 THEN 1 ELSE 0 END AS from_day2
+      FROM cand
+    )
+    SELECT d.doc_id AS new_id,
+           CAST(coalesce(count(v.j), 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(sum(v.dup), 0) AS BIGINT) AS n_dups,
+           coalesce(max(v.j), 0.0) AS best_jaccard,
+           coalesce(sum(v.dup), 0) > 0 AS is_dup,
+           CAST(coalesce(sum(v.from_day2), 0) AS BIGINT) AS n_cand_day2
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2) d
+    LEFT JOIN ver v ON v.new_id = d.doc_id
+    GROUP BY d.doc_id
+    """
+
+
+@query("llmops_minhash_index_merge", oracle=_MERGE_ORACLE)
+def llmops_minhash_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-index LIFECYCLE, part 3 — the MERGE/rotation step that closes
+    the production loop opened by llmops_minhash_index_roundtrip (build)
+    and llmops_minhash_incremental_dedup (probe): day-1's corpus
+    (doc_id % 3 == 0) builds the persisted bucketed index v1; day-2's
+    arrivals (% 3 == 1) are FOLDED INTO it — read v1 through the catalog
+    (bucket-aligned, no index-side exchange), union the day-2 band
+    entries, re-apply the 50-per-bucket cap with EXISTING entries
+    outranking arrivals (rank by (generation, doc_id): an entry already
+    in the index is never evicted by a newcomer — the monotone
+    first-come-first-kept contract an incremental index must honor), and
+    write v2 bucketed on the same key with the same bucket count, so the
+    layout survives rotation and day-3's probe co-locates exactly like
+    day-2's did; day-3's traffic (% 3 == 2) then probes v2. Output is
+    the per-arrival verdict rollup plus n_cand_day2 — how many of each
+    arrival's candidates came from DAY-2 entries, i.e. matches that
+    exist ONLY because the merge really folded (hash-attested: an oracle
+    replaying a stale v1 probe would zero this column and mismatch).
+
+    Fixture: at sf0.01 the day-3 probe finds candidates from both
+    generations (n_cand_day2 > 0 rows exist — pinned in
+    tests/test_r11_invariants.py alongside the bucketed-layout plan pin
+    and a v1-vs-v2 probe difference check).
+
+    Spark-first/100 TB: the daily cost is (a) banding the arrivals, (b)
+    ONE union + re-bucket write whose v1 side reads bucket-aligned, (c)
+    the probe join moving only the arrivals — the historical corpus is
+    never re-shingled, re-signed, or re-shuffled; rotation preserves the
+    bucket spec (8 on bkey) so consumers never repartition across index
+    generations."""
+    import os
+
+    from batch_public_spark.plans.analytics_queries import _scratch_dir
+    from batch_public_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    d, banded = _banded_docs(spark, sf_dir)
+    bkey = F.concat_ws(":", F.col("band").cast("string"), "bh").alias("bkey")
+    gen = F.col("doc_id") % 3
+
+    root = _scratch_dir(spark, sf_dir, "mh_index_merge")
+    tag = os.path.basename(root).replace(".", "_")
+    t1, t2 = f"bps_mh_idx_v1_{tag}", f"bps_mh_idx_v2_{tag}"
+    for tb in (t1, t2):
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+    # --- day 1: build + persist index v1 (same shape as the roundtrip) ---
+    wcap = W.partitionBy("band", "bh").orderBy("doc_id")
+    idx1 = (
+        banded.filter(gen == 0)
+        .withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= 50)
+        .select(bkey, F.col("doc_id").alias("old_id"), F.col("s").alias("so"))
+    )
+    write_bucketed(idx1, t1, key="bkey", buckets=8, path=os.path.join(root, "v1"))
+
+    # --- day 2: merge job — fold arrivals into the persisted index ---
+    day2 = banded.filter(gen == 1).select(
+        bkey, F.col("doc_id").alias("old_id"), F.col("s").alias("so")
+    )
+    unioned = read_bucketed(spark, t1).unionByName(day2)
+    wmerge = W.partitionBy("bkey").orderBy(F.col("old_id") % 3, F.col("old_id"))
+    merged = (
+        unioned.withColumn("rn", F.row_number().over(wmerge))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+    write_bucketed(merged, t2, key="bkey", buckets=8, path=os.path.join(root, "v2"))
+
+    # --- day 3: probe-only pass against the merged index ---
+    inc = banded.filter(gen == 2).select(
+        bkey, F.col("doc_id").alias("new_id"), F.col("s").alias("si")
+    )
+    cand = (
+        inc.join(read_bucketed(spark, t2), "bkey")
+        .select("new_id", "old_id", "si", "so")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("si", "so"))
+    union = F.size(F.array_union("si", "so"))
+    ver = cand.select(
+        "new_id",
+        F.when(inter * 2 >= union, 1).otherwise(0).alias("dup"),
+        F.round(inter * F.lit(1.0) / union, 6).alias("j"),
+        F.when(F.col("old_id") % 3 == 1, 1).otherwise(0).alias("from_day2"),
+    )
+    arrivals = d.filter(gen == 2).select(F.col("doc_id").alias("new_id"))
+    return (
+        arrivals.join(ver, "new_id", "left")
+        .groupBy("new_id")
+        .agg(
+            F.count("j").cast("bigint").alias("n_candidates"),
+            F.coalesce(F.sum("dup"), F.lit(0)).cast("bigint").alias("n_dups"),
+            F.coalesce(F.max("j"), F.lit(0.0)).alias("best_jaccard"),
+            (F.coalesce(F.sum("dup"), F.lit(0)) > 0).alias("is_dup"),
+            F.coalesce(F.sum("from_day2"), F.lit(0))
+            .cast("bigint")
+            .alias("n_cand_day2"),
+        )
+    )
 
 
 # URL canonicalization chain, DuckDB dialect (RE2, \1 backrefs, explicit
@@ -4398,4 +4558,191 @@ def llmops_repeated_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_spans"),
         (F.max("nsh") + 2).cast("bigint").alias("longest_span_tokens"),
         F.sum(F.col("nsh") + 2).cast("bigint").alias("shared_span_tokens"),
+    )
+
+
+@query(
+    "llmops_repeated_span_removal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_NORM} AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(tk[i:i+2], ' ') AS s
+      FROM toks, UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(i)
+      WHERE len(tk) >= 3
+    ), rare AS (
+      SELECT s FROM sh GROUP BY s HAVING count(*) <= 20
+    ), ri AS (SELECT sh.* FROM sh JOIN rare USING (s)),
+    seeds AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM ri a JOIN ri b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT id_a, id_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY id_a, id_b, diag
+                                     ORDER BY pa) AS grp
+      FROM seeds
+    ), cuts AS (
+      SELECT id_b AS doc_id,
+             min(pa) - diag AS st, max(pa) - diag + 2 AS en
+      FROM isl GROUP BY id_a, id_b, diag, grp HAVING count(*) >= 2
+    ), swept AS (
+      SELECT doc_id, st, en,
+             CASE WHEN st > coalesce(max(en) OVER (
+                    PARTITION BY doc_id ORDER BY st, en
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS newg
+      FROM cuts
+    ), grps AS (
+      SELECT doc_id, st, en,
+             sum(newg) OVER (PARTITION BY doc_id ORDER BY st, en) AS g
+      FROM swept
+    ), merged AS (
+      SELECT doc_id, min(st) AS st, max(en) AS en FROM grps GROUP BY doc_id, g
+    ), spans AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans_removed FROM merged GROUP BY doc_id
+    ), rem AS (
+      SELECT doc_id, u.p AS pos FROM merged, UNNEST(range(st, en + 1)) AS u(p)
+    ), tok_pos AS (
+      SELECT t.doc_id, i - 1 AS pos, tk[i] AS tok
+      FROM toks t JOIN spans USING (doc_id), UNNEST(range(1, len(tk) + 1)) AS u(i)
+    )
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens_before,
+           CAST(count(r.pos) AS BIGINT) AS n_tokens_removed,
+           CAST(count(*) - count(r.pos) AS BIGINT) AS n_tokens_after,
+           CAST(any_value(s.n_spans_removed) AS BIGINT) AS n_spans_removed,
+           md5(coalesce(array_to_string(coalesce(
+             list(t.tok ORDER BY t.pos) FILTER (WHERE r.pos IS NULL), []), ' '), ''))
+             AS rewritten_md5
+    FROM tok_pos t
+    JOIN spans s ON s.doc_id = t.doc_id
+    LEFT JOIN rem r ON r.doc_id = t.doc_id AND r.pos = t.pos
+    GROUP BY t.doc_id
+    """,
+)
+def llmops_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated-span REMOVAL — the action step that
+    consumes llmops_repeated_span_extract's statistics (Lee et al. 2021:
+    after finding verbatim shared spans, REMOVE every occurrence except
+    the first): spans are recomputed with their positions (same
+    rare-seeded gaps-and-islands pipeline, same df ≤ 20 cap), the
+    keep-first policy drops each span's occurrence in the HIGHER doc_id
+    of every pair (min-id survivorship, matching operators.dedup — for a
+    span shared by docs {1,5,9} every pairwise cut lands on 5 and 9, so
+    only doc 1's copy survives), per-doc cut intervals are UNION-merged
+    by a running-max sweep (overlapping cuts from different pairs must
+    not double-delete), and each affected document is spliced: surviving
+    tokens re-joined in position order. Emitted per affected doc:
+    before/removed/after token counts, merged span count, and the md5 of
+    the REWRITTEN text — the hash a downstream exact-dedup pass would
+    key on, so the whole rewrite is value-attested, not just counted.
+
+    Reconciliation with the extractor (pinned engine-side in
+    tests/test_r11_invariants.py): every extractor pair's id_b appears
+    here; per doc, n_tokens_removed ≥ the longest span any pair removes
+    from it and ≤ the sum of its pairs' shared_span_tokens (union vs
+    sum of overlapping cuts).
+
+    Spark-first: identical scale shape to the extractor (capped seed
+    join, (pair, diagonal)-partitioned islands window) plus a per-doc
+    interval sweep (window partitioned by doc_id), a position anti-join
+    for the splice, and ONE ordered collect per AFFECTED doc — bounded
+    by document length, the unit a rewriter must hold anyway; unaffected
+    docs are semi-join-pruned before tokens ever explode."""
+    from batch_public_spark.operators.semantic import word_shingles_all
+    from batch_public_spark.operators.textops import normalized_text, tokens
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = (
+        d.filter(F.size(tokens(F.col("text"))) >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(word_shingles_all(F.col("text"), 3)).alias("pos", "s"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    rare = sh.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= 20)
+    ri = sh.join(rare.select("s"), "s")
+    a = ri.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "s")
+    b = ri.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "s")
+    seeds = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    w = W.partitionBy("id_a", "id_b", "diag").orderBy("pa")
+    isl = seeds.withColumn("grp", F.col("pa") - F.row_number().over(w))
+    cuts = (
+        isl.groupBy("id_a", "id_b", "diag", "grp")
+        .agg(F.min("pa").alias("pa0"), F.max("pa").alias("pa1"), F.count("*").alias("nsh"))
+        .filter(F.col("nsh") >= 2)
+        .select(
+            F.col("id_b").alias("doc_id"),
+            (F.col("pa0") - F.col("diag")).alias("st"),
+            (F.col("pa1") - F.col("diag") + 2).alias("en"),
+        )
+    )
+    # Union-merge the cut intervals per doc: a new group starts where the
+    # interval clears the running max end of everything before it.
+    wd = W.partitionBy("doc_id").orderBy("st", "en")
+    swept = cuts.select(
+        "doc_id",
+        "st",
+        "en",
+        F.when(
+            F.col("st")
+            > F.coalesce(
+                F.max("en").over(wd.rowsBetween(W.unboundedPreceding, -1)), F.lit(-1)
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("newg"),
+    )
+    grps = swept.withColumn("g", F.sum("newg").over(wd))
+    merged = grps.groupBy("doc_id", "g").agg(
+        F.min("st").alias("st"), F.max("en").alias("en")
+    )
+    spans = merged.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans_removed")
+    )
+    # Merged groups are position-disjoint by construction — exploding
+    # them yields each removed position exactly once.
+    rem = merged.select(
+        "doc_id", F.explode(F.sequence(F.col("st"), F.col("en"))).alias("pos")
+    ).withColumn("hit", F.lit(1))
+    tok_pos = d.join(spans, "doc_id", "left_semi").select(
+        "doc_id",
+        F.posexplode(F.split(normalized_text(F.col("text")), " ")).alias("pos", "tok"),
+    )
+    joined = tok_pos.join(rem, ["doc_id", "pos"], "left")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_tokens_before"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_tokens_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("hit").isNull(), F.struct("pos", "tok"))
+                        )
+                    ),
+                    lambda s: s.tok,
+                ),
+                " ",
+            )
+        ).alias("rewritten_md5"),
+    )
+    return per_doc.join(spans, "doc_id").select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_removed",
+        (F.col("n_tokens_before") - F.col("n_tokens_removed"))
+        .cast("bigint")
+        .alias("n_tokens_after"),
+        "n_spans_removed",
+        "rewritten_md5",
     )
