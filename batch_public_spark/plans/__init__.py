@@ -33,77 +33,74 @@ from batch_public_spark.plans import eval_mining_queries  # noqa: F401  # eval/m
 # driver-attested, in this window, or in _NEXT_WINDOW (and that
 # _NEXT_WINDOW fits a single future window).
 _PRIORITY = [
-    # Round 10 rotation. r9 attested its full 50-entry window hash-green
-    # (cumulative union 361/362). The window leads with r9's 12-name
-    # _NEXT_WINDOW (mandatory head — attesting them reaches 362/362
-    # before this round's changes), then every query whose plan, oracle,
-    # or calibration changed in r10, then the r10 additions, then stale
-    # r1-attested names to refresh the oldest evidence and keep the
-    # window exactly 50.
-    # --- r9 overflow (_NEXT_WINDOW of r9, mandatory head) ---
-    "llmops_ann_bruteforce",
-    "llmops_ann_ivf_lloyd_recall",
-    "llmops_ann_lsh",
-    "llmops_ann_ivf",
-    "llmops_hard_negatives",
-    "llmops_minhash_incremental_dedup",
-    "setop_except_nations",
-    "events_bounce_rate_daily",
-    "stream_tumbling_counts",
-    "agg_theil_sen_slope",
-    "llmops_ngram_jaccard_pairs",
-    "llmops_dedup_cc",
-    # --- changed in r10 (re-attest per rotation policy) ---
-    # fixed-count hash-rank sample (results changed):
-    "llmops_knn_graph_audit",
-    # O(|V|) broadcast hints dropped (plan-only; hashes unchanged):
-    "graph_modularity_score",
-    "graph_bfs_distance",
-    "q17_small_quantity_revenue",
-    "llmops_containment_neardup",
-    # SF-proportional data-derived calibrations (q11 hash unchanged at
-    # sf0.01; try battery's guarded_sum changed with the new modulus):
+    # Round 11 rotation. r10 attested its full 50-entry window hash-green
+    # (cumulative union 374/374; _NEXT_WINDOW was empty, so no overflow
+    # head this round). The window carries every query whose plan,
+    # oracle, or calibration changed in r11, then the two r11 additions,
+    # then ALL remaining r1-attested names plus one r2 name — after this
+    # round no attestation predates r2 (the verdict's "max age ≤ 5
+    # rounds by r12" is met a round early for the r1 cohort).
+    # --- changed in r11 (re-attest per rotation policy) ---
+    # O(|V|) degree-table broadcast hints dropped (plan-only; values
+    # unchanged — the r10-verdict headline fix):
+    "graph_link_prediction",
+    # banded theta-join rewrite (plan rebuilt; values unchanged):
+    "join_theta_acctbal",
+    # forced broadcasts of SF-scaled frames dropped (plan-only):
+    "join_salted_hotkey",
+    "dq_orders_constraints",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
     "q11_important_stock",
-    "scalar_try_arithmetic_battery",
-    # oracle byte-accounting fix (ADVICE r9; hash unchanged on the
-    # ASCII fixture):
-    "llmops_multimodal_format_sniff",
-    # smoothing constants now derived from data cardinality in both
-    # engines (ADVICE r9; hashes unchanged at fixture cardinalities):
-    "events_markov_transitions",
-    "llmops_domain_reweight",
-    # --- added in r10 ---
-    "llmops_minhash_index_roundtrip",
-    "sql_scripting_battery",
-    "sql_named_parameters",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_variety",
+    "q17_small_quantity_revenue",
+    "q18_large_volume",
+    "q19_disjunctive_revenue",
+    "q20_part_volume_suppliers",
+    "q21_waiting_supplier",
+    # canonical_url r10-ADVICE edge fixes + six-variant fixture (VALUES
+    # changed — the new no-path/leading-utm variants are in the hash):
     "llmops_url_canonical_dedup",
-    "dq_quarantine_bitmap",
-    "sql_pipe_syntax_battery",
-    "scalar_collation_battery",
-    "agg_listagg_within_group",
-    "agg_approx_top_k_accuracy",
-    "llmops_repeated_span_extract",
-    "events_session_anomaly_score",
-    "sql_udf_battery",
-    # --- placeholders (stalest-attested names, all r1; re-attesting
-    # refreshes the oldest evidence and keeps the window exactly 50;
-    # r10 additions displace from the BOTTOM of this list) ---
-    "agg_approx_distinct",
-    "agg_corr_quantity_price",
-    "agg_distinct_parts",
-    "agg_percentiles_lineitem",
-    "agg_salted_hotkey_counts",
-    "agg_stats_orders",
-    "array_funcs_documents",
-    "case_when_segmentation",
-    "cube_status_priority",
-    "date_funcs_orders",
-    "distinct_segments",
-    "explode_word_counts",
-    "grouping_sets_geo",
-    "histogram_totalprice",
-    "join_asof_last_click",
-    "join_full_outer_daily_priority",
+    # session-hygiene try/finally + UNCACHE (values unchanged):
+    "sql_scripting_battery",
+    # --- added in r11 ---
+    "llmops_repeated_span_removal",
+    "llmops_minhash_index_merge",
+    # --- stalest-first refreshes: the entire remaining r1 cohort (25)
+    # plus the alphabetically-first r2 name to fill the window at 50 ---
+    "join_left_order_counts",
+    "join_range_late_shipments",
+    "join_semi_customers_with_orders",
+    "json_funcs_events",
+    "math_funcs_lineitem",
+    "pipeline_dedup_first_wins",
+    "pipeline_json_repair",
+    "pipeline_text_extract",
+    "pipeline_ts_normalize",
+    "pivot_flag_status",
+    "rollup_flag_status",
+    "sample_deterministic_hash",
+    "setop_intersect_nations",
+    "setop_union_nations",
+    "string_funcs_part",
+    "subquery_exists_correlated",
+    "subquery_having_big_orders",
+    "subquery_scalar_small_qty",
+    "topk_orders_per_customer",
+    "unpivot_lineitem_measures",
+    "window_lag_lead_gaps",
+    "window_ntile_quartiles",
+    "window_range_frame",
+    "window_rank_orders",
+    "window_running_revenue",
+    "agg_bitwise_lineno",
 ]
 
 # Overflow queue for names that do not fit the current 50-entry window;
