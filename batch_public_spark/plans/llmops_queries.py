@@ -4746,3 +4746,137 @@ def llmops_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_spans_removed",
         "rewritten_md5",
     )
+
+
+@query(
+    "llmops_bitext_margin_mining",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 200
+    ),
+    a AS (SELECT vec_id AS a_id, v AS av FROM s WHERE vec_id % 2 = 0),
+    b AS (SELECT vec_id AS b_id, v AS bv FROM s WHERE vec_id % 2 = 1),
+    p AS (
+      SELECT a_id, b_id, ROUND(list_cosine_similarity(av, bv), 6) AS sim
+      FROM a CROSS JOIN b
+    ),
+    fa AS (
+      SELECT a_id, sum(CAST(sim AS DECIMAL(10,6))) AS sum_a FROM (
+        SELECT a_id, sim,
+               row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rn
+        FROM p) WHERE rn <= 4 GROUP BY a_id
+    ),
+    fb AS (
+      SELECT b_id, sum(CAST(sim AS DECIMAL(10,6))) AS sum_b FROM (
+        SELECT b_id, sim,
+               row_number() OVER (PARTITION BY b_id ORDER BY sim DESC, a_id) AS rn
+        FROM p) WHERE rn <= 4 GROUP BY b_id
+    ),
+    m AS (
+      SELECT p.a_id, p.b_id, p.sim,
+             ROUND(p.sim * 8.0 / CAST(fa.sum_a + fb.sum_b AS DOUBLE), 6) AS margin
+      FROM p JOIN fa USING (a_id) JOIN fb USING (b_id)
+      WHERE CAST(fa.sum_a + fb.sum_b AS DOUBLE) > 0
+    ),
+    best_a AS (
+      SELECT a_id, b_id, sim, margin FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+                                     ORDER BY margin DESC, b_id) AS rn
+        FROM m) WHERE rn = 1
+    ),
+    best_b AS (
+      SELECT a_id, b_id FROM (
+        SELECT a_id, b_id, row_number() OVER (PARTITION BY b_id
+                                              ORDER BY margin DESC, a_id) AS rn
+        FROM m) WHERE rn = 1
+    )
+    SELECT ba.a_id, ba.b_id, ba.sim AS cosine, ba.margin
+    FROM best_a ba JOIN best_b bb ON ba.a_id = bb.a_id AND ba.b_id = bb.b_id
+    """,
+)
+def llmops_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEXT MINING by margin scoring — the parallel-corpus miner of
+    Artetxe & Schwenk 2019 ("Margin-based Parallel Corpus Mining with
+    Multilingual Sentence Embeddings"), the operator that builds
+    translation-pair training data out of two monolingual embedding
+    pools: raw cosine is mis-calibrated across a multilingual space
+    (hub sentences are near everything), so each candidate pair is
+    scored by its RATIO MARGIN — cosine divided by the mean of both
+    sides' average top-k similarities (k = 4 here) — and a pair is mined
+    only when it is the MUTUAL best under that margin (a forward-best
+    that is not backward-best is a hub artifact, dropped). The two
+    embedding pools are played by even/odd vec_ids over a fixed sample
+    (vec_id < 200: 100 per side, the ANN family's literal-bound idiom).
+
+    Parity discipline: cosines round to 6 before any use; each side's
+    top-4 sum accumulates in DECIMAL(10,6) (exact — no float summation
+    order to drift), and the margin is one double division of exact
+    operands, rounded to 6; every argmax carries an id tie-break. The
+    sum_a + sum_b > 0 guard excludes degenerate all-negative
+    neighborhoods identically in both engines.
+
+    Spark-first/100 TB: the quadratic score matrix exists only inside
+    the bounded sample — at scale the pair stream comes from the ANN
+    candidate graph (llmops_ann_ivf / ann_lsh produce exactly the
+    (query, neighbor, sim) triples this consumes), the per-side top-4
+    denominators are two windowed aggregates over that candidate stream
+    partitioned by each side's id, and mutual-best is two rank-1 windows
+    plus an equi-join — nothing here is more than a shuffle on a side's
+    id. The sample variant is the exactness anchor for that path, the
+    same contract as llmops_ann_bruteforce."""
+    from batch_public_spark.operators.semantic import cosine
+
+    s = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = s.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("a_id"), F.col("embedding").alias("av")
+    )
+    b = s.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("b_id"), F.col("embedding").alias("bv")
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .select("a_id", "b_id", F.round(cosine(F.col("av"), F.col("bv")), 6).alias("sim"))
+        # four consumers (two top-k windows, the margin join's pair
+        # stream): cut once so the 10k-pair cosine fold runs once
+        .localCheckpoint(eager=False)
+    )
+    wa = W.partitionBy("a_id").orderBy(F.desc("sim"), "b_id")
+    wb = W.partitionBy("b_id").orderBy(F.desc("sim"), "a_id")
+    fa = (
+        pairs.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 4)
+        .groupBy("a_id")
+        .agg(F.sum(F.col("sim").cast("decimal(10,6)")).alias("sum_a"))
+    )
+    fb = (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 4)
+        .groupBy("b_id")
+        .agg(F.sum(F.col("sim").cast("decimal(10,6)")).alias("sum_b"))
+    )
+    denom = (F.col("sum_a") + F.col("sum_b")).cast("double")
+    m = (
+        pairs.join(fa, "a_id")
+        .join(fb, "b_id")
+        .filter(denom > 0)
+        .select(
+            "a_id",
+            "b_id",
+            "sim",
+            F.round(F.col("sim") * F.lit(8.0) / denom, 6).alias("margin"),
+        )
+    )
+    wma = W.partitionBy("a_id").orderBy(F.desc("margin"), "b_id")
+    wmb = W.partitionBy("b_id").orderBy(F.desc("margin"), "a_id")
+    best_a = (
+        m.withColumn("rn", F.row_number().over(wma))
+        .filter(F.col("rn") == 1)
+        .select("a_id", "b_id", F.col("sim").alias("cosine"), "margin")
+    )
+    best_b = (
+        m.withColumn("rn", F.row_number().over(wmb))
+        .filter(F.col("rn") == 1)
+        .select("a_id", "b_id")
+    )
+    return best_a.join(best_b, ["a_id", "b_id"])
