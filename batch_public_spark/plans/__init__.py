@@ -108,9 +108,10 @@ _PRIORITY = [
 # tests/test_registry_rotation.py fails if a registered query is in none of
 # {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}.
 _NEXT_WINDOW: list[str] = [
-    # r11 addition landed after the 50-entry window filled; mandatory
-    # head of the r12 rotation (parity/lint/stress-verified in-tree).
+    # r11 additions landed after the 50-entry window filled; mandatory
+    # head of the r12 rotation (each parity/lint/stress-verified in-tree).
     "llmops_bitext_margin_mining",
+    "agg_bitmap_distinct_rollup",
 ]
 
 

@@ -6009,3 +6009,54 @@ def events_session_anomaly_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_nll"), "user_id")
         .limit(20)
     )
+
+
+@query(
+    "agg_bitmap_distinct_rollup",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL', CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders
+    """,
+)
+def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE exact distinct counting via the Spark 3.5 bitmap
+    aggregate family (bitmap_bucket_number / bitmap_bit_position /
+    bitmap_construct_agg / bitmap_or_agg / bitmap_count) — the exact
+    counterpart of the HLL-union surface (agg_hll_union_region): per
+    (priority, bucket) the distinct custkeys become one RoaringBitmap-ish
+    binary, per-priority distincts are bucket-wise popcount sums, and the
+    GLOBAL distinct is derived by OR-MERGING the per-priority bitmaps —
+    the fact table is scanned ONCE; the rollup row costs popcounts over
+    the already-built bitmaps. The oracle computes both grains with plain
+    COUNT(DISTINCT): what is hashed is exactness of the whole bitmap
+    pipeline including the merge.
+
+    Spark-first/100 TB: this is how a lake maintains exact-distinct
+    cubes — partial bitmaps per (group, bucket) are small, mergeable,
+    and re-aggregable to ANY coarser grouping without touching the fact
+    table again, which COUNT(DISTINCT) fundamentally cannot do (it
+    re-shuffles raw keys per grouping). Buckets bound each bitmap at
+    32768 bits, so no single aggregation state grows with the key
+    domain; the shuffle key (group, bucket) spreads hot groups."""
+    o = t(spark, sf_dir, "orders").select("o_orderpriority", "o_custkey")
+    per_bucket = o.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.bitmap_bucket_number(F.col("o_custkey")).alias("bucket"),
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position(F.col("o_custkey"))).alias("bm")
+    )
+    per_priority = per_bucket.groupBy("priority").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_distinct_cust")
+    )
+    # The rollup grain NEVER rescans orders: OR-merge the per-priority
+    # bitmaps bucket-wise, then popcount.
+    global_row = (
+        per_bucket.groupBy("bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_distinct_cust"))
+        .select(F.lit("ALL").alias("priority"), "n_distinct_cust")
+    )
+    return per_priority.unionByName(global_row)
