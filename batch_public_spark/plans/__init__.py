@@ -112,6 +112,7 @@ _NEXT_WINDOW: list[str] = [
     # head of the r12 rotation (each parity/lint/stress-verified in-tree).
     "llmops_bitext_margin_mining",
     "agg_bitmap_distinct_rollup",
+    "llmops_quality_survivorship",
 ]
 
 

@@ -4880,3 +4880,92 @@ def llmops_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("a_id", "b_id")
     )
     return best_a.join(best_b, ["a_id", "b_id"])
+
+
+@query(
+    "llmops_quality_survivorship",
+    oracle=f"""
+    WITH m AS ({_QUALITY_SQL}),
+    q AS (
+      SELECT doc_id,
+             CAST(ROUND(least(n_tok / 50.0, 1.0) * 0.3
+                   + greatest(0.0, 1.0 - pr * 4) * 0.3
+                   + least(swr * 5, 1.0) * 0.2
+                   + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 6)
+               AS DECIMAL(10,6)) AS quality
+      FROM m),
+    pre AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               (list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                            x -> length(x) > 0))[1:8], ' ')) AS pkey
+      FROM documents),
+    ranked AS (
+      SELECT p.pkey, p.doc_id, q.quality,
+             row_number() OVER (PARTITION BY p.pkey
+                                ORDER BY q.quality DESC, p.doc_id) AS rq,
+             count(*) OVER (PARTITION BY p.pkey) AS n_members,
+             min(p.doc_id) OVER (PARTITION BY p.pkey) AS minid_doc,
+             max(q.quality) OVER (PARTITION BY p.pkey)
+               - min(q.quality) OVER (PARTITION BY p.pkey) AS spread
+      FROM pre p JOIN q USING (doc_id))
+    SELECT pkey,
+           doc_id AS survivor_doc,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(quality AS DOUBLE) AS survivor_quality,
+           minid_doc,
+           doc_id <> minid_doc AS policy_differs,
+           CAST(spread AS DOUBLE) AS quality_spread
+    FROM ranked WHERE rq = 1 AND n_members >= 2
+    """,
+)
+def llmops_quality_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-WEIGHTED survivorship — the curation-realistic alternative
+    to min-id survivorship (operators.dedup keeps the smallest id; a
+    training-data pipeline keeps the BEST COPY): near-dup families are
+    keyed by the first-8-token prefix group (the dedup cascade's wave-2
+    key, so the families here are exactly what that wave collapses), the
+    survivor is the argmax of the Gopher/C4 quality heuristic (rounded to
+    6, accumulated in exact DECIMAL, doc_id tie-break), and each family
+    row reports the baseline min-id pick alongside — `policy_differs`
+    hash-attests, family by family, where quality-weighting actually
+    changes the outcome (an implementation that silently fell back to
+    min-id would flip those booleans and mismatch). quality_spread (max −
+    min within the family, exact decimal difference) quantifies what the
+    better policy buys.
+
+    Spark-first/100 TB: one scan projects (prefix-key md5, decimal
+    quality); families form in ONE hash shuffle on the 16-byte key; the
+    argmax/min/max/count are a single window pass per family partition —
+    same plan skeleton as keyed first-wins dedup (operators/dedup.py),
+    so swapping survivorship policy costs nothing structural."""
+    from batch_public_spark.operators.textops import tokens
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks_lower = tokens(F.lower(F.col("text")))
+    base = d.select(
+        "doc_id",
+        F.md5(F.array_join(F.slice(toks_lower, 1, 8), " ")).alias("pkey"),
+        F.round(quality_score(F.col("text")), 6).cast("decimal(10,6)").alias("quality"),
+    )
+    wq = W.partitionBy("pkey")
+    ranked = base.select(
+        "pkey",
+        "doc_id",
+        "quality",
+        F.row_number().over(wq.orderBy(F.desc("quality"), "doc_id")).alias("rq"),
+        F.count("*").over(wq).alias("n_members"),
+        F.min("doc_id").over(wq).alias("minid_doc"),
+        (F.max("quality").over(wq) - F.min("quality").over(wq))
+        .cast("double")
+        .alias("quality_spread"),
+    )
+    return ranked.filter((F.col("rq") == 1) & (F.col("n_members") >= 2)).select(
+        "pkey",
+        F.col("doc_id").alias("survivor_doc"),
+        F.col("n_members").cast("bigint").alias("n_members"),
+        F.col("quality").cast("double").alias("survivor_quality"),
+        "minid_doc",
+        (F.col("doc_id") != F.col("minid_doc")).alias("policy_differs"),
+        "quality_spread",
+    )
