@@ -107,23 +107,41 @@ def test_minhash_roundtrip_equals_in_job_twin(spark):
 
 
 def test_url_canonical_collapses_cosmetic_variants_only(spark):
-    """Per base page: the four COSMETIC variants (case, :80, utm-only,
-    fragment+slash) collapse to one canonical (n_docs = 4, min-doc
-    survivorship), while the ?ref=home variant keeps its own canonical
-    (n_docs = 1) — a real query param is a different resource. An
-    over-stripping canonicalizer would merge them (n_docs = 5) and an
-    under-stripping one would split the cosmetic group."""
+    """Per base page (r11 six-variant fixture): the four COSMETIC
+    variants (case, :80+leading-then-trailing utm, fragment+slash)
+    collapse to one canonical (n_docs = 4, min-doc survivorship; the
+    sf-dependent partial tail base may hold fewer), the ?ref=home
+    variant keeps its own canonical (n_docs = 1) — a real query param
+    is a different resource — and the no-path `?utm_…&Ref=CaSe` variant
+    collapses ACROSS bases to one host-keyed canonical whose query case
+    survives and whose leading tracker was re-`?`-ed. An over-stripper
+    merges ref=home (n_docs = 5); an under-stripper splits the cosmetic
+    group or leaves `&Ref` / lowercased `ref=case` forms."""
     rows = QUERIES["llmops_url_canonical_dedup"].fn(spark, SF_DIR).collect()
-    merged = [r for r in rows if "?" not in r.canonical_url]
-    kept = [r for r in rows if "?" in r.canonical_url]
-    assert merged and kept and len(merged) == len(kept)
-    for r in merged:
-        assert r.n_docs == 4 and r.n_raw_variants == 4, r
-        assert r.canonical_doc % 5 == 0, r  # min of {5b, …, 5b+3}
+    cosmetic = [r for r in rows if "?" not in r.canonical_url]
+    ref_home = [r for r in rows if r.canonical_url.endswith("?ref=home")]
+    host_q = [r for r in rows if r.canonical_url.endswith("?Ref=CaSe")]
+    assert cosmetic and ref_home and host_q
+    assert len(cosmetic) + len(ref_home) + len(host_q) == len(rows)
+    # every doc lands in exactly one group
+    assert sum(r.n_docs for r in rows) == sum(r.n_docs for r in cosmetic) + sum(
+        r.n_docs for r in ref_home
+    ) + sum(r.n_docs for r in host_q)
+    # full bases collapse 4 cosmetic variants; only the tail base may be short
+    assert sum(1 for r in cosmetic if r.n_docs != 4) <= 1
+    for r in cosmetic:
+        assert 1 <= r.n_docs <= 4 and r.n_raw_variants == r.n_docs, r
+        assert r.canonical_doc % 6 == 0, r  # min of {6b, …, 6b+3}
         assert "/Articles/" in r.canonical_url, r  # path case preserved
         assert not r.canonical_url.endswith("/"), r
-    for r in kept:
+    for r in ref_home:
         assert r.n_docs == 1, r
-        assert r.canonical_url.endswith("?ref=home"), r
         assert "utm_" not in r.canonical_url, r
-        assert r.canonical_doc % 5 == 4, r  # the v4 variant
+        assert r.canonical_doc % 6 == 4, r  # the v4 variant
+    for r in host_q:
+        # host-keyed: one canonical per host, every member a v5 doc;
+        # the authority is lowercased while the query kept its case,
+        # and the leading tracker's '&' was normalized back to '?'
+        assert r.canonical_doc % 6 == 5, r
+        assert r.canonical_url.startswith("http://www.example"), r
+        assert "utm_" not in r.canonical_url and "&" not in r.canonical_url, r
