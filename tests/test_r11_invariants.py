@@ -131,3 +131,24 @@ def test_index_merge_really_folds_day2(spark):
         assert r.is_dup == (r.n_dups > 0), r
         if r.n_candidates == 0:
             assert r.best_jaccard == 0.0, r
+
+
+def test_dehinted_tpch_dims_still_broadcast_under_aqe(spark):
+    """Dropping the forced customer/supplier/part hints (r10 verdict #2)
+    must cost nothing at fixture SF: after execution, AQE's FINAL plan
+    for q7 still broadcasts the de-hinted dims — no SortMergeJoin keyed
+    on a dim key appears. (At 100 TB the same un-hinted joins revert to
+    shuffles instead of forcing a ~10^10-row broadcast — that direction
+    is covered by the unbounded-broadcast lint.)"""
+    import re
+
+    df = QUERIES["q7_nation_volume"].fn(spark, SF_DIR)
+    df.collect()
+    p = df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "isFinalPlan=true" in p, p[:500]
+    assert "BroadcastHashJoin" in p, p[:2000]
+    for m in re.finditer(r"SortMergeJoin[^\n]*\n(?:.*?Left keys \[\d+\]: \[([^\]]+)\])?", p):
+        keys = m.group(1) or ""
+        assert "c_custkey" not in keys and "s_suppkey" not in keys, keys
