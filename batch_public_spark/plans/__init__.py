@@ -113,6 +113,8 @@ _NEXT_WINDOW: list[str] = [
     "llmops_bitext_margin_mining",
     "agg_bitmap_distinct_rollup",
     "llmops_quality_survivorship",
+    "llmops_sorted_neighborhood_blocking",
+    "llmops_rendezvous_shard_routing",
 ]
 
 

@@ -1306,3 +1306,92 @@ def llmops_response_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("corr_margin_len_delta"),
     )
+
+
+_HRW_MD5 = "md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR))"
+_HRW_H = f"({_hex3(_HRW_MD5, 1)} * 4096 + {_hex3(_HRW_MD5, 4)})"
+
+
+@query(
+    "llmops_rendezvous_shard_routing",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, s, {_HRW_H} AS h
+      FROM documents, UNNEST(range(9)) AS u(s)
+    ), a AS (
+      -- (h, s) lexicographic argmax as one orderable key: h < 16^6 and
+      -- s < 16, so h * 16 + s orders exactly like the tuple
+      SELECT doc_id,
+             arg_max(s, h * 16 + s) FILTER (WHERE s < 8) AS a8,
+             arg_max(s, h * 16 + s) AS a9
+      FROM g GROUP BY doc_id
+    ), g8 AS (
+      SELECT a8 AS shard, count(*) AS n8 FROM a GROUP BY a8
+    ), g9 AS (
+      SELECT a9 AS shard, count(*) AS n9,
+             sum(CASE WHEN a8 <> a9 THEN 1 ELSE 0 END) AS mv
+      FROM a GROUP BY a9
+    )
+    SELECT CAST(grid.shard AS INT) AS shard,
+           CAST(coalesce(g8.n8, 0) AS BIGINT) AS n_assigned_8,
+           CAST(coalesce(g9.n9, 0) AS BIGINT) AS n_assigned_9,
+           CAST(coalesce(g9.mv, 0) AS BIGINT) AS n_moved_in
+    FROM (SELECT unnest(range(9)) AS shard) grid
+    LEFT JOIN g8 USING (shard)
+    LEFT JOIN g9 USING (shard)
+    """,
+)
+def llmops_rendezvous_shard_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RENDEZVOUS (highest-random-weight) shard routing (Thaler &
+    Ravishankar 1996) — the shard assignment that survives resharding:
+    each doc routes to argmax over shards of hash(doc, shard), so growing
+    the fleet 8 → 9 moves only the docs whose NEW shard wins the argmax —
+    an expected 1/9 of the corpus — where ``hash(doc) % N`` re-routes
+    8/9 of it (every cache, bucket layout, and incremental index built
+    per shard invalidates). Emitted per shard of the grown fleet: the
+    population under 8 shards, under 9, and the arrivals (`n_moved_in`);
+    by HRW's defining property every arrival lands on the NEW shard
+    (shard 8) *or* reflects a hash tie — a test pins sum(moved) ==
+    n_assigned_9(shard 8) and the ~1/9 fraction.
+
+    Spark-first/100 TB: routing is pure per-row arithmetic — the 9
+    candidate weights fold IN-ROW (an array of (hash, shard) structs;
+    both argmaxes are ``array_max`` over it, codegen'd, no explode, no
+    shuffle), so the whole assignment costs one scan plus two 9-group
+    hash aggregations; the only joins are on the 9-row shard grid
+    (shard-cardinality-bounded by the literal fleet size). Parity: the
+    24-bit weight parses the md5 hex via engine-neutral ascii arithmetic
+    (oracle) / conv() (Spark) — identical integers — and the argmax
+    tie-break is the (h, shard) lexicographic max in both engines."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+
+    def weight(i: int):
+        h = F.md5(F.concat_ws("#", F.col("doc_id").cast("string"), F.lit(str(i))))
+        return F.conv(F.substring(h, 1, 6), 16, 10).cast("bigint")
+
+    cands = F.array(
+        *[
+            F.struct(weight(i).alias("h"), F.lit(i).cast("int").alias("s"))
+            for i in range(9)
+        ]
+    )
+    a = docs.select(
+        F.array_max(F.slice(cands, 1, 8)).getField("s").alias("a8"),
+        F.array_max(cands).getField("s").alias("a9"),
+    )
+    g8 = a.groupBy(F.col("a8").alias("shard")).agg(F.count("*").alias("n8"))
+    g9 = a.groupBy(F.col("a9").alias("shard")).agg(
+        F.count("*").alias("n9"),
+        F.sum(F.when(F.col("a8") != F.col("a9"), 1).otherwise(0)).alias("mv"),
+    )
+    grid = spark.range(9).select(F.col("id").cast("int").alias("shard"))
+    return (
+        grid.join(g8, "shard", "left")
+        .join(g9, "shard", "left")
+        .select(
+            "shard",
+            F.coalesce(F.col("n8"), F.lit(0)).cast("bigint").alias("n_assigned_8"),
+            F.coalesce(F.col("n9"), F.lit(0)).cast("bigint").alias("n_assigned_9"),
+            F.coalesce(F.col("mv"), F.lit(0)).cast("bigint").alias("n_moved_in"),
+        )
+    )

@@ -4969,3 +4969,105 @@ def llmops_quality_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") != F.col("minid_doc")).alias("policy_differs"),
         "quality_spread",
     )
+
+
+@query(
+    "llmops_sorted_neighborhood_blocking",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, tk,
+             array_to_string(tk, ' ') AS norm,
+             tk[1] AS blk,
+             list_distinct(tk) AS ts
+      FROM (SELECT doc_id, {_TOKS_NORM} AS tk FROM documents)
+      WHERE len(tk) >= 1
+    ), s AS (
+      SELECT blk, doc_id, ts,
+             lead(doc_id, 1) OVER w AS n1, lead(ts, 1) OVER w AS t1,
+             lead(doc_id, 2) OVER w AS n2, lead(ts, 2) OVER w AS t2,
+             lead(doc_id, 3) OVER w AS n3, lead(ts, 3) OVER w AS t3
+      FROM d WINDOW w AS (PARTITION BY blk ORDER BY norm, doc_id)
+    ), p AS (
+      SELECT blk, doc_id AS id_a, 1 AS dist, n1 AS id_b, t1 AS tb, ts FROM s WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT blk, doc_id, 2, n2, t2, ts FROM s WHERE n2 IS NOT NULL
+      UNION ALL
+      SELECT blk, doc_id, 3, n3, t3, ts FROM s WHERE n3 IS NOT NULL
+    )
+    SELECT blk, id_a, id_b, CAST(dist AS INT) AS dist,
+           ROUND(CAST(len(list_intersect(ts, tb)) AS DOUBLE)
+                 / len(list_distinct(list_concat(ts, tb))), 6) AS jac
+    FROM p
+    """,
+)
+def llmops_sorted_neighborhood_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SORTED-NEIGHBORHOOD candidate generation (Hernandez & Stolfo 1995,
+    the record-linkage classic) — the third candidate-pair source next to
+    content blocking (llmops_ngram_jaccard_pairs) and MinHash banding
+    (llmops_minhash_candidates): records sort by a normalization key and
+    every record pairs with its w = 3 sort-successors, so near-dups that
+    share a PREFIX but differ in suffix length land adjacent and pair
+    even when an exact blocking key would split them. Each pair carries
+    its sort distance and exact token-set Jaccard — the verifier is
+    fused, so the output is directly consumable by the dedup cascade.
+
+    This is the BLOCKED variant (the form that scales): the sort runs
+    inside first-token blocks, windows never cross a block boundary.
+    The pure form's single global sort order is a one-partition window —
+    unshardable; blocked SNM trades the (rare) cross-block neighbor for
+    a per-block partitioned window, the same trade
+    llmops_ngram_jaccard_pairs documents for its block cap. At 100 TB
+    the standard multi-pass answer (Hernandez & Stolfo's own fix) is
+    re-running with a second sort key (e.g. reversed tokens) rather
+    than widening any one pass's window.
+
+    Spark-first: one scan projects (block, sort key, token set); the
+    window is ONE shuffle by block key; the w successor pairs come from
+    three ``lead()`` calls over that window — NO self-join, so there is
+    no candidate-explosion path at any block size (per row the pair
+    count is exactly min(w, block remainder)); Jaccard folds in-row
+    (array_intersect/array_union, codegen'd). Parity: lead() semantics
+    and the (norm, doc_id) total order are engine-identical; jac rounds
+    to 6 with an exact-integer numerator/denominator."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", tokens(normalized_text(F.col("text"))).alias("tk"))
+        .filter(F.size("tk") >= 1)
+        .select(
+            "doc_id",
+            F.element_at("tk", 1).alias("blk"),
+            F.array_join("tk", " ").alias("norm"),
+            F.array_distinct("tk").alias("ts"),
+        )
+    )
+    w = W.partitionBy("blk").orderBy("norm", "doc_id")
+    s = d.select(
+        "blk",
+        "doc_id",
+        "ts",
+        *[F.lead("doc_id", i).over(w).alias(f"n{i}") for i in (1, 2, 3)],
+        *[F.lead("ts", i).over(w).alias(f"t{i}") for i in (1, 2, 3)],
+    )
+    nbrs = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("dist"),
+                F.col(f"n{i}").alias("id_b"),
+                F.col(f"t{i}").alias("tb"),
+            )
+            for i in (1, 2, 3)
+        ]
+    )
+    p = s.select(
+        "blk",
+        F.col("doc_id").alias("id_a"),
+        "ts",
+        F.explode(nbrs).alias("nb"),
+    ).filter(F.col("nb.id_b").isNotNull())
+    return p.select(
+        "blk",
+        "id_a",
+        F.col("nb.id_b").alias("id_b"),
+        F.col("nb.dist").alias("dist"),
+        F.round(jaccard(F.col("ts"), F.col("nb.tb")), 6).alias("jac"),
+    )

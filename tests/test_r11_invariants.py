@@ -152,3 +152,109 @@ def test_dehinted_tpch_dims_still_broadcast_under_aqe(spark):
     for m in re.finditer(r"SortMergeJoin[^\n]*\n(?:.*?Left keys \[\d+\]: \[([^\]]+)\])?", p):
         keys = m.group(1) or ""
         assert "c_custkey" not in keys and "s_suppkey" not in keys, keys
+
+
+def test_snm_blocking_recovers_prefix_dup_families(spark):
+    """Sorted-neighborhood candidates must contain every consecutive pair
+    of each 8-token-prefix near-dup family (the dedup cascade's wave-2
+    key): strings sharing a prefix form a CONTIGUOUS range in the
+    lexicographic sort (the property SNM exists to exploit), and all
+    members share the block (same first token), so each family of size m
+    yields at least m−1 distance-1 pairs. Plus grain sanity: dist ∈
+    {1,2,3}, jac ∈ [0,1], no self-pairs."""
+    from pyspark.sql import functions as F
+
+    from batch_public_spark.operators.textops import normalized_text, tokens
+    from batch_public_spark.sources.tables import load_table
+
+    out = QUERIES["llmops_sorted_neighborhood_blocking"].fn(spark, SF_DIR).collect()
+    assert out
+    pairs = {}
+    for r in out:
+        assert r.dist in (1, 2, 3), r
+        assert 0.0 <= r.jac <= 1.0, r
+        assert r.id_a != r.id_b, r
+        pairs[(r.id_a, r.id_b)] = r.jac
+    fams = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", tokens(normalized_text(F.col("text"))).alias("tk"))
+        # ≥9 tokens: every member's norm starts "<prefix><space>", which
+        # is the exact string-prefix contiguity precondition
+        .filter(F.size("tk") >= 9)
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice("tk", 1, 8), " ")).alias("pkey"),
+            F.array_join("tk", " ").alias("norm"),
+        )
+        .groupBy("pkey")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("norm", "doc_id"))),
+                lambda s: s.doc_id,
+            ).alias("ids")
+        )
+        .filter(F.size("ids") >= 2)
+        .collect()
+    )
+    assert fams, "fixture has no prefix near-dup families — planted dups missing"
+    for fam in fams:
+        for a, b in zip(fam.ids, fam.ids[1:]):
+            assert (a, b) in pairs, (fam.pkey, a, b)
+
+
+def test_hrw_routing_moves_only_to_the_new_shard(spark):
+    """Rendezvous hashing's defining guarantee, pinned: growing 8 → 9
+    shards re-routes docs ONLY onto the new shard (old shards' relative
+    argmax order is unchanged), the new shard is empty under 8, both
+    assignments cover every doc, and the moved fraction is binomially
+    consistent with the theoretical 1/9."""
+    rows = {r.shard: r for r in QUERIES["llmops_rendezvous_shard_routing"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == set(range(9))
+    n = sum(r.n_assigned_9 for r in rows.values())
+    assert n == sum(r.n_assigned_8 for r in rows.values()) > 0
+    assert rows[8].n_assigned_8 == 0
+    for s in range(8):
+        assert rows[s].n_moved_in == 0, (s, rows[s])
+    assert rows[8].n_moved_in == rows[8].n_assigned_9 > 0
+    frac = rows[8].n_moved_in / n
+    # E = 1/9 ≈ 0.111; 4 binomial sd at n=500 is ±0.056
+    assert 0.05 < frac < 0.18, frac
+
+
+def test_runtime_bloom_filter_reduces_fact_scan(spark):
+    """Spark's runtime bloom-filter injection — the engine's semi-join
+    reduction for exactly the 100 TB shape where a selective dim filter
+    should prune the fact-side shuffle: with broadcast off (forcing the
+    shuffle join the feature targets) and the application-side size gate
+    lowered to fixture scale, the optimizer must inject a
+    bloom_filter_agg on the filtered orders side and a might_contain
+    predicate into the lineitem scan's filter. Conf is restored in
+    finally; the plan is fully resolved before restoration."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    from pyspark.sql import functions as F
+
+    from batch_public_spark.sources.tables import load_table
+
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF_DIR, "orders")
+        li = load_table(spark, SF_DIR, "lineitem")
+        sel = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+        j = (
+            li.join(sel, li.l_orderkey == sel.o_orderkey)
+            .groupBy()
+            .agg(F.sum("l_quantity").alias("s"))
+        )
+        plan = j._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            j._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan, plan[:2000]
+    assert "might_contain" in plan, plan[:2000]
