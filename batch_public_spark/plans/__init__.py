@@ -115,6 +115,8 @@ _NEXT_WINDOW: list[str] = [
     "llmops_quality_survivorship",
     "llmops_sorted_neighborhood_blocking",
     "llmops_rendezvous_shard_routing",
+    "eval_conformal_coverage",
+    "eval_ips_policy_value",
 ]
 
 

@@ -3483,3 +3483,242 @@ def agg_ratio_delta_method_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r - F.lit(1.96) * F.sqrt(var_r), 6).alias("ci_lo"),
         F.round(r + F.lit(1.96) * F.sqrt(var_r), 6).alias("ci_hi"),
     )
+
+
+@query(
+    "eval_conformal_coverage",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id % 5 AS g, value,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS d
+      FROM events
+    ), model AS (
+      SELECT g,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS yhat
+      FROM ev WHERE d BETWEEN '0' AND '7' GROUP BY g
+    ), calib AS (
+      SELECT e.g, e.event_id, abs(e.value - m.yhat) AS score
+      FROM ev e JOIN model m USING (g) WHERE e.d IN ('8', '9', 'a', 'b')
+    ), ranked AS (
+      SELECT g, score,
+             row_number() OVER (PARTITION BY g ORDER BY score, event_id) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM calib
+    ), q AS (
+      SELECT g, CAST(n AS BIGINT) AS n_calib, score AS qhat
+      FROM ranked
+      WHERE rn = least(CAST(ceil(0.9 * (n + 1)) AS BIGINT), n)
+    ), tst AS (
+      SELECT e.g, abs(e.value - m.yhat) AS score
+      FROM ev e JOIN model m USING (g) WHERE e.d IN ('c', 'd', 'e', 'f')
+    )
+    SELECT q.g, q.n_calib,
+           round(q.qhat, 6) AS qhat,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.score <= q.qhat THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_covered,
+           round(CAST(sum(CASE WHEN t.score <= q.qhat THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS coverage
+    FROM tst t JOIN q USING (g)
+    GROUP BY q.g, q.n_calib, q.qhat
+    """,
+)
+def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPLIT-CONFORMAL prediction intervals with empirical coverage — the
+    distribution-free calibration wrapper (Vovk; Angelopoulos & Bates
+    2021 tutorial form) every model-scoring pipeline should ship with:
+    a point model fits on the train split (here the per-segment mean —
+    the model is deliberately trivial, the CONFORMAL arithmetic is the
+    operator), nonconformity |y − ŷ| is ranked on a held-out calibration
+    split, q̂ = the ⌈0.9·(n+1)⌉-th smallest calibration score, and the
+    guarantee "P(|y − ŷ| ≤ q̂) ≥ 0.9" is then AUDITED on a disjoint test
+    split — per segment: n_calib, q̂, and realized coverage. Splits are
+    md5-deterministic (train 1/2, calib 1/4, test 1/4), the finite-sample
+    ⌈(n+1)(1−α)⌉ index is the exact conformal rank (not a plug-in
+    quantile), and a test pins realized coverage near the nominal level.
+
+    Parity: ŷ is an exact-decimal sum divided once as double, scores are
+    the identical IEEE subtraction in both engines, the rank index is
+    integer arithmetic, and rounding happens only at emission — the
+    coverage BOOLEANS compare pre-round doubles, so both engines count
+    the same covered rows. Scale: one hash shuffle per split on the
+    segment key; the exact rank window partitions by segment (the 100 TB
+    swap is approx_percentile(score, 0.9) per segment — same plan
+    skeleton, sketch instead of sort; this exact form is its oracle
+    anchor, the ANN-family convention)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 5).alias("g"),
+        "value",
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).alias("d"),
+    )
+    model = (
+        ev.filter(F.col("d").between("0", "7"))
+        .groupBy("g")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("yhat")
+        )
+    )
+    calib = (
+        ev.filter(F.col("d").isin("8", "9", "a", "b"))
+        .join(model, "g")
+        .select("g", "event_id", F.abs(F.col("value") - F.col("yhat")).alias("score"))
+    )
+    wg = W.partitionBy("g")
+    ranked = calib.select(
+        "g",
+        "score",
+        F.row_number().over(wg.orderBy("score", "event_id")).alias("rn"),
+        F.count("*").over(wg).alias("n"),
+    )
+    q = ranked.filter(
+        F.col("rn")
+        == F.least(F.ceil(0.9 * (F.col("n") + 1)).cast("bigint"), F.col("n"))
+    ).select("g", F.col("n").cast("bigint").alias("n_calib"), F.col("score").alias("qhat"))
+    tst = (
+        ev.filter(F.col("d").isin("c", "d", "e", "f"))
+        .join(model, "g")
+        .select("g", F.abs(F.col("value") - F.col("yhat")).alias("score"))
+    )
+    covered = F.sum(F.when(F.col("score") <= F.col("qhat"), 1).otherwise(0))
+    return (
+        tst.join(q, "g")
+        .groupBy("g", "n_calib", "qhat")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            covered.cast("bigint").alias("n_covered"),
+            F.round(covered.cast("double") / F.count("*"), 6).alias("coverage"),
+        )
+        .select(
+            "g",
+            "n_calib",
+            F.round("qhat", 6).alias("qhat"),
+            "n_test",
+            "n_covered",
+            "coverage",
+        )
+    )
+
+
+@query(
+    "eval_ips_policy_value",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type AS a, value AS r,
+             CAST(floor(CAST(strftime(ts, '%H') AS BIGINT) / 6) AS INT) AS c,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS d
+      FROM events
+    ), learn AS (
+      SELECT c, a,
+             CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mr
+      FROM ev WHERE d BETWEEN '0' AND '7' GROUP BY c, a
+    ), pi AS (
+      SELECT c, a AS pi_action FROM (
+        SELECT c, a, row_number() OVER (PARTITION BY c ORDER BY mr DESC, a) AS rn
+        FROM learn) WHERE rn = 1
+    ), prop AS (
+      SELECT c, a,
+             CAST(count(*) AS DOUBLE)
+               / sum(count(*)) OVER (PARTITION BY c) AS p_a
+      FROM ev WHERE d BETWEEN '0' AND '7' GROUP BY c, a
+    ), b AS (
+      SELECT c, a, r FROM ev WHERE d >= '8'
+    )
+    SELECT b.c, pi.pi_action,
+           round(prop.p_a, 6) AS propensity,
+           CAST(count(*) AS BIGINT) AS n_logs,
+           CAST(sum(CASE WHEN b.a = pi.pi_action THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match,
+           round(CAST(sum(CASE WHEN b.a = pi.pi_action
+                               THEN CAST(b.r AS DECIMAL(18,6)) END) AS DOUBLE)
+                 / nullif(sum(CASE WHEN b.a = pi.pi_action THEN 1 ELSE 0 END), 0),
+                 6) AS dm_value,
+           round((CAST(sum(CASE WHEN b.a = pi.pi_action
+                                THEN CAST(b.r AS DECIMAL(18,6)) END) AS DOUBLE)
+                  / prop.p_a) / count(*), 6) AS ips_value
+    FROM b
+    JOIN pi USING (c)
+    JOIN prop ON prop.c = b.c AND prop.a = pi.pi_action
+    GROUP BY b.c, pi.pi_action, prop.p_a
+    """,
+)
+def eval_ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFF-POLICY evaluation by inverse propensity scoring (Horvitz &
+    Thompson; the Li et al. 2011 offline-bandit-replay shape) — "what
+    would the greedy policy have earned?" answered from LOGGED traffic
+    only: the target policy π picks the argmax-mean-reward action per
+    context on the LEARNING split (md5 digits 0-7), behavior propensities
+    p̂(a|c) come from the same split, and on the disjoint EVALUATION
+    split the IPS value per context is Σ_{a=π(c)} r / p̂(π(c)|c) / n —
+    reported next to the direct-method estimate (mean reward of matching
+    logs) whose gap from IPS is exactly the propensity correction.
+    Propensities must come from a split DISJOINT from the evaluation
+    logs: with same-split empirical propensities IPS degenerates to DM
+    identically (the classic silent off-policy bug — the two columns
+    would be equal and the estimator content vanishes).
+
+    Parity: means and propensities are exact-decimal (or integer-count)
+    numerators divided once as double; the argmax carries an action-name
+    tie-break; ips chains two double divisions on exact operands and
+    rounds only at emission. Scale: two hash aggregations on (context,
+    action) — a bounded grid — plus one pass over evaluation logs; the
+    policy/propensity frames joined to the log stream are
+    grid-cardinality-bounded (|contexts| × |actions|), the canonical
+    broadcast-dim shape, left to AQE."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.col("value").alias("r"),
+        F.floor(F.hour("ts") / 6).cast("int").alias("c"),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).alias("d"),
+    )
+    lrn = ev.filter(F.col("d").between("0", "7"))
+    learn = lrn.groupBy("c", "a").agg(
+        (F.sum(F.col("r").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("mr")
+    )
+    wpi = W.partitionBy("c").orderBy(F.desc("mr"), "a")
+    pi = (
+        learn.withColumn("rn", F.row_number().over(wpi))
+        .filter(F.col("rn") == 1)
+        .select("c", F.col("a").alias("pi_action"))
+    )
+    prop = (
+        lrn.groupBy("c", "a")
+        .agg(F.count("*").alias("na"))
+        .select(
+            "c",
+            "a",
+            (F.col("na").cast("double") / F.sum("na").over(W.partitionBy("c"))).alias("p_a"),
+        )
+    )
+    b = ev.filter(F.col("d") >= "8").select("c", "a", "r")
+    j = b.join(pi, "c").join(
+        prop.select(F.col("c").alias("pc"), F.col("a").alias("pa_action"), "p_a"),
+        (F.col("c") == F.col("pc")) & (F.col("pi_action") == F.col("pa_action")),
+    )
+    match = F.when(F.col("a") == F.col("pi_action"), 1).otherwise(0)
+    match_r = F.sum(F.when(F.col("a") == F.col("pi_action"), F.col("r").cast("decimal(18,6)")))
+    return (
+        j.groupBy("c", "pi_action", "p_a")
+        .agg(
+            F.count("*").cast("bigint").alias("n_logs"),
+            F.sum(match).cast("bigint").alias("n_match"),
+            F.round(
+                match_r.cast("double") / F.nullif(F.sum(match), F.lit(0)), 6
+            ).alias("dm_value"),
+            F.round((match_r.cast("double") / F.col("p_a")) / F.count("*"), 6).alias(
+                "ips_value"
+            ),
+        )
+        .select(
+            "c",
+            "pi_action",
+            F.round("p_a", 6).alias("propensity"),
+            "n_logs",
+            "n_match",
+            "dm_value",
+            "ips_value",
+        )
+    )

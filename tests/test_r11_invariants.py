@@ -258,3 +258,45 @@ def test_runtime_bloom_filter_reduces_fact_scan(spark):
             spark.conf.set(k, v)
     assert "bloom_filter_agg" in plan, plan[:2000]
     assert "might_contain" in plan, plan[:2000]
+
+
+def test_conformal_coverage_hits_nominal_level(spark):
+    """Split-conformal's distribution-free guarantee, audited: realized
+    test coverage per segment must sit in a 4-sd binomial band around the
+    nominal 0.9 (one-sided; binomial noise below), and q̂
+    must be a genuine calibration quantile (positive, finite, below the
+    segment's max conceivable error)."""
+    rows = QUERIES["eval_conformal_coverage"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5, rows
+    for r in rows:
+        assert r.n_calib > 30 and r.n_test > 30, r
+        assert 0.0 < r.qhat < 500.0, r
+        assert r.n_covered <= r.n_test, r
+        # the conformal guarantee is one-sided (≥ 1 − α marginally);
+        # realized coverage may sit anywhere up to 1.0, and below 0.9
+        # only by binomial noise
+        sd = (0.9 * 0.1 / r.n_test) ** 0.5
+        assert r.coverage > 0.9 - 4 * sd, (r.g, r.coverage, r.n_test)
+
+
+def test_ips_value_carries_propensity_correction(spark):
+    """The IPS estimator must not silently degenerate to the direct
+    method (the same-split-propensity bug the docstring warns about):
+    with learning-split propensities, ips = dm · (n_match/n_logs)/p̂, so
+    the two columns differ wherever the evaluation split's empirical
+    match rate differs from the learning split's propensity — assert the
+    ratio identity exactly and that the columns are not all equal."""
+    rows = QUERIES["eval_ips_policy_value"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 4, rows
+    diffs = 0
+    for r in rows:
+        assert 0.0 < r.propensity < 1.0, r
+        assert 0 < r.n_match <= r.n_logs, r
+        assert r.dm_value is not None and r.dm_value > 0, r
+        # identity reconstructed from EMITTED (round-6) columns — the
+        # propensity's rounding alone perturbs the product by ~1e-4
+        expected_ips = r.dm_value * (r.n_match / r.n_logs) / r.propensity
+        assert abs(r.ips_value - expected_ips) < 5e-3 * r.ips_value, (r, expected_ips)
+        if abs(r.ips_value - r.dm_value) > 1e-6:
+            diffs += 1
+    assert diffs > 0, "IPS degenerated to DM in every context"
