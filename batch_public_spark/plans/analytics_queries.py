@@ -4095,8 +4095,24 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
-    adj = edges0.select(F.col("x").alias("w"), F.col("y").alias("v")).unionAll(
-        edges0.select(F.col("y").alias("w"), F.col("x").alias("v"))
+    # The wedge stage's output is deg²-amplified (16.4 M rows from 220 k
+    # inputs at sf0.1): AQE sizes exchanges by join INPUT bytes, and an
+    # optimizer-inserted (ENSURE_REQUIREMENTS) exchange on `w` gets
+    # coalesced to ~2 tasks, serializing the blowup. Pinning the
+    # partitioning HERE — below the degree join, as an explicit
+    # repartition(n, "w") (REPARTITION_BY_NUM, exempt from AQE
+    # coalescing) — makes it the exchange that satisfies BOTH the degree
+    # join and the wedge self-join, so no prunable/coalescible optimizer
+    # exchange ever exists on this key. (With the r10 broadcast hints the
+    # pin used to sit above the degree join; once the hints were dropped,
+    # EnsureRequirements pruned it as redundant against its own exchange,
+    # which AQE then coalesced — a 2× regression at sf0.1, caught by the
+    # r11 A/B and pinned in tests/test_r11_invariants.py.)
+    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = (
+        edges0.select(F.col("x").alias("w"), F.col("y").alias("v"))
+        .unionAll(edges0.select(F.col("y").alias("w"), F.col("x").alias("v")))
+        .repartition(nshuf, "w")
     )
     deg = (
         adj.groupBy(F.col("w").alias("u"))
@@ -4132,14 +4148,11 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("term"),
         )
     )
-    # The wedge join's output is deg²-amplified (16.4 M rows from 220 k
-    # inputs at sf0.1): AQE sizes the exchange by join INPUT bytes and
-    # coalesces it to ~2 tasks, serializing the blowup. A user repartition
-    # is exempt from AQE coalescing, so pin the join's parallelism
-    # explicitly — the partition-by-output-not-input discipline.
-    nshuf = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    wa = adjd.select("w", F.col("v").alias("x"), "term").repartition(nshuf, "w")
-    wb = adjd.select("w", F.col("v").alias("y")).repartition(nshuf, "w")
+    # Both self-join sides inherit the pinned REPARTITION_BY_NUM
+    # partitioning on `w` from `adj` above (filter/project preserve it),
+    # so the wedge join streams at full parallelism with no new exchange.
+    wa = adjd.select("w", F.col("v").alias("x"), "term")
+    wb = adjd.select("w", F.col("v").alias("y"))
     wedge = wa.join(wb, "w").filter(F.col("x") < F.col("y"))
     cand = (
         wedge.groupBy("x", "y")
