@@ -117,6 +117,8 @@ _NEXT_WINDOW: list[str] = [
     "llmops_rendezvous_shard_routing",
     "eval_conformal_coverage",
     "eval_ips_policy_value",
+    "events_did_estimator",
+    "dq_fdr_bh_gate",
 ]
 
 

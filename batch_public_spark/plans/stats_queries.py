@@ -2582,3 +2582,257 @@ def dq_arrival_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("stall_rate"),
     )
+
+
+@query(
+    "events_did_estimator",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(user_id % 2 AS INT) AS treat,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(round(value, 2) AS DECIMAL(12,2)) AS v
+      FROM events
+    ), cut AS (
+      SELECT CAST(floor((min(day) + max(day) + 1) / 2) AS BIGINT) AS mid FROM ev
+    ), cells AS (
+      SELECT event_type, treat,
+             CASE WHEN day >= cut.mid THEN 1 ELSE 0 END AS post,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(v) AS s,
+             sum(v * v) AS q
+      FROM ev CROSS JOIN cut
+      GROUP BY 1, 2, 3
+    ), m AS (
+      SELECT event_type, treat, post, n,
+             CAST(s AS DOUBLE) / n AS mean_v,
+             (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+               / (n - 1) / n AS var_of_mean
+      FROM cells
+    ), wide AS (
+      SELECT event_type,
+             max(CASE WHEN treat = 1 AND post = 1 THEN mean_v END) AS m11,
+             max(CASE WHEN treat = 1 AND post = 0 THEN mean_v END) AS m10,
+             max(CASE WHEN treat = 0 AND post = 1 THEN mean_v END) AS m01,
+             max(CASE WHEN treat = 0 AND post = 0 THEN mean_v END) AS m00,
+             max(CASE WHEN treat = 1 AND post = 1 THEN var_of_mean END) AS v11,
+             max(CASE WHEN treat = 1 AND post = 0 THEN var_of_mean END) AS v10,
+             max(CASE WHEN treat = 0 AND post = 1 THEN var_of_mean END) AS v01,
+             max(CASE WHEN treat = 0 AND post = 0 THEN var_of_mean END) AS v00,
+             CAST(sum(n) AS BIGINT) AS n_total,
+             CAST(min(n) AS BIGINT) AS n_min_cell
+      FROM m GROUP BY event_type
+    )
+    SELECT event_type, n_total, n_min_cell,
+           round((m11 - m10) - (m01 - m00), 6) AS did,
+           round(sqrt(v11 + v10 + v01 + v00), 6) AS se,
+           round(((m11 - m10) - (m01 - m00)) / sqrt(v11 + v10 + v01 + v00), 6)
+             AS t_stat
+    FROM wide
+    """,
+)
+def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENCE-IN-DIFFERENCES — the workhorse quasi-experimental
+    estimator (Card & Krueger form) for rollouts that can't be
+    randomized: treatment = the even user-id cohort, the pre/post cut is
+    the DATA-DERIVED midpoint day (min+max+1)/2 — never a fixture
+    constant, so the contrast binds at every SF — and per event type the
+    effect is the classic double difference (treated post−pre) − (control
+    post−pre), with its standard error from the four cells' variances of
+    the mean and the resulting t statistic. events_ab_uplift is the
+    randomized-experiment sibling; DiD is what remains valid when
+    assignment correlates with level (it differences the cohort gap out).
+
+    Parity: cell sums accumulate in DECIMAL(12,2)/its exact square (one
+    round-2 of the raw double first — the welch-battery discipline for
+    double-valued measures), every mean/variance is one double division
+    of exact operands, and t/se round only at emission. Scale: ONE hash
+    aggregation over (type, cohort, era) — 20 cells — then a 20-row
+    pivot; the midpoint scalar is a 2-value aggregate broadcast by AQE.
+    Nothing here exceeds a single pass at any corpus size."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("user_id") % 2).cast("int").alias("treat"),
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.round("value", 2).cast("decimal(12,2)").alias("v"),
+    )
+    cut = ev.agg(
+        F.floor((F.min("day") + F.max("day") + 1) / 2).cast("bigint").alias("mid")
+    )
+    cells = (
+        ev.crossJoin(cut)
+        .groupBy(
+            "event_type",
+            "treat",
+            F.when(F.col("day") >= F.col("mid"), 1).otherwise(0).alias("post"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("q"),
+        )
+    )
+    m = cells.select(
+        "event_type",
+        "treat",
+        "post",
+        "n",
+        (F.col("s").cast("double") / F.col("n")).alias("mean_v"),
+        (
+            (
+                F.col("q").cast("double")
+                - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+            )
+            / (F.col("n") - 1)
+            / F.col("n")
+        ).alias("var_of_mean"),
+    )
+
+    def cell(col: str, tr: int, po: int):
+        return F.max(
+            F.when((F.col("treat") == tr) & (F.col("post") == po), F.col(col))
+        )
+
+    wide = m.groupBy("event_type").agg(
+        cell("mean_v", 1, 1).alias("m11"),
+        cell("mean_v", 1, 0).alias("m10"),
+        cell("mean_v", 0, 1).alias("m01"),
+        cell("mean_v", 0, 0).alias("m00"),
+        cell("var_of_mean", 1, 1).alias("v11"),
+        cell("var_of_mean", 1, 0).alias("v10"),
+        cell("var_of_mean", 0, 1).alias("v01"),
+        cell("var_of_mean", 0, 0).alias("v00"),
+        F.sum("n").cast("bigint").alias("n_total"),
+        F.min("n").cast("bigint").alias("n_min_cell"),
+    )
+    did = (F.col("m11") - F.col("m10")) - (F.col("m01") - F.col("m00"))
+    se = F.sqrt(F.col("v11") + F.col("v10") + F.col("v01") + F.col("v00"))
+    return wide.select(
+        "event_type",
+        "n_total",
+        "n_min_cell",
+        F.round(did, 6).alias("did"),
+        F.round(se, 6).alias("se"),
+        F.round(did / se, 6).alias("t_stat"),
+    )
+
+
+@query(
+    "dq_fdr_bh_gate",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(CAST(strftime(ts, '%H') AS BIGINT) / 6) AS INT) AS hb,
+             CAST(round(value, 2) AS DECIMAL(12,2)) AS v
+      FROM events
+    ), cell AS (
+      SELECT event_type, hb,
+             CAST(count(*) AS BIGINT) AS n, sum(v) AS s, sum(v * v) AS q
+      FROM ev GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(sum(n) AS BIGINT) AS nt, sum(s) AS st, sum(q) AS qt,
+             CAST(count(*) AS BIGINT) AS m
+      FROM cell
+    ), z AS (
+      SELECT c.event_type, c.hb, c.n, t.m,
+             (CAST(c.s AS DOUBLE) / c.n - CAST(t.st AS DOUBLE) / t.nt)
+             / sqrt(((CAST(t.qt AS DOUBLE)
+                      - CAST(t.st AS DOUBLE) * CAST(t.st AS DOUBLE) / t.nt)
+                     / (t.nt - 1)) / c.n) AS zstat
+      FROM cell c CROSS JOIN tot t
+    ), p AS (
+      SELECT event_type, hb, n, m, zstat,
+             2.0 / (1.0 + exp(1.702 * abs(zstat))) AS pval
+      FROM z
+    ), ranked AS (
+      SELECT *, row_number() OVER (ORDER BY pval, event_type, hb) AS rk
+      FROM p
+    ), kstar AS (
+      SELECT coalesce(max(CASE WHEN pval <= rk * 0.10 / m THEN rk END), 0) AS k
+      FROM ranked
+    )
+    SELECT r.event_type, r.hb, r.n,
+           round(r.zstat, 6) AS zstat,
+           round(r.pval, 6) AS pval,
+           CAST(r.rk AS BIGINT) AS rk,
+           round(r.rk * 0.10 / r.m, 6) AS bh_cutoff,
+           r.rk <= k.k AS discovery
+    FROM ranked r CROSS JOIN kstar k
+    """,
+)
+def dq_fdr_bh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG false-discovery-rate gating over the drift-test
+    grid — the multiple-testing control the dq battery (welch, KS,
+    Mann-Whitney, χ², PSI) needs before anyone pages on it: testing 20
+    (event type × hour-of-day band) cells for mean drift at α = 0.10
+    fires ~2 false alarms per sweep under the null; BH instead finds
+    k* = max{k : p(k) ≤ k·α/m} and flags exactly the k* smallest
+    p-values, bounding the EXPECTED false-discovery fraction at α. Each
+    cell's z compares its mean to the global mean under the pooled
+    variance; p uses the LOGISTIC approximation of the normal tail
+    (2/(1+e^{1.702|z|}) — monotone in |z|, so the BH ORDER is exactly
+    the normal-tail order and the gate's decisions match; documented
+    bias < 0.01 in p, and engine-identical since it is one exp() of the
+    same double).
+
+    Scale: one hash aggregation to the 20-cell grid, one 2-row scalar
+    aggregate, and the BH sweep — rank + running max — runs on m = 20
+    rows under the acknowledged-bounded single-partition idiom
+    (bounded_window_key: the grid is |event types| × 4, fixed by schema,
+    never by corpus size). Parity: decimal cell sums, one double
+    division per moment, round-6 at emission; the rank carries
+    (event_type, hb) tie-breaks."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.hour("ts") / 6).cast("int").alias("hb"),
+        F.round("value", 2).cast("decimal(12,2)").alias("v"),
+    )
+    cell = ev.groupBy("event_type", "hb").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    )
+    tot = cell.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    zed = cell.crossJoin(tot).select(
+        "event_type",
+        "hb",
+        "n",
+        "m",
+        (
+            (F.col("s").cast("double") / F.col("n") - F.col("st").cast("double") / F.col("nt"))
+            / F.sqrt(
+                (
+                    (
+                        F.col("qt").cast("double")
+                        - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt")
+                    )
+                    / (F.col("nt") - 1)
+                )
+                / F.col("n")
+            )
+        ).alias("zstat"),
+    )
+    p = zed.withColumn(
+        "pval", F.lit(2.0) / (F.lit(1.0) + F.exp(1.702 * F.abs(F.col("zstat"))))
+    )
+    wb = W.partitionBy(bounded_window_key(F.col("n"))).orderBy(
+        "pval", "event_type", "hb"
+    )
+    ranked = p.withColumn("rk", F.row_number().over(wb))
+    sat = F.when(F.col("pval") <= F.col("rk") * 0.10 / F.col("m"), F.col("rk"))
+    kstar = ranked.agg(F.coalesce(F.max(sat), F.lit(0)).alias("k"))
+    return ranked.crossJoin(kstar).select(
+        "event_type",
+        "hb",
+        "n",
+        F.round("zstat", 6).alias("zstat"),
+        F.round("pval", 6).alias("pval"),
+        F.col("rk").cast("bigint").alias("rk"),
+        F.round(F.col("rk") * 0.10 / F.col("m"), 6).alias("bh_cutoff"),
+        (F.col("rk") <= F.col("k")).alias("discovery"),
+    )

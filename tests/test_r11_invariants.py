@@ -318,3 +318,36 @@ def test_link_prediction_wedge_repartition_survives(spark):
     )
     assert "isFinalPlan=true" in p, p[:500]
     assert "REPARTITION_BY_NUM" in p, "wedge repartition pin was pruned"
+
+
+def test_did_cells_are_populated_and_se_positive(spark):
+    """The DiD contrast must bind at fixture SF: every event type has all
+    four (cohort × era) cells populated (n_min_cell > 0 — the midpoint
+    day is data-derived, so an empty era means the derivation broke), a
+    strictly positive standard error, and t = did/se reconciles."""
+    rows = QUERIES["events_did_estimator"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5, rows
+    for r in rows:
+        assert r.n_min_cell > 0 and r.n_total > 0, r
+        assert r.se > 0, r
+        assert abs(r.t_stat - r.did / r.se) < 2e-5 * max(1.0, abs(r.t_stat)), r
+
+
+def test_bh_gate_flags_exactly_the_kstar_prefix(spark):
+    """BH structure, pinned: ranks are a permutation of 1..m, p-values
+    are non-decreasing in rank, and the discovery set is exactly a
+    prefix of the rank order (everything ≤ k*, nothing after) with every
+    discovered p ≤ its own BH cutoff."""
+    rows = sorted(
+        QUERIES["dq_fdr_bh_gate"].fn(spark, SF_DIR).collect(), key=lambda r: r.rk
+    )
+    m = len(rows)
+    assert m == 20, m
+    assert [r.rk for r in rows] == list(range(1, m + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert a.pval <= b.pval + 1e-9, (a, b)
+    disc = [r.discovery for r in rows]
+    k = sum(disc)
+    assert disc == [True] * k + [False] * (m - k), disc
+    for r in rows[:k]:
+        assert r.pval <= r.bh_cutoff + 1e-9, r
