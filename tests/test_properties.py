@@ -305,3 +305,35 @@ def test_span_tokens_duckdb_parity(texts):
             assert got == _span_tokens(txt), repr(txt)
     finally:
         con.close()
+
+
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="ab c", min_size=1, max_size=6), min_size=1, max_size=12),
+        min_size=2,
+        max_size=24,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_prefix_families_are_contiguous_in_lexicographic_sort(token_lists):
+    """The lemma test_snm_blocking_recovers_prefix_dup_families relies on:
+    in a lexicographic sort of whitespace-normalized strings, every group
+    sharing an 8-token prefix (members having ≥ 9 tokens) occupies a
+    CONTIGUOUS run — no non-member string can sort strictly between two
+    members, because members all start with "<prefix><space>" and string
+    prefixes define closed intervals in lexicographic order."""
+    norms = []
+    for toks in token_lists:
+        toks = [t for t in " ".join(toks).split() if t]
+        if toks:
+            norms.append(" ".join(toks))
+    norms.sort()
+    keys = []
+    for n in norms:
+        tk = n.split()
+        keys.append(" ".join(tk[:8]) if len(tk) >= 9 else None)
+    for key in set(k for k in keys if k):
+        idx = [i for i, k in enumerate(keys) if k == key]
+        lo, hi = min(idx), max(idx)
+        for i in range(lo, hi + 1):
+            assert keys[i] == key, (norms[i], key)

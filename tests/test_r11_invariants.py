@@ -351,3 +351,55 @@ def test_bh_gate_flags_exactly_the_kstar_prefix(spark):
     assert disc == [True] * k + [False] * (m - k), disc
     for r in rows[:k]:
         assert r.pval <= r.bh_cutoff + 1e-9, r
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """Spark's AQE skew-join handling — the engine-side answer to the hot
+    key problem that agg_salted_hotkey_counts solves manually: with a
+    join keyed so that ~60% of the fact rows share one key, broadcast
+    disabled (forcing the SMJ the optimizer must repair), and the skew
+    thresholds lowered to fixture scale, the FINAL adaptive plan must
+    mark the join `skew=true` and read the hot partition through a
+    `skewed` AQEShuffleRead (the partition is split into
+    advisory-sized slices and the build side is replicated per slice).
+    Conf is saved and restored in finally."""
+    from pyspark.sql import functions as F
+
+    from batch_public_spark.sources.tables import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32768",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+        a = li.select(
+            F.when(F.col("l_linenumber") <= 4, 0)
+            .otherwise(F.col("l_orderkey") % 97)
+            .alias("k"),
+            "l_quantity",
+        )
+        b = li.select(
+            (F.col("l_orderkey") % 97).alias("k"), F.col("l_partkey").alias("w")
+        ).distinct()
+        j = (
+            a.join(b, "k")
+            .groupBy()
+            .agg(F.sum(F.col("l_quantity") * F.col("w")).alias("s"))
+        )
+        j.collect()
+        p = j._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+            j._jdf.queryExecution(), "formatted"
+        )
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+    assert "isFinalPlan=true" in p, p[:500]
+    assert "skew=true" in p, p[:2000]
+    assert "Arguments: skewed" in p, p[:2000]
