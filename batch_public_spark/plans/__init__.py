@@ -119,6 +119,7 @@ _NEXT_WINDOW: list[str] = [
     "eval_ips_policy_value",
     "events_did_estimator",
     "dq_fdr_bh_gate",
+    "stream_changelog_tail_agg",
 ]
 
 

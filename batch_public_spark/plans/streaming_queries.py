@@ -452,3 +452,73 @@ def stream_stream_leftsemi(spark: SparkSession, sf_dir: str) -> DataFrame:
         how="left_semi",
     )
     return run_available_now(s, output_mode="append", shuffle_partitions=8)
+
+
+@query(
+    "stream_changelog_tail_agg",
+    oracle="""
+    SELECT source AS src,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source
+    """,
+)
+def stream_changelog_tail_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STREAMING SOURCE round-trip (sources/changelog.py): the
+    documents table is materialized as an append-only JSONL changelog,
+    tailed back through ``readStream.format("kvchangelog")`` — the Spark 4
+    Python streaming Data Source API, byte-offset incremental, the
+    streaming twin of the reference's high-water-mark pull (reference
+    batch/state.py watermark store + main.py look-back; the batch twin is
+    source_kvscan_segmented) — and aggregated per source. The oracle
+    aggregates the ORIGINAL parquet, so the JSON encode, the offset-bounded
+    streaming read, and the stateful aggregation are all value-hashed.
+
+    Incremental semantics (run 2 reads ONLY appended bytes, truncated
+    tails are never consumed early, checkpoint restart) are pinned in
+    tests/test_changelog_stream.py; this query hashes the single-pass
+    contents. Scale: the changelog here is a control-plane feed (one
+    file, driver-side tail with prefetch); the corpus-scale evolution —
+    partition-planning DataSourceStreamReader, one partition per log
+    segment — is documented in the module docstring, with the same
+    offset/replay contract."""
+    import glob
+    import os
+
+    from batch_public_spark.plans.analytics_queries import _scratch_dir
+    from batch_public_spark.sources.changelog import register_changelog_source
+    from batch_public_spark.sources.tables import load_table as t
+
+    register_changelog_source(spark)
+    out_dir = _scratch_dir(spark, sf_dir, "changelog")
+    # Deterministic changelog: one JSON line per doc. coalesce(1) is
+    # changelog-construction scaffolding (a changelog IS a single
+    # append-ordered file); production tails a log it didn't write.
+    (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("doc_id").alias("k"),
+                    F.col("n_chars").alias("v"),
+                    F.col("source").alias("src"),
+                )
+            ).alias("value")
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .text(out_dir)
+    )
+    log = glob.glob(os.path.join(out_dir, "part-*"))[0]
+    stream = (
+        spark.readStream.format("kvchangelog")
+        .schema("k bigint, v bigint, src string")
+        .option("path", log)
+        .load()
+        .groupBy("src")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sum_chars"),
+        )
+    )
+    return run_available_now(stream, output_mode="complete", shuffle_partitions=8)

@@ -1,0 +1,136 @@
+"""Streaming changelog-tail source (sources/changelog.py): offset
+semantics, checkpoint resume, truncated-tail safety, permissive mode.
+
+The streaming twin of the reference's high-water-mark incremental pull
+(reference batch/state.py + main.py look-back — operator F3): Structured
+Streaming's offset log replaces the hand-rolled watermark store."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from batch_public_spark.sources.changelog import register_changelog_source
+
+SCHEMA = "k bigint, v bigint, src string"
+
+
+def _append(path, recs):
+    with open(path, "a") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+
+
+def _run_once(spark, log, ckpt, out):
+    df = (
+        spark.readStream.format("kvchangelog")
+        .schema(SCHEMA)
+        .option("path", log)
+        .load()
+    )
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def test_changelog_tail_is_incremental_across_restarts(spark, tmp_path):
+    """Exactly-once tailing across restarts: run 1 consumes the initial
+    records; run 2 (same checkpoint) consumes ONLY the appended suffix —
+    including the record whose first half was a truncated tail during
+    run 1 (bytes past the last newline are never consumed early)."""
+    register_changelog_source(spark)
+    log = str(tmp_path / "log.jsonl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    _append(log, [{"k": i, "v": i * 10, "src": "a"} for i in range(10)])
+    with open(log, "a") as f:
+        f.write('{"k": 99, "v": ')  # half-written tail record
+    got = _run_once(spark, log, ckpt, out)
+    assert got.count() == 10
+    assert got.agg({"v": "sum"}).collect()[0][0] == 450
+    # finish the tail record, append five more, resume from checkpoint
+    with open(log, "a") as f:
+        f.write('990, "src": "c"}\n')
+    _append(log, [{"k": i, "v": i * 10, "src": "c"} for i in range(10, 15)])
+    got2 = _run_once(spark, log, ckpt, out)
+    assert got2.count() == 16  # 10 + completed tail + 5 — nothing re-read
+    rows = {r.k: (r.v, r.src) for r in got2.collect()}
+    assert rows[99] == (990, "c")
+    assert rows[14] == (140, "c")
+
+
+def test_changelog_empty_and_noop_batches(spark, tmp_path):
+    """An empty (or newline-less) log yields an empty batch at offset 0;
+    a second run with nothing appended reads nothing."""
+    register_changelog_source(spark)
+    log = str(tmp_path / "log.jsonl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    open(log, "w").close()
+    assert _run_once(spark, log, ckpt, out).count() == 0
+    _append(log, [{"k": 1, "v": 5, "src": "a"}])
+    assert _run_once(spark, log, ckpt, out).count() == 1
+    assert _run_once(spark, log, ckpt, out).count() == 1
+
+
+def test_changelog_permissive_skips_malformed(spark, tmp_path):
+    """mode=permissive drops malformed COMPLETE lines (strict raises);
+    missing fields are NULL; extra fields are ignored."""
+    register_changelog_source(spark)
+    log = str(tmp_path / "log.jsonl")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    with open(log, "w") as f:
+        f.write('{"k": 1, "v": 10, "src": "a", "extra": true}\n')
+        f.write("this is not json\n")
+        f.write("[1, 2, 3]\n")
+        f.write('{"k": 2}\n')
+    df = (
+        spark.readStream.format("kvchangelog")
+        .schema(SCHEMA)
+        .option("path", log)
+        .option("mode", "permissive")
+        .load()
+    )
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r.k: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[2].v is None and rows[2].src is None
+
+
+def test_changelog_strict_raises_on_malformed(spark, tmp_path):
+    register_changelog_source(spark)
+    log = str(tmp_path / "log.jsonl")
+    with open(log, "w") as f:
+        f.write("not json\n")
+    df = (
+        spark.readStream.format("kvchangelog")
+        .schema(SCHEMA)
+        .option("path", log)
+        .load()
+    )
+    q = (
+        df.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
