@@ -120,6 +120,7 @@ _NEXT_WINDOW: list[str] = [
     "events_did_estimator",
     "dq_fdr_bh_gate",
     "stream_changelog_tail_agg",
+    "llmops_minhash_index_expire",
 ]
 
 

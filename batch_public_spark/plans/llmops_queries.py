@@ -5071,3 +5071,142 @@ def llmops_sorted_neighborhood_blocking(spark: SparkSession, sf_dir: str) -> Dat
         F.col("nb.dist").alias("dist"),
         F.round(jaccard(F.col("ts"), F.col("nb.tb")), 6).alias("jac"),
     )
+
+
+_EXPIRE_ORACLE = f"""
+    WITH sh AS (
+      SELECT doc_id, {_GRAMS3} AS s FROM documents
+    ), sig AS (SELECT doc_id, s, {_INC_SIGS} FROM sh),
+    band AS (SELECT doc_id, s, {_INC_BANDS} FROM sig),
+    bk AS (
+      SELECT doc_id, s, b.band, CASE b.band WHEN 0 THEN bh0 WHEN 1 THEN bh1
+                                            WHEN 2 THEN bh2 ELSE bh3 END AS bh
+      FROM band, (VALUES (0), (1), (2), (3)) AS b(band)
+    ), idx1 AS (
+      SELECT doc_id, s, band, bh FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, bh ORDER BY doc_id) AS rn
+        FROM bk WHERE doc_id % 3 = 0
+      ) WHERE rn <= 50
+    ), merged AS (
+      SELECT doc_id, s, band, bh FROM (
+        SELECT *, row_number() OVER (PARTITION BY band, bh
+                                     ORDER BY doc_id % 3, doc_id) AS rn
+        FROM (SELECT doc_id, s, band, bh FROM idx1
+              UNION ALL
+              SELECT doc_id, s, band, bh FROM bk WHERE doc_id % 3 = 1)
+      ) WHERE rn <= 50
+    ), expired AS (
+      SELECT doc_id, s, band, bh FROM merged WHERE doc_id % 3 <> 0
+    ), inc AS (SELECT doc_id, s, band, bh FROM bk WHERE doc_id % 3 = 2),
+    cand AS (
+      SELECT DISTINCT i.doc_id AS new_id, o.doc_id AS old_id, i.s AS si, o.s AS so
+      FROM inc i JOIN expired o ON i.band = o.band AND i.bh = o.bh
+    ), ver AS (
+      SELECT new_id,
+             CASE WHEN len(list_intersect(si, so)) * 2
+                       >= len(list_distinct(list_concat(si, so)))
+                  THEN 1 ELSE 0 END AS dup,
+             round(len(list_intersect(si, so)) * 1.0e0
+                   / len(list_distinct(list_concat(si, so))), 6) AS j
+      FROM cand
+    )
+    SELECT d.doc_id AS new_id,
+           CAST(coalesce(count(v.j), 0) AS BIGINT) AS n_candidates,
+           CAST(coalesce(sum(v.dup), 0) AS BIGINT) AS n_dups,
+           coalesce(max(v.j), 0.0) AS best_jaccard,
+           coalesce(sum(v.dup), 0) > 0 AS is_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 2) d
+    LEFT JOIN ver v ON v.new_id = d.doc_id
+    GROUP BY d.doc_id
+    """
+
+
+@query("llmops_minhash_index_expire", oracle=_EXPIRE_ORACLE)
+def llmops_minhash_index_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band-index LIFECYCLE, part 4 — EXPIRY/retention, closing the loop:
+    build (llmops_minhash_index_roundtrip) → probe
+    (llmops_minhash_incremental_dedup) → merge (llmops_minhash_index_merge)
+    → expire. Day 4's retention job reads index v2 through the catalog
+    (bucket-aligned), DROPS the day-1 generation (old_id % 3 == 0 — the
+    entries that aged out of the dedup retention window), and writes v3
+    bucketed on the same key with the same bucket count: expiry is a
+    pure filter-rewrite, survivors keep their bucket residency, no
+    re-rank (an entry's cap position is never recomputed — eviction by
+    AGE only, so the monotone first-come-first-kept contract from the
+    merge step still holds for what remains). Day-3's traffic then
+    probes v3; the oracle replays the expired index, so a stale-v2 probe
+    (one that silently kept the aged generation) would inflate
+    n_candidates/best_jaccard for every arrival with a day-1 neighbor
+    and hash-mismatch. The v2-vs-v3 probe DELTA — lost candidates are
+    exactly the gen-0 ones, and at least one arrival really loses one —
+    is pinned engine-side in tests/test_r11_invariants.py.
+
+    Spark-first/100 TB: expiry costs ONE bucket-aligned scan + filter +
+    re-bucket write (no shuffle beyond the write's own bucketing, no
+    re-shingling, no probe-side change); retention by generation column
+    beats per-entry TTL scans because the filter is a min/max-prunable
+    predicate on the stored column."""
+    import os
+
+    from batch_public_spark.plans.analytics_queries import _scratch_dir
+    from batch_public_spark.sources.bucketing import read_bucketed, write_bucketed
+
+    d, banded = _banded_docs(spark, sf_dir)
+    bkey = F.concat_ws(":", F.col("band").cast("string"), "bh").alias("bkey")
+    gen = F.col("doc_id") % 3
+
+    root = _scratch_dir(spark, sf_dir, "mh_index_expire")
+    tag = os.path.basename(root).replace(".", "_")
+    t2, t3 = f"bps_mh_exp_v2_{tag}", f"bps_mh_exp_v3_{tag}"
+    for tb in (t2, t3):
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+    # --- reconstruct + persist v2 exactly as the merge step writes it ---
+    wcap = W.partitionBy("band", "bh").orderBy("doc_id")
+    idx1 = (
+        banded.filter(gen == 0)
+        .withColumn("rn", F.row_number().over(wcap))
+        .filter(F.col("rn") <= 50)
+        .select("band", "bh", "doc_id", "s")
+    )
+    day2 = banded.filter(gen == 1).select("band", "bh", "doc_id", "s")
+    wmerge = W.partitionBy("band", "bh").orderBy(F.col("doc_id") % 3, F.col("doc_id"))
+    v2 = (
+        idx1.unionByName(day2)
+        .withColumn("rn", F.row_number().over(wmerge))
+        .filter(F.col("rn") <= 50)
+        .select(bkey, F.col("doc_id").alias("old_id"), F.col("s").alias("so"))
+    )
+    write_bucketed(v2, t2, key="bkey", buckets=8, path=os.path.join(root, "v2"))
+
+    # --- day 4: retention job — drop the aged generation, re-bucket ---
+    v3 = read_bucketed(spark, t2).filter(F.col("old_id") % 3 != 0)
+    write_bucketed(v3, t3, key="bkey", buckets=8, path=os.path.join(root, "v3"))
+
+    # --- probe day-3 traffic against the expired index ---
+    inc = banded.filter(gen == 2).select(
+        bkey, F.col("doc_id").alias("new_id"), F.col("s").alias("si")
+    )
+    cand = (
+        inc.join(read_bucketed(spark, t3), "bkey")
+        .select("new_id", "old_id", "si", "so")
+        .distinct()
+    )
+    inter = F.size(F.array_intersect("si", "so"))
+    union = F.size(F.array_union("si", "so"))
+    ver = cand.select(
+        "new_id",
+        F.when(inter * 2 >= union, 1).otherwise(0).alias("dup"),
+        F.round(inter * F.lit(1.0) / union, 6).alias("j"),
+    )
+    arrivals = d.filter(gen == 2).select(F.col("doc_id").alias("new_id"))
+    return (
+        arrivals.join(ver, "new_id", "left")
+        .groupBy("new_id")
+        .agg(
+            F.count("j").cast("bigint").alias("n_candidates"),
+            F.coalesce(F.sum("dup"), F.lit(0)).cast("bigint").alias("n_dups"),
+            F.coalesce(F.max("j"), F.lit(0.0)).alias("best_jaccard"),
+            (F.coalesce(F.sum("dup"), F.lit(0)) > 0).alias("is_dup"),
+        )
+    )

@@ -403,3 +403,29 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     assert "isFinalPlan=true" in p, p[:500]
     assert "skew=true" in p, p[:2000]
     assert "Arguments: skewed" in p, p[:2000]
+
+
+def test_index_expire_delta_is_exactly_the_aged_generation(spark):
+    """Expiry semantics pinned against the merge step's own output: for
+    every day-3 arrival, candidates lost between the v2 probe (the merge
+    query) and the v3 probe (the expire query) are exactly the day-1-
+    generation candidates (n_candidates_v3 == n_candidates_v2 −
+    n_cand_gen0), the day-2 candidates all survive, and at least one
+    arrival really loses a candidate (the retention filter is
+    non-vacuous at fixture SF). Gen-2 entries are never indexed, so v2
+    candidates split exactly into day-1 (n_candidates − n_cand_day2)
+    and day-2 (n_cand_day2) generations."""
+    v2 = {r.new_id: r for r in QUERIES["llmops_minhash_index_merge"].fn(spark, SF_DIR).collect()}
+    v3 = {r.new_id: r for r in QUERIES["llmops_minhash_index_expire"].fn(spark, SF_DIR).collect()}
+    assert set(v2) == set(v3)
+    lost_any = False
+    for nid, r2 in v2.items():
+        r3 = v3[nid]
+        n_gen0 = r2.n_candidates - r2.n_cand_day2
+        assert r3.n_candidates == r2.n_cand_day2, (nid, r2, r3)
+        if n_gen0 > 0:
+            lost_any = True
+        if r3.n_candidates > 0:
+            assert r3.best_jaccard <= r2.best_jaccard + 1e-9, (nid, r2, r3)
+        assert r3.n_dups <= r2.n_dups, (nid, r2, r3)
+    assert lost_any, "no arrival had a day-1 candidate — expiry untested"
