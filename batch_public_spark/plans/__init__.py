@@ -121,6 +121,8 @@ _NEXT_WINDOW: list[str] = [
     "dq_fdr_bh_gate",
     "stream_changelog_tail_agg",
     "llmops_minhash_index_expire",
+    "eval_bradley_terry_ratings",
+    "eval_woe_iv_binning",
 ]
 
 

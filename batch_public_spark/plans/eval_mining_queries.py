@@ -3722,3 +3722,219 @@ def eval_ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ips_value",
         )
     )
+
+
+@query(
+    "eval_bradley_terry_ratings",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, event_id, event_type, value
+      FROM events
+    ), duel AS (
+      SELECT event_type AS a, lead(event_type) OVER w AS b,
+             value AS va, lead(value) OVER w AS vb
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), battles AS (
+      SELECT a, b, CASE WHEN va > vb THEN 1 ELSE 0 END AS win_a
+      FROM duel WHERE b IS NOT NULL AND a <> b
+    ), sym AS (
+      SELECT a AS i, b AS j, win_a AS w FROM battles
+      UNION ALL
+      SELECT b, a, 1 - win_a FROM battles
+    ), grid AS (
+      SELECT i, j, CAST(count(*) AS BIGINT) AS n_ij,
+             CAST(sum(w) AS BIGINT) AS w_ij
+      FROM sym GROUP BY i, j
+    ), tot AS (
+      SELECT i, CAST(sum(n_ij) AS BIGINT) AS n_i,
+             CAST(sum(w_ij) AS BIGINT) AS w_i
+      FROM grid GROUP BY i
+    ), s1 AS (
+      SELECT i, n_i, w_i, w_i * 2.0 / n_i AS s1_raw FROM tot
+    ), s1n AS (
+      SELECT i, n_i, w_i,
+             s1_raw / CAST((SELECT sum(CAST(round(s1_raw, 10) AS DECIMAL(28,10)))
+                            FROM s1) AS DOUBLE) AS s1_norm
+      FROM s1
+    ), den AS (
+      SELECT g.i,
+             CAST(sum(CAST(round(g.n_ij / (si.s1_norm + sj.s1_norm), 10)
+                           AS DECIMAL(28,10))) AS DOUBLE) AS d_i
+      FROM grid g
+      JOIN s1n si ON si.i = g.i
+      JOIN s1n sj ON sj.i = g.j
+      GROUP BY g.i
+    ), s2 AS (
+      SELECT t.i, t.n_i, t.w_i, si.s1_norm, t.w_i / d.d_i AS s2_raw
+      FROM tot t JOIN den d ON d.i = t.i JOIN s1n si ON si.i = t.i
+    ), s2n AS (
+      SELECT i, n_i, w_i, s1_norm,
+             s2_raw / CAST((SELECT sum(CAST(round(s2_raw, 10) AS DECIMAL(28,10)))
+                            FROM s2) AS DOUBLE) AS s2_norm
+      FROM s2
+    )
+    SELECT i AS model, n_i AS n_battles, w_i AS n_wins,
+           round(s1_norm, 6) AS s1, round(s2_norm, 6) AS s2,
+           CAST(row_number() OVER (ORDER BY s2_norm DESC, i) AS BIGINT) AS rnk
+    FROM s2n
+    """,
+)
+def eval_bradley_terry_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRADLEY-TERRY strength ratings by minorization-maximization — the
+    batch form of arena-style model ranking (the estimator behind
+    chatbot-arena Elo tables; Hunter 2004 MM algorithm): "battles" are
+    consecutive same-user events (session order, ts + event_id
+    tie-break), the higher value wins, self-pairs are dropped, and two MM
+    steps run on the 5×5 AGGREGATE battle grid — s_i ← W_i / Σ_j
+    n_ij/(s_i+s_j), sum-normalized each step from a uniform start. Step
+    1 from uniform is exactly scaled win-rate; step 2 is where opponent
+    strength starts to matter (beating strong opponents counts more) —
+    emitting both hash-attests the schedule-adjustment itself, not just
+    the win tally.
+
+    Parity discipline: every cross-engine SUM of doubles (the MM
+    denominators, the normalizers) rounds each term to 10 decimals and
+    accumulates in DECIMAL(28,10) — the link-prediction/KL exact-sum
+    rule — so summation order can't drift the hash; battle counts are
+    exact BIGINTs and the final ranks carry a model-name tie-break.
+
+    Spark-first/100 TB: pairing is ONE per-user window (lead), the grid
+    collapse is one hash aggregation to |models|² rows, and BOTH MM
+    steps run entirely on that bounded grid (joins keyed on model id —
+    AQE broadcasts a |models|-row frame trivially); iterations never
+    touch the event stream again, so a 50-step fit costs the same one
+    pass plus 50 grid-sized refinements."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    duel = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(wu).alias("b"),
+        F.col("value").alias("va"),
+        F.lead("value").over(wu).alias("vb"),
+    ).filter(F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+    battles = duel.select(
+        "a", "b", F.when(F.col("va") > F.col("vb"), 1).otherwise(0).alias("win_a")
+    )
+    sym = battles.select(
+        F.col("a").alias("i"), F.col("b").alias("j"), F.col("win_a").alias("w")
+    ).unionByName(
+        battles.select(
+            F.col("b").alias("i"), F.col("a").alias("j"), (1 - F.col("win_a")).alias("w")
+        )
+    )
+    grid = sym.groupBy("i", "j").agg(
+        F.count("*").cast("bigint").alias("n_ij"), F.sum("w").cast("bigint").alias("w_ij")
+    )
+    tot = grid.groupBy("i").agg(
+        F.sum("n_ij").cast("bigint").alias("n_i"), F.sum("w_ij").cast("bigint").alias("w_i")
+    )
+
+    def exact_sum(col):
+        return F.sum(F.round(col, 10).cast("decimal(28,10)")).cast("double")
+
+    s1 = tot.select("i", "n_i", "w_i", (F.col("w_i") * 2.0 / F.col("n_i")).alias("s1_raw"))
+    z1 = s1.agg(exact_sum(F.col("s1_raw")).alias("z"))
+    s1n = s1.crossJoin(z1).select(
+        "i", "n_i", "w_i", (F.col("s1_raw") / F.col("z")).alias("s1_norm")
+    )
+    den = (
+        grid.join(s1n.select(F.col("i"), F.col("s1_norm").alias("si")), "i")
+        .join(s1n.select(F.col("i").alias("j"), F.col("s1_norm").alias("sj")), "j")
+        .groupBy("i")
+        .agg(exact_sum(F.col("n_ij") / (F.col("si") + F.col("sj"))).alias("d_i"))
+    )
+    s2 = (
+        tot.join(den, "i")
+        .join(s1n.select("i", "s1_norm"), "i")
+        .select("i", "n_i", "w_i", "s1_norm", (F.col("w_i") / F.col("d_i")).alias("s2_raw"))
+    )
+    z2 = s2.agg(exact_sum(F.col("s2_raw")).alias("z"))
+    s2n = s2.crossJoin(z2).select(
+        "i", "n_i", "w_i", "s1_norm", (F.col("s2_raw") / F.col("z")).alias("s2_norm")
+    )
+    wr = W.partitionBy(bounded_window_key(F.col("n_i"))).orderBy(
+        F.desc("s2_norm"), "i"
+    )
+    return s2n.select(
+        F.col("i").alias("model"),
+        F.col("n_i").alias("n_battles"),
+        F.col("w_i").alias("n_wins"),
+        F.round("s1_norm", 6).alias("s1"),
+        F.round("s2_norm", 6).alias("s2"),
+        F.row_number().over(wr).cast("bigint").alias("rnk"),
+    )
+
+
+@query(
+    "eval_woe_iv_binning",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(least(floor(value / 50.0), 9) AS INT) AS bin,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ), b AS (
+      SELECT bin,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+      FROM e GROUP BY bin
+    ), tot AS (
+      SELECT CAST(sum(n_pos) AS BIGINT) AS tp, CAST(sum(n_neg) AS BIGINT) AS tn,
+             CAST(count(*) AS BIGINT) AS k
+      FROM b
+    ), w AS (
+      SELECT b.bin, b.n, b.n_pos, b.n_neg,
+             (b.n_pos + 0.5) / (t.tp + 0.5 * t.k) AS ps,
+             (b.n_neg + 0.5) / (t.tn + 0.5 * t.k) AS ns
+      FROM b CROSS JOIN tot t
+    )
+    SELECT bin, n, n_pos, n_neg,
+           round(ln(ps / ns), 6) AS woe,
+           round((ps - ns) * ln(ps / ns), 6) AS iv_contrib
+    FROM w
+    """,
+)
+def eval_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHT-OF-EVIDENCE / INFORMATION-VALUE binning — the classical
+    feature-screening transform (credit-scoring lineage, now the
+    standard quality-classifier feature audit): the value column is cut
+    into ten FIXED-WIDTH bins (floor(v/50), capped — deterministic
+    arithmetic, deliberately NOT ntile: a rank-based cut needs a global
+    sort-window, a fixed grid is one map-side expression at any corpus
+    size), the label is the purchase event, and each bin reports
+    WOE = ln(P(bin|pos)/P(bin|neg)) with its IV contribution
+    (ps − ns)·WOE — Σ iv_contrib is the feature's screening score
+    (< 0.02 useless, > 0.3 strong — the thresholds every scorecard
+    pipeline applies). Laplace-smoothed with 0.5 per bin (k·0.5 mass on
+    each side's total) so an empty side never produces ±∞ — smoothing
+    identical in both engines.
+
+    Parity: counts are exact BIGINTs end to end; ps/ns/WOE are each ONE
+    double division/log of exact-integer-derived operands (no double
+    summation anywhere), rounded at emission. Scale: one hash
+    aggregation to a 10-row grid plus a 2-row total — strictly one pass,
+    no window, no join beyond the grid×scalar cross."""
+    e = t(spark, sf_dir, "events").select(
+        F.least(F.floor(F.col("value") / 50.0), F.lit(9)).cast("int").alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    b = e.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        (F.count("*") - F.sum("y")).cast("bigint").alias("n_neg"),
+    )
+    tot = b.agg(
+        F.sum("n_pos").cast("bigint").alias("tp"),
+        F.sum("n_neg").cast("bigint").alias("tn"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    ps = (F.col("n_pos") + 0.5) / (F.col("tp") + 0.5 * F.col("k"))
+    ns = (F.col("n_neg") + 0.5) / (F.col("tn") + 0.5 * F.col("k"))
+    return b.crossJoin(tot).select(
+        "bin",
+        "n",
+        "n_pos",
+        "n_neg",
+        F.round(F.log(ps / ns), 6).alias("woe"),
+        F.round((ps - ns) * F.log(ps / ns), 6).alias("iv_contrib"),
+    )

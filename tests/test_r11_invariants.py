@@ -429,3 +429,39 @@ def test_index_expire_delta_is_exactly_the_aged_generation(spark):
             assert r3.best_jaccard <= r2.best_jaccard + 1e-9, (nid, r2, r3)
         assert r3.n_dups <= r2.n_dups, (nid, r2, r3)
     assert lost_any, "no arrival had a day-1 candidate — expiry untested"
+
+
+def test_bradley_terry_mm_structure(spark):
+    """BT sanity: 5 models, both rating vectors sum-normalize to 1,
+    ranks are a permutation ordered by s2, wins reconcile (Σ wins =
+    Σ battles / 2 — every battle has exactly one winner and appears in
+    both directions of the symmetric grid), and step 2 actually moves
+    some rating (opponent adjustment is non-vacuous)."""
+    rows = QUERIES["eval_bradley_terry_ratings"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5, rows
+    assert abs(sum(r.s1 for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.s2 for r in rows) - 1.0) < 1e-4
+    assert sorted(r.rnk for r in rows) == [1, 2, 3, 4, 5]
+    by_rank = sorted(rows, key=lambda r: r.rnk)
+    for a, b in zip(by_rank, by_rank[1:]):
+        assert a.s2 >= b.s2 - 1e-9
+    assert sum(r.n_wins for r in rows) * 2 == sum(r.n_battles for r in rows)
+    assert any(abs(r.s2 - r.s1) > 1e-6 for r in rows), "MM step 2 changed nothing"
+
+
+def test_woe_iv_reconciles(spark):
+    """WOE/IV sanity: bins cover all events, signs follow lift (a bin
+    with purchase share above the global rate has positive WOE), every
+    IV contribution is non-negative (it is (ps−ns)·ln(ps/ns), a product
+    of same-sign factors), and total IV is finite and positive."""
+    rows = QUERIES["eval_woe_iv_binning"].fn(spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= 10
+    tp = sum(r.n_pos for r in rows)
+    tn = sum(r.n_neg for r in rows)
+    assert all(r.n == r.n_pos + r.n_neg for r in rows)
+    for r in rows:
+        assert r.iv_contrib >= -1e-9, r
+        ps = (r.n_pos + 0.5) / (tp + 0.5 * len(rows))
+        ns = (r.n_neg + 0.5) / (tn + 0.5 * len(rows))
+        assert (r.woe > 0) == (ps > ns), r
+    assert 0 < sum(r.iv_contrib for r in rows) < 10
