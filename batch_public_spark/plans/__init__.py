@@ -110,6 +110,9 @@ _PRIORITY = [
 _NEXT_WINDOW: list[str] = [
     # r11 additions landed after the 50-entry window filled; mandatory
     # head of the r12 rotation (each parity/lint/stress-verified in-tree).
+    # The last six are late-r11 empty-input-safety fixes (F7 contract,
+    # tests/test_empty_inputs.py): value-neutral expression guards,
+    # re-attest per the changed-plan rotation policy.
     "llmops_bitext_margin_mining",
     "agg_bitmap_distinct_rollup",
     "llmops_quality_survivorship",
@@ -123,6 +126,12 @@ _NEXT_WINDOW: list[str] = [
     "llmops_minhash_index_expire",
     "eval_bradley_terry_ratings",
     "eval_woe_iv_binning",
+    "llmops_knn_graph_audit",
+    "events_markov_stationary",
+    "events_forecast_backtest",
+    "source_partitioned_pruning",
+    "source_binaryfile_ingest",
+    "join_dynamic_partition_pruning",
 ]
 
 

@@ -1863,7 +1863,10 @@ def source_partitioned_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_dir = _scratch_dir(spark, sf_dir, "part_prune")
     e = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
     e.write.mode("overwrite").partitionBy("event_type").parquet(out_dir)
-    back = spark.read.parquet(out_dir).filter(
+    # explicit schema: empty-input safety (F7) — with zero rows the
+    # layout has no files to infer from; on real data the schema is
+    # identical to the inferred one (partition column included)
+    back = spark.read.schema(e.schema).parquet(out_dir).filter(
         F.col("event_type").isin("click", "purchase")
     )
     return back.groupBy("event_type").agg(
@@ -4406,6 +4409,8 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .text(out_dir)
     )
     back = spark.read.format("binaryFile").load(out_dir)
+    if "source" not in back.columns:  # empty-input safety (F7): zero rows
+        back = back.withColumn("source", F.lit(None).cast("string"))
     return back.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_files"),
         F.sum("length").cast("bigint").alias("n_bytes"),
@@ -4824,8 +4829,11 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             """
         ).alias("hw"),
     )
-    # forecast at index i (1-based) predicts actual at i+1
-    pred = folded.select(
+    # forecast at index i (1-based) predicts actual at i+1. The
+    # size >= 2 filter is empty-input safety (F7): sequence(1, size-1)
+    # DESCENDS when size(s) < 2 and element_at would probe an empty
+    # array; on real data the grid always has >= 2 days.
+    pred = folded.filter(F.size("s") >= 2).select(
         F.explode(
             F.expr(
                 """
@@ -4838,29 +4846,39 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("p")
     ).select(F.col("p.actual").alias("actual"), F.col("p.fc").alias("fc"))
     abs_err = F.abs(F.col("actual") - F.col("fc"))
+    # try_divide on every rollup: empty-input safety (F7) — n_forecasts
+    # >= 1 whenever the daily grid has >= 2 days, so values are unchanged
+    # at every fixture SF
     return pred.agg(
         F.count("*").cast("bigint").alias("n_forecasts"),
         F.round(
-            F.sum(F.round(abs_err, 10).cast("decimal(28,10)")) * F.lit(1.0)
-            / F.count("*"),
+            F.try_divide(
+                F.sum(F.round(abs_err, 10).cast("decimal(28,10)")) * F.lit(1.0),
+                F.count("*"),
+            ),
             6,
         ).alias("mae"),
         F.round(
-            F.sum(F.round(abs_err / F.col("actual"), 10).cast("decimal(28,10)"))
-            * F.lit(100.0)
-            / F.count("*"),
+            F.try_divide(
+                F.sum(F.round(abs_err / F.col("actual"), 10).cast("decimal(28,10)"))
+                * F.lit(100.0),
+                F.count("*"),
+            ),
             6,
         ).alias("mape_pct"),
         F.round(
             F.sqrt(
-                F.sum(
-                    F.round(
-                        (F.col("actual") - F.col("fc")) * (F.col("actual") - F.col("fc")),
-                        10,
-                    ).cast("decimal(28,10)")
+                F.try_divide(
+                    F.sum(
+                        F.round(
+                            (F.col("actual") - F.col("fc"))
+                            * (F.col("actual") - F.col("fc")),
+                            10,
+                        ).cast("decimal(28,10)")
+                    )
+                    * F.lit(1.0),
+                    F.count("*"),
                 )
-                * F.lit(1.0)
-                / F.count("*")
             ),
             6,
         ).alias("rmse"),
@@ -5051,7 +5069,9 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
         "o_orderkey", "o_totalprice", "o_orderpriority"
     )
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out_dir)
-    fact = spark.read.parquet(out_dir)
+    # explicit schema: empty-input safety (F7) — zero rows leave no files
+    # to infer from; identical to the inferred schema on real data
+    fact = spark.read.schema(o.schema).parquet(out_dir)
     # DPP requires a FILTER on the pruning side (the planner inserts the
     # pruning subquery only under a selective dim predicate); weight > 0
     # is semantically a no-op but syntactically load-bearing.

@@ -2173,7 +2173,10 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pr"),
     )
     states = trans.select(F.col("src").alias("s")).distinct()
-    k = states.count()  # bounded by the event-type vocabulary (plan-time scalar)
+    # bounded by the event-type vocabulary (plan-time scalar); `or 1`
+    # is empty-input safety only (F7 contract) — with zero states the
+    # frame below is empty and the literal is never observed
+    k = states.count() or 1
     pi = states.select("s", F.round(F.lit(1.0 / k), 10).alias("v"))
     for _ in range(3):
         pi = (

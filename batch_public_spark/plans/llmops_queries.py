@@ -3828,7 +3828,12 @@ def llmops_knn_graph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(
             rec.agg(
                 F.sum("r").cast("bigint").alias("n_reciprocal"),
-                F.round(F.sum("r") * F.lit(1.0) / F.count("*"), 6).alias("reciprocity"),
+                # try_divide: empty-input safety (F7 contract) — the
+                # denominator is provably > 0 at every fixture SF, so
+                # values are unchanged where the oracle looks
+                F.round(F.try_divide(F.sum("r") * F.lit(1.0), F.count("*")), 6).alias(
+                    "reciprocity"
+                ),
             )
         )
         .crossJoin(occ.agg(F.max("k_occ").cast("bigint").alias("max_k_occurrence")))
@@ -3841,7 +3846,7 @@ def llmops_knn_graph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reciprocity",
         "max_k_occurrence",
         F.round(
-            F.col("n_edges") * F.lit(1.0) / F.col("n_neighbors"), 6
+            F.try_divide(F.col("n_edges") * F.lit(1.0), F.col("n_neighbors")), 6
         ).alias("mean_k_occurrence"),
     )
 
