@@ -476,7 +476,10 @@ def simhash_signatures(
     well-split corpus)."""
     from batch_public_spark.sources.tables import spread
 
-    df = spread(df)
+    # NULL text has no shingle array for the worker fold (and no
+    # signature semantics) — drop it here, the textual twin of
+    # valid_vectors (tests/test_pathological_inputs.py)
+    df = spread(df).filter(F.col(text_col).isNotNull())
 
     @pandas_udf("long")
     def _sig(hashes: pd.Series) -> pd.Series:
@@ -567,6 +570,17 @@ def simhash_neardup_pairs(
 # ---------------------------------------------------------------------------
 # Embedding similarity (cosine) — brute force + hyperplane LSH
 # ---------------------------------------------------------------------------
+
+
+def valid_vectors(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Ingest guard for every numpy-batched vector path: drop malformed
+    embedding rows (NULL or zero-length arrays) before they reach a
+    worker-side ``np.vstack``/GEMM, which cannot represent them. Value
+    judgment, stated: a vector that does not exist cannot be anyone's
+    neighbor — dropping beats poisoning a whole Arrow batch with one bad
+    row. Value-neutral on the driver fixtures (no malformed vectors
+    exist); tests/test_pathological_inputs.py exercises the guard."""
+    return df.filter(F.col(vec_col).isNotNull() & (F.size(F.col(vec_col)) > 0))
 
 
 def cosine(a: Column, b: Column) -> Column:
@@ -737,6 +751,9 @@ def ann_lsh_topk(
     of the ``planes`` bits) — the classic multi-probe LSH trick: ~(planes+1)×
     more probe rows on the tiny query side only, several× better recall,
     corpus side untouched."""
+    vectors = valid_vectors(vectors, vec_col)
+    queries = valid_vectors(queries, vec_col)
+
     def with_sigs(df: DataFrame, id_alias: str, probe: bool) -> DataFrame:
         flips = [0] + [1 << p for p in range(planes)] if probe else [0]
         # Signatures from the shuffle-free GEMM path; probes derive by
@@ -829,6 +846,8 @@ def ann_ivf_topk(
     is an equi-join on centroid_id — cost ∝ corpus×(nprobe/n_centroids)
     per query instead of the full scan. Recall tunes with nprobe.
     """
+    vectors = valid_vectors(vectors, vec_col)
+    queries = valid_vectors(queries, vec_col)
     v = vectors.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_vv"))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
 
@@ -983,7 +1002,7 @@ def embedding_neardup_pairs(
 
     spark_blocks = blocks
 
-    src = vectors.select(
+    src = valid_vectors(vectors, vec_col).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
         F.pmod(F.col(id_col), F.lit(spark_blocks)).cast("int").alias("_blk"),

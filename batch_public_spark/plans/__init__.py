@@ -110,9 +110,11 @@ _PRIORITY = [
 _NEXT_WINDOW: list[str] = [
     # r11 additions landed after the 50-entry window filled; mandatory
     # head of the r12 rotation (each parity/lint/stress-verified in-tree).
-    # The last six are late-r11 empty-input-safety fixes (F7 contract,
-    # tests/test_empty_inputs.py): value-neutral expression guards,
-    # re-attest per the changed-plan rotation policy.
+    # From llmops_knn_graph_audit on: late-r11 degenerate-input-safety
+    # fixes (F7 contract, tests/test_empty_inputs.py +
+    # tests/test_pathological_inputs.py): value-neutral guards
+    # (try_divide, valid_vectors ingest filters), re-attest per the
+    # changed-plan rotation policy.
     "llmops_bitext_margin_mining",
     "agg_bitmap_distinct_rollup",
     "llmops_quality_survivorship",
@@ -132,6 +134,21 @@ _NEXT_WINDOW: list[str] = [
     "source_partitioned_pruning",
     "source_binaryfile_ingest",
     "join_dynamic_partition_pruning",
+    "llmops_simhash_neardup",
+    "llmops_embedding_neardup",
+    "llmops_ann_lsh",
+    "llmops_ann_ivf",
+    "llmops_ann_ivf_lloyd_recall",
+    "llmops_ann_nprobe_sweep",
+    "llmops_embedding_normalize",
+    "llmops_embedding_norm_arrow",
+    "llmops_domain_reweight",
+    "llmops_token_count_compare",
+    "events_survival_curve",
+    "llmops_weighted_sample",
+    "dq_welch_ttest_drift",
+    "llmops_code_detect",
+    "dq_arrival_gap_audit",
 ]
 
 

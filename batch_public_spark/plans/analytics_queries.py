@@ -273,7 +273,7 @@ def llmops_token_count_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.groupBy("source").agg(
         F.sum("ws").alias("ws_tokens"),
         F.sum("bpe").alias("bpe_tokens"),
-        F.round(F.sum("bpe").cast("double") / F.sum("ws"), 6).alias("bpe_per_ws"),
+        F.round(F.try_divide(F.sum("bpe").cast("double"), F.sum("ws")), 6).alias("bpe_per_ws"),
     )
 
 
@@ -2017,7 +2017,12 @@ def llmops_embedding_norm_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from batch_public_spark.operators.semantic import valid_vectors
+
+    # honor the worker's documented contract (it refuses empty/NULL
+    # vectors loudly): drop malformed rows at ingest (valid_vectors),
+    # exactly like every numpy-batched ANN path
+    e = valid_vectors(t(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     out = e.mapInArrow(
         norms, "vec_id long, l2_norm double, dim long, first_unit double"
     )
@@ -3933,7 +3938,7 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("churned") < F.col("at_risk"),
             F.round(
-                F.log((F.col("at_risk") - F.col("churned")) * F.lit(1.0) / F.col("at_risk")),
+                F.log(F.try_divide((F.col("at_risk") - F.col("churned")) * F.lit(1.0), F.col("at_risk"))),
                 10,
             ),
         ),
@@ -3942,7 +3947,7 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         "at_risk",
         "churned",
-        F.round(F.col("churned") * F.lit(1.0) / F.col("at_risk"), 6).alias("hazard"),
+        F.round(F.try_divide(F.col("churned") * F.lit(1.0), F.col("at_risk")), 6).alias("hazard"),
         F.when(F.col("churned") == F.col("at_risk"), F.lit(-999999.0))
         .otherwise(F.round(F.coalesce(F.sum("lt").over(wd), F.lit(0.0)), 6))
         .alias("log_survival"),

@@ -295,6 +295,10 @@ def llmops_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = -F.log(u) / F.col("n_chars")
     return (
         t(spark, sf_dir, "documents")
+        # Efraimidis–Spirakis requires weight > 0: a zero/NULL-length doc
+        # is unsampleable by definition (pathological gate); the filter
+        # never binds on real data — every fixture doc has n_chars >= 1
+        .filter(F.col("n_chars") > 0)
         .select("doc_id", "source", "n_chars", key.alias("_key"))
         .orderBy("_key", "doc_id")
         .limit(50)

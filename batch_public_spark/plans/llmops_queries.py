@@ -749,7 +749,12 @@ def llmops_embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(norm, 6).alias("l2_norm"),
         F.size("embedding").cast("bigint").alias("dim"),
-        F.round(F.element_at("embedding", 1).cast("double") / norm, 6).alias("first_unit"),
+        # try_element_at + try_divide: a hygiene audit REPORTS malformed
+        # rows (zero-dim / zero-norm) as NULLs instead of crashing on them
+        # (tests/test_pathological_inputs.py); identical values on real data
+        F.round(
+            F.try_divide(F.try_element_at("embedding", F.lit(1)).cast("double"), norm), 6
+        ).alias("first_unit"),
     )
 
 
@@ -3694,12 +3699,15 @@ def llmops_domain_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = tok.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_tokens",
-        (F.col("n_tokens") * F.lit(1.0) / F.col("total")).alias("actual_share"),
+        # try_divide × 3: a pathological corpus can zero the token total,
+        # the non-premium source count, or a source's own share; on real
+        # data every divisor is >= 1 (values unchanged, parity-attested)
+        F.try_divide(F.col("n_tokens") * F.lit(1.0), F.col("total")).alias("actual_share"),
         F.when(F.col("source").isin("src0", "src1"), F.lit(0.2))
-        .otherwise(F.lit(0.6) / F.col("_n_rest"))
+        .otherwise(F.try_divide(F.lit(0.6), F.col("_n_rest")))
         .alias("target_share"),
     )
-    ratio = F.col("target_share") / F.col("actual_share")
+    ratio = F.try_divide(F.col("target_share"), F.col("actual_share"))
     weight = F.least(F.lit(2.0), F.greatest(F.lit(0.1), ratio))
     return w.select(
         "source",

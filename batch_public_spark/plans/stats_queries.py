@@ -2273,24 +2273,29 @@ def dq_welch_ttest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n1",
         (F.col("n") - F.col("n1")).alias("n2"),
-        (F.col("s1") * F.lit(1.0) / F.col("n1")).alias("m1"),
-        ((F.col("s") - F.col("s1")) * F.lit(1.0) / (F.col("n") - F.col("n1"))).alias("m2"),
-        (
-            (F.col("q1") - F.col("s1") * F.lit(1.0) * F.col("s1") / F.col("n1"))
-            / (F.col("n1") - F.lit(1))
+        F.try_divide(F.col("s1") * F.lit(1.0), F.col("n1")).alias("m1"),
+        F.try_divide((F.col("s") - F.col("s1")) * F.lit(1.0), F.col("n") - F.col("n1")).alias("m2"),
+        # try_divide everywhere a pathological slice can zero a divisor
+        # (single-row source, empty complement) — `ok` below already NULLs
+        # the emission for those rows, this just keeps ANSI mode from
+        # throwing before `ok` is evaluated; values unchanged on real data
+        F.try_divide(
+            F.col("q1") - F.try_divide(F.col("s1") * F.lit(1.0) * F.col("s1"), F.col("n1")),
+            F.col("n1") - F.lit(1),
         ).alias("v1"),
-        (
-            (
-                (F.col("q") - F.col("q1"))
-                - (F.col("s") - F.col("s1"))
-                * F.lit(1.0)
-                * (F.col("s") - F.col("s1"))
-                / (F.col("n") - F.col("n1"))
-            )
-            / ((F.col("n") - F.col("n1")) - F.lit(1))
+        F.try_divide(
+            (F.col("q") - F.col("q1"))
+            - F.try_divide(
+                (F.col("s") - F.col("s1")) * F.lit(1.0) * (F.col("s") - F.col("s1")),
+                F.col("n") - F.col("n1"),
+            ),
+            (F.col("n") - F.col("n1")) - F.lit(1),
         ).alias("v2"),
     )
-    se = m.withColumn("se2", F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+    se = m.withColumn(
+        "se2",
+        F.try_divide(F.col("v1"), F.col("n1")) + F.try_divide(F.col("v2"), F.col("n2")),
+    )
     ok = (F.col("n1") > 1) & (F.col("n2") > 1) & (F.col("se2") > 0)
     return se.select(
         "source",
@@ -2305,11 +2310,11 @@ def dq_welch_ttest_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("se2")
                 * F.col("se2")
                 / (
-                    (F.col("v1") / F.col("n1"))
-                    * (F.col("v1") / F.col("n1"))
+                    F.try_divide(F.col("v1"), F.col("n1"))
+                    * F.try_divide(F.col("v1"), F.col("n1"))
                     / (F.col("n1") - F.lit(1))
-                    + (F.col("v2") / F.col("n2"))
-                    * (F.col("v2") / F.col("n2"))
+                    + F.try_divide(F.col("v2"), F.col("n2"))
+                    * F.try_divide(F.col("v2"), F.col("n2"))
                     / (F.col("n2") - F.lit(1))
                 ),
                 6,
@@ -2391,7 +2396,9 @@ def llmops_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         "injected",
         "n_chars",
         "n_special",
-        F.round(F.col("n_special") * F.lit(1.0) / F.col("n_chars"), 6).alias(
+        # try_divide: zero-length doc (pathological gate); values unchanged
+        # on real data — n_chars >= 1 on every fixture row
+        F.round(F.try_divide(F.col("n_special") * F.lit(1.0), F.col("n_chars")), 6).alias(
             "special_ratio"
         ),
         (F.col("n_special") * 20 >= F.col("n_chars")).alias("is_code"),
@@ -2571,14 +2578,15 @@ def dq_arrival_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.groupBy("event_type").agg(
         F.count("gap_s").cast("bigint").alias("n_gaps"),
         F.max("gap_s").cast("bigint").alias("max_gap_s"),
-        F.round(F.sum("gap_s") * F.lit(1.0) / F.count("gap_s"), 6).alias("mean_gap_s"),
+        F.round(F.try_divide(F.sum("gap_s") * F.lit(1.0), F.count("gap_s")), 6).alias("mean_gap_s"),
         F.sum(F.when(F.col("gap_s") > 3600, 1).otherwise(0))
         .cast("bigint")
         .alias("n_gaps_gt_1h"),
         F.round(
-            F.sum(F.when(F.col("gap_s") > 3600, 1).otherwise(0))
-            * F.lit(1.0)
-            / F.count("gap_s"),
+            F.try_divide(
+                F.sum(F.when(F.col("gap_s") > 3600, 1).otherwise(0)) * F.lit(1.0),
+                F.count("gap_s"),
+            ),
             6,
         ).alias("stall_rate"),
     )
@@ -2678,13 +2686,15 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "post",
         "n",
         (F.col("s").cast("double") / F.col("n")).alias("mean_v"),
-        (
-            (
+        # try_divide: a single-row (cohort, era) cell zeroes n-1 on the
+        # pathological gate; real cells hold hundreds of rows at every SF
+        F.try_divide(
+            F.try_divide(
                 F.col("q").cast("double")
-                - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
-            )
-            / (F.col("n") - 1)
-            / F.col("n")
+                - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n"),
+                F.col("n") - 1,
+            ),
+            F.col("n"),
         ).alias("var_of_mean"),
     )
 
