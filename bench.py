@@ -73,6 +73,14 @@ def family(name: str) -> str:
 
 
 def main() -> None:
+    # Launch-time load sample, BEFORE the session spins up: the close
+    # checklist's idle criterion (launch loadavg < ~0.5) must be readable
+    # from the committed artifact itself — the end-of-run sample below
+    # only ever shows the bench's own load (r11 checklist fix).
+    try:
+        launch_load1 = round(os.getloadavg()[0], 2)
+    except OSError:  # pragma: no cover — getloadavg unsupported
+        launch_load1 = None
     spark = get_spark("batch_public_spark-bench")
     names = list(QUERIES) if os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") == "1" else HEADLINE
     # Warm the JVM + parquet footers once so timings measure the queries.
@@ -116,6 +124,7 @@ def main() -> None:
         host_info = {
             "host": platform.node(),
             "cpus": os.cpu_count(),
+            "loadavg_launch_1m": launch_load1,
             "loadavg_1m": round(load1, 2),
             "loadavg_5m": round(load5, 2),
         }
