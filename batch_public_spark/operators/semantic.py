@@ -477,9 +477,10 @@ def simhash_signatures(
     from batch_public_spark.sources.tables import spread
 
     # NULL text has no shingle array for the worker fold (and no
-    # signature semantics) — drop it here, the textual twin of
-    # valid_vectors (tests/test_pathological_inputs.py)
-    df = spread(df).filter(F.col(text_col).isNotNull())
+    # signature semantics) — drop it BEFORE spread() so malformed rows
+    # never enter the repartition exchange, the same order as the
+    # valid_vectors guard (tests/test_pathological_inputs.py)
+    df = spread(df.filter(F.col(text_col).isNotNull()))
 
     @pandas_udf("long")
     def _sig(hashes: pd.Series) -> pd.Series:

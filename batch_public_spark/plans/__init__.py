@@ -33,88 +33,16 @@ from batch_public_spark.plans import eval_mining_queries  # noqa: F401  # eval/m
 # driver-attested, in this window, or in _NEXT_WINDOW (and that
 # _NEXT_WINDOW fits a single future window).
 _PRIORITY = [
-    # Round 11 rotation. r10 attested its full 50-entry window hash-green
-    # (cumulative union 374/374; _NEXT_WINDOW was empty, so no overflow
-    # head this round). The window carries every query whose plan,
-    # oracle, or calibration changed in r11, then the two r11 additions,
-    # then ALL remaining r1-attested names plus one r2 name — after this
-    # round no attestation predates r2 (the verdict's "max age ≤ 5
-    # rounds by r12" is met a round early for the r1 cohort).
-    # --- changed in r11 (re-attest per rotation policy) ---
-    # O(|V|) degree-table broadcast hints dropped (plan-only; values
-    # unchanged — the r10-verdict headline fix):
-    "graph_link_prediction",
-    # banded theta-join rewrite (plan rebuilt; values unchanged):
-    "join_theta_acctbal",
-    # forced broadcasts of SF-scaled frames dropped (plan-only):
-    "join_salted_hotkey",
-    "dq_orders_constraints",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_variety",
-    "q17_small_quantity_revenue",
-    "q18_large_volume",
-    "q19_disjunctive_revenue",
-    "q20_part_volume_suppliers",
-    "q21_waiting_supplier",
-    # canonical_url r10-ADVICE edge fixes + six-variant fixture (VALUES
-    # changed — the new no-path/leading-utm variants are in the hash):
-    "llmops_url_canonical_dedup",
-    # session-hygiene try/finally + UNCACHE (values unchanged):
-    "sql_scripting_battery",
-    # --- added in r11 ---
-    "llmops_repeated_span_removal",
-    "llmops_minhash_index_merge",
-    # --- stalest-first refreshes: the entire remaining r1 cohort (25)
-    # plus the alphabetically-first r2 name to fill the window at 50 ---
-    "join_left_order_counts",
-    "join_range_late_shipments",
-    "join_semi_customers_with_orders",
-    "json_funcs_events",
-    "math_funcs_lineitem",
-    "pipeline_dedup_first_wins",
-    "pipeline_json_repair",
-    "pipeline_text_extract",
-    "pipeline_ts_normalize",
-    "pivot_flag_status",
-    "rollup_flag_status",
-    "sample_deterministic_hash",
-    "setop_intersect_nations",
-    "setop_union_nations",
-    "string_funcs_part",
-    "subquery_exists_correlated",
-    "subquery_having_big_orders",
-    "subquery_scalar_small_qty",
-    "topk_orders_per_customer",
-    "unpivot_lineitem_measures",
-    "window_lag_lead_gaps",
-    "window_ntile_quartiles",
-    "window_range_frame",
-    "window_rank_orders",
-    "window_running_revenue",
-    "agg_bitwise_lineno",
-]
-
-# Overflow queue for names that do not fit the current 50-entry window;
-# they are the mandatory head of the next round's _PRIORITY rotation.
-# tests/test_registry_rotation.py fails if a registered query is in none of
-# {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}.
-_NEXT_WINDOW: list[str] = [
-    # r11 additions landed after the 50-entry window filled; mandatory
-    # head of the r12 rotation (each parity/lint/stress-verified in-tree).
-    # From llmops_knn_graph_audit on: late-r11 degenerate-input-safety
-    # fixes (F7 contract, tests/test_empty_inputs.py +
-    # tests/test_pathological_inputs.py): value-neutral guards
-    # (try_divide, valid_vectors ingest filters), re-attest per the
-    # changed-plan rotation policy.
+    # Round 12 rotation. Head = the ENTIRE r11 _NEXT_WINDOW backlog (34
+    # names, verdict-r11 item #1): 13 r11 additions with no driver
+    # attestation on record, then the 21 post-rotation/degenerate-guard
+    # re-attests. The r11-ADVICE fixes (try_divide in did/zstat/MAPE,
+    # simhash pre-spread NULL filter, changelog permissive type guard)
+    # all touch names inside this head, so they attest with the fixes in.
+    # Tail = 16 stalest refreshes (the r2-attested cohort, stalest-first
+    # per verdict item #7); the remaining 16 r2 names are scheduled in
+    # _NEXT_WINDOW below.
+    # --- r11 additions, never in a CORRECTNESS record ---
     "llmops_bitext_margin_mining",
     "agg_bitmap_distinct_rollup",
     "llmops_quality_survivorship",
@@ -128,6 +56,7 @@ _NEXT_WINDOW: list[str] = [
     "llmops_minhash_index_expire",
     "eval_bradley_terry_ratings",
     "eval_woe_iv_binning",
+    # --- late-r11 degenerate-guard / post-rotation re-attests ---
     "llmops_knn_graph_audit",
     "events_markov_stationary",
     "events_forecast_backtest",
@@ -149,6 +78,51 @@ _NEXT_WINDOW: list[str] = [
     "dq_welch_ttest_drift",
     "llmops_code_detect",
     "dq_arrival_gap_audit",
+    # --- stalest-first refreshes: 16 of the 32 remaining r2-attested
+    # names (alphabetical; the other 16 are first in _NEXT_WINDOW) ---
+    "agg_bool_filtered",
+    "agg_median_orders",
+    "agg_string_concat",
+    "array_sequence_fold",
+    "lateral_top2_per_nation",
+    "llmops_bloom_dedup",
+    "llmops_chunk_documents",
+    "llmops_decontaminate",
+    "llmops_dedup_exact",
+    "llmops_domain_mix",
+    "llmops_pii_redact",
+    "llmops_quality_classifier",
+    "llmops_repetition_filter",
+    "llmops_sequence_pack",
+    "llmops_source_overlap",
+    "llmops_stratified_sample",
+]
+
+# Overflow queue for names that do not fit the current 50-entry window;
+# they are the mandatory head of the next round's _PRIORITY rotation.
+# tests/test_registry_rotation.py fails if a registered query is in none of
+# {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}.
+_NEXT_WINDOW: list[str] = [
+    # The second half of the r2-attested stale cohort (refresh scheduled
+    # for the r13 window head; after it lands, no attestation predates
+    # r3 and the cohort math closes verdict-r11 item #7).
+    "llmops_tfidf_top_terms",
+    "llmops_train_shuffle",
+    "q12_late_priority",
+    "q13_customer_distribution",
+    "q22_low_activity_customers",
+    "q4_priority_exists",
+    "scalar_map_access",
+    "scalar_null_battery",
+    "scalar_regexp_extract_all",
+    "sql_recursive_date_spine",
+    "stream_static_enrich",
+    "udaf_grouped_median_quantity",
+    "udtf_top_bigrams",
+    "values_inline_dim_join",
+    "window_first_last_nth",
+    "window_percent_rank",
+    # --- r12 additions (registered this round, attest in r13) ---
 ]
 
 

@@ -4865,7 +4865,10 @@ def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mae"),
         F.round(
             F.try_divide(
-                F.sum(F.round(abs_err / F.col("actual"), 10).cast("decimal(28,10)"))
+                # try_divide: a zero-valued actual (flat day) would zero
+                # the MAPE denominator; NULL terms drop from the sum on
+                # both engines (DuckDB x/0 -> NULL)
+                F.sum(F.round(F.try_divide(abs_err, F.col("actual")), 10).cast("decimal(28,10)"))
                 * F.lit(100.0),
                 F.count("*"),
             ),

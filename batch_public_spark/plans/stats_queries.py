@@ -2723,7 +2723,10 @@ def events_did_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_min_cell",
         F.round(did, 6).alias("did"),
         F.round(se, 6).alias("se"),
-        F.round(did / se, 6).alias("t_stat"),
+        # try_divide: se == 0.0 exactly when all four cells have zero
+        # variance (an all-constant degenerate slice) — NULL t, matching
+        # DuckDB's x/0 -> NULL; values unchanged at every fixture SF
+        F.round(F.try_divide(did, se), 6).alias("t_stat"),
     )
 
 
@@ -2813,18 +2816,20 @@ def dq_fdr_bh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hb",
         "n",
         "m",
-        (
-            (F.col("s").cast("double") / F.col("n") - F.col("st").cast("double") / F.col("nt"))
-            / F.sqrt(
-                (
-                    (
-                        F.col("qt").cast("double")
-                        - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt")
-                    )
-                    / (F.col("nt") - 1)
+        # try_divide twice: nt == 1 zeroes the pooled-variance df, and an
+        # all-constant value column zeroes the pooled variance itself
+        # (sqrt -> 0) — both degenerate slices yield NULL z, matching
+        # DuckDB's x/0 -> NULL; values unchanged at every fixture SF
+        F.try_divide(
+            F.col("s").cast("double") / F.col("n") - F.col("st").cast("double") / F.col("nt"),
+            F.sqrt(
+                F.try_divide(
+                    F.col("qt").cast("double")
+                    - F.col("st").cast("double") * F.col("st").cast("double") / F.col("nt"),
+                    F.col("nt") - 1,
                 )
                 / F.col("n")
-            )
+            ),
         ).alias("zstat"),
     )
     p = zed.withColumn(

@@ -69,24 +69,39 @@ class _ChangelogStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"pos": 0}
 
+    @staticmethod
+    def _cast(typ: str, value):
+        # bool() would coerce any non-empty JSON string (including
+        # "false") to True — boolean fields accept only JSON booleans.
+        if typ == "boolean":
+            if not isinstance(value, bool):
+                raise ValueError(f"expected JSON boolean, got {value!r}")
+            return value
+        return _SCALAR_CASTS.get(typ, str)(value)
+
     def _parse(self, raw: bytes) -> Iterator[tuple]:
         for line in raw.split(b"\n"):
             if not line.strip():
                 continue
+            # The row tuple is built INSIDE the try so a type-mismatched
+            # field (e.g. {"k": [1]} -> TypeError from int()) is skipped
+            # in permissive mode, honoring the documented contract — not
+            # just syntactically malformed JSON.
             try:
                 rec = json.loads(line)
                 if not isinstance(rec, dict):
                     raise ValueError("not an object")
-            except ValueError:
+                row = tuple(
+                    None
+                    if rec.get(name) is None
+                    else self._cast(typ, rec[name])
+                    for name, typ in self._fields
+                )
+            except (ValueError, TypeError):
                 if self._permissive:
                     continue
                 raise
-            yield tuple(
-                None
-                if rec.get(name) is None
-                else _SCALAR_CASTS.get(typ, str)(rec[name])
-                for name, typ in self._fields
-            )
+            yield row
 
     def _consumable(self, start_pos: int) -> Tuple[bytes, int]:
         """Bytes from start_pos to the LAST newline currently present —

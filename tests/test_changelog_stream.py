@@ -134,3 +134,36 @@ def test_changelog_strict_raises_on_malformed(spark, tmp_path):
         q.awaitTermination(120)
         if q.exception() is not None:
             raise q.exception()
+
+
+def test_changelog_permissive_skips_type_mismatched_fields():
+    """The permissive contract covers TYPE-mismatched records, not just
+    syntactically malformed JSON: a valid JSON line whose field cannot
+    cast to the declared scalar type ({"k": [1]} -> TypeError from
+    int(), {"k": "x"} -> ValueError) is skipped, and boolean fields
+    accept only JSON booleans (bool("false") would coerce any non-empty
+    string to True). r11-ADVICE fix; unit-level, no SparkSession."""
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+    from batch_public_spark.sources.changelog import _ChangelogStreamReader
+
+    schema = StructType(
+        [StructField("k", LongType()), StructField("flag", BooleanType())]
+    )
+    perm = _ChangelogStreamReader(schema, {"path": "/nonexistent", "mode": "permissive"})
+    raw = b"\n".join(
+        [
+            b'{"k": 1, "flag": true}',
+            b'{"k": [1], "flag": true}',     # TypeError from int()
+            b'{"k": "x", "flag": true}',     # ValueError from int()
+            b'{"k": 2, "flag": "false"}',    # non-bool JSON for boolean
+            b'{"k": 3, "flag": null}',       # NULL passes through
+            b'{"k": 4}',                     # missing field -> NULL
+        ]
+    )
+    assert list(perm._parse(raw)) == [(1, True), (3, None), (4, None)]
+
+    strict = _ChangelogStreamReader(schema, {"path": "/nonexistent"})
+    assert list(strict._parse(b'{"k": 5, "flag": false}')) == [(5, False)]
+    for bad in (b'{"k": [1]}', b'{"k": "x"}', b'{"k": 6, "flag": "false"}'):
+        with pytest.raises((ValueError, TypeError)):
+            list(strict._parse(bad))
