@@ -123,6 +123,8 @@ _NEXT_WINDOW: list[str] = [
     "window_first_last_nth",
     "window_percent_rank",
     # --- r12 additions (registered this round, attest in r13) ---
+    "eval_dr_policy_value",
+    "eval_conformal_approx",
 ]
 
 

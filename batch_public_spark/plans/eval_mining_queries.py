@@ -3607,6 +3607,149 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eval_conformal_approx",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, user_id % 5 AS g, value,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS d
+      FROM events
+    ), model AS (
+      SELECT g,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS yhat
+      FROM ev WHERE d BETWEEN '0' AND '7' GROUP BY g
+    ), calib AS (
+      SELECT e.g, e.event_id, abs(e.value - m.yhat) AS score
+      FROM ev e JOIN model m USING (g) WHERE e.d IN ('8', '9', 'a', 'b')
+    ), ranked AS (
+      SELECT g, score,
+             row_number() OVER (PARTITION BY g ORDER BY score, event_id) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM calib
+    ), q AS (
+      SELECT g, CAST(n AS BIGINT) AS n_calib, score AS qhat
+      FROM ranked
+      WHERE rn = least(CAST(ceil(0.9 * (n + 1)) AS BIGINT), n)
+    ), tst AS (
+      SELECT e.g, abs(e.value - m.yhat) AS score
+      FROM ev e JOIN model m USING (g) WHERE e.d IN ('c', 'd', 'e', 'f')
+    )
+    SELECT q.g, q.n_calib,
+           round(q.qhat, 6) AS qhat_exact,
+           CAST(count(*) AS BIGINT) AS n_test,
+           round(CAST(sum(CASE WHEN t.score <= q.qhat THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS coverage_exact,
+           TRUE AS approx_within_rank_band,
+           TRUE AS coverage_within_tol
+    FROM tst t JOIN q USING (g)
+    GROUP BY q.g, q.n_calib, q.qhat
+    """,
+)
+def eval_conformal_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal AT SCALE — the ``approx_percentile`` twin the
+    exact query's docstring promises (eval_conformal_coverage computes
+    q̂ as the exact ⌈0.9·(n+1)⌉-th order statistic, which needs the full
+    sorted score set per segment; the GK sketch is the only
+    memory-bounded plan at 100 TB). Same splits, same model, same
+    scores; q̂_approx = approx_percentile(score, 0.9, 10000) per
+    segment, certified two ways against the exact anchor while the data
+    still fits:
+
+    * ``approx_within_rank_band`` — q̂_approx lands inside the exact
+      [p85, p95] calibration band: the RANK-error contract the sketch
+      actually guarantees (± n/accuracy ranks, plus the ≤ 1-rank gap
+      between level 0.9 and the finite-sample ⌈(n+1)(1−α)⌉ index) —
+      the agg_approx_percentile_accuracy gate shape.
+    * ``coverage_within_tol`` — realized test coverage under q̂_approx
+      within max(0.02, 8/n_test) of the exact coverage: the operational
+      question ("did the sketch move the guarantee?") with a tolerance
+      that scales to small test splits.
+
+    The oracle pins the exact quantile, the exact coverage, and both
+    verdict booleans as TRUE; the approx values themselves are
+    sketch-state-dependent (engine-specific), which is exactly why the
+    gate hashes the VERDICTS, not the sketch output. Scale: one hash
+    shuffle per split on the segment key; the sketch is fixed-size
+    mergeable map-side state — the exact variant's sort-window is the
+    only piece this plan drops."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        (F.col("user_id") % 5).alias("g"),
+        "value",
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).alias("d"),
+    )
+    model = (
+        ev.filter(F.col("d").between("0", "7"))
+        .groupBy("g")
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count("*")
+            ).alias("yhat")
+        )
+    )
+    calib = (
+        ev.filter(F.col("d").isin("8", "9", "a", "b"))
+        .join(model, "g")
+        .select("g", "event_id", F.abs(F.col("value") - F.col("yhat")).alias("score"))
+    )
+    wg = W.partitionBy("g")
+    exact_q = (
+        calib.select(
+            "g",
+            "score",
+            F.row_number().over(wg.orderBy("score", "event_id")).alias("rn"),
+            F.count("*").over(wg).alias("n"),
+        )
+        .filter(
+            F.col("rn")
+            == F.least(F.ceil(0.9 * (F.col("n") + 1)).cast("bigint"), F.col("n"))
+        )
+        .select("g", F.col("n").cast("bigint").alias("n_calib"), F.col("score").alias("qhat"))
+    )
+    sketch = calib.groupBy("g").agg(
+        F.expr("approx_percentile(score, 0.9, 10000)").alias("qhat_approx"),
+        F.expr("percentile(score, 0.85)").alias("band_lo"),
+        F.expr("percentile(score, 0.95)").alias("band_hi"),
+    )
+    tst = (
+        ev.filter(F.col("d").isin("c", "d", "e", "f"))
+        .join(model, "g")
+        .select("g", F.abs(F.col("value") - F.col("yhat")).alias("score"))
+    )
+    cov_exact = F.sum(F.when(F.col("score") <= F.col("qhat"), 1).otherwise(0)).cast(
+        "double"
+    ) / F.count("*")
+    cov_approx = F.sum(
+        F.when(F.col("score") <= F.col("qhat_approx"), 1).otherwise(0)
+    ).cast("double") / F.count("*")
+    return (
+        tst.join(exact_q, "g")
+        .join(sketch, "g")
+        .groupBy("g", "n_calib", "qhat", "qhat_approx", "band_lo", "band_hi")
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            F.round(cov_exact, 6).alias("coverage_exact"),
+            (cov_approx - cov_exact).alias("cov_delta"),
+        )
+        .select(
+            "g",
+            "n_calib",
+            F.round("qhat", 6).alias("qhat_exact"),
+            "n_test",
+            "coverage_exact",
+            (
+                (F.col("qhat_approx") >= F.col("band_lo"))
+                & (F.col("qhat_approx") <= F.col("band_hi"))
+            ).alias("approx_within_rank_band"),
+            (
+                F.abs(F.col("cov_delta"))
+                <= F.greatest(F.lit(0.02), F.lit(8.0) / F.col("n_test"))
+            ).alias("coverage_within_tol"),
+        )
+    )
+
+
+@query(
     "eval_ips_policy_value",
     oracle="""
     WITH ev AS (
@@ -3725,6 +3868,174 @@ def eval_ips_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ips_value",
         )
     )
+
+
+def _dr_policy_frame(
+    spark: SparkSession, sf_dir: str, correction_scale: float = 1.0
+) -> DataFrame:
+    """Shared builder for eval_dr_policy_value; ``correction_scale``
+    multiplies the IPS correction term so the DR == DM identity under a
+    zeroed correction is pinnable in tests without a second codepath
+    (tests/test_r12_invariants.py)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        F.col("value").alias("r"),
+        F.floor(F.hour("ts") / 6).cast("int").alias("c"),
+        F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).alias("d"),
+    )
+    lrn = ev.filter(F.col("d").between("0", "7"))
+    learn = lrn.groupBy("c", "a").agg(
+        (F.sum(F.col("r").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("mr")
+    )
+    wpi = W.partitionBy("c").orderBy(F.desc("mr"), "a")
+    pi = (
+        learn.withColumn("rn", F.row_number().over(wpi))
+        .filter(F.col("rn") == 1)
+        .select("c", F.col("a").alias("pi_action"), F.col("mr").alias("mr_pi"))
+    )
+    prop = (
+        lrn.groupBy("c", "a")
+        .agg(F.count("*").alias("na"))
+        .select(
+            "c",
+            "a",
+            (F.col("na").cast("double") / F.sum("na").over(W.partitionBy("c"))).alias("p_a"),
+        )
+    )
+    b = ev.filter(F.col("d") >= "8").select("c", "a", "r")
+    j = b.join(pi, "c").join(
+        prop.select(F.col("c").alias("pc"), F.col("a").alias("pa_action"), "p_a"),
+        (F.col("c") == F.col("pc")) & (F.col("pi_action") == F.col("pa_action")),
+    )
+    match = F.when(F.col("a") == F.col("pi_action"), 1).otherwise(0)
+    match_r = F.sum(F.when(F.col("a") == F.col("pi_action"), F.col("r").cast("decimal(18,6)")))
+    cell = j.groupBy("c", "pi_action", "mr_pi", "p_a").agg(
+        F.count("*").cast("bigint").alias("n_logs"),
+        F.sum(match).cast("bigint").alias("n_match"),
+        # coalesce: a context with zero matching logs has an exact-zero
+        # (not NULL) correction numerator — DuckDB's CASE-sum mirrors
+        F.coalesce(match_r, F.lit(0).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_match_r"),
+    )
+    # SNIPS (self-normalized IPS, Swaminathan & Joachims 2015) over the
+    # whole evaluation split: Σ_c w_c·r̄_c / Σ_c w_c with w = 1/p̂ —
+    # per-context terms round-6 into exact DECIMAL before the cross-
+    # context sum so the fold order can't drift the double.
+    snips = cell.agg(
+        F.try_divide(
+            F.sum(
+                F.round(F.try_divide(F.col("sum_match_r"), F.col("p_a")), 6).cast(
+                    "decimal(28,6)"
+                )
+            ).cast("double"),
+            F.sum(
+                F.round(
+                    F.try_divide(F.col("n_match").cast("double"), F.col("p_a")), 6
+                ).cast("decimal(28,6)")
+            ).cast("double"),
+        ).alias("snips_v")
+    )
+    correction = F.lit(float(correction_scale)) * F.try_divide(
+        F.try_divide(
+            F.col("sum_match_r") - F.col("n_match") * F.col("mr_pi"), F.col("p_a")
+        ),
+        F.col("n_logs"),
+    )
+    return cell.crossJoin(snips).select(
+        "c",
+        "pi_action",
+        F.round("p_a", 6).alias("propensity"),
+        "n_logs",
+        "n_match",
+        F.round("mr_pi", 6).alias("dm_model_value"),
+        F.round(
+            F.try_divide(F.try_divide(F.col("sum_match_r"), F.col("p_a")), F.col("n_logs")),
+            6,
+        ).alias("ips_value"),
+        F.round(F.col("mr_pi") + correction, 6).alias("dr_value"),
+        F.round("snips_v", 6).alias("snips_value"),
+    )
+
+
+@query(
+    "eval_dr_policy_value",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type AS a, value AS r,
+             CAST(floor(CAST(strftime(ts, '%H') AS BIGINT) / 6) AS INT) AS c,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS d
+      FROM events
+    ), learn AS (
+      SELECT c, a,
+             CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mr
+      FROM ev WHERE d BETWEEN '0' AND '7' GROUP BY c, a
+    ), pi AS (
+      SELECT c, a AS pi_action, mr AS mr_pi FROM (
+        SELECT c, a, mr, row_number() OVER (PARTITION BY c ORDER BY mr DESC, a) AS rn
+        FROM learn) WHERE rn = 1
+    ), prop AS (
+      SELECT c, a,
+             CAST(count(*) AS DOUBLE)
+               / sum(count(*)) OVER (PARTITION BY c) AS p_a
+      FROM ev WHERE d BETWEEN '0' AND '7' GROUP BY c, a
+    ), b AS (
+      SELECT c, a, r FROM ev WHERE d >= '8'
+    ), cell AS (
+      SELECT b.c, pi.pi_action, pi.mr_pi, prop.p_a,
+             CAST(count(*) AS BIGINT) AS n_logs,
+             CAST(sum(CASE WHEN b.a = pi.pi_action THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_match,
+             CAST(coalesce(sum(CASE WHEN b.a = pi.pi_action
+                                    THEN CAST(b.r AS DECIMAL(18,6)) END),
+                           0) AS DOUBLE) AS sum_match_r
+      FROM b
+      JOIN pi USING (c)
+      JOIN prop ON prop.c = b.c AND prop.a = pi.pi_action
+      GROUP BY b.c, pi.pi_action, pi.mr_pi, prop.p_a
+    ), snips AS (
+      SELECT CAST(sum(CAST(round(sum_match_r / p_a, 6) AS DECIMAL(28,6))) AS DOUBLE)
+             / nullif(CAST(sum(CAST(round(CAST(n_match AS DOUBLE) / p_a, 6)
+                                    AS DECIMAL(28,6))) AS DOUBLE), 0) AS snips_v
+      FROM cell
+    )
+    SELECT c, pi_action,
+           round(p_a, 6) AS propensity,
+           n_logs, n_match,
+           round(mr_pi, 6) AS dm_model_value,
+           round((sum_match_r / p_a) / n_logs, 6) AS ips_value,
+           round(mr_pi + ((sum_match_r - n_match * mr_pi) / p_a) / n_logs, 6)
+             AS dr_value,
+           round(snips.snips_v, 6) AS snips_value
+    FROM cell CROSS JOIN snips
+    """,
+)
+def eval_dr_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOUBLY-ROBUST off-policy value (Dudík, Langford & Li 2011) +
+    SNIPS — the estimators a real eval pipeline ships because plain IPS
+    variance explodes at small propensities: per context, V_DR =
+    q̂(c,π(c)) + (1/n)·Σ_{a_i=π(c)} (r_i − q̂(c,π(c)))/p̂(π(c)|c) — the
+    direct-model baseline (the learning-split reward model, the q̂ the
+    sibling eval_ips_policy_value only uses to PICK π) plus the
+    importance-weighted residual correction. DR is unbiased if EITHER
+    the model or the propensities are right; when the correction is
+    zeroed it degenerates to exactly the direct method (identity pinned
+    in tests/test_r12_invariants.py via the correction_scale hook).
+    snips_value is the self-normalized IPS value over the whole
+    evaluation split (Swaminathan & Joachims 2015): Σ w·r / Σ w with
+    w = 1{a=π(c)}/p̂ — the weight renormalization that trades IPS's
+    unbiasedness for bounded variance.
+
+    Parity: the correction numerator is one exact-decimal sum minus an
+    integer-scaled double product, divided twice on exact operands;
+    SNIPS's cross-context fold rounds each context term to 6 into
+    DECIMAL(28,6) first so the sum order cannot drift the double; every
+    argmax carries an action tie-break; rounding only at emission.
+    Scale: identical skeleton to eval_ips_policy_value — two hash
+    aggregations on the bounded (context, action) grid, one pass over
+    the evaluation logs, a 4-row second-stage aggregate for SNIPS
+    cross-joined back (grid-bounded, AQE-broadcast)."""
+    return _dr_policy_frame(spark, sf_dir, correction_scale=1.0)
 
 
 @query(
