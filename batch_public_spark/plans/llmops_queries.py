@@ -4895,6 +4895,145 @@ def llmops_bitext_margin_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best_a.join(best_b, ["a_id", "b_id"])
 
 
+@query("llmops_bitext_margin_ann", oracle=None)
+def llmops_bitext_margin_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEXT MINING, production shape — the margin/mutual-best stage of
+    llmops_bitext_margin_mining fed from an ANN CANDIDATE STREAM instead
+    of the dense score matrix (the at-scale plan its docstring promises):
+    both monolingual pools bucket through the SAME seeded hyperplane-LSH
+    family (operators.semantic.hyperplane_signatures_gemm — the shared
+    family is load-bearing: mixing hash families yields zero recall),
+    candidates are the bucket-collision pairs across all 8 tables (with
+    Hamming-1 multiprobe flips on side A for recall), exact cosine runs
+    only on candidates, the Artetxe-Schwenk top-4 ratio-margin
+    denominators are windowed aggregates OVER THE CANDIDATE STREAM
+    partitioned by each side's id, and mutual-best is two rank-1 windows
+    plus an equi-join. NOTHING here is more than a shuffle on a side's
+    id — no cross join, no broadcast of a pool: both sides can be
+    corpus-scale (the sample twin broadcasts its 100-vector B side as
+    scaffolding; this plan drops even that).
+
+    rows-only by nature (xxhash-free but numpy-seeded hyperplanes are
+    engine-specific); its hash-checked anchor is the exact twin
+    llmops_bitext_margin_mining on the same even/odd vec_id<200 pools,
+    with mined-pair agreement pinned in
+    tests/test_r12_invariants.py::test_bitext_ann_agrees_with_exact_twin
+    (the ann_lsh ↔ ann_bruteforce recall-gate convention).
+
+    Margin caveat, stated: candidate-stream top-4 denominators equal the
+    exact ones only when each side's true top-4 are candidates — with
+    recall < 1 the margin is an upper-biased estimate for sparse
+    neighborhoods, which is exactly how production margin miners behave
+    (Artetxe & Schwenk score over FAISS candidates, not the full
+    matrix); the agreement gate quantifies the effect."""
+    from batch_public_spark.operators.semantic import (
+        fused_cosine,
+        hyperplane_signatures_gemm,
+        row_norm,
+        valid_vectors,
+    )
+
+    planes, tables = 6, 8
+    s = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 200)
+    a = valid_vectors(s.filter(F.col("vec_id") % 2 == 0), "embedding")
+    b = valid_vectors(s.filter(F.col("vec_id") % 2 == 1), "embedding")
+
+    def buckets(df: DataFrame, id_alias: str, probe: bool) -> DataFrame:
+        flips = [0] + [1 << p for p in range(planes)] if probe else [0]
+        sigs = hyperplane_signatures_gemm(
+            df, id_col="vec_id", vec_col="embedding", planes=planes, tables=tables
+        ).withColumnRenamed("_hid", id_alias)
+        return sigs.select(
+            id_alias,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(tb).alias("tbl"),
+                            F.element_at(F.col("_sigs"), tb + 1)
+                            .bitwiseXOR(F.lit(flip))
+                            .alias("bucket"),
+                        )
+                        for tb in range(tables)
+                        for flip in flips
+                    ]
+                )
+            ).alias("bk"),
+        ).select(id_alias, F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+
+    # Candidate pairs: bucket collisions, id-only through the distinct
+    # (vector payloads never enter the candidate shuffle — the ann_lsh
+    # discipline).
+    pair_ids = (
+        buckets(a, "a_id", True)
+        .join(buckets(b, "b_id", False), ["tbl", "bucket"])
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    av = a.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("_av"),
+        row_norm(F.col("embedding")).alias("_an"),
+    )
+    bv = b.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("_bv"),
+        row_norm(F.col("embedding")).alias("_bn"),
+    )
+    pairs = (
+        pair_ids.join(av, "a_id")
+        .join(bv, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                fused_cosine(F.col("_av"), F.col("_bv"), F.col("_an"), F.col("_bn")), 6
+            ).alias("sim"),
+        )
+        # same four-consumer fan-out as the exact twin: cut once
+        .localCheckpoint(eager=False)
+    )
+    wa = W.partitionBy("a_id").orderBy(F.desc("sim"), "b_id")
+    wb = W.partitionBy("b_id").orderBy(F.desc("sim"), "a_id")
+    fa = (
+        pairs.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") <= 4)
+        .groupBy("a_id")
+        .agg(F.sum(F.col("sim").cast("decimal(10,6)")).alias("sum_a"))
+    )
+    fb = (
+        pairs.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") <= 4)
+        .groupBy("b_id")
+        .agg(F.sum(F.col("sim").cast("decimal(10,6)")).alias("sum_b"))
+    )
+    denom = (F.col("sum_a") + F.col("sum_b")).cast("double")
+    m = (
+        pairs.join(fa, "a_id")
+        .join(fb, "b_id")
+        .filter(denom > 0)
+        .select(
+            "a_id",
+            "b_id",
+            "sim",
+            F.round(F.col("sim") * F.lit(8.0) / denom, 6).alias("margin"),
+        )
+    )
+    wma = W.partitionBy("a_id").orderBy(F.desc("margin"), "b_id")
+    wmb = W.partitionBy("b_id").orderBy(F.desc("margin"), "a_id")
+    best_a = (
+        m.withColumn("rn", F.row_number().over(wma))
+        .filter(F.col("rn") == 1)
+        .select("a_id", "b_id", F.col("sim").alias("cosine"), "margin")
+    )
+    best_b = (
+        m.withColumn("rn", F.row_number().over(wmb))
+        .filter(F.col("rn") == 1)
+        .select("a_id", "b_id")
+    )
+    return best_a.join(best_b, ["a_id", "b_id"])
+
+
 @query(
     "llmops_quality_survivorship",
     oracle=f"""

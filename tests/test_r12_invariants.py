@@ -52,3 +52,28 @@ def test_dr_sits_between_estimator_identities(spark):
     snips = rows[0].snips_value
     assert all(r.snips_value == snips for r in rows)
     assert min(means) - 1e-3 <= snips <= max(means) + 1e-3, (snips, means)
+
+
+def test_bitext_ann_agrees_with_exact_twin(spark):
+    """The ANN-candidate production shape vs its exact oracle-hashed
+    anchor (llmops_bitext_margin_mining), same even/odd pools: mined-pair
+    recall AND precision >= 0.75 (measured 0.85-0.89 across
+    sf0.001/0.01/0.1), and on every commonly-mined pair the exact-cosine
+    column is IDENTICAL (both paths compute true cosine on the pair;
+    only candidate membership is approximate)."""
+    exact = {
+        (r.a_id, r.b_id): r.cosine
+        for r in QUERIES["llmops_bitext_margin_mining"].fn(spark, SF_DIR).collect()
+    }
+    ann = {
+        (r.a_id, r.b_id): r.cosine
+        for r in QUERIES["llmops_bitext_margin_ann"].fn(spark, SF_DIR).collect()
+    }
+    assert len(exact) > 20 and len(ann) > 20, (len(exact), len(ann))
+    common = set(exact) & set(ann)
+    recall = len(common) / len(exact)
+    precision = len(common) / len(ann)
+    assert recall >= 0.75, (recall, len(exact), len(ann))
+    assert precision >= 0.75, (precision, len(exact), len(ann))
+    for pair in common:
+        assert exact[pair] == ann[pair], (pair, exact[pair], ann[pair])
