@@ -125,6 +125,8 @@ _NEXT_WINDOW: list[str] = [
     # --- r12 additions (registered this round, attest in r13) ---
     "eval_dr_policy_value",
     "eval_conformal_approx",
+    "llmops_bitext_margin_ann",
+    "stream_changelog_segmented_agg",
 ]
 
 

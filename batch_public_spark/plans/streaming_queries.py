@@ -522,3 +522,78 @@ def stream_changelog_tail_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_available_now(stream, output_mode="complete", shuffle_partitions=8)
+
+
+@query(
+    "stream_changelog_segmented_agg",
+    oracle="""
+    SELECT source AS src,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY source
+    """,
+)
+def stream_changelog_segmented_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEGMENTED changelog streaming round-trip — the corpus-scale twin of
+    stream_changelog_tail_agg: the documents table is materialized as a
+    DIRECTORY of append-only JSONL segments (4 here; one per log shard at
+    scale) and tailed back through ``readStream.format(
+    "kvchangelog_segments")`` — the partition-planning
+    ``DataSourceStreamReader`` (sources/changelog.py
+    :class:`_SegmentedChangelogStreamReader`): per-segment byte frontiers
+    as the stream offset, one EXECUTOR-read input partition per advancing
+    segment per micro-batch, so ingest parallelism scales with segment
+    count instead of funneling through the driver (the Simple reader's
+    limit, which is why that variant is the control-plane shape). The
+    oracle aggregates the ORIGINAL parquet, so segment planning, the
+    byte-range executor reads, the shared JSONL record contract, and the
+    stateful aggregation are all value-hashed.
+
+    Multi-segment incremental semantics (only advanced byte ranges are
+    re-read across restarts, truncated tails are never consumed, new
+    segments join the frontier at 0) are pinned in
+    tests/test_changelog_stream.py::test_segmented_changelog_*; this
+    query hashes the single-pass contents."""
+    import glob
+    import os
+
+    from batch_public_spark.plans.analytics_queries import _scratch_dir
+    from batch_public_spark.sources.changelog import register_changelog_source
+    from batch_public_spark.sources.tables import load_table as t
+
+    register_changelog_source(spark)
+    out_dir = _scratch_dir(spark, sf_dir, "changelog_segs")
+    # Deterministic segmented changelog: 4 append-ordered shards, sharded
+    # by a stable key hash (repartition would round-robin rows
+    # nondeterministically across runs; the CONTENTS per segment don't
+    # affect the hashed result, but determinism keeps reruns byte-stable).
+    (
+        t(spark, sf_dir, "documents")
+        .select(
+            F.to_json(
+                F.struct(
+                    F.col("doc_id").alias("k"),
+                    F.col("n_chars").alias("v"),
+                    F.col("source").alias("src"),
+                )
+            ).alias("value"),
+            F.pmod(F.col("doc_id"), F.lit(4)).cast("int").alias("shard"),
+        )
+        .repartition(4, "shard")
+        .drop("shard")
+        .write.mode("overwrite")
+        .text(out_dir)
+    )
+    assert glob.glob(os.path.join(out_dir, "part-*")), out_dir
+    stream = (
+        spark.readStream.format("kvchangelog_segments")
+        .schema("k bigint, v bigint, src string")
+        .option("path", out_dir)
+        .load()
+        .groupBy("src")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("v").cast("bigint").alias("sum_chars"),
+        )
+    )
+    return run_available_now(stream, output_mode="complete", shuffle_partitions=8)

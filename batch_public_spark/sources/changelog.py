@@ -34,19 +34,27 @@ no per-record bookkeeping.
 100 TB notes: ``SimpleDataSourceStreamReader`` reads on the driver with
 prefetch — correct for a single-file changelog tail (the shape here: a
 control-plane feed, not the corpus). The corpus-scale path is the
-partition-planning ``DataSourceStreamReader`` (one partition per log
-segment, the same evolution kvscan.py documents for its batch scan); the
-offset/replay contract — the part the reference had to hand-build — is
-identical in both.
+partition-planning ``DataSourceStreamReader`` over a SEGMENTED log
+directory — implemented below as ``format("kvchangelog_segments")``
+(:class:`_SegmentedChangelogStreamReader`): per-segment byte frontiers as
+the offset, one executor-read partition per advancing segment, the same
+offset/replay contract — the part the reference had to hand-build —
+in both.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Iterator, Tuple
+from dataclasses import dataclass
+from typing import Iterator, List, Sequence, Tuple
 
-from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceStreamReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 from pyspark.sql.types import StructType
 
 _SCALAR_CASTS = {
@@ -56,6 +64,43 @@ _SCALAR_CASTS = {
     "double": float,
     "boolean": bool,
 }
+
+
+def _cast_scalar(typ: str, value):
+    # bool() would coerce any non-empty JSON string (including
+    # "false") to True — boolean fields accept only JSON booleans.
+    if typ == "boolean":
+        if not isinstance(value, bool):
+            raise ValueError(f"expected JSON boolean, got {value!r}")
+        return value
+    return _SCALAR_CASTS.get(typ, str)(value)
+
+
+def _parse_jsonl(
+    raw: bytes, fields: Sequence[Tuple[str, str]], permissive: bool
+) -> Iterator[tuple]:
+    """Shared record contract for both changelog readers (driver-tail and
+    segmented-partitioned): flat scalar fields matched by name, missing
+    fields NULL. The row tuple is built INSIDE the try so a
+    type-mismatched field (e.g. {"k": [1]} -> TypeError from int()) is
+    skipped in permissive mode, honoring the documented contract — not
+    just syntactically malformed JSON."""
+    for line in raw.split(b"\n"):
+        if not line.strip():
+            continue
+        try:
+            rec = json.loads(line)
+            if not isinstance(rec, dict):
+                raise ValueError("not an object")
+            row = tuple(
+                None if rec.get(name) is None else _cast_scalar(typ, rec[name])
+                for name, typ in fields
+            )
+        except (ValueError, TypeError):
+            if permissive:
+                continue
+            raise
+        yield row
 
 
 class _ChangelogStreamReader(SimpleDataSourceStreamReader):
@@ -69,39 +114,8 @@ class _ChangelogStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"pos": 0}
 
-    @staticmethod
-    def _cast(typ: str, value):
-        # bool() would coerce any non-empty JSON string (including
-        # "false") to True — boolean fields accept only JSON booleans.
-        if typ == "boolean":
-            if not isinstance(value, bool):
-                raise ValueError(f"expected JSON boolean, got {value!r}")
-            return value
-        return _SCALAR_CASTS.get(typ, str)(value)
-
     def _parse(self, raw: bytes) -> Iterator[tuple]:
-        for line in raw.split(b"\n"):
-            if not line.strip():
-                continue
-            # The row tuple is built INSIDE the try so a type-mismatched
-            # field (e.g. {"k": [1]} -> TypeError from int()) is skipped
-            # in permissive mode, honoring the documented contract — not
-            # just syntactically malformed JSON.
-            try:
-                rec = json.loads(line)
-                if not isinstance(rec, dict):
-                    raise ValueError("not an object")
-                row = tuple(
-                    None
-                    if rec.get(name) is None
-                    else self._cast(typ, rec[name])
-                    for name, typ in self._fields
-                )
-            except (ValueError, TypeError):
-                if self._permissive:
-                    continue
-                raise
-            yield row
+        return _parse_jsonl(raw, self._fields, self._permissive)
 
     def _consumable(self, start_pos: int) -> Tuple[bytes, int]:
         """Bytes from start_pos to the LAST newline currently present —
@@ -151,6 +165,120 @@ class ChangelogDataSource(DataSource):
         return _ChangelogStreamReader(schema, self.options)
 
 
+@dataclass
+class SegmentRange(InputPartition):
+    path: str
+    start: int
+    end: int
+
+
+def _segment_files(path: str) -> List[str]:
+    if os.path.isfile(path):
+        return [path]
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith(("_", ".")):
+            continue
+        full = os.path.join(path, name)
+        if os.path.isfile(full):
+            out.append(full)
+    return out
+
+
+def _last_newline_end(path: str) -> int:
+    """Byte offset just past the LAST newline in the file — the consumable
+    frontier (a half-written tail record is never consumed; same contract
+    as the single-file tail reader). Scans backwards in bounded chunks so
+    a multi-GB segment costs one tail read, not a full scan."""
+    size = os.path.getsize(path)
+    chunk = 1 << 16
+    with open(path, "rb") as f:
+        hi = size
+        while hi > 0:
+            lo = max(0, hi - chunk)
+            f.seek(lo)
+            buf = f.read(hi - lo)
+            cut = buf.rfind(b"\n")
+            if cut >= 0:
+                return lo + cut + 1
+            hi = lo
+    return 0
+
+
+class _SegmentedChangelogStreamReader(DataSourceStreamReader):
+    """Partition-planning streaming reader over a DIRECTORY of append-only
+    JSONL segment files — the corpus-scale evolution the single-file tail
+    reader's module docstring documents (and the streaming face of the
+    kvscan segment idiom): offsets are per-segment byte frontiers
+    ``{"segs": {basename: pos}}``, and ``partitions(start, end)`` plans
+    ONE input partition per segment with new bytes, so a micro-batch
+    reads every advancing segment in parallel on executors (the Simple
+    reader funnels all bytes through the driver). Replay is exact: a
+    partition is a frozen ``[start, end)`` byte range of one segment,
+    re-read verbatim on task retry — the same contract, now
+    segment-granular. Segments are append-only; new segment files join
+    the frontier at offset 0; frontiers only advance past complete
+    (newline-terminated) records in BOTH modes."""
+
+    def __init__(self, schema: StructType, options: dict):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("kvchangelog_segments requires option 'path'")
+        self._permissive = options.get("mode", "strict").lower() == "permissive"
+        self._fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
+
+    def initialOffset(self) -> dict:
+        return {"segs": {}}
+
+    def latestOffset(self) -> dict:
+        return {
+            "segs": {
+                os.path.basename(p): _last_newline_end(p)
+                for p in _segment_files(self._path)
+            }
+        }
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        seen = start.get("segs", {})
+        parts = [
+            SegmentRange(os.path.join(self._path, name), int(seen.get(name, 0)), int(pos))
+            for name, pos in sorted(end.get("segs", {}).items())
+            if int(pos) > int(seen.get(name, 0))
+        ]
+        # Spark requires >= 1 partition per batch even when no segment
+        # advanced (e.g. the availableNow final empty batch).
+        return parts or [SegmentRange(path="", start=0, end=0)]
+
+    def read(self, partition: SegmentRange) -> Iterator[tuple]:
+        if not partition.path or partition.end <= partition.start:
+            return iter([])
+        with open(partition.path, "rb") as f:
+            f.seek(partition.start)
+            raw = f.read(partition.end - partition.start)
+        return _parse_jsonl(raw, self._fields, self._permissive)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the engine checkpoint; nothing to release
+
+
+class ChangelogSegmentedDataSource(DataSource):
+    """``readStream.format("kvchangelog_segments")`` — executor-parallel
+    tail over a directory of append-only JSONL segments."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "kvchangelog_segments"
+
+    def schema(self) -> str:
+        return "k bigint, v bigint, src string"
+
+    def streamReader(self, schema: StructType) -> _SegmentedChangelogStreamReader:
+        return _SegmentedChangelogStreamReader(schema, self.options)
+
+
 def register_changelog_source(spark) -> None:
     """Idempotent registration (mirrors kvscan.register_kv_source)."""
     spark.dataSource.register(ChangelogDataSource)
+    spark.dataSource.register(ChangelogSegmentedDataSource)

@@ -167,3 +167,96 @@ def test_changelog_permissive_skips_type_mismatched_fields():
     for bad in (b'{"k": [1]}', b'{"k": "x"}', b'{"k": 6, "flag": "false"}'):
         with pytest.raises((ValueError, TypeError)):
             list(strict._parse(bad))
+
+
+def _run_once_segmented(spark, logdir, ckpt, out, mode=None):
+    r = (
+        spark.readStream.format("kvchangelog_segments")
+        .schema(SCHEMA)
+        .option("path", logdir)
+    )
+    if mode:
+        r = r.option("mode", mode)
+    q = (
+        r.load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(out)
+
+
+def test_segmented_changelog_parallel_incremental_restart(spark, tmp_path):
+    """The partitioned (executor-parallel) segmented reader: run 1
+    consumes three segments; between runs one segment grows, one gains a
+    truncated tail, and a brand-new segment appears — run 2 (same
+    checkpoint) consumes ONLY the advanced byte ranges, per segment."""
+    from batch_public_spark.sources.changelog import register_changelog_source
+
+    logdir = tmp_path / "segs"
+    logdir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    for s in range(3):
+        _append(str(logdir / f"seg-{s}.jsonl"), [
+            {"k": s * 100 + i, "v": i, "src": f"s{s}"} for i in range(5)
+        ])
+    register_changelog_source(spark)
+    got = _run_once_segmented(spark, str(logdir), ckpt, out)
+    assert got.count() == 15
+    # segment 0 grows; segment 1 gains a HALF-WRITTEN tail (must not be
+    # consumed); segment 3 is new
+    _append(str(logdir / "seg-0.jsonl"), [{"k": 900, "v": 9, "src": "s0"}])
+    with open(logdir / "seg-1.jsonl", "a") as f:
+        f.write('{"k": 901, "v":')
+    _append(str(logdir / "seg-3.jsonl"), [{"k": 300 + i, "v": i, "src": "s3"} for i in range(2)])
+    got2 = _run_once_segmented(spark, str(logdir), ckpt, out)
+    assert got2.count() == 15 + 1 + 2  # nothing re-read, tail not consumed
+    ks = {r.k for r in got2.collect()}
+    assert 900 in ks and 901 not in ks and {300, 301} <= ks
+    # run 3: the tail record completes -> exactly one more row
+    with open(logdir / "seg-1.jsonl", "a") as f:
+        f.write(' 11, "src": "s1"}\n')
+    got3 = _run_once_segmented(spark, str(logdir), ckpt, out)
+    assert got3.count() == 19
+    assert {r.v for r in got3.collect() if r.k == 901} == {11}
+
+
+def test_segmented_changelog_plans_one_partition_per_advancing_segment():
+    """partitions(start, end) unit contract: one byte-range partition per
+    segment with new bytes, starting where the last offset stopped; new
+    segments start at 0; quiescent segments plan nothing."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from batch_public_spark.sources.changelog import _SegmentedChangelogStreamReader
+
+    schema = StructType([StructField("k", LongType())])
+    rdr = _SegmentedChangelogStreamReader(schema, {"path": "/tmp/nowhere"})
+    start = {"segs": {"a.jsonl": 100, "b.jsonl": 50}}
+    end = {"segs": {"a.jsonl": 180, "b.jsonl": 50, "c.jsonl": 30}}
+    parts = rdr.partitions(start, end)
+    got = {(p.path.split("/")[-1], p.start, p.end) for p in parts}
+    assert got == {("a.jsonl", 100, 180), ("c.jsonl", 0, 30)}
+    # nothing advanced -> a single empty placeholder partition
+    idle = rdr.partitions(end, end)
+    assert len(idle) == 1 and idle[0].end == idle[0].start
+
+
+def test_segmented_changelog_last_newline_frontier(tmp_path):
+    """_last_newline_end: consumable frontier is just past the last
+    newline, 0 for newline-less content, and exact across the backward
+    chunk boundary (content larger than one 64 KiB scan chunk)."""
+    from batch_public_spark.sources.changelog import _last_newline_end
+
+    p = tmp_path / "seg.jsonl"
+    p.write_bytes(b"")
+    assert _last_newline_end(str(p)) == 0
+    p.write_bytes(b'{"k": 1}')  # no newline yet
+    assert _last_newline_end(str(p)) == 0
+    p.write_bytes(b'{"k": 1}\n{"k": 2}\n{"k": 3')
+    assert _last_newline_end(str(p)) == len(b'{"k": 1}\n{"k": 2}\n')
+    big = b"x" * (1 << 17)  # 128 KiB of newline-less tail after one record
+    p.write_bytes(b'{"k": 1}\n' + big)
+    assert _last_newline_end(str(p)) == len(b'{"k": 1}\n')
