@@ -207,3 +207,25 @@ def pii_count(text: Column) -> Column:
         total = total + F.regexp_count(out, F.lit(pat)).cast("bigint")
         out = F.regexp_replace(out, pat, repl)
     return total
+
+
+def nfc_text(text: Column) -> Column:
+    """Unicode NFC canonical normalization as an Arrow-batched pandas UDF
+    (Spark has no built-in normalizer expression; per-batch
+    ``unicodedata.normalize`` is the standard curation shape — one Arrow
+    round-trip, no per-row pickling). Canonically-equivalent byte
+    sequences (precomposed vs combining marks, reordered combining
+    classes, singleton compatibility points like U+212B) map to ONE
+    dedup key — without this, exact dedup silently treats 'café' and
+    'cafe'+U+0301 as distinct documents. NULL passes through."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s):  # pd.Series -> pd.Series
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(text)

@@ -127,6 +127,11 @@ _NEXT_WINDOW: list[str] = [
     "eval_conformal_approx",
     "llmops_bitext_margin_ann",
     "stream_changelog_segmented_agg",
+    "eval_poisson_bootstrap_ci",
+    "llmops_ngram_lm_perplexity",
+    "dq_cusum_changepoint",
+    "dq_dp_noisy_release",
+    "llmops_unicode_nfc_dedup",
 ]
 
 

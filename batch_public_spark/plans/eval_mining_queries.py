@@ -4252,3 +4252,130 @@ def eval_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(ps / ns), 6).alias("woe"),
         F.round((ps - ns) * F.log(ps / ns), 6).alias("iv_contrib"),
     )
+
+
+# --- Poisson bootstrap (r12) -------------------------------------------------
+# Poisson(1) CDF thresholds as 8-hex-digit string literals: a weight is
+# assigned by comparing the first 8 md5 hex chars (a uniform in [0, 16^8))
+# against these LITERAL strings, so both engines make byte-identical
+# decisions — no exp()/float CDF evaluation anywhere. Tail truncated at
+# w = 7 (P(w > 6) ~ 8.3e-5), stated in the docstring.
+_POIS_T = ["5e2d58d8", "bc5ab1b1", "eb715e1d", "fb239797", "ff1025f5", "ffd90f3b", "fffa8b71"]
+_BOOT_B = 32
+
+
+def _boot_oracle() -> str:
+    w_cases = []
+    for b in range(_BOOT_B):
+        h = f"substr(md5(CAST(event_id AS VARCHAR) || ':{b}'), 1, 8)"
+        case = "CASE " + " ".join(
+            f"WHEN {h} < '{tv}' THEN {k}" for k, tv in enumerate(_POIS_T)
+        ) + f" ELSE {len(_POIS_T)} END"
+        w_cases.append(case)
+    sums = ", ".join(
+        f"sum({w_cases[b]} * CAST(value AS DECIMAL(18,6))) AS s{b}, "
+        f"CAST(sum({w_cases[b]}) AS BIGINT) AS w{b}"
+        for b in range(_BOOT_B)
+    )
+    means = ", ".join(f"CAST(s{b} AS DOUBLE) / nullif(w{b}, 0)" for b in range(_BOOT_B))
+    return f"""
+    WITH cell AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS point,
+             {sums}
+      FROM events GROUP BY event_type
+    ), rep AS (
+      SELECT event_type, n, point,
+             list_sort(list_filter([{means}], x -> x IS NOT NULL)) AS ms
+      FROM cell
+    )
+    SELECT event_type, n,
+           round(point, 6) AS point_mean,
+           CAST(len(ms) AS BIGINT) AS n_replicates,
+           round(ms[1], 6) AS ci_lo,
+           round(ms[len(ms)], 6) AS ci_hi
+    FROM rep WHERE len(ms) > 0
+    """
+
+
+@query("eval_poisson_bootstrap_ci", oracle=_boot_oracle())
+def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POISSON BOOTSTRAP confidence intervals — the resampling scheme that
+    actually works on massive data (Chamandy, Muralidharan, Najmi & Naidu
+    2012, "Estimating Uncertainty for Massive Data Streams"; Kleiner et
+    al.'s BLB is the subsample cousin): classical bootstrap needs n draws
+    WITH replacement per replicate — unthinkable shuffles at corpus scale
+    — but each row's multiplicity in a replicate is asymptotically
+    Poisson(1), so B = 32 replicate estimates reduce to 2·B extra SUM
+    columns in the ONE aggregation pass the point estimate already does
+    (map-side combinable, zero row amplification, zero extra shuffles).
+    Per event type: the mean of value, plus a rank-based percentile CI
+    from the 32 replicate means (B = 32 puts the 2.5%/97.5% ranks at the
+    extreme order statistics — documented, the standard small-B
+    bootstrap caveat).
+
+    Determinism/parity: replicate weights come from md5(event_id ':' b)'s
+    first 8 hex chars compared against PRECOMPUTED Poisson(1)-CDF hex
+    THRESHOLD LITERALS (module constant _POIS_T) — pure string
+    comparisons, so both engines draw byte-identical weights with no
+    float CDF evaluation; the tail truncates at w = 7 (P ~ 8e-5, a
+    bounded bias both engines share identically). Weighted sums
+    accumulate w·value in exact DECIMAL, each replicate mean is one
+    double division (NULL when a replicate's total weight is 0 — dropped
+    from the sorted array identically on both sides via x/0 -> NULL ==
+    try_divide), rounding at emission only.
+
+    Scale: ONE hash aggregation over event_type carrying 64 partial-agg
+    columns; the replicate array sort is in-row over 32 doubles. At
+    100 TB the only change is swapping md5 for xxhash64 (engine-specific
+    but cheaper — this md5 form is the cross-engine-attestable anchor,
+    the established deterministic-sampling idiom)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    )
+
+    def w(b: int):
+        h = F.substring(
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f":{b}"))), 1, 8
+        )
+        expr = None
+        for k, tv in enumerate(_POIS_T):
+            cond = h < tv
+            expr = F.when(cond, k) if expr is None else expr.when(cond, k)
+        return expr.otherwise(len(_POIS_T))
+
+    aggs = []
+    for b in range(_BOOT_B):
+        wb = w(b)
+        aggs.append(F.sum(wb * F.col("v")).alias(f"s{b}"))
+        aggs.append(F.sum(wb).cast("bigint").alias(f"w{b}"))
+    cell = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("v").cast("double") / F.count("*")).alias("point"),
+        *aggs,
+    )
+    means = F.array(
+        *[
+            F.try_divide(F.col(f"s{b}").cast("double"), F.col(f"w{b}"))
+            for b in range(_BOOT_B)
+        ]
+    )
+    ms = F.sort_array(F.filter(means, lambda x: x.isNotNull()))
+    return (
+        cell.select(
+            "event_type",
+            "n",
+            F.round("point", 6).alias("point_mean"),
+            ms.alias("ms"),
+        )
+        .filter(F.size("ms") > 0)
+        .select(
+            "event_type",
+            "n",
+            "point_mean",
+            F.size("ms").cast("bigint").alias("n_replicates"),
+            F.round(F.element_at("ms", 1), 6).alias("ci_lo"),
+            F.round(F.element_at(F.col("ms"), F.size("ms")), 6).alias("ci_hi"),
+        )
+    )

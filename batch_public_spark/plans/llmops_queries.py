@@ -5362,3 +5362,236 @@ def llmops_minhash_index_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce(F.sum("dup"), F.lit(0)) > 0).alias("is_dup"),
         )
     )
+
+
+@query(
+    "llmops_ngram_lm_perplexity",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                        s -> length(s) > 0),
+                            s -> lower(s)) AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(toks[1:length(toks)-1]) AS w1,
+             unnest(toks[2:length(toks)]) AS w2
+      FROM tk WHERE length(toks) >= 2
+    ), pc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2
+    ), cc AS (
+      SELECT w1, CAST(count(*) AS BIGINT) AS c_a FROM bg GROUP BY 1
+    ), vv AS (
+      SELECT CAST(count(DISTINCT w) AS BIGINT) AS v
+      FROM (SELECT unnest(toks) AS w FROM tk)
+    ), lm AS (
+      SELECT pc.w1, pc.w2,
+             CAST(round(-ln((pc.c_ab + 0.5) / (cc.c_a + 0.5 * vv.v)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM pc JOIN cc USING (w1) CROSS JOIN vv
+    ), doc AS (
+      SELECT b.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(lm.lp) AS DOUBLE) / count(*) AS ce
+      FROM bg b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+      GROUP BY b.doc_id
+    ), mom AS (
+      SELECT CAST(sum(CAST(round(ce, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS m,
+             sqrt((CAST(sum(CAST(round(ce, 6) AS DECIMAL(18,6))
+                            * CAST(round(ce, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   - CAST(sum(CAST(round(ce, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     * CAST(sum(CAST(round(ce, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*))
+                  / nullif(count(*) - 1, 0)) AS sd
+      FROM doc
+    )
+    SELECT d.doc_id, d.n_bigrams,
+           round(d.ce, 6) AS cross_entropy,
+           round(exp(d.ce), 6) AS perplexity,
+           d.ce > mom.m + mom.sd AS flagged
+    FROM doc d CROSS JOIN mom
+    """,
+)
+def llmops_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-GRAM LANGUAGE-MODEL PERPLEXITY filtering — the CCNet gate
+    (Wenzek et al. 2020: score every document's perplexity under a
+    KenLM n-gram model and bucket the corpus by it; the quality signal
+    behind CCNet/RedPajama/FineWeb lineage): a word-bigram LM with
+    add-0.5 smoothing is trained on the corpus itself (one pass:
+    bigram counts, context counts, vocab size — production scores under
+    a HELD-OUT reference LM, but the train-and-score plumbing is
+    identical and self-scoring is the deterministic fixture form), each
+    document's cross-entropy is the mean negative log-probability of
+    its bigrams, perplexity = exp(ce), and `flagged` marks documents
+    beyond mean + 1 sd of corpus cross-entropy — the moment-based,
+    single-extra-aggregation stand-in for CCNet's percentile buckets
+    (exact percentiles over per-doc scores would need a global sort;
+    the approx_percentile swap is the eval_conformal_approx pattern).
+
+    Parity discipline: the LM stores log-probs QUANTIZED to 1e-6 in
+    exact DECIMAL — real n-gram LMs ship quantized log-probs (KenLM's
+    trie does), and here quantization is also what makes the hash
+    engine-portable: ln() runs ONCE per distinct bigram TYPE on an
+    identical double (a ratio of exact integers), its round-6 result is
+    decimal, and every per-document sum is exact decimal arithmetic —
+    double summation order cannot drift, and a last-ulp libm-vs-JVM
+    ln() difference would need to straddle a 1e-6 rounding boundary
+    (p ~ 1e-9 per type). Moments of round-6 ce accumulate the same way;
+    sqrt is IEEE-correctly-rounded, so `flagged` compares identical
+    doubles.
+
+    Scale shape: explode → two hash aggregations (bigram/context
+    counts, both map-side combinable), the vocab scalar broadcast, one
+    shuffle join of the bigram stream against the Zipf-headed LM table
+    (AQE skew-split territory, the llmops_pmi_collocations note), one
+    per-doc aggregation, one 1-row moment aggregate broadcast back.
+    Nothing exceeds the TF-IDF/BM25 family's footprint."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.transform(tokens(F.col("text")), F.lower).alias("toks")
+    )
+    bg = (
+        tk.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    "         slice(toks, 2, size(toks) - 1),"
+                    "         (x, y) -> struct(x AS w1, y AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    pc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_ab"))
+    cc = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c_a"))
+    vv = tk.select(F.explode("toks").alias("w")).agg(
+        F.countDistinct("w").cast("bigint").alias("v")
+    )
+    lm = (
+        pc.join(cc, "w1")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log((F.col("c_ab") + 0.5) / (F.col("c_a") + 0.5 * F.col("v"))), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    doc = (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            (F.sum("lp").cast("double") / F.count("*")).alias("ce"),
+        )
+    )
+    ce6 = F.round(F.col("ce"), 6).cast("decimal(18,6)")
+    mom = doc.agg(
+        (F.sum(ce6).cast("double") / F.count("*")).alias("m"),
+        F.sqrt(
+            F.try_divide(
+                F.sum(ce6 * ce6).cast("double")
+                - F.sum(ce6).cast("double") * F.sum(ce6).cast("double") / F.count("*"),
+                F.count("*") - 1,
+            )
+        ).alias("sd"),
+    )
+    return doc.crossJoin(F.broadcast(mom)).select(
+        "doc_id",
+        "n_bigrams",
+        F.round("ce", 6).alias("cross_entropy"),
+        F.round(F.exp("ce"), 6).alias("perplexity"),
+        (F.col("ce") > F.col("m") + F.col("sd")).alias("flagged"),
+    )
+
+
+# Unicode-normalization dedup fixture: canonical-equivalence classes the
+# corpus fixture (synthetic ASCII word salad) cannot exercise. Each row is
+# (doc_id, text); doc_id = 10*case + variant. Cases: precomposed vs
+# combining acute; precomposed vs combining ring vs the U+212B ANGSTROM
+# SIGN singleton; precomposed Hangul vs conjoining jamo; combining-class
+# REORDERING (dot-above/dot-below swapped); an unaccented control that
+# must NOT merge; a plain-ASCII singleton.
+_NFC_FIXTURE = [
+    (11, "café latte"),
+    (12, "café latte"),
+    (13, "cafe latte"),
+    (21, "Ångström unit"),
+    (22, "Ångström unit"),
+    (23, "Ångström unit"),
+    (31, "한국 corpus"),
+    (32, "한국 corpus"),
+    (41, "q̣̇x marker"),
+    (42, "q̣̇x marker"),
+    (51, "plain ascii control"),
+]
+
+
+def _nfc_values_sql() -> str:
+    rows = ", ".join(f"({i}, '{s}')" for i, s in _NFC_FIXTURE)
+    return f"(VALUES {rows}) AS t(doc_id, text)"
+
+
+@query(
+    "llmops_unicode_nfc_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text, nfc_normalize(text) AS norm
+      FROM {_nfc_values_sql()}
+    )
+    SELECT md5(norm) AS norm_key,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS survivor_doc,
+           CAST(count(DISTINCT text) AS BIGINT) AS n_distinct_raw,
+           max(CASE WHEN text <> norm THEN 1 ELSE 0 END) = 1 AS any_renormalized
+    FROM d GROUP BY norm
+    """,
+)
+def llmops_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE-NORMALIZED dedup keys — the curation step exact dedup
+    needs BEFORE hashing on real multilingual crawl text: canonically
+    equivalent byte sequences (precomposed U+00E9 vs e + COMBINING
+    ACUTE, the U+212B ANGSTROM singleton, conjoining Hangul jamo,
+    REORDERED combining classes) are the same text to a reader and to
+    any downstream tokenizer, but distinct bytes to md5 — so un-NFC'd
+    exact dedup under-merges and near-dup shingles silently split.
+    NFC-normalize (operators.textops.nfc_text — Arrow-batched
+    ``unicodedata``; Spark has no built-in normalizer), then first-wins
+    dedup per normalized key. Validated on an inline
+    canonical-equivalence fixture (the corpus fixture is synthetic
+    ASCII — the lang_id precedent, llmops_queries.py) whose expected
+    merges cover all four equivalence mechanisms plus two must-NOT-merge
+    controls; the oracle runs DuckDB's ICU ``nfc_normalize`` over the
+    same VALUES, so the hash attests Python-unicodedata ↔ ICU agreement
+    on every class, not just row counts.
+
+    Scale: normalization is one Arrow-batched map-side projection; the
+    dedup is the same single hash shuffle on a 16-byte key as
+    operators/dedup.py — NFC slots in front of every exact/near-dup
+    family at zero structural cost."""
+    from batch_public_spark.operators.textops import nfc_text
+
+    d = spark.createDataFrame(_NFC_FIXTURE, "doc_id long, text string").withColumn(
+        "norm", nfc_text(F.col("text"))
+    )
+    return d.groupBy("norm").agg(
+        F.count("*").cast("bigint").alias("n_variants"),
+        F.min("doc_id").cast("bigint").alias("survivor_doc"),
+        F.countDistinct("text").cast("bigint").alias("n_distinct_raw"),
+        (
+            F.max(F.when(F.col("text") != F.col("norm"), 1).otherwise(0)) == 1
+        ).alias("any_renormalized"),
+    ).select(
+        F.md5("norm").alias("norm_key"),
+        "n_variants",
+        "survivor_doc",
+        "n_distinct_raw",
+        "any_renormalized",
+    )

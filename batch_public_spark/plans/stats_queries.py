@@ -2851,3 +2851,216 @@ def dq_fdr_bh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("rk") * 0.10 / F.col("m"), 6).alias("bh_cutoff"),
         (F.col("rk") <= F.col("k")).alias("discovery"),
     )
+
+
+@query(
+    "dq_cusum_changepoint",
+    oracle="""
+    WITH ev AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+             CAST(round(value, 2) AS DECIMAL(12,2)) AS v
+      FROM events
+    ), daily AS (
+      SELECT event_type, day,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS DOUBLE) / count(*) AS dm
+      FROM ev GROUP BY 1, 2
+    ), mom AS (
+      SELECT event_type,
+             CAST(sum(CAST(round(dm, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS m,
+             sqrt((CAST(sum(CAST(round(dm, 6) AS DECIMAL(18,6))
+                            * CAST(round(dm, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   - CAST(sum(CAST(round(dm, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     * CAST(sum(CAST(round(dm, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*))
+                  / nullif(count(*) - 1, 0)) AS sd
+      FROM daily GROUP BY event_type
+    ), z AS (
+      SELECT d.event_type, d.day, d.n,
+             (d.dm - mom.m) / nullif(mom.sd, 0) AS zt,
+             CAST(round((d.dm - mom.m) / nullif(mom.sd, 0) - 0.5, 6)
+                  AS DECIMAL(18,6)) AS x6
+      FROM daily d JOIN mom USING (event_type)
+    ), cs AS (
+      SELECT event_type, day, n, zt,
+             sum(x6) OVER (PARTITION BY event_type ORDER BY day
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM z
+    ), pre AS (
+      SELECT event_type, day, n, zt, c,
+             min(c) OVER (PARTITION BY event_type ORDER BY day
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS runmin
+      FROM cs
+    )
+    SELECT event_type, day, n,
+           round(zt, 6) AS z,
+           CAST(round(c - least(runmin, 0), 6) AS DOUBLE) AS cusum,
+           (c - least(runmin, 0)) > 4.0 AS alarm
+    FROM pre
+    """,
+)
+def dq_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM CHANGE-POINT detection (Page 1954) over the daily
+    per-event-type mean — the sequential drift monitor that fires on
+    small SUSTAINED shifts the per-day z-test battery (welch/KS) misses:
+    each day's standardized deviation contributes z_t − k (drift
+    allowance k = 0.5 sd), and the one-sided CUSUM S_t = max(0,
+    S_{t−1} + z_t − k) alarms when it exceeds h = 4 — the standard
+    (k, h) = (0.5, 4) tuning (~1 false alarm per 370 in-control days).
+
+    The recursion is rewritten window-shaped via the classical identity
+    S_t = C_t − min(0, min_{j≤t} C_j) with C the prefix sum of
+    (z_t − k): a running sum plus a running min over the SAME ordered
+    frame — no recursive CTE, no fold, both engines evaluate it as two
+    window passes. Parity: daily means are exact-decimal sums divided
+    once; per-type moments use the round-6 decimal discipline; each
+    increment rounds to 6 into DECIMAL so the prefix sums are exact
+    integer-like arithmetic (no float summation-order drift anywhere);
+    an all-constant type (sd = 0) yields NULL z/cusum identically via
+    x/0 -> NULL. Scale: one hash aggregation to the bounded
+    |types| × |days| grid; windows partition by event_type — at 100 TB
+    the grid is still |types| × |days| rows, independent of corpus
+    size (the stats_queries post-aggregation contract).
+
+    The fixture corpus is IN-CONTROL by construction (no alarm row is
+    true at any SF — the hash attests the whole S_t trajectory, not
+    just the verdict bits); that the alarm actually fires on a
+    sustained shift is pinned on an injected-step series in
+    tests/test_r12_invariants.py::test_cusum_alarms_on_injected_shift,
+    which drives the same :func:`_cusum_frame` core."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day"),
+        F.round("value", 2).cast("decimal(12,2)").alias("v"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("v").cast("double") / F.count("*")).alias("dm"),
+    )
+    return _cusum_frame(daily)
+
+
+def _cusum_frame(daily: DataFrame) -> DataFrame:
+    """CUSUM core over a (event_type, day, n, dm) daily-mean frame —
+    shared by dq_cusum_changepoint and the injected-shift alarm test."""
+    dm6 = F.round(F.col("dm"), 6).cast("decimal(18,6)")
+    mom = daily.groupBy("event_type").agg(
+        (F.sum(dm6).cast("double") / F.count("*")).alias("m"),
+        F.sqrt(
+            F.try_divide(
+                F.sum(dm6 * dm6).cast("double")
+                - F.sum(dm6).cast("double") * F.sum(dm6).cast("double") / F.count("*"),
+                F.count("*") - 1,
+            )
+        ).alias("sd"),
+    )
+    zt = F.try_divide(F.col("dm") - F.col("m"), F.col("sd"))
+    z = daily.join(mom, "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        zt.alias("zt"),
+        F.round(zt - 0.5, 6).cast("decimal(18,6)").alias("x6"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cs = z.select(
+        "event_type", "day", "n", "zt", F.sum("x6").over(w).alias("c")
+    )
+    pre = cs.select(
+        "event_type", "day", "n", "zt", "c", F.min("c").over(w).alias("runmin")
+    )
+    s = F.col("c") - F.least(F.col("runmin"), F.lit(0).cast("decimal(18,6)"))
+    return pre.select(
+        "event_type",
+        "day",
+        "n",
+        F.round("zt", 6).alias("z"),
+        F.round(s, 6).cast("double").alias("cusum"),
+        (s > 4.0).alias("alarm"),
+    )
+
+
+@query(
+    "dq_dp_noisy_release",
+    oracle="""
+    WITH cnt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1
+    ), seed AS (
+      SELECT event_type, c,
+             substr(md5('dp-v1:' || event_type), 1, 6) AS h
+      FROM cnt
+    ), uni AS (
+      SELECT event_type, c,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576.0
+              + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536.0
+              + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096.0
+              + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256.0
+              + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16.0
+              + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 1.0
+              + 0.5) / 16777216.0 AS u
+      FROM seed
+    ), noise AS (
+      SELECT event_type, c,
+             round(CASE WHEN u >= 0.5 THEN -ln(1.0 - 2.0 * (u - 0.5))
+                        ELSE ln(1.0 - 2.0 * (0.5 - u)) END, 6) AS nz
+      FROM uni
+    )
+    SELECT event_type,
+           1.0 AS epsilon,
+           round(c + nz, 6) AS noisy_count,
+           abs(nz) <= 6.907755 AS within_utility_bound
+    FROM noise
+    """,
+)
+def dq_dp_noisy_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIFFERENTIALLY-PRIVATE noisy-count release (Dwork et al. 2006
+    Laplace mechanism) for the per-event-type histogram — the mechanism
+    a pipeline uses to publish corpus statistics without exposing any
+    single record: noisy = count + Laplace(b) with scale b = Δ/ε
+    (event-level sensitivity Δ = 1, ε = 1 here), and the release is
+    audited against the mechanism's own utility guarantee
+    P(|noise| > b·ln(1/δ)) = δ (δ = 0.001 → bound 6.907755...). The
+    true count is deliberately NOT an output column.
+
+    Honesty note, stated plainly: the Laplace draw here is DERIVED FROM
+    A PUBLIC DETERMINISTIC SEED (md5 of the group key, inverse-CDF
+    transformed) so the release is cross-engine ATTESTABLE — that makes
+    this a certification of the mechanism's CALIBRATION (scale, the
+    inverse-CDF transform, the utility bound), not a private release;
+    production swaps the seed for a secret hardware RNG and nothing
+    else changes. Noise is quantized to 1e-6 at the draw (round-6),
+    the standard float-DP mitigation direction (Mironov 2012's attack
+    is on raw-double Laplace).
+
+    Parity: the uniform is an exact 6-hex-digit integer (+0.5, so the
+    CDF transform never sees 0 or 1) over 2^24 — Spark derives it via
+    conv(hex,16,10), DuckDB via a strpos fold, same exact value; one
+    ln() per GROUP on identical doubles, crushed to round-6; the
+    emitted sum and the bound verdict are arithmetic on exact operands.
+    Scale: one map-side-combinable count aggregation over the bounded
+    key grid; noise attaches in-row post-aggregation."""
+    cnt = t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    h = F.substring(F.md5(F.concat(F.lit("dp-v1:"), F.col("event_type"))), 1, 6)
+    u = (F.conv(h, 16, 10).cast("bigint").cast("double") + 0.5) / 16777216.0
+    nz = F.round(
+        F.when(u >= 0.5, -F.log(1.0 - 2.0 * (u - 0.5))).otherwise(
+            F.log(1.0 - 2.0 * (0.5 - u))
+        ),
+        6,
+    )
+    return cnt.select(
+        "event_type",
+        F.lit(1.0).alias("epsilon"),
+        F.round(F.col("c") + nz, 6).alias("noisy_count"),
+        (F.abs(nz) <= 6.907755).alias("within_utility_bound"),
+    )
