@@ -132,6 +132,7 @@ _NEXT_WINDOW: list[str] = [
     "dq_cusum_changepoint",
     "dq_dp_noisy_release",
     "llmops_unicode_nfc_dedup",
+    "llmops_source_ablation",
 ]
 
 

@@ -5595,3 +5595,75 @@ def llmops_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_raw",
         "any_renormalized",
     )
+
+
+@query(
+    "llmops_source_ablation",
+    oracle=f"""
+    WITH m AS ({_QUALITY_SQL}),
+    q AS (
+      SELECT d.source,
+             CAST(ROUND(least(m.n_tok / 50.0, 1.0) * 0.3
+                   + greatest(0.0, 1.0 - m.pr * 4) * 0.3
+                   + least(m.swr * 5, 1.0) * 0.2
+                   + (CASE WHEN m.mwl >= 2.0 AND m.mwl <= 12.0
+                           THEN 1.0 ELSE 0.3 END) * 0.2, 6)
+               AS DECIMAL(10,6)) AS quality
+      FROM m JOIN documents d USING (doc_id)
+    ), per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs, sum(quality) AS s
+      FROM q GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(n_docs) AS BIGINT) AS nt, sum(s) AS st FROM per
+    )
+    SELECT p.source, p.n_docs,
+           round(CAST(p.s AS DOUBLE) / p.n_docs, 6) AS mean_quality,
+           round(CAST(t.st AS DOUBLE) / t.nt, 6) AS corpus_mean,
+           round(CAST(t.st - p.s AS DOUBLE) / nullif(t.nt - p.n_docs, 0), 6)
+             AS loo_mean,
+           round(CAST(t.st - p.s AS DOUBLE) / nullif(t.nt - p.n_docs, 0)
+                 - CAST(t.st AS DOUBLE) / t.nt, 6) AS ablation_delta
+    FROM per p CROSS JOIN tot t
+    """,
+)
+def llmops_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-SOURCE-OUT data valuation — the mixture-ablation table
+    every pretraining-data team keeps (which source, if dropped, RAISES
+    corpus quality?): for each source, the corpus-mean quality recomputed
+    WITHOUT it, and the ablation delta (loo − corpus mean; positive =
+    the source drags quality down). The trick that makes it one pass at
+    100 TB: the leave-one-out mean needs no second scan — it is pure
+    COMPLEMENT ARITHMETIC on per-source exact-decimal sums,
+    (S_total − S_src)/(N_total − N_src), so |sources| ablations cost one
+    hash aggregation + a broadcast 1-row total (a real retraining
+    ablation validates the shortlist; this query is the screen that
+    picks it — the same role the docstrings of domain_reweight/
+    domain_mix play for mixture WEIGHTS rather than membership).
+
+    Parity: per-doc quality is the Gopher/C4 composite rounded to 6
+    into DECIMAL(10,6) (the survivorship discipline), per-source and
+    total sums are exact decimal, every emitted mean is one double
+    division of exact operands; the single-source degenerate (nt == n)
+    yields NULL loo/delta identically via x/0 -> NULL."""
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        F.round(quality_score(F.col("text")), 6).cast("decimal(10,6)").alias("quality"),
+    )
+    per = d.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"), F.sum("quality").alias("s")
+    )
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("nt"), F.sum("s").alias("st")
+    )
+    loo = F.try_divide(
+        (F.col("st") - F.col("s")).cast("double"), F.col("nt") - F.col("n_docs")
+    )
+    corpus = F.col("st").cast("double") / F.col("nt")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(F.col("s").cast("double") / F.col("n_docs"), 6).alias("mean_quality"),
+        F.round(corpus, 6).alias("corpus_mean"),
+        F.round(loo, 6).alias("loo_mean"),
+        F.round(loo - corpus, 6).alias("ablation_delta"),
+    )

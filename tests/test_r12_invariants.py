@@ -182,3 +182,25 @@ def test_unicode_nfc_dedup_merges_all_equivalence_classes(spark):
     assert by_survivor[41].n_variants == 2
     assert by_survivor[13].n_variants == 1 and not by_survivor[13].any_renormalized
     assert by_survivor[51].n_variants == 1
+
+
+def test_source_ablation_complement_identity(spark):
+    """The leave-one-out shortcut's defining identity, reconstructed
+    from emitted round-6 columns: loo_mean == (Nt·corpus − n·mean)/
+    (Nt − n) within rounding tolerance for every source, the deltas are
+    not all one sign (some sources help, some hurt), and the
+    doc-weighted deltas reconcile to ~0 (ablations are zero-sum around
+    the corpus mean)."""
+    rows = QUERIES["llmops_source_ablation"].fn(spark, SF_DIR).collect()
+    assert len(rows) >= 10
+    nt = sum(r.n_docs for r in rows)
+    corpus = rows[0].corpus_mean
+    assert all(r.corpus_mean == corpus for r in rows)
+    signs = {r.ablation_delta > 0 for r in rows}
+    assert signs == {True, False}, signs
+    wsum = 0.0
+    for r in rows:
+        expected_loo = (nt * corpus - r.n_docs * r.mean_quality) / (nt - r.n_docs)
+        assert abs(r.loo_mean - expected_loo) < 5e-5, (r, expected_loo)
+        wsum += (nt - r.n_docs) * r.ablation_delta
+    assert abs(wsum) < 5e-2 * nt * 1e-3 + 0.05, wsum
