@@ -133,6 +133,7 @@ _NEXT_WINDOW: list[str] = [
     "dq_dp_noisy_release",
     "llmops_unicode_nfc_dedup",
     "llmops_source_ablation",
+    "llmops_filter_disparity_audit",
 ]
 
 

@@ -5667,3 +5667,96 @@ def llmops_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(loo, 6).alias("loo_mean"),
         F.round(loo - corpus, 6).alias("ablation_delta"),
     )
+
+
+@query(
+    "llmops_filter_disparity_audit",
+    oracle=f"""
+    WITH m AS ({_QUALITY_SQL}),
+    q AS (
+      SELECT lang,
+             CAST(ROUND(least(n_tok / 50.0, 1.0) * 0.3
+                   + greatest(0.0, 1.0 - pr * 4) * 0.3
+                   + least(swr * 5, 1.0) * 0.2
+                   + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0
+                           THEN 1.0 ELSE 0.3 END) * 0.2, 6)
+               AS DECIMAL(10,6)) AS quality
+      FROM m
+    ), thr AS (
+      SELECT CAST(sum(quality) AS DOUBLE) / count(*) AS cut FROM q
+    ), per AS (
+      SELECT q.lang,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN CAST(q.quality AS DOUBLE) >= thr.cut
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_retained
+      FROM q CROSS JOIN thr GROUP BY q.lang
+    ), mx AS (
+      SELECT max(CAST(n_retained AS DOUBLE) / n_docs) AS best FROM per
+    )
+    SELECT p.lang, p.n_docs, p.n_retained,
+           round(CAST(p.n_retained AS DOUBLE) / p.n_docs, 6) AS retention,
+           round((CAST(p.n_retained AS DOUBLE) / p.n_docs) / mx.best, 6)
+             AS ratio_vs_best,
+           (CAST(p.n_retained AS DOUBLE) / p.n_docs) / mx.best < 0.8
+             AS four_fifths_flag
+    FROM per p CROSS JOIN mx
+    """,
+)
+def llmops_filter_disparity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTER DISPARITY audit — the Dodge et al. 2021 C4-audit question
+    ("whose documents does the quality filter remove?") as a standing
+    gate: quality filters tuned on majority-language text systematically
+    under-retain other languages/dialects, so per language this reports
+    the retention rate under the corpus gate (threshold = corpus-mean
+    quality — data-derived, so the gate is non-degenerate at every SF),
+    the ratio against the best-retained group, and the EEOC FOUR-FIFTHS
+    verdict (ratio < 0.8 ⇒ the filter's disparate impact on that group
+    needs review before the corpus ships). Run it after every filter
+    change, next to llmops_quality_filter (which reports raw keep/drop
+    counts but renders no disparity verdict).
+
+    Parity: per-doc quality is the round-6 DECIMAL composite (the
+    survivorship/ablation discipline), the threshold is one double
+    division of exact sums, retention counts are integer CASE-sums, and
+    each ratio divides exact operands once, rounding at emission; the
+    four-fifths comparison runs on identical pre-round doubles in both
+    engines. Scale: one scan-stage projection, one 1-row threshold
+    aggregate broadcast back, one hash aggregation on the bounded lang
+    key, one 1-row max broadcast — nothing exceeds the quality_filter
+    footprint."""
+    d = t(spark, sf_dir, "documents").select(
+        "lang",
+        F.round(quality_score(F.col("text")), 6).cast("decimal(10,6)").alias("quality"),
+    )
+    thr = d.agg((F.sum("quality").cast("double") / F.count("*")).alias("cut"))
+    per = (
+        d.crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum(
+                F.when(F.col("quality").cast("double") >= F.col("cut"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_retained"),
+        )
+    )
+    return _four_fifths_verdict(per)
+
+
+def _four_fifths_verdict(per: DataFrame) -> DataFrame:
+    """Disparity verdict over a (lang, n_docs, n_retained) frame — shared
+    by llmops_filter_disparity_audit and the injected-disparity test (the
+    fixture corpus is word-salad with no real language disparity, so the
+    registered query's flag column is attested all-false; the flag path
+    is exercised in tests/test_r12_invariants.py)."""
+    rate = F.col("n_retained").cast("double") / F.col("n_docs")
+    mx = per.agg(F.max(rate).alias("best"))
+    return per.crossJoin(F.broadcast(mx)).select(
+        "lang",
+        "n_docs",
+        "n_retained",
+        F.round(rate, 6).alias("retention"),
+        F.round(rate / F.col("best"), 6).alias("ratio_vs_best"),
+        (rate / F.col("best") < 0.8).alias("four_fifths_flag"),
+    )

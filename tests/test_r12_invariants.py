@@ -204,3 +204,22 @@ def test_source_ablation_complement_identity(spark):
         assert abs(r.loo_mean - expected_loo) < 5e-5, (r, expected_loo)
         wsum += (nt - r.n_docs) * r.ablation_delta
     assert abs(wsum) < 5e-2 * nt * 1e-3 + 0.05, wsum
+
+
+def test_filter_disparity_flags_injected_disparity(spark):
+    """The four-fifths flag, exercised (the word-salad fixture has no
+    real language disparity, so the registered audit's flags are
+    attested all-false): a synthetic per-group frame where one group
+    retains at half the best group's rate must flag exactly that group,
+    and the best group's ratio must be exactly 1."""
+    from batch_public_spark.plans.llmops_queries import _four_fifths_verdict
+
+    per = spark.createDataFrame(
+        [("maj", 1000, 800), ("ok", 500, 350), ("min", 400, 160)],
+        "lang string, n_docs long, n_retained long",
+    )
+    rows = {r.lang: r for r in _four_fifths_verdict(per).collect()}
+    assert rows["maj"].ratio_vs_best == 1.0 and not rows["maj"].four_fifths_flag
+    assert not rows["ok"].four_fifths_flag           # 0.7/0.8 = 0.875
+    assert rows["min"].four_fifths_flag              # 0.4/0.8 = 0.5
+    assert rows["min"].ratio_vs_best == 0.5
