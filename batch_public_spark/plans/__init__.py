@@ -33,79 +33,15 @@ from batch_public_spark.plans import eval_mining_queries  # noqa: F401  # eval/m
 # driver-attested, in this window, or in _NEXT_WINDOW (and that
 # _NEXT_WINDOW fits a single future window).
 _PRIORITY = [
-    # Round 12 rotation. Head = the ENTIRE r11 _NEXT_WINDOW backlog (34
-    # names, verdict-r11 item #1): 13 r11 additions with no driver
-    # attestation on record, then the 21 post-rotation/degenerate-guard
-    # re-attests. The r11-ADVICE fixes (try_divide in did/zstat/MAPE,
-    # simhash pre-spread NULL filter, changelog permissive type guard)
-    # all touch names inside this head, so they attest with the fixes in.
-    # Tail = 16 stalest refreshes (the r2-attested cohort, stalest-first
-    # per verdict item #7); the remaining 16 r2 names are scheduled in
-    # _NEXT_WINDOW below.
-    # --- r11 additions, never in a CORRECTNESS record ---
-    "llmops_bitext_margin_mining",
-    "agg_bitmap_distinct_rollup",
-    "llmops_quality_survivorship",
-    "llmops_sorted_neighborhood_blocking",
-    "llmops_rendezvous_shard_routing",
-    "eval_conformal_coverage",
-    "eval_ips_policy_value",
-    "events_did_estimator",
-    "dq_fdr_bh_gate",
-    "stream_changelog_tail_agg",
-    "llmops_minhash_index_expire",
-    "eval_bradley_terry_ratings",
-    "eval_woe_iv_binning",
-    # --- late-r11 degenerate-guard / post-rotation re-attests ---
-    "llmops_knn_graph_audit",
-    "events_markov_stationary",
-    "events_forecast_backtest",
-    "source_partitioned_pruning",
-    "source_binaryfile_ingest",
-    "join_dynamic_partition_pruning",
-    "llmops_simhash_neardup",
-    "llmops_embedding_neardup",
-    "llmops_ann_lsh",
-    "llmops_ann_ivf",
-    "llmops_ann_ivf_lloyd_recall",
-    "llmops_ann_nprobe_sweep",
-    "llmops_embedding_normalize",
-    "llmops_embedding_norm_arrow",
-    "llmops_domain_reweight",
-    "llmops_token_count_compare",
-    "events_survival_curve",
-    "llmops_weighted_sample",
-    "dq_welch_ttest_drift",
-    "llmops_code_detect",
-    "dq_arrival_gap_audit",
-    # --- stalest-first refreshes: 16 of the 32 remaining r2-attested
-    # names (alphabetical; the other 16 are first in _NEXT_WINDOW) ---
-    "agg_bool_filtered",
-    "agg_median_orders",
-    "agg_string_concat",
-    "array_sequence_fold",
-    "lateral_top2_per_nation",
-    "llmops_bloom_dedup",
-    "llmops_chunk_documents",
-    "llmops_decontaminate",
-    "llmops_dedup_exact",
-    "llmops_domain_mix",
-    "llmops_pii_redact",
-    "llmops_quality_classifier",
-    "llmops_repetition_filter",
-    "llmops_sequence_pack",
-    "llmops_source_overlap",
-    "llmops_stratified_sample",
-]
-
-# Overflow queue for names that do not fit the current 50-entry window;
-# they are the mandatory head of the next round's _PRIORITY rotation.
-# tests/test_registry_rotation.py fails if a registered query is in none of
-# {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}.
-_NEXT_WINDOW: list[str] = [
-    # The second half of the r2-attested stale cohort (refresh scheduled
-    # for the r13 window head; after it lands, no attestation predates
-    # r3 and the cohort math closes verdict-r11 item #7).
+    # Round 13 rotation. Head = the ENTIRE r12 _NEXT_WINDOW (27 names,
+    # verdict-r12 item #1): 16 r2-cohort stale refreshes (the second half
+    # of the r2-attested cohort — after they land, no attestation predates
+    # r3), then the 11 r12 additions with zero driver attestations.
+    # Tail = 23 stalest refreshes from the r3-attested cohort (35 names,
+    # alphabetical; the remaining 12 are first in _NEXT_WINDOW — once r14
+    # attests those, the r2 AND r3 cohorts are fully refreshed, closing
+    # verdict-r12 item #3).
+    # --- r2-cohort refreshes (second half, scheduled r12) ---
     "llmops_tfidf_top_terms",
     "llmops_train_shuffle",
     "q12_late_priority",
@@ -122,7 +58,7 @@ _NEXT_WINDOW: list[str] = [
     "values_inline_dim_join",
     "window_first_last_nth",
     "window_percent_rank",
-    # --- r12 additions (registered this round, attest in r13) ---
+    # --- r12 additions, never in a CORRECTNESS record ---
     "eval_dr_policy_value",
     "eval_conformal_approx",
     "llmops_bitext_margin_ann",
@@ -134,6 +70,54 @@ _NEXT_WINDOW: list[str] = [
     "llmops_unicode_nfc_dedup",
     "llmops_source_ablation",
     "llmops_filter_disparity_audit",
+    # --- stalest-first refreshes: 23 of the 35 r3-attested names
+    # (alphabetical; the other 12 lead _NEXT_WINDOW) ---
+    "agg_hll_union_region",
+    "agg_regr_price_qty",
+    "date_trunc_weekday_matrix",
+    "events_daily_retention",
+    "events_funnel_conversion",
+    "events_sessionize_gap",
+    "events_transition_matrix",
+    "join_null_safe_eq",
+    "llmops_bigram_logprob_score",
+    "llmops_embedding_quantize",
+    "llmops_fingerprint_md5",
+    "llmops_fingerprint_modp_pairs",
+    "llmops_lang_id",
+    "llmops_language_split",
+    "llmops_length_histogram",
+    "llmops_minhash_candidates",
+    "llmops_minhash_dedup",
+    "llmops_multimodal_features",
+    "llmops_multimodal_metadata",
+    "llmops_multimodal_resize",
+    "llmops_quality_filter",
+    "llmops_source_token_entropy",
+    "llmops_train_val_test_split",
+]
+
+# Overflow queue for names that do not fit the current 50-entry window;
+# they are the mandatory head of the next round's _PRIORITY rotation.
+# tests/test_registry_rotation.py fails if a registered query is in none of
+# {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}.
+_NEXT_WINDOW: list[str] = [
+    # The last 12 of the r3-attested stale cohort (refresh scheduled for
+    # the r14 window head; after it lands, no attestation predates r5 and
+    # the cohort math closes verdict-r12 item #3).
+    "pipeline_dedup_key_priority",
+    "pipeline_llm_roundtrip",
+    "pipeline_parse_outputs",
+    "pipeline_request_build",
+    "pipeline_watermark_filter",
+    "scalar_try_cast_battery",
+    "stream_dedup_watermark",
+    "stream_session_windows",
+    "stream_sliding_counts",
+    "stream_stateful_running_max",
+    "string_funcs_extended",
+    "window_cume_dist_orders",
+    # --- r13 additions (registered this round, attest in r14) ---
 ]
 
 
