@@ -173,8 +173,9 @@ class SegmentRange(InputPartition):
 
 
 def _segment_files(path: str) -> List[str]:
-    if os.path.isfile(path):
-        return [path]
+    # Directory-only contract (enforced at reader construction): offsets
+    # key segments by basename, so a bare-file path could not round-trip
+    # through partitions() anyway.
     if not os.path.isdir(path):
         return []
     out = []
@@ -226,6 +227,17 @@ class _SegmentedChangelogStreamReader(DataSourceStreamReader):
         self._path = options.get("path")
         if not self._path:
             raise ValueError("kvchangelog_segments requires option 'path'")
+        # Offsets key segments by basename and partitions() reconstructs
+        # os.path.join(path, basename); a single-FILE path would plan
+        # '<file>/<basename>' and fail only at task read time, so reject
+        # it up front (the single-file case is the plain "kvchangelog"
+        # tail reader's job).
+        if os.path.isfile(self._path):
+            raise ValueError(
+                "kvchangelog_segments expects a DIRECTORY of append-only "
+                f"segment files, got a file: {self._path!r}; use "
+                "format('kvchangelog') for a single-file tail"
+            )
         self._permissive = options.get("mode", "strict").lower() == "permissive"
         self._fields = [(f.name, f.dataType.simpleString()) for f in schema.fields]
 
@@ -242,9 +254,26 @@ class _SegmentedChangelogStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         seen = start.get("segs", {})
+        frontier = end.get("segs", {})
+        # Append-only contract: a committed segment must still exist and
+        # its frontier must not have moved backwards. A truncated,
+        # replaced, or deleted segment is DATA LOSS — surface it instead
+        # of silently replanning around it (the record-level analogue is
+        # strict-mode parse failure).
+        regressed = {
+            name: (int(pos), frontier.get(name))
+            for name, pos in seen.items()
+            if name not in frontier or int(frontier[name]) < int(pos)
+        }
+        if regressed:
+            raise RuntimeError(
+                "kvchangelog_segments: append-only contract violated — "
+                "committed offsets exceed the current frontier (segment "
+                f"truncated/replaced/deleted): {regressed}"
+            )
         parts = [
             SegmentRange(os.path.join(self._path, name), int(seen.get(name, 0)), int(pos))
-            for name, pos in sorted(end.get("segs", {}).items())
+            for name, pos in sorted(frontier.items())
             if int(pos) > int(seen.get(name, 0))
         ]
         # Spark requires >= 1 partition per batch even when no segment

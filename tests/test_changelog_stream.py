@@ -260,3 +260,43 @@ def test_segmented_changelog_last_newline_frontier(tmp_path):
     big = b"x" * (1 << 17)  # 128 KiB of newline-less tail after one record
     p.write_bytes(b'{"k": 1}\n' + big)
     assert _last_newline_end(str(p)) == len(b'{"k": 1}\n')
+
+
+def test_segmented_changelog_rejects_single_file_path(tmp_path):
+    """r12-ADVICE fix #1: offsets key segments by basename and
+    partitions() reconstructs join(path, basename), so a single-FILE
+    path can never replay correctly — it must be rejected at reader
+    construction, not at task read time."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from batch_public_spark.sources.changelog import _SegmentedChangelogStreamReader
+
+    f = tmp_path / "log.jsonl"
+    f.write_text('{"k": 1}\n')
+    schema = StructType([StructField("k", LongType())])
+    with pytest.raises(ValueError, match="DIRECTORY"):
+        _SegmentedChangelogStreamReader(schema, {"path": str(f)})
+    # a directory (even a not-yet-existing one) is fine
+    _SegmentedChangelogStreamReader(schema, {"path": str(tmp_path)})
+    _SegmentedChangelogStreamReader(schema, {"path": str(tmp_path / "later")})
+
+
+def test_segmented_changelog_raises_on_frontier_regression():
+    """r12-ADVICE fix #2: a committed offset past the current frontier
+    (segment truncated or replaced) or a committed segment that vanished
+    is DATA LOSS under the append-only contract — partitions() must
+    raise, not silently skip the segment."""
+    from pyspark.sql.types import LongType, StructField, StructType
+    from batch_public_spark.sources.changelog import _SegmentedChangelogStreamReader
+
+    schema = StructType([StructField("k", LongType())])
+    rdr = _SegmentedChangelogStreamReader(schema, {"path": "/tmp/nowhere"})
+    committed = {"segs": {"a.jsonl": 100, "b.jsonl": 50}}
+    truncated = {"segs": {"a.jsonl": 40, "b.jsonl": 50}}
+    with pytest.raises(RuntimeError, match="append-only"):
+        rdr.partitions(committed, truncated)
+    vanished = {"segs": {"b.jsonl": 50}}
+    with pytest.raises(RuntimeError, match="append-only"):
+        rdr.partitions(committed, vanished)
+    # equal frontier (no advance) is quiescence, not regression
+    idle = rdr.partitions(committed, committed)
+    assert len(idle) == 1 and idle[0].end == idle[0].start
