@@ -118,6 +118,7 @@ _NEXT_WINDOW: list[str] = [
     "string_funcs_extended",
     "window_cume_dist_orders",
     # --- r13 additions (registered this round, attest in r14) ---
+    "llmops_bpe_train_merges",
 ]
 
 

@@ -5224,6 +5224,168 @@ def llmops_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_TRAIN_K = 5
+
+
+def _bpe_train_oracle(k: int) -> str:
+    """Programmatically unrolled k-iteration BPE trainer oracle (DuckDB):
+    each iteration is one weighted pair-count aggregation over the token
+    TYPE table + a replace() rewrite with the winning pair — the same
+    lazy chain the Spark plan composes."""
+    parts = [
+        r"""
+    WITH d AS (
+      SELECT lower(tk.tok) AS tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                              s -> length(s) > 0)) AS tk(tok)
+      WHERE doc_id < 400
+    ), ty AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM d GROUP BY tok
+    ), s0 AS (
+      SELECT ' ' || trim(regexp_replace(tok, '(.)', '\1 ', 'g')) || ' ' AS sym,
+             freq
+      FROM ty
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", p{i} AS (
+      SELECT t.l[g.i] || ' ' || t.l[g.i + 1] AS pair, t.freq
+      FROM (SELECT string_split(trim(sym), ' ') AS l, freq FROM s{i - 1}) t,
+           UNNEST(generate_series(1, len(t.l) - 1)) AS g(i)
+    ), w{i} AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n
+      FROM p{i} GROUP BY pair ORDER BY n DESC, pair LIMIT 1
+    ), s{i} AS (
+      SELECT replace(sym, ' ' || w.pair || ' ',
+                     ' ' || replace(w.pair, ' ', '') || ' ') AS sym, freq
+      FROM s{i - 1} CROSS JOIN w{i} w
+    )"""
+        )
+    wins = "\n      UNION ALL\n      ".join(
+        f"SELECT {i} AS iter, pair, n FROM w{i}" for i in range(1, k + 1)
+    )
+    parts.append(
+        f""", v AS (
+      SELECT md5(array_to_string(list_sort(list(s)), '|')) AS vocab_hash,
+             CAST(count(*) AS BIGINT) AS vocab_size
+      FROM (SELECT DISTINCT unnest(string_split(trim(sym), ' ')) AS s
+            FROM s{k}) u
+      WHERE length(s) >= 1
+    ), wins AS (
+      {wins}
+    )
+    SELECT CAST(iter AS BIGINT) AS iter, pair,
+           replace(pair, ' ', '') AS merged, n, v.vocab_hash, v.vocab_size
+    FROM wins CROSS JOIN v"""
+    )
+    return "".join(parts)
+
+
+@query("llmops_bpe_train_merges", oracle=_bpe_train_oracle(_BPE_TRAIN_K))
+def llmops_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge TRAINING — the learning loop the first_merges/apply pair
+    bracketed (verdict-r12 item #4): K = 5 iterations of pick the
+    highest-weighted adjacent SYMBOL pair, merge it, recount — true BPE,
+    where from iteration 2 on the candidate pairs include previously
+    merged symbols (first_merges ranks raw character pairs only). Output:
+    one row per iteration (chosen pair, merged symbol, weighted count)
+    plus the final surviving-symbol vocabulary hash/size — the artifact a
+    tokenizer team version-controls. Third iterative algorithm family
+    beside pca_power and markov_stationary, same lazy-composition shape.
+
+    Spark-first, the textbook trainer decomposition: the CORPUS is
+    scanned once into the token TYPE table (distinct token, frequency) —
+    the iterative loop then runs entirely over types, which is orders of
+    magnitude smaller than the corpus at any scale (Sennrich et al.
+    2016's word-frequency dict). The type table localCheckpoints
+    (eager=False) so K iterations re-read a materialized frame, not the
+    parquet scan; each iteration is ONE map-side-combinable weighted
+    pair-count aggregation (pairs fold in-row via zip_with over the
+    symbol array — no join), a TakeOrdered-1 winner, and a broadcast
+    1-row rewrite — the pca_power v-broadcast shape. Trained on a
+    literal-bounded sample (doc_id < 400) because that is what trainers
+    do at corpus scale (a capped reservoir sample), and it keeps the
+    K-deep lazy plan fixture-priced. At 100 TB: same plan over a sampled
+    type table, with a per-iteration driver-collected winner replacing
+    the lazy chain past K≈50 (one 1-row collect per iteration is
+    control-plane, the Lloyd-centroid convention).
+
+    Merge application inherits llmops_bpe_apply_merges' pinned
+    convention: space-delimited symbols, each merge rewrites with its
+    surrounding spaces via single-pass non-overlapping replace() —
+    boundary-safe, engine-identical ('a a a' → 'aa a'). Counts are
+    exact integers; the vocab hash is md5 over the '|'-joined
+    binary-sorted symbol set (collation-free in both engines).
+    tests/test_r13_invariants.py pins that re-applying the learned merge
+    list in rank order reproduces the trainer's final segmentation."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = d.select(
+        F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("tok")
+    )
+    types = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.trim(F.regexp_replace("tok", "(.)", "$1 ")),
+                F.lit(" "),
+            ).alias("sym"),
+            "freq",
+        )
+        .localCheckpoint(eager=False)  # K iterations re-read this frame
+    )
+    sym_df = types
+    winners = []
+    for i in range(1, _BPE_TRAIN_K + 1):
+        syms = F.split(F.trim(F.col("sym")), " ")
+        n_sym = F.size(syms)
+        prs = F.zip_with(
+            F.slice(syms, 1, n_sym - 1),
+            F.slice(syms, 2, n_sym - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        pc = (
+            sym_df.filter(F.size(F.split(F.trim(F.col("sym")), " ")) >= 2)
+            .select(F.explode(prs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+        )
+        win = pc.orderBy(F.desc("n"), "pair").limit(1)
+        winners.append(
+            win.select(
+                F.lit(i).cast("bigint").alias("iter"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "n",
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        rep = F.concat(
+            F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        sym_df = sym_df.crossJoin(F.broadcast(win.select("pair"))).select(
+            F.replace(F.col("sym"), pat, rep).alias("sym"), "freq"
+        )
+    vocab = (
+        sym_df.select(F.explode(F.split(F.trim("sym"), " ")).alias("s"))
+        .filter(F.length("s") >= 1)
+        .distinct()
+        .agg(
+            F.md5(F.concat_ws("|", F.array_sort(F.collect_list("s")))).alias(
+                "vocab_hash"
+            ),
+            F.count("*").cast("bigint").alias("vocab_size"),
+        )
+    )
+    out = winners[0]
+    for w_df in winners[1:]:
+        out = out.unionAll(w_df)
+    return out.crossJoin(F.broadcast(vocab))
+
+
 @query(
     "events_rate_limit_sim",
     oracle="""
