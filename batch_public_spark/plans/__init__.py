@@ -119,6 +119,9 @@ _NEXT_WINDOW: list[str] = [
     "window_cume_dist_orders",
     # --- r13 additions (registered this round, attest in r14) ---
     "llmops_bpe_train_merges",
+    "eval_conformal_mondrian",
+    "dq_dp_budget_accountant",
+    "llmops_corpus_build_e2e",
 ]
 
 

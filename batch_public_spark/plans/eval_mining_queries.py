@@ -3750,6 +3750,212 @@ def eval_conformal_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eval_conformal_mondrian",
+    oracle="""
+    WITH ev0 AS (
+      SELECT event_id, value,
+             substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS d,
+             substr(md5(CAST(event_id AS VARCHAR)), 2, 1) AS d2
+      FROM events
+    ), g0 AS (
+      SELECT event_id, value, d,
+             CASE WHEN d2 IN ('0','2','4','6') THEN 'major0'
+                  WHEN d2 IN ('1','3','5','7') THEN 'major1'
+                  WHEN d2 IN ('8','9','a','b','c','d') THEN 'mid'
+                  WHEN d2 = 'e' THEN 'rare_e' ELSE 'rare_f' END AS g
+      FROM ev0
+    ), ge AS (
+      SELECT *, CASE WHEN g LIKE 'major%' THEN 'c_major'
+                     WHEN g = 'mid' THEN 'c_mid' ELSE 'c_rare' END AS gc
+      FROM g0
+    ), model AS (
+      SELECT CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS yhat
+      FROM ge WHERE d BETWEEN '0' AND '7'
+    ), calib AS (
+      SELECT e.g, e.gc, e.event_id, abs(e.value - m.yhat) AS score
+      FROM ge e CROSS JOIN model m WHERE e.d IN ('8', '9', 'a', 'b')
+    ), total AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM calib),
+    rf AS (
+      SELECT g, gc, score,
+             row_number() OVER (PARTITION BY g ORDER BY score, event_id) AS rn,
+             count(*) OVER (PARTITION BY g) AS n
+      FROM calib
+    ), qf AS (
+      SELECT g, gc, CAST(n AS BIGINT) AS n_calib, score AS qhat_group
+      FROM rf WHERE rn = least(CAST(ceil(0.9 * (n + 1)) AS BIGINT), n)
+    ), rc AS (
+      SELECT gc, score,
+             row_number() OVER (PARTITION BY gc ORDER BY score, event_id) AS rn,
+             count(*) OVER (PARTITION BY gc) AS n
+      FROM calib
+    ), qc AS (
+      SELECT gc, score AS qhat_coarse
+      FROM rc WHERE rn = least(CAST(ceil(0.9 * (n + 1)) AS BIGINT), n)
+    ), q AS (
+      SELECT qf.g, qf.gc, qf.n_calib,
+             qf.n_calib * 10 < t.n_total AS used_fallback,
+             qf.qhat_group, qc.qhat_coarse,
+             CASE WHEN qf.n_calib * 10 < t.n_total THEN qc.qhat_coarse
+                  ELSE qf.qhat_group END AS qhat_used
+      FROM qf JOIN qc USING (gc) CROSS JOIN total t
+    ), tst AS (
+      SELECT e.g, abs(e.value - m.yhat) AS score
+      FROM ge e CROSS JOIN model m WHERE e.d IN ('c', 'd', 'e', 'f')
+    )
+    SELECT q.g, q.gc, q.n_calib, q.used_fallback,
+           round(q.qhat_group, 6) AS qhat_group,
+           round(q.qhat_coarse, 6) AS qhat_coarse,
+           round(q.qhat_used, 6) AS qhat_used,
+           CAST(count(*) AS BIGINT) AS n_test,
+           CAST(sum(CASE WHEN t.score <= q.qhat_used THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_covered,
+           round(CAST(sum(CASE WHEN t.score <= q.qhat_used THEN 1 ELSE 0 END)
+                      AS DOUBLE) / count(*), 6) AS coverage
+    FROM tst t JOIN q USING (g)
+    GROUP BY q.g, q.gc, q.n_calib, q.used_fallback,
+             q.qhat_group, q.qhat_coarse, q.qhat_used
+    """,
+)
+def eval_conformal_mondrian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MONDRIAN (group-conditional) split conformal with a small-group
+    fallback (verdict-r12 item #6) — the variant a risk team ships when
+    groups have unequal difficulty AND unequal mass: each group gets its
+    own calibration quantile q̂_g (the per-group conditional guarantee),
+    but a group too small to calibrate reliably falls back to its COARSE
+    parent's quantile. Groups are md5-derived and deliberately skewed
+    (major0/major1 25% each, mid 37.5%, rare_e/rare_f 6.25% each); the
+    fallback rule is scale-free — a group falls back when it holds under
+    10% of the calibration mass (n_calib·10 < N) — so rare_e/rare_f fall
+    back at EVERY SF and the path is pinnable, not fixture luck.
+
+    Fallback target is the HIERARCHICAL parent (major*→c_major, mid→
+    c_mid, rare_*→c_rare), not the global quantile, for two reasons: a
+    Mondrian taxonomy coarsens, it doesn't discard conditioning (Vovk's
+    Mondrian taxonomies are nested partitions); and a global exact rank
+    is an unpartitioned sort — the coarse quantile keeps every window
+    partitioned (lint-clean) at any scale. The exact ⌈0.9·(n+1)⌉ rank,
+    split digits, and trivial point model are shared verbatim with
+    eval_conformal_coverage, so the marginal gate and this conditional
+    one certify the same mechanism.
+
+    Parity: same decimal-exact model mean, identical IEEE score
+    subtraction, integer rank arithmetic, integer×10 fallback predicate,
+    round-6 only at emission (coverage booleans compare pre-round
+    doubles). Scale: two partitioned rank windows (fine key, coarse
+    key) + one 1-row broadcast total; at 100 TB both windows swap to
+    approx_percentile per eval_conformal_approx's certified recipe."""
+    md = F.md5(F.col("event_id").cast("string"))
+    d2 = F.substring(md, 2, 1)
+    gf = (
+        F.when(d2.isin("0", "2", "4", "6"), "major0")
+        .when(d2.isin("1", "3", "5", "7"), "major1")
+        .when(d2.isin("8", "9", "a", "b", "c", "d"), "mid")
+        .when(d2 == "e", "rare_e")
+        .otherwise("rare_f")
+    )
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        F.substring(md, 1, 1).alias("d"),
+        gf.alias("g"),
+    )
+    ev = ev.withColumn(
+        "gc",
+        F.when(F.col("g").startswith("major"), "c_major")
+        .when(F.col("g") == "mid", "c_mid")
+        .otherwise("c_rare"),
+    )
+    model = ev.filter(F.col("d").between("0", "7")).agg(
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")
+        ).alias("yhat")
+    )
+    calib = (
+        ev.filter(F.col("d").isin("8", "9", "a", "b"))
+        .crossJoin(F.broadcast(model))
+        .select(
+            "g", "gc", "event_id", F.abs(F.col("value") - F.col("yhat")).alias("score")
+        )
+    )
+    total = calib.agg(F.count("*").cast("bigint").alias("n_total"))
+    rank_at = F.least(F.ceil(0.9 * (F.col("n") + 1)).cast("bigint"), F.col("n"))
+    wf = W.partitionBy("g")
+    qf = (
+        calib.select(
+            "g",
+            "gc",
+            "score",
+            F.row_number().over(wf.orderBy("score", "event_id")).alias("rn"),
+            F.count("*").over(wf).alias("n"),
+        )
+        .filter(F.col("rn") == rank_at)
+        .select(
+            "g",
+            "gc",
+            F.col("n").cast("bigint").alias("n_calib"),
+            F.col("score").alias("qhat_group"),
+        )
+    )
+    wc = W.partitionBy("gc")
+    qc = (
+        calib.select(
+            "gc",
+            "score",
+            F.row_number().over(wc.orderBy("score", "event_id")).alias("rn"),
+            F.count("*").over(wc).alias("n"),
+        )
+        .filter(F.col("rn") == rank_at)
+        .select("gc", F.col("score").alias("qhat_coarse"))
+    )
+    fallback = F.col("n_calib") * 10 < F.col("n_total")
+    q = (
+        qf.join(qc, "gc")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "g",
+            "gc",
+            "n_calib",
+            fallback.alias("used_fallback"),
+            "qhat_group",
+            "qhat_coarse",
+            F.when(fallback, F.col("qhat_coarse"))
+            .otherwise(F.col("qhat_group"))
+            .alias("qhat_used"),
+        )
+    )
+    tst = (
+        ev.filter(F.col("d").isin("c", "d", "e", "f"))
+        .crossJoin(F.broadcast(model))
+        .select("g", F.abs(F.col("value") - F.col("yhat")).alias("score"))
+    )
+    covered = F.sum(F.when(F.col("score") <= F.col("qhat_used"), 1).otherwise(0))
+    return (
+        tst.join(q, "g")
+        .groupBy(
+            "g", "gc", "n_calib", "used_fallback",
+            "qhat_group", "qhat_coarse", "qhat_used",
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_test"),
+            covered.cast("bigint").alias("n_covered"),
+            F.round(covered.cast("double") / F.count("*"), 6).alias("coverage"),
+        )
+        .select(
+            "g",
+            "gc",
+            "n_calib",
+            "used_fallback",
+            F.round("qhat_group", 6).alias("qhat_group"),
+            F.round("qhat_coarse", 6).alias("qhat_coarse"),
+            F.round("qhat_used", 6).alias("qhat_used"),
+            "n_test",
+            "n_covered",
+            "coverage",
+        )
+    )
+
+
+@query(
     "eval_ips_policy_value",
     oracle="""
     WITH ev AS (

@@ -1336,6 +1336,310 @@ def llmops_dedup_cascade_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llmops_corpus_build_e2e",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, lang, source FROM documents),
+    n0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base),
+    s1 AS (SELECT MIN(doc_id) AS doc_id FROM base GROUP BY md5({_NORM})),
+    n1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s1),
+    s2 AS (
+      SELECT MIN(b.doc_id) AS doc_id
+      FROM base b JOIN s1 ON s1.doc_id = b.doc_id
+      GROUP BY array_to_string(
+        (list_filter(string_split_regex(trim(lower(b.text)), '\\s+'),
+                     x -> length(x) > 0))[1:8], ' ')
+    ),
+    n2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s2),
+    sh AS (
+      SELECT b.doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len({_TOKS_NORM}) - 2, 1) + 1),
+               i -> array_to_string(({_TOKS_NORM})[i:i+2], ' '))) AS sh
+      FROM base b JOIN s2 ON s2.doc_id = b.doc_id
+      WHERE b.doc_id < 150
+    ),
+    removed3 AS (
+      SELECT DISTINCT b.doc_id
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh)) * 2
+            >= len(list_distinct(list_concat(a.sh, b.sh)))
+    ),
+    n3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM removed3),
+    s3 AS (
+      SELECT doc_id FROM s2
+      WHERE doc_id NOT IN (SELECT doc_id FROM removed3)
+    ),
+    qm AS (
+      SELECT m.doc_id,
+             CAST(ROUND(least(n_tok / 50.0, 1.0) * 0.3
+                   + greatest(0.0, 1.0 - pr * 4) * 0.3
+                   + least(swr * 5, 1.0) * 0.2
+                   + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0
+                           THEN 1.0 ELSE 0.3 END) * 0.2, 6)
+               AS DECIMAL(10,6)) AS quality
+      FROM ({_QUALITY_SQL}) m JOIN s3 ON s3.doc_id = m.doc_id
+    ),
+    s4 AS (SELECT doc_id, quality FROM qm WHERE quality >= 0.5),
+    n4 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s4),
+    qavg AS (
+      SELECT round(CAST(sum(quality) AS DOUBLE) / count(*), 6) AS v FROM s4
+    ),
+    g AS (SELECT doc_id, unnest({_GRAMS4}) AS gram FROM documents),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0),
+    contaminated AS (
+      SELECT DISTINCT g.doc_id FROM g JOIN bench USING (gram)
+      WHERE g.doc_id % 97 <> 0
+    ),
+    s5 AS (
+      SELECT s4.doc_id FROM s4
+      WHERE s4.doc_id % 97 <> 0
+        AND s4.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    n5 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM s5),
+    ps AS (
+      SELECT b.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(greatest(len({_TOKS}), 1)) AS BIGINT) AS n_tokens
+      FROM base b JOIN s5 ON s5.doc_id = b.doc_id GROUP BY b.source
+    ),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(sum(n_docs) AS BIGINT) AS total_docs,
+             CAST(sum((n_tokens + 511) // 512) AS BIGINT) AS total_windows
+      FROM ps
+    ),
+    ent AS (
+      SELECT round(CAST(sum(CAST(round(
+               (CAST(n_tokens AS DOUBLE) / t.total_tokens)
+               * ln(t.total_tokens / CAST(n_tokens AS DOUBLE)), 8)
+             AS DECIMAL(18,8))) AS DOUBLE), 6) AS v
+      FROM ps CROSS JOIN tot t
+    )
+    SELECT stage, n_removed, n_remaining, metric FROM (
+      SELECT 'exact' AS stage, n0.n - n1.n AS n_removed,
+             n1.n AS n_remaining,
+             round(CAST(n0.n - n1.n AS DOUBLE) / NULLIF(n0.n, 0), 6) AS metric
+      FROM n0, n1
+      UNION ALL
+      SELECT 'prefix', n1.n - n2.n, n2.n,
+             round(CAST(n1.n - n2.n AS DOUBLE) / NULLIF(n1.n, 0), 6)
+      FROM n1, n2
+      UNION ALL
+      SELECT 'neardup', n3.n, n2.n - n3.n,
+             round(CAST(n3.n AS DOUBLE) / NULLIF(n2.n, 0), 6)
+      FROM n2, n3
+      UNION ALL
+      SELECT 'quality_gate', (n2.n - n3.n) - n4.n, n4.n, qavg.v
+      FROM n2, n3, n4, qavg
+      UNION ALL
+      SELECT 'decontaminate', n4.n - n5.n, n5.n,
+             round(CAST(n4.n - n5.n AS DOUBLE) / NULLIF(n4.n, 0), 6)
+      FROM n4, n5
+      UNION ALL
+      SELECT 'mixture', 0, n5.n, ent.v FROM n5, ent
+      UNION ALL
+      SELECT 'pack', 0, t.total_windows,
+             round(CAST(t.total_tokens AS DOUBLE)
+                   / NULLIF(512 * t.total_windows, 0), 6)
+      FROM tot t
+      UNION ALL
+      SELECT 'card', 0, n5.n,
+             round(CAST(t.total_tokens AS DOUBLE) / NULLIF(t.total_docs, 0), 6)
+      FROM n5, tot t
+    )
+    """,
+)
+def llmops_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE CORPUS BUILD, end-to-end (verdict-r12 item #5): the production
+    composition of the individually-verified stages — dedup cascade
+    (exact → prefix → near-dup, byte-identical to
+    llmops_dedup_cascade_e2e) → quality gate (llmops_quality_filter's
+    score ≥ 0.5) → benchmark decontamination (llmops_decontaminate's
+    4-gram overlap; benchmark stand-ins themselves also leave the
+    training set) → mixture accounting (llmops_domain_mix's token
+    shares, reported as mixture entropy) → sequence packing
+    (llmops_sequence_pack's 512-token concatenation windows) → dataset
+    card. ONE lazily-assembled plan, one action: each stage's survivor
+    set localCheckpoints (eager=False) and feeds both the next stage and
+    its own one-row funnel count; the 8-row funnel (stage, n_removed,
+    n_remaining, metric) is what a training-data team publishes with a
+    release. Row semantics: dedup/gate/decon rows carry removal counts
+    with the removal rate (or survivor mean quality) as metric; the
+    mixture row keeps n and reports token-share entropy (nats); the
+    pack row's n_remaining is the WINDOW count (docs became windows —
+    the funnel's unit change is the point) with fill utilization as
+    metric; the card row reports mean tokens/doc.
+
+    Stage keys, thresholds, and bounds are shared VERBATIM with the
+    standalone queries (same textops helpers, same doc_id < 150 near-dup
+    anchor, same %97 benchmark stand-in, same greatest(tok,1) packing
+    floor), so tests/test_r13_invariants.py can pin reconciliation: the
+    first three funnel rows equal llmops_dedup_cascade_e2e's output
+    exactly, the funnel telescopes (each row's n_removed + n_remaining =
+    the previous row's n_remaining), and the gate keeps a subset of the
+    standalone filter's keeps.
+
+    Determinism: counts are exact bigints; quality sums through
+    DECIMAL(10,6); entropy terms are share·ln(1/share) (never −0.0)
+    rounded to 8 and summed through DECIMAL(18,8); every rate divides
+    exact integers once, NULL-guarded for the empty corpus. Scale: the
+    near-dup pair stage runs on the documented literal-bounded anchor
+    (at 100 TB the pair source is the MinHash band join); everything
+    else is hash aggregations and broadcast semi-joins — no stage
+    shuffles text except the two dedup key aggregations."""
+    base = t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+
+    s1 = dedup_exact(base).select("doc_id").localCheckpoint(eager=False)
+    toks_lower = tokens(F.lower(F.col("text")))
+    s2 = (
+        base.join(s1, "doc_id")
+        .groupBy(F.array_join(F.slice(toks_lower, 1, 8), " ").alias("prefix"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+        .localCheckpoint(eager=False)
+    )
+    toks_norm = tokens(normalized_text(F.col("text")))
+    sh = (
+        base.join(s2, "doc_id")
+        .filter(F.col("doc_id") < 150)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size(toks_norm) - 2, F.lit(1))),
+                    lambda i: F.array_join(F.slice(toks_norm, i, 3), " "),
+                )
+            ).alias("sh"),
+        )
+    ).localCheckpoint(eager=False)
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.array_distinct(F.concat(F.col("a.sh"), F.col("b.sh"))))
+    removed3 = (
+        a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(inter * 2 >= union)
+        .select(F.col("b.doc_id").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=False)  # counted AND anti-joined below
+    )
+    s3 = s2.join(removed3, "doc_id", "left_anti")
+
+    q6 = F.round(quality_score(F.col("text")), 6).cast("decimal(10,6)")
+    s4 = (
+        base.join(s3, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            q6.alias("quality"),
+            F.greatest(token_count_ws(F.col("text")), F.lit(1)).alias("tok"),
+        )
+        .filter(F.col("quality") >= 0.5)
+        .localCheckpoint(eager=False)
+    )
+
+    grams = base.select(
+        "doc_id", F.explode(word_shingles(F.col("text"), 4)).alias("gram")
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
+    contaminated = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    s5 = (
+        s4.filter(F.col("doc_id") % 97 != 0)
+        .join(contaminated, "doc_id", "left_anti")
+        .localCheckpoint(eager=False)
+    )
+
+    ps = (
+        s5.groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("tok").cast("bigint").alias("n_tokens"),
+        )
+        .localCheckpoint(eager=False)  # feeds tot AND the entropy term
+    )
+    tot = ps.agg(
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum("n_docs").cast("bigint").alias("total_docs"),
+        F.sum(F.expr("(n_tokens + 511) DIV 512")).cast("bigint").alias("total_windows"),
+    ).localCheckpoint(eager=False)  # entropy, pack row, card row
+    share = F.col("n_tokens").cast("double") / F.col("total_tokens")
+    ent = (
+        ps.crossJoin(F.broadcast(tot))
+        .select(
+            F.round(share * F.log(F.col("total_tokens") / F.col("n_tokens").cast("double")), 8)
+            .cast("decimal(18,8)")
+            .alias("term")
+        )
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("entropy"))
+    )
+    qavg = s4.agg(
+        F.round(F.sum("quality").cast("double") / F.count("*"), 6).alias("qavg")
+    )
+
+    counts = (
+        base.agg(F.count("*").alias("n0"))
+        .crossJoin(s1.agg(F.count("*").alias("n1")))
+        .crossJoin(s2.agg(F.count("*").alias("n2")))
+        .crossJoin(removed3.agg(F.count("*").alias("n3")))
+        .crossJoin(s4.agg(F.count("*").alias("n4")))
+        .crossJoin(s5.agg(F.count("*").alias("n5")))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ent))
+        .crossJoin(F.broadcast(qavg))
+    )
+
+    def stage(name, removed, remaining, metric):
+        return F.struct(
+            F.lit(name).alias("stage"),
+            removed.cast("bigint").alias("n_removed"),
+            remaining.cast("bigint").alias("n_remaining"),
+            metric.cast("double").alias("metric"),
+        )
+
+    n0, n1, n2, n3, n4, n5 = (F.col(c) for c in ("n0", "n1", "n2", "n3", "n4", "n5"))
+    rate = lambda num, den: F.round(F.try_divide(num.cast("double"), den), 6)  # noqa: E731
+    zero = F.lit(0)
+    return counts.select(
+        F.explode(
+            F.array(
+                stage("exact", n0 - n1, n1, rate(n0 - n1, n0)),
+                stage("prefix", n1 - n2, n2, rate(n1 - n2, n1)),
+                stage("neardup", n3, n2 - n3, rate(n3, n2)),
+                stage("quality_gate", (n2 - n3) - n4, n4, F.col("qavg")),
+                stage("decontaminate", n4 - n5, n5, rate(n4 - n5, n4)),
+                stage("mixture", zero, n5, F.col("entropy")),
+                stage(
+                    "pack",
+                    zero,
+                    F.col("total_windows"),
+                    F.round(
+                        F.try_divide(
+                            F.col("total_tokens").cast("double"),
+                            F.lit(512) * F.col("total_windows"),
+                        ),
+                        6,
+                    ),
+                ),
+                stage(
+                    "card",
+                    zero,
+                    n5,
+                    F.round(
+                        F.try_divide(
+                            F.col("total_tokens").cast("double"), F.col("total_docs")
+                        ),
+                        6,
+                    ),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+
+
+@query(
     "llmops_dup_cluster_size_dist",
     oracle="""
     WITH clusters AS (

@@ -71,6 +71,10 @@ ALLOWLIST: set[tuple[str, str]] = {
     # localCheckpoint (docstring documents the cap; the hint prevents a
     # CartesianProduct on the <-join).
     ("llmops_dedup_cascade_e2e", "unbounded-broadcast"),
+    # Same near-dup anchor, same bound, same reason — the corpus build
+    # composes the cascade verbatim (r13): `doc_id < 150` upstream of the
+    # checkpoint cut; the hint prevents a CartesianProduct on the <-join.
+    ("llmops_corpus_build_e2e", "unbounded-broadcast"),
     # MMR greedy picks are LIMIT-1 frames checkpointed between rounds
     # (pool itself is a LIMIT-10 checkpoint) — ≤1-row broadcasts.
     ("llmops_mmr_diversified_topk", "unbounded-broadcast"),

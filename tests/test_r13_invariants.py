@@ -92,3 +92,63 @@ def test_bpe_train_iteration1_matches_char_pair_ranking(spark):
         """
     ).fetchall()[0]
     assert (rows[0].pair, rows[0].n) == (top_char_pair[0], top_char_pair[1])
+
+
+def test_corpus_build_funnel_telescopes_and_matches_cascade(spark):
+    """Reconciliation (verdict-r12 item #5): (a) the corpus build's first
+    three funnel rows equal llmops_dedup_cascade_e2e's output exactly —
+    the composition reuses the cascade verbatim, so any drift in keys,
+    survivor policy, or the near-dup anchor shows up here; (b) the
+    funnel telescopes: every filtering row's n_removed + n_remaining ==
+    the previous row's n_remaining (docs are never invented or silently
+    dropped between stages); (c) the unit-change rows are consistent
+    (mixture/card keep the decontaminate survivor count; pack windows
+    cover the tokens implied by card's mean at >=50% fill)."""
+    build = {
+        r.stage: r
+        for r in QUERIES["llmops_corpus_build_e2e"].fn(spark, SF_DIR).collect()
+    }
+    cascade = {
+        r.stage: r
+        for r in QUERIES["llmops_dedup_cascade_e2e"].fn(spark, SF_DIR).collect()
+    }
+    assert set(build) == {
+        "exact", "prefix", "neardup", "quality_gate",
+        "decontaminate", "mixture", "pack", "card",
+    }
+    for s in ("exact", "prefix", "neardup"):
+        assert (build[s].n_removed, build[s].n_remaining) == (
+            cascade[s].n_removed,
+            cascade[s].n_remaining,
+        ), s
+    chain = ["exact", "prefix", "neardup", "quality_gate", "decontaminate"]
+    for prev, cur in zip(chain, chain[1:]):
+        assert (
+            build[cur].n_removed + build[cur].n_remaining
+            == build[prev].n_remaining
+        ), (prev, cur)
+    n_final = build["decontaminate"].n_remaining
+    assert build["mixture"].n_remaining == n_final
+    assert build["card"].n_remaining == n_final
+    # pack: windows hold all tokens (mean * docs), each window half-full+
+    total_tokens = build["card"].metric * n_final
+    n_windows = build["pack"].n_remaining
+    assert n_windows * 512 >= total_tokens - 1e-6
+    assert 0.0 < build["pack"].metric <= 1.0
+
+
+def test_corpus_build_gate_is_subset_of_standalone_filter(spark):
+    """The gate stage can only keep documents the standalone
+    llmops_quality_filter would keep: its keep-count over the cascade
+    survivors is bounded by the standalone filter's corpus-wide keeps,
+    and its survivor mean quality is >= 0.5 (the gate threshold)."""
+    build = {
+        r.stage: r
+        for r in QUERIES["llmops_corpus_build_e2e"].fn(spark, SF_DIR).collect()
+    }
+    standalone_keeps = sum(
+        r.n_keep
+        for r in QUERIES["llmops_quality_filter"].fn(spark, SF_DIR).collect()
+    )
+    assert build["quality_gate"].n_remaining <= standalone_keeps
+    assert build["quality_gate"].metric >= 0.5
