@@ -122,6 +122,7 @@ _NEXT_WINDOW: list[str] = [
     "eval_conformal_mondrian",
     "dq_dp_budget_accountant",
     "llmops_corpus_build_e2e",
+    "eval_calibration_ece",
 ]
 
 

@@ -28,7 +28,12 @@ from batch_public_spark.operators.textops import (
     redact_pii,
     tokens,
 )
-from batch_public_spark.plans.llmops_queries import _GRAMS4, _NORM, _TOKS_NORM
+from batch_public_spark.plans.llmops_queries import (
+    _GRAMS4,
+    _NORM,
+    _QUALITY_SQL,
+    _TOKS_NORM,
+)
 from batch_public_spark.plans.registry import query
 from batch_public_spark.sources.tables import load_table as t
 
@@ -202,6 +207,149 @@ def llmops_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.when(F.col("n_tokens") > 0, score).otherwise(F.lit(0.5)), 6),
         )
         .withColumn("keep", F.col("w_sum") > 0)
+    )
+
+
+@query(
+    "eval_calibration_ece",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+    s AS (SELECT doc_id, len(toks) AS n_tokens,
+                 CAST(COALESCE(list_sum(list_transform(toks, t -> {_tok_weight('t')})), 0)
+                      AS BIGINT) AS w_sum
+          FROM d),
+    p AS (SELECT doc_id,
+                 CAST(ROUND(CASE WHEN n_tokens > 0
+                       THEN 1.0 / (1.0 + EXP(-(CAST(w_sum AS DOUBLE) / (n_tokens * 410.0))))
+                       ELSE 0.5 END, 6) AS DECIMAL(10,6)) AS pd
+          FROM s),
+    q AS (SELECT doc_id,
+                 CASE WHEN CAST(ROUND(least(n_tok / 50.0, 1.0) * 0.3
+                        + greatest(0.0, 1.0 - pr * 4) * 0.3
+                        + least(swr * 5, 1.0) * 0.2
+                        + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0
+                                THEN 1.0 ELSE 0.3 END) * 0.2, 6)
+                      AS DECIMAL(10,6)) >= 0.5 THEN 1 ELSE 0 END AS y
+          FROM ({_QUALITY_SQL}) m),
+    j AS (SELECT p.pd, q.y FROM p JOIN q USING (doc_id)),
+    b AS (SELECT least(CAST(floor(pd * 10) AS BIGINT), 9) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 sum(pd) AS sum_p,
+                 CAST(sum(y) AS BIGINT) AS pos
+          FROM j GROUP BY 1),
+    tot AS (SELECT round(CAST(sum(abs(sum_p - pos)) AS DOUBLE) / sum(n), 6)
+                     AS ece
+            FROM b),
+    br AS (SELECT round(CAST(sum((pd - y) * (pd - y)) AS DOUBLE) / count(*), 6)
+                    AS brier
+           FROM j)
+    SELECT bin, n AS n_docs,
+           round(CAST(sum_p AS DOUBLE) / n, 6) AS mean_pred,
+           round(CAST(pos AS DOUBLE) / n, 6) AS frac_pos,
+           round(CAST(abs(sum_p - pos) AS DOUBLE) / n, 6) AS abs_gap,
+           tot.ece, br.brier
+    FROM b CROSS JOIN tot CROSS JOIN br
+    """,
+)
+def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER CALIBRATION — reliability diagram + Expected Calibration
+    Error + Brier score (Guo et al. 2017's ECE over 10 equal-width
+    probability bins): the audit a data team runs before swapping the
+    rule-based quality gate for the cheap hashed classifier. Prediction
+    p̂ is llmops_quality_classifier's sigmoid probability (verbatim
+    formula); the "outcome" y is the INDEPENDENT rule-based gate verdict
+    (llmops_quality_filter's score ≥ 0.5) — two mechanisms that share no
+    arithmetic, so the diagram measures real agreement, not an identity.
+    Per bin: count, mean predicted probability, observed positive rate,
+    |gap|; attached corpus scalars: ECE = Σ_b (n_b/N)·|gap_b| and the
+    Brier score.
+
+    Exactness trick worth stating: n_b·|mean_pred_b − frac_pos_b| ==
+    |Σp̂ − Σy| per bin EXACTLY, and p̂ is a round-6 DECIMAL(10,6), so
+    every ECE numerator is an exact decimal — the only doubles are one
+    division per emitted column (the registry's standard discipline;
+    a float Σ over bins would order-drift). Binning multiplies the
+    DECIMAL by 10 and floors — no float near the bin boundary in either
+    engine. Brier sums exact (p̂−y)² decimals the same way.
+
+    Scale: one scan computes both mechanisms in-row (zero-shuffle
+    scoring), one 10-key hash aggregation, two 1-row broadcast scalars.
+    At 100 TB this replaces nothing — it IS the cheap way."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(normalized_text(F.col("text")))
+    )
+    w_sum = F.expr(
+        f"aggregate(transform(toks, t -> cast({_tok_weight('t')} as bigint)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    n_tok = F.size("toks")
+    sig = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.col("w_sum").cast("double") / (F.col("n_tokens") * F.lit(410.0))))
+    )
+    from batch_public_spark.operators.textops import quality_score
+
+    scored = (
+        d.select(
+            n_tok.alias("n_tokens"),
+            w_sum.alias("w_sum"),
+            (
+                F.round(quality_score(F.col("text")), 6).cast("decimal(10,6)")
+                >= 0.5
+            )
+            .cast("int")
+            .alias("y"),
+        )
+        .select(
+            F.round(F.when(F.col("n_tokens") > 0, sig).otherwise(F.lit(0.5)), 6)
+            .cast("decimal(10,6)")
+            .alias("pd"),
+            "y",
+        )
+        .localCheckpoint(eager=False)  # feeds the bin agg AND the Brier agg
+    )
+    bins = (
+        scored.groupBy(
+            F.least(F.floor(F.col("pd") * 10).cast("bigint"), F.lit(9).cast("bigint")).alias(
+                "bin"
+            )
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("pd").alias("sum_p"),
+            F.sum("y").cast("bigint").alias("pos"),
+        )
+        .localCheckpoint(eager=False)  # per-bin rows AND the ECE scalar
+    )
+    ece = bins.agg(
+        F.round(
+            F.sum(F.abs(F.col("sum_p") - F.col("pos"))).cast("double") / F.sum("n"),
+            6,
+        ).alias("ece")
+    )
+    brier = scored.agg(
+        F.round(
+            F.sum((F.col("pd") - F.col("y")) * (F.col("pd") - F.col("y"))).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("brier")
+    )
+    return (
+        bins.crossJoin(F.broadcast(ece))
+        .crossJoin(F.broadcast(brier))
+        .select(
+            "bin",
+            F.col("n").alias("n_docs"),
+            F.round(F.col("sum_p").cast("double") / F.col("n"), 6).alias("mean_pred"),
+            F.round(F.col("pos").cast("double") / F.col("n"), 6).alias("frac_pos"),
+            F.round(
+                F.abs(F.col("sum_p") - F.col("pos")).cast("double") / F.col("n"), 6
+            ).alias("abs_gap"),
+            "ece",
+            "brier",
+        )
     )
 
 

@@ -1536,12 +1536,21 @@ def llmops_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
 
-    grams = base.select(
-        "doc_id", F.explode(word_shingles(F.col("text"), 4)).alias("gram")
+    # Contamination shingles only what can matter: the benchmark side is
+    # the %97 stand-ins alone, and the probe side is the GATE SURVIVORS
+    # (docs already dead upstream can't re-enter, and s5 anti-joins s4
+    # anyway — result-identical to probing the full corpus, which is what
+    # the oracle spells; the standalone llmops_decontaminate keeps the
+    # full-corpus shape because flagging everything IS its contract).
+    bench = (
+        base.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode(word_shingles(F.col("text"), 4)).alias("gram"))
+        .distinct()
     )
-    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gram").distinct()
     contaminated = (
-        grams.filter(F.col("doc_id") % 97 != 0)
+        base.join(s4.select("doc_id"), "doc_id")
+        .filter(F.col("doc_id") % 97 != 0)
+        .select("doc_id", F.explode(word_shingles(F.col("text"), 4)).alias("gram"))
         .join(F.broadcast(bench), "gram")
         .select("doc_id")
         .distinct()

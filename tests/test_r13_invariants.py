@@ -152,3 +152,65 @@ def test_corpus_build_gate_is_subset_of_standalone_filter(spark):
     )
     assert build["quality_gate"].n_remaining <= standalone_keeps
     assert build["quality_gate"].metric >= 0.5
+
+
+def test_mondrian_fallback_fires_exactly_for_small_groups(spark):
+    """Coverage-per-group invariant beside the marginal gate (verdict-r12
+    item #6): the skewed fixture's rare groups (rare_e / rare_f, 1/16 of
+    calibration mass each) must use the coarse-parent fallback at every
+    SF, the major/mid groups must not; the fallback rule is exactly
+    n_calib*10 < N (recomputed from the emitted columns); qhat_used
+    switches accordingly; and each NON-fallback group's realized test
+    coverage honors the conformal bound within binomial noise
+    (>= 0.9 - 3*sqrt(0.09/n_test))."""
+    rows = {
+        r.g: r
+        for r in QUERIES["eval_conformal_mondrian"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"major0", "major1", "mid", "rare_e", "rare_f"}
+    n_total = sum(r.n_calib for r in rows.values())
+    for r in rows.values():
+        assert r.used_fallback == (r.n_calib * 10 < n_total), r
+        assert r.qhat_used == (r.qhat_coarse if r.used_fallback else r.qhat_group), r
+    assert rows["rare_e"].used_fallback and rows["rare_f"].used_fallback
+    assert not any(rows[g].used_fallback for g in ("major0", "major1", "mid"))
+    for g in ("major0", "major1", "mid"):
+        r = rows[g]
+        slack = 3.0 * (0.09 / r.n_test) ** 0.5
+        assert r.coverage >= 0.9 - slack, (g, r.coverage, slack)
+    # hierarchy is consistent: both rare groups share one coarse parent
+    assert rows["rare_e"].gc == rows["rare_f"].gc == "c_rare"
+    assert rows["rare_e"].qhat_coarse == rows["rare_f"].qhat_coarse
+
+
+def test_dp_accountant_refuses_exactly_at_the_cap(spark):
+    """Refusal invariant (verdict-r12 item #7): cumulative epsilon under
+    basic composition is exactly the ledger prefix sums [0.8, 1.4, 1.9,
+    2.6, 3.5, 4.0]; grants flip to refusals exactly when the running sum
+    first exceeds the 3.0 cap (hard-stop: request 5 AND everything
+    after); refused releases emit NULL noisy_value / NULL bound verdict
+    (the true statistic never leaves); granted noise respects the
+    per-release scale (|noisy - true| <= (sens/eps) * 6.907755 for
+    within-bound rows, checked on the count releases whose true value
+    is recomputable exactly)."""
+    import duckdb as _dk
+
+    rows = sorted(
+        QUERIES["dq_dp_budget_accountant"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.seq,
+    )
+    assert [r.seq for r in rows] == [1, 2, 3, 4, 5, 6]
+    assert [round(r.cum_epsilon, 3) for r in rows] == [0.8, 1.4, 1.9, 2.6, 3.5, 4.0]
+    assert [r.granted for r in rows] == [True, True, True, True, False, False]
+    for r in rows:
+        if r.granted:
+            assert r.noisy_value is not None and r.within_utility_bound is not None
+        else:
+            assert r.noisy_value is None and r.within_utility_bound is None
+    n_events = _dk.sql(
+        f"SELECT count(*) FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()[0][0]
+    r1 = rows[0]
+    assert r1.release == "n_events"
+    if r1.within_utility_bound:
+        assert abs(r1.noisy_value - n_events) <= (1.0 / 0.8) * 6.907755 + 1e-6
