@@ -123,6 +123,7 @@ _NEXT_WINDOW: list[str] = [
     "dq_dp_budget_accountant",
     "llmops_corpus_build_e2e",
     "eval_calibration_ece",
+    "llmops_semantic_decontaminate",
 ]
 
 

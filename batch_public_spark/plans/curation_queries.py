@@ -255,7 +255,13 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CLASSIFIER CALIBRATION — reliability diagram + Expected Calibration
     Error + Brier score (Guo et al. 2017's ECE over 10 equal-width
     probability bins): the audit a data team runs before swapping the
-    rule-based quality gate for the cheap hashed classifier. Prediction
+    rule-based quality gate for the cheap hashed classifier. Sibling of
+    llmops_calibration_ece (eval_mining_queries.py), which demonstrates
+    the diagram mechanics on a synthetic length-based confidence; THIS
+    one calibrates the pipeline's real pieces against each other and
+    adds the Brier score + an exact-decimal corpus ECE as attached
+    scalars (the sibling emits per-bin ece_terms for the caller to
+    sum). Prediction
     p̂ is llmops_quality_classifier's sigmoid probability (verbatim
     formula); the "outcome" y is the INDEPENDENT rule-based gate verdict
     (llmops_quality_filter's score ≥ 0.5) — two mechanisms that share no

@@ -815,6 +815,97 @@ def llmops_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llmops_semantic_decontaminate",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    b AS (SELECT vec_id AS bid, v FROM e WHERE vec_id % 97 = 0),
+    c AS (SELECT vec_id, v FROM e WHERE vec_id % 97 <> 0),
+    s AS (SELECT c.vec_id, b.bid,
+                 ROUND(list_cosine_similarity(c.v, b.v), 6) AS sim
+          FROM c CROSS JOIN b),
+    m AS (SELECT vec_id, bid, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY sim DESC, bid) AS rn
+          FROM s),
+    t25 AS (SELECT vec_id, bid, sim FROM m WHERE rn = 1
+            ORDER BY sim DESC, vec_id LIMIT 25)
+    SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT)
+             AS rank,
+           vec_id, bid AS nearest_bench_id, sim AS max_sim
+    FROM t25
+    """,
+)
+def llmops_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space twin of the n-gram
+    llmops_decontaminate (and distinct from llmops_semdedup_clusters,
+    which dedups the corpus against ITSELF): every corpus vector is
+    scored by its maximum cosine similarity to the held-out benchmark
+    set (vec_id % 97 stand-ins, same convention as the n-gram query),
+    and the output is the top-25 review queue (rank, corpus vector,
+    nearest benchmark item, similarity) — surface-overlap checks miss
+    paraphrased contamination; this is the check that catches it. A
+    review queue rather than a fixed-τ flag is deliberate: τ is
+    calibrated FROM this queue (the synthetic embeddings' max sim is
+    ~0.5, so any honest fixed threshold would be vacuously false — the
+    queue contract stays non-degenerate at every SF and is exactly how
+    teams operate the check before enabling auto-removal).
+
+    Spark-first, the corpus-stays-put shape: the benchmark side
+    collapses to ONE collected row (k ≈ n/97 structs of id + vector +
+    precomputed row_norm — the Lloyd-centroid broadcast convention) and
+    cross-attaches by broadcast; each corpus row then folds max cosine
+    IN-ROW over the benchmark array (argmax via array_max on
+    (sim, −bid) structs, so the tie-break is the smallest benchmark id
+    with no second pass), and the only movement of corpus data is the
+    TakeOrdered top-25. No shuffle touches vectors; at 100 TB the
+    benchmark set is still thousands of rows and this exact plan runs
+    unchanged. Parity: fused_cosine ↔ list_cosine_similarity at
+    round-6 (the hard_negatives-pinned equivalence); ranking orders by
+    the rounded sim with vec_id tie-breaks in both engines."""
+    from batch_public_spark.operators.semantic import fused_cosine, row_norm
+
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", row_norm(F.col("embedding")).alias("n")
+    )
+    bench = (
+        e.filter(F.col("vec_id") % 97 == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("bid"),
+                F.col("embedding").alias("bv"),
+                F.col("n").alias("bn"),
+            ).alias("b")
+        )
+        .agg(F.collect_list("b").alias("bench"))
+    )
+    sims = F.transform(
+        F.col("bench"),
+        lambda b: F.struct(
+            F.round(
+                fused_cosine(F.col("embedding"), b["bv"], F.col("n"), b["bn"]), 6
+            ).alias("sim"),
+            (-b["bid"]).alias("negid"),
+        ),
+    )
+    best = (
+        e.filter(F.col("vec_id") % 97 != 0)
+        .crossJoin(F.broadcast(bench))
+        .select("vec_id", F.array_max(sims).alias("best"))
+        .filter(F.col("best").isNotNull())  # empty benchmark -> empty queue
+    )
+    top = best.orderBy(F.desc("best.sim"), "vec_id").limit(25)
+    wr = W.partitionBy(bounded_window_key(F.col("vec_id"))).orderBy(
+        F.desc("best.sim"), "vec_id"
+    )
+    return top.select(
+        F.row_number().over(wr).cast("bigint").alias("rank"),
+        "vec_id",
+        (-F.col("best.negid")).cast("bigint").alias("nearest_bench_id"),
+        F.col("best.sim").alias("max_sim"),
+    )
+
+
+@query(
     "llmops_train_shuffle",
     oracle="""
     SELECT CAST(ROW_NUMBER() OVER (ORDER BY md5(doc_id || ':42')) AS BIGINT) AS position,
