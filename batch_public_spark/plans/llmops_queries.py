@@ -1675,8 +1675,13 @@ def llmops_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum("term").cast("double"), 6).alias("entropy"))
     )
-    qavg = s4.agg(
-        F.round(F.sum("quality").cast("double") / F.count("*"), 6).alias("qavg")
+    # One agg pass carries BOTH the gate count and the survivor mean;
+    # n5 rides tot (Σ per-source n_docs) — two fewer one-row jobs in the
+    # funnel assembly (the composition premium over the standalone sum
+    # is job scheduling, not data).
+    qn4 = s4.agg(
+        F.round(F.sum("quality").cast("double") / F.count("*"), 6).alias("qavg"),
+        F.count("*").alias("n4"),
     )
 
     counts = (
@@ -1684,11 +1689,10 @@ def llmops_corpus_build_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s1.agg(F.count("*").alias("n1")))
         .crossJoin(s2.agg(F.count("*").alias("n2")))
         .crossJoin(removed3.agg(F.count("*").alias("n3")))
-        .crossJoin(s4.agg(F.count("*").alias("n4")))
-        .crossJoin(s5.agg(F.count("*").alias("n5")))
+        .crossJoin(F.broadcast(qn4))
         .crossJoin(F.broadcast(tot))
         .crossJoin(F.broadcast(ent))
-        .crossJoin(F.broadcast(qavg))
+        .select("*", F.coalesce(F.col("total_docs"), F.lit(0)).alias("n5"))
     )
 
     def stage(name, removed, remaining, metric):
