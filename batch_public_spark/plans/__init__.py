@@ -124,6 +124,7 @@ _NEXT_WINDOW: list[str] = [
     "llmops_corpus_build_e2e",
     "eval_calibration_ece",
     "llmops_semantic_decontaminate",
+    "llmops_wordpiece_train_merges",
 ]
 
 

@@ -5366,8 +5366,221 @@ def llmops_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep = F.concat(
             F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
         )
-        sym_df = sym_df.crossJoin(F.broadcast(win.select("pair"))).select(
-            F.replace(F.col("sym"), pat, rep).alias("sym"), "freq"
+        # Checkpoint between iterations (the wordpiece trainer's fix,
+        # applied here too): iteration i's winner subtree otherwise
+        # re-derives inside every later iteration's pair count.
+        sym_df = (
+            sym_df.crossJoin(F.broadcast(win.select("pair")))
+            .select(F.replace(F.col("sym"), pat, rep).alias("sym"), "freq")
+            .localCheckpoint(eager=False)
+        )
+    vocab = (
+        sym_df.select(F.explode(F.split(F.trim("sym"), " ")).alias("s"))
+        .filter(F.length("s") >= 1)
+        .distinct()
+        .agg(
+            F.md5(F.concat_ws("|", F.array_sort(F.collect_list("s")))).alias(
+                "vocab_hash"
+            ),
+            F.count("*").cast("bigint").alias("vocab_size"),
+        )
+    )
+    out = winners[0]
+    for w_df in winners[1:]:
+        out = out.unionAll(w_df)
+    return out.crossJoin(F.broadcast(vocab))
+
+
+_WP_TRAIN_K = 4
+
+
+def _wordpiece_train_oracle(k: int) -> str:
+    """Unrolled k-iteration WordPiece trainer oracle: per iteration one
+    weighted pair count + one weighted unigram count over the symbol
+    stream, the winner maximizing count(ab)/(count(a)·count(b))."""
+    parts = [
+        r"""
+    WITH d AS (
+      SELECT lower(tk.tok) AS tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                              s -> length(s) > 0)) AS tk(tok)
+      WHERE doc_id < 400
+    ), ty AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM d GROUP BY tok
+    ), s0 AS (
+      SELECT ' ' || trim(regexp_replace(tok, '(.)', '\1 ', 'g')) || ' ' AS sym,
+             freq
+      FROM ty
+    )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", p{i} AS (
+      SELECT t.l[g.i] || ' ' || t.l[g.i + 1] AS pair, t.freq
+      FROM (SELECT string_split(trim(sym), ' ') AS l, freq FROM s{i - 1}) t,
+           UNNEST(generate_series(1, len(t.l) - 1)) AS g(i)
+    ), pc{i} AS (
+      SELECT pair, CAST(sum(freq) AS BIGINT) AS n_pair
+      FROM p{i} GROUP BY pair
+    ), u{i} AS (
+      SELECT s, CAST(sum(freq) AS BIGINT) AS n FROM
+        (SELECT unnest(string_split(trim(sym), ' ')) AS s, freq FROM s{i - 1})
+      GROUP BY s
+    ), w{i} AS (
+      SELECT pc.pair, pc.n_pair, ua.n AS na, ub.n AS nb
+      FROM pc{i} pc
+      JOIN u{i} ua ON ua.s = split_part(pc.pair, ' ', 1)
+      JOIN u{i} ub ON ub.s = split_part(pc.pair, ' ', 2)
+      ORDER BY CAST(pc.n_pair AS DOUBLE)
+               / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE)) DESC, pc.pair
+      LIMIT 1
+    ), s{i} AS (
+      SELECT replace(sym, ' ' || w.pair || ' ',
+                     ' ' || replace(w.pair, ' ', '') || ' ') AS sym, freq
+      FROM s{i - 1} CROSS JOIN w{i} w
+    )"""
+        )
+    wins = "\n      UNION ALL\n      ".join(
+        f"SELECT {i} AS iter, pair, n_pair, na, nb FROM w{i}"
+        for i in range(1, k + 1)
+    )
+    parts.append(
+        f""", v AS (
+      SELECT md5(array_to_string(list_sort(list(s)), '|')) AS vocab_hash,
+             CAST(count(*) AS BIGINT) AS vocab_size
+      FROM (SELECT DISTINCT unnest(string_split(trim(sym), ' ')) AS s
+            FROM s{k}) u
+      WHERE length(s) >= 1
+    ), wins AS (
+      {wins}
+    )
+    SELECT CAST(iter AS BIGINT) AS iter, pair,
+           replace(pair, ' ', '') AS merged, n_pair, na, nb,
+           round(ln(CAST(n_pair AS DOUBLE)) - ln(CAST(na AS DOUBLE))
+                 - ln(CAST(nb AS DOUBLE)), 6) AS log_score,
+           v.vocab_hash, v.vocab_size
+    FROM wins CROSS JOIN v"""
+    )
+    return "".join(parts)
+
+
+@query("llmops_wordpiece_train_merges", oracle=_wordpiece_train_oracle(_WP_TRAIN_K))
+def llmops_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WORDPIECE merge training (Schuster & Nakajima 2012; BERT's
+    tokenizer) — the second learned-tokenizer rule beside
+    llmops_bpe_train_merges, same harness, different objective: each
+    iteration merges the pair maximizing the LIKELIHOOD GAIN
+    count(ab) / (count(a)·count(b)) instead of the raw pair count. The
+    difference is real and visible on this corpus: WordPiece's first
+    merge is 'q u' (q is nearly always followed by u — the canonical
+    WordPiece example) while BPE's is the much more frequent but less
+    predictive 'e r'; tests/test_r13_invariants.py pins the divergence.
+    Output: per-iteration winner with its pair/unigram counts and
+    log-score, plus the final surviving-vocabulary hash/size.
+
+    Spark-first, same decomposition as the BPE trainer (one corpus scan
+    → localCheckpointed token-TYPE table; iterations run over types):
+    per iteration one weighted pair-count aggregation + one weighted
+    unigram aggregation (both map-side combinable over the small type
+    table), two broadcast joins to attach count(a)/count(b), a
+    TakeOrdered-1 winner, and the broadcast 1-row rewrite. The argmax
+    ORDERS BY the score as one double division of exact bigints —
+    identical IEEE operands in both engines (the round-6 emission is
+    display only); counts stay exact integers; same boundary-safe
+    spaced-replace convention and vocab-hash recipe as the BPE trainer.
+    At 100 TB: identical to the BPE trainer's scale note (sampled type
+    table, driver-collected winner past K≈50), with the score computed
+    in doubles because count products overflow int64 at corpus scale."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    toks = d.select(
+        F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("tok")
+    )
+    types = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "),
+                F.trim(F.regexp_replace("tok", "(.)", "$1 ")),
+                F.lit(" "),
+            ).alias("sym"),
+            "freq",
+        )
+        .localCheckpoint(eager=False)
+    )
+    sym_df = types
+    winners = []
+    for i in range(1, _WP_TRAIN_K + 1):
+        syms = F.split(F.trim(F.col("sym")), " ")
+        n_sym = F.size(syms)
+        prs = F.zip_with(
+            F.slice(syms, 1, n_sym - 1),
+            F.slice(syms, 2, n_sym - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        pc = (
+            sym_df.filter(F.size(F.split(F.trim(F.col("sym")), " ")) >= 2)
+            .select(F.explode(prs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").cast("bigint").alias("n_pair"))
+        )
+        ug = (
+            sym_df.select(
+                F.explode(F.split(F.trim(F.col("sym")), " ")).alias("s"), "freq"
+            )
+            .groupBy("s")
+            .agg(F.sum("freq").cast("bigint").alias("n"))
+            .localCheckpoint(eager=False)  # joined twice (count(a), count(b))
+        )
+        ua = ug.select(F.col("s").alias("_a"), F.col("n").alias("na"))
+        ub = ug.select(F.col("s").alias("_b"), F.col("n").alias("nb"))
+        scored = (
+            pc.join(ua, F.expr("split_part(pair, ' ', 1)") == F.col("_a"))
+            .join(ub, F.expr("split_part(pair, ' ', 2)") == F.col("_b"))
+            .select(
+                "pair",
+                "n_pair",
+                "na",
+                "nb",
+                (
+                    F.col("n_pair").cast("double")
+                    / (F.col("na").cast("double") * F.col("nb").cast("double"))
+                ).alias("score"),
+            )
+        )
+        win = scored.orderBy(F.desc("score"), "pair").limit(1)
+        winners.append(
+            win.select(
+                F.lit(i).cast("bigint").alias("iter"),
+                "pair",
+                F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("merged"),
+                "n_pair",
+                "na",
+                "nb",
+                F.round(
+                    F.log(F.col("n_pair").cast("double"))
+                    - F.log(F.col("na").cast("double"))
+                    - F.log(F.col("nb").cast("double")),
+                    6,
+                ).alias("log_score"),
+            )
+        )
+        pat = F.concat(F.lit(" "), F.col("pair"), F.lit(" "))
+        rep = F.concat(
+            F.lit(" "), F.replace(F.col("pair"), F.lit(" "), F.lit("")), F.lit(" ")
+        )
+        # Checkpoint each iteration's rewritten stream: its subtree (the
+        # winner's pair/unigram joins) would otherwise re-derive inside
+        # EVERY later iteration's three aggregations — the lazy chain's
+        # recompute grows quadratically with K where the BPE trainer's
+        # (one agg per iteration) stays tolerable. This is also the
+        # production shape: a trainer materializes the stream between
+        # iterations.
+        sym_df = (
+            sym_df.crossJoin(F.broadcast(win.select("pair")))
+            .select(F.replace(F.col("sym"), pat, rep).alias("sym"), "freq")
+            .localCheckpoint(eager=False)
         )
     vocab = (
         sym_df.select(F.explode(F.split(F.trim("sym"), " ")).alias("s"))

@@ -214,3 +214,57 @@ def test_dp_accountant_refuses_exactly_at_the_cap(spark):
     assert r1.release == "n_events"
     if r1.within_utility_bound:
         assert abs(r1.noisy_value - n_events) <= (1.0 / 0.8) * 6.907755 + 1e-6
+
+
+def test_wordpiece_objective_diverges_from_bpe_and_is_correct(spark):
+    """The WordPiece rule is real, not a renamed BPE: on this corpus the
+    two trainers choose DIFFERENT first merges (WordPiece picks the
+    high-likelihood 'q u' — q is nearly always followed by u — over
+    BPE's merely-frequent 'e r'); iteration 1's winner equals the
+    independent argmax of count(ab)/(count(a)·count(b)) over raw
+    character pairs; and every winner's log_score is consistent with
+    its emitted counts."""
+    import math
+
+    wp = sorted(
+        QUERIES["llmops_wordpiece_train_merges"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.iter,
+    )
+    bpe = sorted(
+        QUERIES["llmops_bpe_train_merges"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.iter,
+    )
+    assert [r.iter for r in wp] == [1, 2, 3, 4]
+    assert [r.pair for r in wp] != [r.pair for r in bpe[: len(wp)]]
+    assert wp[0].pair == "q u"  # the canonical WordPiece pick
+    for r in wp:
+        assert 0 < r.n_pair <= min(r.na, r.nb), r
+        expect = math.log(r.n_pair) - math.log(r.na) - math.log(r.nb)
+        assert abs(r.log_score - expect) < 1e-5, r
+    top = duckdb.sql(
+        rf"""
+        WITH d AS (
+          SELECT lower(tk.tok) AS tok
+          FROM '{SF_DIR}/documents.parquet',
+               UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                                  s -> length(s) > 0)) AS tk(tok)
+          WHERE doc_id < 400
+        ), pc AS (
+          SELECT substr(tok, i, 1) || ' ' || substr(tok, i + 1, 1) AS pair,
+                 count(*) AS n
+          FROM d, UNNEST(generate_series(1, length(tok) - 1)) AS g(i)
+          WHERE length(tok) >= 2 GROUP BY pair
+        ), u AS (
+          SELECT substr(tok, i, 1) AS s, count(*) AS n
+          FROM d, UNNEST(generate_series(1, length(tok))) AS g(i)
+          GROUP BY s
+        )
+        SELECT pc.pair FROM pc
+        JOIN u ua ON ua.s = split_part(pc.pair, ' ', 1)
+        JOIN u ub ON ub.s = split_part(pc.pair, ' ', 2)
+        ORDER BY CAST(pc.n AS DOUBLE) / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE))
+                 DESC, pc.pair
+        LIMIT 1
+        """
+    ).fetchall()[0][0]
+    assert wp[0].pair == top
