@@ -125,6 +125,11 @@ _NEXT_WINDOW: list[str] = [
     "eval_calibration_ece",
     "llmops_semantic_decontaminate",
     "llmops_wordpiece_train_merges",
+    # --- r13 additions, second wave (each completes an existing half) ---
+    "dq_l_diversity",
+    "dq_mann_kendall_trend",
+    "events_logrank_test",
+    "llmops_nb_quality_distill",
 ]
 
 

@@ -6476,3 +6476,179 @@ def agg_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("ALL").alias("priority"), "n_distinct_cust")
     )
     return per_priority.unionByName(global_row)
+
+
+# Log-rank two-sided critical value at alpha=0.05 (chi-square_1 3.841459
+# == z 1.959964), the same double literal in both engines.
+_LOGRANK_ZCRIT = "1.959964"
+
+
+@query(
+    "events_logrank_test",
+    oracle=f"""
+    WITH span AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+             date_trunc('day', min(ts)) AS f, date_trunc('day', max(ts)) AS l
+      FROM events GROUP BY user_id % 2, user_id, event_type
+    ), cd AS (SELECT DISTINCT l AS d FROM span),
+    base AS (
+      SELECT d,
+        (SELECT CAST(count(*) AS BIGINT) FROM span
+          WHERE cohort = 0 AND f <= d AND l >= d) AS n1,
+        (SELECT CAST(count(*) AS BIGINT) FROM span
+          WHERE cohort = 1 AND f <= d AND l >= d) AS n2,
+        (SELECT CAST(count(*) AS BIGINT) FROM span
+          WHERE cohort = 0 AND l = d) AS d1,
+        (SELECT CAST(count(*) AS BIGINT) FROM span
+          WHERE cohort = 1 AND l = d) AS d2
+      FROM cd
+    ), terms AS (
+      SELECT d, n1, n2, d1, d2,
+        CAST(round(d1 - ((d1 + d2) * n1) * 1.0 / (n1 + n2), 10)
+             AS DECIMAL(28,10)) AS oe,
+        CAST(round(CASE WHEN n1 + n2 > 1
+                        THEN ((d1 + d2) * n1 * n2 * (n1 + n2 - (d1 + d2))) * 1.0
+                             / ((n1 + n2) * (n1 + n2) * (n1 + n2 - 1))
+                        ELSE 0.0 END, 10) AS DECIMAL(28,10)) AS v
+      FROM base WHERE d1 + d2 > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_event_days,
+           CAST(sum(d1) AS BIGINT) AS o1,
+           CAST(sum(d2) AS BIGINT) AS o2,
+           round(CAST(sum(d1) AS DOUBLE) - CAST(sum(oe) AS DOUBLE), 6) AS e1,
+           round(CAST(sum(oe) AS DOUBLE), 6) AS oe_sum,
+           round(CAST(sum(v) AS DOUBLE), 6) AS var_sum,
+           round(CAST(sum(oe) AS DOUBLE) / sqrt(CAST(sum(v) AS DOUBLE)), 6)
+             AS z_stat,
+           abs(CAST(sum(oe) AS DOUBLE) / sqrt(CAST(sum(v) AS DOUBLE)))
+             > {_LOGRANK_ZCRIT} AS reject_null
+    FROM terms
+    """,
+)
+def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOG-RANK TEST (Mantel 1966) between two cohorts' survival curves —
+    the significance test that completes events_survival_curve's
+    Kaplan-Meier point estimate: split the per-(user, event_type)
+    activity streams into cohorts by user_id parity (the deterministic
+    stand-in for treatment/control), and at every day with any churn
+    compare cohort 1's observed churn d1 against its hypergeometric
+    expectation e1 = dt*n1/n under the null that both cohorts share one
+    hazard; z = sum(d1-e1)/sqrt(sum v) with the per-day hypergeometric
+    variance v = dt*n1*n2*(n-dt)/(n^2*(n-1)). The A/B question a
+    retention team actually asks ("did the treatment change churn?"),
+    asked of the same spans the survival curve plots.
+
+    Parity discipline: at-risk and churn counts are exact integers, so
+    each day's e1 and v are a single double division of exact bigint
+    products (identical operands, identical result in both engines);
+    per-day terms are quantized round-10 into DECIMAL(28,10) and summed
+    exactly (the survival-curve ln-term discipline — accumulation order
+    cannot drift); sqrt is IEEE-correctly-rounded and the critical value
+    is the same double literal, so `reject_null` compares identical
+    doubles.
+
+    Spark-first: the per-day at-risk counts are NOT correlated
+    subqueries (that is oracle-clarity form) — they are ONE interval
+    sweep: +1 at span start, -1 the day after span end, zero-filled at
+    churn days, cumulated per cohort over the bounded calendar grid
+    (the events_survival_curve / events_max_concurrency discipline).
+    The heavy table is touched once for the span rollup; every later
+    stage runs on the <= 2x|days| grid."""
+    ev = t(spark, sf_dir, "events")
+    span = ev.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("cohort"),
+        "user_id",
+        "event_type",
+    ).agg(
+        F.date_trunc("day", F.min("ts")).alias("f"),
+        F.date_trunc("day", F.max("ts")).alias("l"),
+    )
+    deltas = (
+        span.select("cohort", F.col("f").alias("d"), F.lit(1).alias("delta"))
+        .unionAll(
+            span.select(
+                "cohort",
+                (F.col("l") + F.expr("INTERVAL 1 DAY")).alias("d"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .unionAll(
+            span.select(F.col("l").alias("d"))
+            .distinct()
+            .select(F.explode(F.array(F.lit(0), F.lit(1))).alias("co"), "d")
+            .select(
+                F.col("co").cast("bigint").alias("cohort"),
+                "d",
+                F.lit(0).alias("delta"),
+            )
+        )
+        .groupBy("cohort", "d")
+        .agg(F.sum("delta").alias("net"))
+    )
+    wc = (
+        W.partitionBy("cohort")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    at_risk = deltas.select(
+        "cohort", "d", F.sum("net").over(wc).cast("bigint").alias("n_risk")
+    )
+    churns = span.groupBy("cohort", F.col("l").alias("d")).agg(
+        F.count("*").cast("bigint").alias("churned")
+    )
+    churn_days = span.select(F.col("l").alias("d")).distinct()
+    grid = (
+        churn_days.join(at_risk, "d")
+        .join(churns, ["cohort", "d"], "left")
+        .select(
+            "d",
+            "cohort",
+            "n_risk",
+            F.coalesce(F.col("churned"), F.lit(0)).cast("bigint").alias("churned"),
+        )
+    )
+    base = grid.groupBy("d").agg(
+        F.sum(F.when(F.col("cohort") == 0, F.col("n_risk")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("n_risk")).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("churned")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("churned")).otherwise(0))
+        .cast("bigint")
+        .alias("d2"),
+    )
+    n = F.col("n1") + F.col("n2")
+    dt = F.col("d1") + F.col("d2")
+    oe = F.round(
+        F.col("d1") - (dt * F.col("n1")) * F.lit(1.0) / n, 10
+    ).cast("decimal(28,10)")
+    v = F.round(
+        F.when(
+            n > 1,
+            (dt * F.col("n1") * F.col("n2") * (n - dt))
+            * F.lit(1.0)
+            / (n * n * (n - 1)),
+        ).otherwise(F.lit(0.0)),
+        10,
+    ).cast("decimal(28,10)")
+    terms = base.filter(dt > 0).select(
+        "d", "d1", "d2", oe.alias("oe"), v.alias("v")
+    )
+    zc = float(_LOGRANK_ZCRIT)
+    z_expr = F.sum("oe").cast("double") / F.sqrt(F.sum("v").cast("double"))
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_event_days"),
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("d2").cast("bigint").alias("o2"),
+        F.round(
+            F.sum("d1").cast("double") - F.sum("oe").cast("double"), 6
+        ).alias("e1"),
+        F.round(F.sum("oe").cast("double"), 6).alias("oe_sum"),
+        F.round(F.sum("v").cast("double"), 6).alias("var_sum"),
+        F.round(z_expr, 6).alias("z_stat"),
+        (F.abs(z_expr) > zc).alias("reject_null"),
+    )

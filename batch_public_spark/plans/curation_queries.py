@@ -1553,3 +1553,223 @@ def llmops_rendezvous_shard_routing(spark: SparkSession, sf_dir: str) -> DataFra
             F.coalesce(F.col("mv"), F.lit(0)).cast("bigint").alias("n_moved_in"),
         )
     )
+
+
+# Naive-Bayes distillation trainer: vocabulary cap and its Laplace mass
+# 0.5 * V, spelled identically in both engines.
+_NB_V = 200
+_NB_HALF_V = "100.0"
+
+# The teacher gate, doc-level: the SAME round-6 decimal quality score the
+# corpus filter (llmops_quality_filter) emits, thresholded at the CORPUS
+# MEAN (the llmops_filter_disparity_audit convention) — a data-dependent
+# cut that guarantees both teacher classes are populated at every SF
+# (the fixed 0.5 gate drops nothing at sf0.001 and the distillation
+# would be vacuous).
+_NB_TEACHER_SQL = f"""
+      SELECT doc_id, lang, CAST(q AS DOUBLE) >= qbar AS pos
+      FROM (
+        SELECT doc_id, lang,
+               CAST(ROUND(least(n_tok / 50.0, 1.0) * 0.3
+                     + greatest(0.0, 1.0 - pr * 4) * 0.3
+                     + least(swr * 5, 1.0) * 0.2
+                     + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 6)
+                 AS DECIMAL(10,6)) AS q
+        FROM ({_QUALITY_SQL}) qm
+      ) qq CROSS JOIN (
+        SELECT CAST(sum(CAST(ROUND(least(n_tok / 50.0, 1.0) * 0.3
+                     + greatest(0.0, 1.0 - pr * 4) * 0.3
+                     + least(swr * 5, 1.0) * 0.2
+                     + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0 THEN 1.0 ELSE 0.3 END) * 0.2, 6)
+                 AS DECIMAL(10,6))) AS DOUBLE) / count(*) AS qbar
+        FROM ({_QUALITY_SQL}) qm2
+      ) qb
+"""
+
+
+def _nb_distill_scored(lab: DataFrame, occ: DataFrame) -> DataFrame:
+    """Core of the NB distillation trainer, factored over an already-
+    labeled doc frame ``lab`` (doc_id, lang, pos) and its token-occurrence
+    stream ``occ`` (doc_id, pos, tok) so the label-flip antisymmetry
+    invariant (tests/test_r13_invariants.py) can retrain on NOT pos and
+    assert exact score negation. Returns doc-level scores."""
+    vocab = (
+        occ.groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("c_all"))
+        .orderBy(F.col("c_all").desc(), "tok")
+        .limit(_NB_V)
+    )
+    tc = (
+        occ.join(F.broadcast(vocab.select("tok")), "tok")
+        .groupBy("tok")
+        .agg(
+            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("c_pos"),
+            F.sum(F.when(~F.col("pos"), 1).otherwise(0)).cast("bigint").alias("c_neg"),
+        )
+    )
+    cls = tc.agg(
+        F.sum("c_pos").cast("bigint").alias("np"),
+        F.sum("c_neg").cast("bigint").alias("nn"),
+    )
+    half_v = float(_NB_HALF_V)
+    w = tc.crossJoin(F.broadcast(cls)).select(
+        "tok",
+        F.round(
+            F.log((F.col("c_pos") + 0.5) / (F.col("np") + half_v))
+            - F.log((F.col("c_neg") + 0.5) / (F.col("nn") + half_v)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("w"),
+    )
+    prior = lab.agg(
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("d_pos"),
+        F.sum(F.when(~F.col("pos"), 1).otherwise(0)).cast("bigint").alias("d_neg"),
+    ).select(
+        # difference-of-lns, NOT ln of the ratio: under a label flip the
+        # two terms swap, so negation is EXACT in IEEE (ln(1/x) is not
+        # exactly -ln(x)); the flip-antisymmetry invariant relies on it
+        F.round(
+            F.log(F.col("d_pos") + 0.5) - F.log(F.col("d_neg") + 0.5), 6
+        )
+        .cast("decimal(18,6)")
+        .alias("pr"),
+    )
+    docsum = (
+        occ.join(F.broadcast(w), "tok")
+        .groupBy("doc_id")
+        .agg(F.sum("w").alias("ws"))
+    )
+    return (
+        lab.join(docsum, "doc_id", "left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            "doc_id",
+            "lang",
+            "pos",
+            (
+                F.coalesce(F.col("ws"), F.lit(0).cast("decimal(18,6)"))
+                + F.col("pr")
+            ).alias("s"),
+        )
+    )
+
+
+@query(
+    "llmops_nb_quality_distill",
+    oracle=f"""
+    WITH lab AS ({_NB_TEACHER_SQL}),
+    occ AS (
+      SELECT d.doc_id, lab.pos, lower(tk.tok) AS tok
+      FROM documents d JOIN lab ON lab.doc_id = d.doc_id,
+           UNNEST(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                              x -> length(x) > 0)) AS tk(tok)
+    ), vocab AS (
+      SELECT tok FROM (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c_all
+        FROM occ GROUP BY tok ORDER BY c_all DESC, tok LIMIT {_NB_V}
+      ) v
+    ), tc AS (
+      SELECT tok,
+             CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS c_pos,
+             CAST(count(*) FILTER (WHERE NOT pos) AS BIGINT) AS c_neg
+      FROM occ JOIN vocab USING (tok) GROUP BY tok
+    ), cls AS (
+      SELECT CAST(sum(c_pos) AS BIGINT) AS np,
+             CAST(sum(c_neg) AS BIGINT) AS nn
+      FROM tc
+    ), w AS (
+      SELECT tok,
+             CAST(round(ln((c_pos + 0.5) / (np + {_NB_HALF_V}))
+                        - ln((c_neg + 0.5) / (nn + {_NB_HALF_V})), 6)
+                  AS DECIMAL(18,6)) AS w
+      FROM tc CROSS JOIN cls
+    ), prior AS (
+      SELECT CAST(round(ln(count(*) FILTER (WHERE pos) + 0.5)
+                        - ln(count(*) FILTER (WHERE NOT pos) + 0.5), 6)
+                  AS DECIMAL(18,6)) AS pr
+      FROM lab
+    ), docsum AS (
+      SELECT occ.doc_id, sum(w.w) AS ws
+      FROM occ JOIN w USING (tok) GROUP BY occ.doc_id
+    ), scored AS (
+      SELECT lab.doc_id, lab.lang, lab.pos,
+             coalesce(ds.ws, CAST(0 AS DECIMAL(18,6))) + prior.pr AS s
+      FROM lab LEFT JOIN docsum ds ON ds.doc_id = lab.doc_id
+      CROSS JOIN prior
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS teacher_keep,
+           CAST(count(*) FILTER (WHERE s > 0) AS BIGINT) AS student_keep,
+           CAST(count(*) FILTER (WHERE pos = (s > 0)) AS BIGINT) AS n_agree,
+           round(CAST(count(*) FILTER (WHERE pos = (s > 0)) AS DOUBLE)
+                 / count(*), 6) AS accuracy
+    FROM scored GROUP BY lang
+    """,
+)
+def llmops_nb_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-CLASSIFIER DISTILLATION TRAINING — the learning step
+    llmops_quality_classifier's docstring promises ("a real
+    trained-weights variant only adds a broadcast map lookup"): train a
+    multinomial Naive-Bayes bag-of-words student (the fastText-style
+    linear classifier of the GPT-3/CCNet/phi quality-filter lineage) to
+    MIMIC the expensive rule-based corpus gate (llmops_quality_filter's
+    round-6 decimal score, thresholded at the corpus mean — the
+    llmops_filter_disparity_audit convention, so both teacher classes
+    are populated at every SF — as the teacher label), then score every
+    document with the learned weights and report per-language
+    teacher/student agreement — the audit that decides whether the cheap
+    distilled gate can replace the expensive one at 100 TB.
+
+    Training is closed-form (one pass, no gradient loop): per-token-type
+    class counts over a top-{_NB_V} frequency-capped vocabulary, Laplace
+    0.5-smoothed log-odds w(t) = ln p(t|pos) - ln p(t|neg), plus the
+    class-prior log-odds; a document's score is the exact-decimal sum of
+    its tokens' weights (OOV contributes 0) and the student keeps s > 0.
+
+    Parity discipline: every count is an exact integer, each ln() runs
+    once per vocab TYPE on an identical double ratio, weights are
+    quantized round-6 into DECIMAL(18,6) (the llmops_ngram_lm_perplexity
+    mechanism), per-doc sums are exact decimal arithmetic, and the keep
+    decision compares an exact decimal against 0 — no float at any
+    boundary. Label-flip antisymmetry (retraining on NOT pos negates
+    every score exactly) is pinned in tests/test_r13_invariants.py.
+
+    Spark-first: three map-side-combinable hash aggregations (vocab
+    counts, class-conditional counts, doc sums), the 200-row weight
+    table and both 1-row frames BROADCAST — at 100 TB the only wide
+    exchanges are token-keyed partial aggs; scoring is a broadcast map
+    lookup, exactly the shape the apply-side query promised."""
+    from batch_public_spark.operators.textops import quality_score
+
+    d = t(spark, sf_dir, "documents")
+    q6 = F.round(quality_score(F.col("text")), 6).cast("decimal(10,6)")
+    qd = d.select("doc_id", "lang", "text", q6.alias("q"))
+    qbar = qd.agg(
+        (F.sum("q").cast("double") / F.count("*")).alias("qbar")
+    )
+    lab = qd.crossJoin(F.broadcast(qbar)).select(
+        "doc_id",
+        "lang",
+        (F.col("q").cast("double") >= F.col("qbar")).alias("pos"),
+        "text",
+    )
+    occ = lab.select(
+        "doc_id",
+        "pos",
+        F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("tok"),
+    )
+    scored = _nb_distill_scored(lab.drop("text"), occ)
+    agree = F.col("pos") == (F.col("s") > 0)
+    return scored.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("teacher_keep"),
+        F.sum(F.when(F.col("s") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("student_keep"),
+        F.sum(F.when(agree, 1).otherwise(0)).cast("bigint").alias("n_agree"),
+        F.round(
+            F.sum(F.when(agree, 1).otherwise(0)).cast("double") / F.count("*"), 6
+        ).alias("accuracy"),
+    )

@@ -3265,3 +3265,256 @@ def dq_dp_budget_accountant(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# l-diversity threshold l=3 and its entropy form ln(3), spelled as the SAME
+# double literal in the Spark plan and the DuckDB oracle (the _EWMA_W
+# repr() discipline — both engines parse the identical double; no log()
+# runs at comparison time).
+_LDIV_L = 3
+_LN3 = "1.0986122886681098"
+
+
+@query(
+    "dq_l_diversity",
+    oracle=f"""
+    WITH bands AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+      FROM customer
+    ), per_band AS (
+      SELECT c_nationkey, c_mktsegment, band,
+             CAST(count(*) AS BIGINT) AS c
+      FROM bands GROUP BY 1, 2, 3
+    ), terms AS (
+      SELECT c_nationkey, c_mktsegment, c,
+             CAST(round(-(c * 1.0 / sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment))
+                          * ln(c * 1.0 / sum(c) OVER (PARTITION BY c_nationkey, c_mktsegment)), 6)
+                  AS DECIMAL(18,6)) AS h_term
+      FROM per_band
+    ), per_group AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(count(*) AS BIGINT) AS l_distinct,
+             CAST(sum(c) AS BIGINT) AS grp_n,
+             CAST(sum(h_term) AS DOUBLE) AS entropy
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(l_distinct) AS BIGINT) AS l_actual,
+           CAST(sum(CASE WHEN l_distinct < {_LDIV_L} THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_groups,
+           CAST(sum(CASE WHEN l_distinct < {_LDIV_L} THEN grp_n ELSE 0 END) AS BIGINT)
+             AS exposed_rows,
+           round(CAST(sum(CASE WHEN l_distinct < {_LDIV_L} THEN grp_n ELSE 0 END) AS DOUBLE)
+                 / sum(grp_n), 6) AS exposed_share,
+           round(min(entropy), 6) AS min_entropy,
+           CAST(sum(CASE WHEN entropy < {_LN3} THEN 1 ELSE 0 END) AS BIGINT)
+             AS entropy_violating_groups
+    FROM per_group
+    """,
+)
+def dq_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit (Machanavajjhala et al. 2007) — the release gate
+    k-anonymity (dq_k_anonymity) is famously not sufficient for: a
+    QI class can be large (k-anonymous) yet expose everyone in it when
+    all members share one SENSITIVE value (the homogeneity attack).
+    Over the same quasi-identifier pair (nation, market segment) with
+    the banded account balance as the sensitive attribute
+    (floor(acctbal/2000) — 6 bands), reports distinct-l (the smallest
+    number of distinct sensitive values in any class, must be >= l=3),
+    the violating classes/rows/share, and the ENTROPY form: min over
+    classes of -sum p ln p, with classes below ln(3) counted — the
+    stricter gate that also catches near-homogeneous skew a distinct
+    count misses.
+
+    Parity discipline: band counts are exact integers; each entropy
+    term's p is a double division of exact ints (identical in both
+    engines), ln() runs once per (class, band) row on an identical
+    double, terms are quantized round-6 into DECIMAL and summed exactly
+    (the llmops_ngram_lm_perplexity mechanism — accumulation order
+    cannot drift), and the ln(3) threshold is the same double literal
+    in both plans, so every verdict compares identical doubles.
+
+    Spark-first: ONE grouped count at (QI, band) grain — the only
+    shuffle touching the heavy table — then the class roll-up and the
+    final one-row audit run on the <= |QI classes| x |bands| grid
+    (<= 750 rows at ANY scale factor: cardinality-bounded, the
+    dq_k_anonymity discipline). The entropy window partitions by the
+    QI class on the tiny grid, never the raw table."""
+    c = t(spark, sf_dir, "customer")
+    per_band = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 2000.0).cast("bigint").alias("band"),
+    ).groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    wg = W.partitionBy("c_nationkey", "c_mktsegment")
+    p = F.col("c") * F.lit(1.0) / F.sum("c").over(wg)
+    term = F.round(-p * F.log(p), 6).cast("decimal(18,6)")
+    per_group = per_band.select(
+        "c_nationkey", "c_mktsegment", "c", term.alias("h_term")
+    ).groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("l_distinct"),
+        F.sum("c").cast("bigint").alias("grp_n"),
+        F.sum("h_term").cast("double").alias("entropy"),
+    )
+    small = F.col("l_distinct") < _LDIV_L
+    return per_group.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.min("l_distinct").cast("bigint").alias("l_actual"),
+        F.sum(F.when(small, 1).otherwise(0)).cast("bigint").alias("violating_groups"),
+        F.sum(F.when(small, F.col("grp_n")).otherwise(0))
+        .cast("bigint")
+        .alias("exposed_rows"),
+        F.round(
+            F.sum(F.when(small, F.col("grp_n")).otherwise(0)).cast("double")
+            / F.sum("grp_n"),
+            6,
+        ).alias("exposed_share"),
+        F.round(F.min("entropy"), 6).alias("min_entropy"),
+        F.sum(F.when(F.col("entropy") < float(_LN3), 1).otherwise(0))
+        .cast("bigint")
+        .alias("entropy_violating_groups"),
+    )
+
+
+# Mann-Kendall two-sided critical value at alpha=0.05, the same double
+# literal in both engines (scipy.stats.norm.ppf(0.975) to 6 decimals).
+_MK_ZCRIT = "1.959964"
+
+
+@query(
+    "dq_mann_kendall_trend",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT o_orderpriority AS prio,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+             CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2
+    ), s AS (
+      SELECT a.prio,
+             CAST(sum(CASE WHEN b.cents > a.cents THEN 1
+                           WHEN b.cents < a.cents THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM monthly a JOIN monthly b ON a.prio = b.prio AND a.m < b.m
+      GROUP BY a.prio
+    ), nn AS (
+      SELECT prio, CAST(count(*) AS BIGINT) AS n FROM monthly GROUP BY prio
+    ), ties AS (
+      SELECT prio, CAST(coalesce(sum(tt * (tt - 1) * (2 * tt + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (SELECT prio, cents, CAST(count(*) AS BIGINT) AS tt
+            FROM monthly GROUP BY prio, cents) g
+      WHERE tt > 1 GROUP BY prio
+    ), z AS (
+      SELECT s.prio, s.s_stat, nn.n,
+             (nn.n * (nn.n - 1) * (2 * nn.n + 5) - coalesce(ties.tie_term, 0))
+               / 18.0 AS var_s
+      FROM s JOIN nn ON s.prio = nn.prio
+      LEFT JOIN ties ON s.prio = ties.prio
+    ), zz AS (
+      SELECT prio, s_stat, n, var_s,
+             CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                  WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                  ELSE 0.0 END AS z_val
+      FROM z
+    )
+    SELECT prio, n AS n_months, s_stat, round(var_s, 6) AS var_s,
+           round(z_val, 6) AS z_stat,
+           CASE WHEN z_val > {_MK_ZCRIT} THEN 'increasing'
+                WHEN z_val < -{_MK_ZCRIT} THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM zz
+    """,
+)
+def dq_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-KENDALL trend test per order priority — the nonparametric
+    significance test that pairs with agg_theil_sen_slope's point
+    estimate (Sen 1968 cites Mann 1945/Kendall's tau as the companion
+    test; together they are the standard monotone-trend kit): S is the
+    sum of pairwise sign(x_j - x_i) over the monthly-revenue series,
+    Var(S) carries the tie correction sum t(t-1)(2t+5), and the
+    continuity-corrected z = (S -/+ 1)/sqrt(Var) drives a two-sided
+    verdict at alpha = 0.05. The same quadratic-ONLY-in-the-month-grid
+    shape as Theil-Sen (80 months -> 3160 pairs per group at every SF).
+
+    Parity discipline: monthly cents are exact BIGINT so every pairwise
+    sign, S, n, and the tie term are exact integers; Var(S) is one
+    double division of an exact bigint by 18.0, sqrt is
+    IEEE-correctly-rounded, and the z-critical value is the same double
+    literal in both plans — the trend verdict compares identical
+    doubles end to end.
+
+    Spark-first: one shuffle for the monthly rollup (shared shape with
+    Theil-Sen; a trend dashboard computes both off one cached grid);
+    the pair join, tie count, and verdict all run on the tiny grid."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("bigint")
+        .alias("m"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    a = monthly.select("prio", F.col("m").alias("m1"), F.col("cents").alias("c1"))
+    b = monthly.select("prio", F.col("m").alias("m2"), F.col("cents").alias("c2"))
+    s = (
+        a.join(b, "prio")
+        .filter(F.col("m1") < F.col("m2"))
+        .groupBy("prio")
+        .agg(
+            F.sum(
+                F.when(F.col("c2") > F.col("c1"), 1)
+                .when(F.col("c2") < F.col("c1"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    nn = monthly.groupBy("prio").agg(F.count("*").cast("bigint").alias("n"))
+    ties = (
+        monthly.groupBy("prio", "cents")
+        .agg(F.count("*").cast("bigint").alias("tt"))
+        .filter(F.col("tt") > 1)
+        .groupBy("prio")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("tt") * (F.col("tt") - 1) * (2 * F.col("tt") + 5)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.coalesce(F.col("tie_term"), F.lit(0))
+    ) / F.lit(18.0)
+    z = (
+        s.join(nn, "prio")
+        .join(ties, "prio", "left")
+        .select("prio", "s_stat", "n", var_s.alias("var_s"))
+        .withColumn(
+            "z_val",
+            F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1) / F.sqrt("var_s"))
+            .when(F.col("s_stat") < 0, (F.col("s_stat") + 1) / F.sqrt("var_s"))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+    zc = float(_MK_ZCRIT)
+    return z.select(
+        "prio",
+        F.col("n").alias("n_months"),
+        "s_stat",
+        F.round("var_s", 6).alias("var_s"),
+        F.round("z_val", 6).alias("z_stat"),
+        F.when(F.col("z_val") > zc, F.lit("increasing"))
+        .when(F.col("z_val") < -zc, F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
+    )

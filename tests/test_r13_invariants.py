@@ -268,3 +268,188 @@ def test_wordpiece_objective_diverges_from_bpe_and_is_correct(spark):
         """
     ).fetchall()[0][0]
     assert wp[0].pair == top
+
+
+# ---------------------------------------------------------------------------
+# r13 second wave: l-diversity, Mann-Kendall, log-rank
+# ---------------------------------------------------------------------------
+
+
+def test_l_diversity_flags_injected_homogeneous_group(spark, tmp_path):
+    """The homogeneity-attack path, exercised (the customer fixture is
+    diverse enough that the registered audit's counters move but prove
+    little in isolation): a QI class whose members all share one
+    sensitive band must violate BOTH the distinct-l and entropy gates,
+    while a 4-band uniform class passes both."""
+    rows = [(1, "A", 100.0)] * 10 + [
+        (2, "B", float(b * 2000 + 100)) for b in (0, 1, 2, 3) for _ in range(3)
+    ]
+    spark.createDataFrame(
+        rows, "c_nationkey long, c_mktsegment string, c_acctbal double"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    (r,) = QUERIES["dq_l_diversity"].fn(spark, str(tmp_path)).collect()
+    assert r.n_groups == 2
+    assert r.l_actual == 1
+    assert r.violating_groups == 1 and r.exposed_rows == 10
+    assert r.entropy_violating_groups == 1
+    assert r.min_entropy == 0.0
+    assert abs(r.exposed_share - 10 / 22) < 1e-6
+
+
+def test_l_diversity_entropy_gate_is_stricter_on_fixture(spark):
+    """Theorem (entropy <= ln(distinct)): every group failing distinct-l
+    also fails the entropy form, so entropy_violating_groups >=
+    violating_groups — checked on the real fixture, plus basic sanity
+    of the audit roll-up."""
+    (r,) = QUERIES["dq_l_diversity"].fn(spark, SF_DIR).collect()
+    assert r.entropy_violating_groups >= r.violating_groups
+    assert 1 <= r.l_actual
+    assert 0.0 <= r.exposed_share <= 1.0
+    assert r.min_entropy >= 0.0
+
+
+def test_mann_kendall_detects_injected_monotone_trend(spark, tmp_path):
+    """Directional alarm paths: a strictly increasing 24-month series
+    must reach the maximal S = n(n-1)/2 and verdict 'increasing', its
+    mirror 'decreasing', and a constant series must land exactly on
+    S = 0, tie-saturated Var(S) = 0, z = 0, 'none'."""
+    import datetime
+
+    rows = []
+    for i in range(24):
+        d = datetime.date(2024, 1, 1) + datetime.timedelta(days=31 * i)
+        d = d.replace(day=1)
+        rows.append(("UP", d, 100.0 + 10.0 * i))
+        rows.append(("DOWN", d, 1000.0 - 10.0 * i))
+        rows.append(("FLAT", d, 500.0))
+    spark.createDataFrame(
+        rows, "o_orderpriority string, o_orderdate date, o_totalprice double"
+    ).write.parquet(str(tmp_path / "orders.parquet"))
+    out = {
+        r.prio: r
+        for r in QUERIES["dq_mann_kendall_trend"].fn(spark, str(tmp_path)).collect()
+    }
+    n = 24
+    assert out["UP"].s_stat == n * (n - 1) // 2
+    assert out["UP"].trend == "increasing"
+    assert out["DOWN"].s_stat == -n * (n - 1) // 2
+    assert out["DOWN"].trend == "decreasing"
+    assert out["FLAT"].s_stat == 0
+    assert out["FLAT"].var_s == 0.0
+    assert out["FLAT"].z_stat == 0.0
+    assert out["FLAT"].trend == "none"
+
+
+def test_mann_kendall_sign_agrees_with_theil_sen(spark):
+    """Cross-query theorem: S > 0 implies more up-pairs than down-pairs,
+    which forces the median pairwise slope (Theil-Sen) to be >= 0 —
+    and symmetrically for S < 0. The test pins the estimator/test pair
+    to the same monthly grid on the real fixture."""
+    mk = {
+        r.prio: r for r in QUERIES["dq_mann_kendall_trend"].fn(spark, SF_DIR).collect()
+    }
+    ts = {
+        r.prio: r for r in QUERIES["agg_theil_sen_slope"].fn(spark, SF_DIR).collect()
+    }
+    assert set(mk) == set(ts)
+    for prio, r in mk.items():
+        if r.s_stat > 0:
+            assert ts[prio].sen_slope >= 0.0, prio
+        elif r.s_stat < 0:
+            assert ts[prio].sen_slope <= 0.0, prio
+
+
+def test_logrank_rejects_on_injected_cohort_effect(spark, tmp_path):
+    """The rejection path, exercised: cohort 0 (even users) churns its
+    whole risk set on day 1 while cohort 1 survives to day 10, so
+    observed early churn d1 far exceeds its hypergeometric expectation
+    and the test must reject with z > 0."""
+    import datetime
+
+    base = datetime.datetime(2024, 3, 1)
+    rows = []
+    for u in range(20):
+        last = 1 if u % 2 == 0 else 10
+        for day in (0, last):
+            rows.append((u, "click", base + datetime.timedelta(days=day)))
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    (r,) = QUERIES["events_logrank_test"].fn(spark, str(tmp_path)).collect()
+    assert r.o1 == 10 and r.o2 == 10
+    assert r.reject_null is True
+    assert r.z_stat > 1.959964
+    # day 1: n1=n2=10, d=10 => e1=5, v=100*100/(400*19)*10... oe_sum=+5
+    assert abs(r.oe_sum - 5.0) < 1e-6
+
+
+def test_logrank_total_churn_reconciles_with_spans(spark):
+    """Every per-(user, event_type) stream churns exactly once, so
+    o1 + o2 must equal the span count on the real fixture; expectations
+    must sum to observations (e1 + e2 == o1 + o2 by construction, so
+    e1 = o1 - oe_sum stays within the churn totals)."""
+    (r,) = QUERIES["events_logrank_test"].fn(spark, SF_DIR).collect()
+    n_spans = (
+        QUERIES["events_logrank_test"]
+        .fn.__globals__["t"](spark, SF_DIR, "events")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert r.o1 + r.o2 == n_spans
+    assert 0.0 < r.e1 < r.o1 + r.o2
+    assert r.var_sum > 0.0
+
+
+def test_nb_distill_label_flip_negates_scores_exactly(spark):
+    """Antisymmetry of the NB trainer: retraining with the teacher labels
+    flipped swaps the two ln terms in every weight and in the prior
+    (both are spelled as differences of lns, never ln of a ratio), so
+    every document's score must negate EXACTLY — decimal equality, not
+    tolerance. Pins that the learned weights are a pure function of the
+    class-conditional counts with no hidden asymmetry."""
+    from batch_public_spark.operators.textops import quality_score
+    from batch_public_spark.plans.curation_queries import _nb_distill_scored
+    from batch_public_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    q6 = F.round(quality_score(F.col("text")), 6).cast("decimal(10,6)")
+    qd = d.select("doc_id", "lang", "text", q6.alias("q"))
+    qbar = qd.agg((F.sum("q").cast("double") / F.count("*")).alias("qbar"))
+    lab = qd.crossJoin(F.broadcast(qbar)).select(
+        "doc_id", "lang",
+        (F.col("q").cast("double") >= F.col("qbar")).alias("pos"), "text",
+    )
+    occ = lab.select(
+        "doc_id", "pos",
+        F.explode(F.transform(F.split(F.trim(F.col("text")), r"\s+"), F.lower)).alias("tok"),
+    ).filter(F.length("tok") > 0)
+    base = _nb_distill_scored(lab.drop("text"), occ)
+    flipped = _nb_distill_scored(
+        lab.drop("text").withColumn("pos", ~F.col("pos")),
+        occ.withColumn("pos", ~F.col("pos")),
+    )
+    joined = (
+        base.select("doc_id", F.col("s").alias("s0"))
+        .join(flipped.select("doc_id", F.col("s").alias("s1")), "doc_id")
+        .collect()
+    )
+    assert len(joined) > 100
+    for r in joined:
+        assert r.s1 == -r.s0, (r.doc_id, r.s0, r.s1)
+
+
+def test_nb_distill_beats_marginal_agreement(spark):
+    """The distilled student must carry real signal: pooled agreement
+    with the teacher must exceed the best constant predictor's (the
+    majority class share) — the minimal bar any trained classifier must
+    clear — and per-language keep counts must stay within bounds."""
+    rows = QUERIES["llmops_nb_quality_distill"].fn(spark, SF_DIR).collect()
+    n = sum(r.n_docs for r in rows)
+    teach = sum(r.teacher_keep for r in rows)
+    agree = sum(r.n_agree for r in rows)
+    majority = max(teach, n - teach) / n
+    assert agree / n > majority, (agree / n, majority)
+    for r in rows:
+        assert 0 <= r.student_keep <= r.n_docs
+        assert 0 <= r.n_agree <= r.n_docs
