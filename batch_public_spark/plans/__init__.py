@@ -130,6 +130,7 @@ _NEXT_WINDOW: list[str] = [
     "dq_mann_kendall_trend",
     "events_logrank_test",
     "llmops_nb_quality_distill",
+    "llmops_dsir_selection",
 ]
 
 

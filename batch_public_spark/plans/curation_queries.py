@@ -1587,6 +1587,24 @@ _NB_TEACHER_SQL = f"""
 """
 
 
+def _teacher_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents labeled by the corpus-mean quality gate (_NB_TEACHER_SQL's
+    Spark twin): (doc_id, lang, pos, text). Shared by the NB distillation
+    trainer and the DSIR selector — both learn to reproduce this teacher."""
+    from batch_public_spark.operators.textops import quality_score
+
+    d = t(spark, sf_dir, "documents")
+    q6 = F.round(quality_score(F.col("text")), 6).cast("decimal(10,6)")
+    qd = d.select("doc_id", "lang", "text", q6.alias("q"))
+    qbar = qd.agg((F.sum("q").cast("double") / F.count("*")).alias("qbar"))
+    return qd.crossJoin(F.broadcast(qbar)).select(
+        "doc_id",
+        "lang",
+        (F.col("q").cast("double") >= F.col("qbar")).alias("pos"),
+        "text",
+    )
+
+
 def _nb_distill_scored(lab: DataFrame, occ: DataFrame) -> DataFrame:
     """Core of the NB distillation trainer, factored over an already-
     labeled doc frame ``lab`` (doc_id, lang, pos) and its token-occurrence
@@ -1741,20 +1759,7 @@ def llmops_nb_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
     table and both 1-row frames BROADCAST — at 100 TB the only wide
     exchanges are token-keyed partial aggs; scoring is a broadcast map
     lookup, exactly the shape the apply-side query promised."""
-    from batch_public_spark.operators.textops import quality_score
-
-    d = t(spark, sf_dir, "documents")
-    q6 = F.round(quality_score(F.col("text")), 6).cast("decimal(10,6)")
-    qd = d.select("doc_id", "lang", "text", q6.alias("q"))
-    qbar = qd.agg(
-        (F.sum("q").cast("double") / F.count("*")).alias("qbar")
-    )
-    lab = qd.crossJoin(F.broadcast(qbar)).select(
-        "doc_id",
-        "lang",
-        (F.col("q").cast("double") >= F.col("qbar")).alias("pos"),
-        "text",
-    )
+    lab = _teacher_labeled_docs(spark, sf_dir)
     occ = lab.select(
         "doc_id",
         "pos",
@@ -1772,4 +1777,208 @@ def llmops_nb_quality_distill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.when(agree, 1).otherwise(0)).cast("double") / F.count("*"), 6
         ).alias("accuracy"),
+    )
+
+
+# DSIR hashed-feature space: B buckets and the Laplace mass 0.5 * B.
+_DSIR_B = 64
+_DSIR_HALF_B = "32.0"
+# Poisson-selection threshold on the Gumbel-perturbed log-weight and the
+# softmax temperature dividing the log-weight before the Gumbel race (see
+# docstring); fixed literals, identical in both engines.
+_DSIR_C = "1.0"
+_DSIR_TAU = "0.05"
+
+
+def _dsir_gumbel(h: str) -> str:
+    """SQL: standard Gumbel(0,1) noise from a seeded md5 uniform
+    (-ln(-ln u)); u is an exact dyadic rational strictly inside (0,1)
+    (stats_queries._dp_u), so both lns run on identical doubles."""
+    from batch_public_spark.plans.stats_queries import _dp_u
+
+    return f"(-ln(-ln({_dp_u(h)})))"
+
+
+@query(
+    "llmops_dsir_selection",
+    oracle=f"""
+    WITH lab AS ({_NB_TEACHER_SQL}),
+    tk AS (
+      SELECT lab.doc_id, lab.pos,
+             list_transform(list_filter(string_split_regex(trim(d.text), '\\s+'),
+                                        x -> length(x) > 0),
+                            x -> lower(x)) AS toks
+      FROM lab JOIN documents d ON d.doc_id = lab.doc_id
+    ), uni AS (
+      SELECT doc_id, pos, unnest(toks) AS ng FROM tk
+    ), bi0 AS (
+      SELECT doc_id, pos,
+             unnest(toks[1:length(toks)-1]) AS w1,
+             unnest(toks[2:length(toks)]) AS w2
+      FROM tk WHERE length(toks) >= 2
+    ), occ AS (
+      SELECT doc_id, pos, ng FROM uni
+      UNION ALL
+      SELECT doc_id, pos, w1 || ' ' || w2 AS ng FROM bi0
+    ), bkt AS (
+      SELECT doc_id, pos,
+             ({_hex3("md5(ng || ':dsir')")} % {_DSIR_B}) AS b
+      FROM occ
+    ), bc AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS n_raw,
+             CAST(count(*) FILTER (WHERE pos) AS BIGINT) AS n_tgt
+      FROM bkt GROUP BY b
+    ), tot AS (
+      SELECT CAST(sum(n_raw) AS BIGINT) AS r_tot,
+             CAST(sum(n_tgt) AS BIGINT) AS t_tot
+      FROM bc
+    ), w AS (
+      SELECT b, CAST(round(ln(n_tgt + 0.5) - ln(t_tot + {_DSIR_HALF_B})
+                           - ln(n_raw + 0.5) + ln(r_tot + {_DSIR_HALF_B}), 6)
+                     AS DECIMAL(18,6)) AS lw
+      FROM bc CROSS JOIN tot
+    ), doclw AS (
+      SELECT bkt.doc_id, sum(w.lw) AS lw
+      FROM bkt JOIN w USING (b) GROUP BY bkt.doc_id
+    ), scored AS (
+      SELECT lab.doc_id, lab.pos,
+             coalesce(dl.lw, CAST(0 AS DECIMAL(18,6))) AS lw,
+             CAST(coalesce(dl.lw, CAST(0 AS DECIMAL(18,6))) AS DOUBLE) / {_DSIR_TAU}
+               + {_dsir_gumbel("md5(CAST(lab.doc_id AS VARCHAR) || ':dsir')")} AS sel_key
+      FROM lab LEFT JOIN doclw dl ON dl.doc_id = lab.doc_id
+    )
+    SELECT pos AS is_target,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (WHERE sel_key > {_DSIR_C}) AS BIGINT)
+             AS n_selected,
+           round(CAST(count(*) FILTER (WHERE sel_key > {_DSIR_C}) AS DOUBLE)
+                 / count(*), 6) AS sel_share,
+           round(CAST(sum(lw) AS DOUBLE) / count(*), 6) AS mean_logw,
+           round(CAST(sum(lw) FILTER (WHERE sel_key > {_DSIR_C}) AS DOUBLE)
+                 / nullif(count(*) FILTER (WHERE sel_key > {_DSIR_C}), 0), 6)
+             AS mean_logw_selected
+    FROM scored GROUP BY pos
+    """,
+)
+def llmops_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.,
+    NeurIPS 2023): estimate hashed-n-gram bag-of-words distributions for
+    a TARGET domain and the RAW corpus, weight every document by its
+    importance log-ratio sum, and sample the corpus proportionally — the
+    method behind targeted pretraining mixes. Features are word unigrams
+    AND bigrams hashed into 64 buckets (the paper's hashed n-gram
+    space); the target is the corpus-mean quality gate's accepted class
+    (the llmops_nb_quality_distill teacher — the paper's "formal text"
+    target, text-derived so the weights carry real token signal);
+    per-bucket log-ratios use Laplace 0.5 smoothing.
+
+    Selection is the Poisson/exponential-race form: a document is kept
+    when logw/tau + Gumbel > c — the streaming-safe cousin of the
+    paper's Gumbel-top-k (top-k needs a global sort; the threshold form
+    keeps inclusion probability 1 - exp(-e^(logw/tau - c)), monotone in
+    logw, and the tau = 0.05 softmax temperature re-sharpens what the
+    64-bucket fixture space flattens — a 10k-bucket production space
+    runs tau = 1) and
+    decides each row independently — one scan, no global state, the
+    shape that survives 100 TB). The Gumbel draw is seeded from md5 of
+    the doc id (the dq_dp_noisy_release public-draw convention:
+    deterministic calibration form; production swaps a secret RNG).
+
+    Parity discipline: bucket counts are exact integers; each bucket
+    log-ratio is a difference of lns on identical doubles quantized
+    round-6 into DECIMAL (the llmops_ngram_lm_perplexity mechanism);
+    per-doc sums are exact decimal; the Gumbel uniform is an exact
+    dyadic rational so -ln(-ln u) is identical in both engines; the
+    selection compares identical doubles against the same literal.
+
+    Spark-first: two map-side-combinable hash aggregations (bucket
+    counts, per-doc sums), the 64-row weight table and the 1-row total
+    BROADCAST; selection is a stateless per-row predicate. The target
+    need not be a subset of the corpus at scale — swapping in an
+    external target table changes one input, not the plan shape."""
+    from batch_public_spark.plans.stats_queries import _dp_u
+
+    lab = _teacher_labeled_docs(spark, sf_dir)
+    tk = lab.select(
+        "doc_id",
+        "pos",
+        F.transform(tokens(F.col("text")), F.lower).alias("toks"),
+    )
+    uni = tk.select("doc_id", "pos", F.explode("toks").alias("ng"))
+    bi = (
+        tk.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "pos",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    "         slice(toks, 2, size(toks) - 1),"
+                    "         (x, y) -> concat(x, ' ', y))"
+                )
+            ).alias("ng"),
+        )
+    )
+    occ = uni.unionAll(bi)
+    bkt = occ.select(
+        "doc_id",
+        "pos",
+        (F.expr(_hex3("md5(concat(ng, ':dsir'))")) % _DSIR_B).alias("b"),
+    )
+    bc = bkt.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("n_raw"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_tgt"),
+    )
+    tot = bc.agg(
+        F.sum("n_raw").cast("bigint").alias("r_tot"),
+        F.sum("n_tgt").cast("bigint").alias("t_tot"),
+    )
+    half_b = float(_DSIR_HALF_B)
+    w = bc.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(F.col("n_tgt") + 0.5)
+            - F.log(F.col("t_tot") + half_b)
+            - F.log(F.col("n_raw") + 0.5)
+            + F.log(F.col("r_tot") + half_b),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lw"),
+    )
+    doclw = (
+        bkt.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lw").alias("lw"))
+    )
+    gumbel = F.expr(
+        _dsir_gumbel("md5(concat(cast(doc_id as string), ':dsir'))")
+    )
+    lw0 = F.coalesce(F.col("lw"), F.lit(0).cast("decimal(18,6)"))
+    scored = (
+        lab.drop("text", "lang")
+        .join(doclw, "doc_id", "left")
+        .select(
+            "doc_id",
+            "pos",
+            lw0.alias("lw"),
+            (lw0.cast("double") / float(_DSIR_TAU) + gumbel).alias("sel_key"),
+        )
+    )
+    c = float(_DSIR_C)
+    sel = F.col("sel_key") > c
+    return scored.groupBy(F.col("pos").alias("is_target")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(sel, 1).otherwise(0)).cast("bigint").alias("n_selected"),
+        F.round(
+            F.sum(F.when(sel, 1).otherwise(0)).cast("double") / F.count("*"), 6
+        ).alias("sel_share"),
+        F.round(F.sum("lw").cast("double") / F.count("*"), 6).alias("mean_logw"),
+        F.round(
+            F.try_divide(
+                F.sum(F.when(sel, F.col("lw"))).cast("double"),
+                F.sum(F.when(sel, 1).otherwise(0)),
+            ),
+            6,
+        ).alias("mean_logw_selected"),
     )

@@ -453,3 +453,24 @@ def test_nb_distill_beats_marginal_agreement(spark):
     for r in rows:
         assert 0 <= r.student_keep <= r.n_docs
         assert 0 <= r.n_agree <= r.n_docs
+
+
+def test_dsir_selection_skews_toward_target(spark):
+    """DSIR directional invariants, at the fixture SF: (a) the target
+    class's importance log-weights average positive and the raw-only
+    class's negative (the hashed-ngram ratio really detects the target
+    distribution); (b) the Gumbel-race selection keeps a strictly larger
+    share of the target class; (c) WITHIN each class the selected subset
+    has a higher mean log-weight than the class at large (selection is
+    monotone in the weight, not a uniform draw)."""
+    rows = {
+        r.is_target: r
+        for r in QUERIES["llmops_dsir_selection"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {True, False}
+    tgt, raw = rows[True], rows[False]
+    assert tgt.mean_logw > 0.0 > raw.mean_logw
+    assert tgt.sel_share > raw.sel_share
+    for r in (tgt, raw):
+        assert 0 < r.n_selected < r.n_docs
+        assert r.mean_logw_selected > r.mean_logw, r
