@@ -131,6 +131,9 @@ _NEXT_WINDOW: list[str] = [
     "events_logrank_test",
     "llmops_nb_quality_distill",
     "llmops_dsir_selection",
+    "dq_t_closeness",
+    "dq_permutation_test",
+    "events_cuped_adjustment",
 ]
 
 

@@ -6652,3 +6652,144 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z_expr, 6).alias("z_stat"),
         (F.abs(z_expr) > zc).alias("reject_null"),
     )
+
+
+@query(
+    "events_cuped_adjustment",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(epoch_us(min(ts)) AS BIGINT) AS lo,
+             CAST(epoch_us(max(ts)) AS BIGINT) AS hi
+      FROM events
+    ), per_user AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS treat,
+             CAST(count(*) FILTER (
+               WHERE epoch_us(ts) < (lo + hi) // 2) AS BIGINT) AS x,
+             CAST(count(*) FILTER (
+               WHERE epoch_us(ts) >= (lo + hi) // 2) AS BIGINT) AS y
+      FROM events CROSS JOIN bounds
+      GROUP BY user_id % 2, user_id
+    ), s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(count(*) FILTER (WHERE treat = 1) AS BIGINT) AS n1,
+             CAST(sum(x) FILTER (WHERE treat = 1) AS BIGINT) AS sx1,
+             CAST(sum(y) FILTER (WHERE treat = 1) AS BIGINT) AS sy1
+      FROM per_user
+    ), m AS (
+      SELECT n, n1, n - n1 AS n0,
+             (sxy - sx * 1.0 * sy / n) / n AS cov_xy,
+             (sxx - sx * 1.0 * sx / n) / n AS var_x,
+             (syy - sy * 1.0 * sy / n) / n AS var_y,
+             sx * 1.0 / n AS mx,
+             sy1 * 1.0 / n1 AS my1, (sy - sy1) * 1.0 / (n - n1) AS my0,
+             sx1 * 1.0 / n1 AS mx1, (sx - sx1) * 1.0 / (n - n1) AS mx0
+      FROM s
+    ), th AS (
+      SELECT m.*, cov_xy / var_x AS theta FROM m
+    )
+    SELECT n AS n_users, n1 AS n_treat,
+           round(theta, 6) AS theta,
+           round(my1 - my0, 6) AS gap_raw,
+           round((my1 - theta * (mx1 - mx)) - (my0 - theta * (mx0 - mx)), 6)
+             AS gap_cuped,
+           round((cov_xy * cov_xy) / (var_x * var_y), 6) AS var_reduction,
+           round(var_y - 2 * theta * cov_xy + theta * theta * var_x, 6)
+             AS var_y_cuped
+    FROM th
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED — Controlled-experiment Using Pre-Experiment Data (Deng,
+    Xu, Kohavi & Walker, WSDM 2013), the industry-standard variance
+    reduction every experimentation platform ships: regress the
+    experiment metric y (each user's event count in the later half of
+    the calendar span) on its pre-period covariate x (the earlier half),
+    theta = cov(x,y)/var(x), and compare cohorts on the adjusted metric
+    y - theta(x - xbar). Completes the A/B family (events_ab_uplift,
+    events_did_estimator, dq_permutation_test, events_logrank_test) with
+    the user-parity cohort convention. Reports theta, the raw and
+    CUPED-adjusted treatment gaps, the variance-reduction factor
+    rho^2 = cov^2/(var_x var_y) (CUPED's Eq. 4: exactly the share of
+    metric variance the covariate removes), and the adjusted variance
+    var_y - 2 theta cov + theta^2 var_x.
+
+    Parity discipline: the pre/post boundary is integer epoch-micros
+    midpoint arithmetic ((lo + hi) div 2 — exact); every per-user count
+    and cross-moment sum is an exact BIGINT, so all moments, theta, and
+    both gaps are the same double expressions of identical operands in
+    both engines, rounded only at emission.
+
+    Spark-first: one 2-value broadcast for the span bounds, ONE grouped
+    count per user (the only heavy shuffle), then a single 9-column
+    map-side-combinable moment aggregation on the per-user frame —
+    adding a covariate to an experiment readout costs one pass, which
+    is why CUPED is always on at 100 TB."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    )
+    mid = F.expr("(lo + hi) div 2")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            (F.col("user_id") % 2).cast("bigint").alias("treat"), "user_id"
+        )
+        .agg(
+            F.sum(F.when(F.unix_micros("ts") < mid, 1).otherwise(0))
+            .cast("bigint")
+            .alias("x"),
+            F.sum(F.when(F.unix_micros("ts") >= mid, 1).otherwise(0))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    s = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.when(F.col("treat") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(F.col("treat") == 1, F.col("x"))).cast("bigint").alias("sx1"),
+        F.sum(F.when(F.col("treat") == 1, F.col("y"))).cast("bigint").alias("sy1"),
+    )
+    m = s.select(
+        "n",
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n0"),
+        ((F.col("sxy") - F.col("sx") * F.lit(1.0) * F.col("sy") / F.col("n")) / F.col("n")).alias("cov_xy"),
+        ((F.col("sxx") - F.col("sx") * F.lit(1.0) * F.col("sx") / F.col("n")) / F.col("n")).alias("var_x"),
+        ((F.col("syy") - F.col("sy") * F.lit(1.0) * F.col("sy") / F.col("n")) / F.col("n")).alias("var_y"),
+        (F.col("sx") * F.lit(1.0) / F.col("n")).alias("mx"),
+        (F.col("sy1") * F.lit(1.0) / F.col("n1")).alias("my1"),
+        ((F.col("sy") - F.col("sy1")) * F.lit(1.0) / (F.col("n") - F.col("n1"))).alias("my0"),
+        (F.col("sx1") * F.lit(1.0) / F.col("n1")).alias("mx1"),
+        ((F.col("sx") - F.col("sx1")) * F.lit(1.0) / (F.col("n") - F.col("n1"))).alias("mx0"),
+    ).withColumn("theta", F.col("cov_xy") / F.col("var_x"))
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.col("n1").alias("n_treat"),
+        F.round("theta", 6).alias("theta"),
+        F.round(F.col("my1") - F.col("my0"), 6).alias("gap_raw"),
+        F.round(
+            (F.col("my1") - F.col("theta") * (F.col("mx1") - F.col("mx")))
+            - (F.col("my0") - F.col("theta") * (F.col("mx0") - F.col("mx"))),
+            6,
+        ).alias("gap_cuped"),
+        F.round(
+            (F.col("cov_xy") * F.col("cov_xy")) / (F.col("var_x") * F.col("var_y")), 6
+        ).alias("var_reduction"),
+        F.round(
+            F.col("var_y")
+            - 2 * F.col("theta") * F.col("cov_xy")
+            + F.col("theta") * F.col("theta") * F.col("var_x"),
+            6,
+        ).alias("var_y_cuped"),
+    )

@@ -3518,3 +3518,271 @@ def dq_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("none"))
         .alias("trend"),
     )
+
+
+# t-closeness threshold, the same double literal in both engines.
+_TCLOSE_T = "0.2"
+
+
+@query(
+    "dq_t_closeness",
+    oracle=f"""
+    WITH bands AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(floor(c_acctbal / 2000.0) AS BIGINT) AS band
+      FROM customer
+    ), per_band AS (
+      SELECT c_nationkey, c_mktsegment, band, CAST(count(*) AS BIGINT) AS c
+      FROM bands GROUP BY 1, 2, 3
+    ), gmarg AS (
+      SELECT band, CAST(sum(c) AS BIGINT) AS g FROM per_band GROUP BY band
+    ), tot AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gmarg),
+    grp_n AS (
+      SELECT c_nationkey, c_mktsegment, CAST(sum(c) AS BIGINT) AS gn
+      FROM per_band GROUP BY 1, 2
+    ), cells AS (
+      SELECT grp_n.c_nationkey, grp_n.c_mktsegment, gmarg.band,
+             grp_n.gn, gmarg.g, tot.n, coalesce(pb.c, 0) AS c
+      FROM grp_n CROSS JOIN gmarg CROSS JOIN tot
+      LEFT JOIN per_band pb
+        ON pb.c_nationkey = grp_n.c_nationkey
+       AND pb.c_mktsegment = grp_n.c_mktsegment
+       AND pb.band = gmarg.band
+    ), cum AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(round(sum(c * 1.0 / gn - g * 1.0 / n)
+                          OVER (PARTITION BY c_nationkey, c_mktsegment
+                                ORDER BY band
+                                ROWS UNBOUNDED PRECEDING), 10)
+                  AS DECIMAL(18,10)) AS cd,
+             CAST(count(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+                  AS BIGINT) AS m
+      FROM cells
+    ), emd AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(sum(abs(cd)) AS DOUBLE) / (max(m) - 1) AS t_val
+      FROM cum GROUP BY 1, 2
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_groups,
+           round(max(t_val), 6) AS t_actual,
+           CAST(count(*) FILTER (WHERE t_val > {_TCLOSE_T}) AS BIGINT)
+             AS violating_groups,
+           round(CAST(sum(CAST(round(t_val, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / count(*), 6) AS mean_t
+    FROM emd
+    """,
+)
+def dq_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-CLOSENESS audit (Li, Li & Venkatasubramanian 2007) — the third
+    rung of the privacy-release ladder after dq_k_anonymity and
+    dq_l_diversity, and the one that catches what l-diversity cannot
+    (the skewness attack: a class can hold l distinct sensitive values
+    yet still leak when its DISTRIBUTION departs from the table's).
+    Per QI class (nation, market segment), the distance between the
+    class's banded-acctbal distribution and the global one is the Earth
+    Mover's Distance for ordinal attributes with unit ground distance:
+    EMD = sum over bands of |cumulative(p - q)| / (m - 1). Reports the
+    worst class's t, classes beyond t = 0.2, and the round-6 mean.
+
+    Parity discipline: every count is an exact integer; each cell's
+    p - q is a difference of two double divisions of exact ints
+    (identical operands in both engines); cumulative differences are
+    quantized round-10 into DECIMAL inside a class-partitioned window
+    ORDERED BY the band index (a total order — no accumulation
+    ambiguity); the class roll-up divides an exact decimal sum by the
+    exact band count.
+
+    Spark-first: ONE grouped count at (QI, band) grain touches the
+    heavy table; the global marginal, the QI x band dense grid (left
+    join fills absent cells — absence IS probability mass at distance),
+    the cumulative window, and the audit roll-up all run on the
+    <= |classes| x |bands| grid (<= 750 rows at any SF)."""
+    c = t(spark, sf_dir, "customer")
+    per_band = (
+        c.select(
+            "c_nationkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") / 2000.0).cast("bigint").alias("band"),
+        )
+        .groupBy("c_nationkey", "c_mktsegment", "band")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    glob = per_band.groupBy("band").agg(F.sum("c").cast("bigint").alias("g"))
+    tot = glob.agg(F.sum("g").cast("bigint").alias("n"))
+    grp_n = per_band.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.sum("c").cast("bigint").alias("gn")
+    )
+    cells = (
+        grp_n.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(per_band, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "band",
+            "gn",
+            "g",
+            "n",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    wg = (
+        W.partitionBy("c_nationkey", "c_mktsegment")
+        .orderBy("band")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy("c_nationkey", "c_mktsegment")
+    diff = F.col("c") * F.lit(1.0) / F.col("gn") - F.col("g") * F.lit(1.0) / F.col("n")
+    cum = cells.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.sum(diff).over(wg), 10).cast("decimal(18,10)").alias("cd"),
+        F.count("*").over(wp).cast("bigint").alias("m"),
+    )
+    emd = cum.groupBy("c_nationkey", "c_mktsegment").agg(
+        (F.sum(F.abs(F.col("cd"))).cast("double") / (F.max("m") - 1)).alias("t_val")
+    )
+    thr = float(_TCLOSE_T)
+    return emd.agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.round(F.max("t_val"), 6).alias("t_actual"),
+        F.sum(F.when(F.col("t_val") > thr, 1).otherwise(0))
+        .cast("bigint")
+        .alias("violating_groups"),
+        F.round(
+            F.sum(F.round(F.col("t_val"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("mean_t"),
+    )
+
+
+# Fisher randomization test: replicate count and the per-replicate
+# assignment bit — hex digit k of ONE md5 per row, coin = digit <= 7.
+_PERM_B = 32
+
+
+def _perm_bit(h: str, k: int) -> str:
+    """SQL: fair coin k in 1..32 from hex digit k of md5 expression ``h``
+    (digit value <= 7 — exactly half of the 16 values; one md5 per row
+    funds all 32 replicates)."""
+    from batch_public_spark.plans.curation_queries import _hexv
+
+    return f"({_hexv(f'substr({h}, {k}, 1)')} <= 7)"
+
+
+def _perm_oracle() -> str:
+    h = "md5(CAST(doc_id AS VARCHAR) || ':perm')"
+    cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN {_perm_bit('h', k)} THEN x END) AS BIGINT) AS s{k},"
+        f" CAST(count(*) FILTER (WHERE {_perm_bit('h', k)}) AS BIGINT) AS c{k}"
+        for k in range(1, _PERM_B + 1)
+    )
+    gaps = ",\n             ".join(
+        f"(s{k} * 1.0 / c{k}) - ((s - s{k}) * 1.0 / (n - c{k})) AS g{k}"
+        for k in range(1, _PERM_B + 1)
+    )
+    extreme = " + ".join(
+        f"(CASE WHEN abs(g{k}) >= abs(g_obs) THEN 1 ELSE 0 END)"
+        for k in range(1, _PERM_B + 1)
+    )
+    return f"""
+    WITH base AS (
+      SELECT n_chars AS x, doc_id % 2 = 0 AS treat, {h} AS h
+      FROM documents
+    ), agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(count(*) FILTER (WHERE treat) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN treat THEN x END) AS BIGINT) AS st,
+             {cols}
+      FROM base
+    ), gg AS (
+      SELECT n, nt,
+             (st * 1.0 / nt) - ((s - st) * 1.0 / (n - nt)) AS g_obs,
+             {gaps}
+      FROM agg
+    )
+    SELECT n AS n_docs, nt AS n_treat,
+           round(g_obs, 6) AS gap_obs,
+           CAST({_PERM_B} AS BIGINT) AS n_replicates,
+           CAST({extreme} AS BIGINT) AS n_extreme,
+           round((1.0 + ({extreme})) / {_PERM_B + 1}.0, 6) AS p_value,
+           (1.0 + ({extreme})) / {_PERM_B + 1}.0 <= 0.05 AS reject_null
+    FROM gg
+    """
+
+
+@query("dq_permutation_test", oracle=_perm_oracle())
+def dq_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FISHER RANDOMIZATION (permutation) TEST — the exact-inference
+    companion to dq_welch_ttest_drift's asymptotic t: does the even/odd
+    doc_id "treatment" move mean document length? Under the sharp null
+    the labels are exchangeable, so each of 32 Monte-Carlo replicates
+    REASSIGNS every document by a fair coin and recomputes the mean gap;
+    the p-value is the add-one-smoothed share of replicates at least as
+    extreme as the observed gap ((1 + #extreme)/(B + 1), Davison &
+    Hinkley). The fixture assignment is arbitrary by construction, so
+    the registered verdict attests the calm path (reject_null false);
+    the rejection path is exercised on an injected effect in
+    tests/test_r13_invariants.py.
+
+    One-pass massive-data shape (the eval_poisson_bootstrap_ci
+    discipline): ONE md5 per row funds all 32 replicates (hex digit k
+    <= '7' is coin k), each replicate is two map-side-combinable
+    conditional-sum columns, and the complement side of every gap comes
+    from the global totals by COMPLEMENT ARITHMETIC (the
+    llmops_source_ablation trick) — zero row amplification, zero extra
+    shuffles, B never touches the scan. All sums are exact BIGINTs, so
+    every gap is a difference of two double divisions on identical
+    operands and the extremeness comparisons are engine-identical;
+    p-value granularity is 1/33, far from the 0.05 literal.
+
+    The wide replicate expressions are built ONCE in a single
+    projection + a single aggregate (the r12 CollapseProject lesson:
+    chaining selects over wide in-row expressions re-inlines the tree
+    and costs planner time per execution)."""
+    d = t(spark, sf_dir, "documents")
+    h = "md5(concat(cast(doc_id as string), ':perm'))"
+    base = d.select(
+        F.col("n_chars").alias("x"),
+        (F.col("doc_id") % 2 == 0).alias("treat"),
+        F.expr(h).alias("h"),
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.when(F.col("treat"), 1).otherwise(0)).cast("bigint").alias("nt"),
+        F.sum(F.when(F.col("treat"), F.col("x"))).cast("bigint").alias("st"),
+    ]
+    for k in range(1, _PERM_B + 1):
+        bit = F.expr(_perm_bit("h", k))
+        aggs.append(F.sum(F.when(bit, F.col("x"))).cast("bigint").alias(f"s{k}"))
+        aggs.append(F.sum(F.when(bit, 1).otherwise(0)).cast("bigint").alias(f"c{k}"))
+    agg = base.agg(*aggs)
+    g_obs = (F.col("st") * F.lit(1.0) / F.col("nt")) - (
+        (F.col("s") - F.col("st")) * F.lit(1.0) / (F.col("n") - F.col("nt"))
+    )
+    gap_cols = [F.col("n"), F.col("nt"), g_obs.alias("g_obs")]
+    for k in range(1, _PERM_B + 1):
+        gk = (F.col(f"s{k}") * F.lit(1.0) / F.col(f"c{k}")) - (
+            (F.col("s") - F.col(f"s{k}"))
+            * F.lit(1.0)
+            / (F.col("n") - F.col(f"c{k}"))
+        )
+        gap_cols.append(gk.alias(f"g{k}"))
+    gg = agg.select(*gap_cols)
+    extreme = None
+    for k in range(1, _PERM_B + 1):
+        term = F.when(F.abs(F.col(f"g{k}")) >= F.abs(F.col("g_obs")), 1).otherwise(0)
+        extreme = term if extreme is None else extreme + term
+    p_val = (F.lit(1.0) + extreme) / F.lit(float(_PERM_B + 1))
+    return gg.select(
+        F.col("n").alias("n_docs"),
+        F.col("nt").alias("n_treat"),
+        F.round("g_obs", 6).alias("gap_obs"),
+        F.lit(_PERM_B).cast("bigint").alias("n_replicates"),
+        extreme.cast("bigint").alias("n_extreme"),
+        F.round(p_val, 6).alias("p_value"),
+        (p_val <= 0.05).alias("reject_null"),
+    )

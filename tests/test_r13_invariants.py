@@ -474,3 +474,100 @@ def test_dsir_selection_skews_toward_target(spark):
     for r in (tgt, raw):
         assert 0 < r.n_selected < r.n_docs
         assert r.mean_logw_selected > r.mean_logw, r
+
+
+def test_t_closeness_flags_injected_skewed_group(spark, tmp_path):
+    """The skewness-attack path with hand-computed EMD: a class fully
+    concentrated in band 0 against a (0.4,0.2,0.2,0.2) global marginal
+    has cumulative diffs (0.6,0.4,0.2,0) => t = 1.2/3 = 0.4 (violating);
+    a uniform 4-band class has (0.15,0.1,0.05,0) => t = 0.1 (clean)."""
+    rows = [(1, "A", 100.0)] * 10 + [
+        (2, "B", float(b * 2000 + 100)) for b in (0, 1, 2, 3) for _ in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "c_nationkey long, c_mktsegment string, c_acctbal double"
+    ).write.parquet(str(tmp_path / "customer.parquet"))
+    (r,) = QUERIES["dq_t_closeness"].fn(spark, str(tmp_path)).collect()
+    assert r.n_groups == 2
+    assert r.violating_groups == 1
+    assert abs(r.t_actual - 0.4) < 1e-9
+    assert abs(r.mean_t - 0.25) < 1e-9
+
+
+def test_t_closeness_bounds_on_fixture(spark):
+    """EMD over probability vectors with unit ground distance is bounded
+    in [0, 1]; the fixture audit must respect it and violating_groups
+    must be consistent with t_actual vs the 0.2 literal."""
+    (r,) = QUERIES["dq_t_closeness"].fn(spark, SF_DIR).collect()
+    assert 0.0 <= r.mean_t <= r.t_actual <= 1.0
+    if r.t_actual > 0.2:
+        assert r.violating_groups >= 1
+    else:
+        assert r.violating_groups == 0
+
+
+def test_permutation_test_rejects_on_injected_effect(spark, tmp_path):
+    """The rejection path, exercised (the fixture's even/odd assignment
+    is arbitrary so the registered verdict attests the calm path): with
+    even docs 10x longer than odd ones the observed gap dwarfs every
+    random-reassignment replicate, so n_extreme = 0 and the add-one
+    p-value is exactly 1/33 — below the 0.05 gate."""
+    rows = [(i, 1000 if i % 2 == 0 else 100) for i in range(200)]
+    spark.createDataFrame(rows, "doc_id long, n_chars long").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    (r,) = QUERIES["dq_permutation_test"].fn(spark, str(tmp_path)).collect()
+    assert r.gap_obs == 900.0
+    assert r.n_extreme == 0
+    assert abs(r.p_value - 1 / 33) < 1e-6
+    assert r.reject_null is True
+
+
+def test_permutation_test_pvalue_reconstruction(spark):
+    """Emitted-column consistency on the fixture: p_value must equal
+    (1 + n_extreme)/(B + 1) exactly, extremeness is bounded by B, and
+    the coin margins stay near half (binomial assignment sanity)."""
+    (r,) = QUERIES["dq_permutation_test"].fn(spark, SF_DIR).collect()
+    assert r.n_replicates == 32
+    assert 0 <= r.n_extreme <= 32
+    assert abs(r.p_value - (1 + r.n_extreme) / 33) < 1e-6
+    assert r.reject_null == (r.p_value <= 0.05)
+
+
+def test_cuped_recovers_exact_effect_on_injected_panel(spark, tmp_path):
+    """Hand-computable CUPED: paired users (2k, 2k+1) share base rate
+    r = 5 + (k mod 7); everyone emits r pre-period events and r + 3*treat
+    post-period events (treat = parity). The covariate is then exactly
+    balanced and perfectly predictive: theta == 1, both gaps == 3
+    (the true effect), and the adjusted variance equals 9*var(treat)
+    = 2.25 exactly — all closed-form, asserted with equality."""
+    import datetime
+
+    base = datetime.datetime(2024, 5, 1)
+    rows = []
+    for u in range(40):
+        r = 5 + (u // 2) % 7
+        for i in range(r):
+            rows.append((u, "e", base + datetime.timedelta(minutes=i)))
+        for i in range(r + 3 * (u % 2)):
+            rows.append((u, "e", base + datetime.timedelta(days=19, minutes=i)))
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    (r,) = QUERIES["events_cuped_adjustment"].fn(spark, str(tmp_path)).collect()
+    assert r.n_users == 40 and r.n_treat == 20
+    assert r.theta == 1.0
+    assert r.gap_raw == 3.0
+    assert r.gap_cuped == 3.0
+    assert r.var_y_cuped == 2.25
+
+
+def test_cuped_bounds_on_fixture(spark):
+    """rho^2 is a squared correlation (Cauchy-Schwarz): var_reduction in
+    [0, 1]; the adjusted variance is nonnegative; theta is finite."""
+    (r,) = QUERIES["events_cuped_adjustment"].fn(spark, SF_DIR).collect()
+    assert 0.0 <= r.var_reduction <= 1.0
+    assert r.var_y_cuped >= 0.0
+    import math
+
+    assert math.isfinite(r.theta)
