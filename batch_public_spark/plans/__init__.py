@@ -134,6 +134,8 @@ _NEXT_WINDOW: list[str] = [
     "dq_t_closeness",
     "dq_permutation_test",
     "events_cuped_adjustment",
+    "events_hits_bipartite",
+    "llmops_good_turing_unseen",
 ]
 
 

@@ -6793,3 +6793,111 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_y_cuped"),
     )
+
+
+@query(
+    "events_hits_bipartite",
+    oracle="""
+    WITH e AS (
+      SELECT user_id AS u, event_type AS v, CAST(count(*) AS BIGINT) AS w
+      FROM events GROUP BY 1, 2
+    ), a1r AS (
+      SELECT v, CAST(sum(w) AS BIGINT) AS raw FROM e GROUP BY v
+    ), a1t AS (SELECT CAST(sum(raw) AS BIGINT) AS tot FROM a1r),
+    a1 AS (
+      SELECT v, CAST(round(raw * 1.0 / tot, 8) AS DECIMAL(18,8)) AS a
+      FROM a1r CROSS JOIN a1t
+    ), h1r AS (
+      SELECT e.u, sum(e.w * a1.a) AS raw
+      FROM e JOIN a1 ON a1.v = e.v GROUP BY e.u
+    ), h1t AS (SELECT sum(raw) AS tot FROM h1r),
+    h1 AS (
+      SELECT u, CAST(round(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 8)
+                     AS DECIMAL(18,8)) AS h
+      FROM h1r CROSS JOIN h1t
+    ), a2r AS (
+      SELECT e.v, sum(e.w * h1.h) AS raw
+      FROM e JOIN h1 ON h1.u = e.u GROUP BY e.v
+    ), a2t AS (SELECT sum(raw) AS tot FROM a2r),
+    a2 AS (
+      SELECT v, round(CAST(raw AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS authority
+      FROM a2r CROSS JOIN a2t
+    )
+    SELECT v AS event_type, authority,
+           CAST(ROW_NUMBER() OVER (ORDER BY authority DESC, v) AS BIGINT)
+             AS auth_rank
+    FROM a2
+    """,
+)
+def events_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) on the bipartite
+    user -> event-type graph — the fourth fully-oracle-checked iterative
+    power-iteration family (kmeans_lloyd, llmops_term_pagerank,
+    llmops_embedding_pca_power), and the classic recommender bootstrap:
+    users are hubs, event types authorities; an event type is
+    authoritative when engaged users hit it, a user is a good hub when
+    they hit authoritative types. Two mutual-reinforcement rounds with
+    L1 normalization (the sum-normalized HITS variant — an L2 norm would
+    put an engine-specific sqrt inside the iteration), emitting the
+    final authority vector with ranks.
+
+    Parity discipline, STRONGER than the PageRank precedent: every
+    vector is quantized round-8 into DECIMAL(18,8) after its
+    normalization, so each round's mass sums are EXACT decimal
+    arithmetic (integer edge weight x decimal score) — accumulation
+    order cannot drift even over the 100k-hub side; the only doubles
+    are the per-round normalization divisions on identical exact
+    operands, and the final round-6 emission.
+
+    Spark-first: one grouped count builds the edge list (the only heavy
+    shuffle); the authority side is ~|event types| rows and BROADCASTS
+    into every round; the hub round shuffles on the user key once per
+    iteration — the same rank-vector-broadcast shape the PageRank
+    operator documents, with the small side genuinely tiny here."""
+    ev = t(spark, sf_dir, "events")
+    e = ev.groupBy(F.col("user_id").alias("u"), F.col("event_type").alias("v")).agg(
+        F.count("*").cast("bigint").alias("w")
+    )
+    a1r = e.groupBy("v").agg(F.sum("w").cast("bigint").alias("raw"))
+    a1t = a1r.agg(F.sum("raw").cast("bigint").alias("tot"))
+    a1 = a1r.crossJoin(F.broadcast(a1t)).select(
+        "v",
+        F.round(F.col("raw") * F.lit(1.0) / F.col("tot"), 8)
+        .cast("decimal(18,8)")
+        .alias("a"),
+    )
+    h1r = (
+        e.join(F.broadcast(a1), "v")
+        .groupBy("u")
+        .agg(F.sum(F.col("w") * F.col("a")).alias("raw"))
+    )
+    h1t = h1r.agg(F.sum("raw").alias("tot"))
+    h1 = h1r.crossJoin(F.broadcast(h1t)).select(
+        "u",
+        F.round(F.col("raw").cast("double") / F.col("tot").cast("double"), 8)
+        .cast("decimal(18,8)")
+        .alias("h"),
+    )
+    a2r = (
+        e.join(h1, "u")
+        .groupBy("v")
+        .agg(F.sum(F.col("w") * F.col("h")).alias("raw"))
+    )
+    a2t = a2r.agg(F.sum("raw").alias("tot"))
+    a2 = a2r.crossJoin(F.broadcast(a2t)).select(
+        "v",
+        F.col("raw"),
+        F.round(F.col("raw").cast("double") / F.col("tot").cast("double"), 6).alias(
+            "authority"
+        ),
+    )
+    # rank window over the <= |event types| authority vector; the key is
+    # derived from the (data-dependent) raw mass so it cannot fold
+    wr = W.partitionBy(bounded_window_key(F.col("raw").cast("bigint"))).orderBy(
+        F.col("authority").desc(), "v"
+    )
+    return a2.select(
+        F.col("v").alias("event_type"),
+        "authority",
+        F.row_number().over(wr).cast("bigint").alias("auth_rank"),
+    )

@@ -6168,3 +6168,117 @@ def _four_fifths_verdict(per: DataFrame) -> DataFrame:
         F.round(rate / F.col("best"), 6).alias("ratio_vs_best"),
         (rate / F.col("best") < 0.8).alias("four_fifths_flag"),
     )
+
+
+@query(
+    "llmops_good_turing_unseen",
+    oracle=r"""
+    WITH tk AS (
+      SELECT list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                        x -> length(x) > 0),
+                            x -> lower(x)) AS toks
+      FROM documents
+    ), tg AS (
+      SELECT unnest(toks[1:length(toks)-2]) AS w1,
+             unnest(toks[2:length(toks)-1]) AS w2,
+             unnest(toks[3:length(toks)]) AS w3
+      FROM tk WHERE length(toks) >= 3
+    ), c AS (
+      SELECT w1 || ' ' || w2 || ' ' || w3 AS ng, CAST(count(*) AS BIGINT) AS r
+      FROM tg GROUP BY 1
+    ), ff AS (
+      SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM c GROUP BY r
+    ), scal AS (
+      SELECT CAST(sum(n_r) AS BIGINT) AS s_obs,
+             CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(n_r) FILTER (WHERE r = 1), 0) AS BIGINT) AS n1,
+             CAST(coalesce(sum(n_r) FILTER (WHERE r = 2), 0) AS BIGINT) AS n2
+      FROM ff
+    )
+    SELECT f.r, f.n_r,
+           round((f.r + 1) * coalesce(f2.n_r, 0) * 1.0 / f.n_r, 6) AS r_star,
+           s.s_obs, s.n_tokens,
+           round(s.n1 * 1.0 / s.n_tokens, 6) AS unseen_mass,
+           round(s.s_obs + s.n1 * 1.0 * (s.n1 - 1) / (2 * (s.n2 + 1)), 6)
+             AS chao1_richness
+    FROM ff f LEFT JOIN ff f2 ON f2.r = f.r + 1
+    CROSS JOIN scal s
+    WHERE f.r <= 5
+    """,
+)
+def llmops_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOOD-TURING unseen-mass estimation + CHAO1 richness over word
+    TRIGRAM types — the coverage question a corpus team asks before
+    dedup/contamination planning: how much probability mass belongs to
+    n-grams we have NOT yet seen, and how many distinct n-grams does the
+    population plausibly hold? The head of the frequency-of-frequencies
+    table is emitted with the Good-Turing adjusted counts
+    r* = (r+1) N_{r+1}/N_r (Good 1953; the smoothing inside Katz
+    backoff), the unseen mass P0 = N_1/N, and the bias-corrected Chao1
+    estimate S_obs + N_1(N_1-1)/(2(N_2+1)) (Chao 1984) — trigram types
+    because the fixture's unigram space saturates at every SF while the
+    trigram tail keeps real singletons (9.4k at sf0.001, 207 at sf0.1).
+
+    Parity discipline: every statistic is a ratio of exact BIGINT counts
+    divided once as doubles on identical operands, rounded only at
+    emission; absent N_{r+1} rows coalesce to an exact 0 (r* = 0 is the
+    Good-Turing statement "no mass evidence above r").
+
+    Spark-first: explode -> ONE trigram-type hash aggregation (the only
+    scan-sized shuffle) -> the frequency-of-frequencies table, whose
+    size is bounded by the MAXIMUM count, not the vocabulary — the
+    self-join, scalars, and emission all run on that tiny grid."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        F.transform(tokens(F.col("text")), F.lower).alias("toks")
+    )
+    tg = tk.filter(F.size("toks") >= 3).select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(toks, 1, size(toks) - 2),"
+                " zip_with(slice(toks, 2, size(toks) - 2),"
+                "          slice(toks, 3, size(toks) - 2),"
+                "          (y, z) -> concat(y, ' ', z)),"
+                " (x, yz) -> concat(x, ' ', yz))"
+            )
+        ).alias("ng")
+    )
+    c = tg.groupBy("ng").agg(F.count("*").cast("bigint").alias("r"))
+    ff = c.groupBy("r").agg(F.count("*").cast("bigint").alias("n_r"))
+    scal = ff.agg(
+        F.sum("n_r").cast("bigint").alias("s_obs"),
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tokens"),
+        F.coalesce(F.sum(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("r") == 2, F.col("n_r"))), F.lit(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    f2 = ff.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    return (
+        ff.filter(F.col("r") <= 5)
+        .join(F.broadcast(f2), "r", "left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "r",
+            "n_r",
+            F.round(
+                (F.col("r") + 1)
+                * F.coalesce(F.col("n_r_next"), F.lit(0))
+                * F.lit(1.0)
+                / F.col("n_r"),
+                6,
+            ).alias("r_star"),
+            "s_obs",
+            "n_tokens",
+            F.round(F.col("n1") * F.lit(1.0) / F.col("n_tokens"), 6).alias(
+                "unseen_mass"
+            ),
+            F.round(
+                F.col("s_obs")
+                + F.col("n1") * F.lit(1.0) * (F.col("n1") - 1) / (2 * (F.col("n2") + 1)),
+                6,
+            ).alias("chao1_richness"),
+        )
+    )

@@ -571,3 +571,79 @@ def test_cuped_bounds_on_fixture(spark):
     import math
 
     assert math.isfinite(r.theta)
+
+
+def test_hits_authority_vector_properties(spark):
+    """HITS invariants on the fixture: the final authority vector is a
+    (rounded) L1-normalized probability vector (sums to 1 within the
+    round-6 emission grain), ranks are a dense 1..n permutation ordered
+    by authority, and every event type carries positive mass."""
+    rows = sorted(
+        QUERIES["events_hits_bipartite"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.auth_rank,
+    )
+    assert [r.auth_rank for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r.authority > 0 for r in rows)
+    assert abs(sum(r.authority for r in rows) - 1.0) < 1e-5 * len(rows)
+    auths = [r.authority for r in rows]
+    assert auths == sorted(auths, reverse=True)
+
+
+def test_hits_uniform_graph_gives_uniform_authority(spark, tmp_path):
+    """Degenerate-graph pin: if every user hits every event type exactly
+    once, mutual reinforcement has nothing to distinguish — both rounds
+    must emit the exactly uniform authority vector."""
+    import datetime
+
+    base = datetime.datetime(2024, 6, 1)
+    rows = [
+        (u, et, base + datetime.timedelta(minutes=u))
+        for u in range(12)
+        for et in ("a", "b", "c", "d")
+    ]
+    spark.createDataFrame(
+        rows, "user_id long, event_type string, ts timestamp"
+    ).write.parquet(str(tmp_path / "events.parquet"))
+    out = QUERIES["events_hits_bipartite"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 4
+    assert all(r.authority == 0.25 for r in out)
+
+
+def test_good_turing_reconciles_with_direct_counts(spark):
+    """Independent re-derivation: the emitted scalars (s_obs, n_tokens,
+    unseen mass, Chao1) must match a direct DuckDB trigram count, and
+    the Good-Turing identities must hold row-wise: r* = (r+1)N_{r+1}/N_r
+    recomputed from adjacent emitted rows, unseen_mass = N_1/N."""
+    import duckdb
+
+    rows = {
+        r.r: r for r in QUERIES["llmops_good_turing_unseen"].fn(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    s_obs, n_tok, n1, n2 = con.sql(
+        rf"""
+        WITH tk AS (
+          SELECT list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                            x -> length(x) > 0), x -> lower(x)) AS toks
+          FROM '{SF_DIR}/documents.parquet'
+        ), tg AS (
+          SELECT unnest(toks[1:length(toks)-2]) AS w1,
+                 unnest(toks[2:length(toks)-1]) AS w2,
+                 unnest(toks[3:length(toks)]) AS w3
+          FROM tk WHERE length(toks) >= 3
+        ), c AS (SELECT w1 || ' ' || w2 || ' ' || w3 AS ng, count(*) AS r
+                 FROM tg GROUP BY 1)
+        SELECT count(*), sum(r),
+               coalesce(sum(CASE WHEN r = 1 THEN 1 END), 0),
+               coalesce(sum(CASE WHEN r = 2 THEN 1 END), 0)
+        FROM c
+        """
+    ).fetchone()
+    any_row = next(iter(rows.values()))
+    assert any_row.s_obs == s_obs and any_row.n_tokens == n_tok
+    assert abs(any_row.unseen_mass - n1 / n_tok) < 1e-6
+    assert abs(any_row.chao1_richness - (s_obs + n1 * (n1 - 1) / (2 * (n2 + 1)))) < 1e-5
+    assert any_row.chao1_richness >= s_obs
+    if 1 in rows and 2 in rows:
+        r1, r2 = rows[1], rows[2]
+        assert abs(r1.r_star - 2 * r2.n_r / r1.n_r) < 1e-6
