@@ -136,6 +136,8 @@ _NEXT_WINDOW: list[str] = [
     "events_cuped_adjustment",
     "events_hits_bipartite",
     "llmops_good_turing_unseen",
+    "llmops_cdc_chunking",
+    "agg_ddsketch_quantiles",
 ]
 
 

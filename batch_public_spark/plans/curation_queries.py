@@ -1982,3 +1982,118 @@ def llmops_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_logw_selected"),
     )
+
+
+# Content-defined chunking: a token ends a chunk when its md5-derived
+# value falls in 1/16 of the hash space (expected chunk ~16 tokens).
+_CDC_MOD = 16
+
+
+@query(
+    "llmops_cdc_chunking",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        x -> length(x) > 0),
+                            x -> lower(x)) AS toks
+      FROM documents
+    ), pos AS (
+      SELECT doc_id,
+             generate_subscripts(toks, 1) AS p,
+             unnest(toks) AS tok
+      FROM tk WHERE length(toks) > 0
+    ), flagged AS (
+      SELECT doc_id, p, tok,
+             CASE WHEN ({_hex3("md5(tok || ':cdc')")} % {_CDC_MOD}) = 0
+                  THEN 1 ELSE 0 END AS boundary
+      FROM pos
+    ), cid AS (
+      SELECT doc_id, p, tok,
+             coalesce(sum(boundary) OVER (PARTITION BY doc_id ORDER BY p
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_id
+      FROM flagged
+    ), chunks AS (
+      SELECT doc_id, chunk_id,
+             md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_key,
+             CAST(count(*) AS BIGINT) AS chunk_len
+      FROM cid GROUP BY doc_id, chunk_id
+    )
+    SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(count(DISTINCT chunk_key) AS BIGINT) AS n_distinct,
+           round(1.0 - count(DISTINCT chunk_key) * 1.0 / count(*), 6)
+             AS dup_share,
+           round(CAST(sum(chunk_len) AS DOUBLE) / count(*), 6) AS mean_len,
+           CAST(max(chunk_len) AS BIGINT) AS max_len
+    FROM chunks
+    """,
+)
+def llmops_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING (the Rabin/FastCDC idea behind
+    dedup-friendly storage and the LLM-era passage dedup that survives
+    insertions): a chunk boundary falls AFTER any token whose md5 lands
+    in 1/16 of the hash space, so boundaries are decided by LOCAL
+    content — prepending a word shifts every fixed-size chunk
+    (llmops_chunk_documents) but leaves all CDC boundaries after the
+    edit point intact. Emits the storage-team summary: chunk counts,
+    distinct chunk keys, the cross-corpus duplicate-chunk share (what a
+    content-addressed store would save), and the size profile
+    (expected length = 16 tokens, geometric).
+
+    Parity discipline: the boundary predicate is exact md5 integer
+    arithmetic (the _hex3 portable-hash convention); chunk membership
+    is an integer prefix sum inside a per-document window ordered by
+    token position (a total order); chunk keys hash the
+    position-ordered token join, and every emitted measure is exact
+    integer arithmetic with one final double division.
+
+    Spark-first: posexplode -> the per-doc prefix-sum window (partitioned
+    by doc_id — never global) -> ONE (doc, chunk) aggregation building
+    keys from position-sorted structs -> the one-row roll-up. At 100 TB
+    the chunk keys feed the same bucketed content-addressed join every
+    other dedup family uses."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.transform(tokens(F.col("text")), F.lower).alias("toks")
+    ).filter(F.size("toks") > 0)
+    pos = tk.select(
+        "doc_id", F.posexplode("toks").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "tok")
+    boundary = F.when(
+        F.expr(_hex3("md5(concat(tok, ':cdc'))")) % _CDC_MOD == 0, 1
+    ).otherwise(0)
+    wd = (
+        W.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    cid = pos.select(
+        "doc_id",
+        "p",
+        "tok",
+        F.coalesce(F.sum(boundary).over(wd), F.lit(0)).alias("chunk_id"),
+    )
+    chunks = cid.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda s: s.tok,
+                ),
+            )
+        ).alias("chunk_key"),
+        F.count("*").cast("bigint").alias("chunk_len"),
+    )
+    return chunks.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count("*").cast("bigint").alias("n_chunks"),
+        F.countDistinct("chunk_key").cast("bigint").alias("n_distinct"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("chunk_key") * F.lit(1.0) / F.count("*"), 6
+        ).alias("dup_share"),
+        F.round(F.sum("chunk_len").cast("double") / F.count("*"), 6).alias("mean_len"),
+        F.max("chunk_len").cast("bigint").alias("max_len"),
+    )

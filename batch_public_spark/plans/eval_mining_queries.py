@@ -4602,3 +4602,129 @@ def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.array_min(fm), 6).alias("ci_lo"),
         F.round(F.array_max(fm), 6).alias("ci_hi"),
     ).filter(F.col("n_replicates") > 0)
+
+
+# DDSketch parameters, spelled as the SAME double literals in both
+# engines: gamma = 1.02, ln(gamma), and the midpoint factor 2/(gamma+1).
+_DD_LNG = "0.01980262729617973"
+_DD_MID = "0.9900990099009901"
+# relative-error acceptance: alpha = (gamma-1)/(gamma+1) ~ 0.009901, plus
+# slack for the interpolated exact percentile landing between order stats
+_DD_BOUND = "0.011"
+
+
+@query(
+    "agg_ddsketch_quantiles",
+    oracle=f"""
+    WITH x AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_totalprice > 0
+    ), b AS (
+      SELECT CAST(ceil(ln(v) / {_DD_LNG}) AS BIGINT) AS bkt,
+             CAST(count(*) AS BIGINT) AS c
+      FROM x GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS n_buckets
+      FROM b
+    ), cum AS (
+      SELECT bkt, c,
+             sum(c) OVER (ORDER BY bkt ROWS UNBOUNDED PRECEDING) AS cumc
+      FROM b
+    ), qs AS (
+      SELECT unnest([0.5, 0.95, 0.99]) AS q,
+             unnest(quantile_cont(v, [0.5, 0.95, 0.99])) AS exact
+      FROM x
+    ), hit AS (
+      SELECT qs.q, qs.exact, min(cum.bkt) AS bkt
+      FROM qs CROSS JOIN tot
+      JOIN cum ON cum.cumc >= floor(qs.q * (tot.n - 1)) + 1
+      GROUP BY qs.q, qs.exact
+    )
+    SELECT hit.q,
+           round(exp(hit.bkt * {_DD_LNG}) * {_DD_MID}, 6) AS est,
+           round(hit.exact, 6) AS exact,
+           round(abs(exp(hit.bkt * {_DD_LNG}) * {_DD_MID} / hit.exact - 1.0), 6)
+             AS rel_err,
+           abs(exp(hit.bkt * {_DD_LNG}) * {_DD_MID} / hit.exact - 1.0)
+             <= {_DD_BOUND} AS within_bound,
+           tot.n AS n_rows, tot.n_buckets
+    FROM hit CROSS JOIN tot
+    """,
+)
+def agg_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSKETCH relative-error quantiles (Masson, Rim & Lee, VLDB 2019 —
+    the mergeable sketch behind Datadog/Spark-observability percentile
+    pipelines): log-gamma bucketing ceil(ln x / ln gamma) with
+    gamma = 1.02 guarantees every extracted quantile lands within
+    alpha = (gamma-1)/(gamma+1) ~ 1% RELATIVE error — unlike
+    approx_percentile's rank-error contract (agg_approx_percentile
+    _accuracy), the error bound survives heavy right tails, which is
+    why latency/money metrics sketch this way. Extracts p50/p95/p99
+    from the bucket histogram beside the EXACT interpolated percentile
+    and certifies the realized relative error against the bound.
+
+    Parity discipline: bucket indexes are floor/ceil of ln ratios on
+    identical doubles with ln(gamma) and the midpoint factor
+    2/(gamma+1) spelled as shared double literals (no pow/log-base at
+    query time); bucket counts and cumulative ranks are exact integers;
+    the only floats are the per-bucket ln/exp pairs and the final
+    certified comparison of identical doubles.
+
+    Spark-first: the sketch IS one map-side-combinable grouped count on
+    the bucket index (at 100 TB this is the textbook mergeable-sketch
+    reduction — partials combine by adding bucket counts); the
+    cumulative walk and quantile extraction run on the <= |buckets|
+    grid (value-range-bounded, ~400 rows at ANY scale), and the exact
+    comparator is a single percentile aggregation used only for the
+    certification."""
+    o = t(spark, sf_dir, "orders")
+    lng = float(_DD_LNG)
+    mid = float(_DD_MID)
+    x = o.filter(F.col("o_totalprice") > 0).select(F.col("o_totalprice").alias("v"))
+    b = x.groupBy(
+        F.ceil(F.log("v") / F.lit(lng)).cast("bigint").alias("bkt")
+    ).agg(F.count("*").cast("bigint").alias("c"))
+    tot = b.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count("*").cast("bigint").alias("n_buckets"),
+    )
+    wc = (
+        W.partitionBy(bounded_window_key(F.col("bkt")))
+        .orderBy("bkt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = b.select("bkt", "c", F.sum("c").over(wc).alias("cumc"))
+    qs = (
+        x.agg(
+            F.expr("percentile(v, array(0.5, 0.95, 0.99))").alias("ex"),
+        )
+        .select(
+            F.posexplode("ex").alias("i", "exact"),
+        )
+        .select(
+            F.element_at(F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.col("i") + 1).alias("q"),
+            "exact",
+        )
+    )
+    hit = (
+        qs.crossJoin(F.broadcast(tot))
+        .join(
+            cum,
+            F.col("cumc") >= F.floor(F.col("q") * (F.col("n") - 1)) + 1,
+        )
+        .groupBy("q", "exact")
+        .agg(F.min("bkt").alias("bkt"))
+    )
+    est = F.exp(F.col("bkt") * F.lit(lng)) * F.lit(mid)
+    rel = F.abs(est / F.col("exact") - F.lit(1.0))
+    return (
+        hit.crossJoin(F.broadcast(tot))
+        .select(
+            "q",
+            F.round(est, 6).alias("est"),
+            F.round("exact", 6).alias("exact"),
+            F.round(rel, 6).alias("rel_err"),
+            (rel <= F.lit(float(_DD_BOUND))).alias("within_bound"),
+            F.col("n").alias("n_rows"),
+            "n_buckets",
+        )
+    )

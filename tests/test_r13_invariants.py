@@ -647,3 +647,60 @@ def test_good_turing_reconciles_with_direct_counts(spark):
     if 1 in rows and 2 in rows:
         r1, r2 = rows[1], rows[2]
         assert abs(r1.r_star - 2 * r2.n_r / r1.n_r) < 1e-6
+
+
+def test_cdc_chunking_is_shift_resistant(spark, tmp_path):
+    """The property that justifies content-defined over fixed-size
+    chunking: prepending ONE token to a document leaves every chunk
+    after the first boundary byte-identical. With doc2 = 'zzz' + doc1,
+    all of doc1's chunks except (at most) its first are shared, so the
+    distinct count over both docs is exactly k + 1 where k is doc1's
+    own chunk count — a fixed-size chunker would share ~none."""
+    toks = [f"w{i}" for i in range(200)]
+    one = " ".join(toks)
+    spark.createDataFrame([(1, one)], "doc_id long, text string").write.parquet(
+        str(tmp_path / "solo" / "documents.parquet")
+    )
+    (solo,) = (
+        QUERIES["llmops_cdc_chunking"].fn(spark, str(tmp_path / "solo")).collect()
+    )
+    k = solo.n_chunks
+    assert k >= 5  # the 200-token doc really is multi-chunk
+    assert solo.n_distinct == k  # distinct w{i} words => unique chunks
+    spark.createDataFrame(
+        [(1, one), (2, "zzz " + one)], "doc_id long, text string"
+    ).write.parquet(str(tmp_path / "pair" / "documents.parquet"))
+    (pair,) = (
+        QUERIES["llmops_cdc_chunking"].fn(spark, str(tmp_path / "pair")).collect()
+    )
+    assert pair.n_distinct == k + 1
+    assert pair.dup_share > 0.0
+
+
+def test_ddsketch_bound_holds_on_fixture(spark):
+    """The DDSketch contract: every extracted quantile is within the
+    gamma-derived relative-error bound of the exact percentile, and the
+    emitted rel_err reconciles with est/exact."""
+    rows = QUERIES["agg_ddsketch_quantiles"].fn(spark, SF_DIR).collect()
+    assert {r.q for r in rows} == {0.5, 0.95, 0.99}
+    for r in rows:
+        assert r.within_bound is True, r
+        assert abs(r.rel_err - abs(r.est / r.exact - 1.0)) < 1e-5
+        assert r.n_buckets >= 10
+
+
+def test_ddsketch_degenerate_distribution(spark, tmp_path):
+    """Single-valued data collapses the sketch to ONE bucket, and the
+    bucket-midpoint estimate must still sit inside the relative-error
+    bound of the (exact) constant for every quantile."""
+    rows = [(i, 100.0) for i in range(50)]
+    spark.createDataFrame(rows, "o_orderkey long, o_totalprice double").write.parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = QUERIES["agg_ddsketch_quantiles"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    for r in out:
+        assert r.n_buckets == 1
+        assert r.exact == 100.0
+        assert r.within_bound is True
+        assert abs(r.est - out[0].est) < 1e-12
