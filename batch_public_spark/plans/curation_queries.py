@@ -2091,9 +2091,15 @@ def llmops_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
         F.count("*").cast("bigint").alias("n_chunks"),
         F.countDistinct("chunk_key").cast("bigint").alias("n_distinct"),
+        # try_divide: an empty corpus has no chunks — the audit emits NULL
+        # shares instead of failing (matches DuckDB x/0 -> NULL)
         F.round(
-            F.lit(1.0) - F.countDistinct("chunk_key") * F.lit(1.0) / F.count("*"), 6
+            F.lit(1.0)
+            - F.try_divide(F.countDistinct("chunk_key") * F.lit(1.0), F.count("*")),
+            6,
         ).alias("dup_share"),
-        F.round(F.sum("chunk_len").cast("double") / F.count("*"), 6).alias("mean_len"),
+        F.round(
+            F.try_divide(F.sum("chunk_len").cast("double"), F.count("*")), 6
+        ).alias("mean_len"),
         F.max("chunk_len").cast("bigint").alias("max_len"),
     )

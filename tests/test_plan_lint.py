@@ -78,6 +78,13 @@ ALLOWLIST: set[tuple[str, str]] = {
     # MMR greedy picks are LIMIT-1 frames checkpointed between rounds
     # (pool itself is a LIMIT-10 checkpoint) — ≤1-row broadcasts.
     ("llmops_mmr_diversified_topk", "unbounded-broadcast"),
+    # NOT a bucket self-join: the dense-grid fill joins per_band back to
+    # (QI-classes × bands) on the FULL composite key (c_nationkey,
+    # c_mktsegment, band) — unique on both sides, ≤1 output row per pair
+    # (the heuristic fires on the shared floor-derived `band` name alone;
+    # the composite key is what makes the join linear, and both sides are
+    # cardinality-bounded grids ≤ |classes|×|bands| at any SF).
+    ("dq_t_closeness", "uncapped-bucket-self-join"),
 }
 
 
