@@ -33,78 +33,14 @@ from batch_public_spark.plans import eval_mining_queries  # noqa: F401  # eval/m
 # driver-attested, in this window, or in _NEXT_WINDOW (and that
 # _NEXT_WINDOW fits a single future window).
 _PRIORITY = [
-    # Round 13 rotation. Head = the ENTIRE r12 _NEXT_WINDOW (27 names,
-    # verdict-r12 item #1): 16 r2-cohort stale refreshes (the second half
-    # of the r2-attested cohort — after they land, no attestation predates
-    # r3), then the 11 r12 additions with zero driver attestations.
-    # Tail = 23 stalest refreshes from the r3-attested cohort (35 names,
-    # alphabetical; the remaining 12 are first in _NEXT_WINDOW — once r14
-    # attests those, the r2 AND r3 cohorts are fully refreshed, closing
-    # verdict-r12 item #3).
-    # --- r2-cohort refreshes (second half, scheduled r12) ---
-    "llmops_tfidf_top_terms",
-    "llmops_train_shuffle",
-    "q12_late_priority",
-    "q13_customer_distribution",
-    "q22_low_activity_customers",
-    "q4_priority_exists",
-    "scalar_map_access",
-    "scalar_null_battery",
-    "scalar_regexp_extract_all",
-    "sql_recursive_date_spine",
-    "stream_static_enrich",
-    "udaf_grouped_median_quantity",
-    "udtf_top_bigrams",
-    "values_inline_dim_join",
-    "window_first_last_nth",
-    "window_percent_rank",
-    # --- r12 additions, never in a CORRECTNESS record ---
-    "eval_dr_policy_value",
-    "eval_conformal_approx",
-    "llmops_bitext_margin_ann",
-    "stream_changelog_segmented_agg",
-    "eval_poisson_bootstrap_ci",
-    "llmops_ngram_lm_perplexity",
-    "dq_cusum_changepoint",
-    "dq_dp_noisy_release",
-    "llmops_unicode_nfc_dedup",
-    "llmops_source_ablation",
-    "llmops_filter_disparity_audit",
-    # --- stalest-first refreshes: 23 of the 35 r3-attested names
-    # (alphabetical; the other 12 lead _NEXT_WINDOW) ---
-    "agg_hll_union_region",
-    "agg_regr_price_qty",
-    "date_trunc_weekday_matrix",
-    "events_daily_retention",
-    "events_funnel_conversion",
-    "events_sessionize_gap",
-    "events_transition_matrix",
-    "join_null_safe_eq",
-    "llmops_bigram_logprob_score",
-    "llmops_embedding_quantize",
-    "llmops_fingerprint_md5",
-    "llmops_fingerprint_modp_pairs",
-    "llmops_lang_id",
-    "llmops_language_split",
-    "llmops_length_histogram",
-    "llmops_minhash_candidates",
-    "llmops_minhash_dedup",
-    "llmops_multimodal_features",
-    "llmops_multimodal_metadata",
-    "llmops_multimodal_resize",
-    "llmops_quality_filter",
-    "llmops_source_token_entropy",
-    "llmops_train_val_test_split",
-]
-
-# Overflow queue for names that do not fit the current 50-entry window;
-# they are the mandatory head of the next round's _PRIORITY rotation.
-# tests/test_registry_rotation.py fails if a registered query is in none of
-# {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}.
-_NEXT_WINDOW: list[str] = [
-    # The last 12 of the r3-attested stale cohort (refresh scheduled for
-    # the r14 window head; after it lands, no attestation predates r5 and
-    # the cohort math closes verdict-r12 item #3).
+    # Round 14 rotation. Head = the ENTIRE r13 _NEXT_WINDOW (31 names,
+    # verdict-r13 item #1): 12 r3-cohort stale refreshes (after they land,
+    # no attestation predates r5), then the 19 r13 additions with zero
+    # driver attestations (judge-verified r13, attestation pinned here).
+    # Tail = 19 stalest refreshes from the r5-attested cohort (42 names,
+    # alphabetical; the remaining 23 lead _NEXT_WINDOW — verdict-r13
+    # item #3 schedules the cohort's completion for the r15 head).
+    # --- r3-cohort refreshes (final 12, scheduled r13) ---
     "pipeline_dedup_key_priority",
     "pipeline_llm_roundtrip",
     "pipeline_parse_outputs",
@@ -117,7 +53,7 @@ _NEXT_WINDOW: list[str] = [
     "stream_stateful_running_max",
     "string_funcs_extended",
     "window_cume_dist_orders",
-    # --- r13 additions (registered this round, attest in r14) ---
+    # --- r13 additions, never in a CORRECTNESS record ---
     "llmops_bpe_train_merges",
     "eval_conformal_mondrian",
     "dq_dp_budget_accountant",
@@ -125,7 +61,6 @@ _NEXT_WINDOW: list[str] = [
     "eval_calibration_ece",
     "llmops_semantic_decontaminate",
     "llmops_wordpiece_train_merges",
-    # --- r13 additions, second wave (each completes an existing half) ---
     "dq_l_diversity",
     "dq_mann_kendall_trend",
     "events_logrank_test",
@@ -138,6 +73,61 @@ _NEXT_WINDOW: list[str] = [
     "llmops_good_turing_unseen",
     "llmops_cdc_chunking",
     "agg_ddsketch_quantiles",
+    # --- stalest-first refreshes: 19 of the 42 r5-attested names
+    # (alphabetical; the other 23 lead _NEXT_WINDOW) ---
+    "agg_approx_distinct_accuracy",
+    "agg_approx_percentile_accuracy",
+    "agg_conditional_battery",
+    "agg_mode_orders",
+    "cdc_snapshot_merge",
+    "cust_rfm_segments",
+    "dq_orders_mad_outliers",
+    "events_cohort_retention_matrix",
+    "events_gapfill_locf",
+    "events_hypertable_rollup",
+    "events_idle_gap_stats",
+    "events_rate_spike_detect",
+    "events_rolling_distinct_users",
+    "graph_triangle_count",
+    "join_bucketed_colocated",
+    "join_orders_within_week",
+    "join_range_containment",
+    "llmops_bloom_incremental_roundtrip",
+    "llmops_bm25_topk",
+]
+
+# Overflow queue for names that do not fit the current 50-entry window;
+# they are the mandatory head of the next round's _PRIORITY rotation.
+# tests/test_registry_rotation.py fails if a registered query is in none of
+# {driver-attested union, _PRIORITY[:50], _NEXT_WINDOW}.
+_NEXT_WINDOW: list[str] = [
+    # The last 23 of the r5-attested stale cohort (refresh scheduled for
+    # the r15 window head; after it lands, no attestation predates r6 and
+    # the cohort math closes verdict-r13 item #3).
+    "llmops_bpe_first_merges",
+    "llmops_dataset_card",
+    "llmops_embedding_pca_power",
+    "llmops_groupwise_zscore",
+    "llmops_label_encode",
+    "llmops_minhash_estimator_accuracy",
+    "llmops_multimodal_frames",
+    "llmops_pmi_collocations",
+    "llmops_prefix_dedup_groups",
+    "llmops_rouge_overlap_pairs",
+    "llmops_span_corruption_stats",
+    "llmops_term_pagerank",
+    "llmops_url_canonicalize",
+    "maintenance_zorder_stats",
+    "mv_incremental_refresh",
+    "sample_deterministic_per_group",
+    "scalar_variant_props_battery",
+    "scd2_event_type_history",
+    "source_csv_roundtrip",
+    "source_orc_roundtrip",
+    "stream_stream_join",
+    "window_rolling_7day_spend",
+    "window_value_functions_battery",
+    # --- r14 additions (registered this round, attest in r15) ---
 ]
 
 

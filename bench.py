@@ -82,7 +82,15 @@ def main() -> None:
     except OSError:  # pragma: no cover — getloadavg unsupported
         launch_load1 = None
     spark = get_spark("batch_public_spark-bench")
-    names = list(QUERIES) if os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") == "1" else HEADLINE
+    # Canonical sweep order = sorted names, DECOUPLED from the registry's
+    # `_PRIORITY` attestation rotation (r13 verdict item #8): the rotation
+    # reshuffles every round, so a rotation-ordered sweep changes each
+    # query's in-suite neighborhood (GC pressure, worker-pool state, JVM
+    # code-cache churn from whatever ran just before) and per-query anchors
+    # stop comparing like-for-like across rounds. Sorted order is stable
+    # under both rotation and insertions (an insertion shifts only its
+    # alphabetical neighbors, not the whole tail).
+    names = sorted(QUERIES) if os.environ.get("SPARK_GRAFT_BENCH_ALL", "1") == "1" else HEADLINE
     # Warm the JVM + parquet footers once so timings measure the queries.
     QUERIES["q1_pricing_summary"].fn(spark, SF_DIR).count()
     # Warm the Python-worker/Arrow path at FULL WIDTH (r12 verdict: the
@@ -204,6 +212,7 @@ def main() -> None:
                         "min of 2 executions per query; min of 3 for "
                         "Python-worker-path plans (queries_min3)"
                     ),
+                    "sweep_order": "sorted-names (rotation-independent, r14)",
                     **host_info,
                 },
                 indent=1,
