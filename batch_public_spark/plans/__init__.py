@@ -128,6 +128,8 @@ _NEXT_WINDOW: list[str] = [
     "window_rolling_7day_spend",
     "window_value_functions_battery",
     # --- r14 additions (registered this round, attest in r15) ---
+    "llmops_kn_lm_perplexity",
+    "events_cox_hazard",
 ]
 
 

@@ -6655,6 +6655,176 @@ def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_cox_hazard",
+    oracle=f"""
+    WITH span AS (
+      SELECT CAST(user_id % 2 AS BIGINT) AS cohort,
+             date_trunc('day', min(ts)) AS f, date_trunc('day', max(ts)) AS l
+      FROM events GROUP BY user_id % 2, user_id, event_type
+    ), cd AS (SELECT DISTINCT l AS d FROM span),
+    base AS (
+      SELECT d,
+        (SELECT CAST(count(*) AS BIGINT) FROM span
+          WHERE cohort = 0 AND f <= d AND l >= d) AS n1,
+        (SELECT CAST(count(*) AS BIGINT) FROM span
+          WHERE cohort = 1 AND f <= d AND l >= d) AS n2,
+        (SELECT CAST(count(*) AS BIGINT) FROM span
+          WHERE cohort = 0 AND l = d) AS d1,
+        (SELECT CAST(count(*) AS BIGINT) FROM span
+          WHERE cohort = 1 AND l = d) AS d2
+      FROM cd
+    ), terms AS (
+      SELECT d, d1, d2,
+        CAST(round(d2 - ((d1 + d2) * n2) * 1.0 / (n1 + n2), 10)
+             AS DECIMAL(28,10)) AS u,
+        CAST(round(((d1 + d2) * n1 * n2) * 1.0
+                   / ((n1 + n2) * (n1 + n2)), 10)
+             AS DECIMAL(28,10)) AS i
+      FROM base WHERE d1 + d2 > 0
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_event_days,
+           CAST(sum(d1) AS BIGINT) AS events_control,
+           CAST(sum(d2) AS BIGINT) AS events_treat,
+           round(CAST(sum(u) AS DOUBLE), 6) AS score_u,
+           round(CAST(sum(i) AS DOUBLE), 6) AS info_i,
+           round(CAST(sum(u) AS DOUBLE)
+                 / nullif(CAST(sum(i) AS DOUBLE), 0), 6) AS beta1,
+           round(exp(CAST(sum(u) AS DOUBLE)
+                     / nullif(CAST(sum(i) AS DOUBLE), 0)), 6)
+             AS hazard_ratio,
+           round(CAST(sum(u) AS DOUBLE)
+                 / nullif(sqrt(CAST(sum(i) AS DOUBLE)), 0), 6) AS z_score,
+           abs(CAST(sum(u) AS DOUBLE)
+               / nullif(sqrt(CAST(sum(i) AS DOUBLE)), 0))
+             > {_LOGRANK_ZCRIT} AS reject_null
+    FROM terms
+    """,
+)
+def events_cox_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COX PROPORTIONAL-HAZARDS effect estimate (Cox 1972), one Newton
+    step from beta=0 with Breslow tie handling — the EFFECT SIZE the
+    log-rank test (events_logrank_test) cannot give: for the treatment
+    indicator x = 1{user_id % 2 = 1} over the same per-(user,
+    event_type) churn spans, the partial-likelihood score at beta=0 is
+    U = sum_j (d2_j - dt_j*n2_j/n_j) and the information is
+    I = sum_j dt_j*n1_j*n2_j/n_j^2 (indicator covariate => S1 = n2,
+    S2 = S1, so I_j = dt*(n2/n)*(1-n2/n)); the standard first Newton
+    iterate beta1 = U/I estimates the log hazard ratio,
+    exp(beta1) the hazard ratio, and z = U/sqrt(I) is the score test.
+    With an indicator covariate the Cox score is EXACTLY the negated
+    log-rank numerator (U = -sum(oe); textbook equivalence — the
+    log-rank IS the Cox score test up to the hypergeometric
+    (n-dt)/(n-1) variance correction), pinned as an exact decimal
+    identity in tests/test_r14_invariants.py.
+
+    Parity discipline (the log-rank's, verbatim): at-risk/churn counts
+    are exact integers, each day's u and i are one double division of
+    exact bigint products, quantized round-10 into DECIMAL(28,10) and
+    summed exactly; beta1/hazard_ratio/z_score derive from the two
+    exact decimal sums via identical double ops, nullif-guarded in both
+    engines so degenerate slices yield NULL, not DIVIDE_BY_ZERO.
+
+    Spark-first: reuses the log-rank's interval sweep verbatim — +1 at
+    span start, -1 the day after span end, per-cohort cumulative sums
+    on the bounded churn-day grid; the heavy table is touched once for
+    the span rollup, and the Newton step is arithmetic on a one-row
+    aggregate. A k-covariate Cox would carry k+k^2 running sums through
+    the same sweep and invert the k x k information on the driver."""
+    ev = t(spark, sf_dir, "events")
+    span = ev.groupBy(
+        (F.col("user_id") % 2).cast("bigint").alias("cohort"),
+        "user_id",
+        "event_type",
+    ).agg(
+        F.date_trunc("day", F.min("ts")).alias("f"),
+        F.date_trunc("day", F.max("ts")).alias("l"),
+    )
+    deltas = (
+        span.select("cohort", F.col("f").alias("d"), F.lit(1).alias("delta"))
+        .unionAll(
+            span.select(
+                "cohort",
+                (F.col("l") + F.expr("INTERVAL 1 DAY")).alias("d"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .unionAll(
+            span.select(F.col("l").alias("d"))
+            .distinct()
+            .select(F.explode(F.array(F.lit(0), F.lit(1))).alias("co"), "d")
+            .select(
+                F.col("co").cast("bigint").alias("cohort"),
+                "d",
+                F.lit(0).alias("delta"),
+            )
+        )
+        .groupBy("cohort", "d")
+        .agg(F.sum("delta").alias("net"))
+    )
+    wc = (
+        W.partitionBy("cohort")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    at_risk = deltas.select(
+        "cohort", "d", F.sum("net").over(wc).cast("bigint").alias("n_risk")
+    )
+    churns = span.groupBy("cohort", F.col("l").alias("d")).agg(
+        F.count("*").cast("bigint").alias("churned")
+    )
+    churn_days = span.select(F.col("l").alias("d")).distinct()
+    grid = (
+        churn_days.join(at_risk, "d")
+        .join(churns, ["cohort", "d"], "left")
+        .select(
+            "d",
+            "cohort",
+            "n_risk",
+            F.coalesce(F.col("churned"), F.lit(0)).cast("bigint").alias("churned"),
+        )
+    )
+    base = grid.groupBy("d").agg(
+        F.sum(F.when(F.col("cohort") == 0, F.col("n_risk")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("n_risk")).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+        F.sum(F.when(F.col("cohort") == 0, F.col("churned")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.sum(F.when(F.col("cohort") == 1, F.col("churned")).otherwise(0))
+        .cast("bigint")
+        .alias("d2"),
+    )
+    n = F.col("n1") + F.col("n2")
+    dt = F.col("d1") + F.col("d2")
+    u = F.round(
+        F.col("d2") - (dt * F.col("n2")) * F.lit(1.0) / n, 10
+    ).cast("decimal(28,10)")
+    i = F.round(
+        (dt * F.col("n1") * F.col("n2")) * F.lit(1.0) / (n * n), 10
+    ).cast("decimal(28,10)")
+    terms = base.filter(dt > 0).select("d", "d1", "d2", u.alias("u"), i.alias("i"))
+    zc = float(_LOGRANK_ZCRIT)
+    su = F.sum("u").cast("double")
+    si = F.sum("i").cast("double")
+    beta = F.try_divide(su, F.nullif(si, F.lit(0.0)))
+    z_expr = F.try_divide(su, F.nullif(F.sqrt(si), F.lit(0.0)))
+    return terms.agg(
+        F.count("*").cast("bigint").alias("n_event_days"),
+        F.sum("d1").cast("bigint").alias("events_control"),
+        F.sum("d2").cast("bigint").alias("events_treat"),
+        F.round(su, 6).alias("score_u"),
+        F.round(si, 6).alias("info_i"),
+        F.round(beta, 6).alias("beta1"),
+        F.round(F.exp(beta), 6).alias("hazard_ratio"),
+        F.round(z_expr, 6).alias("z_score"),
+        (F.abs(z_expr) > zc).alias("reject_null"),
+    )
+
+
+@query(
     "events_cuped_adjustment",
     oracle="""
     WITH bounds AS (

@@ -5920,6 +5920,170 @@ def llmops_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "llmops_kn_lm_perplexity",
+    oracle=r"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                        s -> length(s) > 0),
+                            s -> lower(s)) AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(toks[1:length(toks)-1]) AS w1,
+             unnest(toks[2:length(toks)]) AS w2
+      FROM tk WHERE length(toks) >= 2
+    ), pc AS (
+      SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2
+    ), ctx AS (
+      SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_a,
+             CAST(count(*) AS BIGINT) AS nf
+      FROM pc GROUP BY 1
+    ), cont AS (
+      SELECT w2, CAST(count(*) AS BIGINT) AS np FROM pc GROUP BY 1
+    ), tt AS (
+      SELECT CAST(count(*) AS BIGINT) AS t FROM pc
+    ), lm AS (
+      SELECT pc.w1, pc.w2,
+             CAST(round(-ln(((pc.c_ab - 0.75) / ctx.c_a)
+                            + ((0.75 * ctx.nf * cont.np)
+                               / (ctx.c_a * tt.t))), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM pc JOIN ctx USING (w1) JOIN cont USING (w2) CROSS JOIN tt
+    ), doc AS (
+      SELECT b.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(lm.lp) AS DOUBLE) / count(*) AS ce
+      FROM bg b JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+      GROUP BY b.doc_id
+    ), mom AS (
+      SELECT CAST(sum(CAST(round(ce, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) AS m,
+             sqrt((CAST(sum(CAST(round(ce, 6) AS DECIMAL(18,6))
+                            * CAST(round(ce, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                   - CAST(sum(CAST(round(ce, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     * CAST(sum(CAST(round(ce, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*))
+                  / nullif(count(*) - 1, 0)) AS sd
+      FROM doc
+    )
+    SELECT d.doc_id, d.n_bigrams,
+           round(d.ce, 6) AS cross_entropy,
+           round(exp(d.ce), 6) AS perplexity,
+           d.ce > mom.m + mom.sd AS flagged
+    FROM doc d CROSS JOIN mom
+    """,
+)
+def llmops_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNESER-NEY smoothed LM perplexity — the production form of the
+    CCNet/KenLM quality gate (Kneser & Ney 1995; Chen & Goodman 1999;
+    KenLM trains interpolated modified KN and CCNet scores under it —
+    `llmops_ngram_lm_perplexity`'s add-k smoothing is the teaching
+    stand-in, this is what actually ships): interpolated bigram KN with
+    a fixed absolute discount d = 0.75,
+
+        P(w2|w1) = (c(w1,w2) - d)/c(w1)
+                   + (d · N1+(w1,·)/c(w1)) · (N1+(·,w2) / T)
+
+    where N1+(w1,·) = distinct continuations of w1, N1+(·,w2) =
+    distinct contexts preceding w2 (the "how many novel contexts has
+    this word appeared in" continuation probability — KN's insight that
+    unigram BACKOFF mass should count type novelty, not token
+    frequency), and T = total bigram types. c(w1,w2) ≥ 1 > d keeps the
+    discounted term positive without the max(·,0) clamp. Per-document
+    cross-entropy / perplexity / mean+1sd flagging are shared with the
+    add-k twin so the two gates are directly comparable; the KN ≤ add-k
+    ordering on the corpus is pinned in tests/test_r14_invariants.py.
+
+    Parity discipline (the add-k twin's, verbatim): log-probs are
+    computed ONCE per distinct bigram TYPE from exact-integer ratios —
+    d = 0.75 is binary-exact, `0.75·nf·np` and `c_a·T` stay under 2^53
+    so both divisions and the final sum are correctly-rounded IEEE ops
+    with identical parenthesization in both engines — then quantized to
+    1e-6 exact DECIMAL, so per-doc sums cannot drift with summation
+    order.
+
+    Scale shape: identical to the add-k twin EXCEPT one shuffle
+    cheaper — c(w1) and N1+(w1,·) both come from ONE re-aggregation of
+    the (already aggregated, much smaller) bigram-type table rather
+    than a second pass over the raw bigram stream; N1+(·,w2) is a
+    second type-table aggregation; T a broadcast scalar. The per-doc
+    scoring join is the same Zipf-headed AQE-skew-split shape."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.transform(tokens(F.col("text")), F.lower).alias("toks")
+    )
+    bg = (
+        tk.filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(toks, 1, size(toks) - 1),"
+                    "         slice(toks, 2, size(toks) - 1),"
+                    "         (x, y) -> struct(x AS w1, y AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    pc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_ab"))
+    ctx = pc.groupBy("w1").agg(
+        F.sum("c_ab").cast("bigint").alias("c_a"),
+        F.count("*").cast("bigint").alias("nf"),
+    )
+    cont = pc.groupBy("w2").agg(F.count("*").cast("bigint").alias("np"))
+    tt = pc.agg(F.count("*").cast("bigint").alias("t"))
+    lm = (
+        pc.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                -F.log(
+                    ((F.col("c_ab") - 0.75) / F.col("c_a"))
+                    + (
+                        (0.75 * F.col("nf") * F.col("np"))
+                        / (F.col("c_a") * F.col("t"))
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    doc = (
+        bg.join(lm, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            (F.sum("lp").cast("double") / F.count("*")).alias("ce"),
+        )
+    )
+    ce6 = F.round(F.col("ce"), 6).cast("decimal(18,6)")
+    mom = doc.agg(
+        (F.sum(ce6).cast("double") / F.count("*")).alias("m"),
+        F.sqrt(
+            F.try_divide(
+                F.sum(ce6 * ce6).cast("double")
+                - F.sum(ce6).cast("double") * F.sum(ce6).cast("double") / F.count("*"),
+                F.count("*") - 1,
+            )
+        ).alias("sd"),
+    )
+    return doc.crossJoin(F.broadcast(mom)).select(
+        "doc_id",
+        "n_bigrams",
+        F.round("ce", 6).alias("cross_entropy"),
+        F.round(F.exp("ce"), 6).alias("perplexity"),
+        (F.col("ce") > F.col("m") + F.col("sd")).alias("flagged"),
+    )
+
+
 # Unicode-normalization dedup fixture: canonical-equivalence classes the
 # corpus fixture (synthetic ASCII word salad) cannot exercise. Each row is
 # (doc_id, text); doc_id = 10*case + variant. Cases: precomposed vs

@@ -1,0 +1,110 @@
+"""Round-14 invariants: properties the r14 additions must keep.
+
+Each test pins the semantic claim a new query's docstring makes, beyond
+the oracle hash (which only certifies engine parity on one fixture).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from batch_public_spark.plans import QUERIES
+from tests.conftest import SF_DIR
+
+
+def test_kneser_ney_beats_addk_on_training_corpus(spark):
+    """KN ≤ add-k cross-entropy for the bulk of the corpus (r13 verdict
+    item #4): a self-trained LM evaluated on its own training text gives
+    most probability mass back to observed bigrams, and KN's fixed 0.75
+    discount takes less mass from an observed bigram than add-0.5
+    smoothing's ``+0.5·V`` denominator flattening — so per-document
+    cross-entropy under KN should be lower for a clear majority of
+    documents, and the advantage should be at least as strong on the
+    above-median-repetition slice (repeated bigrams concentrate count
+    mass exactly where the discount is proportionally cheapest).
+    Measured on the fixture: 81% global / 85% slice at sf0.001, 79%
+    global at sf0.01 — pinned with margin at 70%/75%.
+    """
+    kn = QUERIES["llmops_kn_lm_perplexity"].fn(spark, SF_DIR).select(
+        "doc_id", F.col("cross_entropy").alias("ce_kn"),
+        F.col("n_bigrams").alias("nb_kn"),
+    )
+    ak = QUERIES["llmops_ngram_lm_perplexity"].fn(spark, SF_DIR).select(
+        "doc_id", F.col("cross_entropy").alias("ce_ak"),
+        F.col("n_bigrams").alias("nb_ak"),
+    )
+    j = kn.join(ak, "doc_id", "full").cache()
+    try:
+        # Same document universe and identical bigram streams.
+        mismatch = j.filter(
+            F.col("ce_kn").isNull()
+            | F.col("ce_ak").isNull()
+            | (F.col("nb_kn") != F.col("nb_ak"))
+        ).count()
+        assert mismatch == 0
+
+        row = j.agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("ce_kn") < F.col("ce_ak")).cast("int")).alias("lower"),
+        ).first()
+        assert row["lower"] / row["n"] >= 0.70, row
+
+        # Repetition = 1 - distinct/total bigrams per doc; above-median
+        # slice must show at least the same KN advantage.
+        from batch_public_spark.operators.textops import tokens
+
+        d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        tk = d.select(
+            "doc_id", F.transform(tokens(F.col("text")), F.lower).alias("toks")
+        )
+        bg = (
+            tk.filter(F.size("toks") >= 2)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(toks, 1, size(toks) - 1),"
+                        "         slice(toks, 2, size(toks) - 1),"
+                        "         (x, y) -> struct(x AS w1, y AS w2))"
+                    )
+                ).alias("p"),
+            )
+            .select("doc_id", "p.w1", "p.w2")
+        )
+        rep = bg.groupBy("doc_id").agg(
+            (1 - F.countDistinct("w1", "w2") / F.count("*")).alias("rep")
+        )
+        jr = j.join(rep, "doc_id")
+        med = jr.approxQuantile("rep", [0.5], 0.0)[0]
+        srow = jr.filter(F.col("rep") > med).agg(
+            F.count("*").alias("n"),
+            F.sum((F.col("ce_kn") < F.col("ce_ak")).cast("int")).alias("lower"),
+        ).first()
+        assert srow["n"] > 0
+        assert srow["lower"] / srow["n"] >= 0.75, srow
+    finally:
+        j.unpersist()
+
+
+def test_cox_score_is_negated_logrank_numerator(spark):
+    """Textbook identity (r13 verdict item #7): with an indicator
+    covariate, the Cox partial-likelihood score at beta=0 equals the
+    log-rank numerator — here negated, because the log-rank accumulates
+    cohort-0's observed-minus-expected while the Cox covariate marks
+    cohort 1. Both queries quantize per-day terms round-10 before
+    summing, so the sums agree to the term-wise float tolerance; the
+    Breslow information exceeds the hypergeometric variance term-wise
+    (i_j = v_j * (n_j-1)/(n_j-dt_j), dt_j >= 1), and the score-test
+    direction must mirror the log-rank's.
+    """
+    cox = QUERIES["events_cox_hazard"].fn(spark, SF_DIR).first()
+    lr = QUERIES["events_logrank_test"].fn(spark, SF_DIR).first()
+    assert cox["n_event_days"] == lr["n_event_days"]
+    assert cox["events_control"] == lr["o1"]
+    assert cox["events_treat"] == lr["o2"]
+    assert abs(cox["score_u"] + lr["oe_sum"]) < 1e-4, (cox, lr)
+    assert cox["info_i"] >= lr["var_sum"]
+    if lr["z_stat"] != 0:
+        assert (cox["z_score"] < 0) == (lr["z_stat"] > 0)
+    # One Newton step is internally consistent: beta1 = U/I.
+    assert abs(cox["beta1"] - cox["score_u"] / cox["info_i"]) < 1e-5
