@@ -130,6 +130,7 @@ _NEXT_WINDOW: list[str] = [
     # --- r14 additions (registered this round, attest in r15) ---
     "llmops_kn_lm_perplexity",
     "events_cox_hazard",
+    "llmops_substring_dedup",
 ]
 
 

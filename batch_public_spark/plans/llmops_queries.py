@@ -6084,6 +6084,177 @@ def llmops_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Exact-substring dedup window width (tokens). Lee et al. use 50 BPE
+# tokens; the fixture's synthetic docs are ~40-400 words, so k = 8 keeps
+# the planted-duplicate and natural-collision regimes both exercised.
+_SUBSTR_K = 8
+
+
+@query(
+    "llmops_substring_dedup",
+    oracle=f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(trim(text), '\\s+'),
+                                        s -> length(s) > 0),
+                            s -> lower(s)) AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos,
+             md5(array_to_string(toks[i:i+{_SUBSTR_K - 1}], ' ')) AS gh
+      FROM tk, unnest(generate_series(1, length(toks) - {_SUBSTR_K - 1}))
+                 AS t(i)
+      WHERE length(toks) >= {_SUBSTR_K}
+    ), gk AS (
+      SELECT gh, CAST(min(doc_id) AS BIGINT) AS owner,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      FROM g GROUP BY 1
+    ), marked AS (
+      SELECT g.doc_id, g.pos, g.pos + {_SUBSTR_K - 1} AS fin
+      FROM g JOIN gk USING (gh)
+      WHERE gk.n_docs >= 2 AND g.doc_id <> gk.owner
+    ), flagged AS (
+      SELECT doc_id, pos, fin,
+             CASE WHEN max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) IS NULL
+                    OR pos > max(fin) OVER (PARTITION BY doc_id ORDER BY pos
+                                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS new_span
+      FROM marked
+    ), spans AS (
+      SELECT doc_id, pos, fin,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS span
+      FROM flagged
+    ), per_span AS (
+      SELECT doc_id, span, max(fin) - min(pos) + 1 AS removed
+      FROM spans GROUP BY 1, 2
+    ), per_doc AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+             CAST(sum(removed) AS BIGINT) AS tokens_removed
+      FROM per_span GROUP BY 1
+    )
+    SELECT tk.doc_id,
+           CAST(length(tk.toks) AS BIGINT) AS n_tokens,
+           coalesce(pd.n_spans, 0) AS n_spans,
+           coalesce(pd.tokens_removed, 0) AS tokens_removed,
+           CAST(length(tk.toks) AS BIGINT) - coalesce(pd.tokens_removed, 0)
+             AS tokens_kept,
+           round(coalesce(pd.tokens_removed, 0) * 1.0
+                 / nullif(length(tk.toks), 0), 6) AS dup_fraction
+    FROM tk LEFT JOIN per_doc pd USING (doc_id)
+    """,
+)
+def llmops_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-DOCUMENT EXACT-SUBSTRING dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": drop
+    every >= k-token span that appears verbatim in more than one
+    document — the production dedup family the cascade still lacked
+    beside exact/prefix/MinHash-near/semantic): every k-token window is
+    keyed by md5 of its space-joined lowercased tokens; a window shared
+    by >= 2 distinct docs marks its k tokens for removal in every doc
+    except the gram's min-doc_id owner (first-wins, the
+    operators/dedup.py survivorship rule); overlapping/adjacent marked
+    windows per doc merge via the cumulative-max interval-coalesce
+    idiom (events_interval_coalesce — `pos > runmax(fin) + 1` starts a
+    new span) into maximal removed spans. The k-gram cover is EXACT for
+    the >= k-span semantics: a maximal shared span of length L >= k is
+    covered by its L-k+1 windows, and any shared window certifies a
+    shared span — so removed-token sets equal Lee et al.'s suffix-array
+    answer at token granularity, per gram-owner policy. Reported per
+    doc: span count, tokens removed/kept, duplicate fraction.
+
+    Spark-first / 100 TB: this is the distributed formulation the
+    suffix-array single-node algorithm does not have — NO doc-pair join
+    exists anywhere (the r13-verdict ask: "never all-pairs"); the heavy
+    intermediate is the gram stream (n_tokens rows, amplification
+    exactly 1 per token), aggregated in ONE hash shuffle on the 16-byte
+    gram key (map-side combinable counts + min), then re-joined back to
+    the stream on the same key (AQE handles the Zipf-headed gram
+    frequencies the same way the LM scoring joins do); the coalesce
+    windows and final rollup all share one doc_id partitioning. The
+    min/countDistinct pass never materializes posting lists, so no
+    per-gram cap is needed — hot grams cost a skewed-key aggregate, not
+    row amplification."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.transform(tokens(F.col("text")), F.lower).alias("toks")
+    )
+    g = (
+        tk.filter(F.size("toks") >= _SUBSTR_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(toks) - {_SUBSTR_K - 1}),"
+                    f" i -> struct(i AS pos,"
+                    f" md5(concat_ws(' ', slice(toks, i, {_SUBSTR_K}))) AS gh))"
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", "w.pos", "w.gh")
+    )
+    gk = g.groupBy("gh").agg(
+        F.min("doc_id").cast("bigint").alias("owner"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+    )
+    marked = (
+        g.join(gk, "gh")
+        .filter((F.col("n_docs") >= 2) & (F.col("doc_id") != F.col("owner")))
+        .select("doc_id", "pos", (F.col("pos") + _SUBSTR_K - 1).alias("fin"))
+    )
+    order = W.partitionBy("doc_id").orderBy("pos")
+    prev_max = F.max("fin").over(order.rowsBetween(W.unboundedPreceding, -1))
+    flagged = marked.select(
+        "doc_id",
+        "pos",
+        "fin",
+        F.when(prev_max.isNull() | (F.col("pos") > prev_max + 1), 1)
+        .otherwise(0)
+        .alias("new_span"),
+    )
+    spans = flagged.select(
+        "doc_id",
+        "pos",
+        "fin",
+        F.sum("new_span")
+        .over(order.rowsBetween(W.unboundedPreceding, 0))
+        .alias("span"),
+    )
+    per_span = spans.groupBy("doc_id", "span").agg(
+        (F.max("fin") - F.min("pos") + 1).alias("removed")
+    )
+    per_doc = per_span.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("removed").cast("bigint").alias("tokens_removed"),
+    )
+    nt = F.size("toks").cast("bigint")
+    return (
+        tk.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            nt.alias("n_tokens"),
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("tokens_removed"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            (nt - F.coalesce(F.col("tokens_removed"), F.lit(0)))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.round(
+                F.try_divide(
+                    F.coalesce(F.col("tokens_removed"), F.lit(0)) * F.lit(1.0),
+                    F.nullif(nt, F.lit(0)),
+                ),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )
+
+
 # Unicode-normalization dedup fixture: canonical-equivalence classes the
 # corpus fixture (synthetic ASCII word salad) cannot exercise. Each row is
 # (doc_id, text); doc_id = 10*case + variant. Cases: precomposed vs

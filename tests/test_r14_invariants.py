@@ -108,3 +108,52 @@ def test_cox_score_is_negated_logrank_numerator(spark):
         assert (cox["z_score"] < 0) == (lr["z_stat"] > 0)
     # One Newton step is internally consistent: beta1 = U/I.
     assert abs(cox["beta1"] - cox["score_u"] / cox["info_i"]) < 1e-5
+
+
+def test_substring_dedup_planted_duplicates(spark, tmp_path):
+    """Planted-duplicate oracle for llmops_substring_dedup (r13 verdict
+    item #6): a corpus with a KNOWN shared-span layout must come back
+    with exactly the Lee-et-al answer — a verbatim 20-token span copied
+    from doc 1 into docs 2 and 3 is removed from 2 and 3 (owner 1 keeps
+    it), two disjoint copied spans coalesce separately, overlapping
+    copies merge into one span, a 7-token (k-1) shared run is NOT
+    removed, and a unique doc is untouched.
+    """
+    words = [f"w{i:03d}" for i in range(200)]  # unique filler vocabulary
+    span_a = " ".join(words[0:20])       # 20-token shared span (>= k = 8)
+    span_b = " ".join(words[50:62])      # 12-token shared span
+    short = " ".join(words[100:107])     # 7 tokens: below k, must survive
+    docs = [
+        # owner: contributes both spans, keeps everything
+        (1, f"{span_a} alpha{0} {span_b} beta{0}"),
+        # one copy of span_a, one of span_b, separated by unique filler
+        # => exactly 2 removed spans, 32 tokens
+        (2, f"{span_a} gamma{0} gamma{1} {span_b}"),
+        # two copies of span_a back to back => the two marked runs are
+        # adjacent (cover 1..20 and 21..40) and coalesce: ONE span of 40
+        (3, f"{span_a} {span_a}"),
+        # the k-1 run shared with doc 5 plus unique tail: nothing removed
+        (4, f"{short} delta{0} delta{1} delta{2}"),
+        (5, f"{short} eps{0} eps{1} eps{2}"),
+        # fully unique
+        (6, " ".join(words[150:180])),
+    ]
+    sf = tmp_path / "sf_planted"
+    sf.mkdir()
+    spark.createDataFrame(docs, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(sf / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in QUERIES["llmops_substring_dedup"].fn(spark, str(sf)).collect()
+    }
+    assert len(out) == 6
+    o1, o2, o3 = out[1], out[2], out[3]
+    assert o1["tokens_removed"] == 0 and o1["n_spans"] == 0  # owner keeps
+    assert o2["n_spans"] == 2 and o2["tokens_removed"] == 32
+    assert o2["tokens_kept"] == o2["n_tokens"] - 32
+    # doc 3: tokens 1..40 all covered (the junction windows span both
+    # copies), one maximal span
+    assert o3["n_spans"] == 1 and o3["tokens_removed"] == 40
+    for i in (4, 5, 6):
+        assert out[i]["tokens_removed"] == 0 and out[i]["n_spans"] == 0
