@@ -131,6 +131,7 @@ _NEXT_WINDOW: list[str] = [
     "llmops_kn_lm_perplexity",
     "events_cox_hazard",
     "llmops_substring_dedup",
+    "llmops_unigram_lm_train",
 ]
 
 

@@ -5240,7 +5240,7 @@ def _bpe_train_oracle(k: int) -> str:
            UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
                               s -> length(s) > 0)) AS tk(tok)
       WHERE doc_id < 400
-    ), ty AS (
+    ), ty AS MATERIALIZED (
       SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM d GROUP BY tok
     ), s0 AS (
       SELECT ' ' || trim(regexp_replace(tok, '(.)', '\1 ', 'g')) || ' ' AS sym,
@@ -5597,6 +5597,315 @@ def llmops_wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame
     for w_df in winners[1:]:
         out = out.unionAll(w_df)
     return out.crossJoin(F.broadcast(vocab))
+
+
+# Unigram-LM trainer constants: token-length training cap, max piece
+# length, seeded multi-char candidates, retained multi-char pieces per
+# m-step, EM rounds. Calibrated so selection AND pruning are non-vacuous
+# on the fixture (31 token types / 204 multi-char substrings at every SF
+# under the doc_id < 400 sample): 204 -> seed 40 -> keep 24.
+_ULM_LMAX = 10
+_ULM_PLEN = 4
+_ULM_SEED = 40
+_ULM_KEEP = 24
+_ULM_ROUNDS = 2
+
+
+def _unigram_lm_oracle(rounds: int) -> str:
+    """Generated DuckDB oracle for the unigram-LM trainer: the Viterbi
+    e-step runs as SET-WISE recursive CTEs (the events_rate_limit_sim
+    discipline — one recursion advances every token's DP one position;
+    a second walks every token's backtrace), because DuckDB 1.0's
+    list_reduce has no initial-accumulator form to mirror Spark's
+    in-row aggregate() fold. Each EM round is one dp/backtrace
+    recursion pair + one grouped count + the prune/renormalize CTEs."""
+    parts = [
+        rf"""
+    WITH RECURSIVE d AS MATERIALIZED (
+      SELECT lower(tk.tok) AS tok
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                              s -> length(s) > 0)) AS tk(tok)
+      WHERE doc_id < 400
+    ), ty AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS freq FROM d
+      WHERE length(tok) <= {_ULM_LMAX}
+      GROUP BY tok
+    ), subs AS MATERIALIZED (
+      SELECT substr(ty.tok, g.j - l.l + 1, l.l) AS piece,
+             CAST(sum(ty.freq) AS BIGINT) AS cnt
+      FROM ty,
+           unnest(generate_series(1, length(ty.tok))) AS g(j),
+           unnest(generate_series(1, {_ULM_PLEN})) AS l(l)
+      WHERE l.l <= g.j
+      GROUP BY 1
+    ), v0 AS MATERIALIZED (
+      SELECT piece, cnt FROM subs WHERE length(piece) = 1
+      UNION ALL
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS r
+        FROM subs WHERE length(piece) >= 2) q
+      WHERE r <= {_ULM_SEED}
+    ), v0n AS MATERIALIZED (
+      SELECT piece,
+             CAST(round(-ln(cnt * 1.0 / (SELECT sum(cnt) FROM v0)), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM v0
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(
+            f""", m{r} AS MATERIALIZED (
+      SELECT map(list(piece), list(lp)) AS mp FROM v{p}n
+    ), cand{r} AS MATERIALIZED (
+      SELECT ty.tok, g.j,
+             map_extract(mm.mp, substr(ty.tok, g.j, 1))[1] AS lp1,
+             CASE WHEN g.j >= 2
+                  THEN map_extract(mm.mp, substr(ty.tok, g.j - 1, 2))[1]
+             END AS lp2,
+             CASE WHEN g.j >= 3
+                  THEN map_extract(mm.mp, substr(ty.tok, g.j - 2, 3))[1]
+             END AS lp3,
+             CASE WHEN g.j >= 4
+                  THEN map_extract(mm.mp, substr(ty.tok, g.j - 3, 4))[1]
+             END AS lp4
+      FROM ty, m{r} mm,
+           unnest(generate_series(1, length(ty.tok))) AS g(j)
+    ), dp{r}(tok, n, j, s0, s1, s2, s3, bls) AS (
+      SELECT tok, length(tok), 0,
+             CAST(0 AS DECIMAL(28,6)), CAST(NULL AS DECIMAL(28,6)),
+             CAST(NULL AS DECIMAL(28,6)), CAST(NULL AS DECIMAL(28,6)),
+             CAST([] AS TINYINT[])
+      FROM ty
+      UNION ALL
+      SELECT q.tok, q.n, q.j + 1,
+             CAST(CASE q.bl WHEN 1 THEN q.c1 WHEN 2 THEN q.c2
+                            WHEN 3 THEN q.c3 ELSE q.c4
+                  END AS DECIMAL(28,6)),
+             q.s0, q.s1, q.s2, list_append(q.bls, q.bl)
+      FROM (
+        SELECT p.*,
+               CAST(CASE WHEN p.c1 IS NOT NULL
+                           AND (p.c2 IS NULL OR p.c1 <= p.c2)
+                           AND (p.c3 IS NULL OR p.c1 <= p.c3)
+                           AND (p.c4 IS NULL OR p.c1 <= p.c4) THEN 1
+                         WHEN p.c2 IS NOT NULL
+                           AND (p.c3 IS NULL OR p.c2 <= p.c3)
+                           AND (p.c4 IS NULL OR p.c2 <= p.c4) THEN 2
+                         WHEN p.c3 IS NOT NULL
+                           AND (p.c4 IS NULL OR p.c3 <= p.c4) THEN 3
+                         ELSE 4 END AS TINYINT) AS bl
+        FROM (
+          SELECT s.tok, s.n, s.j, s.s0, s.s1, s.s2, s.bls,
+                 s.s0 + c.lp1 AS c1, s.s1 + c.lp2 AS c2,
+                 s.s2 + c.lp3 AS c3, s.s3 + c.lp4 AS c4
+          FROM dp{r} s JOIN cand{r} c ON c.tok = s.tok AND c.j = s.j + 1
+        ) p
+      ) q
+    ), fin{r} AS MATERIALIZED (
+      SELECT tok, n, bls FROM dp{r} WHERE j = n
+    ), bt{r}(tok, pos, pieces) AS (
+      SELECT tok, n, CAST([] AS VARCHAR[]) FROM fin{r}
+      UNION ALL
+      SELECT b.tok, b.pos - f.bls[b.pos],
+             list_append(b.pieces,
+                         substr(b.tok, b.pos - f.bls[b.pos] + 1,
+                                f.bls[b.pos]))
+      FROM bt{r} b JOIN fin{r} f ON f.tok = b.tok
+      WHERE b.pos > 0
+    ), cnt{r} AS MATERIALIZED (
+      SELECT pp.piece, CAST(sum(ty.freq) AS BIGINT) AS cnt
+      FROM bt{r} b, ty, unnest(b.pieces) AS pp(piece)
+      WHERE b.pos = 0 AND ty.tok = b.tok
+      GROUP BY 1
+    ), v{r} AS MATERIALIZED (
+      SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               row_number() OVER (ORDER BY cnt DESC, piece) AS r
+        FROM cnt{r} WHERE length(piece) >= 2) q
+      WHERE r <= {_ULM_KEEP}
+      UNION ALL
+      SELECT c.piece, greatest(coalesce(n.cnt, 0), 1) AS cnt
+      FROM (SELECT piece FROM v{p}n WHERE length(piece) = 1) c
+      LEFT JOIN cnt{r} n ON n.piece = c.piece
+    ), v{r}n AS MATERIALIZED (
+      SELECT piece,
+             CAST(round(-ln(cnt * 1.0 / (SELECT sum(cnt) FROM v{r})), 6)
+                  AS DECIMAL(18,6)) AS lp
+      FROM v{r}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT v.piece, length(v.piece) = 1 AS is_char,
+           v.cnt AS n, n.lp AS nll
+    FROM v{rounds} v JOIN v{rounds}n n USING (piece)"""
+    )
+    return "".join(parts)
+
+
+# In-row Viterbi forward pass: dp[j] = min over piece lengths l of
+# dp[j-l] + nll(substr ending at j), ties to the SHORTEST piece (the
+# lexicographic struct-min convention both engines share). acc carries
+# the dp array itself (index i = dp[i-1]); chars are always in-vocab, so
+# every position is reachable and the filter never empties.
+_ULM_DP = f"""
+  aggregate(
+    sequence(1, length(tok)),
+    array(struct(cast(0.0 as decimal(28,6)) as s, cast(0 as int) as bl)),
+    (acc, j) -> concat(acc, array(
+      array_min(
+        filter(
+          transform(sequence(1, least({_ULM_PLEN}, j)),
+                    l -> struct(cast(element_at(acc, j - l + 1).s
+                                     + element_at(mp, substring(tok, j - l + 1, l))
+                                     as decimal(28,6)) as s,
+                                cast(l as int) as bl)),
+          x -> x.s is not null)))))
+"""
+
+# Backtrace: walk pos from length(tok) to 0 through the stored best
+# lengths; at most length(tok) steps, no-op once pos hits 0. Piece order
+# in the list is right-to-left — only the multiset feeds the m-step.
+_ULM_BT = """
+  aggregate(
+    sequence(1, length(tok)),
+    struct(length(tok) as pos, cast(array() as array<string>) as ps),
+    (acc, i) -> if(acc.pos > 0,
+      struct(acc.pos - element_at(dp, acc.pos + 1).bl as pos,
+             concat(acc.ps, array(substring(tok,
+                 acc.pos - element_at(dp, acc.pos + 1).bl + 1,
+                 element_at(dp, acc.pos + 1).bl))) as ps),
+      acc)).ps
+"""
+
+
+@query("llmops_unigram_lm_train", oracle=_unigram_lm_oracle(_ULM_ROUNDS))
+def llmops_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNIGRAM-LM tokenizer training (Kudo 2018; SentencePiece's default
+    model) — completes the learned-tokenizer trio beside the BPE and
+    WordPiece trainers (verdict-r13 item #5), and it is the opposite
+    learning direction: BPE/WordPiece GROW a vocabulary bottom-up by
+    merging; unigram-LM starts from an over-complete candidate set and
+    PRUNES top-down under a probabilistic model. Seed vocabulary = every
+    single character (coverage floor, never pruned — SentencePiece's
+    character_coverage guarantee, counts floored at 1 so a char crowded
+    out of every Viterbi path keeps a finite log-prob) plus the
+    {_ULM_SEED} highest-frequency multi-char substrings (length <=
+    {_ULM_PLEN}) of the token-type table; then {_ULM_ROUNDS} hard-EM
+    rounds: e-step = per-token-type Viterbi segmentation under current
+    piece NLLs (bounded DP IN-ROW — an aggregate() fold over character
+    positions whose accumulator is the dp array, piece lookups against
+    the broadcast vocab map; ties break to the shortest piece in both
+    engines); m-step = ONE grouped frequency-weighted piece count,
+    prune to the {_ULM_KEEP} highest-count multi-char pieces,
+    renormalize NLL = -ln(cnt/total) over the retained set. Output: the
+    final vocabulary with exact counts and round-6 decimal NLLs — the
+    artifact a tokenizer team version-controls, directly comparable to
+    the BPE/WordPiece merge tables. tests/test_r14_invariants.py
+    re-runs the whole trainer in pure Python as a third, independent
+    implementation and matches counts exactly.
+
+    Parity discipline: training is on the literal-bounded doc_id < 400
+    type sample (the BPE/WordPiece convention — a capped reservoir is
+    what trainers see at corpus scale), token types cap at {_ULM_LMAX}
+    chars; NLLs are one double division of exact bigints, ln'd once per
+    piece TYPE, quantized round-6 into DECIMAL(18,6), so every DP score
+    is an EXACT decimal sum and the argmin compares identical decimals
+    in both engines — the oracle's set-wise recursive-CTE Viterbi
+    (DuckDB 1.0 has no seeded fold) must agree bit-for-bit, which is
+    exactly what the hash attests.
+
+    Spark-first / 100 TB: one corpus scan builds the localCheckpointed
+    token-TYPE table; every EM round is ONE in-row projection over
+    types (the DP rides inside whole-stage codegen — no join, no
+    shuffle, no Python) + one map-side-combinable grouped count + two
+    TakeOrdered prunes of a <= {_ULM_SEED}-row frame + broadcast map
+    rebuild, with localCheckpoint cuts between rounds (the WordPiece
+    trainer's quadratic-recompute fix). Type count, not corpus size,
+    prices the loop; the corpus is touched exactly once."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    ty = (
+        d.select(F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("tok"))
+        .filter(F.length("tok") <= _ULM_LMAX)
+        .groupBy("tok")
+        .agg(F.count("*").cast("bigint").alias("freq"))
+        .localCheckpoint(eager=False)
+    )
+    subs = (
+        ty.select(
+            F.explode(
+                F.expr(
+                    f"flatten(transform(sequence(1, length(tok)), j -> "
+                    f"transform(sequence(1, least({_ULM_PLEN}, j)), "
+                    f"l -> substring(tok, j - l + 1, l))))"
+                )
+            ).alias("piece"),
+            "freq",
+        )
+        .groupBy("piece")
+        .agg(F.sum("freq").cast("bigint").alias("cnt"))
+    )
+    v = (
+        subs.filter(F.length("piece") == 1)
+        .unionByName(
+            subs.filter(F.length("piece") >= 2)
+            .orderBy(F.desc("cnt"), "piece")
+            .limit(_ULM_SEED)
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def _norm(vdf: DataFrame) -> DataFrame:
+        tot = vdf.agg(F.sum("cnt").alias("tot"))
+        return vdf.crossJoin(F.broadcast(tot)).select(
+            "piece",
+            F.round(-F.log(F.col("cnt") * F.lit(1.0) / F.col("tot")), 6)
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+
+    vn = _norm(v).localCheckpoint(eager=False)
+    for _ in range(_ULM_ROUNDS):
+        vm = vn.agg(
+            F.map_from_entries(F.collect_list(F.struct("piece", "lp"))).alias("mp")
+        )
+        seg = (
+            ty.crossJoin(F.broadcast(vm))
+            .select("tok", "freq", F.expr(_ULM_DP).alias("dp"))
+            .select("tok", "freq", F.expr(_ULM_BT).alias("pieces"))
+        )
+        cnt = (
+            seg.select(F.explode("pieces").alias("piece"), "freq")
+            .groupBy("piece")
+            .agg(F.sum("freq").cast("bigint").alias("cnt"))
+        )
+        chars = (
+            vn.filter(F.length("piece") == 1)
+            .select("piece")
+            .join(cnt, "piece", "left")
+            .select(
+                "piece",
+                F.greatest(F.coalesce(F.col("cnt"), F.lit(0)), F.lit(1))
+                .cast("bigint")
+                .alias("cnt"),
+            )
+        )
+        multi = (
+            cnt.filter(F.length("piece") >= 2)
+            .orderBy(F.desc("cnt"), "piece")
+            .limit(_ULM_KEEP)
+        )
+        v = multi.unionByName(chars).localCheckpoint(eager=False)
+        vn = _norm(v).localCheckpoint(eager=False)
+    return v.join(vn, "piece").select(
+        "piece",
+        (F.length("piece") == 1).alias("is_char"),
+        F.col("cnt").alias("n"),
+        F.col("lp").alias("nll"),
+    )
 
 
 @query(
