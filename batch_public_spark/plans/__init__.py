@@ -132,6 +132,7 @@ _NEXT_WINDOW: list[str] = [
     "events_cox_hazard",
     "llmops_substring_dedup",
     "llmops_unigram_lm_train",
+    "dq_bh_fdr",
 ]
 
 

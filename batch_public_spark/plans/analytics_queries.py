@@ -5792,15 +5792,14 @@ def llmops_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRUNES top-down under a probabilistic model. Seed vocabulary = every
     single character (coverage floor, never pruned — SentencePiece's
     character_coverage guarantee, counts floored at 1 so a char crowded
-    out of every Viterbi path keeps a finite log-prob) plus the
-    {_ULM_SEED} highest-frequency multi-char substrings (length <=
-    {_ULM_PLEN}) of the token-type table; then {_ULM_ROUNDS} hard-EM
+    out of every Viterbi path keeps a finite log-prob) plus the 40
+    highest-frequency multi-char substrings (length <= 4) of the token-type table; then two hard-EM
     rounds: e-step = per-token-type Viterbi segmentation under current
     piece NLLs (bounded DP IN-ROW — an aggregate() fold over character
     positions whose accumulator is the dp array, piece lookups against
     the broadcast vocab map; ties break to the shortest piece in both
     engines); m-step = ONE grouped frequency-weighted piece count,
-    prune to the {_ULM_KEEP} highest-count multi-char pieces,
+    prune to the 24 highest-count multi-char pieces,
     renormalize NLL = -ln(cnt/total) over the retained set. Output: the
     final vocabulary with exact counts and round-6 decimal NLLs — the
     artifact a tokenizer team version-controls, directly comparable to
@@ -5810,8 +5809,7 @@ def llmops_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Parity discipline: training is on the literal-bounded doc_id < 400
     type sample (the BPE/WordPiece convention — a capped reservoir is
-    what trainers see at corpus scale), token types cap at {_ULM_LMAX}
-    chars; NLLs are one double division of exact bigints, ln'd once per
+    what trainers see at corpus scale), token types cap at 10 chars; NLLs are one double division of exact bigints, ln'd once per
     piece TYPE, quantized round-6 into DECIMAL(18,6), so every DP score
     is an EXACT decimal sum and the argmin compares identical decimals
     in both engines — the oracle's set-wise recursive-CTE Viterbi
@@ -5822,7 +5820,7 @@ def llmops_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-TYPE table; every EM round is ONE in-row projection over
     types (the DP rides inside whole-stage codegen — no join, no
     shuffle, no Python) + one map-side-combinable grouped count + two
-    TakeOrdered prunes of a <= {_ULM_SEED}-row frame + broadcast map
+    TakeOrdered prunes of a <= 40-row frame + broadcast map
     rebuild, with localCheckpoint cuts between rounds (the WordPiece
     trainer's quadratic-recompute fix). Type count, not corpus size,
     prices the loop; the corpus is touched exactly once."""

@@ -3713,6 +3713,190 @@ def _perm_oracle() -> str:
     """
 
 
+# BH step-up FDR level; spelled as the same literal in both engines.
+_BH_ALPHA = "0.10"
+
+
+def _bh_fdr_oracle() -> str:
+    h = "md5(CAST(doc_id AS VARCHAR) || ':perm')"
+    treat = _perm_bit("md5(CAST(doc_id AS VARCHAR) || ':assign')", 1)
+    cols = ",\n             ".join(
+        f"CAST(sum(CASE WHEN {_perm_bit('h', k)} THEN x END) AS BIGINT) AS s{k},"
+        f" CAST(count(*) FILTER (WHERE {_perm_bit('h', k)}) AS BIGINT) AS c{k}"
+        for k in range(1, _PERM_B + 1)
+    )
+    gaps = ",\n             ".join(
+        f"(s{k} * 1.0 / nullif(c{k}, 0))"
+        f" - ((s - s{k}) * 1.0 / nullif(n - c{k}, 0)) AS g{k}"
+        for k in range(1, _PERM_B + 1)
+    )
+    extreme = " + ".join(
+        f"(CASE WHEN abs(g{k}) >= abs(g_obs) THEN 1 ELSE 0 END)"
+        for k in range(1, _PERM_B + 1)
+    )
+    return f"""
+    WITH base AS (
+      SELECT source, n_chars AS x, {treat} AS treat, {h} AS h
+      FROM documents
+    ), agg AS (
+      SELECT source,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS s,
+             CAST(count(*) FILTER (WHERE treat) AS BIGINT) AS nt,
+             CAST(sum(CASE WHEN treat THEN x END) AS BIGINT) AS st,
+             {cols}
+      FROM base GROUP BY source
+    ), gg AS (
+      SELECT source, n, nt,
+             (st * 1.0 / nullif(nt, 0))
+               - ((s - st) * 1.0 / nullif(n - nt, 0)) AS g_obs,
+             {gaps}
+      FROM agg
+    ), pv AS (
+      SELECT source, n, nt, round(g_obs, 6) AS gap_obs,
+             CAST(round((1.0 + ({extreme})) / {_PERM_B + 1}.0, 6)
+                  AS DECIMAL(18,6)) AS p_value
+      FROM gg
+    ), ranked AS (
+      SELECT pv.*,
+             CAST(row_number() OVER (ORDER BY p_value, source) AS BIGINT)
+               AS p_rank,
+             CAST(count(*) OVER () AS BIGINT) AS m
+      FROM pv
+    ), kstar AS (
+      SELECT coalesce(max(CASE WHEN CAST(p_value AS DOUBLE)
+                                    <= p_rank * {_BH_ALPHA} / m
+                               THEN p_rank END), 0) AS k_star
+      FROM ranked
+    )
+    SELECT r.source, r.n AS n_docs, r.nt AS n_treat, r.gap_obs,
+           r.p_value, r.p_rank,
+           round(r.p_rank * {_BH_ALPHA} / r.m, 6) AS bh_threshold,
+           r.p_rank <= k.k_star AS rejected
+    FROM ranked r CROSS JOIN kstar k
+    """
+
+
+@query("dq_bh_fdr", oracle=_bh_fdr_oracle())
+def dq_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR control (Benjamini & Hochberg 1995) over a
+    FAMILY of per-segment hypothesis tests — the multiple-testing step
+    the experimentation kit stopped short of: dq_permutation_test asks
+    one question of the whole corpus; a real quality dashboard asks it
+    of EVERY source at once, and at m segments a per-test alpha yields
+    ~m*alpha false alarms. Here each source runs its own Fisher
+    randomization test (the dq_permutation_test machinery, grouped —
+    one md5 per row funds 32 replicate coins, complement arithmetic,
+    add-one-smoothed p; the "treatment" is a second salted-hash coin
+    because the fixture's doc_id parity is perfectly source-correlated
+    and would make every within-source split degenerate), then BH
+    step-up: sort the m p-values
+    ascending, k* = max k with p_(k) <= k*alpha/m, reject exactly ranks
+    1..k* — controlling the EXPECTED FALSE-DISCOVERY RATE at alpha = 0.10
+    rather than the family-wise error Bonferroni would
+    overpay for. The fixture assignment is null by construction, so the
+    attested verdict is the calm path; the rejection path (an injected
+    per-source effect must be discovered, and discoveries are a prefix
+    of the p-value order) is pinned in tests/test_r14_invariants.py.
+
+    Parity discipline: all replicate sums are exact BIGINTs per SOURCE
+    group; p-values are round-6 DECIMALs (granularity 1/33), ranked
+    with an explicit (p_value, source) total order; the step-up
+    comparison casts the same decimal to double against k*alpha/m built
+    from exact integers and the shared alpha literal — identical IEEE
+    operands in both engines.
+
+    Spark-first / 100 TB: ONE grouped aggregation over the scan (the
+    68 replicate columns are map-side combinable conditional sums —
+    B never amplifies rows); everything after runs on the m-row
+    per-source frame: the rank window rides the bounded_window_key
+    idiom (m = |source catalog|, a fixed enumerated domain), and k*
+    is a 1-row aggregate broadcast back. Adding segments scales the
+    tiny frame, never the scan."""
+    d = t(spark, sf_dir, "documents")
+    h = "md5(concat(cast(doc_id as string), ':perm'))"
+    assign = _perm_bit("md5(concat(cast(doc_id as string), ':assign'))", 1)
+    base = d.select(
+        "source",
+        F.col("n_chars").alias("x"),
+        F.expr(assign).alias("treat"),
+        F.expr(h).alias("h"),
+    )
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.sum(F.when(F.col("treat"), 1).otherwise(0)).cast("bigint").alias("nt"),
+        F.sum(F.when(F.col("treat"), F.col("x"))).cast("bigint").alias("st"),
+    ]
+    for k in range(1, _PERM_B + 1):
+        bit = F.expr(_perm_bit("h", k))
+        aggs.append(F.sum(F.when(bit, F.col("x"))).cast("bigint").alias(f"s{k}"))
+        aggs.append(F.sum(F.when(bit, 1).otherwise(0)).cast("bigint").alias(f"c{k}"))
+    agg = base.groupBy("source").agg(*aggs)
+    g_obs = (F.col("st") * F.lit(1.0) / F.nullif(F.col("nt"), F.lit(0))) - (
+        (F.col("s") - F.col("st"))
+        * F.lit(1.0)
+        / F.nullif(F.col("n") - F.col("nt"), F.lit(0))
+    )
+    gap_cols = [F.col("source"), F.col("n"), F.col("nt"), g_obs.alias("g_obs")]
+    for k in range(1, _PERM_B + 1):
+        gk = (F.col(f"s{k}") * F.lit(1.0) / F.nullif(F.col(f"c{k}"), F.lit(0))) - (
+            (F.col("s") - F.col(f"s{k}"))
+            * F.lit(1.0)
+            / F.nullif(F.col("n") - F.col(f"c{k}"), F.lit(0))
+        )
+        gap_cols.append(gk.alias(f"g{k}"))
+    gg = agg.select(*gap_cols)
+    extreme = None
+    for k in range(1, _PERM_B + 1):
+        term = F.when(F.abs(F.col(f"g{k}")) >= F.abs(F.col("g_obs")), 1).otherwise(0)
+        extreme = term if extreme is None else extreme + term
+    pv = gg.select(
+        "source",
+        "n",
+        "nt",
+        F.round("g_obs", 6).alias("gap_obs"),
+        F.round((F.lit(1.0) + extreme) / F.lit(float(_PERM_B + 1)), 6)
+        .cast("decimal(18,6)")
+        .alias("p_value"),
+    )
+    wb = W.partitionBy(bounded_window_key(F.col("n"))).orderBy("p_value", "source")
+    alpha = float(_BH_ALPHA)
+    ranked = pv.select(
+        "source",
+        "n",
+        "nt",
+        "gap_obs",
+        "p_value",
+        F.row_number().over(wb).cast("bigint").alias("p_rank"),
+        F.count("*").over(W.partitionBy(bounded_window_key(F.col("n"))))
+        .cast("bigint")
+        .alias("m"),
+    )
+    kstar = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p_value").cast("double")
+                    <= F.col("p_rank") * alpha / F.col("m"),
+                    F.col("p_rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("k_star")
+    )
+    return ranked.crossJoin(F.broadcast(kstar)).select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("nt").alias("n_treat"),
+        "gap_obs",
+        "p_value",
+        "p_rank",
+        F.round(F.col("p_rank") * alpha / F.col("m"), 6).alias("bh_threshold"),
+        (F.col("p_rank") <= F.col("k_star")).alias("rejected"),
+    )
+
+
 @query("dq_permutation_test", oracle=_perm_oracle())
 def dq_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FISHER RANDOMIZATION (permutation) TEST — the exact-inference

@@ -213,6 +213,50 @@ def test_unigram_lm_train_matches_pure_python(spark):
     assert 1 <= sum(1 for p in v if len(p) >= 2) <= _ULM_KEEP
 
 
+def test_bh_fdr_discovers_injected_effect_and_is_step_up(spark, tmp_path):
+    """Rejection path + step-up shape for dq_bh_fdr: on a corpus where
+    ONE source's metric is shifted by the (hash-derived) treatment coin
+    and the others are null, BH must discover exactly the biased source;
+    and on any output, the discovery set must be a PREFIX of the p-value
+    order with every discovered p under its rank threshold (the BH
+    step-up definition). Three sources keep m small enough that the
+    1/33 p-value floor clears rank-1's alpha*k/m threshold.
+    """
+    import hashlib
+
+    def coin(doc_id: int) -> bool:  # digit 1 of md5("{id}:assign") <= 7
+        return int(hashlib.md5(f"{doc_id}:assign".encode()).hexdigest()[0], 16) <= 7
+
+    rows = []
+    for i in range(600):
+        src = ["biased", "null_a", "null_b"][i % 3]
+        shift = 500 if (src == "biased" and coin(i)) else 0
+        rows.append((i, src, 1000 + (i % 7) + shift))
+    sf = tmp_path / "sf_bh"
+    sf.mkdir()
+    spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long"
+    ).coalesce(1).write.parquet(str(sf / "documents.parquet"))
+    out = QUERIES["dq_bh_fdr"].fn(spark, str(sf)).collect()
+    by_src = {r["source"]: r for r in out}
+    assert by_src["biased"]["rejected"], by_src
+    assert not by_src["null_a"]["rejected"] and not by_src["null_b"]["rejected"]
+    assert by_src["biased"]["p_rank"] == 1
+
+    # Step-up shape on the real fixture: discoveries are exactly ranks
+    # 1..k*, and each discovered p sits under its own threshold.
+    real = QUERIES["dq_bh_fdr"].fn(spark, SF_DIR).collect()
+    rejected_ranks = sorted(r["p_rank"] for r in real if r["rejected"])
+    assert rejected_ranks == list(range(1, len(rejected_ranks) + 1))
+    for r in real:
+        if r["rejected"]:
+            assert float(r["p_value"]) <= r["bh_threshold"] + 1e-12 or any(
+                float(q["p_value"]) <= q["bh_threshold"] + 1e-12
+                and q["p_rank"] >= r["p_rank"]
+                for q in real
+            )
+
+
 def test_substring_dedup_planted_duplicates(spark, tmp_path):
     """Planted-duplicate oracle for llmops_substring_dedup (r13 verdict
     item #6): a corpus with a KNOWN shared-span layout must come back
