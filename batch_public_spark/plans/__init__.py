@@ -133,6 +133,9 @@ _NEXT_WINDOW: list[str] = [
     "llmops_substring_dedup",
     "llmops_unigram_lm_train",
     "dq_bh_fdr",
+    "llmops_ql_dirichlet_topk",
+    "llmops_heaps_law",
+    "eval_isotonic_calibration",
 ]
 
 

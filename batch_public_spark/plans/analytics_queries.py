@@ -1545,6 +1545,108 @@ def llmops_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "llmops_ql_dirichlet_topk",
+    oracle=r"""
+    WITH tok AS (
+      SELECT doc_id, lower(tk.tok) AS term
+      FROM documents,
+           UNNEST(list_filter(string_split_regex(trim(text), '\s+'),
+                              s -> length(s) > 0)) AS tk(tok)
+    ), tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+              FROM tok GROUP BY 1, 2),
+    dlen AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY 1),
+    coll AS (SELECT term, CAST(count(*) AS DOUBLE) AS cf FROM tok GROUP BY 1),
+    ctot AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM tok),
+    dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    q AS (SELECT term FROM dfreq ORDER BY df DESC, term LIMIT 3),
+    qcf AS (SELECT q.term, coll.cf FROM q JOIN coll USING (term)),
+    m AS (
+      SELECT tf.doc_id,
+             sum(ln(1.0 + tf.tf * ctot.c / (2000.0 * qcf.cf))) AS sm
+      FROM tf JOIN qcf USING (term) CROSS JOIN ctot
+      GROUP BY tf.doc_id
+    ), scored AS (
+      SELECT dlen.doc_id,
+             coalesce(m.sm, 0.0) + 3.0 * ln(2000.0 / (dlen.dl + 2000.0)) AS s
+      FROM dlen LEFT JOIN m ON m.doc_id = dlen.doc_id
+    )
+    SELECT doc_id, round(s, 6) AS ql_score, CAST(rank AS BIGINT) AS rank FROM (
+      SELECT doc_id, s,
+             ROW_NUMBER() OVER (ORDER BY round(s, 6) DESC, doc_id) AS rank
+      FROM scored) t WHERE rank <= 10
+    """,
+)
+def llmops_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUERY-LIKELIHOOD retrieval with DIRICHLET smoothing (Zhai &
+    Lafferty 2001) — the language-modeling ranker beside llmops_bm25_topk
+    (same 3-highest-df query fixture, same top-10 contract), and the
+    third member of the lexical-retrieval family with TF-IDF: score(q,d)
+    = sum_w ln P(w|d) under the Dirichlet-smoothed document LM
+    P(w|d) = (tf + mu*cf_w/|C|)/(dl + mu), mu = 2000 (the standard
+    prior mass). Computed in the Zhai-Lafferty DECOMPOSITION
+    score = sum_{w in q, tf>0} ln(1 + tf*|C|/(mu*cf_w))
+          + |q| * ln(mu/(dl + mu)),
+    which is what makes it BM25-shaped at scale: the first sum touches
+    only POSTINGS of query terms (the inverted-index probe join), the
+    second is a per-document closed form — yet every document is ranked,
+    including zero-match documents (pure length prior), which BM25's
+    postings-only sum cannot express. That length-prior term is the
+    practical difference: QL-Dirichlet penalizes long documents through
+    the smoothing denominator rather than BM25's explicit b-normalization.
+
+    Parity discipline (BM25's, verbatim): tf/cf/dl/|C| are exact counts
+    cast double, each score is a sum of <= 3 posting ln-terms + one
+    per-doc ln on identical IEEE operands; ranking orders by the ROUND-6
+    score with doc_id tie-break so sub-1e-6 drift cannot reorder.
+
+    Scale shape: three hash aggregations off one exploded scan (tf,
+    dlen, coll — coll reuses the same shuffle key as dfreq), the 3-term
+    query side and 1-row |C| broadcast; the left join attaching the
+    match sum to dlen is doc_id-keyed (co-partitioned with dlen's
+    aggregation); top-10 is TakeOrdered, never a global sort."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
+    dlen = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    coll = tok.groupBy("term").agg(F.count("*").cast("double").alias("cf"))
+    ctot = tok.agg(F.count("*").cast("double").alias("c"))
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    q = dfreq.orderBy(F.desc("df"), "term").limit(3).select("term")
+    qcf = q.join(coll, "term")
+    m = (
+        tf.join(F.broadcast(qcf), "term")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "doc_id",
+            F.log(
+                F.lit(1.0)
+                + F.col("tf") * F.col("c") / (F.lit(2000.0) * F.col("cf"))
+            ).alias("t"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("t").alias("sm"))
+    )
+    scored = (
+        dlen.join(m, "doc_id", "left")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.col("sm"), F.lit(0.0))
+                + F.lit(3.0) * F.log(F.lit(2000.0) / (F.col("dl") + F.lit(2000.0)))
+            ).alias("s"),
+        )
+        .withColumn("ql_score", F.round("s", 6))
+    )
+    top = scored.orderBy(F.desc("ql_score"), "doc_id").limit(10)
+    w = W.partitionBy(F.col("doc_id") * 0).orderBy(F.desc("ql_score"), "doc_id")
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint")).select(
+        "doc_id", "ql_score", "rank"
+    )
+
+
+@query(
     "llmops_temperature_mix",
     oracle="""
     WITH s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),

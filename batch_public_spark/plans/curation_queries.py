@@ -359,6 +359,165 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "eval_isotonic_calibration",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+    s AS (SELECT doc_id, len(toks) AS n_tokens,
+                 CAST(COALESCE(list_sum(list_transform(toks, t -> {_tok_weight('t')})), 0)
+                      AS BIGINT) AS w_sum
+          FROM d),
+    p AS (SELECT doc_id,
+                 CAST(ROUND(CASE WHEN n_tokens > 0
+                       THEN 1.0 / (1.0 + EXP(-(CAST(w_sum AS DOUBLE) / (n_tokens * 410.0))))
+                       ELSE 0.5 END, 6) AS DECIMAL(10,6)) AS pd
+          FROM s),
+    q AS (SELECT doc_id,
+                 CASE WHEN CAST(ROUND(least(n_tok / 50.0, 1.0) * 0.3
+                        + greatest(0.0, 1.0 - pr * 4) * 0.3
+                        + least(swr * 5, 1.0) * 0.2
+                        + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0
+                                THEN 1.0 ELSE 0.3 END) * 0.2, 6)
+                      AS DECIMAL(10,6)) >= 0.85 THEN 1 ELSE 0 END AS y
+          FROM ({_QUALITY_SQL}) m),
+    j AS (SELECT p.pd, q.y FROM p JOIN q USING (doc_id)),
+    b AS (SELECT least(CAST(floor(pd * 10) AS BIGINT), 9) AS bin,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS pos
+          FROM j GROUP BY 1),
+    arr AS (
+      SELECT list(bin ORDER BY bin) AS bs,
+             list(n ORDER BY bin) AS ns,
+             list(pos ORDER BY bin) AS ps
+      FROM b
+    ), iso AS (
+      SELECT bs, ns, ps,
+             list_transform(generate_series(1, len(bs)), i ->
+               list_max(list_transform(generate_series(1, i), j2 ->
+                 list_min(list_transform(generate_series(i, len(bs)), k ->
+                   CAST(list_sum(ps[j2:k]) AS DOUBLE)
+                     / CAST(list_sum(ns[j2:k]) AS DOUBLE)))))) AS iso
+      FROM arr
+    )
+    SELECT bs[g.i] AS bin, ns[g.i] AS n_docs, ps[g.i] AS n_pos,
+           round(CAST(ps[g.i] AS DOUBLE) / ns[g.i], 6) AS emp_rate,
+           round(iso[g.i], 6) AS iso_rate
+    FROM iso, unnest(generate_series(1, len(bs))) AS g(i)
+    """,
+)
+def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC-REGRESSION calibration (pool-adjacent-violators;
+    Zadrozny & Elkan 2002) over eval_calibration_ece's reliability
+    diagram — the CALIBRATOR the diagram's diagnosis calls for: ECE
+    measures miscalibration, isotonic regression FIXES it, and it is
+    the production choice (Platt scaling needs an optimizer; PAV is
+    closed-form and deterministic). Same pd/y construction as the ECE
+    query (classifier sigmoid vs the independent rule-gate verdict --
+    thresholded at 0.85, the fixture's median quality, because the ECE
+    sibling's 0.5 gate passes every fixture doc and an all-ones label
+    makes any calibrator vacuous), same 10 equal-width bins; the fit is the weighted isotonic
+    regression of the per-bin positive rates, computed by the MINIMAX
+    characterization iso_i = max_{j<=i} min_{k>=i} mean(y over bins
+    j..k) — mathematically identical to running PAV, but a pure
+    nested-lambda expression over the <= 10-bin arrays that both
+    engines evaluate bit-identically (a sequential pool-merge loop has
+    no SQL form; tests/test_r14_invariants.py additionally re-runs
+    REAL sequential PAV in Python and matches every iso_rate).
+
+    Parity discipline: bin counts n/pos are exact BIGINTs; every
+    segment mean is ONE double division of exact integer slice-sums
+    (identical operands both engines — Spark's slice+aggregate fold ==
+    DuckDB's list slice + list_sum); max/min over identical doubles;
+    round-6 only at emission.
+
+    Scale shape: identical to the ECE query — one in-row scoring scan,
+    ONE 10-key hash aggregation; the isotonic fit itself runs on a
+    single 1-row frame of 10-element arrays (10^3 slice-sums of <= 10
+    elements: control-plane arithmetic, no join, no window, no
+    shuffle). At 100 TB the diagram aggregation is the only data-sized
+    stage, unchanged from ECE."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(normalized_text(F.col("text")))
+    )
+    w_sum = F.expr(
+        f"aggregate(transform(toks, t -> cast({_tok_weight('t')} as bigint)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    n_tok = F.size("toks")
+    sig = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.col("w_sum").cast("double") / (F.col("n_tokens") * F.lit(410.0))))
+    )
+    from batch_public_spark.operators.textops import quality_score
+
+    scored = d.select(
+        n_tok.alias("n_tokens"),
+        w_sum.alias("w_sum"),
+        (
+            F.round(quality_score(F.col("text")), 6).cast("decimal(10,6)")
+            >= 0.85
+        )
+        .cast("int")
+        .alias("y"),
+        F.col("text"),
+    ).select(
+        F.round(F.when(F.col("n_tokens") > 0, sig).otherwise(F.lit(0.5)), 6)
+        .cast("decimal(10,6)")
+        .alias("pd"),
+        "y",
+    )
+    bins = scored.groupBy(
+        F.least(F.floor(F.col("pd") * 10).cast("bigint"), F.lit(9).cast("bigint")).alias(
+            "bin"
+        )
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("pos"),
+    )
+    arr = (
+        bins.agg(F.array_sort(F.collect_list(F.struct("bin", "n", "pos"))).alias("a"))
+        .select(
+            F.expr("transform(a, x -> x.bin)").alias("bs"),
+            F.expr("transform(a, x -> x.n)").alias("ns"),
+            F.expr("transform(a, x -> x.pos)").alias("ps"),
+        )
+        # An empty diagram must yield zero rows, and Spark's
+        # sequence(1, 0) is the DESCENDING [1, 0], not [] — filter
+        # before any sequence() touches the empty arrays.
+        .filter(F.size("bs") > 0)
+    )
+    iso = F.expr(
+        """
+        transform(sequence(1, size(bs)), i ->
+          array_max(transform(sequence(1, i), j ->
+            array_min(transform(sequence(i, size(bs)), k ->
+              cast(aggregate(slice(ps, j, k - j + 1), 0L, (acc, x) -> acc + x)
+                   as double)
+              / cast(aggregate(slice(ns, j, k - j + 1), 0L, (acc, x) -> acc + x)
+                     as double))))))
+        """
+    )
+    return (
+        arr.select("bs", "ns", "ps", iso.alias("iso"))
+        .select(
+            F.expr("explode(sequence(1, size(bs)))").alias("i"),
+            "bs",
+            "ns",
+            "ps",
+            "iso",
+        )
+        .select(
+            F.expr("element_at(bs, i)").alias("bin"),
+            F.expr("element_at(ns, i)").alias("n_docs"),
+            F.expr("element_at(ps, i)").alias("n_pos"),
+            F.round(
+                F.expr("cast(element_at(ps, i) as double) / element_at(ns, i)"), 6
+            ).alias("emp_rate"),
+            F.round(F.expr("element_at(iso, i)"), 6).alias("iso_rate"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sliding-window chunking
 # ---------------------------------------------------------------------------

@@ -6084,6 +6084,213 @@ def llmops_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Heaps-law checkpoints: doc_id prefixes at which cumulative trigram
+# token/type counts are sampled (bounded literal grid; prefixes beyond
+# max(doc_id) are dropped so a small fixture cannot flatten the fit).
+# TRIGRAM types because the synthetic corpus's word vocabulary saturates
+# at 31 types by doc 25 (the llmops_good_turing_unseen finding) while
+# trigram types grow 1.3k -> 14.5k across the same prefixes.
+_HEAPS_CKPTS = [25, 50, 100, 200, 400]
+
+
+def _heaps_oracle() -> str:
+    ntoks = ",\n             ".join(
+        f"CAST(count(*) FILTER (WHERE doc_id <= {c}) AS BIGINT) AS n{c}"
+        for c in _HEAPS_CKPTS
+    )
+    vtypes = ",\n             ".join(
+        f"CAST(count(*) FILTER (WHERE first_doc <= {c}) AS BIGINT) AS v{c}"
+        for c in _HEAPS_CKPTS
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {c} AS checkpoint, a.n{c} AS n_tokens, f.v{c} AS vocab "
+        f"FROM a, f" for c in _HEAPS_CKPTS
+    )
+    return rf"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                        s -> length(s) > 0),
+                            s -> lower(s)) AS toks
+      FROM documents
+    ), tri AS (
+      SELECT doc_id,
+             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+      FROM tk, unnest(generate_series(1, length(toks) - 2)) AS t(i)
+      WHERE length(toks) >= 3
+    ), a AS (
+      SELECT {ntoks}
+      FROM tri
+    ), fd AS (
+      SELECT g, CAST(min(doc_id) AS BIGINT) AS first_doc FROM tri GROUP BY g
+    ), f AS (
+      SELECT {vtypes}
+      FROM fd
+    ), dmax AS (
+      SELECT CAST(max(doc_id) AS BIGINT) AS md FROM documents
+    ), pts AS (
+      SELECT r.checkpoint, r.n_tokens, r.vocab,
+             CAST(round(ln(r.n_tokens), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(r.vocab), 6) AS DECIMAL(18,6)) AS y
+      FROM ({rows}) r CROSS JOIN dmax
+      WHERE r.checkpoint <= dmax.md AND r.n_tokens > 0 AND r.vocab > 0
+    ), fit AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             (CAST(sum(x * y) AS DOUBLE) - CAST(sum(x) AS DOUBLE)
+                * CAST(sum(y) AS DOUBLE) / count(*))
+             / nullif(CAST(sum(x * x) AS DOUBLE) - CAST(sum(x) AS DOUBLE)
+                * CAST(sum(x) AS DOUBLE) / count(*), 0) AS beta,
+             CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+             (CAST(sum(x * y) AS DOUBLE) - CAST(sum(x) AS DOUBLE)
+                * CAST(sum(y) AS DOUBLE) / count(*))
+             * ((CAST(sum(x * y) AS DOUBLE) - CAST(sum(x) AS DOUBLE)
+                 * CAST(sum(y) AS DOUBLE) / count(*)))
+             / nullif((CAST(sum(x * x) AS DOUBLE) - CAST(sum(x) AS DOUBLE)
+                 * CAST(sum(x) AS DOUBLE) / count(*))
+                * (CAST(sum(y * y) AS DOUBLE) - CAST(sum(y) AS DOUBLE)
+                   * CAST(sum(y) AS DOUBLE) / count(*)), 0) AS r2
+      FROM pts
+    )
+    SELECT p.checkpoint, p.n_tokens, p.vocab,
+           round(exp((f.sy - f.beta * f.sx) / f.k
+                     + f.beta * CAST(p.x AS DOUBLE)), 6) AS fit_vocab,
+           CAST(f.k AS BIGINT) AS n_points,
+           round(f.beta, 6) AS beta,
+           round(exp((f.sy - f.beta * f.sx) / f.k), 6) AS k_coef,
+           round(f.r2, 6) AS r2
+    FROM pts p CROSS JOIN fit f
+    """
+
+
+@query("llmops_heaps_law", oracle=_heaps_oracle())
+def llmops_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAPS'-LAW vocabulary-growth fit (Heaps 1978; Herdan 1960) —
+    V(n) ~ K*n^beta, the scaling diagnostic a corpus team reads before
+    sizing a tokenizer vocabulary or a dedup index: how fast do NEW
+    types appear as the corpus grows? Sibling of llmops_zipf_fit (the
+    static rank-frequency law) and llmops_good_turing_unseen (the
+    unseen-mass estimate at one corpus size — Heaps is its growth
+    trajectory). Cumulative trigram-token count n and trigram-type
+    count V are sampled at the bounded doc_id-prefix checkpoints, and
+    beta/K come from the closed-form log-log OLS; r2 reports fit
+    quality. Checkpoints beyond max(doc_id) drop so the saturated tail
+    cannot flatten beta.
+
+    The distributed-form trick: cumulative DISTINCT counting needs no
+    running state — V(c) = #{types whose FIRST document <= c}, so one
+    min-per-type aggregation plus conditional counts replaces any
+    ordered scan (the first_doc trick is events_daily_retention's
+    first-touch idiom applied to types). Token counts are plain
+    conditional sums. Parity: counts exact BIGINT, ln once per
+    checkpoint quantized round-6 decimal, OLS moments are exact decimal
+    sums, three final double divisions on identical operands.
+
+    Scale shape: TWO map-side-combinable aggregations over one exploded
+    scan (global conditional counts; min-per-type then conditional
+    counts), both 1-row results broadcast-joined; the OLS runs on a
+    <= 5-row literal grid. No window, no sort, no per-row state."""
+    d = t(spark, sf_dir, "documents")
+    tk = d.select(
+        "doc_id", F.transform(tokens(F.col("text")), F.lower).alias("toks")
+    )
+    tri = (
+        tk.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 2),"
+                    " i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))"
+                )
+            ).alias("g"),
+        )
+    )
+    a = tri.agg(
+        *[
+            F.sum(F.when(F.col("doc_id") <= c, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n{c}")
+            for c in _HEAPS_CKPTS
+        ]
+    )
+    fd = tri.groupBy("g").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
+    f = fd.agg(
+        *[
+            F.sum(F.when(F.col("first_doc") <= c, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"v{c}")
+            for c in _HEAPS_CKPTS
+        ]
+    )
+    dmax = d.agg(F.max("doc_id").cast("bigint").alias("md"))
+    grid = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).cast("bigint").alias("checkpoint"),
+                    F.col(f"n{c}").alias("n_tokens"),
+                    F.col(f"v{c}").alias("vocab"),
+                )
+                for c in _HEAPS_CKPTS
+            ]
+        )
+    ).alias("p")
+    pts = (
+        a.crossJoin(F.broadcast(f))
+        .crossJoin(F.broadcast(dmax))
+        .select(grid, "md")
+        .select("p.checkpoint", "p.n_tokens", "p.vocab", "md")
+        .filter(
+            (F.col("checkpoint") <= F.col("md"))
+            & (F.col("n_tokens") > 0)
+            & (F.col("vocab") > 0)
+        )
+        .select(
+            "checkpoint",
+            "n_tokens",
+            "vocab",
+            F.round(F.log("n_tokens"), 6).cast("decimal(18,6)").alias("x"),
+            F.round(F.log("vocab"), 6).cast("decimal(18,6)").alias("y"),
+        )
+    )
+    sxy = F.sum(F.col("x") * F.col("y")).cast("double")
+    sx = F.sum("x").cast("double")
+    sy = F.sum("y").cast("double")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("double")
+    syy = F.sum(F.col("y") * F.col("y")).cast("double")
+    k = F.count("*")
+    fit = pts.agg(
+        k.cast("bigint").alias("k"),
+        F.try_divide(sxy - sx * sy / k, F.nullif(sxx - sx * sx / k, F.lit(0.0))).alias(
+            "beta"
+        ),
+        sx.alias("sx"),
+        sy.alias("sy"),
+        F.try_divide(
+            (sxy - sx * sy / k) * (sxy - sx * sy / k),
+            F.nullif((sxx - sx * sx / k) * (syy - sy * sy / k), F.lit(0.0)),
+        ).alias("r2"),
+    )
+    return pts.crossJoin(F.broadcast(fit)).select(
+        "checkpoint",
+        "n_tokens",
+        "vocab",
+        F.round(
+            F.exp(
+                (F.col("sy") - F.col("beta") * F.col("sx")) / F.col("k")
+                + F.col("beta") * F.col("x").cast("double")
+            ),
+            6,
+        ).alias("fit_vocab"),
+        F.col("k").alias("n_points"),
+        F.round("beta", 6).alias("beta"),
+        F.round(
+            F.exp((F.col("sy") - F.col("beta") * F.col("sx")) / F.col("k")), 6
+        ).alias("k_coef"),
+        F.round("r2", 6).alias("r2"),
+    )
+
+
 # Exact-substring dedup window width (tokens). Lee et al. use 50 BPE
 # tokens; the fixture's synthetic docs are ~40-400 words, so k = 8 keeps
 # the planted-duplicate and natural-collision regimes both exercised.

@@ -257,6 +257,58 @@ def test_bh_fdr_discovers_injected_effect_and_is_step_up(spark, tmp_path):
             )
 
 
+def test_isotonic_calibration_matches_sequential_pav(spark):
+    """eval_isotonic_calibration computes the isotonic fit by the
+    minimax characterization (a pure nested-lambda expression); REAL
+    pool-adjacent-violators is a sequential merge loop. They are
+    provably the same function — run actual PAV in Python over the
+    query's own (n, pos) bins and require every iso_rate to match,
+    plus monotonicity and the weighted-mean-preservation property
+    (sum n_i * iso_i == sum pos_i) that any isotonic regression of
+    rates must satisfy.
+    """
+    rows = sorted(
+        QUERIES["eval_isotonic_calibration"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert len(rows) > 1
+    # Sequential weighted PAV over (pos/n, weight n).
+    pools = []  # [sum_pos, sum_n]
+    for r in rows:
+        pools.append([r["n_pos"], r["n_docs"]])
+        while len(pools) > 1 and (
+            pools[-2][0] * pools[-1][1] >= pools[-1][0] * pools[-2][1]
+        ):  # prev mean >= cur mean -> violator, merge (exact int cross-mult)
+            b = pools.pop()
+            pools[-1][0] += b[0]
+            pools[-1][1] += b[1]
+    # Expand pools back to per-bin values.
+    expanded = []
+    i = 0
+    for sp, sn in pools:
+        # count how many original bins this pool absorbed by matching n
+        acc = 0
+        start = i
+        while acc < sn:
+            acc += rows[i]["n_docs"]
+            i += 1
+        expanded.extend([sp / sn] * (i - start))
+    assert len(expanded) == len(rows)
+    for r, v in zip(rows, expanded):
+        assert abs(float(r["iso_rate"]) - round(v, 6)) <= 1e-6, (r, v)
+    # Monotone non-decreasing in bin.
+    iso = [float(r["iso_rate"]) for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(iso, iso[1:]))
+    # Weighted means preserved within round-6 slack per bin.
+    lhs = sum(r["n_docs"] * float(r["iso_rate"]) for r in rows)
+    rhs = sum(r["n_pos"] for r in rows)
+    assert abs(lhs - rhs) <= 1e-6 * sum(r["n_docs"] for r in rows)
+    # The fit is non-vacuous: PAV actually pooled something (the raw
+    # rates are not already monotone on this fixture).
+    raw = [r["n_pos"] / r["n_docs"] for r in rows]
+    assert any(a > b for a, b in zip(raw, raw[1:]))
+
+
 def test_substring_dedup_planted_duplicates(spark, tmp_path):
     """Planted-duplicate oracle for llmops_substring_dedup (r13 verdict
     item #6): a corpus with a KNOWN shared-span layout must come back
