@@ -136,6 +136,9 @@ _NEXT_WINDOW: list[str] = [
     "llmops_ql_dirichlet_topk",
     "llmops_heaps_law",
     "eval_isotonic_calibration",
+    "events_nelson_aalen",
+    "events_jackknife_ratio",
+    "events_sprt_monitor",
 ]
 
 

@@ -4057,6 +4057,132 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_nelson_aalen",
+    oracle="""
+    WITH span AS (
+      SELECT user_id, event_type,
+             date_trunc('day', min(ts)) AS f, date_trunc('day', max(ts)) AS l
+      FROM events GROUP BY 1, 2
+    ),
+    days AS (
+      SELECT unnest(generate_series((SELECT min(f) FROM span),
+                                    (SELECT max(l) FROM span),
+                                    INTERVAL 1 DAY)) AS d
+    ),
+    base AS (
+      SELECT d,
+             (SELECT CAST(count(*) AS BIGINT) FROM span
+               WHERE f <= d AND l >= d) AS at_risk,
+             (SELECT CAST(count(*) AS BIGINT) FROM span WHERE l = d) AS churned
+      FROM days
+    ),
+    terms AS (
+      SELECT d, at_risk, churned,
+             CAST(round(coalesce(churned * 1.0 / nullif(at_risk, 0), 0.0), 10)
+                  AS DECIMAL(28,10)) AS h,
+             CAST(round(coalesce(churned * 1.0
+                                 / nullif(at_risk * at_risk, 0), 0.0), 10)
+                  AS DECIMAL(28,10)) AS v
+      FROM base
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day, at_risk, churned,
+           round(CAST(sum(h) OVER w AS DOUBLE), 6) AS cum_hazard,
+           round(sqrt(CAST(sum(v) OVER w AS DOUBLE)), 6) AS se
+    FROM terms
+    WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NELSON-AALEN cumulative-hazard estimator (Nelson 1972; Aalen
+    1978) — the third estimator of the survival family, over the exact
+    span grid events_survival_curve (Kaplan-Meier) uses: H(t) =
+    sum_{d<=t} churned_d/at_risk_d with the Poisson-type variance
+    sum d_j/n_j^2 (se = its sqrt). KM and NA answer the same question
+    through different algebra — KM multiplies survival factors, NA adds
+    hazard increments — and the textbook ordering -ln(S_KM) >= H_NA
+    (per-term: -ln(1-x) >= x) is pinned day-by-day against the KM
+    query's log_survival in tests/test_r14_invariants.py. NA is what a
+    reliability/retention team plots when hazards, not survival
+    probabilities, are the decision quantity (additive over causes,
+    defined through ties and zero-churn days without special cases).
+
+    Parity discipline (the KM query's, verbatim): at-risk/churn counts
+    are exact integers from the interval sweep; each day's h and v
+    terms are one double division quantized round-10 into
+    DECIMAL(28,10), so the cumulative sums are exact decimal and only
+    the final round-6 emission (and IEEE sqrt) run in doubles.
+
+    Spark-first: identical plan shape to events_survival_curve — one
+    span rollup touches the heavy table, +1/-1 interval sweep, every
+    window on the bounded calendar grid under bounded_window_key."""
+    ev = t(spark, sf_dir, "events")
+    span = ev.groupBy("user_id", "event_type").agg(
+        F.date_trunc("day", F.min("ts")).alias("f"),
+        F.date_trunc("day", F.max("ts")).alias("l"),
+    )
+    bounds = span.agg(F.min("f").alias("lo"), F.max("l").alias("hi"))
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    deltas = (
+        span.select(F.col("f").alias("d"), F.lit(1).alias("delta"))
+        .unionAll(
+            span.select(
+                (F.col("l") + F.expr("INTERVAL 1 DAY")).alias("d"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+        .groupBy("d")
+        .agg(F.sum("delta").alias("net"))
+    )
+    churns = span.groupBy(F.col("l").alias("d")).agg(
+        F.count("*").cast("bigint").alias("churned")
+    )
+    wd = (
+        W.partitionBy(bounded_window_key(F.unix_timestamp("d").cast("bigint")))
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    base = (
+        days.join(deltas, "d", "left")
+        .join(churns, "d", "left")
+        .select(
+            "d",
+            F.sum(F.coalesce(F.col("net"), F.lit(0)))
+            .over(wd)
+            .cast("bigint")
+            .alias("at_risk"),
+            F.coalesce(F.col("churned"), F.lit(0)).cast("bigint").alias("churned"),
+        )
+    )
+    h = F.round(
+        F.coalesce(
+            F.try_divide(F.col("churned") * F.lit(1.0), F.nullif(F.col("at_risk"), F.lit(0))),
+            F.lit(0.0),
+        ),
+        10,
+    ).cast("decimal(28,10)")
+    v = F.round(
+        F.coalesce(
+            F.try_divide(
+                F.col("churned") * F.lit(1.0),
+                F.nullif(F.col("at_risk") * F.col("at_risk"), F.lit(0)),
+            ),
+            F.lit(0.0),
+        ),
+        10,
+    ).cast("decimal(28,10)")
+    terms = base.select("d", "at_risk", "churned", h.alias("h"), v.alias("v"))
+    return terms.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "at_risk",
+        "churned",
+        F.round(F.sum("h").over(wd).cast("double"), 6).alias("cum_hazard"),
+        F.round(F.sqrt(F.sum("v").over(wd).cast("double")), 6).alias("se"),
+    )
+
+
+@query(
     "events_session_window_builtin",
     oracle="""
     WITH o AS (

@@ -3713,6 +3713,239 @@ def _perm_oracle() -> str:
     """
 
 
+# Delete-one-GROUP jackknife: z for the 95% CI (the log-rank literal).
+_JK_Z = "1.959964"
+
+
+@query(
+    "events_jackknife_ratio",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+             CAST(count(*) AS BIGINT) AS s,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n
+      FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(s) AS BIGINT) AS st, CAST(sum(n) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS nb
+      FROM b
+    ), loo AS (
+      SELECT CAST(round((tot.st - b.s) * 1.0 / (tot.nt - b.n), 10)
+                  AS DECIMAL(18,10)) AS th
+      FROM b CROSS JOIN tot
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS nb,
+             CAST(sum(th) AS DOUBLE) / nullif(count(*), 0) AS thbar,
+             sqrt((count(*) - 1.0) / nullif(count(*), 0)
+                  * (CAST(sum(th * th) AS DOUBLE)
+                     - CAST(sum(th) AS DOUBLE) * CAST(sum(th) AS DOUBLE)
+                       / nullif(count(*), 0))) AS se
+      FROM loo
+    )
+    SELECT tot.nt AS n_users, tot.st AS n_events, m.nb AS n_buckets,
+           round(tot.st * 1.0 / tot.nt, 6) AS theta,
+           round(m.thbar, 6) AS theta_jack_mean,
+           round((m.nb - 1) * (m.thbar - tot.st * 1.0 / tot.nt), 6)
+             AS bias_est,
+           round(m.se, 6) AS se,
+           round(tot.st * 1.0 / tot.nt - {_JK_Z} * m.se, 6) AS ci_lo,
+           round(tot.st * 1.0 / tot.nt + {_JK_Z} * m.se, 6) AS ci_hi
+    FROM tot CROSS JOIN m
+    """,
+)
+def events_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-ONE-GROUP JACKKNIFE for a RATIO metric (Tukey 1958;
+    the clustered "delete-a-bucket" form every large A/B platform uses
+    for ratio metrics like events-per-user, where the delta-method
+    needs a covariance nobody trusts and user-level resampling is the
+    correct unit): theta = sum(events)/sum(users), pseudo-replicates
+    theta_(i) drop user-bucket i (user_id % 10) and recompute from the
+    COMPLEMENT totals — no second scan, the llmops_source_ablation
+    arithmetic; jackknife bias estimate (B-1)(theta_bar - theta) and
+    SE = sqrt((B-1)/B * sum(theta_(i)-theta_bar)^2), 95% CI at the
+    shared z literal. Completes the resampling kit beside the
+    hash-Poisson bootstrap (eval_poisson_bootstrap_ci — element-level,
+    needs B replicate columns) with the grouped, closed-form
+    alternative (B = bucket count, zero replicate columns).
+
+    Parity discipline: bucket sums are exact BIGINTs (buckets PARTITION
+    users, so distinct-user counts add); each theta_(i) is one double
+    division of exact integers quantized round-10 decimal; the moment
+    sums are exact decimal; sqrt/final divisions are identical IEEE ops
+    on identical operands.
+
+    Spark-first: ONE grouped aggregation over the scan (10 buckets,
+    map-side combinable; COUNT DISTINCT users per bucket shuffles on
+    the same key), a 1-row total broadcast onto the 10-row frame, a
+    1-row moment aggregate. At 100 TB the bucket count, not the row
+    count, prices everything after the first aggregation."""
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy((F.col("user_id") % 10).cast("bigint").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("s"),
+        F.countDistinct("user_id").cast("bigint").alias("n"),
+    )
+    tot = b.agg(
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("n").cast("bigint").alias("nt"),
+        F.count("*").cast("bigint").alias("nb"),
+    )
+    # DECIMAL(18,10), not (28,10): th*th must stay inside precision 38
+    # ((37,20) exactly) or Spark's decimal-overflow scale reduction and
+    # DuckDB's disagree in the low digits (caught at sf0.01: ci_lo off
+    # by 1e-6 after the round).
+    th = F.round(
+        (F.col("st") - F.col("s")) * F.lit(1.0) / (F.col("nt") - F.col("n")), 10
+    ).cast("decimal(18,10)")
+    loo = b.crossJoin(F.broadcast(tot)).select(th.alias("th"))
+    m = loo.agg(
+        F.count("*").cast("bigint").alias("nb"),
+        (F.sum("th").cast("double") / F.nullif(F.count("*"), F.lit(0))).alias(
+            "thbar"
+        ),
+        F.sqrt(
+            (F.count("*") - F.lit(1.0))
+            / F.nullif(F.count("*"), F.lit(0))
+            * (
+                F.sum(F.col("th") * F.col("th")).cast("double")
+                - F.sum("th").cast("double")
+                * F.sum("th").cast("double")
+                / F.nullif(F.count("*"), F.lit(0))
+            )
+        ).alias("se"),
+    )
+    z = float(_JK_Z)
+    theta = F.col("st") * F.lit(1.0) / F.col("nt")
+    mj = m.select(F.col("nb").alias("nbj"), "thbar", "se")
+    return tot.select("st", "nt").crossJoin(F.broadcast(mj)).select(
+        F.col("nt").alias("n_users"),
+        F.col("st").alias("n_events"),
+        F.col("nbj").alias("n_buckets"),
+        F.round(theta, 6).alias("theta"),
+        F.round("thbar", 6).alias("theta_jack_mean"),
+        F.round((F.col("nbj") - 1) * (F.col("thbar") - theta), 6).alias("bias_est"),
+        F.round("se", 6).alias("se"),
+        F.round(theta - z * F.col("se"), 6).alias("ci_lo"),
+        F.round(theta + z * F.col("se"), 6).alias("ci_hi"),
+    )
+
+
+# Wald SPRT constants: H0 p=0.15 vs H1 p=0.20 on the purchase share,
+# alpha = beta = 0.05. The per-observation log-likelihood-ratio factors
+# and the decision boundary ln((1-beta)/alpha) = ln 19 are materialized
+# in Python and spelled as IDENTICAL double literals in both engines
+# (the EWMA-weights discipline — never ln() a constant at query time).
+_SPRT_L1 = "0.287682072451781"  # ln(0.20/0.15), per success
+_SPRT_L0 = "-0.060624621816434736"  # ln(0.80/0.85), per failure
+_SPRT_A = "2.9444389791664403"  # ln(19): accept H1 above, H0 below -A
+
+
+@query(
+    "events_sprt_monitor",
+    oracle=f"""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS trials,
+             CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS succ
+      FROM events GROUP BY 1
+    ), cum AS (
+      SELECT d,
+             CAST(sum(trials) OVER w AS BIGINT) AS trials_cum,
+             CAST(sum(succ) OVER w AS BIGINT) AS succ_cum
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), scored AS (
+      SELECT d, trials_cum, succ_cum,
+             succ_cum * {_SPRT_L1}
+               + (trials_cum - succ_cum) * {_SPRT_L0} AS llr
+      FROM cum
+    ), dec AS (
+      SELECT d, trials_cum, succ_cum, llr,
+             CASE WHEN llr >= {_SPRT_A} THEN 'accept_h1'
+                  WHEN llr <= -{_SPRT_A} THEN 'accept_h0'
+                  ELSE 'continue' END AS decision
+      FROM scored
+    ), cross_day AS (
+      SELECT min(d) AS fd FROM dec WHERE decision <> 'continue'
+    )
+    SELECT strftime(dec.d, '%Y-%m-%d') AS day,
+           dec.trials_cum, dec.succ_cum,
+           round(dec.llr, 6) AS llr, dec.decision,
+           strftime(cross_day.fd, '%Y-%m-%d') AS first_decision_day
+    FROM dec CROSS JOIN cross_day
+    """,
+)
+def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WALD SEQUENTIAL PROBABILITY RATIO TEST (Wald 1945) replayed over
+    the event stream — the always-monitoring companion to the
+    fixed-horizon tests (Welch, permutation, log-rank): every day the
+    cumulative Bernoulli log-likelihood ratio for the purchase share
+    under H1: p=0.20 vs H0: p=0.15 is
+    LLR = S*ln(p1/p0) + (T-S)*ln((1-p1)/(1-p0)), and the test stops
+    the first day LLR exits (-ln 19, +ln 19) (alpha = beta = 0.05) —
+    the sequential design that lets an experimenter LOOK EVERY DAY
+    with the error rates still controlled, which peeking at a
+    fixed-horizon p-value forfeits. The fixture's true share (~0.202)
+    sits above H1, so the replay drifts up and crosses the accept-H1
+    boundary inside the 30-day window at every SF (non-vacuous);
+    first_decision_day reports the stopping day, and rows after it
+    show the counterfactual continuation (the offline-replay shape —
+    a live monitor would stop).
+
+    Parity discipline: daily trials/successes are exact integers; the
+    LLR is exact-int x shared-double-literal products summed in one
+    expression (identical IEEE operands — the ln factors are Python-
+    materialized literals, never engine ln() of a constant); decisions
+    compare against the same literal boundary.
+
+    Spark-first: one daily aggregation over the scan, cumulative sums
+    on the bounded day grid under bounded_window_key, a 1-row
+    first-crossing aggregate broadcast back. The 100 TB form is
+    identical with the day grid as the only stateful frame."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count("*").cast("bigint").alias("trials"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("succ"),
+    )
+    wd = (
+        W.partitionBy(bounded_window_key(F.unix_timestamp("d").cast("bigint")))
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = daily.select(
+        "d",
+        F.sum("trials").over(wd).cast("bigint").alias("trials_cum"),
+        F.sum("succ").over(wd).cast("bigint").alias("succ_cum"),
+    )
+    l1, l0, a = float(_SPRT_L1), float(_SPRT_L0), float(_SPRT_A)
+    llr = F.col("succ_cum") * F.lit(l1) + (
+        F.col("trials_cum") - F.col("succ_cum")
+    ) * F.lit(l0)
+    dec = cum.select(
+        "d",
+        "trials_cum",
+        "succ_cum",
+        llr.alias("llr"),
+        F.when(llr >= a, F.lit("accept_h1"))
+        .when(llr <= -a, F.lit("accept_h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )
+    cross = dec.filter(F.col("decision") != "continue").agg(
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("first_decision_day")
+    )
+    return dec.crossJoin(F.broadcast(cross)).select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "trials_cum",
+        "succ_cum",
+        F.round("llr", 6).alias("llr"),
+        "decision",
+        "first_decision_day",
+    )
+
+
 # BH step-up FDR level; spelled as the same literal in both engines.
 _BH_ALPHA = "0.10"
 

@@ -309,6 +309,99 @@ def test_isotonic_calibration_matches_sequential_pav(spark):
     assert any(a > b for a, b in zip(raw, raw[1:]))
 
 
+def test_nelson_aalen_dominated_by_km_log_survival(spark):
+    """Textbook ordering: -ln(S_KM(t)) >= H_NA(t) at every day, because
+    per churn day -ln(1 - d/n) >= d/n (strict when d > 0) and both
+    estimators accumulate over the same grid. Also the NA curve must be
+    non-decreasing with non-decreasing se, and jump exactly on churn
+    days.
+    """
+    na = {
+        r["day"]: r for r in QUERIES["events_nelson_aalen"].fn(spark, SF_DIR).collect()
+    }
+    km = {
+        r["day"]: r for r in QUERIES["events_survival_curve"].fn(spark, SF_DIR).collect()
+    }
+    assert set(na) == set(km) and len(na) > 5
+    prev_h, prev_se = 0.0, 0.0  # H(0) = 0: day one only "jumps" with churn
+    for day in sorted(na):
+        r = na[day]
+        assert r["at_risk"] == km[day]["at_risk"]
+        assert r["churned"] == km[day]["churned"]
+        assert r["cum_hazard"] >= prev_h - 1e-12
+        assert r["se"] >= prev_se - 1e-12
+        if r["cum_hazard"] > prev_h + 1e-9:
+            assert r["churned"] > 0  # jumps only on churn days
+        prev_h, prev_se = r["cum_hazard"], r["se"]
+        if km[day]["log_survival"] != -999999.0:
+            assert -km[day]["log_survival"] >= r["cum_hazard"] - 1e-6, (day, r)
+
+
+def test_sprt_monitor_crosses_and_is_consistent(spark):
+    """The fixture's purchase share (~0.202) sits above H1's p = 0.20,
+    so the SPRT replay must reach accept_h1 within the 30-day window;
+    first_decision_day must equal the first non-continue day; and every
+    row's LLR must equal the closed form from its own cumulative counts
+    (the decision column is pure arithmetic, no hidden state).
+    """
+    rows = sorted(
+        QUERIES["events_sprt_monitor"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    l1, l0, a = 0.287682072451781, -0.060624621816434736, 2.9444389791664403
+    first = None
+    for r in rows:
+        expect = r["succ_cum"] * l1 + (r["trials_cum"] - r["succ_cum"]) * l0
+        assert abs(r["llr"] - round(expect, 6)) <= 1e-6
+        want = (
+            "accept_h1" if expect >= a else "accept_h0" if expect <= -a else "continue"
+        )
+        assert r["decision"] == want
+        if want != "continue" and first is None:
+            first = r["day"]
+    assert first is not None, "SPRT never crossed — vacuous fixture"
+    assert all(r["first_decision_day"] == first for r in rows)
+    assert rows[-1]["decision"] == "accept_h1"
+
+
+def test_jackknife_ratio_matches_python_recompute(spark):
+    """Recompute the delete-one-bucket jackknife in plain Python from
+    the same per-bucket aggregates and match every emitted statistic;
+    the CI must bracket theta and the bias estimate must be small
+    relative to theta (events-per-user is a smooth ratio).
+    """
+    import math
+
+    from batch_public_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    b = (
+        ev.groupBy((F.col("user_id") % 10).alias("bucket"))
+        .agg(
+            F.count("*").alias("s"),
+            F.countDistinct("user_id").alias("n"),
+        )
+        .collect()
+    )
+    st, nt = sum(r["s"] for r in b), sum(r["n"] for r in b)
+    loo = [
+        round((st - r["s"]) / (nt - r["n"]), 10) for r in b
+    ]
+    nb = len(loo)
+    thbar = sum(loo) / nb
+    se = math.sqrt((nb - 1.0) / nb * (sum(x * x for x in loo) - sum(loo) ** 2 / nb))
+    out = QUERIES["events_jackknife_ratio"].fn(spark, SF_DIR).first()
+    assert out["n_users"] == nt and out["n_events"] == st
+    assert out["n_buckets"] == nb
+    assert abs(out["theta"] - round(st / nt, 6)) <= 1e-9
+    assert abs(out["theta_jack_mean"] - thbar) <= 1e-5
+    assert abs(out["se"] - se) <= 1e-5
+    assert out["ci_lo"] <= out["theta"] <= out["ci_hi"]
+    assert out["se"] > 0
+    assert abs(out["bias_est"]) < 0.1 * abs(out["theta"])
+
+
 def test_substring_dedup_planted_duplicates(spark, tmp_path):
     """Planted-duplicate oracle for llmops_substring_dedup (r13 verdict
     item #6): a corpus with a KNOWN shared-span layout must come back
