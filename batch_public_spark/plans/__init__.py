@@ -139,6 +139,9 @@ _NEXT_WINDOW: list[str] = [
     "events_nelson_aalen",
     "events_jackknife_ratio",
     "events_sprt_monitor",
+    "eval_platt_scaling",
+    "cust_uplift_qini",
+    "events_overdispersion",
 ]
 
 

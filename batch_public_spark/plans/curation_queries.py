@@ -518,6 +518,175 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "eval_platt_scaling",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS_NORM} AS toks FROM documents),
+    s AS (SELECT doc_id, len(toks) AS n_tokens,
+                 CAST(COALESCE(list_sum(list_transform(toks, t -> {_tok_weight('t')})), 0)
+                      AS BIGINT) AS w_sum
+          FROM d),
+    p AS (SELECT doc_id,
+                 CAST(ROUND(CASE WHEN n_tokens > 0
+                       THEN 1.0 / (1.0 + EXP(-(CAST(w_sum AS DOUBLE) / (n_tokens * 410.0))))
+                       ELSE 0.5 END, 6) AS DECIMAL(10,6)) AS pd
+          FROM s),
+    q AS (SELECT doc_id,
+                 CASE WHEN CAST(ROUND(least(n_tok / 50.0, 1.0) * 0.3
+                        + greatest(0.0, 1.0 - pr * 4) * 0.3
+                        + least(swr * 5, 1.0) * 0.2
+                        + (CASE WHEN mwl >= 2.0 AND mwl <= 12.0
+                                THEN 1.0 ELSE 0.3 END) * 0.2, 6)
+                      AS DECIMAL(10,6)) >= 0.85 THEN 1 ELSE 0 END AS y
+          FROM ({_QUALITY_SQL}) m),
+    j AS (SELECT p.pd,
+                 CAST(round(ln(CAST(p.pd AS DOUBLE) / (1.0 - CAST(p.pd AS DOUBLE))), 6)
+                      AS DECIMAL(18,6)) AS z,
+                 q.y
+          FROM p JOIN q USING (doc_id)),
+    terms AS (
+      SELECT pd, y, z,
+             CAST(pd AS DOUBLE) * (1.0 - CAST(pd AS DOUBLE)) AS wd,
+             CAST(z AS DOUBLE) AS zd
+      FROM j
+    ), tq AS (
+      SELECT CAST(round(wd, 10) AS DECIMAL(28,10)) AS tw,
+             CAST(round(wd * zd, 10) AS DECIMAL(28,10)) AS twz,
+             CAST(round((wd * zd) * zd, 10) AS DECIMAL(28,10)) AS twzz,
+             pd - y AS pmy,
+             (pd - y) * z AS pmyz
+      FROM terms
+    ), m2 AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(tw) AS DOUBLE) AS sw,
+             CAST(sum(twz) AS DOUBLE) AS swz,
+             CAST(sum(twzz) AS DOUBLE) AS swzz,
+             CAST(sum(pmy) AS DOUBLE) AS g0,
+             CAST(sum(pmyz) AS DOUBLE) AS g1
+      FROM tq
+    )
+    SELECT n AS n_docs,
+           round(1.0 - (sw * g1 - swz * g0)
+                 / nullif(swzz * sw - swz * swz, 0), 6) AS slope_a,
+           round(0.0 - (swzz * g0 - swz * g1)
+                 / nullif(swzz * sw - swz * swz, 0), 6) AS intercept_b,
+           round(g1, 6) AS grad_a,
+           round(g0, 6) AS grad_b
+    FROM m2
+    """,
+)
+def eval_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLATT SCALING, one Newton step (Platt 1999; the parametric
+    calibrator beside eval_isotonic_calibration's nonparametric PAV and
+    eval_calibration_ece's diagnosis — diagnose / fit-monotone /
+    fit-sigmoid is the complete calibration kit): recalibrate
+    p_cal = sigmoid(a*z + b) on the logit z = ln(pd/(1-pd)) of the
+    classifier's probability, fitting (a, b) by ONE Newton step of the
+    logistic log-loss from the identity start (a,b) = (1,0) — where the
+    gradient is g = sum (pd - y)·[z, 1] and the Hessian is the weighted
+    moment matrix of w = pd(1-pd), both EXACT sums, so the 2x2 solve
+    [da, db] = H^-1 g is closed-form:
+    a1 = 1 - (Sw*g1 - Swz*g0)/det, b1 = -(Swzz*g0 - Swz*g1)/det,
+    det = Swzz*Sw - Swz^2. The standard first iterate a production
+    calibration job ships when it refuses an iterative optimizer in
+    SQL; the raw gradients are emitted so a caller can verify the
+    step direction. tests/test_r14_invariants.py re-runs the algebra in
+    Python and checks the step REDUCES the training log-loss (the
+    Newton-descent property at a smooth convex start).
+
+    Parity discipline: pd is the round-6 DECIMAL(10,6) sigmoid (the
+    ECE construction, verbatim, with the same 0.85 label split);
+    z is ln of identical doubles quantized round-6 decimal; gradient
+    terms (pd-y) and (pd-y)*z are exact decimal products, and the
+    Hessian terms w, wz, wz^2 are single identically-parenthesized
+    double chains quantized round-10 per TERM before exact decimal
+    summation (a raw decimal w*z*z chain exceeds precision 38, where
+    the engines' overflow scale reductions diverge); the 2x2 solve
+    runs on identical doubles, nullif-guarded against a degenerate
+    (constant-z) design.
+
+    Scale shape: ONE map-side-combinable aggregation over the in-row
+    scoring scan — six moment columns, no shuffle beyond the 1-row
+    aggregate. The cheapest possible calibrator at 100 TB."""
+    d = t(spark, sf_dir, "documents").withColumn(
+        "toks", tokens(normalized_text(F.col("text")))
+    )
+    w_sum = F.expr(
+        f"aggregate(transform(toks, t -> cast({_tok_weight('t')} as bigint)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    n_tok = F.size("toks")
+    sig = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.col("w_sum").cast("double") / (F.col("n_tokens") * F.lit(410.0))))
+    )
+    from batch_public_spark.operators.textops import quality_score
+
+    scored = d.select(
+        n_tok.alias("n_tokens"),
+        w_sum.alias("w_sum"),
+        (
+            F.round(quality_score(F.col("text")), 6).cast("decimal(10,6)") >= 0.85
+        )
+        .cast("int")
+        .alias("y"),
+    ).select(
+        F.round(F.when(F.col("n_tokens") > 0, sig).otherwise(F.lit(0.5)), 6)
+        .cast("decimal(10,6)")
+        .alias("pd"),
+        "y",
+    )
+    jj = scored.select(
+        "pd",
+        F.round(
+            F.log(F.col("pd").cast("double") / (F.lit(1.0) - F.col("pd").cast("double"))),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("z"),
+        "y",
+    )
+    # Per-term double products quantized round-10 before the exact
+    # decimal sums (the ngram-lm lt discipline): a raw decimal
+    # w*z*z chain exceeds precision 38 and the engines reduce scale
+    # differently (the jackknife th*th lesson).
+    wd = F.col("pd").cast("double") * (F.lit(1.0) - F.col("pd").cast("double"))
+    zd = F.col("z").cast("double")
+    tq = jj.select(
+        F.round(wd, 10).cast("decimal(28,10)").alias("tw"),
+        F.round(wd * zd, 10).cast("decimal(28,10)").alias("twz"),
+        F.round((wd * zd) * zd, 10).cast("decimal(28,10)").alias("twzz"),
+        (F.col("pd") - F.col("y")).alias("pmy"),
+        ((F.col("pd") - F.col("y")) * F.col("z")).alias("pmyz"),
+    )
+    m2 = tq.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("tw").cast("double").alias("sw"),
+        F.sum("twz").cast("double").alias("swz"),
+        F.sum("twzz").cast("double").alias("swzz"),
+        F.sum("pmy").cast("double").alias("g0"),
+        F.sum("pmyz").cast("double").alias("g1"),
+    )
+    det = F.nullif(
+        F.col("swzz") * F.col("sw") - F.col("swz") * F.col("swz"), F.lit(0.0)
+    )
+    return m2.select(
+        F.col("n").alias("n_docs"),
+        F.round(
+            F.lit(1.0)
+            - (F.col("sw") * F.col("g1") - F.col("swz") * F.col("g0")) / det,
+            6,
+        ).alias("slope_a"),
+        F.round(
+            F.lit(0.0)
+            - (F.col("swzz") * F.col("g0") - F.col("swz") * F.col("g1")) / det,
+            6,
+        ).alias("intercept_b"),
+        F.round("g1", 6).alias("grad_a"),
+        F.round("g0", 6).alias("grad_b"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sliding-window chunking
 # ---------------------------------------------------------------------------

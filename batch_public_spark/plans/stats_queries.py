@@ -3946,6 +3946,238 @@ def events_sprt_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cust_uplift_qini",
+    oracle=f"""
+    WITH resp AS (
+      SELECT c.c_custkey,
+             CAST(c.c_acctbal AS DOUBLE) AS score,
+             {_perm_bit("md5(CAST(c.c_custkey AS VARCHAR) || ':uplift')", 1)}
+               AS treat,
+             CASE WHEN (SELECT count(*) FROM orders o
+                        WHERE o.o_custkey = c.c_custkey) >= 12
+                  THEN 1 ELSE 0 END AS y
+      FROM customer c
+    ), thr AS (
+      SELECT quantile_cont(score, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS q
+      FROM resp
+    ), dec AS (
+      SELECT r.treat, r.y,
+             1 + CAST((CASE WHEN r.score > thr.q[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN r.score > thr.q[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN r.score > thr.q[3] THEN 1 ELSE 0 END)
+               + (CASE WHEN r.score > thr.q[4] THEN 1 ELSE 0 END)
+               + (CASE WHEN r.score > thr.q[5] THEN 1 ELSE 0 END)
+               + (CASE WHEN r.score > thr.q[6] THEN 1 ELSE 0 END)
+               + (CASE WHEN r.score > thr.q[7] THEN 1 ELSE 0 END)
+               + (CASE WHEN r.score > thr.q[8] THEN 1 ELSE 0 END)
+               + (CASE WHEN r.score > thr.q[9] THEN 1 ELSE 0 END) AS BIGINT)
+               AS decile
+      FROM resp r CROSS JOIN thr
+    ), per AS (
+      SELECT decile,
+             CAST(count(*) FILTER (WHERE treat) AS BIGINT) AS nt,
+             CAST(sum(y) FILTER (WHERE treat) AS BIGINT) AS rt,
+             CAST(count(*) FILTER (WHERE NOT treat) AS BIGINT) AS nc,
+             CAST(sum(y) FILTER (WHERE NOT treat) AS BIGINT) AS rc
+      FROM dec GROUP BY 1
+    ), cum AS (
+      SELECT decile, nt, rt, nc, rc,
+             CAST(sum(nt) OVER w AS BIGINT) AS nt_c,
+             CAST(sum(rt) OVER w AS BIGINT) AS rt_c,
+             CAST(sum(nc) OVER w AS BIGINT) AS nc_c,
+             CAST(sum(rc) OVER w AS BIGINT) AS rc_c
+      FROM per
+      WINDOW w AS (ORDER BY decile DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), scored AS (
+      SELECT decile, nt, rt, nc, rc,
+             CAST(round(rt_c - rc_c * 1.0 * nt_c / nullif(nc_c, 0), 6)
+                  AS DECIMAL(18,6)) AS qini
+      FROM cum
+    ), auuc AS (
+      SELECT CAST(round(CAST(sum(qini) AS DOUBLE) / count(*), 6)
+                  AS DOUBLE) AS auuc
+      FROM scored
+    )
+    SELECT s.decile, s.nt, s.rt, s.nc, s.rc,
+           CAST(s.qini AS DOUBLE) AS qini, a.auuc
+    FROM scored s CROSS JOIN auuc a
+    """,
+)
+def cust_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QINI / UPLIFT CURVE (Radcliffe 2007; the evaluation every uplift
+    model ships with, and the missing member of the experimentation kit
+    beside CUPED/DiD/log-rank/SPRT — those measure AVERAGE effects,
+    the Qini curve asks WHO to target): customers ranked by a score
+    (c_acctbal — the deterministic stand-in for a model's predicted
+    uplift, the ECE synthetic-confidence precedent), split into exact
+    score deciles, treatment = a salted-hash coin, outcome = became a
+    heavy repeat buyer (>= 12 orders; ~30% base rate — every fixture
+    customer has SOME order, so existence would be constant-1); walking deciles best-first, Qini(k) =
+    Rt_cum - Rc_cum * Nt_cum/Nc_cum (incremental responders vs the
+    control scaled to the treated volume) and AUUC is the mean of the
+    per-decile Qini values. Under the fixture's null coin the curve
+    wiggles around zero — the calibration-of-the-harness reading; a
+    real score/treatment pair drops in without a plan change.
+
+    Parity discipline: decile thresholds are exact interpolated
+    percentiles (Spark `percentile` == DuckDB `quantile_cont`, the
+    agg_approx_percentile_accuracy precedent); scores are money
+    DECIMALs, so a score can only EQUAL a threshold when the
+    interpolation fraction is zero and both engines emit the exact
+    lower value — strict `>` comparisons cannot straddle an ulp.
+    Counts are exact BIGINTs; each Qini is one double expression
+    quantized round-6 decimal; AUUC is an exact decimal sum divided
+    once.
+
+    Spark-first: one grouped order count joined on the customer key
+    (the oracle's correlated COUNT subquery is clarity form), one percentile aggregate broadcast to assign deciles
+    in-row, one 10-key grouped count, cumulative sums on the 10-row
+    frame under bounded_window_key. At 100 TB swap `percentile` for
+    approx_percentile and nothing else moves (stated trade per the
+    conformal/approx precedent)."""
+    c = t(spark, sf_dir, "customer")
+    oc = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    treat = _perm_bit("md5(concat(cast(c_custkey as string), ':uplift'))", 1)
+    resp = c.join(oc, "c_custkey", "left").select(
+        F.col("c_acctbal").cast("double").alias("score"),
+        F.expr(treat).alias("treat"),
+        (F.coalesce(F.col("n_orders"), F.lit(0)) >= 12).cast("int").alias("y"),
+    )
+    thr = resp.agg(
+        F.expr(
+            "percentile(score, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("q")
+    )
+    dec_col = F.lit(1)
+    for i in range(1, 10):
+        dec_col = dec_col + F.when(F.col("score") > F.expr(f"q[{i - 1}]"), 1).otherwise(0)
+    dec = resp.crossJoin(F.broadcast(thr)).select(
+        "treat", "y", dec_col.cast("bigint").alias("decile")
+    )
+    per = dec.groupBy("decile").agg(
+        F.sum(F.when(F.col("treat"), 1).otherwise(0)).cast("bigint").alias("nt"),
+        F.sum(F.when(F.col("treat"), F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("rt"),
+        F.sum(F.when(~F.col("treat"), 1).otherwise(0)).cast("bigint").alias("nc"),
+        F.sum(F.when(~F.col("treat"), F.col("y")).otherwise(0))
+        .cast("bigint")
+        .alias("rc"),
+    )
+    wq = (
+        W.partitionBy(bounded_window_key(F.col("decile")))
+        .orderBy(F.desc("decile"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = per.select(
+        "decile",
+        "nt",
+        "rt",
+        "nc",
+        "rc",
+        F.sum("nt").over(wq).cast("bigint").alias("nt_c"),
+        F.sum("rt").over(wq).cast("bigint").alias("rt_c"),
+        F.sum("nc").over(wq).cast("bigint").alias("nc_c"),
+        F.sum("rc").over(wq).cast("bigint").alias("rc_c"),
+    )
+    qini = F.round(
+        F.col("rt_c")
+        - F.col("rc_c") * F.lit(1.0) * F.col("nt_c") / F.nullif(F.col("nc_c"), F.lit(0)),
+        6,
+    ).cast("decimal(18,6)")
+    scored = cum.select("decile", "nt", "rt", "nc", "rc", qini.alias("qini"))
+    auuc = scored.agg(
+        F.round(F.sum("qini").cast("double") / F.count("*"), 6).alias("auuc")
+    )
+    return scored.crossJoin(F.broadcast(auuc)).select(
+        "decile",
+        "nt",
+        "rt",
+        "nc",
+        "rc",
+        F.col("qini").cast("double").alias("qini"),
+        "auuc",
+    )
+
+
+@query(
+    "events_overdispersion",
+    oracle=f"""
+    WITH cells AS (
+      SELECT user_id, date_trunc('day', ts) AS d,
+             CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS ss
+      FROM cells
+    )
+    SELECT n AS n_cells, s AS n_events,
+           round(s * 1.0 / n, 6) AS mean_count,
+           round((ss - s * 1.0 * s / n) / nullif(n - 1, 0), 6) AS var_count,
+           round(((ss - s * 1.0 * s / n) / nullif(n - 1, 0))
+                 / nullif(s * 1.0 / n, 0), 6) AS dispersion,
+           round((((ss - s * 1.0 * s / n) / nullif(n - 1, 0))
+                  / nullif(s * 1.0 / n, 0) - 1.0)
+                 * sqrt((n - 1) / 2.0), 6) AS z_stat,
+           abs((((ss - s * 1.0 * s / n) / nullif(n - 1, 0))
+                / nullif(s * 1.0 / n, 0) - 1.0)
+               * sqrt((n - 1) / 2.0)) > {_JK_Z} AS overdispersed
+    FROM m
+    """,
+)
+def events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OVERDISPERSION TEST for count data (the dispersion-index /
+    quasi-Poisson check, Fisher 1950 form): are per-(user, day) event
+    counts Poisson (variance == mean) or clumped (variance > mean)?
+    The question that decides whether rate comparisons may use Poisson
+    errors or must inflate them — every capacity/alerting model built
+    on event counts gets this wrong silently when bursts exist.
+    D = s^2/mean over observed user-day cells; under the Poisson null
+    (n-1)D ~ chi-square(n-1), so z = (D-1)*sqrt((n-1)/2) is the normal
+    approximation and |z| > 1.959964 flags overdispersion at 5%. Emits
+    mean/variance/D/z and the verdict. (Observed cells only — the
+    zero-inflated variant adds the empty grid; stated scope.)
+
+    Parity: cell counts exact BIGINTs; mean/var/D/z are chains of
+    double divisions on exact-integer operands with identical
+    parenthesization; the flag compares against the shared z literal.
+    Scale: one grouped count + one 1-row moment aggregate, both
+    map-side combinable; nothing else."""
+    ev = t(spark, sf_dir, "events")
+    cells = ev.groupBy("user_id", F.date_trunc("day", F.col("ts")).alias("d")).agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    m = cells.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("c").cast("bigint").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("ss"),
+    )
+    mean = F.col("s") * F.lit(1.0) / F.col("n")
+    var = (F.col("ss") - F.col("s") * F.lit(1.0) * F.col("s") / F.col("n")) / F.nullif(
+        F.col("n") - 1, F.lit(0)
+    )
+    disp = var / F.nullif(mean, F.lit(0.0))
+    z = (disp - F.lit(1.0)) * F.sqrt((F.col("n") - 1) / F.lit(2.0))
+    zc = float(_JK_Z)
+    return m.select(
+        F.col("n").alias("n_cells"),
+        F.col("s").alias("n_events"),
+        F.round(mean, 6).alias("mean_count"),
+        F.round(var, 6).alias("var_count"),
+        F.round(disp, 6).alias("dispersion"),
+        F.round(z, 6).alias("z_stat"),
+        (F.abs(z) > zc).alias("overdispersed"),
+    )
+
+
 # BH step-up FDR level; spelled as the same literal in both engines.
 _BH_ALPHA = "0.10"
 

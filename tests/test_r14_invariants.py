@@ -402,6 +402,79 @@ def test_jackknife_ratio_matches_python_recompute(spark):
     assert abs(out["bias_est"]) < 0.1 * abs(out["theta"])
 
 
+def test_platt_step_reduces_logloss_and_matches_python(spark):
+    """One Newton step of a smooth convex loss from a non-degenerate
+    start must strictly reduce the training log-loss (full step is safe
+    here: logistic loss in 2 params over hundreds of points is locally
+    well-approximated). Recompute (a1, b1) in Python from the query's
+    own (pd, y) pairs and match; then evaluate NLL at (1, 0) vs
+    (a1, b1) and require a strict decrease. Also the identity start
+    means grad_b == sum(pd) - sum(y), a direct miscalibration reading.
+    """
+    import math
+
+    out = QUERIES["eval_platt_scaling"].fn(spark, SF_DIR).first()
+    # Rebuild (pd, y) via the isotonic query's construction to stay
+    # independent of the Platt internals (same pd; 0.85 label).
+    iso_rows = QUERIES["eval_isotonic_calibration"].fn(spark, SF_DIR).collect()
+    assert out["n_docs"] == sum(r["n_docs"] for r in iso_rows)
+
+    from batch_public_spark.operators.textops import (
+        quality_score,
+        normalized_text,
+        tokens as _tokens,
+    )
+    from batch_public_spark.plans.curation_queries import _tok_weight
+    from batch_public_spark.sources.tables import load_table
+
+    d = load_table(spark, SF_DIR, "documents").withColumn(
+        "toks", _tokens(normalized_text(F.col("text")))
+    )
+    w_sum = F.expr(
+        f"aggregate(transform(toks, t -> cast({_tok_weight('t')} as bigint)), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    sig = F.lit(1.0) / (
+        F.lit(1.0)
+        + F.exp(-(F.col("w_sum").cast("double") / (F.col("n_tokens") * F.lit(410.0))))
+    )
+    rows = (
+        d.select(F.size("toks").alias("n_tokens"), w_sum.alias("w_sum"),
+                 (F.round(quality_score(F.col("text")), 6).cast("decimal(10,6)")
+                  >= 0.85).cast("int").alias("y"))
+        .select(
+            F.round(F.when(F.col("n_tokens") > 0, sig).otherwise(0.5), 6)
+            .cast("decimal(10,6)")
+            .alias("pd"),
+            "y",
+        )
+        .collect()
+    )
+    pts = [(float(r["pd"]), r["y"]) for r in rows]
+    zq = [round(math.log(p / (1 - p)), 6) for p, _ in pts]
+    sw = sum(round(p * (1 - p), 10) for p, _ in pts)
+    swz = sum(round(p * (1 - p) * z, 10) for (p, _), z in zip(pts, zq))
+    swzz = sum(round((p * (1 - p) * z) * z, 10) for (p, _), z in zip(pts, zq))
+    g0 = sum(p - y for p, y in pts)
+    g1 = sum((p - y) * z for (p, y), z in zip(pts, zq))
+    det = swzz * sw - swz * swz
+    a1 = 1.0 - (sw * g1 - swz * g0) / det
+    b1 = 0.0 - (swzz * g0 - swz * g1) / det
+    assert abs(out["slope_a"] - a1) <= 1e-4, (out["slope_a"], a1)
+    assert abs(out["intercept_b"] - b1) <= 1e-4, (out["intercept_b"], b1)
+    assert abs(out["grad_b"] - g0) <= 1e-3
+
+    def nll(a, b):
+        tot = 0.0
+        for (p, y), z in zip(pts, zq):
+            m = a * z + b
+            # log(1+e^m) stable form
+            tot += (math.log1p(math.exp(-abs(m))) + max(m, 0.0)) - y * m
+        return tot
+
+    assert nll(a1, b1) < nll(1.0, 0.0) - 1e-9, (nll(a1, b1), nll(1.0, 0.0))
+
+
 def test_substring_dedup_planted_duplicates(spark, tmp_path):
     """Planted-duplicate oracle for llmops_substring_dedup (r13 verdict
     item #6): a corpus with a KNOWN shared-span layout must come back
