@@ -656,38 +656,108 @@ def ann_bruteforce_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
-    Scale: broadcast the query set (it's the small side by construction);
-    the corpus streams through map-side — no corpus shuffle. The final
-    per-query top-k is a ranked window over (queries × corpus) scored rows,
-    which AQE keeps partition-balanced on query_id. Similarity is rounded
-    before ranking so ordering is reproducible across engines.
+    Scale shape (r14, the ann_ivf_topk discipline): every caller passes a
+    FIXED-COUNT query sample (id-threshold or hash-rank top-K — bounded
+    constants by construction, never a corpus fraction), so the query set
+    is a control-plane model like the IVF centroid table: collected once
+    (K×dim doubles) and shipped in a ``mapInPandas`` closure. Each corpus
+    Arrow batch scores against ALL queries with one numpy GEMM and keeps a
+    running per-query top-k ordered by (rounded sim DESC, neighbor_id ASC)
+    — so a task emits at most K·k rows no matter how many corpus rows it
+    scanned, and the final window merges ≤ K·k·n_tasks rows instead of
+    ranking the full K×|corpus| pair stream. The corpus is never shuffled
+    and never amplified; the pre-r14 form materialized all K×|corpus|
+    scored pairs through the window exchange and paid an interpreted
+    zip_with/aggregate fold per pair (measured 12 s → ~1 s on the
+    knn-graph audit at sf0.1).
+
+    Parity discipline (verbatim from ann_ivf_topk's GEMM assignment):
+    float32 inputs widen to float64 exactly as the old per-element
+    ``cast("double")`` did; sims are rounded half-away-from-zero at
+    ``round_sim`` decimals (the F.round / DuckDB ROUND rule) BEFORE any
+    ranking, which absorbs GEMM-vs-fold accumulation-order noise; +0.0 is
+    added so a negative sim rounding to zero emits +0.0 like F.round;
+    zero-norm vectors score 0.0 (cosine()'s guard); per-task selection
+    and the final window use the identical (sim DESC, neighbor_id ASC)
+    total order, so global top-k == top-k of unioned per-task top-ks
+    exactly.
     """
-    # Precompute each side's norm ONCE PER ROW (below the join) instead of
-    # re-folding it per pair inside cosine(): the |Q|×|corpus| pair stream
-    # then pays one zip_with dot fold instead of three array folds — ~2-3×
-    # less per-pair compute, and the broadcast side carries its norms into
-    # the hash relation for free (row_norm/fused_cosine are bit-identical
-    # to the unfused cosine() — see their docstrings).
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        row_norm(F.col(vec_col)).alias("_qn"),
-    )
-    v = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_vv"),
-        row_norm(F.col(vec_col)).alias("_vn"),
-    )
-    sim = fused_cosine(F.col("_qv"), F.col("_vv"), F.col("_qn"), F.col("_vn"))
-    scored = (
-        v.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(sim, round_sim).alias("sim"),
-        )
-    )
+    vectors = valid_vectors(vectors, vec_col)
+    queries = valid_vectors(queries, vec_col)
+    spark = vectors.sparkSession
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, sim double"
+    q_rows = queries.select(id_col, vec_col).collect()  # control plane: K×dim
+    if not q_rows:
+        return spark.createDataFrame([], out_schema + ", rank integer")
+    q_ids = [r[0] for r in q_rows]
+    qmat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qunit = np.zeros_like(qmat)
+    nzq = qnorm > 0
+    qunit[nzq] = qmat[nzq] / qnorm[nzq, None]
+    scale = 10.0 ** round_sim
+    nq = len(q_ids)
+    kk = k
+
+    def _task_topk(batches):
+        sims_run = [np.empty(0, dtype=np.float64)] * nq
+        ids_run: list = [None] * nq
+
+        def top(s, i):
+            if len(s) <= kk:
+                return s, i
+            try:
+                order = np.lexsort((i, -s))  # s DESC, id ASC
+            except TypeError:  # non-numeric ids (object dtype)
+                order = np.array(
+                    sorted(range(len(s)), key=lambda j: (-s[j], i[j]))
+                )
+            order = order[:kk]
+            return s[order], i[order]
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            sims = np.zeros((len(ids), nq))
+            nz = norms > 0
+            if nz.any():
+                sims[nz] = (m[nz] / norms[nz, None]) @ qunit.T
+            # half-away-from-zero at round_sim decimals, matching F.round
+            # (the ann_ivf_topk in-place pass); the trailing +0.0
+            # normalizes any -0.0 from copysign to F.round's +0.0.
+            r = np.abs(sims)
+            r *= scale
+            r += 0.5
+            np.floor(r, out=r)
+            np.copysign(r, sims, out=r)
+            r /= scale
+            r += 0.0
+            for qi in range(nq):
+                mask = ids != q_ids[qi]
+                s = np.concatenate([sims_run[qi], r[mask, qi]])
+                i = (
+                    np.concatenate([ids_run[qi], ids[mask]])
+                    if ids_run[qi] is not None
+                    else ids[mask]
+                )
+                sims_run[qi], ids_run[qi] = top(s, i)
+        out_q: list = []
+        out_n: list = []
+        out_s: list = []
+        for qi in range(nq):
+            if ids_run[qi] is None or len(sims_run[qi]) == 0:
+                continue
+            out_q.extend([q_ids[qi]] * len(sims_run[qi]))
+            out_n.extend(list(ids_run[qi]))
+            out_s.extend(list(sims_run[qi]))
+        if out_q:
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
+
+    scored = vectors.select(id_col, vec_col).mapInPandas(_task_topk, out_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
