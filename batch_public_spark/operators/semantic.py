@@ -332,7 +332,17 @@ def minhash_candidates(
     # (id, band, bucket) triples once, caps oversized buckets for free off
     # the gathered size, and bounds pair blowup at max_bucket² per bucket —
     # the same posting-list capping production dedup uses for boilerplate.
+    from batch_public_spark.sources.tables import spread
+
     pairs = bucket_pairs(buckets, ["band", "bucket"], "_id", max_bucket)
+    # spread(): the verify wave below is per-PAIR Python compute (shingle
+    # both texts, intersect) while the pair rows are a few bytes each, so
+    # AQE's byte-based coalescing runs the whole wave on one post-shuffle
+    # partition (SQL metrics at sf0.1: 17,386 pairs through ArrowEvalPython
+    # in a 1-task 1.7 s stage). Width must follow compute, not bytes, for
+    # this stage — no-op when the pair set is already wide (guide §2.5;
+    # interleaved A/B at sf0.1: 3.1 -> 2.1 s, values identical).
+    pairs = spread(pairs)
     # Verify: join pairs to RAW TEXT and shingle only the matched rows in
     # one Arrow batch (jaccard_text). Two alternatives were measured and
     # rejected in matched interleaved A/B at sf0.1: pre-shingling the

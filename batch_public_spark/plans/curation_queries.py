@@ -1920,8 +1920,14 @@ def _teacher_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark twin): (doc_id, lang, pos, text). Shared by the NB distillation
     trainer and the DSIR selector — both learn to reproduce this teacher."""
     from batch_public_spark.operators.textops import quality_score
+    from batch_public_spark.sources.tables import spread
 
-    d = t(spark, sf_dir, "documents")
+    # spread(): everything downstream of this scan is per-row text compute
+    # (quality_score here; tokenize + n-gram explode + per-occurrence md5 in
+    # the DSIR/NB consumers — ~5M occurrence rows at sf0.1), and a
+    # single-row-group fixture would serialize it all on one core. No-op on
+    # a well-split corpus (guide §2.5; dsir isolated A/B below).
+    d = spread(t(spark, sf_dir, "documents"))
     q6 = F.round(quality_score(F.col("text")), 6).cast("decimal(10,6)")
     qd = d.select("doc_id", "lang", "text", q6.alias("q"))
     qbar = qd.agg((F.sum("q").cast("double") / F.count("*")).alias("qbar"))

@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from batch_public_spark.plans.lint import bounded_window_key
 from batch_public_spark.plans.registry import query
 from batch_public_spark.sources.tables import load_table as t
+from batch_public_spark.sources.tables import spread
 
 # Session-style activity half-window: an event "covers" [ts, ts+5min).
 _COVER_US = 300 * 1_000_000
@@ -4542,8 +4543,16 @@ def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the only change is swapping md5 for xxhash64 (engine-specific
     but cheaper — this md5 form is the cross-engine-attestable anchor,
     the established deterministic-sampling idiom)."""
-    ev = t(spark, sf_dir, "events").select(
-        "event_id", "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+    # spread(): the weight projection (8 md5/row feeding 64 partial-agg
+    # columns, a stage too wide for whole-stage codegen so it runs
+    # interpreted) dwarfs the scan; a single-row-group fixture scans as
+    # ONE task and would serialize all of it on one core. The exchange
+    # moves only (event_id, event_type, v) — self-disabling on multi-file
+    # corpora (guide §2.4/§6.1; isolated A/B 4.9 -> 2.7 s at sf0.1).
+    ev = spread(
+        t(spark, sf_dir, "events").select(
+            "event_id", "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+        )
     )
 
     def w(b: int):
