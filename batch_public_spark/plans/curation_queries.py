@@ -36,6 +36,7 @@ from batch_public_spark.plans.llmops_queries import (
 )
 from batch_public_spark.plans.registry import query
 from batch_public_spark.sources.tables import load_table as t
+from batch_public_spark.sources.tables import spread
 
 
 def _hexv(c: str) -> str:
@@ -184,7 +185,12 @@ def llmops_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheapest classifier there is: no model broadcast, no Python workers,
     no aggregation tree — a real trained-weights variant only adds a
     broadcast map lookup in place of the md5."""
-    d = t(spark, sf_dir, "documents").withColumn(
+    # spread(): the scored projection (tokenize + per-token md5 weights +
+    # the gate's quality_score) is per-row text compute over the 1-task
+    # fixture scan, and the downstream lazy checkpoint materializes it at
+    # build time under AQE — the serialized stage is paid inside fn().
+    # No-op on a multi-file corpus (guide §2.5).
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "source", "text")).withColumn(
         "toks", tokens(normalized_text(F.col("text")))
     )
     w_sum = F.expr(
@@ -281,7 +287,12 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one scan computes both mechanisms in-row (zero-shuffle
     scoring), one 10-key hash aggregation, two 1-row broadcast scalars.
     At 100 TB this replaces nothing — it IS the cheap way."""
-    d = t(spark, sf_dir, "documents").withColumn(
+    # spread(): the scored projection (tokenize + per-token md5 weights +
+    # the gate's quality_score) is per-row text compute over the 1-task
+    # fixture scan, and the downstream lazy checkpoint materializes it at
+    # build time under AQE — the serialized stage is paid inside fn().
+    # No-op on a multi-file corpus (guide §2.5).
+    d = spread(t(spark, sf_dir, "documents").select("text")).withColumn(
         "toks", tokens(normalized_text(F.col("text")))
     )
     w_sum = F.expr(
@@ -436,7 +447,12 @@ def eval_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     elements: control-plane arithmetic, no join, no window, no
     shuffle). At 100 TB the diagram aggregation is the only data-sized
     stage, unchanged from ECE."""
-    d = t(spark, sf_dir, "documents").withColumn(
+    # spread(): the scored projection (tokenize + per-token md5 weights +
+    # the gate's quality_score) is per-row text compute over the 1-task
+    # fixture scan, and the downstream lazy checkpoint materializes it at
+    # build time under AQE — the serialized stage is paid inside fn().
+    # No-op on a multi-file corpus (guide §2.5).
+    d = spread(t(spark, sf_dir, "documents").select("text")).withColumn(
         "toks", tokens(normalized_text(F.col("text")))
     )
     w_sum = F.expr(
@@ -608,7 +624,12 @@ def eval_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: ONE map-side-combinable aggregation over the in-row
     scoring scan — six moment columns, no shuffle beyond the 1-row
     aggregate. The cheapest possible calibrator at 100 TB."""
-    d = t(spark, sf_dir, "documents").withColumn(
+    # spread(): the scored projection (tokenize + per-token md5 weights +
+    # the gate's quality_score) is per-row text compute over the 1-task
+    # fixture scan, and the downstream lazy checkpoint materializes it at
+    # build time under AQE — the serialized stage is paid inside fn().
+    # No-op on a multi-file corpus (guide §2.5).
+    d = spread(t(spark, sf_dir, "documents").select("text")).withColumn(
         "toks", tokens(normalized_text(F.col("text")))
     )
     w_sum = F.expr(
@@ -820,8 +841,11 @@ def llmops_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     family. Shuffle volume is O(distinct grams), source-count lists are
     ≤ |sources| long, and per-source totals broadcast onto the ~|sources|²
     result rows."""
-    d = t(spark, sf_dir, "documents")
     from batch_public_spark.operators.semantic import word_shingles
+
+    # spread(): the 4-gram shingle explode is per-row text compute over
+    # the 1-task fixture scan (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("source", "text"))
 
     grams = d.select(
         "source", F.explode(word_shingles(F.col("text"), 4)).alias("gram")
@@ -1920,7 +1944,6 @@ def _teacher_labeled_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark twin): (doc_id, lang, pos, text). Shared by the NB distillation
     trainer and the DSIR selector — both learn to reproduce this teacher."""
     from batch_public_spark.operators.textops import quality_score
-    from batch_public_spark.sources.tables import spread
 
     # spread(): everything downstream of this scan is per-row text compute
     # (quality_score here; tokenize + n-gram explode + per-occurrence md5 in

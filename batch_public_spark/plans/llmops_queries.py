@@ -1918,7 +1918,10 @@ def llmops_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     only when actually small), so the shuffle carries (id_a, id_b, count)
     only."""
     d = (
-        t(spark, sf_dir, "documents")
+        # spread(): the shingle explode is per-row text compute over the
+        # single-row-group fixture scan (1 task) — width must follow
+        # compute, not bytes (guide §2.5); no-op on a multi-file corpus.
+        spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
         .select("doc_id", F.explode(word_shingles(F.col("text"), 3)).alias("s"))
         # two consumers (df aggregation + the rare-filtered projection):
         # cut the explode once, lazily (the graph.py discipline)
@@ -4949,7 +4952,9 @@ def llmops_repeated_span_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_public_spark.operators.semantic import word_shingles_all
     from batch_public_spark.operators.textops import tokens
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread(): positional-shingle explode is per-row text compute over
+    # the 1-task fixture scan (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = (
         d.filter(F.size(tokens(F.col("text"))) >= 3)
         .select(
@@ -5074,7 +5079,8 @@ def llmops_repeated_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from batch_public_spark.operators.semantic import word_shingles_all
     from batch_public_spark.operators.textops import normalized_text, tokens
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread(): same 1-task-scan widening as the extractor (guide §2.5).
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     sh = (
         d.filter(F.size(tokens(F.col("text"))) >= 3)
         .select(
