@@ -4496,7 +4496,14 @@ def _banded_docs(spark: SparkSession, sf_dir: str):
     from batch_public_spark.operators.semantic import word_shingles
 
     d = t(spark, sf_dir, "documents")
-    sh = d.select("doc_id", word_shingles(F.col("text"), 3).alias("s"))
+    # spread(): shingling + 8 md5-permutation signature folds per row is
+    # the compute that feeds the bucketed index writes, and it otherwise
+    # runs serialized on the single-row-group fixture scan task — the
+    # write jobs (and the lazy-checkpoint consumers) pay it at fn() time
+    # (guide §2.5). No-op on a multi-file corpus.
+    sh = spread(d.select("doc_id", "text")).select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("s")
+    )
 
     def sig(i: int):
         return F.array_min(
