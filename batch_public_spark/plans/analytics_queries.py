@@ -23,6 +23,7 @@ from batch_public_spark.operators.textops import token_count_bpe_ish, token_coun
 from batch_public_spark.plans.lint import bounded_window_key
 from batch_public_spark.plans.registry import query
 from batch_public_spark.sources.tables import load_table as t
+from batch_public_spark.sources.tables import spread
 
 SESSION_GAP_US = 600 * 1_000_000  # 10 minutes
 
@@ -872,7 +873,9 @@ def llmops_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     to top-K bigrams and BROADCAST (docstring contract: the join below is
     the exact-oracle shape; the broadcast variant is the same plan with a
     pruned build side)."""
-    d = t(spark, sf_dir, "documents")
+    # spread(): tokenize + bigram zip/explode is per-row text compute
+    # over the 1-task fixture scan (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     tk = F.transform(tokens(F.col("text")), F.lower)
     toks = d.select("doc_id", tk.alias("tk")).filter(F.size("tk") >= 2)
     n = F.size("tk")
@@ -2372,7 +2375,9 @@ def llmops_rouge_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportional to shared vocabulary, never |a| x |b|. Pairs with zero
     shared terms drop out of the inner join (exactly ROUGE = 0; omitted
     rather than emitted, matching the oracle)."""
-    d = t(spark, sf_dir, "documents")
+    # spread(): tokenize + explode is per-row text compute over the
+    # 1-task fixture scan (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     tokc = (
         d.select(
             "doc_id",
@@ -4852,7 +4857,10 @@ def llmops_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     only heavy ops are the postings probes — the QL leg's LEFT join keeps
     absent (doc, term) pairs at tf=0 without densifying the matrix (the
     smoothing term is per-query-term, added via the 3-row broadcast)."""
-    d = t(spark, sf_dir, "documents")
+    # spread(): the tokenize + explode feeding BOTH checkpointed rankers
+    # otherwise runs on the 1-task fixture scan — and the lazy checkpoints
+    # materialize it at build time under AQE (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     tok = d.select(
         "doc_id", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term")
     )

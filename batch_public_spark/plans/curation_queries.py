@@ -1489,7 +1489,9 @@ def llmops_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages total, no driver-side pairing. At 100 TB the group key is the
     real prompt id and the same plan holds; the window is bounded by
     group size, not corpus size."""
-    d = t(spark, sf_dir, "documents").withColumn(
+    # spread(): the tokenize + per-token md5 reward fold is per-row text
+    # compute over the 1-task fixture scan (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "source", "text")).withColumn(
         "toks", tokens(normalized_text(F.col("text")))
     )
     reward = F.expr(
@@ -1558,7 +1560,9 @@ def llmops_uncertainty_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject (per-partition heap + driver merge of 25-row
     heads — no global sort materializes). At 100 TB this is the
     standard label-budget allocator: one scan, k rows out."""
-    d = t(spark, sf_dir, "documents").withColumn(
+    # spread(): per-row token-weight scoring on the 1-task fixture scan
+    # (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "source", "text")).withColumn(
         "toks", tokens(normalized_text(F.col("text")))
     )
     reward = F.expr(
@@ -1753,7 +1757,9 @@ def llmops_response_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
     reward fold, one shuffle on source for the two rank windows, a
     co-partitioned rank self-join), then one global integer-moment
     aggregation — the audit costs one extra reduce over the pairs."""
-    d = t(spark, sf_dir, "documents").withColumn(
+    # spread(): per-row token-weight scoring on the 1-task fixture scan
+    # (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "source", "text")).withColumn(
         "toks", tokens(normalized_text(F.col("text")))
     )
     reward = F.expr(

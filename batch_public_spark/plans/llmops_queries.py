@@ -124,7 +124,9 @@ def llmops_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline) so one viral opening line can't go quadratic; at corpus
     scale the MinHash band join (llmops_minhash_candidates) is the
     higher-recall candidate source and this is the exact verifier."""
-    d0 = t(spark, sf_dir, "documents").select(
+    # spread(): double shingling is per-row text compute over the 1-task
+    # fixture scan (guide §2.5); no-op at scale.
+    d0 = spread(t(spark, sf_dir, "documents").select("doc_id", "text")).select(
         F.col("doc_id"),
         word_shingles(F.col("text"), 3).alias("sh"),
         F.element_at(word_shingles_all(F.col("text"), 3), 1).alias("blk"),
@@ -636,7 +638,9 @@ def llmops_dedup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale the same CC runs on the MinHash band candidates."""
     from batch_public_spark.operators.graph import connected_components
 
-    d0 = t(spark, sf_dir, "documents").select(
+    # spread(): double shingling is per-row text compute over the 1-task
+    # fixture scan (guide §2.5); no-op at scale.
+    d0 = spread(t(spark, sf_dir, "documents").select("doc_id", "text")).select(
         F.col("doc_id"),
         word_shingles(F.col("text"), 3).alias("sh"),
         F.element_at(word_shingles_all(F.col("text"), 3), 1).alias("blk"),
@@ -801,7 +805,9 @@ def llmops_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc count, with no all-to-all shuffle of corpus grams. The final
     groupBy shuffles only the matched grams — contamination hits, orders
     of magnitude smaller than the corpus."""
-    d = t(spark, sf_dir, "documents")
+    # spread(): the 4-gram explode is per-row text compute over the
+    # 1-task fixture scan (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     grams = d.select(
         "doc_id", F.explode(word_shingles(F.col("text"), 4)).alias("gram")
     )
@@ -888,7 +894,10 @@ def llmops_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
         ),
     )
     best = (
-        e.filter(F.col("vec_id") % 97 != 0)
+        # spread() on the corpus side only: the per-row fused_cosine
+        # sweep over the broadcast benchmark otherwise runs on the
+        # 1-task fixture scan (guide §2.5); no-op at scale.
+        spread(e.filter(F.col("vec_id") % 97 != 0))
         .crossJoin(F.broadcast(bench))
         .select("vec_id", F.array_max(sims).alias("best"))
         .filter(F.col("best").isNotNull())  # empty benchmark -> empty queue
@@ -3685,7 +3694,9 @@ def llmops_maxsim_multivector(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sv").alias("qv"),
         row_norm(F.col("sv")).alias("qn"),
     )
-    d = sub.select(
+    # spread() on the corpus side only: the 20-query-part cosine sweep
+    # otherwise runs on the 1-task fixture scan (guide §2.5).
+    d = spread(sub).select(
         F.col("vec_id").alias("doc_id"),
         F.col("sv").alias("dv"),
         row_norm(F.col("sv")).alias("dn"),
@@ -6203,7 +6214,10 @@ def llmops_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts), both 1-row results broadcast-joined; the OLS runs on a
     <= 5-row literal grid. No window, no sort, no per-row state."""
     d = t(spark, sf_dir, "documents")
-    tk = d.select(
+    # spread(): tokenize + trigram build/explode is per-row text compute
+    # over the 1-task fixture scan (guide §2.5); no-op at scale. dmax
+    # below stays on the plain scan (scan-bound aggregate).
+    tk = spread(d.select("doc_id", "text")).select(
         "doc_id", F.transform(tokens(F.col("text")), F.lower).alias("toks")
     )
     tri = (
@@ -6783,7 +6797,9 @@ def llmops_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan-sized shuffle) -> the frequency-of-frequencies table, whose
     size is bounded by the MAXIMUM count, not the vocabulary — the
     self-join, scalars, and emission all run on that tiny grid."""
-    d = t(spark, sf_dir, "documents")
+    # spread(): tokenize + trigram build/explode is per-row text compute
+    # over the 1-task fixture scan (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("text"))
     tk = d.select(
         F.transform(tokens(F.col("text")), F.lower).alias("toks")
     )

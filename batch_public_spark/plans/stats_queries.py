@@ -30,6 +30,7 @@ from batch_public_spark.plans.lint import bounded_window_key
 from batch_public_spark.plans.llmops_queries import _TOKS
 from batch_public_spark.plans.registry import query
 from batch_public_spark.sources.tables import load_table as t
+from batch_public_spark.sources.tables import spread
 
 # EWMA decay weights 0.7^k, k=0..13, materialized once in Python and spelled
 # as the SAME double literals in the Spark plan and the DuckDB oracle:
@@ -646,7 +647,10 @@ def llmops_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     en = d.filter((F.col("lang") == "en") & (F.col("doc_id") < 150)).select(
         "doc_id", "n_chars", F.substring("text", 1, 200).alias("head")
     )
-    a, b = en.alias("a"), en.alias("b")
+    # spread() on the STREAM side only: the O(len²) levenshtein runs on
+    # the BroadcastNestedLoopJoin's stream tasks, and the 1-task fixture
+    # scan serializes it (guide §2.5); the broadcast side is unchanged.
+    a, b = spread(en).alias("a"), en.alias("b")
     # Explicit broadcast: the join has no equi-key, and without it the
     # planner falls back to CartesianProduct once the scan's size estimate
     # passes the auto-broadcast threshold (the lint gate flags those).
@@ -781,7 +785,9 @@ def llmops_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame
     per-partition sketches combine. Bucket addressing is md5-hex
     arithmetic (curation_queries._hex3) evaluated from identical inputs
     in both engines, so the DuckDB replay fills the identical sketch."""
-    d = t(spark, sf_dir, "documents")
+    # spread(): tokenize + explode is per-row text compute over the
+    # 1-task fixture scan (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("text"))
     counts = (
         d.select(F.explode(tokens(F.lower(F.col("text")))).alias("term"))
         .groupBy("term")

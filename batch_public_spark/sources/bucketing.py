@@ -19,6 +19,7 @@ sort-merge join.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -33,7 +34,17 @@ def write_bucketed(
 ) -> None:
     """Persist ``df`` as an external parquet table bucketed (and optionally
     sorted) on ``key``. Bucketing metadata lives in the session catalog —
-    readers must go through ``spark.table(table)``, not raw paths."""
+    readers must go through ``spark.table(table)``, not raw paths.
+
+    The pre-write ``repartition(buckets, key)`` uses the SAME murmur3
+    HashPartitioning as the bucket assignment, so each write task holds
+    exactly one bucket: the write runs ``buckets``-wide in parallel and
+    emits ONE file per bucket, instead of (input tasks × buckets) small
+    files from however many tasks the upstream plan happens to have
+    (bucketBy never shuffles on its own — a 1-task upstream serializes
+    the whole encode, a 32-task upstream sprays 32 files per bucket).
+    Guide §6 output-file sizing + §2 shuffle-width discipline."""
+    df = df.repartition(buckets, F.col(key))
     w = df.write.format("parquet").mode(mode).option("path", path).bucketBy(buckets, key)
     if sort:
         w = w.sortBy(key)

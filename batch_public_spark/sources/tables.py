@@ -15,6 +15,7 @@ The catalog-listing affordance (reference main.py:624-634, S2) maps to
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -34,10 +35,32 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Resolved-plan memo for load_table: {session → {(abs sf_dir, table) → DF}}.
+# Weak keys: entries die with their session; a fresh session (even in the
+# same process) resolves from scratch. Holds logical plans only — no data.
+_PLAN_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one catalog table. Lazy: no IO until an action runs, so filters
-    and projections applied downstream push into the parquet scan."""
+    and projections applied downstream push into the parquet scan.
+
+    The RESOLVED DataFrame (an unexecuted logical plan) is memoized per
+    (session, dir, table): ``spark.read.parquet`` costs ~100-150 ms per
+    call in datasource resolution + footer schema inference + file
+    listing, a fixed tax every query in the registry paid on every
+    construction. This is metadata/plan caching — exactly what a catalog
+    table (`spark.table`) gives a production job via the metastore — and
+    caches NO row data: every action still scans the parquet files. Keyed
+    weakly by the session object so driver-built vanilla sessions get
+    their own entries and stopped sessions drop out."""
+    per = _PLAN_CACHE.setdefault(spark, {})
+    key = (os.path.abspath(sf_dir), name)
+    cached = per.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # Must work on ANY session (the driver builds its own), so set the
         # read conf at runtime rather than relying on our session factory.
@@ -65,6 +88,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif not isinstance(ts_type, T.TimestampType):
             df = df.withColumn("ts", F.expr(_NTZ_AS_UTC))
+    per[key] = df
     return df
 
 
