@@ -5396,7 +5396,9 @@ def llmops_bpe_apply_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast model — the IVF-centroid shape again. At 100 TB a real
     vocab is ~50k merges applied in a Pandas UDF with a trie; the
     3-merge unroll pins the semantics that UDF must reproduce."""
-    d = t(spark, sf_dir, "documents")
+    # spread(): tokenize + per-char pair explode is per-row text compute
+    # over the 1-task fixture scan (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("source", "text"))
     toks = d.select(
         "source", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("tok")
     )

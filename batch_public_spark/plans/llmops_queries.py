@@ -1249,7 +1249,9 @@ def llmops_boilerplate_sentence_filter(spark: SparkSession, sf_dir: str) -> Data
     one exchange + a bounded window replaces both). A document carries
     exactly one source, so summing per-source distinct-doc counts over
     sh IS count(DISTINCT doc_id) per sh."""
-    d = t(spark, sf_dir, "documents")
+    # spread(): the positional-shingle explode + xxhash64 is per-row text
+    # compute over the 1-task fixture scan (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "source", "text"))
     inst = d.select(
         "doc_id",
         "source",
@@ -1848,7 +1850,10 @@ def llmops_pair_sim_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 150)
         .select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
     )
-    a = d.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    # spread() on the left (stream) side: the CartesianProduct runs
+    # left-parts × right-parts tasks, and two 1-task inputs serialize the
+    # ~11k set-intersections onto one task (guide §2.5).
+    a = spread(d).select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = d.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = (
         a.crossJoin(b)
@@ -4008,7 +4013,9 @@ def llmops_gopher_reject_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE explode + two hash aggregations on doc_id — the same exchange
     the per-source rollup reuses. At 100 TB this whole gate is one
     shuffle of (doc_id, term) pairs."""
-    d = t(spark, sf_dir, "documents").select(
+    # spread(): tokenize + in-row array metrics over the 1-task fixture
+    # scan (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "source", "text")).select(
         "doc_id", "source", tokens(normalized_text(F.col("text"))).alias("toks")
     )
     top = (
@@ -5525,7 +5532,9 @@ def llmops_quality_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     so swapping survivorship policy costs nothing structural."""
     from batch_public_spark.operators.textops import tokens
 
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    # spread(): tokenize + quality_score is per-row text compute over
+    # the 1-task fixture scan (guide §2.5); no-op at scale.
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"))
     toks_lower = tokens(F.lower(F.col("text")))
     base = d.select(
         "doc_id",
