@@ -31,11 +31,20 @@ import contextlib
 import os
 import tempfile
 import uuid
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Schema memo for the footer probe below: {session → {abs path → schema}}.
+# Weak keys so entries die with their session (the load_table pattern);
+# holds StructTypes only — no plans, no data.
+_SCHEMA_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def read_events_stream(
     spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int | None = None
@@ -47,9 +56,15 @@ def read_events_stream(
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # Footer-only batch probe: file streams cannot infer schemas, and the
-    # physical ts type differs across testdata generations.
+    # physical ts type differs across testdata generations. Memoized per
+    # (session, path) — the probe costs ~100 ms of datasource resolution
+    # per call otherwise, paid by every streaming query construction.
     path = os.path.join(sf_dir, "events.parquet")
-    probed = spark.read.parquet(path).schema
+    per = _SCHEMA_CACHE.setdefault(spark, {})
+    probed = per.get(os.path.abspath(path))
+    if probed is None:
+        probed = spark.read.parquet(path).schema
+        per[os.path.abspath(path)] = probed
     # The file stream source requires a directory: stream the sf dir with a
     # glob filter rather than the single events.parquet file.
     reader = spark.readStream.schema(probed).option("pathGlobFilter", "events.parquet")
