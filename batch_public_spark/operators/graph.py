@@ -67,24 +67,25 @@ def connected_components(
             .agg(F.min("label").alias("nbr_label"))
             .withColumnRenamed("u", "id")
         )
-        new_labels = (
+        # The update join already holds old AND new label side by side, so
+        # carry the old label THROUGH the checkpoint and probe convergence
+        # with a narrow filter over the persisted frame — the former
+        # new-vs-old compare was one extra shuffle join per round whose
+        # only output was a boolean (guide §2.4: remove shuffles outright).
+        # Cost: one extra int column in the per-round persisted cut.
+        upd = (
             labels.join(nbr, "id", "left")
             .select(
                 "id",
+                F.col("label").alias("old_label"),
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
                     "label"
                 ),
             )
+            .localCheckpoint(eager=False)
         )
-        new_labels = new_labels.localCheckpoint(eager=False)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = upd.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        labels = upd.select("id", "label")
         if changed == 0:
             converged = True
             break
