@@ -43,9 +43,20 @@ def connected_components(
     Raises ``RuntimeError`` if labels are still changing after ``max_iter``
     rounds — returning non-converged labels would silently under-merge
     clusters (dedup would keep extra duplicates with no signal)."""
-    # Undirected: materialize both directions once.
+    # Undirected: canonicalize to (min, max) and dedupe BEFORE mirroring —
+    # the distinct then shuffles |E| canonical rows instead of 2|E|
+    # mirrored ones (guide §2.3: shuffle fewer bytes), and the mirror is a
+    # map-side projection. Self-loops are kept once and not re-mirrored,
+    # so the symmetrized set is exactly the old one.
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+    canon = e.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
+    ).distinct()
+    sym = canon.unionByName(
+        canon.filter(F.col("u") != F.col("v")).select(
+            F.col("v").alias("u"), F.col("u").alias("v")
+        )
+    )
     # Lazy checkpoint: the first iteration's `changed` action materializes
     # it inside a job that was running anyway (eager would schedule a
     # dedicated driver-blocking job just for the cut).
