@@ -217,22 +217,24 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     on d+1.
 
     Spark-first: dedup to (user, day) FIRST (the distinct is the heavy
-    shuffle and it shrinks 10k events → |user×day|), then a self
-    equi-join on (user_id, day+1) — sort-merge on the compound key, no
-    cross-day explosion. The day column is emitted as a string per the
-    registry timestamp discipline."""
+    shuffle and it shrinks 10k events → |user×day|), then retention is a
+    per-user lead() over the distinct days (r14: replaces the
+    (user_id, day+1) self equi-join — du is distinct, so the join matched
+    at most the single next active day, which is exactly lead; one
+    exchange + sort where the join shape paid two). The day column is
+    emitted as a string per the registry timestamp discipline."""
     e = t(spark, sf_dir, "events")
     du = e.select("user_id", F.to_date("ts").alias("d")).distinct()
-    a, b = du.alias("a"), du.alias("b")
-    joined = a.join(
-        b,
-        (F.col("a.user_id") == F.col("b.user_id"))
-        & (F.col("b.d") == F.date_add(F.col("a.d"), 1)),
-        "left",
+    nxt = F.lead("d").over(W.partitionBy("user_id").orderBy("d"))
+    return (
+        du.select("d", (nxt == F.date_add("d", 1)).cast("int").alias("_ret"))
+        .groupBy(F.col("d").alias("_d"))
+        .agg(
+            F.count("*").alias("n_active"),
+            F.sum(F.coalesce("_ret", F.lit(0))).cast("bigint").alias("n_retained"),
+        )
+        .select(F.date_format("_d", "yyyy-MM-dd").alias("day"), "n_active", "n_retained")
     )
-    return joined.groupBy(F.col("a.d").alias("_d")).agg(
-        F.count("*").alias("n_active"), F.count(F.col("b.user_id")).alias("n_retained")
-    ).select(F.date_format("_d", "yyyy-MM-dd").alias("day"), "n_active", "n_retained")
 
 
 # ---------------------------------------------------------------------------

@@ -450,23 +450,25 @@ def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q18: customers behind very large orders (grouped-HAVING IN
-    subquery → semi join on the aggregated orderkey set)."""
+    """TPC-H Q18: customers behind very large orders. The grouped-HAVING
+    IN subquery is a per-orderkey WINDOW sum over lineitem (r14): the
+    subquery form scanned and shuffled lineitem twice (once aggregated
+    for the semi-join set, once in full for the join); the window filter
+    pays one full-row exchange, which the orders join then reuses —
+    identical surviving rows, half the lineitem shuffle."""
     li = t(spark, sf_dir, "lineitem")
-    big = (
-        li.groupBy("l_orderkey")
-        .agg(F.sum(dec("l_quantity")).alias("_q"))
+    liw = (
+        li.select("l_orderkey", dec("l_quantity").alias("_qty"))
+        .withColumn("_q", F.sum("_qty").over(W.partitionBy("l_orderkey")))
         .filter(F.col("_q") > 250)
-        .select("l_orderkey")
     )
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
     return (
-        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
-        .join(li, o.o_orderkey == li.l_orderkey)
+        o.join(liw, o.o_orderkey == liw.l_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey", "o_totalprice")
-        .agg(money_sum(dec("l_quantity"), "sum_qty"))
+        .agg(money_sum(F.col("_qty"), "sum_qty"))
     )
 
 
@@ -523,10 +525,13 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 analogue: the sole late supplier on multi-supplier orders.
 
-    The spec's EXISTS/NOT-EXISTS pair is re-expressed as two aggregation
-    levels (per order-supplier pair, then per order) — same answer, but
-    each level is a partial+final hash agg instead of two correlated
-    re-scans of lineitem; the per-order side joins back at |pairs| scale.
+    The spec's EXISTS/NOT-EXISTS pair is re-expressed as one aggregation
+    level (per order-supplier pair) plus a per-order WINDOW over the pair
+    frame — same answer, but the window reuses the pair aggregation's
+    orderkey exchange (guide §2.4), where a per-order rollup + join-back
+    paid a second aggregation branch and a merge join. Per-order pair
+    groups are bounded by suppliers-per-order, so the window frame is
+    tiny at any scale.
     """
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
@@ -535,21 +540,21 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(0)
     pair = (
         li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("_late"))
+        # One orderkey exchange serves BOTH the (orderkey, suppkey)
+        # aggregation (clustering on a key subset satisfies it) and the
+        # per-order window below — without it the agg exchanges on the
+        # pair key and the window re-exchanges on orderkey.
+        .repartition(F.col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("late"))
-        # feeds the per-order rollup AND the late-pair probe: cut the
-        # lineitem⋈orders aggregate once (lazy — materialized by the
-        # first consumer's job)
-        .localCheckpoint(eager=False)
+        .agg(F.max("_late").alias("late"))
     )
-    per_order = pair.groupBy("l_orderkey").agg(
-        F.count("*").alias("n_supp"), F.sum("late").alias("n_late")
-    )
+    wo = W.partitionBy("l_orderkey")
     s = t(spark, sf_dir, "supplier")
     return (
-        pair.filter(F.col("late") == 1)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1))
+        pair.withColumn("n_supp", F.count("*").over(wo))
+        .withColumn("n_late", F.sum("late").over(wo))
+        .filter((F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1))
         .join(s, pair.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
