@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from batch_public_spark.operators.textops import token_count_bpe_ish, token_count_ws, tokens
 from batch_public_spark.plans.lint import bounded_window_key
 from batch_public_spark.plans.registry import query
+from batch_public_spark.sources.tables import inline_rows
 from batch_public_spark.sources.tables import load_table as t
 from batch_public_spark.sources.tables import spread
 
@@ -5321,8 +5322,8 @@ def join_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     # DPP requires a FILTER on the pruning side (the planner inserts the
     # pruning subquery only under a selective dim predicate); weight > 0
     # is semantically a no-op but syntactically load-bearing.
-    dim = spark.createDataFrame(
-        [("1-URGENT", 10), ("2-HIGH", 5)], "prio string, weight bigint"
+    dim = inline_rows(
+        spark, "prio string, weight bigint", [("1-URGENT", 10), ("2-HIGH", 5)]
     ).filter(F.col("weight") > 0)
     j = fact.join(F.broadcast(dim), fact.o_orderpriority == dim.prio)
     return j.groupBy(F.col("o_orderpriority").alias("prio")).agg(

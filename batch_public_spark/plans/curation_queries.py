@@ -35,6 +35,7 @@ from batch_public_spark.plans.llmops_queries import (
     _TOKS_NORM,
 )
 from batch_public_spark.plans.registry import query
+from batch_public_spark.sources.tables import inline_rows
 from batch_public_spark.sources.tables import load_table as t
 from batch_public_spark.sources.tables import spread
 
@@ -1656,7 +1657,7 @@ def llmops_best_of_n_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(W.partitionBy("source")).cast("bigint").alias("nn"),
     )
     grid = F.broadcast(
-        ranked.sparkSession.createDataFrame([(1,), (2,), (4,), (8,)], "n long")
+        inline_rows(ranked.sparkSession, "n long", [(1,), (2,), (4,), (8,)])
     )
 
     def chain(n):

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from batch_public_spark.plans.lint import bounded_window_key
 from batch_public_spark.plans.registry import query
+from batch_public_spark.sources.tables import inline_rows
 from batch_public_spark.sources.tables import load_table as t
 from batch_public_spark.sources.tables import spread
 
@@ -2089,8 +2090,8 @@ def llmops_sample_size_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists to pin the planning arithmetic into the verified registry
     (sample-size bugs silently undermine every experiment downstream).
     sf_dir is accepted and unused: the planner is data-free."""
-    baselines = spark.createDataFrame([(0.05,), (0.10,), (0.20,)], ["p1"])
-    mdes = spark.createDataFrame([(0.05,), (0.10,), (0.20,)], ["mde_rel"])
+    baselines = inline_rows(spark, "p1 double", [(0.05,), (0.10,), (0.20,)])
+    mdes = inline_rows(spark, "mde_rel double", [(0.05,), (0.10,), (0.20,)])
     grid = baselines.crossJoin(F.broadcast(mdes)).withColumn(
         "p2", F.col("p1") * (1.0 + F.col("mde_rel"))
     )

@@ -52,6 +52,7 @@ from batch_public_spark.operators.textops import (
 )
 from batch_public_spark.plans.lint import bounded_window_key
 from batch_public_spark.plans.registry import query
+from batch_public_spark.sources.tables import inline_rows
 from batch_public_spark.sources.tables import load_table as t
 from batch_public_spark.sources.tables import spread
 
@@ -304,7 +305,7 @@ def llmops_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         (5, "Привет мир как дела"),
         (6, "hello plain world with nothing special"),
     ]
-    df = spark.createDataFrame(rows, "case_id int, text string")
+    df = inline_rows(spark, "case_id int, text string", rows)
     return df.select("case_id", lang_id(F.col("text")).alias("lang"))
 
 
@@ -2608,9 +2609,9 @@ def llmops_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline of stats_queries). Data-free VALUES×VALUES grid
     (broadcast cross join, zero scans; sf_dir accepted and unused);
     the window partitions on the bounded band grid."""
-    bw = spark.createDataFrame([(4, 16), (8, 8), (16, 4), (32, 2)], ["b", "r"])
-    sv = spark.createDataFrame(
-        [(0.3,), (0.5,), (0.7,), (0.8,), (0.9,), (0.95,)], ["s"]
+    bw = inline_rows(spark, "b bigint, r bigint", [(4, 16), (8, 8), (16, 4), (32, 2)])
+    sv = inline_rows(
+        spark, "s double", [(0.3,), (0.5,), (0.7,), (0.8,), (0.9,), (0.95,)]
     )
     g = bw.crossJoin(F.broadcast(sv))
     s = F.col("s")
@@ -3021,9 +3022,7 @@ def llmops_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         legs.append(ivf)
     ivf_all = legs[0].unionAll(legs[1]).unionAll(legs[2])
-    nps = spark.range(0).sparkSession.createDataFrame(
-        [(1,), (2,), (4,)], "nprobe long"
-    )
+    nps = inline_rows(spark, "nprobe long", [(1,), (2,), (4,)])
     j = (
         brute.crossJoin(F.broadcast(nps))
         .join(
@@ -6564,7 +6563,7 @@ def llmops_unicode_nfc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     family at zero structural cost."""
     from batch_public_spark.operators.textops import nfc_text
 
-    d = spark.createDataFrame(_NFC_FIXTURE, "doc_id long, text string").withColumn(
+    d = inline_rows(spark, "doc_id long, text string", _NFC_FIXTURE).withColumn(
         "norm", nfc_text(F.col("text"))
     )
     return d.groupBy("norm").agg(

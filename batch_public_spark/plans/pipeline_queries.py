@@ -11,7 +11,7 @@ may hand us a session built with any timezone.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from batch_public_spark.functions import (
@@ -28,6 +28,7 @@ from batch_public_spark.pipeline.formatter import build_requests
 from batch_public_spark.pipeline.llm import respond
 from batch_public_spark.pipeline.parser import parse_batch_output
 from batch_public_spark.plans.registry import query
+from batch_public_spark.sources.tables import inline_rows
 from batch_public_spark.sources.tables import load_table as t
 
 
@@ -70,7 +71,7 @@ def pipeline_ts_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F2: epoch/ms-heuristic/ISO-Z/naive-UTC/offset/EST/EDT cascade as one
     JVM expression (reference dynamo_fetcher.py:205-279)."""
     _utc(spark)
-    df = spark.createDataFrame(_TS_FIXTURE, "case_id int, v string")
+    df = inline_rows(spark, "case_id int, v string", _TS_FIXTURE)
     return df.select(
         "case_id",
         F.coalesce(normalize_ts(F.col("v")), F.lit(-1)).cast("bigint").alias("epoch_s"),
@@ -94,16 +95,17 @@ def pipeline_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F5: ordered field-priority coalesce with numeric/list casts
     (reference dynamo_fetcher.py:87-168)."""
     rows = [
-        Row(case_id=1, Summary=" hello ", text="nope", percent_increase=None, trend_breakdown=None),
-        Row(case_id=2, Summary="   ", text="second", percent_increase=None, trend_breakdown=None),
-        Row(case_id=3, Summary=None, text=None, percent_increase=12.5, trend_breakdown=None),
-        Row(case_id=4, Summary=None, text=None, percent_increase=None, trend_breakdown=["a", "b"]),
-        Row(case_id=5, Summary=None, text="", percent_increase=None, trend_breakdown=None),
+        (1, " hello ", "nope", None, None),
+        (2, "   ", "second", None, None),
+        (3, None, None, 12.5, None),
+        (4, None, None, None, ["a", "b"]),
+        (5, None, "", None, None),
     ]
-    df = spark.createDataFrame(
-        rows,
+    df = inline_rows(
+        spark,
         "case_id int, Summary string, text string, percent_increase double, "
         "trend_breakdown array<string>",
+        rows,
     )
     return df.select("case_id", F.coalesce(extract_text(df), F.lit("")).alias("text"))
 
@@ -142,7 +144,7 @@ _REPAIR_FIXTURE = [
 def pipeline_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P3+P4: markdown fence strip then the four-rule fuzzy JSON repair
     (reference parse.py:101-168), all native regexp_replace."""
-    df = spark.createDataFrame(_REPAIR_FIXTURE, "case_id int, raw string")
+    df = inline_rows(spark, "case_id int, raw string", _REPAIR_FIXTURE)
     return df.select("case_id", loosen_json(strip_fences(F.col("raw"))).alias("repaired"))
 
 
@@ -274,8 +276,8 @@ def pipeline_parse_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EP3 parse: status filter (F6), fence strip (P3), repair (P4), nested
     extraction (P5), provenance (P6), array flatten (P7) — pure column ops
     (reference parse.py:72-222)."""
-    lines = [Row(v=_outer(cid, content, st)) for cid, content, st in _PARSE_FIXTURE_CONTENT]
-    raw = spark.createDataFrame(lines)
+    lines = [(_outer(cid, content, st),) for cid, content, st in _PARSE_FIXTURE_CONTENT]
+    raw = inline_rows(spark, "v string", lines)
     from batch_public_spark.pipeline.parser import OUTPUT_SCHEMA
 
     records = raw.select(F.from_json("v", OUTPUT_SCHEMA).alias("r")).select("r.*")
@@ -348,14 +350,15 @@ def pipeline_dedup_key_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1 key: first of url/link/source_url/guid (lower+trim) else first of
     id/pk/record_id/article_id stringified (reference dynamo_fetcher.py:
     336-349)."""
-    df = spark.createDataFrame(
+    df = inline_rows(
+        spark,
+        "case_id int, url string, guid string, id string",
         [
             (1, " HTTP://X.com/A ", None, "9"),
             (2, "  ", "G-1", "9"),
             (3, None, None, "7"),
             (4, None, None, None),
         ],
-        "case_id int, url string, guid string, id string",
     )
     return df.select("case_id", F.coalesce(dedup_key(df), F.lit("")).alias("dkey"))
 

@@ -29,6 +29,7 @@ from batch_public_spark.operators.textops import token_count_ws, tokens
 from batch_public_spark.plans.lint import bounded_window_key
 from batch_public_spark.plans.llmops_queries import _TOKS
 from batch_public_spark.plans.registry import query
+from batch_public_spark.sources.tables import inline_rows
 from batch_public_spark.sources.tables import load_table as t
 from batch_public_spark.sources.tables import spread
 
@@ -1358,9 +1359,9 @@ def dq_schema_contract_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (f.name, canon_map.get(f.dataType, f.dataType.simpleString()))
         for f in t(spark, sf_dir, "orders").schema.fields
     ]
-    actual = spark.createDataFrame(actual_rows, "column_name string, actual_type string")
-    expected = spark.createDataFrame(
-        _CONTRACT_EXPECTED, "column_name string, expected_type string"
+    actual = inline_rows(spark, "column_name string, actual_type string", actual_rows)
+    expected = inline_rows(
+        spark, "column_name string, expected_type string", _CONTRACT_EXPECTED
     )
     e, a = expected.alias("e"), actual.alias("a")
     return e.join(a, F.col("a.column_name") == F.col("e.column_name"), "full_outer").select(
@@ -1468,9 +1469,10 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n")
     )
     tot = counts.agg(F.sum("n").cast("bigint").alias("total"))
-    expected = spark.createDataFrame(
-        [(d + 1, float(s)) for d, s in enumerate(_BENFORD)],
+    expected = inline_rows(
+        spark,
         "digit bigint, benford_share double",
+        [(d + 1, float(s)) for d, s in enumerate(_BENFORD)],
     )
     share = F.coalesce(F.col("n"), F.lit(0)).cast("double") / F.col("total")
     return (
@@ -1604,8 +1606,8 @@ def events_journey_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("journey")
         )
     )
-    pats = spark.createDataFrame(
-        [("v.*c.*p",), ("s.*p",), ("e.*e.*e",), ("^v",)], "pattern string"
+    pats = inline_rows(
+        spark, "pattern string", [("v.*c.*p",), ("s.*p",), ("e.*e.*e",), ("^v",)]
     )
     tot = journeys.agg(F.count("*").cast("bigint").alias("n_users"))
     matched = F.when(

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from batch_public_spark.plans.lint import bounded_window_key
 from batch_public_spark.plans.registry import query
+from batch_public_spark.sources.tables import inline_rows
 from batch_public_spark.sources.tables import load_table as t
 
 _TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
@@ -638,14 +639,15 @@ def join_range_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     residual filter (the join_orders_within_week shape). LEFT join from
     the dim keeps empty promos visible with zero totals."""
     o = t(spark, sf_dir, "orders")
-    promos = spark.createDataFrame(
+    promos = inline_rows(
+        spark,
+        "promo string, start_d string, end_d string",
         [
             ("winter96", "1996-01-01", "1996-04-01"),
             ("summer96", "1996-06-01", "1996-09-01"),
             ("winter97", "1997-01-01", "1997-04-01"),
             ("summer97", "1997-06-01", "1997-09-01"),
         ],
-        "promo string, start_d string, end_d string",
     ).select(
         "promo",
         F.to_date("start_d").alias("start_d"),

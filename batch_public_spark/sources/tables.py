@@ -18,6 +18,7 @@ import os
 import weakref
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # Full driver testdata catalog (TESTDATA.md).
 TABLES = (
@@ -100,6 +101,36 @@ _NTZ_AS_UTC = (
     "make_timestamp(year(ts), month(ts), day(ts), hour(ts), minute(ts), "
     "extract(SECOND FROM ts), 'UTC')"
 )
+
+
+def inline_rows(spark: SparkSession, schema: str, rows: list[tuple]) -> DataFrame:
+    """Literal in-code fixture/dim table as a JVM-side relation (the
+    values_inline_dim_join idiom, generalized): ``createDataFrame`` ships
+    rows through a Python RDD — the plan scans ``ExistingRDD`` and every
+    action pays a Python-worker wave plus pickle round-trip just to read
+    constants, and the bench classifies the whole query as a
+    Python-boundary plan. An ``inline`` over a literal array of structs
+    is a pure JVM generator over plan constants (guide §4.1: remove the
+    boundary), built with ``lit``/``struct`` so no SQL-string escaping is
+    involved. Each cell is cast to the declared column type, matching
+    ``createDataFrame``'s schema coercion (None cells included).
+
+    ``schema`` is the usual DDL string ("case_id int, text string");
+    nested types work wherever ``lit`` accepts the cell (scalars, lists).
+    For literal tables only — data-sized frames keep real sources."""
+    fields = [f.strip() for f in schema.split(",") if f.strip()]
+    names = [f.split(None, 1)[0] for f in fields]
+    types = [f.split(None, 1)[1] for f in fields]
+    structs = [
+        F.struct(
+            *[
+                F.lit(cell).cast(tp).alias(nm)
+                for cell, nm, tp in zip(row, names, types)
+            ]
+        )
+        for row in rows
+    ]
+    return spark.range(0, 1, 1, 1).select(F.inline(F.array(*structs)))
 
 
 def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
