@@ -568,3 +568,49 @@ def test_gopher_topword_is_the_only_doc_exchange_chain(spark):
     may not contain a sort-merge join of the corpus against itself."""
     p = plan(spark, "llmops_gopher_reject_rates")
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+
+
+def test_inline_rows_stays_off_the_python_path(spark):
+    """inline_rows literal tables are JVM LocalRelation-style generators:
+    no Scan ExistingRDD (the createDataFrame pickled-RDD hop) anywhere in
+    a fixture-driven query's plan, and cells type/NULL exactly as the
+    declared DDL schema."""
+    from batch_public_spark.sources.tables import inline_rows
+
+    for name in ("llmops_lsh_param_planner", "pipeline_parse_outputs"):
+        p = plan(spark, name)
+        assert "ExistingRDD" not in p, (name, p)
+
+    df = inline_rows(
+        spark,
+        "case_id int, s string, x double, arr array<string>",
+        [(1, "héllo", None, ["a", "b"]), (2, None, 2.5, None)],
+    )
+    assert [f.simpleString() for f in df.schema.fields] == [
+        "case_id:int",
+        "s:string",
+        "x:double",
+        "arr:array<string>",
+    ]
+    rows = sorted(df.collect(), key=lambda r: r.case_id)
+    assert rows[0].x is None and rows[0].arr == ["a", "b"]
+    assert rows[1].s is None and rows[1].arr is None and rows[1].x == 2.5
+
+
+def test_q21_single_data_exchange_no_rollup_join(spark):
+    """q21: the per-order window reuses the one orderkey repartition — no
+    per-order rollup branch, no SortMergeJoin, exactly two shuffles in
+    the whole plan (the orderkey repartition + the final tiny s_name
+    aggregation)."""
+    p = plan(spark, "q21_waiting_supplier")
+    assert "SortMergeJoin" not in p, p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 2, p
+
+
+def test_q18_lineitem_scanned_once(spark):
+    """q18: the HAVING set is a window over the single lineitem pass —
+    one lineitem scan (three scans total with orders + customer), and the
+    orders join / final groupBy reuse the window's orderkey exchange."""
+    p = plan(spark, "q18_large_volume")
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 3, p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
