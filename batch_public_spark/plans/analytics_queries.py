@@ -1278,10 +1278,17 @@ def agg_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count here exists to certify it. Quartile boundaries are one
     tiny agg broadcast onto the scan."""
     o = t(spark, sf_dir, "orders")
+    # ONE percentile buffer for all three boundaries (array form): three
+    # separate percentile() aggregates each build their own 150k-entry
+    # value-count map over the same column — measured 1.5 s vs 0.7 s for
+    # the fused form on the single-row-group scan (guide §1.2 step 2).
+    # Interpolation arithmetic is identical, so the values are bit-equal.
     b = o.agg(
-        F.round(F.expr("percentile(o_totalprice, 0.25)"), 6).alias("b1"),
-        F.round(F.expr("percentile(o_totalprice, 0.50)"), 6).alias("b2"),
-        F.round(F.expr("percentile(o_totalprice, 0.75)"), 6).alias("b3"),
+        F.expr("percentile(o_totalprice, array(0.25, 0.50, 0.75))").alias("bs")
+    ).select(
+        F.round(F.element_at("bs", 1), 6).alias("b1"),
+        F.round(F.element_at("bs", 2), 6).alias("b2"),
+        F.round(F.element_at("bs", 3), 6).alias("b3"),
     )
     bucketed = o.crossJoin(F.broadcast(b)).select(
         F.when(F.col("o_totalprice") <= F.col("b1"), "q1")
@@ -1291,10 +1298,19 @@ def agg_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bucket"),
         "o_custkey",
     )
-    exact = F.countDistinct("o_custkey")
+    # Expand-free distinct: count(DISTINCT) mixed with a non-distinct
+    # aggregate (the HLL sketch) plans through RewriteDistinctAggregates'
+    # Expand — every row duplicated per aggregate group, with no partial
+    # aggregation on the distinct leg (measured 2.2 s vs 1.0 s at sf0.1).
+    # Pre-aggregating to the distinct (bucket, custkey) pairs keeps both
+    # legs partially aggregable and feeds the HLL the identical value SET
+    # (duplicate inserts never change a sketch), so n_orders, the exact
+    # count, and the estimate are all unchanged — verified row-identical.
+    pre = bucketed.groupBy("bucket", "o_custkey").agg(F.count("*").alias("c"))
+    exact = F.count("*")
     approx = F.approx_count_distinct("o_custkey", 0.02)
-    return bucketed.groupBy("bucket").agg(
-        F.count("*").alias("n_orders"),
+    return pre.groupBy("bucket").agg(
+        F.sum("c").alias("n_orders"),
         exact.alias("exact_custkeys"),
         ((F.abs(approx - exact) / exact) <= F.lit(0.05)).alias("within_5pct"),
     )
@@ -1463,14 +1479,28 @@ def agg_approx_percentile_accuracy(spark: SparkSession, sf_dir: str) -> DataFram
     map-side mergeable state — the only viable plan at scale, certified
     here against the exact answer while the data still fits."""
     o = t(spark, sf_dir, "orders")
-    exact = F.expr("percentile(o_totalprice, 0.5)")
-    lo = F.expr("percentile(o_totalprice, 0.45)")
-    hi = F.expr("percentile(o_totalprice, 0.55)")
+    # One percentile buffer for all three exact quantiles (array form):
+    # three separate percentile() aggregates each build their own
+    # per-group value-count map over the same column; the fused form
+    # inserts each row once. Interpolation arithmetic is identical.
+    pcts = F.expr("percentile(o_totalprice, array(0.45, 0.5, 0.55))")
     approx = F.expr("approx_percentile(o_totalprice, 0.5, 10000)")
-    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.count("*").alias("n"),
-        F.round(exact, 6).alias("exact_median"),
-        ((approx >= lo) & (approx <= hi)).alias("within_rank_band"),
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n"),
+            pcts.alias("exs"),
+            approx.alias("apx"),
+        )
+        .select(
+            "priority",
+            "n",
+            F.round(F.element_at("exs", 2), 6).alias("exact_median"),
+            (
+                (F.col("apx") >= F.element_at("exs", 1))
+                & (F.col("apx") <= F.element_at("exs", 3))
+            ).alias("within_rank_band"),
+        )
     )
 
 
@@ -2952,9 +2982,17 @@ def llmops_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB this is exactly how you'd get the top component for embedding
     whitening/dedup preconditioning."""
     e = t(spark, sf_dir, "embeddings")
-    x = e.select(
-        "vec_id", F.posexplode(F.col("embedding"))
-    ).select("vec_id", F.col("pos").alias("dim"), F.col("col").cast("double").alias("val"))
+    x = (
+        e.select("vec_id", F.posexplode(F.col("embedding")))
+        .select("vec_id", F.col("pos").alias("dim"), F.col("col").cast("double").alias("val"))
+        # FIVE consumers re-derive X (dims probe + two aggregations per
+        # round): cut once so the scan+explode materializes once instead
+        # of once per broadcast sub-job (measured 1.18 -> 0.87 s at
+        # sf0.1; values row-identical). spread() was A/B'd and LOST
+        # (explode feeding hash aggregations is exchange-bound — the
+        # batch-4/7 boundary).
+        .localCheckpoint(eager=False)
+    )
     dims = x.select("dim").distinct()
     d = dims.agg(F.count("*").cast("double").alias("n"))
     v = dims.crossJoin(F.broadcast(d)).select(

@@ -3556,7 +3556,10 @@ def eval_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 5).alias("g"),
         "value",
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).alias("d"),
-    )
+    # Three consumers (model, calib, test) each re-scan events and
+    # re-derive the md5 split digit: cut once so the hash projection
+    # runs one pass (the mondrian twin's measured lever; row-identical).
+    ).localCheckpoint(eager=False)
     model = (
         ev.filter(F.col("d").between("0", "7"))
         .groupBy("g")
@@ -3678,7 +3681,10 @@ def eval_conformal_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 5).alias("g"),
         "value",
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).alias("d"),
-    )
+    # Three consumers (model, calib, test) each re-scan events and
+    # re-derive the md5 split digit: cut once so the hash projection
+    # runs one pass (the mondrian twin's measured lever; row-identical).
+    ).localCheckpoint(eager=False)
     model = (
         ev.filter(F.col("d").between("0", "7"))
         .groupBy("g")
@@ -3693,6 +3699,9 @@ def eval_conformal_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("d").isin("8", "9", "a", "b"))
         .join(model, "g")
         .select("g", "event_id", F.abs(F.col("value") - F.col("yhat")).alias("score"))
+        # Two consumers (exact rank window, percentile-sketch agg): cut
+        # so the score projection materializes once.
+        .localCheckpoint(eager=False)
     )
     wg = W.partitionBy("g")
     exact_q = (
@@ -3708,10 +3717,21 @@ def eval_conformal_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("g", F.col("n").cast("bigint").alias("n_calib"), F.col("score").alias("qhat"))
     )
-    sketch = calib.groupBy("g").agg(
-        F.expr("approx_percentile(score, 0.9, 10000)").alias("qhat_approx"),
-        F.expr("percentile(score, 0.85)").alias("band_lo"),
-        F.expr("percentile(score, 0.95)").alias("band_hi"),
+    # One percentile buffer for both exact band edges (array form): two
+    # separate percentile() aggregates each build their own per-group
+    # value-count map over the calibration scores. Bit-equal edges.
+    sketch = (
+        calib.groupBy("g")
+        .agg(
+            F.expr("approx_percentile(score, 0.9, 10000)").alias("qhat_approx"),
+            F.expr("percentile(score, array(0.85, 0.95))").alias("band"),
+        )
+        .select(
+            "g",
+            "qhat_approx",
+            F.element_at("band", 1).alias("band_lo"),
+            F.element_at("band", 2).alias("band_hi"),
+        )
     )
     tst = (
         ev.filter(F.col("d").isin("c", "d", "e", "f"))
@@ -3866,7 +3886,12 @@ def eval_conformal_mondrian(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("g").startswith("major"), "c_major")
         .when(F.col("g") == "mid", "c_mid")
         .otherwise("c_rare"),
-    )
+    # THREE consumers (model, calib, test) each re-scan events and
+    # re-derive the md5 splits: cut once so the hash projection runs one
+    # pass (measured 1.0 -> 0.35 s at sf0.1 together with the calib cut
+    # below; values row-identical). At scale the same cut stages the
+    # split columns once instead of once per split consumer.
+    ).localCheckpoint(eager=False)
     model = ev.filter(F.col("d").between("0", "7")).agg(
         (
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double") / F.count("*")
@@ -3878,6 +3903,9 @@ def eval_conformal_mondrian(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "g", "gc", "event_id", F.abs(F.col("value") - F.col("yhat")).alias("score")
         )
+        # Three consumers (total count, fine-rank window, coarse-rank
+        # window): cut so the score projection materializes once.
+        .localCheckpoint(eager=False)
     )
     total = calib.agg(F.count("*").cast("bigint").alias("n_total"))
     rank_at = F.least(F.ceil(0.9 * (F.col("n") + 1)).cast("bigint"), F.col("n"))

@@ -888,9 +888,17 @@ def agg_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     values go through DECIMAL so the winsorized sum is order-invariant;
     only the final means divide as doubles."""
     o = t(spark, sf_dir, "orders")
-    edges = o.groupBy(F.col("o_orderpriority").alias("pri")).agg(
-        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.05)), 6).alias("lo"),
-        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.95)), 6).alias("hi"),
+    # One percentile buffer for both band edges (array form): two separate
+    # percentile() aggregates each build their own per-group value-count
+    # map over the same column. Same interpolation, bit-equal edges.
+    edges = (
+        o.groupBy(F.col("o_orderpriority").alias("pri"))
+        .agg(F.percentile(F.col("o_totalprice"), F.lit([0.05, 0.95])).alias("es"))
+        .select(
+            "pri",
+            F.round(F.element_at("es", 1), 6).alias("lo"),
+            F.round(F.element_at("es", 2), 6).alias("hi"),
+        )
     )
     j = o.join(F.broadcast(edges), o.o_orderpriority == edges.pri)
     clamped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
@@ -1210,8 +1218,14 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*") > 0,
             F.round(F.count("secs").cast("double") / F.count("*"), 6),
         ).alias("conversion_rate"),
-        F.round(F.percentile("secs", F.lit(0.5)), 6).alias("p50_secs"),
-        F.round(F.percentile("secs", F.lit(0.9)), 6).alias("p90_secs"),
+        # One percentile buffer for both quantiles (array form; bit-equal).
+        F.percentile("secs", F.lit([0.5, 0.9])).alias("ps"),
+    ).select(
+        "n_signup_users",
+        "n_converted",
+        "conversion_rate",
+        F.round(F.element_at("ps", 1), 6).alias("p50_secs"),
+        F.round(F.element_at("ps", 2), 6).alias("p90_secs"),
     )
 
 
