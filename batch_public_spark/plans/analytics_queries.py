@@ -1550,8 +1550,18 @@ def llmops_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.transform(tokens(F.col("text")), F.lower)).alias("term")
     )
-    tf = tok.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("tf"))
-    dlen = tok.groupBy("doc_id").agg(F.count("*").cast("double").alias("dl"))
+    # The tf postings feed two differently-keyed consumers (df count by
+    # term, scoring join by doc) which exchange reuse cannot dedupe, and
+    # doc length is exactly the per-doc SUM of tf (same token count) —
+    # so ONE aggregated postings frame, cut once, subsumes what used to
+    # be three tokenize+explode passes. Counts are exact either way;
+    # row-identical, warm ~1.1 -> ~1.0 s at sf0.1 (cold 4.1 -> 1.5).
+    tf = (
+        tok.groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dlen = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = dlen.agg(
         F.count("*").cast("double").alias("n_docs"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),

@@ -1114,18 +1114,29 @@ def llmops_kl_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     summed as DECIMAL so accumulation order is hash-invariant."""
     d = t(spark, sf_dir, "documents")
     toks = d.select("source", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    # The exploded token stream used to feed THREE differently-keyed
+    # consumers (global vocab count, per-source counts, source list),
+    # each re-running tokenize+explode — keys differ, so exchange reuse
+    # cannot dedupe them. One (source, term) aggregate subsumes all
+    # three (global counts = its per-term sum; sources = its key
+    # projection — a source appears iff it has ≥1 token, exactly the old
+    # distinct's membership) and is cut once. Counts are exact either
+    # way; measured warm 1.3-1.7 -> 1.0-1.1 s at sf0.1, row-identical.
+    tc = (
+        toks.groupBy("source", "term")
+        .agg(F.count("*").cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
     vocab = (
-        toks.groupBy("term")
-        .agg(F.count("*").cast("bigint").alias("g"))
+        tc.groupBy("term")
+        .agg(F.sum("c").cast("bigint").alias("g"))
         .orderBy(F.desc("g"), "term")
         .limit(200)
     )
-    src_counts = (
-        toks.join(F.broadcast(vocab.select("term")), "term")
-        .groupBy("source", "term")
-        .agg(F.count("*").cast("bigint").alias("c"))
+    src_counts = tc.join(F.broadcast(vocab.select("term")), "term").select(
+        "source", "term", "c"
     )
-    srcs = toks.select("source").distinct()
+    srcs = tc.select("source").distinct()
     grid = (
         srcs.crossJoin(F.broadcast(vocab))
         .join(src_counts, ["source", "term"], "left")
