@@ -570,11 +570,17 @@ def simhash_neardup_pairs(
             ),
         )
     )
+    # Apply the Hamming threshold IN-ARRAY, before the explode and the
+    # pair-dedup exchange (guide §2.3: shuffle fewer bytes): a signature
+    # is unique per id, so hamming is functionally determined by
+    # (id_a, id_b) and filter-then-distinct ≡ distinct-then-filter — but
+    # the distinct now shuffles only the (typically few) pairs that pass
+    # the threshold instead of every candidate pair in every band.
+    near = F.filter(pair_structs, lambda p: p["hamming"] <= F.lit(max_hamming))
     return (
-        members.select(F.explode(pair_structs).alias("p"))
+        members.select(F.explode(near).alias("p"))
         .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
-        .filter(F.col("hamming") <= max_hamming)
     )
 
 
@@ -655,6 +661,34 @@ def fused_cosine(a: Column, b: Column, na: Column, nb: Column) -> Column:
     return F.when((na > 0) & (nb > 0), dot / na / nb).otherwise(F.lit(0.0))
 
 
+# Hard ceiling on any driver-side control-plane collect in the ANN family
+# (query samples, centroid models). Every caller passes a fixed-count
+# bounded frame by construction; this enforces the contract at the operator
+# boundary so a future caller passing a corpus fraction fails loudly
+# instead of OOMing the driver silently (r14 verdict item #5). 10k rows of
+# (id, 64-dim double vector) ≈ 5 MB — far inside driver memory, far above
+# any legitimate sample.
+_CONTROL_PLANE_MAX_ROWS = 10_000
+
+
+def _collect_control_plane(df: DataFrame, what: str, cap: int = _CONTROL_PLANE_MAX_ROWS):
+    """Collect a bounded control-plane frame (ANN query sample, centroid
+    model) with the bound ENFORCED: collects at most ``cap + 1`` rows (the
+    limit bounds driver memory even on an unbounded input) and raises if
+    the frame overflows the cap. Equivalent to the broadcast it replaces
+    for any legitimate caller; order-preserving when the input is sorted
+    (limit-after-sort plans as TakeOrdered)."""
+    rows = df.limit(cap + 1).collect()
+    if len(rows) > cap:
+        raise ValueError(
+            f"{what}: control-plane frame exceeds {cap} rows. This side "
+            "must be a fixed-count bounded sample (id-threshold or "
+            "hash-rank top-K), never a corpus fraction — it is collected "
+            "to the driver and shipped in a task closure."
+        )
+    return rows
+
+
 def ann_bruteforce_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -697,7 +731,9 @@ def ann_bruteforce_topk(
     spark = vectors.sparkSession
     id_t = vectors.schema[id_col].dataType.simpleString()
     out_schema = f"query_id {id_t}, neighbor_id {id_t}, sim double"
-    q_rows = queries.select(id_col, vec_col).collect()  # control plane: K×dim
+    q_rows = _collect_control_plane(
+        queries.select(id_col, vec_col), "ann_bruteforce_topk query side"
+    )  # control plane: K×dim
     if not q_rows:
         return spark.createDataFrame([], out_schema + ", rank integer")
     q_ids = [r[0] for r in q_rows]
@@ -824,81 +860,149 @@ def ann_lsh_topk(
     """Approximate top-k: candidates = same hyperplane-sign bucket in any of
     ``tables`` independent hash tables, ranked by exact cosine.
 
-    Scale: per-table bucket equi-join replaces the all-pairs cross join —
-    cost is corpus×tables bucket rows plus intra-bucket pairs; ``planes``
-    should grow ~log(corpus) to keep bucket occupancy flat. Recall tunes
-    with (planes↓, tables↑, multiprobe). ``multiprobe`` additionally probes
-    every bucket within Hamming distance 1 of the query signature (flip each
-    of the ``planes`` bits) — the classic multi-probe LSH trick: ~(planes+1)×
-    more probe rows on the tiny query side only, several× better recall,
-    corpus side untouched."""
+    Scale shape (r15, the ann_bruteforce/ann_ivf GEMM discipline): the
+    query side is a bounded control-plane sample (enforced by
+    ``_collect_control_plane``), so its vectors AND its multiprobe bucket
+    sets are computed driver-side and shipped in a ``mapInPandas`` closure.
+    Each corpus Arrow batch then (a) computes its own hyperplane signatures
+    with the SAME seeded ±1 matrix ``hyperplane_signatures_gemm``
+    regenerates per task, (b) bucket-matches against the query probe table
+    in-memory (candidates = share ≥1 (table, bucket) — identical set to
+    the former banded equi-join, including the query-side Hamming-1
+    ``multiprobe`` flips), (c) scores only the matched rows against all
+    queries in one numpy GEMM, and (d) keeps a running per-query top-k, so
+    a task emits ≤ K·k rows no matter how many corpus rows it scanned.
+    The corpus is never shuffled and never amplified; the pre-r15 form
+    shuffled the candidate pair ids through a distinct, joined the corpus
+    vectors back by id (an exchange of the payloads), and paid an
+    interpreted zip_with/aggregate cosine fold per pair.
+
+    Parity discipline (verbatim from ann_bruteforce_topk): float64
+    widening as the old per-element ``cast("double")``; sims rounded
+    half-away-from-zero at ``round_sim`` decimals (the F.round rule)
+    BEFORE any ranking, absorbing GEMM-vs-fold accumulation-order noise;
+    +0.0 normalizes -0.0; zero-norm vectors score 0.0 (cosine()'s guard);
+    per-task selection and the final window share the identical
+    (sim DESC, neighbor_id ASC) total order, so global top-k == top-k of
+    unioned per-task top-ks exactly.
+
+    Recall tunes with (planes↓, tables↑, multiprobe); ``planes`` should
+    grow ~log(corpus) to keep bucket occupancy flat."""
     vectors = valid_vectors(vectors, vec_col)
     queries = valid_vectors(queries, vec_col)
+    spark = vectors.sparkSession
+    id_t = vectors.schema[id_col].dataType.simpleString()
+    out_schema = f"query_id {id_t}, neighbor_id {id_t}, sim double"
+    q_rows = _collect_control_plane(
+        queries.select(id_col, vec_col), "ann_lsh_topk query side"
+    )  # control plane: K×dim
+    if not q_rows:
+        return spark.createDataFrame([], out_schema + ", rank integer")
+    q_ids = [r[0] for r in q_rows]
+    qmat = np.array([np.asarray(r[1], dtype=np.float64) for r in q_rows])
+    nq = len(q_ids)
+    # Query-side hyperplane signatures, driver-side — the SAME seeded ±1
+    # matrix hyperplane_signatures_gemm regenerates on every executor
+    # (mixing hash families yields zero recall; seed kept in lockstep).
+    mat = np.random.RandomState(101).choice([-1.0, 1.0], size=(dim, tables * planes))
+    powers = 1 << np.arange(planes, dtype=np.int64)
+    qsig = ((qmat @ mat) > 0).reshape(nq, tables, planes) @ powers
+    # Multi-probe: every bucket within Hamming 1 of the query signature
+    # (flip each plane bit) probes too — derived by cheap XOR, query side
+    # only, corpus side untouched (the classic multi-probe LSH trick).
+    flips = [0] + [1 << p for p in range(planes)] if multiprobe else [0]
+    probe: dict = {}  # (table, bucket) -> [query indices]
+    for qi in range(nq):
+        for t in range(tables):
+            for flip in flips:
+                probe.setdefault((t, int(qsig[qi, t]) ^ flip), []).append(qi)
+    tbl_keys = [
+        np.array(sorted({b for (t, b) in probe if t == ti}), dtype=np.int64)
+        for ti in range(tables)
+    ]
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qunit = np.zeros_like(qmat)
+    nzq = qnorm > 0
+    qunit[nzq] = qmat[nzq] / qnorm[nzq, None]
+    scale = 10.0 ** round_sim
+    kk = k
 
-    def with_sigs(df: DataFrame, id_alias: str, probe: bool) -> DataFrame:
-        flips = [0] + [1 << p for p in range(planes)] if probe else [0]
-        # Signatures from the shuffle-free GEMM path; probes derive by
-        # cheap XOR bit-flips (multi-probe never re-hashes). Only
-        # (id, tbl, bucket) rows leave here — vector payloads never enter
-        # the bucket explode or the candidate shuffle.
-        sigs = hyperplane_signatures_gemm(
-            df, id_col=id_col, vec_col=vec_col, planes=planes, tables=tables, dim=dim
-        ).withColumnRenamed("_hid", id_alias)
-        return sigs.select(
-            id_alias,
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(t).alias("tbl"),
-                            F.element_at(F.col("_sigs"), t + 1)
-                            .bitwiseXOR(F.lit(flip))
-                            .alias("bucket"),
-                        )
-                        for t in range(tables)
-                        for flip in flips
-                    ]
+    def _task_topk(batches):
+        sims_run = [np.empty(0, dtype=np.float64)] * nq
+        ids_run: list = [None] * nq
+
+        def top(s, i):
+            if len(s) <= kk:
+                return s, i
+            try:
+                order = np.lexsort((i, -s))  # s DESC, id ASC
+            except TypeError:  # non-numeric ids (object dtype)
+                order = np.array(
+                    sorted(range(len(s)), key=lambda j: (-s[j], i[j]))
                 )
-            ).alias("bk"),
-        ).select(id_alias, F.col("bk.tbl").alias("tbl"), F.col("bk.bucket").alias("bucket"))
+            order = order[:kk]
+            return s[order], i[order]
 
-    qb = with_sigs(queries, "query_id", multiprobe)
-    vb = with_sigs(vectors, "neighbor_id", False)
-    # Dedup candidate PAIRS on the two long ids only — never shuffle the
-    # vector payloads through the distinct (at corpus scale that would move
-    # dim×8 bytes per candidate row instead of 16).
-    pair_ids = (
-        vb.join(F.broadcast(qb), ["tbl", "bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    # Norms ride the (once-per-row) vector projections so the candidate
-    # stream pays only the dot fold — see row_norm/fused_cosine.
-    qv = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_qv"),
-        row_norm(F.col(vec_col)).alias("_qn"),
-    )
-    vv = vectors.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("_vv"),
-        row_norm(F.col(vec_col)).alias("_vn"),
-    )
-    cand = (
-        pair_ids.join(F.broadcast(qv), "query_id")
-        .join(vv, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                fused_cosine(F.col("_qv"), F.col("_vv"), F.col("_qn"), F.col("_vn")),
-                round_sim,
-            ).alias("sim"),
-        )
-    )
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sig = ((m @ mat) > 0).reshape(len(ids), tables, planes) @ powers
+            # Bucket match: corpus row × query candidate iff they share a
+            # (table, bucket) — np.isin prunes to hit rows per table, the
+            # probe dict fans each hit out to its query indices.
+            match = np.zeros((len(ids), nq), dtype=bool)
+            for t in range(tables):
+                col = sig[:, t]
+                for ri in np.nonzero(np.isin(col, tbl_keys[t]))[0]:
+                    match[ri, probe[(t, int(col[ri]))]] = True
+            if not match.any():
+                continue
+            ridx = np.nonzero(match.any(axis=1))[0]
+            msub = m[ridx]
+            norms = np.linalg.norm(msub, axis=1)
+            sims = np.zeros((len(ridx), nq))
+            nz = norms > 0
+            if nz.any():
+                sims[nz] = (msub[nz] / norms[nz, None]) @ qunit.T
+            # half-away-from-zero at round_sim decimals, matching F.round;
+            # the trailing +0.0 normalizes -0.0 to F.round's +0.0.
+            r = np.abs(sims)
+            r *= scale
+            r += 0.5
+            np.floor(r, out=r)
+            np.copysign(r, sims, out=r)
+            r /= scale
+            r += 0.0
+            sub_ids = ids[ridx]
+            sub_match = match[ridx]
+            for qi in range(nq):
+                mask = sub_match[:, qi] & (sub_ids != q_ids[qi])
+                if not mask.any():
+                    continue
+                s = np.concatenate([sims_run[qi], r[mask, qi]])
+                i = (
+                    np.concatenate([ids_run[qi], sub_ids[mask]])
+                    if ids_run[qi] is not None
+                    else sub_ids[mask]
+                )
+                sims_run[qi], ids_run[qi] = top(s, i)
+        out_q: list = []
+        out_n: list = []
+        out_s: list = []
+        for qi in range(nq):
+            if ids_run[qi] is None or len(sims_run[qi]) == 0:
+                continue
+            out_q.extend([q_ids[qi]] * len(sims_run[qi]))
+            out_n.extend(list(ids_run[qi]))
+            out_s.extend(list(sims_run[qi]))
+        if out_q:
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "sim": out_s})
+
+    scored = vectors.select(id_col, vec_col).mapInPandas(_task_topk, out_schema)
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
-    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def ann_ivf_topk(
@@ -966,7 +1070,9 @@ def ann_ivf_topk(
     # divergence needs an exact decimal half in binary doubles — all but
     # unreachable, but the parity contract is kept literal anyway). The
     # rounding absorbs fold-vs-GEMM accumulation-order noise.
-    cent_rows = cents.orderBy("centroid_id").collect()  # control plane: k×dim
+    cent_rows = _collect_control_plane(
+        cents.orderBy("centroid_id"), "ann_ivf_topk centroid model"
+    )  # control plane: k×dim
     if not cent_rows:
         # Empty corpus or n_centroids=0: no inverted lists, no candidates.
         # (Without the guard, np.linalg.norm(..., axis=1) on a (0,) array

@@ -1307,7 +1307,10 @@ def agg_approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (duplicate inserts never change a sketch), so n_orders, the exact
     # count, and the estimate are all unchanged — verified row-identical.
     pre = bucketed.groupBy("bucket", "o_custkey").agg(F.count("*").alias("c"))
-    exact = F.count("*")
+    # count over the key column (not count(*)) so a NULL-custkey group in
+    # the pre-aggregate stays excluded, exactly as countDistinct excluded
+    # NULLs — equivalence holds for ANY input, not just NOT NULL o_custkey.
+    exact = F.count(F.col("o_custkey"))
     approx = F.approx_count_distinct("o_custkey", 0.02)
     return pre.groupBy("bucket").agg(
         F.sum("c").alias("n_orders"),
@@ -2435,10 +2438,12 @@ def llmops_rouge_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sf0.1, fresh-plan-per-rep; values row-identical).
         .localCheckpoint(eager=False)
     )
-    lens = tokc.groupBy("doc_id", "source").agg(
-        F.sum("c").alias("n")
     # Three consumers (pair window, both length sides): same cut.
-    ).localCheckpoint(eager=False)
+    lens = (
+        tokc.groupBy("doc_id", "source")
+        .agg(F.sum("c").alias("n"))
+        .localCheckpoint(eager=False)
+    )
     w = W.partitionBy("source").orderBy("doc_id")
     pairs = lens.select(
         F.col("doc_id").alias("a_id"), F.lead("doc_id").over(w).alias("b_id")

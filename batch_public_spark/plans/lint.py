@@ -520,6 +520,104 @@ def _self_join_bucket_findings(plan: str) -> list[Finding]:
     return findings
 
 
+def _duplicate_percentile_findings(plan: str) -> list[Finding]:
+    """WARN: 2+ separate ``percentile``/``approx_percentile`` buffers over
+    the SAME column expression inside one aggregate node. Each buffer
+    gathers the full value list independently; the array form
+    ``percentile(col, array(p1, p2, ...))`` computes every requested
+    quantile from ONE buffer with identical interpolation arithmetic
+    (the r14 fusion, −15 to −55% on the touched queries)."""
+    findings: list[Finding] = []
+    seen: set[str] = set()
+    for line in plan.splitlines():
+        stripped = line.strip().lstrip(":+- ")
+        if "Aggregate" not in stripped.split("(")[0].split("[")[0]:
+            continue
+        first_args: list[str] = []
+        idx = 0
+        while True:
+            hit = None
+            for fn in ("percentile(", "approx_percentile("):
+                j = stripped.find(fn, idx)
+                if j >= 0 and (hit is None or j < hit[0]):
+                    hit = (j, fn)
+            if hit is None:
+                break
+            j, fn = hit
+            args = _balanced_args(stripped, j + len(fn) - 1)
+            top = _split_top_level(args)
+            if top and not top[min(1, len(top) - 1)].lstrip().startswith("["):
+                # scalar-percentage form only; the fused array form is
+                # exactly the fix and never flags
+                first_args.append(top[0])
+            idx = j + len(fn)
+        dupes = {a for a in first_args if first_args.count(a) >= 2}
+        for a in dupes:
+            key = f"percentile×{first_args.count(a)} over {a}"
+            if key not in seen:
+                seen.add(key)
+                findings.append(Finding("duplicate-percentile-buffers", key[:120]))
+    return findings
+
+
+def _distinct_expand_findings(plan: str) -> list[Finding]:
+    """WARN: ``count(DISTINCT)`` mixed with non-distinct aggregates plans
+    through RewriteDistinctAggregates' Expand — every input row is
+    duplicated once per aggregate group and the distinct leg loses partial
+    aggregation. Detected by the Expand node's synthesized ``gid`` column
+    (grouping-sets Expands synthesize ``spark_grouping_id`` instead). The
+    fix template is the pre-aggregate-to-distinct-pairs rewrite
+    (agg_approx_distinct_accuracy, r14); fine on tiny inputs — warn-level."""
+    findings: list[Finding] = []
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        stripped = line.strip().lstrip(":+- ")
+        if not stripped.startswith("Expand"):
+            continue
+        window = " ".join(lines[i : i + 2])
+        if "gid#" in window and "spark_grouping_id" not in window:
+            findings.append(Finding("distinct-agg-expand", stripped[:120]))
+    return findings
+
+
+def lint_plan_warnings(df: DataFrame) -> list[Finding]:
+    """Warn-level lint (r15): antipatterns that are measured performance
+    cliffs rather than scale-fatal shapes. Kept out of :func:`lint_plan`
+    so the hard gate's semantics are unchanged; the registry sweep checks
+    these against their own justified allowlist.
+
+    * **python-rdd-scan** — an ``RDDScanExec`` whose RDD was created by
+      ``applySchemaToPythonRDD`` means rows entered the plan through a
+      Python RDD (``createDataFrame`` of driver rows): every action pays
+      a Python-worker wave + pickle round-trip just to read constants.
+      Literal fixtures belong on ``inline_rows`` (pure JVM generator; the
+      r14 migration removed this from 17 sites). Provenance is read from
+      the scan RDD's creation site because the PLAN STRING cannot
+      distinguish this from a ``localCheckpoint`` cut — both print as
+      ``Scan ExistingRDD``, and checkpoint cuts are a deliberate,
+      documented idiom (sources/tables.py module docstring).
+    * **duplicate-percentile-buffers** — see
+      :func:`_duplicate_percentile_findings`.
+    * **distinct-agg-expand** — see :func:`_distinct_expand_findings`.
+    """
+    plan = _executed_plan_string(df)
+    findings: list[Finding] = []
+    leaves = df._jdf.queryExecution().executedPlan().collectLeaves()  # noqa: SLF001
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if "RDDScan" not in leaf.getClass().getSimpleName():
+            continue
+        # first line of the RDD debug string = its creation site
+        origin = leaf.rdd().toDebugString().splitlines()[0]
+        if "applySchemaToPythonRDD" in origin:
+            findings.append(
+                Finding("python-rdd-scan", str(leaf.nodeName())[:120])
+            )
+    findings.extend(_duplicate_percentile_findings(plan))
+    findings.extend(_distinct_expand_findings(plan))
+    return findings
+
+
 def lint_plan(df: DataFrame) -> list[Finding]:
     """Lint a (batch) DataFrame's executed plan. Streaming DataFrames
     have no executed plan before ``start()`` — callers skip them."""

@@ -10,6 +10,23 @@ mapped one-segment-per-partition; both land in the same ``load_table`` shape.
 
 The catalog-listing affordance (reference main.py:624-634, S2) maps to
 ``spark.catalog.listTables`` once views are registered.
+
+Scale posture of ``localCheckpoint(eager=False)`` (the note of record —
+query modules reference this instead of re-deriving it): the engine uses
+lazy localCheckpoint as a WITHIN-QUERY cut wherever one subtree feeds
+multiple consumers (conformal family, pca_power, rouge, bm25, q-family
+pair aggregates) or a plan must be truncated (iterative graph/trainer
+loops). It materializes the first execution's blocks to EXECUTOR storage
+and pins them there: no lineage is kept, so an executor loss kills the
+job where lineage would have recovered it, and the pinned blocks occupy
+executor memory/disk for the query's lifetime. That trade is correct for
+this engine's bench contract (single-process local mode — executors
+cannot be lost independently, and the cut is always inside the timed
+region, never cross-run caching). At real cluster scale, swap
+load-bearing cuts for persisted scratch tables (write parquet + read
+back: fault-tolerant, spillable, shareable across jobs) or
+``reliableCheckpoint`` when a checkpoint dir exists; keep localCheckpoint
+only for small frames whose recompute-on-loss is acceptable.
 """
 
 from __future__ import annotations

@@ -128,6 +128,19 @@ def test_simhash_properties(spark, documents):
     assert banded == full
 
 
+def test_control_plane_collect_guard(spark):
+    """The ANN family's driver-side collects (query sample, centroid
+    model) must ENFORCE their bounded-sample contract: a frame over the
+    cap raises instead of silently holding a corpus fraction on the
+    driver (r14 verdict item #5)."""
+    from batch_public_spark.operators.semantic import _collect_control_plane
+
+    ok = _collect_control_plane(spark.range(10), "small frame", cap=10)
+    assert len(ok) == 10
+    with pytest.raises(ValueError, match="control-plane frame exceeds"):
+        _collect_control_plane(spark.range(50), "oversized frame", cap=10)
+
+
 def test_ann_lsh_recall_vs_bruteforce(embeddings):
     q = embeddings.filter(F.col("vec_id") < 20)
     bf = {(r.query_id, r.neighbor_id) for r in ann_bruteforce_topk(embeddings, q, k=5).collect()}

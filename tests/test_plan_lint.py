@@ -13,8 +13,10 @@ for the cases where the GLOBAL operator itself is the query's subject.
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from batch_public_spark.plans import QUERIES
-from batch_public_spark.plans.lint import lint_plan
+from batch_public_spark.plans.lint import lint_plan, lint_plan_warnings
 from tests.conftest import SF_DIR
 
 # (query name, finding kind) pairs that are acknowledged-and-justified.
@@ -88,8 +90,30 @@ ALLOWLIST: set[tuple[str, str]] = {
 }
 
 
+# Warn-level findings (r15, lint_plan_warnings): measured performance
+# cliffs, not scale-fatal shapes. Every entry is acknowledged with its
+# reason; a NEW unallowlisted warn is a gate failure so regressions of the
+# r14 levers (inline_rows migration, percentile fusion, Expand rewrites)
+# are caught structurally.
+WARN_ALLOWLIST: set[tuple[str, str]] = {
+    # 2+ count(DISTINCT) groups mixed in one aggregate: Expand duplicates
+    # input rows once per distinct group. These five are the COMPLETE set
+    # the rule finds across the registry (r15 sweep at sf0.001) — all
+    # sub-0.55 s at sf0.1 (BENCH_FULL: 0.17-0.54), all over small or
+    # already-reduced inputs where the pre-aggregate rewrite
+    # (agg_approx_distinct_accuracy's template) is plan churn without a
+    # measurable win. Single-distinct sites never Expand on Spark 4.1,
+    # so the r14 map's remaining names no longer appear here.
+    ("agg_distinct_parts", "distinct-agg-expand"),
+    ("agg_multi_distinct", "distinct-agg-expand"),
+    ("events_ab_uplift", "distinct-agg-expand"),
+    ("llmops_cdc_chunking", "distinct-agg-expand"),
+    ("llmops_dataset_card", "distinct-agg-expand"),
+}
+
+
 def test_registry_plans_are_scale_clean(spark):
-    bad, built = [], 0
+    bad, warns, built = [], [], 0
     for name, spec in QUERIES.items():
         df = spec.fn(spark, SF_DIR)
         if df.isStreaming:
@@ -98,5 +122,73 @@ def test_registry_plans_are_scale_clean(spark):
         for f in lint_plan(df):
             if (name, f.kind) not in ALLOWLIST:
                 bad.append((name, f.kind, f.detail[:90]))
+        for f in lint_plan_warnings(df):
+            if (name, f.kind) not in WARN_ALLOWLIST:
+                warns.append((name, f.kind, f.detail[:90]))
     assert built > 200  # the sweep really covered the registry
     assert not bad, f"scale antipatterns in {len(bad)} plans: {bad}"
+    assert not warns, f"unacknowledged warn-level findings in {len(warns)} plans: {warns}"
+
+
+# --- warn-rule fixtures: each rule must catch its deliberately-bad shape
+# and stay quiet on the corresponding fixed shape. ---
+
+
+def test_warn_python_rdd_scan(spark):
+    bad = spark.createDataFrame([(1, "a"), (2, "b")], "id int, s string")
+    assert any(f.kind == "python-rdd-scan" for f in lint_plan_warnings(bad))
+    from batch_public_spark.sources.tables import inline_rows
+
+    good = inline_rows(spark, "id int, s string", [(1, "a"), (2, "b")])
+    assert not any(f.kind == "python-rdd-scan" for f in lint_plan_warnings(good))
+    # localCheckpoint cuts also print as `Scan ExistingRDD` but are a
+    # deliberate idiom — provenance-based detection must NOT flag them.
+    ck = (
+        spark.range(100)
+        .groupBy((F.col("id") % 3).alias("g"))
+        .count()
+        .localCheckpoint(eager=False)
+    )
+    assert not any(f.kind == "python-rdd-scan" for f in lint_plan_warnings(ck))
+
+
+def test_warn_duplicate_percentile_buffers(spark):
+    bad = spark.range(100).agg(
+        F.percentile("id", 0.05).alias("p05"),
+        F.percentile("id", 0.95).alias("p95"),
+    )
+    assert any(
+        f.kind == "duplicate-percentile-buffers" for f in lint_plan_warnings(bad)
+    )
+    fused = spark.range(100).agg(
+        F.percentile("id", F.array(F.lit(0.05), F.lit(0.95))).alias("ps")
+    )
+    assert not any(
+        f.kind == "duplicate-percentile-buffers" for f in lint_plan_warnings(fused)
+    )
+    # different columns: two buffers are genuinely needed — not flagged
+    two_cols = spark.range(100).select("id", (F.col("id") * 2).alias("id2")).agg(
+        F.percentile("id", 0.5).alias("a"), F.percentile("id2", 0.5).alias("b")
+    )
+    assert not any(
+        f.kind == "duplicate-percentile-buffers" for f in lint_plan_warnings(two_cols)
+    )
+
+
+def test_warn_distinct_agg_expand(spark):
+    base = spark.range(100).withColumn("g", F.col("id") % 3)
+    # RewriteDistinctAggregates only Expands on 2+ DISTINCT groups (a single
+    # distinct mixed with non-distinct plans as a 4-level HashAggregate
+    # chain, Expand-free — probed on Spark 4.1).
+    bad = base.groupBy("g").agg(
+        F.countDistinct("id").alias("d"),
+        F.countDistinct((F.col("id") % 7)).alias("d2"),
+        F.sum("id").alias("s"),
+    )
+    assert any(f.kind == "distinct-agg-expand" for f in lint_plan_warnings(bad))
+    # grouping-sets Expand (rollup) is NOT the distinct-agg shape
+    rolled = base.rollup("g").agg(F.sum("id").alias("s"))
+    assert not any(f.kind == "distinct-agg-expand" for f in lint_plan_warnings(rolled))
+    # distinct-only aggregate (no mixed non-distinct leg) plans without Expand
+    pure = base.groupBy("g").agg(F.countDistinct("id").alias("d"))
+    assert not any(f.kind == "distinct-agg-expand" for f in lint_plan_warnings(pure))

@@ -77,16 +77,17 @@ def test_semi_anti_joins_stay_joins(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-def test_ann_candidate_shuffle_carries_no_vectors(spark):
-    """ann_lsh's candidate distinct must dedup (query_id, neighbor_id)
-    pairs only — embedding payloads stay out of that exchange."""
+def test_ann_lsh_is_mapside_gemm_single_exchange(spark):
+    """ann_lsh (r15): bucket match + cosine + per-task top-k all happen
+    map-side in one MapInPandas over the corpus scan (the query side is a
+    collected control-plane sample). The ONLY exchange left is the final
+    ≤K·k·n_tasks window merge on query_id — no candidate-pair distinct,
+    no join shuffling the vector payloads back in."""
     p = plan(spark, "llmops_ann_lsh")
-    # Every HashAggregate keys' section that mentions both ids must not
-    # mention the vector columns.
-    for m in re.finditer(r"HashAggregate[^\n]*\n(?:[^\n]*\n){0,6}", p):
-        block = m.group(0)
-        if "query_id" in block and "neighbor_id" in block:
-            assert "_qv" not in block and "_vv" not in block, block
+    assert "MapInPandas" in p, p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert len(re.findall(r"\(\d+\) Exchange\b", p)) == 1, p
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
 
 
 @pytest.mark.parametrize(
