@@ -2,10 +2,27 @@
 
 This mirrors the driver's t2 correctness gate (sorted-column, order-
 insensitive value comparison) so regressions show up locally before the
-round verify. Queries with ``oracle=None`` get a rows-run smoke check.
+round verify.  Queries with ``oracle=None`` get a rows-run smoke check.
+
+r15 lane split (VERDICT r14 item 2): the full 400+-param sweep takes
+15-25 min and made the driver's budgeted ``pytest tests/`` run time out
+at ~84% with an all-pass tail (`tests_ok: false` on truncation, not
+failure).  The DEFAULT lane now runs a deterministic ~1/5 sample
+(stable md5 of the query name — no rotation, so a red sample bisects
+across rounds); the FULL sweep is marked ``full`` and deselected by
+pytest.ini's addopts.  Close-of-round gates and targeted checks run it
+explicitly:
+
+    python -m pytest tests/test_oracle_parity.py -m full            # all
+    python -m pytest tests/test_oracle_parity.py -m full -k NAME    # one
+
+The driver's own oracle gate (CORRECTNESS_r*.json, rotating 50-query
+window) keeps cross-checking the registry every round regardless.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 import pytest
 
@@ -14,14 +31,27 @@ from tests.conftest import SF_DIR, assert_parity
 
 _ORACLE = sorted(n for n, s in QUERIES.items() if s.oracle is not None)
 _ROWS_ONLY = sorted(n for n, s in QUERIES.items() if s.oracle is None)
+_SAMPLE = [
+    n for n in _ORACLE if int(hashlib.md5(n.encode()).hexdigest(), 16) % 5 == 0
+]
 
 
-@pytest.mark.parametrize("name", _ORACLE)
-def test_oracle_parity(spark, ddb, name):
+def _check(spark, ddb, name):
     spec = QUERIES[name]
     sdf = spec.fn(spark, SF_DIR)
     rel = ddb.sql(spec.oracle)
     assert_parity(sdf, rel, name)
+
+
+@pytest.mark.parametrize("name", _SAMPLE)
+def test_oracle_parity_sample(spark, ddb, name):
+    _check(spark, ddb, name)
+
+
+@pytest.mark.full
+@pytest.mark.parametrize("name", _ORACLE)
+def test_oracle_parity(spark, ddb, name):
+    _check(spark, ddb, name)
 
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
