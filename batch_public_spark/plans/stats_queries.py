@@ -4314,84 +4314,74 @@ def dq_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     h = "md5(concat(cast(doc_id as string), ':perm'))"
     assign = _perm_bit("md5(concat(cast(doc_id as string), ':assign'))", 1)
-    base = d.select(
-        "source",
-        F.col("n_chars").alias("x"),
-        F.expr(assign).alias("treat"),
-        F.expr(h).alias("h"),
+    base = d.selectExpr(
+        "source", "n_chars AS x", f"{assign} AS treat", f"{h} AS h"
     )
-    aggs = [
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("s"),
-        F.sum(F.when(F.col("treat"), 1).otherwise(0)).cast("bigint").alias("nt"),
-        F.sum(F.when(F.col("treat"), F.col("x"))).cast("bigint").alias("st"),
-    ]
-    for k in range(1, _PERM_B + 1):
-        bit = F.expr(_perm_bit("h", k))
-        aggs.append(F.sum(F.when(bit, F.col("x"))).cast("bigint").alias(f"s{k}"))
-        aggs.append(F.sum(F.when(bit, 1).otherwise(0)).cast("bigint").alias(f"c{k}"))
-    agg = base.groupBy("source").agg(*aggs)
-    g_obs = (F.col("st") * F.lit(1.0) / F.nullif(F.col("nt"), F.lit(0))) - (
-        (F.col("s") - F.col("st"))
-        * F.lit(1.0)
-        / F.nullif(F.col("n") - F.col("nt"), F.lit(0))
+    # r15 construction-cost rewrite — see dq_permutation_test's docstring
+    # note: the same ~900 Column-API calls (fn 3.9 s vs act 0.28 s) become
+    # ONE SQL string / one analysis pass; double literals spelled with the
+    # D suffix to keep F.lit(1.0)'s DOUBLE type (bare SQL 1.0 is DECIMAL).
+    rep_aggs = ",\n           ".join(
+        f"CAST(sum(CASE WHEN {_perm_bit('h', k)} THEN x END) AS BIGINT) AS s{k},"
+        f" CAST(sum(CASE WHEN {_perm_bit('h', k)} THEN 1 ELSE 0 END) AS BIGINT) AS c{k}"
+        for k in range(1, _PERM_B + 1)
     )
-    gap_cols = [F.col("source"), F.col("n"), F.col("nt"), g_obs.alias("g_obs")]
-    for k in range(1, _PERM_B + 1):
-        gk = (F.col(f"s{k}") * F.lit(1.0) / F.nullif(F.col(f"c{k}"), F.lit(0))) - (
-            (F.col("s") - F.col(f"s{k}"))
-            * F.lit(1.0)
-            / F.nullif(F.col("n") - F.col(f"c{k}"), F.lit(0))
-        )
-        gap_cols.append(gk.alias(f"g{k}"))
-    gg = agg.select(*gap_cols)
-    extreme = None
-    for k in range(1, _PERM_B + 1):
-        term = F.when(F.abs(F.col(f"g{k}")) >= F.abs(F.col("g_obs")), 1).otherwise(0)
-        extreme = term if extreme is None else extreme + term
-    pv = gg.select(
-        "source",
-        "n",
-        "nt",
-        F.round("g_obs", 6).alias("gap_obs"),
-        F.round((F.lit(1.0) + extreme) / F.lit(float(_PERM_B + 1)), 6)
-        .cast("decimal(18,6)")
-        .alias("p_value"),
+    gaps = ",\n         ".join(
+        f"((s{k} * 1.0D) / nullif(c{k}, 0))"
+        f" - (((s - s{k}) * 1.0D) / nullif(n - c{k}, 0)) AS g{k}"
+        for k in range(1, _PERM_B + 1)
     )
-    wb = W.partitionBy(bounded_window_key(F.col("n"))).orderBy("p_value", "source")
+    extreme = " + ".join(
+        f"(CASE WHEN abs(g{k}) >= abs(g_obs) THEN 1 ELSE 0 END)"
+        for k in range(1, _PERM_B + 1)
+    )
     alpha = float(_BH_ALPHA)
-    ranked = pv.select(
-        "source",
-        "n",
-        "nt",
-        "gap_obs",
-        "p_value",
-        F.row_number().over(wb).cast("bigint").alias("p_rank"),
-        F.count("*").over(W.partitionBy(bounded_window_key(F.col("n"))))
-        .cast("bigint")
-        .alias("m"),
-    )
-    kstar = ranked.agg(
-        F.coalesce(
-            F.max(
-                F.when(
-                    F.col("p_value").cast("double")
-                    <= F.col("p_rank") * alpha / F.col("m"),
-                    F.col("p_rank"),
-                )
-            ),
-            F.lit(0),
-        ).alias("k_star")
-    )
-    return ranked.crossJoin(F.broadcast(kstar)).select(
-        "source",
-        F.col("n").alias("n_docs"),
-        F.col("nt").alias("n_treat"),
-        "gap_obs",
-        "p_value",
-        "p_rank",
-        F.round(F.col("p_rank") * alpha / F.col("m"), 6).alias("bh_threshold"),
-        (F.col("p_rank") <= F.col("k_star")).alias("rejected"),
+    return spark.sql(
+        f"""
+WITH agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+         CAST(sum(CASE WHEN treat THEN x END) AS BIGINT) AS st,
+         {rep_aggs}
+  FROM {{base}}
+  GROUP BY source
+),
+gg AS (
+  SELECT source, n, nt,
+         ((st * 1.0D) / nullif(nt, 0))
+           - (((s - st) * 1.0D) / nullif(n - nt, 0)) AS g_obs,
+         {gaps}
+  FROM agg
+),
+pv AS (
+  SELECT source, n, nt, round(g_obs, 6) AS gap_obs,
+         CAST(round((1.0D + ({extreme})) / {float(_PERM_B + 1)}D, 6)
+              AS DECIMAL(18,6)) AS p_value
+  FROM gg
+),
+ranked AS (
+  SELECT source, n, nt, gap_obs, p_value,
+         CAST(row_number() OVER (PARTITION BY pmod(n, 1)
+                                 ORDER BY p_value, source) AS BIGINT) AS p_rank,
+         CAST(count(*) OVER (PARTITION BY pmod(n, 1)) AS BIGINT) AS m
+  FROM pv
+),
+kstar AS (
+  SELECT coalesce(max(CASE WHEN CAST(p_value AS DOUBLE)
+                                <= p_rank * {alpha!r}D / m
+                           THEN p_rank END), 0) AS k_star
+  FROM ranked
+)
+SELECT /*+ BROADCAST(k) */
+       r.source, r.n AS n_docs, r.nt AS n_treat, r.gap_obs, r.p_value,
+       r.p_rank,
+       round(r.p_rank * {alpha!r}D / r.m, 6) AS bh_threshold,
+       (r.p_rank <= k.k_star) AS rejected
+FROM ranked r CROSS JOIN kstar k
+""",
+        base=base,
     )
 
 
@@ -4423,48 +4413,54 @@ def dq_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     The wide replicate expressions are built ONCE in a single
     projection + a single aggregate (the r12 CollapseProject lesson:
     chaining selects over wide in-row expressions re-inlines the tree
-    and costs planner time per execution)."""
+    and costs planner time per execution).
+
+    r15 construction-cost rewrite (guide §1.2 fixed costs): the ~800
+    Column-API calls that assembled the 68 replicate aggregates + 32 gap
+    + 32 extremeness expressions cost 1.9-4.4 s of DRIVER time per
+    construction (one py4j round-trip per operator, one eager re-analysis
+    per ``select`` layer) — 10-25× the 0.15 s the query takes to RUN, and
+    the dominant term under in-suite GC pressure (driver-measured 16 s
+    in the r15 baseline sweep). The same three layers are now built as
+    ONE SQL string through ``spark.sql(..., base=...)``: one round-trip,
+    one parse, one analysis — 0.2-0.5 s, rows verified bit-identical.
+    Double literals are spelled ``1.0D``/``0.05D`` because a bare SQL
+    ``1.0`` parses as DECIMAL(2,1) where ``F.lit(1.0)`` was a DOUBLE."""
     d = t(spark, sf_dir, "documents")
     h = "md5(concat(cast(doc_id as string), ':perm'))"
-    base = d.select(
-        F.col("n_chars").alias("x"),
-        (F.col("doc_id") % 2 == 0).alias("treat"),
-        F.expr(h).alias("h"),
+    base = d.selectExpr("n_chars AS x", "(doc_id % 2) = 0 AS treat", f"{h} AS h")
+    rep_aggs = ",\n           ".join(
+        f"CAST(sum(CASE WHEN {_perm_bit('h', k)} THEN x END) AS BIGINT) AS s{k},"
+        f" CAST(sum(CASE WHEN {_perm_bit('h', k)} THEN 1 ELSE 0 END) AS BIGINT) AS c{k}"
+        for k in range(1, _PERM_B + 1)
     )
-    aggs = [
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("s"),
-        F.sum(F.when(F.col("treat"), 1).otherwise(0)).cast("bigint").alias("nt"),
-        F.sum(F.when(F.col("treat"), F.col("x"))).cast("bigint").alias("st"),
-    ]
-    for k in range(1, _PERM_B + 1):
-        bit = F.expr(_perm_bit("h", k))
-        aggs.append(F.sum(F.when(bit, F.col("x"))).cast("bigint").alias(f"s{k}"))
-        aggs.append(F.sum(F.when(bit, 1).otherwise(0)).cast("bigint").alias(f"c{k}"))
-    agg = base.agg(*aggs)
-    g_obs = (F.col("st") * F.lit(1.0) / F.col("nt")) - (
-        (F.col("s") - F.col("st")) * F.lit(1.0) / (F.col("n") - F.col("nt"))
+    gaps = ",\n         ".join(
+        f"((s{k} * 1.0D) / c{k}) - (((s - s{k}) * 1.0D) / (n - c{k})) AS g{k}"
+        for k in range(1, _PERM_B + 1)
     )
-    gap_cols = [F.col("n"), F.col("nt"), g_obs.alias("g_obs")]
-    for k in range(1, _PERM_B + 1):
-        gk = (F.col(f"s{k}") * F.lit(1.0) / F.col(f"c{k}")) - (
-            (F.col("s") - F.col(f"s{k}"))
-            * F.lit(1.0)
-            / (F.col("n") - F.col(f"c{k}"))
-        )
-        gap_cols.append(gk.alias(f"g{k}"))
-    gg = agg.select(*gap_cols)
-    extreme = None
-    for k in range(1, _PERM_B + 1):
-        term = F.when(F.abs(F.col(f"g{k}")) >= F.abs(F.col("g_obs")), 1).otherwise(0)
-        extreme = term if extreme is None else extreme + term
-    p_val = (F.lit(1.0) + extreme) / F.lit(float(_PERM_B + 1))
-    return gg.select(
-        F.col("n").alias("n_docs"),
-        F.col("nt").alias("n_treat"),
-        F.round("g_obs", 6).alias("gap_obs"),
-        F.lit(_PERM_B).cast("bigint").alias("n_replicates"),
-        extreme.cast("bigint").alias("n_extreme"),
-        F.round(p_val, 6).alias("p_value"),
-        (p_val <= 0.05).alias("reject_null"),
+    extreme = " + ".join(
+        f"(CASE WHEN abs(g{k}) >= abs(g_obs) THEN 1 ELSE 0 END)"
+        for k in range(1, _PERM_B + 1)
+    )
+    return spark.sql(
+        f"""
+SELECT n AS n_docs, nt AS n_treat, round(g_obs, 6) AS gap_obs,
+       CAST({_PERM_B} AS BIGINT) AS n_replicates,
+       CAST({extreme} AS BIGINT) AS n_extreme,
+       round((1.0D + ({extreme})) / {float(_PERM_B + 1)}D, 6) AS p_value,
+       ((1.0D + ({extreme})) / {float(_PERM_B + 1)}D) <= 0.05D AS reject_null
+FROM (
+  SELECT n, nt, ((st * 1.0D) / nt) - (((s - st) * 1.0D) / (n - nt)) AS g_obs,
+         {gaps}
+  FROM (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(x) AS BIGINT) AS s,
+           CAST(sum(CASE WHEN treat THEN 1 ELSE 0 END) AS BIGINT) AS nt,
+           CAST(sum(CASE WHEN treat THEN x END) AS BIGINT) AS st,
+           {rep_aggs}
+    FROM {{base}}
+  )
+)
+""",
+        base=base,
     )
