@@ -1975,18 +1975,33 @@ def _nb_distill_scored(lab: DataFrame, occ: DataFrame) -> DataFrame:
     stream ``occ`` (doc_id, pos, tok) so the label-flip antisymmetry
     invariant (tests/test_r13_invariants.py) can retrain on NOT pos and
     assert exact score negation. Returns doc-level scores."""
+    # r15 single-pass fusion (guide §1.2): vocab, the per-class counts
+    # (tc) and the per-doc score sums (docsum) were THREE passes over the
+    # tokenize + explode stream. One (doc_id, pos, tok) pre-aggregate
+    # (bounded by per-doc distinct tokens; cut per the multi-consumer
+    # discipline, scale posture in sources/tables.py) feeds all three by
+    # exact-BIGINT sums / exact-decimal cnt·w products.
+    dtc = (
+        occ.groupBy("doc_id", "pos", "tok")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     vocab = (
-        occ.groupBy("tok")
-        .agg(F.count("*").cast("bigint").alias("c_all"))
+        dtc.groupBy("tok")
+        .agg(F.sum("cnt").cast("bigint").alias("c_all"))
         .orderBy(F.col("c_all").desc(), "tok")
         .limit(_NB_V)
     )
     tc = (
-        occ.join(F.broadcast(vocab.select("tok")), "tok")
+        dtc.join(F.broadcast(vocab.select("tok")), "tok")
         .groupBy("tok")
         .agg(
-            F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("c_pos"),
-            F.sum(F.when(~F.col("pos"), 1).otherwise(0)).cast("bigint").alias("c_neg"),
+            F.sum(F.when(F.col("pos"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("c_pos"),
+            F.sum(F.when(~F.col("pos"), F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("c_neg"),
         )
     )
     cls = tc.agg(
@@ -2017,10 +2032,13 @@ def _nb_distill_scored(lab: DataFrame, occ: DataFrame) -> DataFrame:
         .cast("decimal(18,6)")
         .alias("pr"),
     )
+    # sum of w repeated cnt times IS cnt·w (exact decimals); cast back to
+    # the original sum's DECIMAL(28,6) so downstream operands are
+    # byte-identical.
     docsum = (
-        occ.join(F.broadcast(w), "tok")
+        dtc.join(F.broadcast(w), "tok")
         .groupBy("doc_id")
-        .agg(F.sum("w").alias("ws"))
+        .agg(F.sum(F.col("cnt") * F.col("w")).cast("decimal(28,6)").alias("ws"))
     )
     return (
         lab.join(docsum, "doc_id", "left")
@@ -2289,9 +2307,25 @@ def llmops_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         (F.expr(_hex3("md5(concat(ng, ':dsir'))")) % _DSIR_B).alias("b"),
     )
-    bc = bkt.groupBy("b").agg(
-        F.count("*").cast("bigint").alias("n_raw"),
-        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("bigint").alias("n_tgt"),
+    # r15 single-pass fusion (guide §1.2): the bucket counts (bc) and the
+    # per-doc log-weight sums (doclw) were two passes over the SAME
+    # tokenize + n-gram-explode union. One (doc_id, pos, bucket)
+    # pre-aggregate (≤ docs × 64 rows — bounded, cut per the
+    # multi-consumer discipline, scale posture in sources/tables.py) now
+    # feeds both: bucket counts by exact-BIGINT sums, per-doc sums as
+    # cnt·lw (decimal multiplication is exact — the sum of lw repeated
+    # cnt times IS cnt·lw — cast back to the original sum's
+    # DECIMAL(28,6) so every downstream operand is byte-identical).
+    db = (
+        bkt.groupBy("doc_id", "pos", "b")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    bc = db.groupBy("b").agg(
+        F.sum("cnt").cast("bigint").alias("n_raw"),
+        F.sum(F.when(F.col("pos"), F.col("cnt")).otherwise(0))
+        .cast("bigint")
+        .alias("n_tgt"),
     )
     tot = bc.agg(
         F.sum("n_raw").cast("bigint").alias("r_tot"),
@@ -2311,9 +2345,9 @@ def llmops_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lw"),
     )
     doclw = (
-        bkt.join(F.broadcast(w), "b")
+        db.join(F.broadcast(w), "b")
         .groupBy("doc_id")
-        .agg(F.sum("lw").alias("lw"))
+        .agg(F.sum(F.col("cnt") * F.col("lw")).cast("decimal(28,6)").alias("lw"))
     )
     gumbel = F.expr(
         _dsir_gumbel("md5(concat(cast(doc_id as string), ':dsir'))")

@@ -4120,23 +4120,34 @@ def _dr_policy_frame(
         F.substring(F.md5(F.col("event_id").cast("string")), 1, 1).alias("d"),
     )
     lrn = ev.filter(F.col("d").between("0", "7"))
-    learn = lrn.groupBy("c", "a").agg(
-        (F.sum(F.col("r").cast("decimal(18,6)")).cast("double") / F.count("*")).alias("mr")
+    # r15 single-pass fusion (guide §1.2): the reward model (mean r) and
+    # the propensities (counts) were two separate aggregations over the
+    # SAME groupBy(c, a) of the learning split — their partial-agg
+    # payloads differ, so ReuseExchange cannot dedupe them and the split
+    # scanned twice. One grouped aggregate now carries both (sum, count);
+    # mr and p_a derive from it with the identical arithmetic. The
+    # bounded (context, action) grid is cut once
+    # (localCheckpoint; scale posture: sources/tables.py) for its two
+    # downstream consumers (the argmax window and the propensity join).
+    g = (
+        lrn.groupBy("c", "a")
+        .agg(
+            F.sum(F.col("r").cast("decimal(18,6)")).alias("sr"),
+            F.count("*").alias("na"),
+        )
+        .localCheckpoint(eager=False)
     )
+    learn = g.select("c", "a", (F.col("sr").cast("double") / F.col("na")).alias("mr"))
     wpi = W.partitionBy("c").orderBy(F.desc("mr"), "a")
     pi = (
         learn.withColumn("rn", F.row_number().over(wpi))
         .filter(F.col("rn") == 1)
         .select("c", F.col("a").alias("pi_action"), F.col("mr").alias("mr_pi"))
     )
-    prop = (
-        lrn.groupBy("c", "a")
-        .agg(F.count("*").alias("na"))
-        .select(
-            "c",
-            "a",
-            (F.col("na").cast("double") / F.sum("na").over(W.partitionBy("c"))).alias("p_a"),
-        )
+    prop = g.select(
+        "c",
+        "a",
+        (F.col("na").cast("double") / F.sum("na").over(W.partitionBy("c"))).alias("p_a"),
     )
     b = ev.filter(F.col("d") >= "8").select("c", "a", "r")
     j = b.join(pi, "c").join(
@@ -4145,14 +4156,21 @@ def _dr_policy_frame(
     )
     match = F.when(F.col("a") == F.col("pi_action"), 1).otherwise(0)
     match_r = F.sum(F.when(F.col("a") == F.col("pi_action"), F.col("r").cast("decimal(18,6)")))
-    cell = j.groupBy("c", "pi_action", "mr_pi", "p_a").agg(
-        F.count("*").cast("bigint").alias("n_logs"),
-        F.sum(match).cast("bigint").alias("n_match"),
-        # coalesce: a context with zero matching logs has an exact-zero
-        # (not NULL) correction numerator — DuckDB's CASE-sum mirrors
-        F.coalesce(match_r, F.lit(0).cast("decimal(18,6)"))
-        .cast("double")
-        .alias("sum_match_r"),
+    # The bounded per-context cell grid feeds snips AND the final select —
+    # cut once (localCheckpoint; scale posture: sources/tables.py) so the
+    # evaluation-split join pipeline runs a single time.
+    cell = (
+        j.groupBy("c", "pi_action", "mr_pi", "p_a")
+        .agg(
+            F.count("*").cast("bigint").alias("n_logs"),
+            F.sum(match).cast("bigint").alias("n_match"),
+            # coalesce: a context with zero matching logs has an exact-zero
+            # (not NULL) correction numerator — DuckDB's CASE-sum mirrors
+            F.coalesce(match_r, F.lit(0).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_match_r"),
+        )
+        .localCheckpoint(eager=False)
     )
     # SNIPS (self-normalized IPS, Swaminathan & Joachims 2015) over the
     # whole evaluation split: Σ_c w_c·r̄_c / Σ_c w_c with w = 1/p̂ —
@@ -4372,8 +4390,20 @@ def eval_bradley_terry_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b").alias("i"), F.col("a").alias("j"), (1 - F.col("win_a")).alias("w")
         )
     )
-    grid = sym.groupBy("i", "j").agg(
-        F.count("*").cast("bigint").alias("n_ij"), F.sum("w").cast("bigint").alias("w_ij")
+    # The |models|² battle grid (≤25 rows) feeds tot AND den, and every
+    # MM-step frame below re-joins it or its descendants — without a cut
+    # the events window + pair aggregation re-inlines into EVERY consumer
+    # (r15 measured: 32 parquet scans / 33 Windows / 82 Exchanges in the
+    # executed plan). localCheckpoint cut per the multi-consumer
+    # discipline (scale posture: sources/tables.py module docstring);
+    # everything downstream is grid-sized algebra on ≤25 rows.
+    grid = (
+        sym.groupBy("i", "j")
+        .agg(
+            F.count("*").cast("bigint").alias("n_ij"),
+            F.sum("w").cast("bigint").alias("w_ij"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = grid.groupBy("i").agg(
         F.sum("n_ij").cast("bigint").alias("n_i"), F.sum("w_ij").cast("bigint").alias("w_i")
@@ -4384,8 +4414,11 @@ def eval_bradley_terry_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     s1 = tot.select("i", "n_i", "w_i", (F.col("w_i") * 2.0 / F.col("n_i")).alias("s1_raw"))
     z1 = s1.agg(exact_sum(F.col("s1_raw")).alias("z"))
-    s1n = s1.crossJoin(z1).select(
-        "i", "n_i", "w_i", (F.col("s1_raw") / F.col("z")).alias("s1_norm")
+    # s1n feeds three consumers (both den sides + the s2 join): same cut.
+    s1n = (
+        s1.crossJoin(z1)
+        .select("i", "n_i", "w_i", (F.col("s1_raw") / F.col("z")).alias("s1_norm"))
+        .localCheckpoint(eager=False)
     )
     den = (
         grid.join(s1n.select(F.col("i"), F.col("s1_norm").alias("si")), "i")
@@ -4579,26 +4612,22 @@ def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # moves only (event_id, event_type, v) — self-disabling on multi-file
     # corpora (guide §2.4/§6.1; isolated A/B 4.9 -> 2.7 s at sf0.1).
     ev = spread(
-        t(spark, sf_dir, "events").select(
-            "event_id", "event_type", F.col("value").cast("decimal(18,6)").alias("v")
+        t(spark, sf_dir, "events").selectExpr(
+            "event_id", "event_type", "CAST(value AS DECIMAL(18,6)) AS v"
         )
     )
 
-    def w(b: int):
+    def w(b: int) -> str:
         # Slot b%4 of md5 group b//4: one 128-bit hash yields four
         # independent 8-hex uniforms, so 32 replicate weights cost 8
         # hashes per row, not 32 (the hash is the hot loop's only
         # non-trivial op; measured ~2x on the sf0.1 agg stage).
-        h = F.substring(
-            F.md5(F.concat(F.col("event_id").cast("string"), F.lit(f":{b // 4}"))),
-            (b % 4) * 8 + 1,
-            8,
+        h = (
+            f"substring(md5(concat(cast(event_id as string), ':{b // 4}')),"
+            f" {(b % 4) * 8 + 1}, 8)"
         )
-        expr = None
-        for k, tv in enumerate(_POIS_T):
-            cond = h < tv
-            expr = F.when(cond, k) if expr is None else expr.when(cond, k)
-        return expr.otherwise(len(_POIS_T))
+        cases = " ".join(f"WHEN {h} < '{tv}' THEN {k}" for k, tv in enumerate(_POIS_T))
+        return f"(CASE {cases} ELSE {len(_POIS_T)} END)"
 
     # Project each replicate weight ONCE before the aggregation: with the
     # weight expression inlined in both of its sums, each row would pay
@@ -4606,40 +4635,50 @@ def eval_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # work and keeps the agg stage to plain column arithmetic (measured
     # 6.0 s -> ~3 s at sf0.1). Values identical: same expressions, same
     # exact-decimal accumulation.
-    prep = ev.select(
-        "event_type", "v", *[w(b).alias(f"wc{b}") for b in range(_BOOT_B)]
+    #
+    # r15 construction-cost rewrite — see dq_permutation_test's docstring
+    # note: the 32 chained-when weight trees + 64 agg columns + the ×3
+    # inlined 32-division array cost fn 2.65 s of driver time vs act
+    # 1.05 s; ONE SQL string / one analysis pass now builds the same
+    # plan (values verified row-identical; B = 32 keeps the CI at
+    # array_min/array_max of the replicate means exactly as before).
+    weights = ",\n         ".join(f"{w(b)} AS wc{b}" for b in range(_BOOT_B))
+    rep_aggs = ",\n         ".join(
+        f"sum(wc{b} * v) AS s{b}, CAST(sum(wc{b}) AS BIGINT) AS w{b}"
+        for b in range(_BOOT_B)
     )
-    aggs = []
-    for b in range(_BOOT_B):
-        aggs.append(F.sum(F.col(f"wc{b}") * F.col("v")).alias(f"s{b}"))
-        aggs.append(F.sum(f"wc{b}").cast("bigint").alias(f"w{b}"))
-    cell = prep.groupBy("event_type").agg(
-        F.count("*").cast("bigint").alias("n"),
-        (F.sum("v").cast("double") / F.count("*")).alias("point"),
-        *aggs,
+    means = ", ".join(
+        f"try_divide(CAST(s{b} AS DOUBLE), w{b})" for b in range(_BOOT_B)
     )
-    # B = 32 puts the 2.5%/97.5% percentile ranks at the extreme order
-    # statistics, so the CI is array_min/array_max of the replicate
-    # means — ONE projection, no sort_array, and the 32-division array
-    # expression appears three times instead of being re-inlined through
-    # a chained select/filter (the chained form cost ~1.5 s of planner
-    # time per execution on this 5-row stage; emitted values identical,
-    # and the oracle's sorted-[1]/[len] form equals min/max).
-    means = F.array(
-        *[
-            F.try_divide(F.col(f"s{b}").cast("double"), F.col(f"w{b}"))
-            for b in range(_BOOT_B)
-        ]
+    return spark.sql(
+        f"""
+SELECT event_type, n, point_mean, n_replicates, ci_lo, ci_hi
+FROM (
+  SELECT event_type, n, round(point, 6) AS point_mean,
+         CAST(size(fm) AS BIGINT) AS n_replicates,
+         round(array_min(fm), 6) AS ci_lo,
+         round(array_max(fm), 6) AS ci_hi
+  FROM (
+    SELECT event_type, n, point,
+           filter(array({means}), x -> x IS NOT NULL) AS fm
+    FROM (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(v) AS DOUBLE) / count(*) AS point,
+             {rep_aggs}
+      FROM (
+        SELECT event_type, v,
+         {weights}
+        FROM {{ev}}
+      )
+      GROUP BY event_type
     )
-    fm = F.filter(means, lambda x: x.isNotNull())
-    return cell.select(
-        "event_type",
-        "n",
-        F.round("point", 6).alias("point_mean"),
-        F.size(fm).cast("bigint").alias("n_replicates"),
-        F.round(F.array_min(fm), 6).alias("ci_lo"),
-        F.round(F.array_max(fm), 6).alias("ci_hi"),
-    ).filter(F.col("n_replicates") > 0)
+  )
+)
+WHERE n_replicates > 0
+""",
+        ev=ev,
+    )
 
 
 # DDSketch parameters, spelled as the SAME double literals in both

@@ -5906,8 +5906,21 @@ def llmops_ngram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "p.w1", "p.w2")
     )
-    pc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_ab"))
-    cc = bg.groupBy("w1").agg(F.count("*").cast("bigint").alias("c_a"))
+    # r15: the bigram type table is cut once (multi-consumer discipline,
+    # scale posture in sources/tables.py) and c(w1) derived from it by
+    # exact-integer SUM — sum over w2 of c(w1,w2) IS the bigram count of
+    # w1 (the identity the KN variant already documents as "one shuffle
+    # cheaper") — instead of a second aggregation over the raw bigram
+    # stream. Before: the tokenize + explode subtree re-inlined into pc,
+    # cc AND the per-doc scoring join (8 parquet scans in the executed
+    # plan). The unigram vocab still reads tk directly (docs with a
+    # single token carry no bigram, so V is NOT derivable from pc).
+    pc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
+    cc = pc.groupBy("w1").agg(F.sum("c_ab").cast("bigint").alias("c_a"))
     vv = tk.select(F.explode("toks").alias("w")).agg(
         F.countDistinct("w").cast("bigint").alias("v")
     )
@@ -6060,7 +6073,20 @@ def llmops_kn_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "p.w1", "p.w2")
     )
-    pc = bg.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c_ab"))
+    # The bigram TYPE table feeds FOUR consumers (ctx, cont, tt, and the
+    # lm join) — without a cut the tokenize + bigram-explode + count
+    # subtree re-inlines into each (r15 measured: 10 parquet scans in the
+    # executed plan). localCheckpoint cut per the multi-consumer
+    # discipline (scale posture: sources/tables.py): pc is the REDUCED
+    # type table (bounded by observed vocab², orders below the bigram
+    # stream), so the pinned blocks stay small; the raw stream (bg) is
+    # deliberately NOT cut — it re-streams once for the per-doc scoring
+    # join exactly as the add-k twin does.
+    pc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c_ab"))
+        .localCheckpoint(eager=False)
+    )
     ctx = pc.groupBy("w1").agg(
         F.sum("c_ab").cast("bigint").alias("c_a"),
         F.count("*").cast("bigint").alias("nf"),
@@ -6240,22 +6266,32 @@ def llmops_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
-    a = tri.agg(
+    # r15 single-pass fusion (guide §1.2): the token checkpoints (a) and
+    # the vocab checkpoints (f) were two separate aggregations over the
+    # SAME tokenize + trigram-explode stream — different grouping, so
+    # ReuseExchange cannot dedupe them and the explode ran twice. The
+    # per-checkpoint token counts now ride the per-type groupBy as 5
+    # map-side-combinable conditional sums, and the global checkpoints
+    # derive from the type table by exact-BIGINT sums (sum over types of
+    # per-type count(doc_id<=c) IS count(doc_id<=c)); the vocab counts
+    # read first_doc off the same frame. One stream pass, same values.
+    fd = tri.groupBy("g").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc"),
         *[
             F.sum(F.when(F.col("doc_id") <= c, 1).otherwise(0))
             .cast("bigint")
-            .alias(f"n{c}")
+            .alias(f"t{c}")
             for c in _HEAPS_CKPTS
-        ]
+        ],
     )
-    fd = tri.groupBy("g").agg(F.min("doc_id").cast("bigint").alias("first_doc"))
-    f = fd.agg(
+    af = fd.agg(
+        *[F.sum(f"t{c}").cast("bigint").alias(f"n{c}") for c in _HEAPS_CKPTS],
         *[
             F.sum(F.when(F.col("first_doc") <= c, 1).otherwise(0))
             .cast("bigint")
             .alias(f"v{c}")
             for c in _HEAPS_CKPTS
-        ]
+        ],
     )
     dmax = d.agg(F.max("doc_id").cast("bigint").alias("md"))
     grid = F.explode(
@@ -6271,8 +6307,7 @@ def llmops_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).alias("p")
     pts = (
-        a.crossJoin(F.broadcast(f))
-        .crossJoin(F.broadcast(dmax))
+        af.crossJoin(F.broadcast(dmax))
         .select(grid, "md")
         .select("p.checkpoint", "p.n_tokens", "p.vocab", "md")
         .filter(

@@ -2030,9 +2030,18 @@ def dq_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     The derived divisor n·min(r−1,c−1) is guarded (> 0): a single-row or
     single-column table has undefined V, not a DIVIDE_BY_ZERO crash."""
     d = t(spark, sf_dir, "events")
-    cells = d.select(
-        "event_type", F.dayofweek(F.date_sub("ts", 1)).alias("dow")
-    ).groupBy("event_type", "dow").agg(F.count("*").cast("bigint").alias("o"))
+    # The bounded r×c cell grid feeds FOUR consumers (row marginals,
+    # column marginals, N, and the dense grid join), each with a
+    # different grouping — ReuseExchange cannot dedupe them, so without a
+    # cut the event scan re-inlines into each (r15: 7 scans in the
+    # executed plan). localCheckpoint per the multi-consumer discipline
+    # (scale posture: sources/tables.py).
+    cells = (
+        d.select("event_type", F.dayofweek(F.date_sub("ts", 1)).alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").cast("bigint").alias("o"))
+        .localCheckpoint(eager=False)
+    )
     rows_ = cells.groupBy("event_type").agg(F.sum("o").cast("bigint").alias("rl"))
     cols_ = cells.groupBy("dow").agg(F.sum("o").cast("bigint").alias("cl"))
     n = cells.agg(F.sum("o").cast("bigint").alias("n"))
@@ -3493,7 +3502,12 @@ def dq_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("bigint"))
         .cast("bigint")
         .alias("cents")
-    )
+        # The bounded (priority, month) frame (≤ ~420 rows) feeds BOTH
+        # self-join sides, the per-priority count AND the tie aggregate —
+        # the last two group differently, so ReuseExchange cannot dedupe
+        # and the orders scan re-inlined 4× (r15). localCheckpoint cut
+        # per the multi-consumer discipline (sources/tables.py).
+    ).localCheckpoint(eager=False)
     a = monthly.select("prio", F.col("m").alias("m1"), F.col("cents").alias("c1"))
     b = monthly.select("prio", F.col("m").alias("m2"), F.col("cents").alias("c2"))
     s = (

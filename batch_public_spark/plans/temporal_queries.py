@@ -265,8 +265,16 @@ def dq_orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     flip the count across engines. At 100 TB swap percentile for
     approx_percentile(1e-4 accuracy): the plan shape is unchanged."""
     o = t(spark, sf_dir, "orders")
-    med = o.groupBy("o_orderpriority").agg(
-        F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 6).alias("med")
+    # The 5-row median and MAD frames are re-joined against the scan by
+    # every later stage — uncut, each join re-inlines the upstream
+    # percentile aggregation (and its own orders scan) into the consumer
+    # (7 inlined scans total; the three-pass shape itself is the MAD
+    # algorithm). localCheckpoint cuts per the multi-consumer discipline
+    # (sources/tables.py) bound it at the algorithmic three.
+    med = (
+        o.groupBy("o_orderpriority")
+        .agg(F.round(F.percentile(F.col("o_totalprice"), F.lit(0.5)), 6).alias("med"))
+        .localCheckpoint(eager=False)
     )
     dev = (
         o.join(F.broadcast(med), "o_orderpriority")
@@ -276,6 +284,7 @@ def dq_orders_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.percentile(F.abs(F.col("o_totalprice") - F.col("med")), F.lit(0.5)), 6
             ).alias("mad")
         )
+        .localCheckpoint(eager=False)
     )
     thresh = F.round(F.lit(3) * F.lit(1.4826) * F.col("mad"), 6)
     return (
